@@ -1,0 +1,58 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line with per-query wall times."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from simpy__kafka__flink__kafka_spark.plans import registry  # noqa: E402
+from simpy__kafka__flink__kafka_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "link_traces",
+    "link_edges",
+    "pricing_summary",
+    "top_revenue_orders",
+    "region_revenue",
+    "sessionize_events",
+    "exact_dedup",
+    "token_count",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("bench")
+    reg = registry()
+    names = [n for n in HEADLINE if n in reg]
+
+    # one warmup pass to exclude JVM/codegen startup from per-query numbers
+    reg[names[0]].build(spark, sf_dir).count()
+
+    times: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        # count() forces a full scan + all shuffles without driver collect
+        reg[name].build(spark, sf_dir).count()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(json.dumps({
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,317 @@
+"""Relational operator coverage (SURVEY.md §2 "absent in reference, free with
+Catalyst" rows) over the TPC-H-ish tables, each with a DuckDB oracle.
+
+Float determinism: money aggregates are computed in integer cents
+(``floor(x * 100)`` summed as BIGINT, divided back at the end).  Per-row
+double products and ``floor`` are IEEE-identical across engines, and integer
+sums are order-independent, so Spark's partial aggregation and DuckDB's
+sequential aggregation hash-match exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from . import Query
+
+
+from ..sources.tables import read_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, sf_dir, name)
+
+
+def _cents(col):
+    return F.floor(col * 100).cast("long")
+
+
+# --- TPC-H Q1-style pricing summary (groupBy/agg; map-side combine) ----------
+
+def _q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc * (1 + F.col("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            (F.sum(_cents(F.col("l_quantity"))) / 100.0).alias("sum_qty"),
+            (F.sum(_cents(F.col("l_extendedprice"))) / 100.0).alias("sum_base_price"),
+            (F.sum(_cents(disc)) / 100.0).alias("sum_disc_price"),
+            (F.sum(_cents(charge)) / 100.0).alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_PRICING_SUMMARY_SQL = """
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(floor(l_quantity * 100) AS BIGINT)) / 100.0 AS sum_qty,
+       sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_base_price,
+       sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) / 100.0 AS sum_disc_price,
+       sum(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) AS BIGINT)) / 100.0 AS sum_charge,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --- Q3-style: 3-way join + top-N (broadcast dim, deterministic limit) -------
+
+def _q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey")
+        .agg((F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))) / 100.0).alias("revenue"))
+    )
+    return rev.orderBy(F.col("revenue").desc(), F.col("o_orderkey")).limit(10)
+
+
+_TOP_REVENUE_ORDERS_SQL = """
+SELECT o_orderkey,
+       sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) / 100.0 AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+# --- Q5-style: 6-way snowflake join ------------------------------------------
+
+def _q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg((F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))) / 100.0).alias("revenue"))
+    )
+
+
+_REGION_REVENUE_SQL = """
+SELECT r_name,
+       sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) / 100.0 AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+GROUP BY r_name
+"""
+
+
+# --- ranking window function: top part per brand by retail price -------------
+
+def _q_topk_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    w = W.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey")
+    )
+    return (
+        part.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("p_brand", "p_partkey", "p_retailprice", "rk")
+    )
+
+
+_TOPK_PER_BRAND_SQL = """
+SELECT p_brand, p_partkey, p_retailprice, rk
+FROM (
+  SELECT p_brand, p_partkey, p_retailprice,
+         row_number() OVER (PARTITION BY p_brand
+                            ORDER BY p_retailprice DESC, p_partkey) AS rk
+  FROM part
+)
+WHERE rk <= 3
+"""
+
+
+# --- semi/anti join: customers with no orders --------------------------------
+
+def _q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+_CUSTOMERS_WITHOUT_ORDERS_SQL = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+# --- rollup (grouping sets) ---------------------------------------------------
+
+def _q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg((F.sum(_cents(F.col("l_extendedprice"))) / 100.0).alias("revenue"),
+             F.count(F.lit(1)).alias("n"))
+    )
+
+
+_ROLLUP_REVENUE_SQL = """
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) / 100.0 AS revenue,
+       count(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+# --- set operations -----------------------------------------------------------
+
+def _q_brand_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    big = part.where(F.col("p_size") > 25).select("p_brand")
+    cheap = part.where(F.col("p_retailprice") < 1200).select("p_brand")
+    return big.intersect(cheap).union(
+        big.exceptAll(big).select("p_brand")  # empty, keeps EXCEPT in the plan
+    ).distinct()
+
+
+_BRAND_SET_OPS_SQL = """
+SELECT DISTINCT p_brand FROM (
+  SELECT p_brand FROM part WHERE p_size > 25
+  INTERSECT
+  SELECT p_brand FROM part WHERE p_retailprice < 1200
+)
+"""
+
+
+# --- manual pivot (conditional aggregation) ----------------------------------
+
+def _q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_f"),
+        F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("n_o"),
+        F.count(F.when(F.col("o_orderstatus") == "P", 1)).alias("n_p"),
+    )
+
+
+_PIVOT_STATUS_SQL = """
+SELECT o_orderpriority,
+       count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+       count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+       count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+# --- gap-based sessionization over events (session_window batch analog) ------
+
+def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    gap_ms = 30 * 60 * 1000
+    with_new = ev.withColumn(
+        "new_session",
+        F.when((F.col("ts_ms") - F.lag("ts_ms").over(w)) > gap_ms, 1).otherwise(0),
+    )
+    with_sid = with_new.withColumn(
+        "session_seq",
+        F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    return with_sid.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts_ms").alias("session_start_ms"),
+        F.max("ts_ms").alias("session_end_ms"),
+    )
+
+
+_SESSIONIZE_SQL = """
+WITH ev AS (
+  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms FROM events
+), flagged AS (
+  SELECT user_id, event_id, ts_ms,
+         CASE WHEN ts_ms - lag(ts_ms) OVER w > 1800000
+              THEN 1 ELSE 0 END AS new_session
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+), sessions AS (
+  SELECT user_id, ts_ms,
+         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq, count(*) AS n_events,
+       min(ts_ms) AS session_start_ms,
+       max(ts_ms) AS session_end_ms
+FROM sessions
+GROUP BY user_id, session_seq
+"""
+
+
+# --- tumbling daily window over events ---------------------------------------
+
+def _q_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    day = 86_400_000
+    return (
+        ev.groupBy(((F.col("ts_ms") / day).cast("long") * day).alias("day_ms"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(_cents(F.col("value"))) / 100.0).alias("sum_value"),
+        )
+    )
+
+
+_TUMBLING_DAILY_SQL = """
+SELECT (epoch_ms(ts) // 86400000) * 86400000 AS day_ms,
+       count(*) AS n,
+       sum(CAST(floor(value * 100) AS BIGINT)) / 100.0 AS sum_value
+FROM events
+GROUP BY 1
+"""
+
+
+QUERIES: dict[str, Query] = {
+    "pricing_summary": Query(_q_pricing_summary, _PRICING_SUMMARY_SQL,
+                             "TPC-H Q1-style grouped aggregation"),
+    "top_revenue_orders": Query(_q_top_revenue_orders, _TOP_REVENUE_ORDERS_SQL,
+                                "Q3-style join + deterministic top-N"),
+    "region_revenue": Query(_q_region_revenue, _REGION_REVENUE_SQL,
+                            "Q5-style snowflake join with broadcast dims"),
+    "topk_per_brand": Query(_q_topk_per_brand, _TOPK_PER_BRAND_SQL,
+                            "ranking window function"),
+    "customers_without_orders": Query(_q_customers_without_orders,
+                                      _CUSTOMERS_WITHOUT_ORDERS_SQL, "anti join"),
+    "rollup_revenue": Query(_q_rollup_revenue, _ROLLUP_REVENUE_SQL, "rollup"),
+    "brand_set_ops": Query(_q_brand_set_ops, _BRAND_SET_OPS_SQL, "intersect/except"),
+    "pivot_status": Query(_q_pivot_status, _PIVOT_STATUS_SQL, "conditional-agg pivot"),
+    "sessionize_events": Query(_q_sessionize, _SESSIONIZE_SQL,
+                               "gap-based sessionization (session_window analog)"),
+    "tumbling_daily": Query(_q_tumbling_daily, _TUMBLING_DAILY_SQL,
+                            "tumbling window aggregation"),
+}

@@ -1,0 +1,211 @@
+"""Trace-pipeline queries (SURVEY.md §2.2-2.5) with DuckDB oracles.
+
+Every query here runs over the span view synthesized from ``events``
+(``schemas.MESSAGES_SQL_DUCKDB`` on the oracle side,
+``schemas.messages_from_events`` on the Spark side — kept expression-for-
+expression identical).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from ..operators.linking import aggregate_adjacency, link_edges, link_edges_banded
+from ..schemas import MESSAGES_SQL_DUCKDB, messages_from_events
+from . import Query
+
+_MSGS = f"messages AS ({MESSAGES_SQL_DUCKDB})"
+
+_EDGES_SQL = """
+edges AS (
+  SELECT p.id AS parent_id, c.id AS child_id
+  FROM messages p
+  JOIN messages c
+    ON p.dst_ip = c.src_ip
+   AND p.start_at_ms <= c.start_at_ms
+   AND p.end_at_ms >= c.end_at_ms
+   AND p.id <> c.id
+)
+"""
+
+
+# --- flagship: link_traces (J1 + A1 + left-outer assembly) -------------------
+
+def _q_link_traces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    msgs = messages_from_events(spark, sf_dir)
+    return aggregate_adjacency(msgs, link_edges_banded(msgs))
+
+
+_LINK_TRACES_SQL = f"""
+WITH {_MSGS}, {_EDGES_SQL},
+par AS (SELECT child_id AS id, list_sort(list(DISTINCT parent_id)) AS parents
+        FROM edges GROUP BY 1),
+chi AS (SELECT parent_id AS id, list_sort(list(DISTINCT child_id)) AS children
+        FROM edges GROUP BY 1)
+SELECT m.id, m.src_ip, m.dst_ip, m.start_at_ms, m.latency_msec, m.end_at_ms,
+       COALESCE(par.parents, CAST([] AS VARCHAR[]))  AS parents,
+       COALESCE(chi.children, CAST([] AS VARCHAR[])) AS children
+FROM messages m
+LEFT JOIN par USING (id)
+LEFT JOIN chi USING (id)
+"""
+
+
+# --- link_edges (J1 alone; banded scale-path plan + naive variant) -----------
+# At sf0.1 the naive equi-join on the 10-value IP key evaluates ~1e9 pairs
+# (90 s local); the band join does the same work in <1 s.  Both are declared
+# and verified against the same oracle.
+
+def _q_link_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return link_edges_banded(messages_from_events(spark, sf_dir))
+
+
+def _q_link_edges_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return link_edges(messages_from_events(spark, sf_dir))
+
+
+_LINK_EDGES_SQL = f"WITH {_MSGS}, {_EDGES_SQL} SELECT parent_id, child_id FROM edges"
+
+
+# --- R3: role expansion flat-map ---------------------------------------------
+
+def _q_role_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    msgs = messages_from_events(spark, sf_dir)
+    return msgs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("parent").alias("role"),
+                    F.col("dst_ip").alias("ip_key"),
+                    F.col("id").alias("id"),
+                ),
+                F.struct(
+                    F.lit("child").alias("role"),
+                    F.col("src_ip").alias("ip_key"),
+                    F.col("id").alias("id"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.role", "r.ip_key", "r.id")
+
+
+_ROLE_EXPLODE_SQL = f"""
+WITH {_MSGS}
+SELECT 'parent' AS role, dst_ip AS ip_key, id FROM messages
+UNION ALL
+SELECT 'child'  AS role, src_ip AS ip_key, id FROM messages
+"""
+
+
+# --- R4: link-event expansion flat-map ---------------------------------------
+
+def _q_update_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = link_edges_banded(messages_from_events(spark, sf_dir))
+    return edges.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("add_child").alias("event_type"),
+                    F.col("parent_id").alias("key_id"),
+                    F.col("child_id").alias("other_id"),
+                ),
+                F.struct(
+                    F.lit("add_parent").alias("event_type"),
+                    F.col("child_id").alias("key_id"),
+                    F.col("parent_id").alias("other_id"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.event_type", "e.key_id", "e.other_id")
+
+
+_UPDATE_EXPLODE_SQL = f"""
+WITH {_MSGS}, {_EDGES_SQL}
+SELECT 'add_child' AS event_type, parent_id AS key_id, child_id AS other_id FROM edges
+UNION ALL
+SELECT 'add_parent' AS event_type, child_id AS key_id, parent_id AS other_id FROM edges
+"""
+
+
+# --- A2: running-max watermark (batch analog of the watermark tracker) -------
+
+def _q_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    msgs = messages_from_events(spark, sf_dir)
+    w = W.orderBy("start_at_ms", "id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return msgs.select(
+        "id",
+        "start_at_ms",
+        (F.max("start_at_ms").over(w) - F.lit(30_000)).alias("watermark_ms"),
+    )
+
+
+_WATERMARK_SQL = f"""
+WITH {_MSGS}
+SELECT id, start_at_ms,
+       max(start_at_ms) OVER (ORDER BY start_at_ms, id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       - 30000 AS watermark_ms
+FROM messages
+"""
+
+
+# --- W2 batch analog: emit set once the final watermark has passed end_at_ms -
+
+def _q_emit_at_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    msgs = messages_from_events(spark, sf_dir)
+    wm = msgs.agg((F.max("start_at_ms") - F.lit(30_000)).alias("wm"))
+    return (
+        msgs.crossJoin(F.broadcast(wm))
+        .where(F.col("end_at_ms") <= F.col("wm"))
+        .select("id", "start_at_ms", "end_at_ms")
+    )
+
+
+_EMIT_AT_WATERMARK_SQL = f"""
+WITH {_MSGS}
+SELECT id, start_at_ms, end_at_ms
+FROM messages
+WHERE end_at_ms <= (SELECT max(start_at_ms) - 30000 FROM messages)
+"""
+
+
+# --- R1: lenient JSON parse with defaults (props column) ---------------------
+
+def _q_parse_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import read_events
+
+    ev = read_events(spark, sf_dir)
+    return ev.select(
+        "event_id",
+        F.coalesce(
+            F.get_json_object("props", "$.k").cast("int"), F.lit(0)
+        ).alias("k"),
+        F.coalesce(F.col("event_type"), F.lit("")).alias("event_type"),
+    )
+
+
+_PARSE_PROPS_SQL = """
+SELECT event_id,
+       COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER), 0) AS k,
+       COALESCE(event_type, '') AS event_type
+FROM events
+"""
+
+
+QUERIES: dict[str, Query] = {
+    "link_traces": Query(_q_link_traces, _LINK_TRACES_SQL,
+                         "flagship: interval-containment self-join + adjacency agg (J1+A1)"),
+    "link_edges": Query(_q_link_edges, _LINK_EDGES_SQL,
+                        "J1 edge discovery (banded bounded-range join)"),
+    "link_edges_naive": Query(_q_link_edges_naive, _LINK_EDGES_SQL,
+                              "J1 edge discovery (naive IP-keyed equi-join)"),
+    "role_explode": Query(_q_role_explode, _ROLE_EXPLODE_SQL, "R3 1->2 role flat-map"),
+    "update_explode": Query(_q_update_explode, _UPDATE_EXPLODE_SQL, "R4 link-event flat-map"),
+    "watermark_running_max": Query(_q_watermark, _WATERMARK_SQL, "A2 bounded-OOO watermark"),
+    "emit_at_watermark": Query(_q_emit_at_watermark, _EMIT_AT_WATERMARK_SQL,
+                               "W2 emit-when-watermark>=end batch analog"),
+    "parse_props_lenient": Query(_q_parse_props, _PARSE_PROPS_SQL,
+                                 "R1 lenient JSON parse with 0-defaults"),
+}

@@ -1,0 +1,77 @@
+"""Golden-fixture tests for the trace-linking core — the three worked
+scenarios from the reference's own unit tests
+(``/root/reference/test_chain_linking.py``; FIXTURES.md G1-G3), run through
+both the naive and the banded join paths."""
+
+from __future__ import annotations
+
+import pytest
+
+from simpy__kafka__flink__kafka_spark.operators.linking import link_traces
+from simpy__kafka__flink__kafka_spark.schemas import golden_messages
+
+G1 = [  # linear chain (test_chain_linking.py:20-24)
+    ("id1", "10.0.0.1", "10.0.0.2", 1000, 500.0, 1500),
+    ("id2", "10.0.0.2", "10.0.0.3", 1100, 200.0, 1300),
+    ("id3", "10.0.0.3", "10.0.0.4", 1120, 100.0, 1220),
+]
+G1_EXPECT = {
+    "id1": ([], ["id2"]),
+    "id2": (["id1"], ["id3"]),
+    "id3": (["id2"], []),
+}
+
+G2 = [  # concurrent branches (test_chain_linking.py:60-64)
+    ("id1", "10.0.0.1", "10.0.0.2", 1000, 500.0, 1500),
+    ("id2", "10.0.0.2", "10.0.0.3", 1100, 200.0, 1300),
+    ("id3", "10.0.0.2", "10.0.0.4", 1200, 200.0, 1400),
+]
+G2_EXPECT = {
+    "id1": ([], ["id2", "id3"]),
+    "id2": (["id1"], []),
+    "id3": (["id1"], []),
+}
+
+G3 = [  # multiple parents (test_chain_linking.py:97-101)
+    ("id1", "10.0.0.1", "10.0.0.3", 1000, 400.0, 1400),
+    ("id2", "10.0.0.2", "10.0.0.3", 1050, 350.0, 1400),
+    ("id3", "10.0.0.3", "10.0.0.4", 1200, 100.0, 1300),
+]
+G3_EXPECT = {
+    "id1": ([], ["id3"]),
+    "id2": ([], ["id3"]),
+    "id3": (["id1", "id2"], []),
+}
+
+
+def _check(spark, rows, expect, banded):
+    out = link_traces(golden_messages(spark, rows), banded=banded).collect()
+    got = {r["id"]: (sorted(r["parents"]), sorted(r["children"])) for r in out}
+    assert got == expect
+
+
+@pytest.mark.parametrize("banded", [False, True])
+@pytest.mark.parametrize(
+    "rows,expect", [(G1, G1_EXPECT), (G2, G2_EXPECT), (G3, G3_EXPECT)],
+    ids=["linear_chain", "concurrent_branches", "multi_parent"],
+)
+def test_golden(spark, rows, expect, banded):
+    _check(spark, rows, expect, banded)
+
+
+def test_self_match_excluded(spark):
+    # src_ip == dst_ip with identical interval must NOT self-link (SURVEY §7.4)
+    rows = [("idx", "10.0.0.1", "10.0.0.1", 1000, 100.0, 1100)]
+    out = link_traces(golden_messages(spark, rows)).collect()
+    assert out[0]["parents"] == [] and out[0]["children"] == []
+
+
+def test_zero_width_nesting(spark):
+    # equal boundaries count as containment (<=/>=, linking_utils.py:17-23)
+    rows = [
+        ("p", "10.0.0.1", "10.0.0.2", 1000, 300.0, 1300),
+        ("c", "10.0.0.2", "10.0.0.3", 1000, 300.0, 1300),
+    ]
+    out = {r["id"]: r for r in link_traces(golden_messages(spark, rows)).collect()}
+    assert out["p"]["children"] == ["c"]
+    assert out["c"]["parents"] == ["p"]
