@@ -1,0 +1,150 @@
+"""Similarity search over the ``embeddings`` table (``vec_id BIGINT,
+embedding ARRAY<FLOAT>, label INT``).
+
+Scale design (100 TB):
+
+* ``brute_force_topk`` broadcasts the (small) query set and scans the corpus
+  once — embarrassingly parallel, no shuffle on the corpus side; the top-k is
+  a per-query window over a corpus-partitioned intermediate.  This is the
+  correctness baseline.
+* ``ivf_topk`` is the scale path: k-means-style cell assignment (here:
+  deterministic seed centroids = lowest vec_ids, so the oracle can reproduce
+  the partitioning) prunes the scan to ``nprobe`` cells per query.  On a real
+  corpus the centroid set comes from ``pyspark.ml.clustering.KMeans``; the
+  query plan — broadcast centroids, cell-assign scan, equi-join on cell_id,
+  per-query window — is exactly what ships here.
+
+Float determinism contract: embeddings are cast FLOAT -> DOUBLE before any
+arithmetic on BOTH engines, dot products are sequential left-to-right folds
+in both (Spark ``aggregate``, DuckDB ``list_dot_product`` over DOUBLE[]), and
+outputs are rounded to 6 decimals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+N_CENTROIDS = 16
+NPROBE = 2
+
+
+def _dbl(col) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a, b) -> Column:
+    return F.aggregate(
+        F.zip_with(_dbl(a), _dbl(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a, b) -> Column:
+    return F.round(dot(a, b) / (norm(a) * norm(b)), 6)
+
+
+def brute_force_topk(emb: DataFrame, n_queries: int = 5, k: int = 10) -> DataFrame:
+    """Exact cosine top-k: queries = the ``n_queries`` lowest vec_ids,
+    corpus = everything else.  Output (query_id, vec_id, cos_sim, rank)."""
+    from pyspark.sql import Window as W
+
+    q = emb.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    corpus = emb.where(F.col("vec_id") >= n_queries)
+    scored = corpus.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "vec_id",
+        cosine(F.col("q_emb"), F.col("embedding")).alias("cos_sim"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos_sim", "rank")
+    )
+
+
+def ivf_assign(emb: DataFrame, n_centroids: int = N_CENTROIDS) -> DataFrame:
+    """Assign every vector to its nearest centroid by cosine (deterministic
+    argmax: highest similarity, ties to lowest centroid id).
+    Output (vec_id, cell_id, cell_sim)."""
+    from pyspark.sql import Window as W
+
+    cents = emb.where(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("c_emb")
+    )
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "cell_id",
+        cosine(F.col("embedding"), F.col("c_emb")).alias("cell_sim"),
+    )
+    w = W.partitionBy("vec_id").orderBy(F.col("cell_sim").desc(), F.col("cell_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "cell_id", "cell_sim")
+    )
+
+
+def ivf_topk(emb: DataFrame, n_queries: int = 5, k: int = 10,
+             n_centroids: int = N_CENTROIDS, nprobe: int = NPROBE) -> DataFrame:
+    """IVF-style ANN: probe the ``nprobe`` nearest cells per query, brute
+    force only inside them.  Approximate by construction (recall < 1 when the
+    true neighbor lives in an unprobed cell) — that's the documented
+    trade-off, identical on the oracle side."""
+    from pyspark.sql import Window as W
+
+    assign = ivf_assign(emb, n_centroids)
+    cents = emb.where(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("c_emb")
+    )
+    q = emb.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    qcells = q.crossJoin(F.broadcast(cents)).select(
+        "query_id",
+        "cell_id",
+        "q_emb",
+        cosine(F.col("q_emb"), F.col("c_emb")).alias("qc_sim"),
+    )
+    wq = W.partitionBy("query_id").orderBy(F.col("qc_sim").desc(), F.col("cell_id"))
+    probed = qcells.withColumn("rn", F.row_number().over(wq)).where(
+        F.col("rn") <= nprobe
+    ).select("query_id", "cell_id", "q_emb")
+
+    corpus = emb.where(F.col("vec_id") >= n_queries).join(assign, "vec_id")
+    scored = corpus.join(probed, "cell_id").select(
+        "query_id",
+        "vec_id",
+        cosine(F.col("q_emb"), F.col("embedding")).alias("cos_sim"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos_sim", "rank")
+    )
+
+
+def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.92) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a<b, cosine >= threshold).
+    All-pairs here (correctness form); at scale the same predicate runs after
+    LSH/IVF candidate pruning."""
+    a = emb.alias("a")
+    b = emb.alias("b")
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cosine(F.col("a.embedding"), F.col("b.embedding")).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )

@@ -1,0 +1,112 @@
+"""Text-analysis column expressions over the ``documents`` table — the
+training-data-pipeline operators (language-ID, quality scoring, tokenizing,
+shingling).  All expressions are built from JVM-side ``pyspark.sql.functions``
+(no Python UDFs), so they stay inside whole-stage codegen and shuffle nothing
+by themselves.
+
+Cross-engine determinism contract (for the DuckDB oracles): every expression
+here has an exact SQL twin — integer counts, ``md5`` hex strings, and
+left-to-right double arithmetic only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Static stopword lists for the language-ID heuristic.  The heuristic is a
+# stopword-hit vote (the classic cheap n-gram/stopword LID approach); it is
+# deterministic and oracle-expressible.  Tie-break: first language in LANGS.
+LANGS = ["en", "de", "fr", "es", "zh"]
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "auf"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "dans", "pour", "que"],
+    "es": ["el", "la", "los", "las", "es", "un", "una", "en", "por", "para"],
+    "zh": ["de", "shi", "bu", "wo", "ni", "ta", "men", "zai", "you", "le"],
+}
+
+
+def normalized(col: Column | str = "text") -> Column:
+    """lower + trim + collapse whitespace (the dedup normal form)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lower(F.regexp_replace(F.trim(c), r"\s+", " "))
+
+
+def words(col: Column | str = "text") -> Column:
+    """Whitespace tokenization of the normalized text."""
+    return F.split(normalized(col), " ")
+
+
+def token_count(col: Column | str = "text") -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(F.length(F.trim(c)) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim(c), r"\s+"))
+    )
+
+
+def stopword_hits(ws: Column, lang: str) -> Column:
+    """Number of tokens that are stopwords of ``lang`` (with multiplicity)."""
+    return F.size(F.filter(ws, lambda w: w.isin(STOPWORDS[lang])))
+
+
+def language_scores(ws: Column) -> dict[str, Column]:
+    return {lang: stopword_hits(ws, lang) for lang in LANGS}
+
+
+def language_id(ws: Column) -> Column:
+    """argmax over per-language stopword hits; ties go to the earlier entry
+    in ``LANGS`` (deterministic)."""
+    scores = language_scores(ws)
+    best_lang = F.lit(LANGS[0])
+    best_score = scores[LANGS[0]]
+    for lang in LANGS[1:]:
+        better = scores[lang] > best_score
+        best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(better, scores[lang]).otherwise(best_score)
+    return best_lang
+
+
+def quality_score(text_col: Column | str = "text") -> Column:
+    """Heuristic quality in [0,1]: mixes length, punctuation density and
+    stopword density — the standard cheap pretraining-corpus filters.
+
+    score = 0.4 * min(n_tokens/100, 1)
+          + 0.3 * (1 - min(punct_ratio * 10, 1))
+          + 0.3 * min(stop_ratio * 5, 1)
+    computed in doubles with the same literal ops on the oracle side.
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    ws = words(c)
+    n_tok = token_count(c).cast("double")
+    n_chars = F.length(c).cast("double")
+    n_punct = (
+        F.length(c) - F.length(F.regexp_replace(c, r"[.,;:!?]", ""))
+    ).cast("double")
+    n_stop = stopword_hits(ws, "en").cast("double")
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tok > 0, n_stop / n_tok).otherwise(F.lit(0.0))
+    return F.round(
+        0.4 * F.least(n_tok / 100.0, F.lit(1.0))
+        + 0.3 * (1.0 - F.least(punct_ratio * 10.0, F.lit(1.0)))
+        + 0.3 * F.least(stop_ratio * 5.0, F.lit(1.0)),
+        6,
+    )
+
+
+def shingles(df: DataFrame, n: int = 3, id_col: str = "doc_id",
+             text_col: str = "text") -> DataFrame:
+    """Explode each document into its word ``n``-gram shingles.
+
+    Output: (id_col, shingle).  Documents with fewer than ``n`` words emit
+    no rows.  Guarded so the empty case matches DuckDB's
+    ``generate_series(1, 0) -> []`` (Spark's ``sequence(1, 0)`` would count
+    *down* — a real divergence trap).
+    """
+    ws = words(text_col)
+    k = F.size(ws) - (n - 1)
+    idx = F.when(k >= 1, F.sequence(F.lit(1), k)).otherwise(
+        F.array().cast("array<int>")
+    )
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(ws, i, n)))
+    return df.select(F.col(id_col), F.explode(sh).alias("shingle"))

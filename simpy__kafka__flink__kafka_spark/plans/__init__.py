@@ -21,9 +21,9 @@ class Query:
 
 
 def registry() -> dict[str, Query]:
-    from . import relational, trace, textops
+    from . import dataprep, relational, textops, trace
 
     out: dict[str, Query] = {}
-    for mod in (trace, relational, textops):
+    for mod in (trace, relational, textops, dataprep):
         out.update(mod.QUERIES)
     return out

@@ -1,0 +1,332 @@
+r"""Training-data-pipeline queries: language-ID, quality scoring, MinHash-LSH /
+SimHash / n-gram-Jaccard dedup, and embedding similarity search — each with a
+DuckDB oracle generated from the same constants as the Spark implementation
+(``functions/text.py``, ``functions/dedup.py``, ``functions/similarity.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import dedup, similarity
+from ..functions.text import (LANGS, STOPWORDS, language_id, quality_score,
+                              token_count, words)
+from . import Query
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------------------
+# shared oracle CTE fragments
+# ---------------------------------------------------------------------------
+
+_WORDS_CTE = r"""
+w AS (
+  SELECT doc_id, text,
+         string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS ws
+  FROM documents
+)"""
+
+_SHINGLES_CTE = _WORDS_CTE + r""",
+sh AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 0)),
+                               i -> array_to_string(ws[i:i+2], ' '))) AS shingle
+  FROM w
+)"""
+
+
+def _sig_cte(num_hashes: int = dedup.NUM_HASHES) -> str:
+    mins = ", ".join(
+        f"min(md5('{j}:' || shingle)) AS h{j}" for j in range(num_hashes)
+    )
+    return _SHINGLES_CTE + f""",
+sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id)"""
+
+
+def _buckets_cte(num_hashes: int = dedup.NUM_HASHES, bands: int = dedup.BANDS) -> str:
+    rows = num_hashes // bands
+    selects = []
+    for b in range(bands):
+        cols = " || '|' || ".join(f"h{b * rows + r}" for r in range(rows))
+        selects.append(
+            f"SELECT doc_id, {b} AS band, md5({cols}) AS bucket FROM sig"
+        )
+    return _sig_cte(num_hashes) + ",\nbk AS (" + "\nUNION ALL\n".join(selects) + ")"
+
+
+# ---------------------------------------------------------------------------
+# language ID + quality score
+# ---------------------------------------------------------------------------
+
+def _q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", language_id(words("text")).alias("lang_pred"))
+
+
+def _lang_id_sql() -> str:
+    score_cols = []
+    for lang in LANGS:
+        lits = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+        score_cols.append(
+            f"len(list_filter(ws, x -> list_contains([{lits}], x))) AS s_{lang}"
+        )
+    # replicate the Spark fold: start at LANGS[0], strict > to replace
+    expr_lang = f"'{LANGS[0]}'"
+    expr_score = f"s_{LANGS[0]}"
+    for lang in LANGS[1:]:
+        expr_lang = f"CASE WHEN s_{lang} > {expr_score} THEN '{lang}' ELSE {expr_lang} END"
+        expr_score = f"CASE WHEN s_{lang} > {expr_score} THEN s_{lang} ELSE {expr_score} END"
+    return f"""
+WITH {_WORDS_CTE},
+scores AS (SELECT doc_id, {', '.join(score_cols)} FROM w)
+SELECT doc_id, {expr_lang} AS lang_pred FROM scores
+"""
+
+
+def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        quality_score("text").alias("quality"),
+    )
+
+
+def _quality_sql() -> str:
+    en = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    return rf"""
+WITH {_WORDS_CTE},
+m AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok,
+         CAST(length(text) AS DOUBLE) AS n_chars,
+         CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) AS n_punct,
+         CAST(len(list_filter(ws, x -> list_contains([{en}], x))) AS DOUBLE) AS n_stop
+  FROM w
+)
+SELECT doc_id, n_tok AS n_tokens,
+       round(0.4 * least(CAST(n_tok AS DOUBLE) / 100.0, 1.0)
+           + 0.3 * (1.0 - least((CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END) * 10.0, 1.0))
+           + 0.3 * least((CASE WHEN n_tok > 0 THEN n_stop / CAST(n_tok AS DOUBLE) ELSE 0.0 END) * 5.0, 1.0),
+           6) AS quality
+FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash / LSH / Jaccard / SimHash
+# ---------------------------------------------------------------------------
+
+def _q_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_signatures(_docs(spark, sf_dir))
+
+
+def _minhash_sig_sql() -> str:
+    return f"WITH {_sig_cte()} SELECT * FROM sig"
+
+
+def _q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(_docs(spark, sf_dir))
+
+
+def _lsh_pairs_sql() -> str:
+    return f"""
+WITH {_buckets_cte()},
+sized AS (SELECT band, bucket, count(*) AS n FROM bk GROUP BY 1, 2),
+bk2 AS (SELECT bk.doc_id, bk.band, bk.bucket
+        FROM bk JOIN sized USING (band, bucket) WHERE n <= 1000)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bk2 a
+JOIN bk2 b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+"""
+
+
+def _q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5)
+
+
+def _jaccard_pairs_sql() -> str:
+    return f"""
+WITH {_SHINGLES_CTE},
+dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM dsh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+  FROM dsh a JOIN dsh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6) >= 0.5
+"""
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash(_docs(spark, sf_dir))
+
+
+def _simhash_sql(bits: int = dedup.SIMHASH_BITS) -> str:
+    digits = bits // 4
+    dg = ", ".join(
+        f"strpos('0123456789abcdef', substr(h, {d + 1}, 1)) - 1 AS d{d}"
+        for d in range(digits)
+    )
+    votes = ", ".join(
+        f"sum((CAST(floor(d{k // 4} / {2 ** (3 - k % 4)}) AS BIGINT) % 2) * 2 - 1) AS v{k}"
+        for k in range(bits)
+    )
+    value = " + ".join(
+        f"(CASE WHEN v{k} > 0 THEN 1 ELSE 0 END) * {2 ** (bits - 1 - k)}"
+        for k in range(bits)
+    )
+    return f"""
+WITH {_SHINGLES_CTE},
+hx AS (SELECT doc_id, md5(shingle) AS h FROM sh),
+dg AS (SELECT doc_id, {dg} FROM hx),
+v AS (SELECT doc_id, {votes} FROM dg GROUP BY doc_id)
+SELECT doc_id, CAST({value} AS BIGINT) AS simhash FROM v
+"""
+
+
+def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_near_dup_pairs(_docs(spark, sf_dir), max_hamming=3)
+
+
+def _simhash_pairs_sql() -> str:
+    return f"""
+WITH sims AS ({_simhash_sql()})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# embedding similarity
+# ---------------------------------------------------------------------------
+
+_COS = ("round(list_dot_product({a}, {b}) / "
+        "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)")
+
+
+def _q_bf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.brute_force_topk(_emb(spark, sf_dir))
+
+
+def _bf_topk_sql() -> str:
+    cos = _COS.format(a="q.qe", b="c.ve")
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+           FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve
+      FROM embeddings WHERE vec_id >= 5),
+scored AS (SELECT query_id, vec_id, {cos} AS cos_sim FROM c, q),
+r AS (SELECT query_id, vec_id, cos_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, vec_id) AS rank
+      FROM scored)
+SELECT query_id, vec_id, cos_sim, rank FROM r WHERE rank <= 10
+"""
+
+
+def _q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ivf_assign(_emb(spark, sf_dir))
+
+
+def _ivf_assign_sql() -> str:
+    cos = _COS.format(a="e.ve", b="ct.ce")
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+ct AS (SELECT vec_id AS cell_id, CAST(embedding AS DOUBLE[]) AS ce
+       FROM embeddings WHERE vec_id < {similarity.N_CENTROIDS}),
+scored AS (SELECT e.vec_id, ct.cell_id, {cos} AS cell_sim FROM e, ct),
+r AS (SELECT vec_id, cell_id, cell_sim,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cell_sim DESC, cell_id) AS rn
+      FROM scored)
+SELECT vec_id, cell_id, cell_sim FROM r WHERE rn = 1
+"""
+
+
+def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ivf_topk(_emb(spark, sf_dir))
+
+
+def _ivf_topk_sql() -> str:
+    qc = _COS.format(a="q.qe", b="ct.ce")
+    cos = _COS.format(a="p.qe", b="c.ve")
+    return f"""
+WITH assign AS ({_ivf_assign_sql()}),
+ct AS (SELECT vec_id AS cell_id, CAST(embedding AS DOUBLE[]) AS ce
+       FROM embeddings WHERE vec_id < {similarity.N_CENTROIDS}),
+q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+      FROM embeddings WHERE vec_id < 5),
+qcell AS (SELECT query_id, cell_id, qe, {qc} AS qc_sim FROM q, ct),
+probed AS (SELECT query_id, cell_id, qe FROM (
+             SELECT query_id, cell_id, qe,
+                    row_number() OVER (PARTITION BY query_id
+                                       ORDER BY qc_sim DESC, cell_id) AS rn
+             FROM qcell) WHERE rn <= {similarity.NPROBE}),
+c AS (SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS ve, a.cell_id
+      FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id
+      WHERE e.vec_id >= 5),
+scored AS (SELECT p.query_id, c.vec_id, {cos} AS cos_sim
+           FROM c JOIN probed p ON c.cell_id = p.cell_id),
+r AS (SELECT query_id, vec_id, cos_sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, vec_id) AS rank
+      FROM scored)
+SELECT query_id, vec_id, cos_sim, rank FROM r WHERE rank <= 10
+"""
+
+
+def _q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.embedding_near_dup_pairs(_emb(spark, sf_dir), threshold=0.92)
+
+
+def _emb_near_dup_sql() -> str:
+    cos = _COS.format(a="a.ve", b="b.ve")
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {cos} AS cos_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE {cos} >= 0.92
+"""
+
+
+QUERIES: dict[str, Query] = {
+    "language_id": Query(_q_language_id, _lang_id_sql(),
+                         "stopword-vote language heuristic"),
+    "quality_score": Query(_q_quality, _quality_sql(),
+                           "length/punct/stopword quality heuristic"),
+    "minhash_signatures": Query(_q_minhash_sig, _minhash_sig_sql(),
+                                "8-hash MinHash signatures (md5 hex min)"),
+    "minhash_lsh_pairs": Query(_q_lsh_pairs, _lsh_pairs_sql(),
+                               "LSH banding candidate pairs"),
+    "ngram_jaccard_pairs": Query(_q_jaccard_pairs, _jaccard_pairs_sql(),
+                                 "exact 3-gram Jaccard >= 0.5 pairs"),
+    "simhash": Query(_q_simhash, _simhash_sql(),
+                     "16-bit SimHash signatures"),
+    "simhash_near_dup": Query(_q_simhash_pairs, _simhash_pairs_sql(),
+                              "SimHash hamming<=3 pairs"),
+    "cosine_topk": Query(_q_bf_topk, _bf_topk_sql(),
+                         "brute-force cosine top-10 for 5 queries"),
+    "ivf_assign": Query(_q_ivf_assign, _ivf_assign_sql(),
+                        "IVF cell assignment (16 seed centroids)"),
+    "ivf_topk": Query(_q_ivf_topk, _ivf_topk_sql(),
+                      "IVF nprobe=2 approximate top-10"),
+    "embedding_near_dup": Query(_q_emb_near_dup, _emb_near_dup_sql(),
+                                "embedding-cosine near-dup pairs >= 0.92"),
+}
