@@ -306,7 +306,35 @@ WHERE {cos} >= 0.92
 """
 
 
+# ---------------------------------------------------------------------------
+# multimodal plumbing (mapInPandas; deterministic fake extractor)
+# ---------------------------------------------------------------------------
+
+def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.multimodal import attach_binary, extract_features
+
+    return extract_features(attach_binary(_docs(spark, sf_dir)))
+
+
+def _multimodal_sql() -> str:
+    def hexv(i: int) -> str:
+        d1 = f"(strpos('0123456789abcdef', substr(md5(text), {i * 2 + 1}, 1)) - 1)"
+        d2 = f"(strpos('0123456789abcdef', substr(md5(text), {i * 2 + 2}, 1)) - 1)"
+        return f"({d1} * 16 + {d2}) / 255.0"
+
+    vec = ", ".join(hexv(i) for i in range(4))
+    return f"""
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       md5(text) AS content_md5,
+       [{vec}] AS feature_vec
+FROM documents
+"""
+
+
 QUERIES: dict[str, Query] = {
+    "multimodal_features": Query(_q_multimodal_features, _multimodal_sql(),
+                                 "binary column + mapInPandas feature extraction"),
     "language_id": Query(_q_language_id, _lang_id_sql(),
                          "stopword-vote language heuristic"),
     "quality_score": Query(_q_quality, _quality_sql(),

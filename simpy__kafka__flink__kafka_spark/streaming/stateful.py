@@ -1,0 +1,188 @@
+"""The one custom stateful operator: id-keyed adjacency aggregation with
+exact reference emit semantics (``MessageAggregationProcess``,
+``/root/reference/flink-jobs/simpy_kafka_reader.py:196-310``):
+
+* state per message id: the span (first-write-wins), insertion-ordered
+  de-duplicated parents/children lists, the span's ``end_at_ms``;
+* a record is emitted exactly when the event-time watermark passes its
+  ``end_at_ms`` (reference ``:247-264``), after which state is evicted;
+* arrays are emitted sorted (SURVEY.md §7.3 canonicalization).
+
+Everything else in the pipeline is declarative; this operator exists for
+emit-time parity only — final-result parity is already covered by the
+batch path.  The reference's 60 s processing-time idle flush (``:303-310``)
+is a documented divergence: Spark allows one timeout kind per operator, and
+event-time timeout is the semantically load-bearing one.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+# input: union of 'message' events (full span) and add_parent/add_child
+# update events, keyed by key_id, with the event-time column 'event_ts'
+UPDATE_SCHEMA = T.StructType(
+    [
+        T.StructField("key_id", T.StringType(), False),
+        T.StructField("event_type", T.StringType(), False),
+        T.StructField("other_id", T.StringType(), True),
+        T.StructField("payload", T.StringType(), True),  # span JSON for 'message'
+        T.StructField("event_ts", T.TimestampType(), True),
+    ]
+)
+
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType(), False),
+        T.StructField("src_ip", T.StringType(), True),
+        T.StructField("dst_ip", T.StringType(), True),
+        T.StructField("start_at_ms", T.LongType(), True),
+        T.StructField("latency_msec", T.DoubleType(), True),
+        T.StructField("end_at_ms", T.LongType(), True),
+        T.StructField("parents", T.ArrayType(T.StringType()), True),
+        T.StructField("children", T.ArrayType(T.StringType()), True),
+    ]
+)
+
+# state mirrors the reference's ValueState quintet (simpy_kafka_reader.py:199-224)
+# with lists JSON-encoded exactly as the reference stores them (:208-215)
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("msg_json", T.StringType(), True),
+        T.StructField("parents_json", T.StringType(), True),
+        T.StructField("children_json", T.StringType(), True),
+        T.StructField("end_ms", T.LongType(), True),
+    ]
+)
+
+
+def _append_unique(lst: list[str], item: str) -> None:
+    # dedup-on-append (reference _append_id, simpy_kafka_reader.py:294-301)
+    if item and item not in lst:
+        lst.append(item)
+
+
+def _emit_row(msg: dict[str, Any], parents: list[str],
+              children: list[str]) -> pd.DataFrame:
+    return pd.DataFrame(
+        [
+            {
+                "id": msg.get("id", ""),
+                "src_ip": msg.get("src_ip", ""),
+                "dst_ip": msg.get("dst_ip", ""),
+                "start_at_ms": int(msg.get("start_at_ms", 0)),
+                "latency_msec": float(msg.get("latency_msec", 0.0)),
+                "end_at_ms": int(msg.get("end_at_ms", 0)),
+                "parents": sorted(parents),
+                "children": sorted(children),
+            }
+        ]
+    )
+
+
+def aggregate_adjacency_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    if state.exists:
+        msg_json, parents_json, children_json, end_ms = state.get
+    else:
+        msg_json, parents_json, children_json, end_ms = None, "[]", "[]", None
+    msg = json.loads(msg_json) if msg_json else None
+    parents: list[str] = json.loads(parents_json)
+    children: list[str] = json.loads(children_json)
+
+    if state.hasTimedOut:
+        # watermark passed end_at_ms -> emit and evict (reference :247-264)
+        state.remove()
+        if msg is not None:
+            yield _emit_row(msg, parents, children)
+        return
+
+    for pdf in pdfs:
+        for row in pdf.itertuples(index=False):
+            if row.event_type == "message":
+                if msg is None and row.payload:  # first-write-wins (:230-236)
+                    msg = json.loads(row.payload)
+                    end_ms = int(msg.get("end_at_ms", 0))
+            elif row.event_type == "add_parent":
+                _append_unique(parents, row.other_id)
+            elif row.event_type == "add_child":
+                _append_unique(children, row.other_id)
+
+    state.update((
+        json.dumps(msg) if msg is not None else None,
+        json.dumps(parents),
+        json.dumps(children),
+        end_ms,
+    ))
+    if end_ms is not None:
+        # event-time timer at end_at_ms (reference :159, :236)
+        state.setTimeoutTimestamp(int(end_ms))
+    return
+
+
+def aggregate_updates_stream(updates: DataFrame,
+                             watermark: str = "30 seconds") -> DataFrame:
+    """Apply the stateful adjacency aggregation to an update-event stream.
+
+    ``updates`` must have UPDATE_SCHEMA columns; output rows appear when the
+    watermark passes each message's ``end_at_ms``.
+    """
+    return (
+        updates.withWatermark("event_ts", watermark)
+        .groupBy("key_id")
+        .applyInPandasWithState(
+            aggregate_adjacency_fn,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def span_message_events(spans: DataFrame) -> DataFrame:
+    """Wrap parsed spans as 'message' events for the aggregation stream
+    (the reference's EVENT_MESSAGE pass-through, simpy_kafka_reader.py:151)."""
+    return spans.select(
+        F.col("id").alias("key_id"),
+        F.lit("message").alias("event_type"),
+        F.lit(None).cast("string").alias("other_id"),
+        F.to_json(
+            F.struct("id", "src_ip", "dst_ip", "start_at_ms",
+                     "latency_msec", "end_at_ms")
+        ).alias("payload"),
+        F.col("start_ts").alias("event_ts"),
+    )
+
+
+def edge_update_events(edges: DataFrame) -> DataFrame:
+    """Edge stream -> add_child/add_parent update events (R4)."""
+    return edges.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("parent_id").alias("key_id"),
+                    F.lit("add_child").alias("event_type"),
+                    F.col("child_id").alias("other_id"),
+                    F.lit(None).cast("string").alias("payload"),
+                    F.col("event_ts"),
+                ),
+                F.struct(
+                    F.col("child_id").alias("key_id"),
+                    F.lit("add_parent").alias("event_type"),
+                    F.col("parent_id").alias("other_id"),
+                    F.lit(None).cast("string").alias("payload"),
+                    F.col("event_ts"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.*")
