@@ -24,6 +24,10 @@ HEADLINE = [
     "sessionize_events",
     "exact_dedup",
     "token_count",
+    "minhash_lsh_pairs",
+    "language_id",
+    "cosine_topk",
+    "embedding_near_dup_blocked",
 ]
 
 

