@@ -49,14 +49,17 @@ def parse_spans(raw: DataFrame, value_col: str = "value") -> DataFrame:
     )
 
 
-def with_event_time(spans: DataFrame, watermark: str = WATERMARK) -> DataFrame:
+def with_event_time(spans: DataFrame, watermark: str | None = WATERMARK) -> DataFrame:
     """Event time = start_at_ms (reference ``StartAtAssigner``,
-    ``simpy_kafka_reader.py:313-317``); bounded out-of-orderness watermark."""
-    return spans.withColumn(
+    ``simpy_kafka_reader.py:313-317``); bounded out-of-orderness watermark.
+
+    Pass ``watermark=None`` when a downstream stateful operator defines its
+    own watermark (Spark allows one definition per query).
+    """
+    out = spans.withColumn(
         "start_ts", F.timestamp_millis(F.col("start_at_ms"))
-    ).withColumn(
-        "end_ts", F.timestamp_millis(F.col("end_at_ms"))
-    ).withWatermark("start_ts", watermark)
+    ).withColumn("end_ts", F.timestamp_millis(F.col("end_at_ms")))
+    return out.withWatermark("start_ts", watermark) if watermark else out
 
 
 def streaming_link_edges(spans: DataFrame,
@@ -156,7 +159,7 @@ def console_sink(df: DataFrame, mode: str = "append"):
 
 
 def file_spans_source(spark: SparkSession, path: str,
-                      watermark: str = WATERMARK,
+                      watermark: str | None = WATERMARK,
                       max_files_per_trigger: int = 1) -> DataFrame:
     """Spans from a parquet directory, one file per micro-batch — the
     deterministic test stand-in for the Kafka source (same downstream

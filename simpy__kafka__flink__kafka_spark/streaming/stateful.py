@@ -129,6 +129,63 @@ def aggregate_adjacency_fn(
     return
 
 
+IDLE_FLUSH_MS = 60_000  # SIMPY_IDLE_FLUSH_MS default (simpy_kafka_reader.py:29)
+
+
+def make_idle_flush_fn(idle_ms: int = IDLE_FLUSH_MS):
+    """W3 variant: processing-time idle flush (reference
+    ``simpy_kafka_reader.py:29, 248-254, 303-310`` — SIMPY_IDLE_FLUSH_MS).
+
+    On ``idle_ms`` of key inactivity the buffered record is emitted then
+    state cleared, so sparse keys produce output even if the watermark
+    stalls.  Spark allows one timeout kind per operator, so this mode trades
+    the event-time emit for the idle flush — the reference runs both timers
+    at once, which is the documented divergence (SURVEY.md §7.1).
+
+    Returned as a closure so the horizon serializes with the function
+    (module globals are re-imported fresh inside Python workers).
+    """
+
+    def fn(key, pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            msg_json, parents_json, children_json, end_ms = state.get
+        else:
+            msg_json, parents_json, children_json, end_ms = None, "[]", "[]", None
+        msg = json.loads(msg_json) if msg_json else None
+        parents: list[str] = json.loads(parents_json)
+        children: list[str] = json.loads(children_json)
+
+        if state.hasTimedOut:
+            state.remove()
+            if msg is not None:
+                yield _emit_row(msg, parents, children)
+            return
+
+        for pdf in pdfs:
+            for row in pdf.itertuples(index=False):
+                if row.event_type == "message":
+                    if msg is None and row.payload:
+                        msg = json.loads(row.payload)
+                        end_ms = int(msg.get("end_at_ms", 0))
+                elif row.event_type == "add_parent":
+                    _append_unique(parents, row.other_id)
+                elif row.event_type == "add_child":
+                    _append_unique(children, row.other_id)
+
+        state.update((
+            json.dumps(msg) if msg is not None else None,
+            json.dumps(parents),
+            json.dumps(children),
+            end_ms,
+        ))
+        # reset-on-activity idle timer (reference :186-193)
+        state.setTimeoutDuration(idle_ms)
+        return
+
+    return fn
+
+
 def aggregate_updates_stream(updates: DataFrame,
                              watermark: str = "30 seconds") -> DataFrame:
     """Apply the stateful adjacency aggregation to an update-event stream.
@@ -145,6 +202,23 @@ def aggregate_updates_stream(updates: DataFrame,
             stateStructType=STATE_SCHEMA,
             outputMode="append",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def aggregate_updates_stream_idle(updates: DataFrame,
+                                  watermark: str = "30 seconds",
+                                  idle_ms: int = IDLE_FLUSH_MS) -> DataFrame:
+    """W3 mode: same aggregation, processing-time idle-flush emission."""
+    return (
+        updates.withWatermark("event_ts", watermark)
+        .groupBy("key_id")
+        .applyInPandasWithState(
+            make_idle_flush_fn(idle_ms),
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
 
