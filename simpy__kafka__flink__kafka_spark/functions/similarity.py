@@ -65,7 +65,7 @@ def brute_force_topk(emb: DataFrame, n_queries: int = 5, k: int = 10) -> DataFra
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
         .select("query_id", "vec_id", "cos_sim", "rank")
     )
@@ -127,7 +127,7 @@ def ivf_topk(emb: DataFrame, n_queries: int = 5, k: int = 10,
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
         .select("query_id", "vec_id", "cos_sim", "rank")
     )

@@ -104,9 +104,13 @@ def shingles(df: DataFrame, n: int = 3, id_col: str = "doc_id",
     *down* — a real divergence trap).
     """
     ws = words(text_col)
-    k = F.size(ws) - (n - 1)
-    idx = F.when(k >= 1, F.sequence(F.lit(1), k)).otherwise(
-        F.array().cast("array<int>")
+    # n whole-array slices zipped, not one slice per shingle index — the
+    # per-index formulation (transform over sequence + slice) costs O(L·n)
+    # interpreted lambda calls per doc and dominated the dedup pipeline
+    # (4.7 s for 5000 docs at sf0.1; this shape is ~5x faster).
+    k = F.greatest(F.size(ws) - (n - 1), F.lit(0))
+    zipped = F.arrays_zip(
+        *[F.slice(ws, i + 1, k).alias(f"w{i}") for i in range(n)]
     )
-    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(ws, i, n)))
+    sh = F.transform(zipped, lambda s: F.concat_ws(" ", *[s[f"w{i}"] for i in range(n)]))
     return df.select(F.col(id_col), F.explode(sh).alias("shingle"))

@@ -45,7 +45,8 @@ sh AS (
 
 def _sig_cte(num_hashes: int = dedup.NUM_HASHES) -> str:
     mins = ", ".join(
-        f"min(md5('{j}:' || shingle)) AS h{j}" for j in range(num_hashes)
+        f"min(substr(md5(shingle), {j * 4 + 1}, 4)) AS h{j}"
+        for j in range(num_hashes)
     )
     return _SHINGLES_CTE + f""",
 sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id)"""
@@ -94,7 +95,7 @@ SELECT doc_id, {expr_lang} AS lang_pred FROM scores
 def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _docs(spark, sf_dir).select(
         "doc_id",
-        token_count("text").alias("n_tokens"),
+        token_count("text").cast("long").alias("n_tokens"),
         quality_score("text").alias("quality"),
     )
 
@@ -207,7 +208,7 @@ def _simhash_pairs_sql() -> str:
     return f"""
 WITH sims AS ({_simhash_sql()})
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       bit_count(xor(a.simhash, b.simhash)) AS hamming
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
 FROM sims a JOIN sims b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """

@@ -131,7 +131,7 @@ def _q_topk_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_retailprice").desc(), F.col("p_partkey")
     )
     return (
-        part.withColumn("rk", F.row_number().over(w))
+        part.withColumn("rk", F.row_number().over(w).cast("long"))
         .where(F.col("rk") <= 3)
         .select("p_brand", "p_partkey", "p_retailprice", "rk")
     )

@@ -102,7 +102,7 @@ def _q_array_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_orderkey",
             "flags",
             F.array_contains("flags", "R").alias("has_return"),
-            F.size("flags").alias("n_flags"),
+            F.size("flags").cast("long").alias("n_flags"),
         )
     )
 

@@ -33,6 +33,7 @@ def _q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.when(F.length(t) == 0, F.lit(0))
         .otherwise(F.size(F.split(t, r"\s+")))
+        .cast("long")  # DuckDB len() is BIGINT; keep schemas aligned
         .alias("n_tokens"),
         F.col("n_chars"),
     )
