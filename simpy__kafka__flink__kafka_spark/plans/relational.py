@@ -296,7 +296,85 @@ GROUP BY 1
 """
 
 
+# --- outer join ---------------------------------------------------------------
+
+def _q_supplier_order_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem")
+    per_supp = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("n_items"))
+    return (
+        supp.join(per_supp, supp.s_suppkey == per_supp.l_suppkey, "full_outer")
+        .select(
+            F.coalesce("s_suppkey", "l_suppkey").alias("suppkey"),
+            F.coalesce("s_name", F.lit("<none>")).alias("s_name"),
+            F.coalesce("n_items", F.lit(0)).alias("n_items"),
+        )
+    )
+
+
+_SUPPLIER_ORDER_COVERAGE_SQL = """
+WITH per_supp AS (
+  SELECT l_suppkey, count(*) AS n_items FROM lineitem GROUP BY 1
+)
+SELECT COALESCE(s_suppkey, l_suppkey) AS suppkey,
+       COALESCE(s_name, '<none>') AS s_name,
+       COALESCE(n_items, 0) AS n_items
+FROM supplier
+FULL OUTER JOIN per_supp ON s_suppkey = l_suppkey
+"""
+
+
+# --- correlated EXISTS subquery ----------------------------------------------
+
+def _q_parts_with_cheap_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    cheap = li.where(F.col("l_discount") >= 0.09).select("l_partkey").distinct()
+    return part.join(cheap, part.p_partkey == cheap.l_partkey, "left_semi").select(
+        "p_partkey", "p_brand"
+    )
+
+
+_PARTS_WITH_CHEAP_SUPPLY_SQL = """
+SELECT p_partkey, p_brand
+FROM part
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_partkey = p_partkey AND l_discount >= 0.09)
+"""
+
+
+# --- scalar subquery ----------------------------------------------------------
+
+def _q_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    avg_cents = orders.agg(
+        (F.sum(_cents(F.col("o_totalprice"))) / F.count(F.lit(1))).alias("a")
+    )
+    return (
+        orders.crossJoin(F.broadcast(avg_cents))
+        .where(_cents(F.col("o_totalprice")) > F.col("a"))
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+_ABOVE_AVG_ORDERS_SQL = """
+SELECT o_orderkey, o_totalprice
+FROM orders
+WHERE CAST(floor(o_totalprice * 100) AS BIGINT) >
+      (SELECT sum(CAST(floor(o_totalprice * 100) AS BIGINT)) / count(*)
+       FROM orders)
+"""
+
+
 QUERIES: dict[str, Query] = {
+    "supplier_order_coverage": Query(_q_supplier_order_coverage,
+                                     _SUPPLIER_ORDER_COVERAGE_SQL,
+                                     "full outer join with coalesced sides"),
+    "parts_with_cheap_supply": Query(_q_parts_with_cheap_supply,
+                                     _PARTS_WITH_CHEAP_SUPPLY_SQL,
+                                     "correlated EXISTS as left-semi join"),
+    "above_avg_orders": Query(_q_above_avg_orders, _ABOVE_AVG_ORDERS_SQL,
+                              "scalar subquery (broadcast aggregate)"),
     "pricing_summary": Query(_q_pricing_summary, _PRICING_SUMMARY_SQL,
                              "TPC-H Q1-style grouped aggregation"),
     "top_revenue_orders": Query(_q_top_revenue_orders, _TOP_REVENUE_ORDERS_SQL,

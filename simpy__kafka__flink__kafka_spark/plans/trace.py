@@ -194,7 +194,45 @@ FROM events
 """
 
 
+# --- DAG follow-up analytics over the linked output --------------------------
+
+def _q_trace_roots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    linked = _q_link_traces(spark, sf_dir)
+    return (
+        linked.where((F.size("parents") == 0) & (F.size("children") > 0))
+        .select("id", F.size("children").cast("long").alias("n_children"))
+    )
+
+
+_TRACE_ROOTS_SQL = f"""
+WITH linked AS ({_LINK_TRACES_SQL})
+SELECT id, CAST(len(children) AS BIGINT) AS n_children
+FROM linked
+WHERE len(parents) = 0 AND len(children) > 0
+"""
+
+
+def _q_fanout_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    linked = _q_link_traces(spark, sf_dir)
+    return (
+        linked.groupBy(F.size("children").cast("long").alias("fanout"))
+        .agg(F.count(F.lit(1)).alias("n_spans"))
+    )
+
+
+_FANOUT_HISTOGRAM_SQL = f"""
+WITH linked AS ({_LINK_TRACES_SQL})
+SELECT CAST(len(children) AS BIGINT) AS fanout, count(*) AS n_spans
+FROM linked
+GROUP BY 1
+"""
+
+
 QUERIES: dict[str, Query] = {
+    "trace_roots": Query(_q_trace_roots, _TRACE_ROOTS_SQL,
+                         "root spans (no parents, >=1 child) of the linked DAG"),
+    "fanout_histogram": Query(_q_fanout_histogram, _FANOUT_HISTOGRAM_SQL,
+                              "children-count distribution over linked spans"),
     "link_traces": Query(_q_link_traces, _LINK_TRACES_SQL,
                          "flagship: interval-containment self-join + adjacency agg (J1+A1)"),
     "link_edges": Query(_q_link_edges, _LINK_EDGES_SQL,
