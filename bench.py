@@ -42,10 +42,13 @@ def main() -> None:
 
     times: dict[str, float] = {}
     for name in names:
-        t0 = time.perf_counter()
-        # count() forces a full scan + all shuffles without driver collect
-        reg[name].build(spark, sf_dir).count()
-        times[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):  # best-of-2 damps co-tenant load spikes
+            t0 = time.perf_counter()
+            # count() forces a full scan + all shuffles without driver collect
+            reg[name].build(spark, sf_dir).count()
+            best = min(best, time.perf_counter() - t0)
+        times[name] = round(best, 3)
 
     total = round(sum(times.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

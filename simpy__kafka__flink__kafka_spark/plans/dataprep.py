@@ -333,7 +333,79 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------------------
+# TF-IDF (tokenize -> tf -> idf -> score; classic text-analysis pipeline)
+# ---------------------------------------------------------------------------
+
+def _q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = _docs(spark, sf_dir)
+    n_docs = docs.count()  # small scalar; at scale broadcast an agg instead
+    tok = docs.select("doc_id", F.explode(words("text")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(F.broadcast(df_), "term").select(
+        "doc_id", "term",
+        F.round(
+            F.col("tf").cast("double")
+            * F.log(F.lit(float(n_docs)) / F.col("df").cast("double")),
+            6,
+        ).alias("tfidf"),
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= 3)
+        .select("doc_id", "term", "tfidf", "rk")
+    )
+
+
+_TFIDF_SQL = f"""
+WITH {_WORDS_CTE},
+tok AS (SELECT doc_id, unnest(ws) AS term FROM w),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, term,
+         round(CAST(tf AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 6) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tfidf, rk FROM (
+  SELECT doc_id, term, tfidf,
+         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+  FROM scored
+) WHERE rk <= 3
+"""
+
+
+def _q_corpus_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(F.explode(words("text")).alias("term"))
+    return (
+        tok.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("term"))
+        .limit(20)
+    )
+
+
+_CORPUS_TOP_TERMS_SQL = f"""
+WITH {_WORDS_CTE}
+SELECT term, count(*) AS n
+FROM (SELECT unnest(ws) AS term FROM w)
+GROUP BY term
+ORDER BY n DESC, term
+LIMIT 20
+"""
+
+
 QUERIES: dict[str, Query] = {
+    "tfidf_top_terms": Query(_q_tfidf_top_terms, _TFIDF_SQL,
+                             "per-doc top-3 TF-IDF terms"),
+    "corpus_top_terms": Query(_q_corpus_top_terms, _CORPUS_TOP_TERMS_SQL,
+                              "corpus-wide term frequency top-20"),
     "multimodal_features": Query(_q_multimodal_features, _multimodal_sql(),
                                  "binary column + mapInPandas feature extraction"),
     "language_id": Query(_q_language_id, _lang_id_sql(),
