@@ -198,6 +198,34 @@ def link_traces_two_phase(spans: DataFrame, bridge_dir: str, checkpoint1: str,
     )
 
 
+def link_traces_foreach_batch(spans: DataFrame, accum_dir: str, out_dir: str,
+                              checkpoint: str):
+    """foreachBatch variant (SURVEY.md §7 Phase 3's 'simplest parity' path):
+    each micro-batch appends raw spans to an accumulator and re-links the
+    full accumulated set with the BATCH core, overwriting ``out_dir``.
+
+    Exactly the reference's final-result semantics with none of the
+    state-management subtlety — correct at backfill/replay scale where the
+    accumulated set fits a batch job; the two-phase watermarked pipeline is
+    the unbounded-stream path.
+    """
+    from ..operators.linking import link_traces
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.select(
+            "id", "src_ip", "dst_ip", "start_at_ms", "latency_msec", "end_at_ms"
+        ).write.mode("append").parquet(accum_dir)
+        spark = batch_df.sparkSession
+        all_spans = spark.read.parquet(accum_dir)
+        link_traces(all_spans).write.mode("overwrite").parquet(out_dir)
+
+    return (
+        spans.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
 def aggregate_bridge(spark: SparkSession, bridge_dir: str,
                      watermark: str = WATERMARK) -> DataFrame:
     """Phase 2 source+operator: read the bridge stream and apply the

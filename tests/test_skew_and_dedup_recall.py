@@ -1,0 +1,66 @@
+"""Skew-salting correctness + MinHash-LSH recall on planted near-duplicates."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from simpy__kafka__flink__kafka_spark.functions.dedup import (
+    minhash_lsh_pairs, ngram_jaccard_pairs)
+from simpy__kafka__flink__kafka_spark.operators.skew import (salted_agg,
+                                                             salted_count)
+
+
+def test_salted_count_matches_plain(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    plain = {r.l_returnflag: r.n for r in
+             li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n")).collect()}
+    salted = {r.l_returnflag: r.n for r in
+              salted_count(li, "l_returnflag").collect()}
+    assert plain == salted
+
+
+def test_salted_sum_matches_plain(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cents = F.sum(F.floor(F.col("l_quantity") * 100).cast("long"))
+    plain = {r.l_returnflag: r.s for r in
+             li.groupBy("l_returnflag").agg(cents.alias("s")).collect()}
+    salted = {r.l_returnflag: r.s for r in
+              salted_agg(li, "l_returnflag", cents, F.sum("_partial"),
+                         "s").collect()}
+    assert plain == salted
+
+
+def _planted_corpus(spark):
+    """40 base docs + 10 near-dup pairs (one word substituted)."""
+    rng = random.Random(7)
+    vocab = ["join", "scan", "merge", "sort", "filter", "window", "group",
+             "hash", "batch", "stream", "table", "query", "spark", "row"]
+    docs, dups = [], []
+    did = 0
+    for i in range(40):
+        text = " ".join(rng.choice(vocab) for _ in range(60))
+        docs.append((did, text)); did += 1
+    for i in range(10):
+        base_words = [rng.choice(vocab) for _ in range(60)]
+        a = " ".join(base_words)
+        mutated = list(base_words)
+        mutated[30] = "MUTANT"
+        b = " ".join(mutated)
+        docs.append((did, a)); docs.append((did + 1, b))
+        dups.append((did, did + 1)); did += 2
+    return spark.createDataFrame(docs, "doc_id long, text string"), set(dups)
+
+
+def test_minhash_lsh_finds_planted_near_dups(spark):
+    corpus, dups = _planted_corpus(spark)
+    candidates = {(r.doc_a, r.doc_b)
+                  for r in minhash_lsh_pairs(corpus).collect()}
+    found = dups & candidates
+    # one-word edits share ~95% of shingles; LSH banding must surface most
+    assert len(found) >= 8, (len(found), sorted(dups - candidates))
+    # and exact Jaccard verification confirms them as true near-dups
+    verified = {(r.doc_a, r.doc_b)
+                for r in ngram_jaccard_pairs(corpus, threshold=0.5).collect()}
+    assert dups <= verified
