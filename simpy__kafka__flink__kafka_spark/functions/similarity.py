@@ -133,6 +133,48 @@ def ivf_topk(emb: DataFrame, n_queries: int = 5, k: int = 10,
     )
 
 
+def ml_lsh_neighbors(emb: DataFrame, n_queries: int = 5, k: int = 10,
+                     bucket_length: float = 2.0,
+                     num_tables: int = 3) -> DataFrame:
+    """pyspark.ml-native ANN: BucketedRandomProjectionLSH
+    (random-hyperplane bucketing) approxSimilarityJoin between the query set
+    and the corpus.  Declared rows-only (the hash tables are
+    seed-and-impl-specific, not oracle-reproducible); the expression-level
+    IVF/brute-force variants are the hash-checked twins.
+
+    Euclidean-distance based (the ml LSH family's metric); on normalized
+    vectors Euclidean ordering == cosine ordering.
+    """
+    from pyspark.ml.feature import BucketedRandomProjectionLSH, Normalizer
+    from pyspark.ml.linalg import Vectors, VectorUDT
+    from pyspark.sql import Window as W
+
+    to_vec = F.udf(lambda a: Vectors.dense(a), VectorUDT())
+    with_vec = emb.select("vec_id", to_vec("embedding").alias("raw"))
+    normed = Normalizer(inputCol="raw", outputCol="features", p=2.0).transform(
+        with_vec
+    ).select("vec_id", "features")
+
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes",
+        bucketLength=bucket_length, numHashTables=num_tables, seed=42,
+    )
+    model = lsh.fit(normed)
+    q = normed.where(F.col("vec_id") < n_queries)
+    corpus = normed.where(F.col("vec_id") >= n_queries)
+    joined = model.approxSimilarityJoin(q, corpus, 2.0, distCol="dist")
+    scored = joined.select(
+        F.col("datasetA.vec_id").alias("query_id"),
+        F.col("datasetB.vec_id").alias("vec_id"),
+        F.round("dist", 6).alias("dist"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("dist"), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+    )
+
+
 def embedding_near_dup_blocked(emb: DataFrame, threshold: float = 0.92,
                                block_size: int = 1024) -> DataFrame:
     """Scale path for all-pairs near-dup: block-nested-loop with numpy matmul.

@@ -222,7 +222,17 @@ def _q_near_dup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_blocked(emb, threshold=0.92)
 
 
+def _q_ml_lsh_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only: ml LSH hash tables are seed/impl-specific (see docstring)
+    from ..functions.similarity import ml_lsh_neighbors
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ml_lsh_neighbors(emb)
+
+
 QUERIES: dict[str, Query] = {
+    "ml_lsh_neighbors": Query(_q_ml_lsh_neighbors, None,
+                              "pyspark.ml BucketedRandomProjectionLSH ANN"),
     "serialize_json": Query(_q_serialize_json, _SERIALIZE_JSON_SQL,
                             "R2 row->JSON serialization"),
     "timestamp_arith": Query(_q_timestamp_arith, _TIMESTAMP_ARITH_SQL,
