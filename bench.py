@@ -38,15 +38,19 @@ def main() -> None:
     names = [n for n in HEADLINE if n in reg]
 
     # one warmup pass to exclude JVM/codegen startup from per-query numbers
-    reg[names[0]].build(spark, sf_dir).count()
+    reg[names[0]].build(spark, sf_dir).write.format("noop").mode(
+        "overwrite").save()
 
     times: dict[str, float] = {}
     for name in names:
         best = float("inf")
         for _ in range(2):  # best-of-2 damps co-tenant load spikes
             t0 = time.perf_counter()
-            # count() forces a full scan + all shuffles without driver collect
-            reg[name].build(spark, sf_dir).count()
+            # noop sink materializes every output row without sink cost;
+            # count() would let Catalyst eliminate unique-key left joins
+            # (e.g. the flagship's join-back) and under-measure the plan
+            reg[name].build(spark, sf_dir).write.format("noop").mode(
+                "overwrite").save()
             best = min(best, time.perf_counter() - t0)
         times[name] = round(best, 3)
 

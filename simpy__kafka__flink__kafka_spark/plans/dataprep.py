@@ -68,8 +68,28 @@ def _buckets_cte(num_hashes: int = dedup.NUM_HASHES, bands: int = dedup.BANDS) -
 # ---------------------------------------------------------------------------
 
 def _q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # explode + conditional-sum aggregation rather than per-row array-filter
+    # lambdas: higher-order filters are interpreted (5 langs x every row cost
+    # 2.6 s for 5000 docs); whens over an exploded token column stay in
+    # whole-stage codegen.  Same scores, same argmax fold as
+    # functions.text.language_id (which remains the per-row expression form).
     d = _docs(spark, sf_dir)
-    return d.select("doc_id", language_id(words("text")).alias("lang_pred"))
+    tok = d.select("doc_id", F.explode(words("text")).alias("w"))
+    agg = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.col("w").isin(STOPWORDS[lang]), 1).otherwise(0)
+            ).alias(f"s_{lang}")
+            for lang in LANGS
+        ]
+    )
+    best_lang = F.lit(LANGS[0])
+    best_score = F.col(f"s_{LANGS[0]}")
+    for lang in LANGS[1:]:
+        better = F.col(f"s_{lang}") > best_score
+        best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(better, F.col(f"s_{lang}")).otherwise(best_score)
+    return agg.select("doc_id", best_lang.alias("lang_pred"))
 
 
 def _lang_id_sql() -> str:
