@@ -366,7 +366,35 @@ WHERE CAST(floor(o_totalprice * 100) AS BIGINT) >
 """
 
 
+# --- as-of join (time-aligned event enrichment) ------------------------------
+
+def _q_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts_ms"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts_ms").alias("ts_ms"), F.col("ts_ms").alias("click_ms")
+    )
+    return asof_join(errors, clicks, on="user_id", ts="ts_ms",
+                     payload_cols=["click_ms"], suffix="")
+
+
+_ASOF_LAST_CLICK_SQL = """
+WITH ev AS (SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
+errors AS (SELECT event_id, user_id, ts_ms FROM ev WHERE event_type = 'error'),
+clicks AS (SELECT user_id, ts_ms, ts_ms AS click_ms FROM ev WHERE event_type = 'click')
+SELECT e.event_id, e.user_id, e.ts_ms, c.click_ms
+FROM errors e
+ASOF LEFT JOIN clicks c ON e.user_id = c.user_id AND e.ts_ms >= c.ts_ms
+"""
+
+
 QUERIES: dict[str, Query] = {
+    "asof_last_click": Query(_q_asof_last_click, _ASOF_LAST_CLICK_SQL,
+                             "as-of join: latest click at/before each error"),
     "supplier_order_coverage": Query(_q_supplier_order_coverage,
                                      _SUPPLIER_ORDER_COVERAGE_SQL,
                                      "full outer join with coalesced sides"),

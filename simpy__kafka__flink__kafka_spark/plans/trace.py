@@ -228,7 +228,35 @@ GROUP BY 1
 """
 
 
+# --- latency percentiles (the spec's 90%<300ms workload metric,
+#     requirements-v2.md:16-17) ------------------------------------------------
+
+def _q_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    msgs = messages_from_events(spark, sf_dir)
+    pct = F.percentile("latency_msec", F.lit([0.5, 0.9, 0.99]))
+    return msgs.groupBy("dst_ip").agg(
+        F.round(pct[0], 6).alias("p50"),
+        F.round(pct[1], 6).alias("p90"),
+        F.round(pct[2], 6).alias("p99"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+_LATENCY_PERCENTILES_SQL = f"""
+WITH {_MSGS}
+SELECT dst_ip,
+       round(quantile_cont(latency_msec, 0.5), 6) AS p50,
+       round(quantile_cont(latency_msec, 0.9), 6) AS p90,
+       round(quantile_cont(latency_msec, 0.99), 6) AS p99,
+       count(*) AS n
+FROM messages
+GROUP BY dst_ip
+"""
+
+
 QUERIES: dict[str, Query] = {
+    "latency_percentiles": Query(_q_latency_percentiles, _LATENCY_PERCENTILES_SQL,
+                                 "exact p50/p90/p99 span latency per callee IP"),
     "trace_roots": Query(_q_trace_roots, _TRACE_ROOTS_SQL,
                          "root spans (no parents, >=1 child) of the linked DAG"),
     "fanout_histogram": Query(_q_fanout_histogram, _FANOUT_HISTOGRAM_SQL,
