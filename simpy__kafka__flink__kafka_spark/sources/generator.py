@@ -99,6 +99,39 @@ def inject_send_delays(
     return [sp for _, sp in delayed]
 
 
+def rate_spans_source(spark, rows_per_second: int = 100):
+    """S5 streaming shape: map Spark's ``rate`` source onto generator-style
+    spans — a live unbounded stand-in for the SimPy producer
+    (``simpy_message_generator.py:330-370``).  Deterministic per tick:
+    IPs/durations derive from the rate ``value`` column, so a given tick
+    always produces the same span.
+    """
+    from pyspark.sql import functions as F
+
+    from ..streaming.pipeline import with_event_time
+
+    rate = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", str(rows_per_second))
+        .load()
+    )
+    v = F.col("value")
+    start = F.unix_millis(F.col("timestamp"))
+    lat = (v % 191) * 10 + 20  # 20..1920 ms, deterministic in the tick
+    return with_event_time(
+        rate.select(
+            F.concat(F.lit("rt_"), v.cast("string")).alias("id"),
+            F.concat(F.lit("10."), (v % 5).cast("string"), F.lit(".0."),
+                     (F.floor(v / 5) % 10).cast("string")).alias("src_ip"),
+            F.concat(F.lit("10."), ((v + 1) % 5).cast("string"), F.lit(".0."),
+                     (F.floor(v / 5) % 10).cast("string")).alias("dst_ip"),
+            start.alias("start_at_ms"),
+            lat.cast("double").alias("latency_msec"),
+            (start + lat).alias("end_at_ms"),
+        )
+    )
+
+
 def closed_world_links(spans: list[tuple]) -> dict[str, tuple[list[str], list[str]]]:
     """O(n²) reference linker (mirrors the predicate of
     ``/root/reference/flink-jobs/linking_utils.py:17-23`` with the
