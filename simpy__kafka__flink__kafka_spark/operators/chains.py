@@ -1,0 +1,85 @@
+"""Chain-level statistics over the linked trace DAG
+(reference ``requirements-v2.md:177`` — 链路统计: per-chain total time,
+per-hop latency).
+
+``chain_reach`` computes root-reachability via depth-bounded BFS — one
+equi-join per level, unrolled.  Service-call trees are depth-bounded (the
+reference topology is 4 levels), so a small constant bound covers real
+traces; the bound also terminates the 2-cycles that identical-interval
+mutual containment can create.  The DuckDB oracle uses a recursive CTE with
+the same depth cap, so both engines enumerate exactly the distinct
+(root, node, depth) triples.
+
+At 100 TB each BFS level is a shuffle join on parent_id — the standard
+iterative-join pattern (GraphX/GraphFrames motif expansion collapses to the
+same plan); for unbounded graphs you would checkpoint the frontier between
+iterations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MAX_DEPTH = 8
+
+
+def chain_reach(linked: DataFrame, edges: DataFrame,
+                max_depth: int = MAX_DEPTH) -> DataFrame:
+    """Distinct (root_id, node, depth<=max_depth) triples; roots are spans
+    with no parents that have at least one child."""
+    roots = linked.where(
+        (F.size("parents") == 0) & (F.size("children") > 0)
+    ).select(F.col("id").alias("root_id"))
+    level = roots.select(
+        "root_id", F.col("root_id").alias("node"), F.lit(0).alias("depth")
+    )
+    reach = level
+    for d in range(1, max_depth + 1):
+        level = (
+            level.join(edges, level.node == edges.parent_id)
+            .select(
+                "root_id",
+                F.col("child_id").alias("node"),
+                F.lit(d).alias("depth"),
+            )
+            .distinct()
+        )
+        reach = reach.unionByName(level)
+    return reach.distinct()
+
+
+def chain_stats(linked: DataFrame, edges: DataFrame,
+                max_depth: int = MAX_DEPTH) -> DataFrame:
+    """Per-root chain summary: span count, longest path, total duration
+    (the root span's latency covers the whole chain by containment)."""
+    reach = chain_reach(linked, edges, max_depth)
+    stats = reach.groupBy("root_id").agg(
+        F.countDistinct("node").alias("n_spans"),
+        F.max("depth").alias("max_depth"),
+    )
+    root_lat = linked.select(
+        F.col("id").alias("root_id"),
+        F.col("latency_msec").alias("total_ms"),
+    )
+    return stats.join(root_lat, "root_id").select(
+        "root_id", "n_spans", "max_depth", "total_ms"
+    )
+
+
+def hop_latencies(linked: DataFrame, edges: DataFrame) -> DataFrame:
+    """Per-hop timing: each parent->child edge with the child's own latency
+    and its start offset inside the parent (队列/网络 gap)."""
+    p = linked.select(F.col("id").alias("parent_id"),
+                      F.col("start_at_ms").alias("p_start"))
+    c = linked.select(F.col("id").alias("child_id"),
+                      F.col("start_at_ms").alias("c_start"),
+                      F.col("latency_msec").alias("hop_ms"))
+    return (
+        edges.join(p, "parent_id")
+        .join(c, "child_id")
+        .select(
+            "parent_id", "child_id", "hop_ms",
+            (F.col("c_start") - F.col("p_start")).alias("start_offset_ms"),
+        )
+    )

@@ -254,7 +254,73 @@ GROUP BY dst_ip
 """
 
 
+# --- chain statistics (requirements-v2.md:177) -------------------------------
+
+def _q_chain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.chains import chain_stats
+
+    msgs = messages_from_events(spark, sf_dir)
+    linked = aggregate_adjacency(msgs, link_edges_banded(msgs))
+    return chain_stats(linked, link_edges_banded(msgs))
+
+
+_CHAIN_STATS_SQL = f"""
+WITH {_MSGS}, {_EDGES_SQL},
+linked AS (
+  SELECT m.id,
+         m.latency_msec,
+         COALESCE(p.n_par, 0) AS n_par,
+         COALESCE(c.n_chi, 0) AS n_chi
+  FROM messages m
+  LEFT JOIN (SELECT child_id AS id, count(DISTINCT parent_id) AS n_par
+             FROM edges GROUP BY 1) p USING (id)
+  LEFT JOIN (SELECT parent_id AS id, count(DISTINCT child_id) AS n_chi
+             FROM edges GROUP BY 1) c USING (id)
+),
+reach AS (
+  WITH RECURSIVE r(root_id, node, depth) AS (
+    SELECT id, id, 0 FROM linked WHERE n_par = 0 AND n_chi > 0
+    UNION
+    SELECT r.root_id, e.child_id, r.depth + 1
+    FROM r JOIN edges e ON e.parent_id = r.node
+    WHERE r.depth < 8
+  )
+  SELECT * FROM r
+)
+SELECT root_id,
+       count(DISTINCT node) AS n_spans,
+       max(depth) AS max_depth,
+       l.latency_msec AS total_ms
+FROM reach
+JOIN linked l ON l.id = root_id
+GROUP BY root_id, l.latency_msec
+"""
+
+
+def _q_hop_latencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.chains import hop_latencies
+
+    msgs = messages_from_events(spark, sf_dir)
+    linked = aggregate_adjacency(msgs, link_edges_banded(msgs))
+    return hop_latencies(linked, link_edges_banded(msgs))
+
+
+_HOP_LATENCIES_SQL = f"""
+WITH {_MSGS}, {_EDGES_SQL}
+SELECT e.parent_id, e.child_id,
+       c.latency_msec AS hop_ms,
+       c.start_at_ms - p.start_at_ms AS start_offset_ms
+FROM edges e
+JOIN messages p ON p.id = e.parent_id
+JOIN messages c ON c.id = e.child_id
+"""
+
+
 QUERIES: dict[str, Query] = {
+    "chain_stats": Query(_q_chain_stats, _CHAIN_STATS_SQL,
+                         "per-chain span count/depth/total duration (BFS)"),
+    "hop_latencies": Query(_q_hop_latencies, _HOP_LATENCIES_SQL,
+                           "per-hop latency and start offset"),
     "latency_percentiles": Query(_q_latency_percentiles, _LATENCY_PERCENTILES_SQL,
                                  "exact p50/p90/p99 span latency per callee IP"),
     "trace_roots": Query(_q_trace_roots, _TRACE_ROOTS_SQL,
