@@ -366,6 +366,31 @@ WHERE CAST(floor(o_totalprice * 100) AS BIGINT) >
 """
 
 
+# --- analytic window functions (lag/lead/ntile/cume_dist) --------------------
+
+def _q_price_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    w = W.partitionBy("p_brand").orderBy("p_retailprice", "p_partkey")
+    return part.select(
+        "p_brand", "p_partkey",
+        F.lag("p_partkey").over(w).alias("prev_part"),
+        F.lead("p_partkey").over(w).alias("next_part"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+_PRICE_ANALYTICS_SQL = """
+SELECT p_brand, p_partkey,
+       lag(p_partkey) OVER w AS prev_part,
+       lead(p_partkey) OVER w AS next_part,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+       round(cume_dist() OVER w, 6) AS cume
+FROM part
+WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice, p_partkey)
+"""
+
+
 # --- as-of join (time-aligned event enrichment) ------------------------------
 
 def _q_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -393,6 +418,8 @@ ASOF LEFT JOIN clicks c ON e.user_id = c.user_id AND e.ts_ms >= c.ts_ms
 
 
 QUERIES: dict[str, Query] = {
+    "price_analytics": Query(_q_price_analytics, _PRICE_ANALYTICS_SQL,
+                             "lag/lead/ntile/cume_dist analytic windows"),
     "asof_last_click": Query(_q_asof_last_click, _ASOF_LAST_CLICK_SQL,
                              "as-of join: latest click at/before each error"),
     "supplier_order_coverage": Query(_q_supplier_order_coverage,
