@@ -99,12 +99,17 @@ def inject_send_delays(
     return [sp for _, sp in delayed]
 
 
-def rate_spans_source(spark, rows_per_second: int = 100):
+def rate_spans_source(spark, rows_per_second: int = 100,
+                      ip_pool_size: int = 10, max_latency_ms: int = 1920):
     """S5 streaming shape: map Spark's ``rate`` source onto generator-style
     spans — a live unbounded stand-in for the SimPy producer
     (``simpy_message_generator.py:330-370``).  Deterministic per tick:
     IPs/durations derive from the rate ``value`` column, so a given tick
     always produces the same span.
+
+    Match density = rate x span length / (5 * ip_pool_size); widen the pool
+    or shorten latencies to keep per-span candidate counts realistic at
+    high rates (the join's work is rate x density, not just rate).
     """
     from pyspark.sql import functions as F
 
@@ -117,14 +122,16 @@ def rate_spans_source(spark, rows_per_second: int = 100):
     )
     v = F.col("value")
     start = F.unix_millis(F.col("timestamp"))
-    lat = (v % 191) * 10 + 20  # 20..1920 ms, deterministic in the tick
+    steps = max(1, max_latency_ms // 10)
+    lat = (v % steps) * 10 + 20
+    host = F.floor(v / 5) % ip_pool_size
     return with_event_time(
         rate.select(
             F.concat(F.lit("rt_"), v.cast("string")).alias("id"),
             F.concat(F.lit("10."), (v % 5).cast("string"), F.lit(".0."),
-                     (F.floor(v / 5) % 10).cast("string")).alias("src_ip"),
+                     host.cast("string")).alias("src_ip"),
             F.concat(F.lit("10."), ((v + 1) % 5).cast("string"), F.lit(".0."),
-                     (F.floor(v / 5) % 10).cast("string")).alias("dst_ip"),
+                     host.cast("string")).alias("dst_ip"),
             start.alias("start_at_ms"),
             lat.cast("double").alias("latency_msec"),
             (start + lat).alias("end_at_ms"),
