@@ -28,6 +28,10 @@ HEADLINE = [
     "language_id",
     "cosine_topk",
     "embedding_near_dup_blocked",
+    "asof_last_click",
+    "chain_stats",
+    "tfidf_top_terms",
+    "latency_percentiles",
 ]
 
 

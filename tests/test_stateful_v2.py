@@ -1,0 +1,62 @@
+"""The transformWithStateInPandas aggregation must reproduce the v1
+(applyInPandasWithState) watermark-emit semantics."""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+
+import pytest
+
+from simpy__kafka__flink__kafka_spark.schemas import golden_messages
+from simpy__kafka__flink__kafka_spark.streaming.pipeline import (
+    file_spans_source, link_traces_two_phase)
+from simpy__kafka__flink__kafka_spark.streaming.stateful_v2 import (
+    HAS_TWS, aggregate_updates_stream_v2)
+from simpy__kafka__flink__kafka_spark.streaming.stateful import UPDATE_SCHEMA
+
+G1 = [
+    ("id1", "10.0.0.1", "10.0.0.2", 1000, 500.0, 1500),
+    ("id2", "10.0.0.2", "10.0.0.3", 1100, 200.0, 1300),
+    ("id3", "10.0.0.3", "10.0.0.4", 1120, 100.0, 1220),
+]
+FLUSH = [("flush", "10.9.9.9", "10.9.9.8", 100_000, 10.0, 100_010)]
+
+
+@pytest.mark.skipif(not HAS_TWS,
+                    reason="needs Spark >= 4.0 with a working protobuf install")
+def test_tws_agg_matches_v1_semantics(spark, tmp_path):
+    ind, bridge, ck1 = (str(tmp_path / k) for k in ("in", "bridge", "ck1"))
+    os.makedirs(ind)
+    for rows in (G1, FLUSH):
+        golden_messages(spark, rows).coalesce(1).write.mode("append").parquet(ind)
+        time.sleep(0.05)
+    spans = file_spans_source(spark, ind, watermark="0 seconds")
+    p1 = link_traces_two_phase(spans, bridge, ck1, watermark="0 seconds")
+    p1.processAllAvailable()
+    p1.stop()
+
+    updates = (
+        spark.readStream.schema(UPDATE_SCHEMA)
+        .option("latestFirst", "false")
+        .parquet(bridge)
+    )
+    out = aggregate_updates_stream_v2(updates, watermark="0 seconds")
+    q = (
+        out.writeStream.format("memory")
+        .queryName(f"tws_{uuid.uuid4().hex[:8]}")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql(f"SELECT * FROM {q.name}").collect()
+    finally:
+        q.stop()
+    got = {r.id: (list(r.parents), list(r.children)) for r in rows}
+    assert got == {
+        "id1": ([], ["id2"]),
+        "id2": (["id1"], ["id3"]),
+        "id3": (["id2"], []),
+    }
