@@ -13,6 +13,23 @@ import os
 from pyspark.sql import SparkSession
 
 
+def enable_rocksdb_state(spark: SparkSession) -> None:
+    """Production state-store posture for streaming (the reference requires
+    strict state memory control + incremental checkpointing,
+    ``requirements-v2.md:82-88``): RocksDB keeps join/agg state off-heap
+    on local disk and changelog checkpointing uploads per-batch deltas
+    instead of full snapshots.  Runtime-settable; applies to queries
+    started afterwards."""
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true",
+    )
+
+
 def get_spark(app_name: str = "simpy_kafka_flink_kafka_spark",
               shuffle_partitions: int | None = None) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
