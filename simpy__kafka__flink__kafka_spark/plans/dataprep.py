@@ -421,7 +421,72 @@ LIMIT 20
 """
 
 
+# ---------------------------------------------------------------------------
+# capstone: composed corpus-prep pipeline (filter -> dedup -> stats)
+# ---------------------------------------------------------------------------
+
+def _q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data pipeline as one composed query: quality-filter the
+    corpus, drop exact duplicates (keep lowest doc_id), then summarize the
+    surviving token budget per predicted language."""
+    from pyspark.sql import Window as W
+
+    docs = _docs(spark, sf_dir)
+    scored = docs.select(
+        "doc_id", "text",
+        token_count("text").cast("long").alias("n_tokens"),
+        quality_score("text").alias("quality"),
+    ).where(F.col("quality") >= 0.3)
+    wdup = W.partitionBy(F.md5(F.lower(F.regexp_replace(F.trim(F.col("text")),
+                                                        r"\s+", " ")))) \
+        .orderBy("doc_id")
+    kept = scored.withColumn("rn", F.row_number().over(wdup)).where(
+        F.col("rn") == 1
+    )
+    lang = _q_language_id(spark, sf_dir)
+    return (
+        kept.join(lang, "doc_id")
+        .groupBy("lang_pred")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.sum("quality") / F.count(F.lit(1)), 6).alias("avg_quality"),
+        )
+    )
+
+
+def _corpus_prep_sql() -> str:
+    lang_sql = _lang_id_sql()
+    quality_sql = _quality_sql()
+    return rf"""
+WITH q AS ({quality_sql}),
+lp AS ({lang_sql}),
+scored AS (
+  SELECT d.doc_id, d.text, q.n_tokens, q.quality
+  FROM documents d JOIN q ON d.doc_id = q.doc_id
+  WHERE q.quality >= 0.3
+),
+kept AS (
+  SELECT doc_id, n_tokens, quality FROM (
+    SELECT doc_id, n_tokens, quality,
+           row_number() OVER (
+             PARTITION BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+             ORDER BY doc_id) AS rn
+    FROM scored
+  ) WHERE rn = 1
+)
+SELECT lang_pred,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       round(sum(quality) / count(*), 6) AS avg_quality
+FROM kept JOIN lp USING (doc_id)
+GROUP BY lang_pred
+"""
+
+
 QUERIES: dict[str, Query] = {
+    "corpus_prep_pipeline": Query(_q_corpus_prep, _corpus_prep_sql(),
+                                  "composed filter->dedup->stats corpus prep"),
     "tfidf_top_terms": Query(_q_tfidf_top_terms, _TFIDF_SQL,
                              "per-doc top-3 TF-IDF terms"),
     "corpus_top_terms": Query(_q_corpus_top_terms, _CORPUS_TOP_TERMS_SQL,
