@@ -14,10 +14,15 @@ Scale design (100 TB):
   bucket-size cap (``max_bucket``) drops degenerate buckets explicitly.
 * n-gram Jaccard is exact verification: join on shingle, count
   intersections per pair, compare to union.  Quadratic in the worst case —
-  at scale it runs AFTER LSH candidate pruning, not instead of it.
+  at scale it runs AFTER LSH candidate pruning (``verify_jaccard`` takes a
+  candidate-pair DataFrame), not instead of it; the standalone
+  ``ngram_jaccard_pairs`` form is the small-scale correctness twin.
 * SimHash packs each doc into a 16-bit signature (built from md5 hex digits
-  so the oracle can reproduce it); hamming-distance pairing is a cheap
-  bucket-join on the signature prefix.
+  so the oracle can reproduce it); hamming-distance pairing uses pigeonhole
+  banding — the signature splits into ``max_hamming + 1`` segments, any pair
+  within the hamming bound must agree exactly on >= 1 segment, so candidates
+  come from an equi-join on (segment_idx, segment_value) and hamming is only
+  verified on those.
 
 MinHash determinism contract: hash_j(shingle) = md5(j || ':' || shingle)
 compared as *hex strings* (lexicographic min) — identical in Spark and
@@ -102,23 +107,32 @@ def minhash_lsh_pairs(df: DataFrame, num_hashes: int = NUM_HASHES,
     the default far above any bucket size in the testdata it does not change
     results — the oracle applies the same cap).
     """
+    # Single aggregation over the bucket stream: collect each bucket's doc
+    # list, then enumerate in-bucket pairs from the (size-capped) array.  The
+    # previous formulation self-joined the bucket DataFrame plus a count
+    # join, which executed the shingle->md5->signature subtree 4x; this shape
+    # computes signatures exactly once.  Buckets are capped, so the per-row
+    # pair lambda is O(max_bucket^2) worst case, constant per bucket at scale.
     bk = lsh_buckets(df, num_hashes, bands)
-    counts = bk.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("n"))
-    bk = bk.join(counts.where(F.col("n") <= max_bucket), ["band", "bucket"])
-    a = bk.alias("a")
-    b = bk.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
+    grouped = (
+        bk.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
+        .where((F.size("docs") >= 2) & (F.size("docs") <= max_bucket))
     )
+    pairs = grouped.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "docs",
+                    lambda x, i: F.transform(
+                        F.slice("docs", i + F.lit(2), F.size("docs")),
+                        lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return pairs.select("p.doc_a", "p.doc_b").distinct()
 
 
 # --- n-gram Jaccard (exact verification) -------------------------------------
@@ -135,6 +149,39 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5) -> DataFrame:
         a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def verify_jaccard(df: DataFrame, pairs: DataFrame,
+                   threshold: float = 0.5) -> DataFrame:
+    """Exact Jaccard verification restricted to a candidate-pair DataFrame
+    ``(doc_a, doc_b)`` — the 100 TB dedup composition: LSH prunes, this
+    verifies.  Work is O(candidates x shingles-per-doc), never all-pairs."""
+    sh = shingles(df).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        pairs.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
@@ -187,17 +234,47 @@ def simhash(df: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
 
 def simhash_near_dup_pairs(df: DataFrame, max_hamming: int = 3,
                            bits: int = SIMHASH_BITS) -> DataFrame:
-    """Pairs (a<b) with hamming(simhash_a, simhash_b) <= max_hamming."""
+    """Pairs (a<b) with hamming(simhash_a, simhash_b) <= max_hamming, via
+    pigeonhole banding: split the signature into ``max_hamming + 1`` disjoint
+    bit segments — a pair within the hamming bound differs in at most
+    ``max_hamming`` bits, so by pigeonhole it matches >= 1 segment exactly.
+    Candidates come from an equi-join on (segment_idx, segment_value);
+    hamming is computed only on candidates.  No all-pairs product anywhere —
+    per-segment-value group sizes bound the work, exactly like LSH banding.
+    """
     s = simhash(df, bits)
-    a = s.alias("a")
-    b = s.alias("b")
+    n_seg = max_hamming + 1
+    width = -(-bits // n_seg)  # ceil
+    mask = F.lit((1 << width) - 1)
+    segs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("seg"),
+                F.shiftrightunsigned(F.col("simhash"), i * width)
+                .bitwiseAND(mask)
+                .alias("val"),
+            )
+            for i in range(n_seg)
+        ]
+    )
+    keyed = s.select(
+        "doc_id", "simhash", F.explode(segs).alias("s")
+    ).select("doc_id", "simhash", "s.seg", "s.val")
+    a = keyed.alias("a")
+    b = keyed.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        a.join(
+            b,
+            (F.col("a.seg") == F.col("b.seg"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
         .where(ham <= max_hamming)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             ham.cast("long").alias("hamming"),
         )
+        .distinct()
     )

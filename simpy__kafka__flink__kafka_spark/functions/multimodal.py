@@ -79,6 +79,22 @@ def decode_image(content: bytes):
     raise NotImplementedError("wire Image.open(BytesIO(content)) here")
 
 
+def decode_audio(content: bytes):
+    """STUB: real audio decode (sample-rate/channel extraction, resampling,
+    frame windows) requires an audio codec library absent from this
+    environment.  The mapInPandas plumbing that would host it is the same as
+    ``extract_features``."""
+    try:
+        import soundfile  # type: ignore  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "audio decode requires an audio I/O library not present in this "
+            "environment; plug one in here — the Arrow-batched pipeline "
+            "around it is fully wired"
+        ) from exc
+    raise NotImplementedError("wire soundfile.read(BytesIO(content)) here")
+
+
 def _fake_features(content: bytes) -> list[float]:
     """Deterministic stand-in for a real feature extractor: first 4 bytes of
     the md5 digest, scaled to [0,1].  Matches the oracle expression

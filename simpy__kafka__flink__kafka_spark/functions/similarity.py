@@ -146,11 +146,14 @@ def ml_lsh_neighbors(emb: DataFrame, n_queries: int = 5, k: int = 10,
     vectors Euclidean ordering == cosine ordering.
     """
     from pyspark.ml.feature import BucketedRandomProjectionLSH, Normalizer
-    from pyspark.ml.linalg import Vectors, VectorUDT
+    from pyspark.ml.functions import array_to_vector
     from pyspark.sql import Window as W
 
-    to_vec = F.udf(lambda a: Vectors.dense(a), VectorUDT())
-    with_vec = emb.select("vec_id", to_vec("embedding").alias("raw"))
+    # array_to_vector is a JVM-side expression (no Python round-trip),
+    # unlike a row-at-a-time Vectors.dense UDF.
+    with_vec = emb.select(
+        "vec_id", array_to_vector(_dbl(F.col("embedding"))).alias("raw")
+    )
     normed = Normalizer(inputCol="raw", outputCol="features", p=2.0).transform(
         with_vec
     ).select("vec_id", "features")
@@ -190,9 +193,6 @@ def embedding_near_dup_blocked(emb: DataFrame, threshold: float = 0.92,
     import numpy as np
     import pandas as pd
 
-    dim_row = emb.select(F.size("embedding").alias("d")).first()
-    dim = dim_row["d"]
-
     pack_schema = ("block long, ids array<long>, mat array<double>")
 
     def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -225,6 +225,9 @@ def embedding_near_dup_blocked(emb: DataFrame, threshold: float = 0.92,
         for pdf in batches:
             frames = []
             for row in pdf.itertuples(index=False):
+                # dim recovered from the packed payload itself — keeps the
+                # build path lazy (no eager .first() scan on the driver)
+                dim = len(row.amat) // len(row.aids)
                 A = np.asarray(row.amat).reshape(len(row.aids), dim)
                 B = np.asarray(row.bmat).reshape(len(row.bids), dim)
                 S = np.round(A @ B.T, 6)
@@ -241,6 +244,111 @@ def embedding_near_dup_blocked(emb: DataFrame, threshold: float = 0.92,
                 yield pd.concat(frames)
 
     return joined.mapInPandas(_sim, out_schema)
+
+
+def embedding_near_dup_ivf(emb: DataFrame, threshold: float = 0.92,
+                           n_centroids: int = N_CENTROIDS) -> DataFrame:
+    """Near-duplicate pairs via IVF candidate blocking: vectors that are
+    near-duplicates (cosine >= ~0.9) almost always land in the same IVF cell,
+    so the pair enumeration is an equi-join on cell_id instead of an
+    all-pairs product — the 100 TB composition (assign is one broadcast-
+    centroid scan; in-cell pair counts are bounded by cell size, with the
+    same skew handling as any groupBy key).  Approximate by construction
+    (a near-dup pair straddling a cell boundary is missed); the oracle
+    mirrors the identical cell blocking, so the gate checks this exact
+    semantic."""
+    assign = ivf_assign(emb, n_centroids).select("vec_id", "cell_id")
+    cells = emb.select("vec_id", "embedding").join(assign, "vec_id")
+    a = cells.select(
+        "cell_id", F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a")
+    )
+    b = cells.select(
+        "cell_id", F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b")
+    )
+    return (
+        a.join(b, "cell_id")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a", "vec_b",
+            cosine(F.col("emb_a"), F.col("emb_b")).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )
+
+
+def kmeans_centroids(emb: DataFrame, n_centroids: int = N_CENTROIDS,
+                     seed: int = 42) -> DataFrame:
+    """Train KMeans centroids over the embedding column.
+
+    Output ``(cell_id, embedding array<double>)`` — the shape
+    ``ivf_assign_with_centroids`` consumes.  Training is inherently an eager
+    action (iterative Lloyd passes over the corpus); run it offline and
+    persist the centroid table at scale."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    feats = emb.select("vec_id", array_to_vector(_dbl(F.col("embedding"))).alias("features"))
+    model = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(feats)
+    spark = emb.sparkSession
+    rows = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+    return spark.createDataFrame(rows, "cell_id int, c_emb array<double>")
+
+
+def ivf_assign_with_centroids(emb: DataFrame, cents: DataFrame) -> DataFrame:
+    """ivf_assign against an explicit centroid table (e.g. KMeans-trained).
+    ``cents``: (cell_id, c_emb).  Same plan as ivf_assign: broadcast
+    centroids, one corpus scan, per-vector argmax window."""
+    from pyspark.sql import Window as W
+
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "cell_id",
+        cosine(F.col("embedding"), F.col("c_emb")).alias("cell_sim"),
+    )
+    w = W.partitionBy("vec_id").orderBy(F.col("cell_sim").desc(), F.col("cell_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "cell_id", "cell_sim")
+    )
+
+
+def ivf_topk_trained(emb: DataFrame, n_queries: int = 5, k: int = 10,
+                     n_centroids: int = N_CENTROIDS, nprobe: int = NPROBE,
+                     seed: int = 42) -> DataFrame:
+    """IVF top-k over KMeans-trained centroids (rows-only at the gate:
+    KMeans init/iteration order is impl-specific, not oracle-reproducible).
+    Same physical shape as ivf_topk; recall vs brute force is asserted in
+    tests/test_kmeans_ivf.py."""
+    from pyspark.sql import Window as W
+
+    cents = kmeans_centroids(emb, n_centroids, seed)
+    assign = ivf_assign_with_centroids(emb, cents)
+    q = emb.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    qcells = q.crossJoin(F.broadcast(cents)).select(
+        "query_id", "cell_id", "q_emb",
+        cosine(F.col("q_emb"), F.col("c_emb")).alias("qc_sim"),
+    )
+    wq = W.partitionBy("query_id").orderBy(F.col("qc_sim").desc(), F.col("cell_id"))
+    probed = qcells.withColumn("rn", F.row_number().over(wq)).where(
+        F.col("rn") <= nprobe
+    ).select("query_id", "cell_id", "q_emb")
+
+    corpus = emb.where(F.col("vec_id") >= n_queries).join(
+        assign.select("vec_id", "cell_id"), "vec_id"
+    )
+    scored = corpus.join(probed, "cell_id").select(
+        "query_id", "vec_id",
+        cosine(F.col("q_emb"), F.col("embedding")).alias("cos_sim"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos_sim", "rank")
+    )
 
 
 def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.92) -> DataFrame:

@@ -193,6 +193,42 @@ WHERE round(n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6) >= 0.5
 """
 
 
+def _q_near_dup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB dedup composition: LSH banding prunes to candidate pairs,
+    exact n-gram Jaccard verifies only those.  No all-pairs join anywhere in
+    the plan."""
+    docs = _docs(spark, sf_dir)
+    return dedup.verify_jaccard(docs, dedup.minhash_lsh_pairs(docs), threshold=0.5)
+
+
+def _near_dup_verified_sql() -> str:
+    return f"""
+WITH {_buckets_cte()},
+sized AS (SELECT band, bucket, count(*) AS n FROM bk GROUP BY 1, 2),
+bk2 AS (SELECT bk.doc_id, bk.band, bk.bucket
+        FROM bk JOIN sized USING (band, bucket) WHERE n <= 1000),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bk2 a
+         JOIN bk2 b ON a.band = b.band AND a.bucket = b.bucket
+                   AND a.doc_id < b.doc_id),
+dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM dsh GROUP BY 1),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+  FROM cand c
+  JOIN dsh a ON a.doc_id = c.doc_a
+  JOIN dsh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6) >= 0.5
+"""
+
+
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(_docs(spark, sf_dir))
 
@@ -327,6 +363,32 @@ WHERE {cos} >= 0.92
 """
 
 
+def _q_emb_near_dup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup over IVF candidate blocking — equi-join on cell_id,
+    cosine verified on in-cell pairs only (scale composition of
+    embedding_near_dup)."""
+    return similarity.embedding_near_dup_ivf(_emb(spark, sf_dir), threshold=0.92)
+
+
+def _emb_near_dup_verified_sql() -> str:
+    cos = _COS.format(a="a.ve", b="b.ve")
+    return f"""
+WITH assign AS ({_ivf_assign_sql()}),
+cells AS (SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS ve, a.cell_id
+          FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {cos} AS cos_sim
+FROM cells a JOIN cells b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+WHERE {cos} >= 0.92
+"""
+
+
+def _q_ivf_topk_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only: KMeans centroid training is impl-specific, not
+    # oracle-reproducible; recall vs brute force asserted in
+    # tests/test_kmeans_ivf.py
+    return similarity.ivf_topk_trained(_emb(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing (mapInPandas; deterministic fake extractor)
 # ---------------------------------------------------------------------------
@@ -334,7 +396,18 @@ WHERE {cos} >= 0.92
 def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.multimodal import attach_binary, extract_features
 
-    return extract_features(attach_binary(_docs(spark, sf_dir)))
+    feats = extract_features(attach_binary(_docs(spark, sf_dir)))
+    # Gate-facing serialization: feature_vec scaled to integer micro-units
+    # and comma-joined, so the driver's canonicalizer can hash the row
+    # (array-typed cells aren't hashable there).  floor(x * 1e6) is exact on
+    # both engines: x = k/255.0 is the same IEEE double everywhere.
+    sig = F.concat_ws(
+        ",",
+        F.transform(
+            "feature_vec", lambda x: F.floor(x * 1_000_000).cast("long").cast("string")
+        ),
+    )
+    return feats.select("doc_id", "n_bytes", "content_md5", sig.alias("feature_sig"))
 
 
 def _multimodal_sql() -> str:
@@ -343,12 +416,15 @@ def _multimodal_sql() -> str:
         d2 = f"(strpos('0123456789abcdef', substr(md5(text), {i * 2 + 2}, 1)) - 1)"
         return f"({d1} * 16 + {d2}) / 255.0"
 
-    vec = ", ".join(hexv(i) for i in range(4))
+    sig = " || ',' || ".join(
+        f"CAST(CAST(floor(({hexv(i)}) * 1000000) AS BIGINT) AS VARCHAR)"
+        for i in range(4)
+    )
     return f"""
 SELECT doc_id,
        octet_length(encode(text)) AS n_bytes,
        md5(text) AS content_md5,
-       [{vec}] AS feature_vec
+       {sig} AS feature_sig
 FROM documents
 """
 
@@ -361,15 +437,17 @@ def _q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     docs = _docs(spark, sf_dir)
-    n_docs = docs.count()  # small scalar; at scale broadcast an agg instead
+    # corpus size as a broadcast 1-row aggregate — no eager driver-side
+    # action in the build path (same pattern as above_avg_orders)
+    n = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     tok = docs.select("doc_id", F.explode(words("text")).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    scored = tf.join(F.broadcast(df_), "term").select(
+    scored = tf.join(F.broadcast(df_), "term").crossJoin(F.broadcast(n)).select(
         "doc_id", "term",
         F.round(
             F.col("tf").cast("double")
-            * F.log(F.lit(float(n_docs)) / F.col("df").cast("double")),
+            * F.log(F.col("n_docs") / F.col("df").cast("double")),
             6,
         ).alias("tfidf"),
     )
@@ -503,6 +581,8 @@ QUERIES: dict[str, Query] = {
                                "LSH banding candidate pairs"),
     "ngram_jaccard_pairs": Query(_q_jaccard_pairs, _jaccard_pairs_sql(),
                                  "exact 3-gram Jaccard >= 0.5 pairs"),
+    "near_dup_verified": Query(_q_near_dup_verified, _near_dup_verified_sql(),
+                               "LSH candidates -> exact Jaccard verify (scale composition)"),
     "simhash": Query(_q_simhash, _simhash_sql(),
                      "16-bit SimHash signatures"),
     "simhash_near_dup": Query(_q_simhash_pairs, _simhash_pairs_sql(),
@@ -515,4 +595,9 @@ QUERIES: dict[str, Query] = {
                       "IVF nprobe=2 approximate top-10"),
     "embedding_near_dup": Query(_q_emb_near_dup, _emb_near_dup_sql(),
                                 "embedding-cosine near-dup pairs >= 0.92"),
+    "embedding_near_dup_verified": Query(
+        _q_emb_near_dup_verified, _emb_near_dup_verified_sql(),
+        "IVF-blocked embedding near-dup (scale composition)"),
+    "ivf_topk_trained": Query(_q_ivf_topk_trained, None,
+                              "IVF top-k over KMeans-trained centroids (rows-only)"),
 }

@@ -120,9 +120,9 @@ GROUP BY l_orderkey
 # --- A3: monotonically increasing id synthesis (global counter) --------------
 # Inherently a global sequence (the reference used one process-wide counter,
 # simpy_message_generator.py:192-197); expressed as a window over arrival
-# order.  Scale note: a global row_number is a single-partition sort — at
-# 100 TB you shard the counter (zipWithIndex-style per-partition offsets);
-# declared here at oracle scale for semantic coverage.
+# order.  DECLARED AT FIXED ORACLE SCALE ONLY: a global row_number is a
+# single-partition sort.  The scale-safe twin is ``counter_ids_sharded``
+# below (range-partitioned offsets, operators/sequences.py), same oracle.
 
 def _q_counter_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.tables import read_events
@@ -143,6 +143,7 @@ FROM events
 
 
 # --- W5: late-data identification (arrival-order watermark) ------------------
+# Fixed-oracle-scale form; scale-safe twin: late_data_sharded below.
 
 def _q_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     msgs = messages_from_events(spark, sf_dir)
@@ -161,6 +162,63 @@ SELECT id,
        COALESCE(max(start_at_ms) OVER (ORDER BY CAST(substr(id, 5) AS BIGINT)
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - 30000
                 > end_at_ms, false) AS is_late
+FROM messages
+"""
+
+
+# --- scale-safe twins of the global sequences --------------------------------
+# Same semantics and same oracles as counter_ids / watermark_running_max /
+# late_data_flag, but no unpartitioned window over the data: range
+# repartition + partition-local windows + broadcast partition offsets
+# (operators/sequences.py).  These are the forms that survive 100x.
+
+def _q_counter_ids_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sequences import ranged_row_number
+    from ..sources.tables import read_events
+
+    ev = read_events(spark, sf_dir).select("event_id")
+    return ranged_row_number(ev, ["event_id"], out_col="seq").select(
+        "event_id",
+        F.concat(F.lit("msg_"), F.col("seq").cast("string")).alias("seq_id"),
+    )
+
+
+def _q_watermark_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sequences import ranged_prefix_max
+
+    msgs = messages_from_events(spark, sf_dir).select("id", "start_at_ms")
+    out = ranged_prefix_max(msgs, ["start_at_ms", "id"], "start_at_ms",
+                            out_col="run_max")
+    return out.select(
+        "id", "start_at_ms",
+        (F.col("run_max") - F.lit(30_000)).alias("watermark_ms"),
+    )
+
+
+def _q_late_data_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sequences import ranged_prefix_max
+
+    msgs = messages_from_events(spark, sf_dir).select(
+        "id", "start_at_ms", "end_at_ms",
+        F.substring("id", 5, 18).cast("long").alias("seq"),
+    )
+    out = ranged_prefix_max(msgs, ["seq"], "start_at_ms",
+                            out_col="wm_max", exclusive=True)
+    return out.select(
+        "id",
+        F.coalesce(
+            F.col("wm_max") - F.lit(30_000) > F.col("end_at_ms"), F.lit(False)
+        ).alias("is_late"),
+    )
+
+
+# same oracle semantics as trace.py's _WATERMARK_SQL (A2)
+_WATERMARK_SHARDED_SQL = f"""
+WITH {_MSGS}
+SELECT id, start_at_ms,
+       max(start_at_ms) OVER (ORDER BY start_at_ms, id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       - 30000 AS watermark_ms
 FROM messages
 """
 
@@ -245,6 +303,12 @@ QUERIES: dict[str, Query] = {
                          "A3 global monotonically increasing ids"),
     "late_data_flag": Query(_q_late_data, _LATE_DATA_SQL,
                             "W5 late-past-watermark identification"),
+    "counter_ids_sharded": Query(_q_counter_ids_sharded, _COUNTER_IDS_SQL,
+                                 "A3 scale-safe: range-partitioned offsets"),
+    "watermark_sharded": Query(_q_watermark_sharded, _WATERMARK_SHARDED_SQL,
+                               "A2 scale-safe: partitioned prefix max"),
+    "late_data_sharded": Query(_q_late_data_sharded, _LATE_DATA_SQL,
+                               "W5 scale-safe: partitioned exclusive prefix max"),
     "cube_qty": Query(_q_cube_qty, _CUBE_QTY_SQL, "cube grouping sets"),
     "distinct_parts": Query(_q_distinct_parts, _DISTINCT_PARTS_SQL,
                             "exact multi-column distinct counts"),

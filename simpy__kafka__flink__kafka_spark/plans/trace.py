@@ -33,12 +33,25 @@ edges AS (
 
 # --- flagship: link_traces (J1 + A1 + left-outer assembly) -------------------
 
-def _q_link_traces(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _linked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-typed linked output (the library API shape)."""
     msgs = messages_from_events(spark, sf_dir)
     return aggregate_adjacency(msgs, link_edges_banded(msgs))
 
 
-_LINK_TRACES_SQL = f"""
+def _q_link_traces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Gate-facing projection: the adjacency arrays are already
+    # deterministically sorted (array_sort in aggregate_adjacency), so a
+    # comma join is a stable, hashable serialization.  The array-typed form
+    # stays available via operators.linking.link_traces for library users.
+    return _linked(spark, sf_dir).select(
+        "id", "src_ip", "dst_ip", "start_at_ms", "latency_msec", "end_at_ms",
+        F.concat_ws(",", "parents").alias("parents"),
+        F.concat_ws(",", "children").alias("children"),
+    )
+
+
+_LINKED_SQL = f"""
 WITH {_MSGS}, {_EDGES_SQL},
 par AS (SELECT child_id AS id, list_sort(list(DISTINCT parent_id)) AS parents
         FROM edges GROUP BY 1),
@@ -50,6 +63,14 @@ SELECT m.id, m.src_ip, m.dst_ip, m.start_at_ms, m.latency_msec, m.end_at_ms,
 FROM messages m
 LEFT JOIN par USING (id)
 LEFT JOIN chi USING (id)
+"""
+
+_LINK_TRACES_SQL = f"""
+WITH linked AS ({_LINKED_SQL})
+SELECT id, src_ip, dst_ip, start_at_ms, latency_msec, end_at_ms,
+       COALESCE(array_to_string(parents, ','), '')  AS parents,
+       COALESCE(array_to_string(children, ','), '') AS children
+FROM linked
 """
 
 
@@ -130,6 +151,9 @@ SELECT 'add_parent' AS event_type, child_id AS key_id, parent_id AS other_id FRO
 
 
 # --- A2: running-max watermark (batch analog of the watermark tracker) -------
+# DECLARED AT FIXED ORACLE SCALE: the unpartitioned window is a one-task
+# sort.  Scale-safe twin: ``watermark_sharded`` (plans/scalar.py, same
+# oracle) via operators/sequences.ranged_prefix_max.
 
 def _q_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     msgs = messages_from_events(spark, sf_dir)
@@ -179,16 +203,24 @@ def _q_parse_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_events(spark, sf_dir)
     return ev.select(
         "event_id",
-        F.coalesce(
-            F.get_json_object("props", "$.k").cast("int"), F.lit(0)
-        ).alias("k"),
+        coerce_int_lenient(F.get_json_object("props", "$.k")).alias("k"),
         F.coalesce(F.col("event_type"), F.lit("")).alias("event_type"),
     )
 
 
+def coerce_int_lenient(col: F.Column) -> F.Column:
+    """``int(float(x))``-with-0-default coercion, matching the reference's
+    ``_to_int`` (``flink-jobs/simpy_kafka_reader.py:42-53``): ``"3.7"`` -> 3,
+    ``"-3.7"`` -> -3, garbage/absent -> 0.  Spark's double->long cast
+    truncates toward zero, same as Python ``int()``."""
+    return F.coalesce(col.try_cast("double"), F.lit(0.0)).cast("long")
+
+
+# DuckDB double->BIGINT cast ROUNDS; trunc() first to match Python int().
 _PARSE_PROPS_SQL = """
 SELECT event_id,
-       COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER), 0) AS k,
+       CAST(trunc(COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE),
+                           0.0)) AS BIGINT) AS k,
        COALESCE(event_type, '') AS event_type
 FROM events
 """
@@ -197,7 +229,7 @@ FROM events
 # --- DAG follow-up analytics over the linked output --------------------------
 
 def _q_trace_roots(spark: SparkSession, sf_dir: str) -> DataFrame:
-    linked = _q_link_traces(spark, sf_dir)
+    linked = _linked(spark, sf_dir)
     return (
         linked.where((F.size("parents") == 0) & (F.size("children") > 0))
         .select("id", F.size("children").cast("long").alias("n_children"))
@@ -205,7 +237,7 @@ def _q_trace_roots(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _TRACE_ROOTS_SQL = f"""
-WITH linked AS ({_LINK_TRACES_SQL})
+WITH linked AS ({_LINKED_SQL})
 SELECT id, CAST(len(children) AS BIGINT) AS n_children
 FROM linked
 WHERE len(parents) = 0 AND len(children) > 0
@@ -213,7 +245,7 @@ WHERE len(parents) = 0 AND len(children) > 0
 
 
 def _q_fanout_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    linked = _q_link_traces(spark, sf_dir)
+    linked = _linked(spark, sf_dir)
     return (
         linked.groupBy(F.size("children").cast("long").alias("fanout"))
         .agg(F.count(F.lit(1)).alias("n_spans"))
@@ -221,7 +253,7 @@ def _q_fanout_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _FANOUT_HISTOGRAM_SQL = f"""
-WITH linked AS ({_LINK_TRACES_SQL})
+WITH linked AS ({_LINKED_SQL})
 SELECT CAST(len(children) AS BIGINT) AS fanout, count(*) AS n_spans
 FROM linked
 GROUP BY 1
@@ -260,8 +292,13 @@ def _q_chain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.chains import chain_stats
 
     msgs = messages_from_events(spark, sf_dir)
-    linked = aggregate_adjacency(msgs, link_edges_banded(msgs))
-    return chain_stats(linked, link_edges_banded(msgs))
+    # The banded-join edge subtree is referenced by the adjacency aggregation
+    # AND by every unrolled BFS level; cache it so the join executes once
+    # instead of once per reference.  (At cluster scale this is where you'd
+    # checkpoint the edge set before iterating.)
+    edges = link_edges_banded(msgs).cache()
+    linked = aggregate_adjacency(msgs, edges)
+    return chain_stats(linked, edges)
 
 
 _CHAIN_STATS_SQL = f"""
@@ -301,8 +338,9 @@ def _q_hop_latencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.chains import hop_latencies
 
     msgs = messages_from_events(spark, sf_dir)
-    linked = aggregate_adjacency(msgs, link_edges_banded(msgs))
-    return hop_latencies(linked, link_edges_banded(msgs))
+    edges = link_edges_banded(msgs).cache()  # reused by linked + both hop joins
+    linked = aggregate_adjacency(msgs, edges)
+    return hop_latencies(linked, edges)
 
 
 _HOP_LATENCIES_SQL = f"""

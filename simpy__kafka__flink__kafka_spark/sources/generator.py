@@ -122,7 +122,10 @@ def rate_spans_source(spark, rows_per_second: int = 100,
     )
     v = F.col("value")
     start = F.unix_millis(F.col("timestamp"))
-    steps = max(1, max_latency_ms // 10)
+    # clamp so the max emitted latency is <= max_latency_ms: lat ranges over
+    # {20, 30, ..., ((max-20)//10)*10 + 20} — keeping every span inside the
+    # bound that streaming_link_edges threads into its range conjunct
+    steps = max(1, (max_latency_ms - 20) // 10 + 1)
     lat = (v % steps) * 10 + 20
     host = F.floor(v / 5) % ip_pool_size
     return with_event_time(

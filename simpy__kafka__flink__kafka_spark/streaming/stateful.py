@@ -126,10 +126,25 @@ def aggregate_adjacency_fn(
     if end_ms is not None:
         # event-time timer at end_at_ms (reference :159, :236)
         state.setTimeoutTimestamp(int(end_ms))
+    else:
+        # Orphan update-only state (edge updates arrived but the 'message'
+        # event was dropped as late / lands in a later batch): without a
+        # timer this key would leak forever.  The reference cleans such keys
+        # via its concurrent 60 s processing-time idle flush, which Spark's
+        # one-timeout-kind constraint drops here — so register a fallback
+        # event-time eviction at watermark + the OOO horizon instead.  If the
+        # message event does arrive before that, the timer is re-registered
+        # to end_at_ms above; the timed-out branch emits nothing for
+        # msg-less state, so eviction is silent, matching the reference's
+        # idle flush of a bare-updates key (simpy_kafka_reader.py:303-310).
+        state.setTimeoutTimestamp(
+            state.getCurrentWatermarkMs() + ORPHAN_EVICT_HORIZON_MS
+        )
     return
 
 
 IDLE_FLUSH_MS = 60_000  # SIMPY_IDLE_FLUSH_MS default (simpy_kafka_reader.py:29)
+ORPHAN_EVICT_HORIZON_MS = 60_000  # orphan-state TTL past the watermark
 
 
 def make_idle_flush_fn(idle_ms: int = IDLE_FLUSH_MS):

@@ -1,0 +1,48 @@
+"""Scale-safe sequence operators (operators/sequences.py) must agree exactly
+with their unpartitioned-window twins, at multiple partition counts (boundary
+placement must not leak into the output)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from simpy__kafka__flink__kafka_spark.operators.sequences import (
+    ranged_prefix_max, ranged_row_number)
+from simpy__kafka__flink__kafka_spark.schemas import messages_from_events
+from simpy__kafka__flink__kafka_spark.sources.tables import read_events
+
+
+@pytest.mark.parametrize("n_parts", [3, 32])
+def test_ranged_row_number_matches_global_window(spark, sf_dir, n_parts):
+    ev = read_events(spark, sf_dir).select("event_id")
+    got = ranged_row_number(ev, ["event_id"], out_col="seq", n_parts=n_parts)
+    want = ev.select(
+        "event_id", F.row_number().over(W.orderBy("event_id")).alias("seq")
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+@pytest.mark.parametrize("n_parts", [3, 32])
+def test_ranged_prefix_max_matches_global_window(spark, sf_dir, n_parts):
+    msgs = messages_from_events(spark, sf_dir).select("id", "start_at_ms")
+    got = ranged_prefix_max(
+        msgs, ["start_at_ms", "id"], "start_at_ms", out_col="m", n_parts=n_parts
+    ).select("id", "m")
+    w = W.orderBy("start_at_ms", "id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    want = msgs.select("id", F.max("start_at_ms").over(w).alias("m"))
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_ranged_prefix_max_exclusive(spark, sf_dir):
+    msgs = messages_from_events(spark, sf_dir).select("id", "start_at_ms")
+    got = ranged_prefix_max(
+        msgs, ["id"], "start_at_ms", out_col="m", exclusive=True, n_parts=5
+    ).select("id", "m")
+    w = W.orderBy("id").rowsBetween(W.unboundedPreceding, -1)
+    want = msgs.select("id", F.max("start_at_ms").over(w).alias("m"))
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
