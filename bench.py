@@ -25,11 +25,16 @@ HEADLINE = [
     "exact_dedup",
     "token_count",
     "minhash_lsh_pairs",
+    "near_dup_verified",
+    "simhash_near_dup",
     "language_id",
     "cosine_topk",
     "embedding_near_dup_blocked",
+    "embedding_near_dup_verified",
+    "multimodal_features",
     "asof_last_click",
     "chain_stats",
+    "hop_latencies",
     "tfidf_top_terms",
     "latency_percentiles",
 ]

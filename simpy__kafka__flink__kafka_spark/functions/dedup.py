@@ -257,9 +257,11 @@ def simhash_near_dup_pairs(df: DataFrame, max_hamming: int = 3,
             for i in range(n_seg)
         ]
     )
+    # cached: both sides of the candidate self-join read this frame, and the
+    # signature aggregation above it is the expensive part
     keyed = s.select(
         "doc_id", "simhash", F.explode(segs).alias("s")
-    ).select("doc_id", "simhash", "s.seg", "s.val")
+    ).select("doc_id", "simhash", "s.seg", "s.val").cache()
     a = keyed.alias("a")
     b = keyed.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))

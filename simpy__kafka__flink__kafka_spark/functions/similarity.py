@@ -56,12 +56,20 @@ def brute_force_topk(emb: DataFrame, n_queries: int = 5, k: int = 10) -> DataFra
 
     q = emb.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    ).withColumn("qn2", dot(F.col("q_emb"), F.col("q_emb")))
+    corpus = emb.where(F.col("vec_id") >= n_queries).withColumn(
+        "vn2", dot(F.col("embedding"), F.col("embedding"))
     )
-    corpus = emb.where(F.col("vec_id") >= n_queries)
+    # norms precomputed per row on each side: the scored stage folds once
+    # (the dot product) per (corpus, query) pair instead of three times
     scored = corpus.crossJoin(F.broadcast(q)).select(
         "query_id",
         "vec_id",
-        cosine(F.col("q_emb"), F.col("embedding")).alias("cos_sim"),
+        F.round(
+            dot(F.col("q_emb"), F.col("embedding"))
+            / (F.sqrt(F.col("qn2")) * F.sqrt(F.col("vn2"))),
+            6,
+        ).alias("cos_sim"),
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
     return (
@@ -77,13 +85,23 @@ def ivf_assign(emb: DataFrame, n_centroids: int = N_CENTROIDS) -> DataFrame:
     Output (vec_id, cell_id, cell_sim)."""
     from pyspark.sql import Window as W
 
+    # squared norms precomputed per vector and per centroid: one fold (the
+    # dot product) per (vector, centroid) instead of three
     cents = emb.where(F.col("vec_id") < n_centroids).select(
         F.col("vec_id").alias("cell_id"), F.col("embedding").alias("c_emb")
-    )
-    scored = emb.crossJoin(F.broadcast(cents)).select(
-        "vec_id",
-        "cell_id",
-        cosine(F.col("embedding"), F.col("c_emb")).alias("cell_sim"),
+    ).withColumn("cn2", dot(F.col("c_emb"), F.col("c_emb")))
+    scored = (
+        emb.withColumn("vn2", dot(F.col("embedding"), F.col("embedding")))
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "cell_id",
+            F.round(
+                dot(F.col("embedding"), F.col("c_emb"))
+                / (F.sqrt(F.col("vn2")) * F.sqrt(F.col("cn2"))),
+                6,
+            ).alias("cell_sim"),
+        )
     )
     w = W.partitionBy("vec_id").orderBy(F.col("cell_sim").desc(), F.col("cell_id"))
     return (
@@ -107,23 +125,30 @@ def ivf_topk(emb: DataFrame, n_queries: int = 5, k: int = 10,
     )
     q = emb.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
-    )
+    ).withColumn("qn2", dot(F.col("q_emb"), F.col("q_emb")))
     qcells = q.crossJoin(F.broadcast(cents)).select(
         "query_id",
         "cell_id",
         "q_emb",
+        "qn2",
         cosine(F.col("q_emb"), F.col("c_emb")).alias("qc_sim"),
     )
     wq = W.partitionBy("query_id").orderBy(F.col("qc_sim").desc(), F.col("cell_id"))
     probed = qcells.withColumn("rn", F.row_number().over(wq)).where(
         F.col("rn") <= nprobe
-    ).select("query_id", "cell_id", "q_emb")
+    ).select("query_id", "cell_id", "q_emb", "qn2")
 
-    corpus = emb.where(F.col("vec_id") >= n_queries).join(assign, "vec_id")
+    corpus = emb.where(F.col("vec_id") >= n_queries).join(assign, "vec_id") \
+        .withColumn("vn2", dot(F.col("embedding"), F.col("embedding")))
+    # probe-stage scoring folds once per candidate (norms precomputed above)
     scored = corpus.join(probed, "cell_id").select(
         "query_id",
         "vec_id",
-        cosine(F.col("q_emb"), F.col("embedding")).alias("cos_sim"),
+        F.round(
+            dot(F.col("q_emb"), F.col("embedding"))
+            / (F.sqrt(F.col("qn2")) * F.sqrt(F.col("vn2"))),
+            6,
+        ).alias("cos_sim"),
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
     return (
@@ -258,20 +283,32 @@ def embedding_near_dup_ivf(emb: DataFrame, threshold: float = 0.92,
     mirrors the identical cell blocking, so the gate checks this exact
     semantic."""
     assign = ivf_assign(emb, n_centroids).select("vec_id", "cell_id")
-    cells = emb.select("vec_id", "embedding").join(assign, "vec_id")
+    # Squared norm precomputed per VECTOR (not per pair): the pair stage then
+    # does one fold (the dot product) instead of three.  Cached because the
+    # assign+norm subtree feeds both sides of the in-cell self-join.
+    cells = (
+        emb.select("vec_id", "embedding")
+        .join(assign, "vec_id")
+        .withColumn("n2", dot(F.col("embedding"), F.col("embedding")))
+        .cache()
+    )
     a = cells.select(
-        "cell_id", F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a")
+        "cell_id", F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"), F.col("n2").alias("n2_a"),
     )
     b = cells.select(
-        "cell_id", F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b")
+        "cell_id", F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"), F.col("n2").alias("n2_b"),
+    )
+    cos = F.round(
+        dot(F.col("emb_a"), F.col("emb_b"))
+        / (F.sqrt(F.col("n2_a")) * F.sqrt(F.col("n2_b"))),
+        6,
     )
     return (
         a.join(b, "cell_id")
         .where(F.col("vec_a") < F.col("vec_b"))
-        .select(
-            "vec_a", "vec_b",
-            cosine(F.col("emb_a"), F.col("emb_b")).alias("cos_sim"),
-        )
+        .select("vec_a", "vec_b", cos.alias("cos_sim"))
         .where(F.col("cos_sim") >= threshold)
     )
 
@@ -355,14 +392,22 @@ def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.92) -> DataFra
     """Embedding-cosine near-duplicate pairs (a<b, cosine >= threshold).
     All-pairs here (correctness form); at scale the same predicate runs after
     LSH/IVF candidate pruning."""
-    a = emb.alias("a")
-    b = emb.alias("b")
+    e = emb.select("vec_id", "embedding").withColumn(
+        "n2", dot(F.col("embedding"), F.col("embedding"))
+    )
+    a = e.alias("a")
+    b = e.alias("b")
+    cos = F.round(
+        dot(F.col("a.embedding"), F.col("b.embedding"))
+        / (F.sqrt(F.col("a.n2")) * F.sqrt(F.col("b.n2"))),
+        6,
+    )
     return (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            cosine(F.col("a.embedding"), F.col("b.embedding")).alias("cos_sim"),
+            cos.alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= threshold)
     )

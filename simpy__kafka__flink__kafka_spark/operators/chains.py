@@ -24,41 +24,76 @@ from pyspark.sql import functions as F
 MAX_DEPTH = 8
 
 
-def chain_reach(linked: DataFrame, edges: DataFrame,
-                max_depth: int = MAX_DEPTH) -> DataFrame:
-    """Distinct (root_id, node, depth<=max_depth) triples; roots are spans
-    with no parents that have at least one child."""
-    roots = linked.where(
-        (F.size("parents") == 0) & (F.size("children") > 0)
-    ).select(F.col("id").alias("root_id"))
+def chain_roots(msgs: DataFrame, edges: DataFrame) -> DataFrame:
+    """Root spans — no incoming edge, >= 1 outgoing edge — straight from the
+    span + edge sets via anti/semi joins.  This avoids building the full
+    parents/children adjacency aggregation (Generate + collect_set + outer
+    join-back) when only root MEMBERSHIP is needed; both joins shuffle on the
+    high-cardinality unique id."""
+    return (
+        msgs.select("id")
+        .join(edges.select(F.col("child_id").alias("id")), "id", "left_anti")
+        .join(edges.select(F.col("parent_id").alias("id")), "id", "left_semi")
+        .select(F.col("id").alias("root_id"))
+    )
+
+
+def chain_reach(msgs: DataFrame, edges: DataFrame,
+                max_depth: int = MAX_DEPTH,
+                dedup_every: int = 2) -> DataFrame:
+    """Distinct (root_id, node, depth<=max_depth) triples.
+
+    ``dedup_every`` controls how often the frontier is de-duplicated: every
+    level is the safest (diamond fan-in and 2-cycles can't grow the frontier
+    at all), but each distinct is a full shuffle stage; deduping every K
+    levels bounds the transient blow-up at fanout^K while cutting the stage
+    count — the right trade for shallow service-call DAGs where diamonds are
+    rare.  The final distinct restores exact set semantics either way.
+    """
+    roots = chain_roots(msgs, edges)
     level = roots.select(
         "root_id", F.col("root_id").alias("node"), F.lit(0).alias("depth")
     )
     reach = level
     for d in range(1, max_depth + 1):
-        level = (
-            level.join(edges, level.node == edges.parent_id)
-            .select(
-                "root_id",
-                F.col("child_id").alias("node"),
-                F.lit(d).alias("depth"),
-            )
-            .distinct()
+        level = level.join(edges, level.node == edges.parent_id).select(
+            "root_id",
+            F.col("child_id").alias("node"),
+            F.lit(d).alias("depth"),
         )
+        if d % dedup_every == 0:
+            level = level.distinct()
         reach = reach.unionByName(level)
     return reach.distinct()
 
 
-def chain_stats(linked: DataFrame, edges: DataFrame,
+def chain_stats(msgs: DataFrame, edges: DataFrame,
                 max_depth: int = MAX_DEPTH) -> DataFrame:
     """Per-root chain summary: span count, longest path, total duration
-    (the root span's latency covers the whole chain by containment)."""
-    reach = chain_reach(linked, edges, max_depth)
+    (the root span's latency covers the whole chain by containment).
+
+    Skips chain_reach's final distinct: countDistinct(node) and max(depth)
+    are insensitive to duplicate (root, node, depth) triples, so the
+    aggregation itself is the dedup — one shuffle fewer."""
+    roots = chain_roots(msgs, edges)
+    level = roots.select(
+        "root_id", F.col("root_id").alias("node"), F.lit(0).alias("depth")
+    )
+    reach = level
+    for d in range(1, max_depth + 1):
+        level = level.join(edges, level.node == edges.parent_id).select(
+            "root_id",
+            F.col("child_id").alias("node"),
+            F.lit(d).alias("depth"),
+        )
+        if d % 2 == 0:
+            level = level.distinct()
+        reach = reach.unionByName(level)
     stats = reach.groupBy("root_id").agg(
         F.countDistinct("node").alias("n_spans"),
         F.max("depth").alias("max_depth"),
     )
-    root_lat = linked.select(
+    root_lat = msgs.select(
         F.col("id").alias("root_id"),
         F.col("latency_msec").alias("total_ms"),
     )
@@ -67,14 +102,15 @@ def chain_stats(linked: DataFrame, edges: DataFrame,
     )
 
 
-def hop_latencies(linked: DataFrame, edges: DataFrame) -> DataFrame:
+def hop_latencies(msgs: DataFrame, edges: DataFrame) -> DataFrame:
     """Per-hop timing: each parent->child edge with the child's own latency
-    and its start offset inside the parent (队列/网络 gap)."""
-    p = linked.select(F.col("id").alias("parent_id"),
-                      F.col("start_at_ms").alias("p_start"))
-    c = linked.select(F.col("id").alias("child_id"),
-                      F.col("start_at_ms").alias("c_start"),
-                      F.col("latency_msec").alias("hop_ms"))
+    and its start offset inside the parent (队列/网络 gap).  Needs only raw
+    span columns — no adjacency aggregation."""
+    p = msgs.select(F.col("id").alias("parent_id"),
+                    F.col("start_at_ms").alias("p_start"))
+    c = msgs.select(F.col("id").alias("child_id"),
+                    F.col("start_at_ms").alias("c_start"),
+                    F.col("latency_msec").alias("hop_ms"))
     return (
         edges.join(p, "parent_id")
         .join(c, "child_id")

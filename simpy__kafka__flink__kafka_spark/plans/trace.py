@@ -292,13 +292,12 @@ def _q_chain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.chains import chain_stats
 
     msgs = messages_from_events(spark, sf_dir)
-    # The banded-join edge subtree is referenced by the adjacency aggregation
-    # AND by every unrolled BFS level; cache it so the join executes once
-    # instead of once per reference.  (At cluster scale this is where you'd
-    # checkpoint the edge set before iterating.)
+    # The banded-join edge subtree is referenced by the root derivation AND
+    # every unrolled BFS level; cache it so the join executes once instead of
+    # once per reference.  (At cluster scale this is where you'd checkpoint
+    # the edge set before iterating.)
     edges = link_edges_banded(msgs).cache()
-    linked = aggregate_adjacency(msgs, edges)
-    return chain_stats(linked, edges)
+    return chain_stats(msgs, edges)
 
 
 _CHAIN_STATS_SQL = f"""
@@ -338,9 +337,8 @@ def _q_hop_latencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.chains import hop_latencies
 
     msgs = messages_from_events(spark, sf_dir)
-    edges = link_edges_banded(msgs).cache()  # reused by linked + both hop joins
-    linked = aggregate_adjacency(msgs, edges)
-    return hop_latencies(linked, edges)
+    edges = link_edges_banded(msgs)  # single use: no cache needed
+    return hop_latencies(msgs, edges)
 
 
 _HOP_LATENCIES_SQL = f"""
