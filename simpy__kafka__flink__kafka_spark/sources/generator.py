@@ -99,6 +99,16 @@ def inject_send_delays(
     return [sp for _, sp in delayed]
 
 
+def rate_latency_expr(v, max_latency_ms: int):
+    """Deterministic latency for rate-source tick ``v``, clamped so the max
+    emitted latency is <= max_latency_ms: values range over {20, 30, ...,
+    ((max-20)//10)*10 + 20} — keeping every span inside the bound that
+    streaming_link_edges threads into its range conjunct (a span exceeding
+    it would silently miss matches the batch predicate finds)."""
+    steps = max(1, (max_latency_ms - 20) // 10 + 1)
+    return (v % steps) * 10 + 20
+
+
 def rate_spans_source(spark, rows_per_second: int = 100,
                       ip_pool_size: int = 10, max_latency_ms: int = 1920):
     """S5 streaming shape: map Spark's ``rate`` source onto generator-style
@@ -122,11 +132,7 @@ def rate_spans_source(spark, rows_per_second: int = 100,
     )
     v = F.col("value")
     start = F.unix_millis(F.col("timestamp"))
-    # clamp so the max emitted latency is <= max_latency_ms: lat ranges over
-    # {20, 30, ..., ((max-20)//10)*10 + 20} — keeping every span inside the
-    # bound that streaming_link_edges threads into its range conjunct
-    steps = max(1, (max_latency_ms - 20) // 10 + 1)
-    lat = (v % steps) * 10 + 20
+    lat = rate_latency_expr(v, max_latency_ms)
     host = F.floor(v / 5) % ip_pool_size
     return with_event_time(
         rate.select(

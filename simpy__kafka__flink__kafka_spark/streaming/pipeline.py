@@ -209,26 +209,31 @@ def link_traces_foreach_batch(spans: DataFrame, accum_dir: str, out_dir: str,
     accumulated set fits a batch job; the two-phase watermarked pipeline is
     the unbounded-stream path.
     """
-    from ..operators.linking import link_traces
-
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        # foreachBatch is at-least-once: a batch may be re-delivered after a
-        # failure/restart.  Writing each batch to its own batch_id=<id>
-        # partition with overwrite makes the accumulate step replay-
-        # idempotent — a redelivery rewrites the same partition instead of
-        # appending duplicate span rows.
-        batch_df.select(
-            "id", "src_ip", "dst_ip", "start_at_ms", "latency_msec", "end_at_ms"
-        ).write.mode("overwrite").parquet(f"{accum_dir}/batch_id={batch_id}")
-        spark = batch_df.sparkSession
-        all_spans = spark.read.parquet(accum_dir).drop("batch_id")
-        link_traces(all_spans).write.mode("overwrite").parquet(out_dir)
+        accumulate_and_relink(batch_df, batch_id, accum_dir, out_dir)
 
     return (
         spans.writeStream.foreachBatch(process)
         .option("checkpointLocation", checkpoint)
         .start()
     )
+
+
+def accumulate_and_relink(batch_df: DataFrame, batch_id: int,
+                          accum_dir: str, out_dir: str) -> None:
+    """One foreachBatch step: accumulate the batch's spans, re-link the full
+    set.  foreachBatch is at-least-once — a batch may be re-delivered after a
+    failure/restart — so each batch writes to its own ``batch_id=<id>``
+    partition with overwrite: a redelivery rewrites the same partition
+    instead of appending duplicate span rows (replay-idempotent)."""
+    from ..operators.linking import link_traces
+
+    batch_df.select(
+        "id", "src_ip", "dst_ip", "start_at_ms", "latency_msec", "end_at_ms"
+    ).write.mode("overwrite").parquet(f"{accum_dir}/batch_id={batch_id}")
+    spark = batch_df.sparkSession
+    all_spans = spark.read.parquet(accum_dir).drop("batch_id")
+    link_traces(all_spans).write.mode("overwrite").parquet(out_dir)
 
 
 def aggregate_bridge(spark: SparkSession, bridge_dir: str,
