@@ -1,0 +1,122 @@
+"""Scale experiment driver (PLANS.md 'Scale experiment' sections).
+
+Synthesizes 10x the sf0.1 data by unioning time-shifted / id-shifted copies,
+then runs the flagship pipeline and the headline dedup operators at that
+scale, printing one JSON line per experiment.  Run:
+
+    python experiments/scale_run.py [--copies 10] [--sf /root/testdata/sf0.1]
+
+Everything materializes through the noop sink (count() lets Catalyst
+eliminate unique-key left joins — see PLANS.md round-1 caveat).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from simpy__kafka__flink__kafka_spark.functions import dedup  # noqa: E402
+from simpy__kafka__flink__kafka_spark.operators.chains import chain_stats  # noqa: E402
+from simpy__kafka__flink__kafka_spark.operators.linking import (  # noqa: E402
+    link_edges_banded, link_traces)
+from simpy__kafka__flink__kafka_spark.schemas import messages_from_events  # noqa: E402
+from simpy__kafka__flink__kafka_spark.session import get_spark  # noqa: E402
+
+DAY_MS = 86_400_000
+
+
+def shifted_spans(spark, sf_dir: str, copies: int):
+    """copies x the sf span view, each copy shifted one simulated day and
+    id-suffixed — grows the time axis the way real traffic accumulates."""
+    msgs = messages_from_events(spark, sf_dir)
+    parts = []
+    for i in range(copies):
+        parts.append(
+            msgs.select(
+                F.concat("id", F.lit(f"_d{i}")).alias("id"),
+                "src_ip",
+                "dst_ip",
+                (F.col("start_at_ms") + i * DAY_MS).alias("start_at_ms"),
+                "latency_msec",
+                (F.col("end_at_ms") + i * DAY_MS).alias("end_at_ms"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def shifted_docs(spark, sf_dir: str, copies: int):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = 10_000_000  # id stride safely above any sf doc_id
+    parts = [
+        docs.select((F.col("doc_id") + i * n).alias("doc_id"), "text")
+        for i in range(copies)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def materialize(df) -> float:
+    t0 = time.perf_counter()
+    df.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--copies", type=int, default=10)
+    ap.add_argument("--sf", default="/root/testdata/sf0.1")
+    args = ap.parse_args()
+
+    spark = get_spark("scale-run")
+    spans = shifted_spans(spark, args.sf, args.copies).cache()
+    n_spans = spans.count()  # also materializes the cache
+
+    t_edges = materialize(link_edges_banded(spans))
+    n_edges = link_edges_banded(spans).count()
+    t_link = materialize(link_traces(spans))
+    edges = link_edges_banded(spans).cache()
+    t_chain = materialize(chain_stats(spans, edges))
+
+    print(json.dumps({
+        "experiment": "trace_pipeline", "copies": args.copies,
+        "spans": n_spans, "edges": n_edges,
+        "edges_sec": round(t_edges, 2),
+        "link_traces_sec": round(t_link, 2),
+        "link_traces_spans_per_sec": int(n_spans / t_link),
+        "chain_stats_sec": round(t_chain, 2),
+    }))
+
+    docs = shifted_docs(spark, args.sf, args.copies).cache()
+    n_docs = docs.count()
+    t_lsh = materialize(dedup.minhash_lsh_pairs(docs))
+    t_verified = materialize(
+        dedup.verify_jaccard(docs, dedup.minhash_lsh_pairs(docs), threshold=0.5)
+    )
+    t_simhash = materialize(dedup.simhash_near_dup_pairs(docs))
+    t_exact = materialize(dedup.exact_dedup(docs))
+
+    print(json.dumps({
+        "experiment": "dedup_pipeline", "copies": args.copies,
+        "docs": n_docs,
+        "exact_dedup_sec": round(t_exact, 2),
+        "minhash_lsh_pairs_sec": round(t_lsh, 2),
+        "near_dup_verified_sec": round(t_verified, 2),
+        "simhash_near_dup_sec": round(t_simhash, 2),
+        "lsh_docs_per_sec": int(n_docs / t_lsh),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -42,6 +42,24 @@ def sliding_ip_throughput(spans: DataFrame, window: str = "1 minute",
     )
 
 
+def dedup_spans(spans: DataFrame, bounded_state: bool = True) -> DataFrame:
+    """Streaming deduplication by span id — the streaming twin of the batch
+    exact-dedup operator, and the standard defense against at-least-once
+    source redelivery.
+
+    With ``bounded_state`` (the scale path), duplicates are dropped via
+    ``dropDuplicatesWithinWatermark``: each seen-id is remembered only until
+    the watermark passes its event time plus the stream's watermark delay,
+    so dedup state tracks the duplicate-arrival horizon instead of the whole
+    stream history — the input must already carry the ``with_event_time``
+    watermark.  ``bounded_state=False`` is unbounded exact dedup (state
+    grows with distinct ids — only for bounded replays).
+    """
+    if bounded_state:
+        return spans.dropDuplicatesWithinWatermark(["id"])
+    return spans.dropDuplicates(["id"])
+
+
 def session_ip_activity(spans: DataFrame, gap: str = "30 seconds") -> DataFrame:
     """Per-source-IP activity sessions (gap-based session window — the
     streaming twin of the batch ``sessionize_events`` query)."""

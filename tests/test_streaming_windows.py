@@ -64,3 +64,38 @@ def test_session_windows(spark, tmp_path):
     # a+b within 30s gap -> one 2-span session for 10.0.0.1; c alone
     assert ("10.0.0.1", 2) in sess
     assert ("10.0.0.3", 1) in sess
+
+
+def test_streaming_dedup_drops_redelivered_spans(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: a span re-delivered in a later
+    micro-batch (within the watermark horizon) is emitted exactly once."""
+    from simpy__kafka__flink__kafka_spark.streaming.windows import dedup_spans
+
+    ind = str(tmp_path / "in")
+    os.makedirs(ind, exist_ok=True)
+    b1 = [
+        ("a", "10.0.0.1", "10.0.0.2", 5_000, 100.0, 5_100),
+        ("b", "10.0.0.1", "10.0.0.2", 6_000, 200.0, 6_200),
+    ]
+    b2 = [  # 'a' redelivered verbatim + one new span
+        ("a", "10.0.0.1", "10.0.0.2", 5_000, 100.0, 5_100),
+        ("c", "10.0.0.3", "10.0.0.2", 7_000, 50.0, 7_050),
+    ]
+    for rows in (b1, b2, FLUSH):
+        golden_messages(spark, rows).coalesce(1).write.mode("append").parquet(ind)
+        time.sleep(0.05)
+    spans = file_spans_source(spark, ind, watermark="30 seconds")
+    q = (
+        dedup_spans(spans)
+        .writeStream.format("memory")
+        .queryName(f"dd_{uuid.uuid4().hex[:8]}")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql(f"SELECT id FROM {q.name}").collect()
+    finally:
+        q.stop()
+    ids = sorted(r.id for r in rows)
+    assert ids == ["a", "b", "c", "flush"]
