@@ -388,6 +388,26 @@ def ivf_topk_trained(emb: DataFrame, n_queries: int = 5, k: int = 10,
     )
 
 
+def quantize_embeddings(emb: DataFrame) -> DataFrame:
+    """Symmetric int8 scalar quantization — the standard storage/transport
+    compression for embedding corpora (4x smaller than float32, ~1% recall
+    loss for cosine retrieval): q_i = round(x_i / max|x| * 127), plus the
+    per-vector scale needed to dequantize (x ~ q * scale / 127).
+
+    Pure column expressions; zero vectors quantize to all-zero codes with
+    scale 0.  Output: (vec_id, scale, q_emb array<int>).
+    """
+    dbl = _dbl(F.col("embedding"))
+    max_abs = F.array_max(F.transform(dbl, lambda x: F.abs(x)))
+    q = F.when(
+        max_abs > 0,
+        F.transform(dbl, lambda x: F.round(x / max_abs * 127).cast("int")),
+    ).otherwise(F.transform(dbl, lambda x: F.lit(0)))
+    return emb.select(
+        "vec_id", F.round(max_abs, 6).alias("scale"), q.alias("q_emb")
+    )
+
+
 def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.92) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a<b, cosine >= threshold).
     All-pairs here (correctness form); at scale the same predicate runs after

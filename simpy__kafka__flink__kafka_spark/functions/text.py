@@ -94,6 +94,47 @@ def quality_score(text_col: Column | str = "text") -> Column:
     )
 
 
+def winnow_fingerprints(df: DataFrame, n: int = 3, window: int = 4,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken): hash
+    every word ``n``-gram, slide a ``window`` over the hash sequence, keep
+    each window's minimum — the distinct minima are the doc's fingerprint
+    set.  Robust to local edits (an edit perturbs only nearby windows),
+    which whole-document hashing is not; two docs sharing fingerprints share
+    verbatim runs.
+
+    Hashes compare as md5 hex STRINGS (lexicographic min — the same
+    cross-engine determinism trick as MinHash).  The sliding min is a
+    per-document window, so the heavy operator partitions on the
+    high-cardinality doc id — scale-safe.  Docs with fewer than ``window``
+    shingles emit no fingerprints (winnowing needs at least one full
+    window).  Output: (id_col, fp) distinct rows.
+    """
+    from pyspark.sql import Window as W
+
+    ws = words(text_col)
+    k = F.greatest(F.size(ws) - (n - 1), F.lit(0))
+    zipped = F.arrays_zip(
+        *[F.slice(ws, i + 1, k).alias(f"w{i}") for i in range(n)]
+    )
+    sh = F.transform(
+        zipped, lambda s: F.concat_ws(" ", *[s[f"w{i}"] for i in range(n)])
+    )
+    pos_sh = df.select(
+        F.col(id_col), F.posexplode(sh).alias("pos", "shingle")
+    ).withColumn("h", F.md5("shingle"))
+    per_doc = W.partitionBy(id_col)
+    win = per_doc.orderBy("pos").rowsBetween(W.currentRow, window - 1)
+    return (
+        pos_sh.withColumn("n_sh", F.count(F.lit(1)).over(per_doc))
+        .withColumn("fp", F.min("h").over(win))
+        .where(F.col("pos") <= F.col("n_sh") - window)  # full windows only
+        .select(id_col, "fp")
+        .distinct()
+    )
+
+
 def shingles(df: DataFrame, n: int = 3, id_col: str = "doc_id",
              text_col: str = "text") -> DataFrame:
     """Explode each document into its word ``n``-gram shingles.

@@ -30,6 +30,23 @@ def salted_count(df: DataFrame, key: str, salt_buckets: int = 16) -> DataFrame:
     return partial.groupBy(key).agg(F.sum("_c").alias("n"))
 
 
+def salted_join(big: DataFrame, small: DataFrame, key: str,
+                salt_buckets: int = 16) -> DataFrame:
+    """Hot-key equi-join for when the small side is too big to broadcast and
+    AQE's skew split doesn't apply (e.g. the skewed side feeds a bucketed
+    scan): salt the big side's rows uniformly, replicate the small side once
+    per salt value, join on (key, salt).  Each hot key's rows spread over
+    ``salt_buckets`` tasks at the cost of ``salt_buckets``x the small side's
+    shuffle volume.  Semantics-preserving for any 1:N equi-join."""
+    salted_big = big.withColumn(
+        "_salt", (F.rand(seed=42) * salt_buckets).cast("int")
+    )
+    replicated = small.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+    )
+    return salted_big.join(replicated, [key, "_salt"]).drop("_salt")
+
+
 def salted_agg(df: DataFrame, key: str, agg_col: Column, merge_col: Column,
                alias: str, salt_buckets: int = 16) -> DataFrame:
     """General two-phase salted aggregation: ``agg_col`` computes the partial

@@ -382,6 +382,35 @@ WHERE {cos} >= 0.92
 """
 
 
+def _q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    q = similarity.quantize_embeddings(_emb(spark, sf_dir))
+    # gate-facing: serialize the int8 codes (array cells aren't hashable in
+    # the driver's canonicalizer)
+    return q.select(
+        "vec_id", "scale",
+        F.concat_ws(
+            ",", F.transform("q_emb", lambda x: x.cast("string"))
+        ).alias("q_sig"),
+    )
+
+
+_QUANTIZE_SQL = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve,
+         list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS ma
+  FROM embeddings
+)
+SELECT vec_id,
+       round(ma, 6) AS scale,
+       array_to_string(
+         CASE WHEN ma > 0
+              THEN list_transform(ve, x -> CAST(CAST(round(x / ma * 127) AS INTEGER) AS VARCHAR))
+              ELSE list_transform(ve, x -> '0') END,
+         ',') AS q_sig
+FROM e
+"""
+
+
 def _q_ivf_topk_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows-only: KMeans centroid training is impl-specific, not
     # oracle-reproducible; recall vs brute force asserted in
@@ -600,4 +629,6 @@ QUERIES: dict[str, Query] = {
         "IVF-blocked embedding near-dup (scale composition)"),
     "ivf_topk_trained": Query(_q_ivf_topk_trained, None,
                               "IVF top-k over KMeans-trained centroids (rows-only)"),
+    "quantize_embeddings": Query(_q_quantize_embeddings, _QUANTIZE_SQL,
+                                 "symmetric int8 embedding quantization"),
 }

@@ -83,8 +83,43 @@ GROUP BY 1
 """
 
 
+# --- winnowing fingerprints (rolling-hash; per-doc sliding window) -----------
+
+def _q_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import winnow_fingerprints
+
+    return winnow_fingerprints(_docs(spark, sf_dir))
+
+
+# mirrors functions/text.py:winnow_fingerprints — n=3 word shingles,
+# window=4, lexicographic min over md5 hex, full windows only
+_WINNOW_SQL = r"""
+WITH w AS (
+  SELECT doc_id,
+         string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS ws
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, u.p AS pos, md5(u.s) AS h FROM (
+    SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 0)),
+           i -> struct_pack(p := i - 1, s := array_to_string(ws[i:i+2], ' ')))) AS u
+    FROM w)
+),
+x AS (
+  SELECT doc_id, pos,
+         count(*) OVER (PARTITION BY doc_id) AS n_sh,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+  FROM sh
+)
+SELECT DISTINCT doc_id, fp FROM x WHERE pos <= n_sh - 4
+"""
+
+
 QUERIES: dict[str, Query] = {
     "token_count": Query(_q_token_count, _TOKEN_COUNT_SQL, "whitespace token counting"),
     "doc_fingerprint": Query(_q_fingerprint, _FINGERPRINT_SQL, "md5 document fingerprint"),
     "exact_dedup": Query(_q_exact_dedup, _EXACT_DEDUP_SQL, "exact dedup via hash-groupBy"),
+    "winnow_fingerprints": Query(_q_winnow, _WINNOW_SQL,
+                                 "rolling-hash winnowing fingerprint set"),
 }

@@ -173,6 +173,18 @@ def file_spans_source(spark: SparkSession, path: str,
     return with_event_time(raw, watermark)
 
 
+def deduped_link_edges(spans: DataFrame,
+                       max_latency_ms: int = MAX_LATENCY_MS) -> DataFrame:
+    """Source dedup chained with the interval join in ONE streaming query:
+    ``dropDuplicatesWithinWatermark`` -> stream-stream self-join (Spark's
+    multi-stateful-operator support).  At-least-once sources (Kafka
+    redelivery, file-source replays) produce no duplicate edges, and dedup
+    state stays watermark-bounded like the join state."""
+    from .windows import dedup_spans
+
+    return streaming_link_edges(dedup_spans(spans), max_latency_ms)
+
+
 def link_traces_two_phase(spans: DataFrame, bridge_dir: str, checkpoint1: str,
                           watermark: str = WATERMARK,
                           max_latency_ms: int = MAX_LATENCY_MS):

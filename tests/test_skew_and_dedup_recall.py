@@ -64,3 +64,21 @@ def test_minhash_lsh_finds_planted_near_dups(spark):
     verified = {(r.doc_a, r.doc_b)
                 for r in ngram_jaccard_pairs(corpus, threshold=0.5).collect()}
     assert dups <= verified
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    """salted_join must be row-for-row equivalent to the plain equi-join on a
+    genuinely skewed key (l_returnflag: 3 values over the whole table)."""
+    from simpy__kafka__flink__kafka_spark.operators.skew import salted_join
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_returnflag"
+    )
+    dim = spark.createDataFrame(
+        [("R", "returned"), ("A", "accepted"), ("N", "normal")],
+        "l_returnflag string, label string",
+    )
+    got = salted_join(li, dim, "l_returnflag")
+    want = li.join(dim, "l_returnflag")
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0

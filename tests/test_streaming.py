@@ -130,3 +130,32 @@ def test_out_of_order_arrival_links_correctly(spark, tmpdirs):
     finally:
         q.stop()
     assert {(r.parent_id, r.child_id) for r in rows} == {("id1", "id2")}
+
+
+def test_deduped_join_chain_single_query(spark, tmpdirs):
+    """Multi-stateful-operator chaining: dropDuplicatesWithinWatermark feeds
+    the stream-stream interval join in one query; a span re-delivered in a
+    later micro-batch yields no duplicate edges."""
+    from simpy__kafka__flink__kafka_spark.streaming.pipeline import (
+        deduped_link_edges)
+
+    dup_batch = [
+        ("id1", "10.0.0.1", "10.0.0.2", 1000, 500.0, 1500),  # redelivered
+        ("id3", "10.0.0.3", "10.0.0.4", 1120, 100.0, 1220),
+    ]
+    _write_batches(spark, tmpdirs["in"], [G1[:2], dup_batch, FLUSH])
+    spans = file_spans_source(spark, tmpdirs["in"], watermark="30 seconds")
+    q = (
+        deduped_link_edges(spans)
+        .writeStream.format("memory")
+        .queryName(f"ddj_{uuid.uuid4().hex[:8]}")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql(f"SELECT parent_id, child_id FROM {q.name}").collect()
+    finally:
+        q.stop()
+    pairs = [(r.parent_id, r.child_id) for r in rows]
+    assert sorted(pairs) == [("id1", "id2"), ("id2", "id3")]  # no duplicates
