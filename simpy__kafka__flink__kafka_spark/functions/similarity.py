@@ -408,6 +408,21 @@ def quantize_embeddings(emb: DataFrame) -> DataFrame:
     )
 
 
+def quantized_topk(emb: DataFrame, n_queries: int = 5, k: int = 10) -> DataFrame:
+    """Brute-force top-k over DEQUANTIZED int8 embeddings — the retrieval
+    path a quantized corpus actually runs.  Cosine is scale-invariant, so
+    per-vector scales cancel and recall loss comes only from the 8-bit
+    rounding; tests/test_quantized_recall.py pins it >= 0.9 @ k=10."""
+    q = quantize_embeddings(emb)
+    deq = q.select(
+        "vec_id",
+        F.transform(
+            "q_emb", lambda x: x.cast("double") * F.col("scale") / 127.0
+        ).alias("embedding"),
+    )
+    return brute_force_topk(deq, n_queries, k)
+
+
 def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.92) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a<b, cosine >= threshold).
     All-pairs here (correctness form); at scale the same predicate runs after

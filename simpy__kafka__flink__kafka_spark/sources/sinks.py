@@ -37,3 +37,23 @@ def read_linked_day(spark: SparkSession, path: str, day_ms: int) -> DataFrame:
     """Read one day's partition — the filter prunes at the directory level
     (visible as PartitionFilters in explain)."""
     return spark.read.parquet(path).where(F.col("day") == day_ms)
+
+
+def write_bucketed(df: DataFrame, table: str, bucket_col: str,
+                   n_buckets: int = 32, sort: bool = True) -> None:
+    """Persist as a bucketed (and optionally sorted) catalog table.
+
+    Bucketing is the co-located-join tool: two tables bucketed the same way
+    on the join key sort-merge-join WITHOUT a shuffle exchange on either
+    side (and without the per-query sort when ``sort=True``) — the shuffle
+    is paid once at write time instead of on every downstream join.  At
+    100 TB this turns the repeated id-keyed joins (linked ⋈ edges, span ⋈
+    enrichment) into scan+merge.  ``tests/test_bucketed_join.py`` asserts
+    the exchange-free plan.
+    """
+    w = df.write.mode("overwrite").format("parquet").bucketBy(
+        n_buckets, bucket_col
+    )
+    if sort:
+        w = w.sortBy(bucket_col)
+    w.saveAsTable(table)

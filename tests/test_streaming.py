@@ -159,3 +159,48 @@ def test_deduped_join_chain_single_query(spark, tmpdirs):
         q.stop()
     pairs = [(r.parent_id, r.child_id) for r in rows]
     assert sorted(pairs) == [("id1", "id2"), ("id2", "id3")]  # no duplicates
+
+
+def test_late_rows_dropped_before_state(spark, tmpdirs):
+    """W5: a span arriving past the watermark is filtered before the stateful
+    windowed aggregation — it creates NO state row and its window is never
+    emitted.  (The reference silently un-links late records; Spark's
+    pre-state watermark filter is the same observable effect.  Note the
+    filter runs BEFORE the state store, so numRowsDroppedByWatermark stays 0
+    — the state-row count is the reliable signal.)"""
+    from simpy__kafka__flink__kafka_spark.streaming.windows import (
+        tumbling_span_stats)
+
+    # Spark keeps TWO watermark values: late-event filtering uses the
+    # PREVIOUS batch's watermark (SPARK-24634), so the late span must land
+    # two batches after the watermark-advancing one to be filtered.
+    flush2 = [("flush2", "10.9.9.9", "10.9.9.8", 101_000, 10.0, 101_010)]
+    very_late = [("late1", "10.0.0.1", "10.0.0.2", 1000, 500.0, 1500)]
+    _write_batches(spark, tmpdirs["in"], [FLUSH, flush2, very_late])
+    spans = file_spans_source(spark, tmpdirs["in"], watermark="1 seconds")
+    q = (
+        tumbling_span_stats(spans)
+        .writeStream.format("memory")
+        .queryName(f"late_{uuid.uuid4().hex[:8]}")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        state_rows = [
+            op["numRowsTotal"]
+            for p in q.recentProgress
+            for op in p.get("stateOperators", [])
+        ]
+        rows = spark.sql(f"SELECT * FROM {q.name}").collect()
+    finally:
+        q.stop()
+    # only the watermark-advancing span's window is ever buffered; the late
+    # span added no state in its batch
+    assert state_rows and all(n == 1 for n in state_rows), state_rows
+    # and the late span's minute-zero window never reaches the output
+    # (naive datetimes from Spark are session-TZ UTC wall times — compare
+    # against a naive datetime, not epoch seconds)
+    import datetime as _dt
+
+    assert all(r.win_start >= _dt.datetime(1970, 1, 1, 0, 1, 0) for r in rows)
