@@ -529,6 +529,41 @@ LIMIT 20
 
 
 # ---------------------------------------------------------------------------
+# shard packing + stratified sampling (training-data last mile)
+# ---------------------------------------------------------------------------
+
+def _q_pack_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.sampling import pack_token_shards
+
+    return pack_token_shards(_docs(spark, sf_dir))
+
+
+_PACK_SHARDS_SQL = r"""
+WITH counted AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+  FROM documents
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(floor(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 10000.0)
+            AS BIGINT) AS shard_id
+FROM counted
+"""
+
+
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only: Bernoulli draws are engine/hash-specific; the mix
+    # proportions are property-tested in tests/test_sampling.py
+    from ..functions.sampling import stratified_sample
+
+    lang = _q_language_id(spark, sf_dir)
+    fractions = {"en": 0.5, "de": 0.5, "fr": 0.5, "es": 0.5, "zh": 0.5}
+    return stratified_sample(_docs(spark, sf_dir), lang, fractions)
+
+
+# ---------------------------------------------------------------------------
 # capstone: composed corpus-prep pipeline (filter -> dedup -> stats)
 # ---------------------------------------------------------------------------
 
@@ -631,4 +666,8 @@ QUERIES: dict[str, Query] = {
                               "IVF top-k over KMeans-trained centroids (rows-only)"),
     "quantize_embeddings": Query(_q_quantize_embeddings, _QUANTIZE_SQL,
                                  "symmetric int8 embedding quantization"),
+    "pack_token_shards": Query(_q_pack_token_shards, _PACK_SHARDS_SQL,
+                               "fixed token-budget training-shard packing"),
+    "stratified_sample": Query(_q_stratified_sample, None,
+                               "language-stratified corpus draw (rows-only)"),
 }
