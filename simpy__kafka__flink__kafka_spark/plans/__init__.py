@@ -34,15 +34,17 @@ CHECKED_FIRST = [
     "chain_stats", "hop_latencies", "latency_percentiles", "trace_roots",
     "fanout_histogram",
     # training-data pipeline operators
-    "token_count", "doc_fingerprint", "exact_dedup", "language_id",
-    "quality_score", "minhash_signatures", "minhash_lsh_pairs",
+    "token_count", "doc_fingerprint", "exact_dedup", "winnow_fingerprints",
+    "language_id", "quality_score", "minhash_signatures", "minhash_lsh_pairs",
     "ngram_jaccard_pairs", "near_dup_verified", "simhash", "simhash_near_dup",
     "cosine_topk", "ivf_assign", "ivf_topk", "embedding_near_dup_verified",
-    "tfidf_top_terms", "corpus_prep_pipeline", "multimodal_features",
-    # relational surface (bonus operators beyond the reference)
-    "asof_last_click", "supplier_order_coverage", "parts_with_cheap_supply",
-    "above_avg_orders", "pricing_summary", "region_revenue", "topk_per_brand",
-    "customers_without_orders", "rollup_revenue", "brand_set_ops",
+    "quantize_embeddings", "pack_token_shards", "tfidf_top_terms",
+    "corpus_prep_pipeline", "multimodal_features",
+    # relational surface (bonus operators beyond the reference; the three
+    # demoted twins — customers_without_orders, parts_with_cheap_supply,
+    # above_avg_orders — were gate-green in round 1 and stay pytest-checked)
+    "asof_last_click", "supplier_order_coverage", "pricing_summary",
+    "region_revenue", "topk_per_brand", "rollup_revenue", "brand_set_ops",
     "pivot_status", "sessionize_events", "tumbling_daily",
 ]
 
