@@ -39,7 +39,7 @@ CHECKED_FIRST = [
     "ngram_jaccard_pairs", "near_dup_verified", "simhash", "simhash_near_dup",
     "cosine_topk", "ivf_assign", "ivf_topk", "embedding_near_dup_verified",
     "quantize_embeddings", "pack_token_shards", "tfidf_top_terms",
-    "corpus_prep_pipeline", "multimodal_features",
+    "corpus_prep_full", "multimodal_features",
     # relational surface (bonus operators beyond the reference; the three
     # demoted twins — customers_without_orders, parts_with_cheap_supply,
     # above_avg_orders — were gate-green in round 1 and stay pytest-checked)

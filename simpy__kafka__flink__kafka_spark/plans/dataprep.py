@@ -626,9 +626,132 @@ GROUP BY lang_pred
 """
 
 
+# ---------------------------------------------------------------------------
+# capstone v2: the FULL corpus-prep pipeline in one plan
+# quality filter -> exact dedup -> LSH+Jaccard near-dup removal ->
+# token-budget shard packing -> per-language corpus stats.
+# Every stage is the scale-shaped form (bucketed LSH, no all-pairs join);
+# the oracle mirrors the composition stage for stage.
+# ---------------------------------------------------------------------------
+
+def _q_corpus_prep_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = _docs(spark, sf_dir)
+    scored = docs.select(
+        "doc_id", "text",
+        token_count("text").cast("long").alias("n_tokens"),
+        quality_score("text").alias("quality"),
+    ).where(F.col("quality") >= 0.3)
+    wdup = W.partitionBy(
+        F.md5(F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")))
+    ).orderBy("doc_id")
+    kept = (
+        scored.withColumn("rn", F.row_number().over(wdup))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    near = dedup.verify_jaccard(
+        kept.select("doc_id", "text"),
+        dedup.minhash_lsh_pairs(kept.select("doc_id", "text")),
+        threshold=0.5,
+    )
+    drop = near.select(F.col("doc_b").alias("doc_id")).distinct()
+    surv = kept.join(drop, "doc_id", "left_anti")
+    wshard = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, -1)
+    packed = surv.select(
+        "doc_id", "n_tokens", "quality",
+        (F.coalesce(F.sum("n_tokens").over(wshard), F.lit(0)) / 10_000)
+        .cast("long")
+        .alias("shard_id"),
+    )
+    lang = _q_language_id(spark, sf_dir)
+    return (
+        packed.join(lang, "doc_id")
+        .groupBy("lang_pred")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.countDistinct("shard_id").alias("n_shards"),
+            F.round(F.sum("quality") / F.count(F.lit(1)), 6).alias("avg_quality"),
+        )
+    )
+
+
+def _corpus_prep_full_sql() -> str:
+    lang_sql = _lang_id_sql()
+    quality_sql = _quality_sql()
+    # the shingle/LSH/Jaccard fragments are written over `documents`;
+    # re-point them at the deduped `kept` set
+    lsh_over_kept = (_buckets_cte() + """,
+sized AS (SELECT band, bucket, count(*) AS n FROM bk GROUP BY 1, 2),
+bk2 AS (SELECT bk.doc_id, bk.band, bk.bucket
+        FROM bk JOIN sized USING (band, bucket) WHERE n <= 1000),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bk2 a
+         JOIN bk2 b ON a.band = b.band AND a.bucket = b.bucket
+                   AND a.doc_id < b.doc_id),
+dsh AS (SELECT DISTINCT doc_id, shingle FROM sh),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM dsh GROUP BY 1),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+  FROM cand c
+  JOIN dsh a ON a.doc_id = c.doc_a
+  JOIN dsh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+),
+near AS (
+  SELECT doc_a, doc_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE round(n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6) >= 0.5
+)""").replace("FROM documents", "FROM kept")
+    return rf"""
+WITH q AS ({quality_sql}),
+lp AS ({lang_sql}),
+scored AS (
+  SELECT d.doc_id, d.text, q.n_tokens, q.quality
+  FROM documents d JOIN q ON d.doc_id = q.doc_id
+  WHERE q.quality >= 0.3
+),
+kept AS (
+  SELECT doc_id, text, n_tokens, quality FROM (
+    SELECT doc_id, text, n_tokens, quality,
+           row_number() OVER (
+             PARTITION BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+             ORDER BY doc_id) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+{lsh_over_kept},
+surv AS (
+  SELECT k.doc_id, k.n_tokens, k.quality FROM kept k
+  WHERE k.doc_id NOT IN (SELECT doc_b FROM near)
+),
+packed AS (
+  SELECT doc_id, n_tokens, quality,
+         CAST(floor(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 10000.0)
+              AS BIGINT) AS shard_id
+  FROM surv
+)
+SELECT lang_pred,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       count(DISTINCT shard_id) AS n_shards,
+       round(sum(quality) / count(*), 6) AS avg_quality
+FROM packed JOIN lp USING (doc_id)
+GROUP BY lang_pred
+"""
+
+
 QUERIES: dict[str, Query] = {
     "corpus_prep_pipeline": Query(_q_corpus_prep, _corpus_prep_sql(),
                                   "composed filter->dedup->stats corpus prep"),
+    "corpus_prep_full": Query(_q_corpus_prep_full, _corpus_prep_full_sql(),
+                              "capstone: filter->exact-dedup->near-dup-removal"
+                              "->shard-packing->stats"),
     "tfidf_top_terms": Query(_q_tfidf_top_terms, _TFIDF_SQL,
                              "per-doc top-3 TF-IDF terms"),
     "corpus_top_terms": Query(_q_corpus_top_terms, _CORPUS_TOP_TERMS_SQL,
