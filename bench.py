@@ -36,6 +36,7 @@ HEADLINE = [
     "chain_stats",
     "hop_latencies",
     "tfidf_top_terms",
+    "corpus_prep_full",
     "latency_percentiles",
 ]
 
