@@ -57,7 +57,8 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id",
 
 # --- MinHash ------------------------------------------------------------------
 
-def minhash_signatures(df: DataFrame, num_hashes: int = NUM_HASHES) -> DataFrame:
+def minhash_signatures(df: DataFrame, num_hashes: int = NUM_HASHES,
+                       shingle_df: DataFrame | None = None) -> DataFrame:
     """(doc_id, h0..h{n-1}) — per-doc MinHash signature.
 
     One md5 per distinct shingle, sliced into ``num_hashes`` disjoint
@@ -68,8 +69,11 @@ def minhash_signatures(df: DataFrame, num_hashes: int = NUM_HASHES) -> DataFrame
     """
     assert num_hashes <= 8, "32 hex chars / 4 per slice"
     # no .distinct(): min over the shingle multiset == min over the set,
-    # and distinct would add a full shuffle before the aggregation
-    sh = shingles(df).withColumn("h", F.md5(F.col("shingle")))
+    # and distinct would add a full shuffle before the aggregation.
+    # ``shingle_df`` lets composed pipelines share (e.g. cache) one shingle
+    # scan between signature generation and Jaccard verification.
+    base = shingles(df) if shingle_df is None else shingle_df
+    sh = base.withColumn("h", F.md5(F.col("shingle")))
     aggs = [
         F.min(F.substring("h", j * 4 + 1, 4)).alias(f"h{j}")
         for j in range(num_hashes)
@@ -78,11 +82,12 @@ def minhash_signatures(df: DataFrame, num_hashes: int = NUM_HASHES) -> DataFrame
 
 
 def lsh_buckets(df: DataFrame, num_hashes: int = NUM_HASHES,
-                bands: int = BANDS) -> DataFrame:
+                bands: int = BANDS,
+                shingle_df: DataFrame | None = None) -> DataFrame:
     """(doc_id, band, bucket) — one row per (doc, band); bucket is the md5 of
     the band's signature slice."""
     rows = num_hashes // bands
-    sig = minhash_signatures(df, num_hashes)
+    sig = minhash_signatures(df, num_hashes, shingle_df)
     band_structs = F.array(
         *[
             F.struct(
@@ -100,7 +105,8 @@ def lsh_buckets(df: DataFrame, num_hashes: int = NUM_HASHES,
 
 
 def minhash_lsh_pairs(df: DataFrame, num_hashes: int = NUM_HASHES,
-                      bands: int = BANDS, max_bucket: int = 1000) -> DataFrame:
+                      bands: int = BANDS, max_bucket: int = 1000,
+                      shingle_df: DataFrame | None = None) -> DataFrame:
     """Candidate near-duplicate pairs (a < b) that share >= 1 LSH bucket.
 
     ``max_bucket`` drops degenerate buckets (a safety valve at scale; with
@@ -113,7 +119,7 @@ def minhash_lsh_pairs(df: DataFrame, num_hashes: int = NUM_HASHES,
     # join, which executed the shingle->md5->signature subtree 4x; this shape
     # computes signatures exactly once.  Buckets are capped, so the per-row
     # pair lambda is O(max_bucket^2) worst case, constant per bucket at scale.
-    bk = lsh_buckets(df, num_hashes, bands)
+    bk = lsh_buckets(df, num_hashes, bands, shingle_df)
     grouped = (
         bk.groupBy("band", "bucket")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
@@ -170,11 +176,12 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5) -> DataFrame:
 
 
 def verify_jaccard(df: DataFrame, pairs: DataFrame,
-                   threshold: float = 0.5) -> DataFrame:
+                   threshold: float = 0.5,
+                   shingle_df: DataFrame | None = None) -> DataFrame:
     """Exact Jaccard verification restricted to a candidate-pair DataFrame
     ``(doc_a, doc_b)`` — the 100 TB dedup composition: LSH prunes, this
     verifies.  Work is O(candidates x shingles-per-doc), never all-pairs."""
-    sh = shingles(df).distinct()
+    sh = (shingles(df) if shingle_df is None else shingle_df).distinct()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")

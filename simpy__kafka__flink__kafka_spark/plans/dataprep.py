@@ -197,8 +197,14 @@ def _q_near_dup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB dedup composition: LSH banding prunes to candidate pairs,
     exact n-gram Jaccard verifies only those.  No all-pairs join anywhere in
     the plan."""
+    from ..functions.text import shingles
+
     docs = _docs(spark, sf_dir)
-    return dedup.verify_jaccard(docs, dedup.minhash_lsh_pairs(docs), threshold=0.5)
+    # one shingle scan, cached: both the signature subtree and the Jaccard
+    # verification read it
+    sh = shingles(docs).cache()
+    cand = dedup.minhash_lsh_pairs(docs, shingle_df=sh)
+    return dedup.verify_jaccard(docs, cand, threshold=0.5, shingle_df=sh)
 
 
 def _near_dup_verified_sql() -> str:
@@ -651,10 +657,15 @@ def _q_corpus_prep_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .drop("rn")
     )
+    from ..functions.text import shingles
+
+    kept_docs = kept.select("doc_id", "text")
+    sh = shingles(kept_docs).cache()  # shared by LSH + Jaccard verify
     near = dedup.verify_jaccard(
-        kept.select("doc_id", "text"),
-        dedup.minhash_lsh_pairs(kept.select("doc_id", "text")),
+        kept_docs,
+        dedup.minhash_lsh_pairs(kept_docs, shingle_df=sh),
         threshold=0.5,
+        shingle_df=sh,
     )
     drop = near.select(F.col("doc_b").alias("doc_id")).distinct()
     surv = kept.join(drop, "doc_id", "left_anti")
