@@ -209,6 +209,48 @@ def verify_jaccard(df: DataFrame, pairs: DataFrame,
     )
 
 
+def near_dup_clusters(pairs: DataFrame, iterations: int = 4) -> DataFrame:
+    """Connected components over a near-duplicate pair graph by iterated
+    min-label propagation: every doc starts labeled with its own id; each
+    round every doc takes the min of its own and its neighbors' labels.
+    After ``iterations`` rounds, docs within that graph distance of their
+    component's minimum id share ``cluster_id`` = that minimum — the
+    canonical keeper, so dedup = keep rows where doc_id == cluster_id.
+
+    Near-dup components have tiny diameters (dup groups are near-cliques
+    from LSH banding), so a small fixed round count converges; each round is
+    one equi-join + min-aggregate — the same shuffle shape per round at any
+    scale.  (For adversarial long-chain graphs, swap in the
+    large-star/small-star iteration; the round structure is identical.)
+    Output: (doc_id, cluster_id) for every doc appearing in ``pairs``.
+    """
+    und = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    labels = (
+        und.select(F.col("src").alias("doc_id")).distinct()
+        .withColumn("label", F.col("doc_id"))
+    )
+    for _ in range(iterations):
+        neigh = (
+            und.join(labels, und.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nl"))
+        )
+        labels = (
+            labels.join(neigh, labels.doc_id == neigh.src, "left")
+            .select(
+                labels.doc_id,
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nl"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+    return labels.select("doc_id", F.col("label").alias("cluster_id"))
+
+
 # --- SimHash ------------------------------------------------------------------
 
 def _hex_digit(col, i: int):

@@ -235,6 +235,45 @@ WHERE round(n_inter / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE), 6) >= 0.5
 """
 
 
+def _q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import shingles
+
+    docs = _docs(spark, sf_dir)
+    sh = shingles(docs).cache()
+    pairs = dedup.verify_jaccard(
+        docs, dedup.minhash_lsh_pairs(docs, shingle_df=sh),
+        threshold=0.5, shingle_df=sh,
+    ).select("doc_a", "doc_b")
+    return dedup.near_dup_clusters(pairs)
+
+
+def _near_dup_clusters_sql(iterations: int = 4) -> str:
+    # unrolled min-label propagation, mirroring near_dup_clusters round for
+    # round over the verified pair set
+    steps = []
+    prev = "l0"
+    for i in range(1, iterations + 1):
+        cur = f"l{i}"
+        steps.append(f"""
+{cur} AS (
+  SELECT l.doc_id, least(l.label, COALESCE(m.nl, l.label)) AS label
+  FROM {prev} l
+  LEFT JOIN (SELECT u.src, min(x.label) AS nl
+             FROM und u JOIN {prev} x ON x.doc_id = u.dst
+             GROUP BY u.src) m ON m.src = l.doc_id
+)""")
+        prev = cur
+    return f"""
+WITH near AS ({_near_dup_verified_sql()}),
+und AS (SELECT doc_a AS src, doc_b AS dst FROM near
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM near),
+l0 AS (SELECT DISTINCT src AS doc_id, src AS label FROM und),
+{','.join(steps)}
+SELECT doc_id, label AS cluster_id FROM {prev}
+"""
+
+
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(_docs(spark, sf_dir))
 
@@ -781,6 +820,8 @@ QUERIES: dict[str, Query] = {
                                  "exact 3-gram Jaccard >= 0.5 pairs"),
     "near_dup_verified": Query(_q_near_dup_verified, _near_dup_verified_sql(),
                                "LSH candidates -> exact Jaccard verify (scale composition)"),
+    "near_dup_clusters": Query(_q_near_dup_clusters, _near_dup_clusters_sql(),
+                               "connected components over verified near-dup pairs"),
     "simhash": Query(_q_simhash, _simhash_sql(),
                      "16-bit SimHash signatures"),
     "simhash_near_dup": Query(_q_simhash_pairs, _simhash_pairs_sql(),

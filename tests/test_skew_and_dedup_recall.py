@@ -82,3 +82,16 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
     want = li.join(dim, "l_returnflag")
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_near_dup_clusters_chain_and_clique(spark):
+    """Min-label propagation: a 3-chain and a separate pair resolve to their
+    component minima."""
+    from simpy__kafka__flink__kafka_spark.functions.dedup import (
+        near_dup_clusters)
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    got = {r.doc_id: r.cluster_id for r in near_dup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
