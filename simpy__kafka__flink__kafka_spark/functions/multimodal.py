@@ -95,6 +95,69 @@ def decode_audio(content: bytes):
     raise NotImplementedError("wire soundfile.read(BytesIO(content)) here")
 
 
+def resize_image(content: bytes, width: int, height: int):
+    """STUB: real resize requires an imaging library absent from this
+    environment.  Slots into the same mapInPandas batch loop as
+    ``extract_features`` — decode, ``img.resize((width, height))``,
+    re-encode — with bytes in/bytes out so the column type is unchanged."""
+    try:
+        from PIL import Image  # type: ignore  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "image resize requires an imaging library not present in this "
+            "environment; plug one in here — the Arrow pipeline around it "
+            "is fully wired"
+        ) from exc
+    raise NotImplementedError("wire Image.open(...).resize((width, height)) here")
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("n_frames", T.LongType(), True),
+        T.StructField("frame_sig", T.StringType(), True),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, frame_bytes: int = 64,
+                  every_k: int = 4) -> DataFrame:
+    """Frame-sampling plumbing over opaque binary content: treat the payload
+    as fixed-size frames, keep every ``every_k``-th one, emit the sampled
+    frames' md5s (comma-joined) plus the total frame count.
+
+    A real video pipeline swaps the fixed-stride slicer for a container
+    demuxer (the ``decode_*`` stub seam); everything else — Arrow batching,
+    bytes-side slicing in vectorized Python, stable string output for the
+    oracle — is exactly what ships here.  Deterministic, so the DuckDB
+    oracle reproduces it from blob arithmetic.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            def frames_of(b: bytes) -> tuple[int, str]:
+                raw = bytes(b)
+                n = (len(raw) + frame_bytes - 1) // frame_bytes
+                sigs = [
+                    hashlib.md5(
+                        raw[i * frame_bytes:(i + 1) * frame_bytes]
+                    ).hexdigest()
+                    for i in range(0, n, every_k)
+                ]
+                return n, ",".join(sigs)
+
+            out = pdf["content"].map(frames_of)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_frames": out.map(lambda t: t[0]).astype("int64"),
+                    "frame_sig": out.map(lambda t: t[1]),
+                }
+            )
+
+    return media.mapInPandas(run, FRAME_SCHEMA)
+
+
 def _fake_features(content: bytes) -> list[float]:
     """Deterministic stand-in for a real feature extractor: first 4 bytes of
     the md5 digest, scaled to [0,1].  Matches the oracle expression

@@ -503,6 +503,26 @@ FROM documents
 """
 
 
+def _q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.multimodal import attach_binary, sample_frames
+
+    return sample_frames(attach_binary(_docs(spark, sf_dir)))
+
+
+# byte-true on the Spark side; the VARCHAR slicing here is exact because the
+# testdata corpus is pure ASCII (octet_length == length for every doc) —
+# char positions == byte positions and md5(text-slice) == md5(byte-slice)
+_MULTIMODAL_FRAMES_SQL = """
+SELECT doc_id,
+       CAST(ceil(length(text) / 64.0) AS BIGINT) AS n_frames,
+       array_to_string(
+         list_transform(
+           generate_series(0, CAST(ceil(length(text) / 64.0) AS BIGINT) - 1, 4),
+           i -> md5(substring(text, i * 64 + 1, 64))), ',') AS frame_sig
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # TF-IDF (tokenize -> tf -> idf -> score; classic text-analysis pipeline)
 # ---------------------------------------------------------------------------
@@ -808,6 +828,8 @@ QUERIES: dict[str, Query] = {
                               "corpus-wide term frequency top-20"),
     "multimodal_features": Query(_q_multimodal_features, _multimodal_sql(),
                                  "binary column + mapInPandas feature extraction"),
+    "multimodal_frames": Query(_q_multimodal_frames, _MULTIMODAL_FRAMES_SQL,
+                               "fixed-stride frame sampling over binary content"),
     "language_id": Query(_q_language_id, _lang_id_sql(),
                          "stopword-vote language heuristic"),
     "quality_score": Query(_q_quality, _quality_sql(),

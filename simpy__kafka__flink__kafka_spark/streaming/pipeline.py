@@ -248,6 +248,30 @@ def accumulate_and_relink(batch_df: DataFrame, batch_id: int,
     link_traces(all_spans).write.mode("overwrite").parquet(out_dir)
 
 
+def adjacency_update_mode(updates: DataFrame) -> DataFrame:
+    """A1's declarative streaming twin: ``groupBy(key_id) + collect_set`` in
+    UPDATE output mode — each micro-batch re-emits every touched key with
+    its current adjacency arrays (SURVEY §2.4 A1's 'update mode' mapping).
+
+    Simpler than the timer-based stateful operator and fully declarative,
+    but a non-windowed aggregation never evicts state, so this is the
+    bounded-replay / dashboard path; ``stateful.aggregate_updates_stream``
+    remains the unbounded path with the reference's emit-at-watermark
+    semantics."""
+    return updates.groupBy("key_id").agg(
+        F.array_sort(
+            F.collect_set(
+                F.when(F.col("event_type") == "add_parent", F.col("other_id"))
+            )
+        ).alias("parents"),
+        F.array_sort(
+            F.collect_set(
+                F.when(F.col("event_type") == "add_child", F.col("other_id"))
+            )
+        ).alias("children"),
+    )
+
+
 def aggregate_bridge(spark: SparkSession, bridge_dir: str,
                      watermark: str = WATERMARK) -> DataFrame:
     """Phase 2 source+operator: read the bridge stream and apply the

@@ -204,3 +204,50 @@ def test_late_rows_dropped_before_state(spark, tmpdirs):
     import datetime as _dt
 
     assert all(r.win_start >= _dt.datetime(1970, 1, 1, 0, 1, 0) for r in rows)
+
+
+def test_adjacency_update_mode_matches_batch(spark, tmpdirs):
+    """A1's declarative update-mode twin: the LAST update emitted per key
+    equals the batch adjacency result."""
+    from simpy__kafka__flink__kafka_spark.streaming.pipeline import (
+        adjacency_update_mode)
+
+    _write_batches(spark, tmpdirs["in"], [G1])
+    spans = file_spans_source(spark, tmpdirs["in"], watermark="30 seconds")
+    p1 = link_traces_two_phase(
+        spans, tmpdirs["bridge"], tmpdirs["ck1"], watermark="30 seconds"
+    )
+    try:
+        p1.processAllAvailable()
+    finally:
+        p1.stop()
+
+    from simpy__kafka__flink__kafka_spark.streaming.stateful import (
+        UPDATE_SCHEMA)
+
+    updates = (
+        spark.readStream.schema(UPDATE_SCHEMA)
+        .option("latestFirst", "false")
+        .parquet(tmpdirs["bridge"])
+    )
+    q = (
+        adjacency_update_mode(updates)
+        .writeStream.format("memory")
+        .queryName(f"upd_{uuid.uuid4().hex[:8]}")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql(f"SELECT * FROM {q.name}").collect()
+    finally:
+        q.stop()
+    # update mode may emit a key several times; the last emission wins
+    final = {}
+    for r in rows:
+        final[r.key_id] = (list(r.parents), list(r.children))
+    assert final == {
+        "id1": ([], ["id2"]),
+        "id2": (["id1"], ["id3"]),
+        "id3": (["id2"], []),
+    }
