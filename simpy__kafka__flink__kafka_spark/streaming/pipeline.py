@@ -90,6 +90,45 @@ def streaming_link_edges(spans: DataFrame,
     )
 
 
+def streaming_link_edges_outer(spans: DataFrame,
+                               max_latency_ms: int = MAX_LATENCY_MS) -> DataFrame:
+    """Left-outer variant of the interval join (SURVEY §2.3 J1's outer
+    mapping): every span emits at least one row in its parent role —
+    matched ones per child, unmatched ones once with a NULL child_id after
+    the watermark closes their match window.  This reproduces the
+    reference's every-message-reaches-output observable at the JOIN rather
+    than via the aggregation's left-outer assembly; null rows are the
+    'childless span' signal."""
+    p = spans.alias("p")
+    c = spans.alias("c")
+    cond = (
+        (F.col("p.dst_ip") == F.col("c.src_ip"))
+        & (F.col("p.id") != F.col("c.id"))
+        & (F.col("c.start_ts") >= F.col("p.start_ts"))
+        & (
+            F.col("c.start_ts")
+            <= F.col("p.start_ts") + F.expr(f"INTERVAL {max_latency_ms} MILLISECONDS")
+        )
+        & (F.col("c.end_at_ms") <= F.col("p.end_at_ms"))
+    )
+    return p.join(c, cond, "leftOuter").select(
+        F.col("p.id").alias("parent_id"),
+        F.col("c.id").alias("child_id"),
+        F.col("p.start_ts").alias("event_ts"),
+    )
+
+
+def enrich_spans_static(spans: DataFrame, services: DataFrame) -> DataFrame:
+    """Stream-static enrichment: join the span stream against a static
+    dimension (IP -> service name).  Stateless on the stream side — Spark
+    broadcasts/rescans the static relation per micro-batch, no watermark or
+    state involved; the standard pattern for attaching reference data at
+    any scale."""
+    return spans.join(
+        F.broadcast(services), spans.dst_ip == services.ip, "left"
+    ).drop("ip")
+
+
 def expand_updates(edges: DataFrame) -> DataFrame:
     """R4: edge -> add_child@parent + add_parent@child events
     (reference ``expand_updates``, ``simpy_kafka_reader.py:105-115``)."""
