@@ -274,6 +274,27 @@ SELECT doc_id, label AS cluster_id FROM {prev}
 """
 
 
+def _q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-canonical dedup applied: keep every doc that is its own
+    cluster minimum (or in no near-dup cluster at all) — the groupwise
+    keeper policy, vs corpus_prep_full's pairwise doc_b-removal policy."""
+    docs = _docs(spark, sf_dir)
+    clusters = _q_near_dup_clusters(spark, sf_dir)
+    losers = clusters.where(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    return docs.join(losers, "doc_id", "left_anti").select(
+        "doc_id", F.length("text").cast("long").alias("n_chars")
+    )
+
+
+def _dedup_survivors_sql() -> str:
+    return f"""
+WITH clusters AS ({_near_dup_clusters_sql()})
+SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars
+FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id)
+"""
+
+
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(_docs(spark, sf_dir))
 
@@ -844,6 +865,8 @@ QUERIES: dict[str, Query] = {
                                "LSH candidates -> exact Jaccard verify (scale composition)"),
     "near_dup_clusters": Query(_q_near_dup_clusters, _near_dup_clusters_sql(),
                                "connected components over verified near-dup pairs"),
+    "dedup_survivors": Query(_q_dedup_survivors, _dedup_survivors_sql(),
+                             "cluster-canonical dedup applied (keepers only)"),
     "simhash": Query(_q_simhash, _simhash_sql(),
                      "16-bit SimHash signatures"),
     "simhash_near_dup": Query(_q_simhash_pairs, _simhash_pairs_sql(),
