@@ -94,13 +94,16 @@ FROM lineitem
 # --- F5: membership / dedup-on-append checks ---------------------------------
 
 def _q_array_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Gate-facing projection serializes the array (the driver's canonicalizer
+    # cannot hash array cells): flags is array_sort-ed, so concat_ws is a
+    # deterministic string twin of the list.
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return (
         li.groupBy("l_orderkey")
         .agg(F.array_sort(F.collect_set("l_returnflag")).alias("flags"))
         .select(
             "l_orderkey",
-            "flags",
+            F.concat_ws(",", "flags").alias("flags"),
             F.array_contains("flags", "R").alias("has_return"),
             F.size("flags").cast("long").alias("n_flags"),
         )
@@ -109,7 +112,8 @@ def _q_array_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ARRAY_MEMBERSHIP_SQL = """
 SELECT l_orderkey,
-       list_sort(list(DISTINCT l_returnflag)) AS flags,
+       COALESCE(array_to_string(list_sort(list(DISTINCT l_returnflag)), ','), '')
+         AS flags,
        list_contains(list_sort(list(DISTINCT l_returnflag)), 'R') AS has_return,
        len(list(DISTINCT l_returnflag)) AS n_flags
 FROM lineitem
