@@ -5,18 +5,17 @@ token-budget shards.
 Scale notes: `stratified_sample` is `DataFrame.sampleBy` (per-row Bernoulli
 on a seeded hash — no shuffle at all).  `pack_token_shards` assigns each doc
 `shard_id = floor(cumulative_tokens / budget)` over a deterministic doc
-order; the declared form uses a global window (fixed-oracle-scale twin, same
-caveat as `counter_ids`) and the scale path reuses
-``operators/sequences.ranged_prefix`` machinery — a range repartition plus
-partition-local cumulative sums with broadcast offsets.
+order via ``operators/sequences.ranged_prefix_sum`` — a range repartition
+plus partition-local cumulative sums with broadcast offsets, so no
+single-task global sort anywhere in the plan.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import Window as W
 
+from ..operators.sequences import ranged_prefix_sum
 from .text import token_count
 
 
@@ -37,19 +36,19 @@ def pack_token_shards(docs: DataFrame, budget: int = 10_000) -> DataFrame:
     tokens (shard_id = floor(exclusive-prefix-sum / budget) — a doc whose
     tokens straddle the boundary belongs to the shard it started in).
 
-    Output: (doc_id, n_tokens, shard_id).  The global window here is the
-    fixed-oracle-scale twin; at 100 TB the identical assignment comes from
-    the range-partition + broadcast-offset prefix sum
-    (operators/sequences.py pattern).
+    Output: (doc_id, n_tokens, shard_id).  The assignment is the
+    range-partition + broadcast-offset exclusive prefix sum
+    (``operators/sequences.ranged_prefix_sum``) — identical output to a
+    global ``sum() OVER (ORDER BY doc_id)`` window, with no single-task
+    sort at any scale.
     """
-    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, -1)
     counted = docs.select(
         "doc_id", token_count("text").cast("long").alias("n_tokens")
     )
-    return counted.select(
+    packed = ranged_prefix_sum(counted, ["doc_id"], "n_tokens",
+                               out_col="_cum", exclusive=True)
+    return packed.select(
         "doc_id",
         "n_tokens",
-        (F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / budget)
-        .cast("long")
-        .alias("shard_id"),
+        (F.col("_cum") / budget).cast("long").alias("shard_id"),
     )

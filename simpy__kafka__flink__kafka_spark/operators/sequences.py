@@ -14,6 +14,10 @@ row->partition assignment must be computed exactly once — the ranged frame is
 partitioning (the OUTPUT is boundary-independent either way; the cache only
 guards against the two subtrees sampling different boundaries).
 
+Caching contract: each call pins one ranged frame for the session; long-lived
+drivers release plan caches between query generations with
+``spark.catalog.clearCache()`` (the bench harness does).
+
 The window-based forms these mirror stay the declared/gate-checked twins
 (``plans/scalar.py``); equivalence is asserted in
 ``tests/test_sequences.py`` at multiple partition counts.
@@ -36,11 +40,22 @@ def _ranged(df: DataFrame, order_cols: list[str], n_parts: int) -> DataFrame:
 
 
 def _prior_fold(ranged: DataFrame, agg_col, fold, out_name: str) -> DataFrame:
-    """Per-partition aggregate folded over strictly-prior partitions — an
-    n_parts-row frame, so the unpartitioned window here is trivially safe."""
+    """Per-partition aggregate folded over strictly-prior partitions.
+
+    Expressed as a broadcast triangle join on the n_parts-row per-partition
+    frame (b._pid < a._pid, then fold b's values) rather than a window: an
+    unpartitioned window here would be harmless at n_parts rows, but Spark
+    4's EliminateWindowPartitions folds any constant partitionBy away and
+    WindowExec then WARNs 'No Partition Defined' on every (re)plan — noise
+    that masks real single-task sorts elsewhere.  Null fold for _pid=0
+    (no prior partitions), which every caller coalesces/greatest-s away."""
     per_part = ranged.groupBy("_pid").agg(agg_col.alias("_v"))
-    w = W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
-    return per_part.select("_pid", fold("_v").over(w).alias(out_name))
+    b = per_part.select(F.col("_pid").alias("_bpid"), F.col("_v").alias("_bv"))
+    return (
+        per_part.join(F.broadcast(b), F.col("_bpid") < F.col("_pid"), "left")
+        .groupBy("_pid")
+        .agg(fold("_bv").alias(out_name))
+    )
 
 
 def ranged_row_number(df: DataFrame, order_cols: list[str],
@@ -58,6 +73,28 @@ def ranged_row_number(df: DataFrame, order_cols: list[str],
             F.row_number().over(wp) + F.coalesce(F.col("_off"), F.lit(0)),
         )
         .drop("_pid", "_off")
+    )
+
+
+def ranged_prefix_sum(df: DataFrame, order_cols: list[str], val_col: str,
+                      out_col: str = "prefix_sum", n_parts: int = 32,
+                      exclusive: bool = False) -> DataFrame:
+    """Global running sum of ``val_col`` in ``order_cols`` order, scale-safe.
+
+    ``exclusive=True`` sums strictly-preceding rows (0 for the global first
+    row) — the cumulative-tokens-before-me semantic used by token-budget
+    shard packing (``functions/sampling.py``)."""
+    ranged = _ranged(df, order_cols, n_parts)
+    prior = _prior_fold(ranged, F.sum(val_col), F.sum, "_ps")
+    end = -1 if exclusive else W.currentRow
+    wp = W.partitionBy("_pid").orderBy(*order_cols).rowsBetween(
+        W.unboundedPreceding, end
+    )
+    local = F.coalesce(F.sum(val_col).over(wp), F.lit(0).cast("long"))
+    return (
+        ranged.join(F.broadcast(prior), "_pid")
+        .withColumn(out_col, local + F.coalesce(F.col("_ps"), F.lit(0)))
+        .drop("_pid", "_ps")
     )
 
 

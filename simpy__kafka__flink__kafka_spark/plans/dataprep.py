@@ -749,12 +749,16 @@ def _q_corpus_prep_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     drop = near.select(F.col("doc_b").alias("doc_id")).distinct()
     surv = kept.join(drop, "doc_id", "left_anti")
-    wshard = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, -1)
-    packed = surv.select(
+    # scale-safe shard assignment: ranged exclusive prefix sum (no
+    # unpartitioned window anywhere in the capstone plan)
+    from ..operators.sequences import ranged_prefix_sum
+
+    packed = ranged_prefix_sum(
+        surv.select("doc_id", "n_tokens", "quality"),
+        ["doc_id"], "n_tokens", out_col="_cum", exclusive=True,
+    ).select(
         "doc_id", "n_tokens", "quality",
-        (F.coalesce(F.sum("n_tokens").over(wshard), F.lit(0)) / 10_000)
-        .cast("long")
-        .alias("shard_id"),
+        (F.col("_cum") / 10_000).cast("long").alias("shard_id"),
     )
     lang = _q_language_id(spark, sf_dir)
     return (
