@@ -432,16 +432,42 @@ WHERE {cos} >= 0.92
 def _q_emb_near_dup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup over IVF candidate blocking — equi-join on cell_id,
     cosine verified on in-cell pairs only (scale composition of
-    embedding_near_dup)."""
-    return similarity.embedding_near_dup_ivf(_emb(spark, sf_dir), threshold=0.92)
+    embedding_near_dup).
+
+    The synthetic embeddings are near-orthogonal (max pairwise cosine ~0.45
+    at sf0.01), so the raw corpus has NO near-dups at any sane threshold and
+    a green gate row would be vacuous (0 rows on both engines — VERDICT r02).
+    The gate query therefore augments the corpus with deterministic perturbed
+    twins (vec_id + 100000, every coordinate +0.01 in double) — the twins
+    land in their original's IVF cell and verify at cosine ~1, so the checked
+    row carries real pairs through the whole assign -> cell-join -> fold
+    pipeline.  The identical augmentation runs on the oracle side."""
+    emb = _emb(spark, sf_dir).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    twins = emb.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(0.01)).alias("embedding"),
+    )
+    aug = emb.unionByName(twins)
+    return similarity.embedding_near_dup_ivf(aug, threshold=0.92)
 
 
 def _emb_near_dup_verified_sql() -> str:
     cos = _COS.format(a="a.ve", b="b.ve")
+    assign_sql = _ivf_assign_sql().replace("FROM embeddings", "FROM emb_aug")
     return f"""
-WITH assign AS ({_ivf_assign_sql()}),
+WITH emb_aug AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]), x -> x + 0.01) AS embedding
+  FROM embeddings WHERE vec_id % 10 = 0
+),
+assign AS ({assign_sql}),
 cells AS (SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS ve, a.cell_id
-          FROM embeddings e JOIN assign a ON e.vec_id = a.vec_id)
+          FROM emb_aug e JOIN assign a ON e.vec_id = a.vec_id)
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {cos} AS cos_sim
 FROM cells a JOIN cells b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
 WHERE {cos} >= 0.92
