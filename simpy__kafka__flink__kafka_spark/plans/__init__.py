@@ -36,10 +36,16 @@ CHECKED_FIRST = [
     # trace analytics over the linked DAG
     "chain_stats", "hop_latencies", "latency_percentiles", "trace_roots",
     "fanout_histogram",
-    # training-data pipeline operators
+    # training-data pipeline operators.  Round-3 slot swap (VERDICT r02 #3):
+    # minhash_signatures / ngram_jaccard_pairs / simhash are each subsumed by
+    # a checked composite (minhash_lsh_pairs / near_dup_verified /
+    # simhash_near_dup) — demoted to the pytest-checked tail so the round-2
+    # additions near_dup_clusters / dedup_survivors / multimodal_frames get
+    # gate rows.
     "token_count", "doc_fingerprint", "exact_dedup", "winnow_fingerprints",
-    "language_id", "quality_score", "minhash_signatures", "minhash_lsh_pairs",
-    "ngram_jaccard_pairs", "near_dup_verified", "simhash", "simhash_near_dup",
+    "language_id", "quality_score", "near_dup_clusters", "minhash_lsh_pairs",
+    "dedup_survivors", "near_dup_verified", "multimodal_frames",
+    "simhash_near_dup",
     "cosine_topk", "ivf_assign", "ivf_topk", "embedding_near_dup_verified",
     "quantize_embeddings", "pack_token_shards", "tfidf_top_terms",
     "corpus_prep_full", "multimodal_features",
