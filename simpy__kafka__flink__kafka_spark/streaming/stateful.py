@@ -11,8 +11,13 @@ exact reference emit semantics (``MessageAggregationProcess``,
 Everything else in the pipeline is declarative; this operator exists for
 emit-time parity only — final-result parity is already covered by the
 batch path.  The reference's 60 s processing-time idle flush (``:303-310``)
-is a documented divergence: Spark allows one timeout kind per operator, and
-event-time timeout is the semantically load-bearing one.
+runs CONCURRENTLY with the event-time timer; Spark allows one timeout kind
+per operator, so three modes ship here: pure event-time
+(:func:`aggregate_updates_stream`), pure idle flush
+(:func:`aggregate_updates_stream_idle`), and the dual-timer emulation
+(:func:`aggregate_updates_stream_dual`) that folds both deadlines onto the
+event-time clock — full parity except under a globally stalled watermark
+(see :func:`make_dual_timer_fn`).
 """
 
 from __future__ import annotations
@@ -201,6 +206,75 @@ def make_idle_flush_fn(idle_ms: int = IDLE_FLUSH_MS):
     return fn
 
 
+def make_dual_timer_fn(idle_horizon_ms: int = IDLE_FLUSH_MS):
+    """Dual-timer emit parity (reference ``simpy_kafka_reader.py:186-193,
+    247-264, 303-310``): the reference runs an event-time timer at
+    ``end_at_ms`` AND a 60 s processing-time idle flush concurrently per key.
+    Spark allows one timeout kind per operator, so this emulates both on the
+    event-time clock: every invocation (re)registers the timeout at
+
+        max(min(end_at_ms, current_watermark + idle_horizon), watermark + 1)
+
+    so whichever deadline comes first fires — the watermark passing
+    ``end_at_ms`` (the W2 emit) or the key sitting idle while the rest of
+    the stream advances the watermark by ``idle_horizon`` (the W3 flush;
+    activity on the key re-registers against the newer watermark, resetting
+    the idle clock exactly like the reference's timer delete/re-create).
+
+    Residual divergence (documented): a GLOBALLY stalled watermark (no
+    traffic on any key) fires neither path here, where the reference's
+    wall-clock idle timer still would — event-time is the only clock this
+    operator gets.  msg-less (orphan) state is silently evicted at the idle
+    deadline, matching the reference's idle flush of a bare-updates key.
+    """
+
+    def fn(key, pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            msg_json, parents_json, children_json, end_ms = state.get
+        else:
+            msg_json, parents_json, children_json, end_ms = None, "[]", "[]", None
+        msg = json.loads(msg_json) if msg_json else None
+        parents: list[str] = json.loads(parents_json)
+        children: list[str] = json.loads(children_json)
+
+        if state.hasTimedOut:
+            # either deadline: emit what we have and evict
+            state.remove()
+            if msg is not None:
+                yield _emit_row(msg, parents, children)
+            return
+
+        for pdf in pdfs:
+            for row in pdf.itertuples(index=False):
+                if row.event_type == "message":
+                    if msg is None and row.payload:
+                        msg = json.loads(row.payload)
+                        end_ms = int(msg.get("end_at_ms", 0))
+                elif row.event_type == "add_parent":
+                    _append_unique(parents, row.other_id)
+                elif row.event_type == "add_child":
+                    _append_unique(children, row.other_id)
+
+        state.update((
+            json.dumps(msg) if msg is not None else None,
+            json.dumps(parents),
+            json.dumps(children),
+            end_ms,
+        ))
+        wm = state.getCurrentWatermarkMs()
+        idle_deadline = wm + idle_horizon_ms
+        deadline = idle_deadline if end_ms is None else min(
+            int(end_ms), idle_deadline
+        )
+        # a timer at or before the watermark is invalid; clamp to wm+1 so a
+        # span whose end already passed emits at the next watermark tick
+        state.setTimeoutTimestamp(max(deadline, wm + 1))
+        return
+
+    return fn
+
+
 def aggregate_updates_stream(updates: DataFrame,
                              watermark: str = "30 seconds") -> DataFrame:
     """Apply the stateful adjacency aggregation to an update-event stream.
@@ -234,6 +308,26 @@ def aggregate_updates_stream_idle(updates: DataFrame,
             stateStructType=STATE_SCHEMA,
             outputMode="append",
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
+def aggregate_updates_stream_dual(updates: DataFrame,
+                                  watermark: str = "30 seconds",
+                                  idle_horizon_ms: int = IDLE_FLUSH_MS
+                                  ) -> DataFrame:
+    """Dual-timer mode: event-time emit at ``end_at_ms`` AND idle flush when
+    the watermark advances ``idle_horizon_ms`` past a key's last activity —
+    both paths in ONE operator (see :func:`make_dual_timer_fn`)."""
+    return (
+        updates.withWatermark("event_ts", watermark)
+        .groupBy("key_id")
+        .applyInPandasWithState(
+            make_dual_timer_fn(idle_horizon_ms),
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
 
