@@ -220,8 +220,12 @@ def near_dup_clusters(pairs: DataFrame, iterations: int = 4) -> DataFrame:
     Near-dup components have tiny diameters (dup groups are near-cliques
     from LSH banding), so a small fixed round count converges; each round is
     one equi-join + min-aggregate — the same shuffle shape per round at any
-    scale.  (For adversarial long-chain graphs, swap in the
-    large-star/small-star iteration; the round structure is identical.)
+    scale.  The fixed round count is a CONTRACT with the gate oracle (which
+    unrolls the identical rounds): a component whose radius from its min-id
+    node exceeds ``iterations`` leaves locally-minimal labels unresolved on
+    BOTH engines.  For graphs where that can happen (adversarial chains),
+    use :func:`near_dup_clusters_fixpoint` — true connected components via
+    large-star/small-star iterated to convergence.
     Output: (doc_id, cluster_id) for every doc appearing in ``pairs``.
     """
     und = pairs.select(
@@ -249,6 +253,76 @@ def near_dup_clusters(pairs: DataFrame, iterations: int = 4) -> DataFrame:
             )
         )
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
+
+
+def _large_star(bidir: DataFrame) -> DataFrame:
+    """Connect every strictly-larger neighbor of u to min(N(u) + {u}).
+    Input edges must contain both directions; output is directed
+    child -> parent with parent < child."""
+    mins = bidir.groupBy("u").agg(F.min("v").alias("mn"))
+    m = mins.select("u", F.least("u", "mn").alias("m"))
+    return (
+        bidir.join(m, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(directed: DataFrame) -> DataFrame:
+    """Connect every parent of u (all < u) plus u itself to
+    min(parents(u) + {u}).  Input/output: directed child -> parent."""
+    m = directed.groupBy("u").agg(F.min("v").alias("m"))  # m < u by invariant
+    j = directed.join(m, "u")
+    out = j.select(F.col("v").alias("u"), F.col("m").alias("v")).unionByName(
+        m.select("u", F.col("m").alias("v"))
+    )
+    return out.where(F.col("u") != F.col("v")).distinct()
+
+
+def near_dup_clusters_fixpoint(pairs: DataFrame,
+                               max_iterations: int = 25) -> DataFrame:
+    """True connected components over a near-dup pair graph: alternating
+    large-star / small-star contraction (Kiveris et al., "Connected
+    Components in MapReduce and Beyond") iterated to a fixpoint — converges
+    in O(log n) rounds on ANY graph shape, including the adversarial long
+    chains that defeat fixed-round min-label propagation.
+
+    Eager by design (one count+checksum action per round to detect the
+    fixpoint, ``localCheckpoint`` per round to truncate join lineage), so it
+    lives outside the lazily-declared query registry; the registry's
+    :func:`near_dup_clusters` stays the oracle-matched fixed-round twin.
+    Output: (doc_id, cluster_id) for every doc appearing in ``pairs``.
+    """
+    nodes = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    e = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev_sig = None
+    for _ in range(max_iterations):
+        bidir = e.unionByName(e.select(F.col("v").alias("u"),
+                                       F.col("u").alias("v")))
+        e = _small_star(_large_star(bidir)).localCheckpoint()
+        # count + order-independent XOR checksum (sum would overflow long
+        # under ANSI mode)
+        sig = e.agg(
+            F.count(F.lit(1)), F.bit_xor(F.xxhash64("u", "v"))
+        ).collect()[0]
+        if (sig[0], sig[1]) == prev_sig:
+            break
+        prev_sig = (sig[0], sig[1])
+    parents = e.select(F.col("u").alias("doc_id"), F.col("v").alias("parent"))
+    return nodes.join(parents, "doc_id", "left").select(
+        "doc_id", F.coalesce("parent", "doc_id").alias("cluster_id")
+    )
 
 
 # --- SimHash ------------------------------------------------------------------
@@ -290,6 +364,11 @@ def simhash_near_dup_pairs(df: DataFrame, max_hamming: int = 3,
     Candidates come from an equi-join on (segment_idx, segment_value);
     hamming is computed only on candidates.  No all-pairs product anywhere —
     per-segment-value group sizes bound the work, exactly like LSH banding.
+
+    Caching contract: pins the keyed-signature frame (both sides of the
+    candidate self-join read it).  Long-lived drivers should release plan
+    caches between query generations via ``spark.catalog.clearCache()`` (the
+    bench harness does) or ``df.unpersist()`` on the returned plan's source.
     """
     s = simhash(df, bits)
     n_seg = max_hamming + 1
