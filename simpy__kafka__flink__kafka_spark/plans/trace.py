@@ -212,17 +212,33 @@ def coerce_int_lenient(col: F.Column) -> F.Column:
     """``int(float(x))``-with-0-default coercion, matching the reference's
     ``_to_int`` (``flink-jobs/simpy_kafka_reader.py:42-53``): ``"3.7"`` -> 3,
     ``"-3.7"`` -> -3, garbage/absent -> 0.  Spark's double->long cast
-    truncates toward zero, same as Python ``int()``."""
-    return F.coalesce(col.try_cast("double"), F.lit(0.0)).cast("long")
+    truncates toward zero, same as Python ``int()``.  Non-finite doubles
+    ("inf"/"nan") also yield 0 — in the reference ``int(float("inf"))``
+    raises and is caught to the default, whereas Spark's Infinity->long cast
+    would saturate to Long.MaxValue without the guard."""
+    d = col.try_cast("double")
+    finite = F.coalesce(
+        F.when(F.isnan(d) | (F.abs(d) == F.lit(float("inf"))), F.lit(0.0))
+        .otherwise(d),
+        F.lit(0.0),
+    )
+    return finite.cast("long")
 
 
 # DuckDB double->BIGINT cast ROUNDS; trunc() first to match Python int().
+# isfinite guard: CAST('inf' DOUBLE AS BIGINT) is a hard error in DuckDB,
+# and the reference coerces non-finite to the 0 default anyway.
 _PARSE_PROPS_SQL = """
+WITH d AS (
+  SELECT event_id, event_type,
+         COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE),
+                  0.0) AS kd
+  FROM events
+)
 SELECT event_id,
-       CAST(trunc(COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE),
-                           0.0)) AS BIGINT) AS k,
+       CAST(trunc(CASE WHEN isfinite(kd) THEN kd ELSE 0.0 END) AS BIGINT) AS k,
        COALESCE(event_type, '') AS event_type
-FROM events
+FROM d
 """
 
 

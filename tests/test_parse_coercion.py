@@ -24,6 +24,12 @@ DIRTY = [
     ("e7", None),
     ("e8", json.dumps({"k": "1e2"})),
     ("e9", json.dumps({"k": "0.999"})),
+    # non-finite: reference int(float(x)) raises (Overflow/ValueError) -> 0;
+    # unguarded Spark Infinity->long saturates to Long.MaxValue, unguarded
+    # DuckDB CAST errors the whole query
+    ("e10", json.dumps({"k": "inf"})),
+    ("e11", json.dumps({"k": "-inf"})),
+    ("e12", json.dumps({"k": "nan"})),
 ]
 
 # reference semantics, computed by the reference's own expression
@@ -57,11 +63,16 @@ def test_spark_coercion_matches_reference(spark, dirty_path):
 def test_duckdb_oracle_expression_matches_reference(dirty_path):
     rows = duckdb.sql(
         f"""
+        WITH d AS (
+          SELECT event_id,
+                 COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE),
+                          0.0) AS kd
+          FROM read_parquet('{dirty_path}')
+        )
         SELECT event_id,
-               CAST(trunc(COALESCE(
-                 TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE),
-                 0.0)) AS BIGINT) AS k
-        FROM read_parquet('{dirty_path}')
+               CAST(trunc(CASE WHEN isfinite(kd) THEN kd ELSE 0.0 END)
+                    AS BIGINT) AS k
+        FROM d
         """
     ).fetchall()
     assert {eid: k for eid, k in rows} == EXPECTED
