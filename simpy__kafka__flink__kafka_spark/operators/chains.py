@@ -12,8 +12,12 @@ the same depth cap, so both engines enumerate exactly the distinct
 
 At 100 TB each BFS level is a shuffle join on parent_id — the standard
 iterative-join pattern (GraphX/GraphFrames motif expansion collapses to the
-same plan); for unbounded graphs you would checkpoint the frontier between
-iterations.
+same plan).  The frontier is ``localCheckpoint(eager=False)``-ed every
+``checkpoint_every`` levels: without it level d's plan nests every prior
+level, so the unrolled query recomputes the join chain O(depth^2) times and
+the plan itself grows superlinearly; the lazy checkpoint truncates lineage
+and materializes each checkpointed frontier once, while keeping the builder
+action-free (the checkpoint happens at the plan's first materialization).
 """
 
 from __future__ import annotations
@@ -22,6 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 MAX_DEPTH = 8
+CHECKPOINT_EVERY = 4
 
 
 def chain_roots(msgs: DataFrame, edges: DataFrame) -> DataFrame:
@@ -40,7 +45,8 @@ def chain_roots(msgs: DataFrame, edges: DataFrame) -> DataFrame:
 
 def chain_reach(msgs: DataFrame, edges: DataFrame,
                 max_depth: int = MAX_DEPTH,
-                dedup_every: int = 2) -> DataFrame:
+                dedup_every: int = 2,
+                checkpoint_every: int | None = CHECKPOINT_EVERY) -> DataFrame:
     """Distinct (root_id, node, depth<=max_depth) triples.
 
     ``dedup_every`` controls how often the frontier is de-duplicated: every
@@ -49,6 +55,8 @@ def chain_reach(msgs: DataFrame, edges: DataFrame,
     levels bounds the transient blow-up at fanout^K while cutting the stage
     count — the right trade for shallow service-call DAGs where diamonds are
     rare.  The final distinct restores exact set semantics either way.
+    ``checkpoint_every`` lazily checkpoints the frontier every K levels (see
+    module docstring); ``None`` disables.
     """
     roots = chain_roots(msgs, edges)
     level = roots.select(
@@ -63,18 +71,22 @@ def chain_reach(msgs: DataFrame, edges: DataFrame,
         )
         if d % dedup_every == 0:
             level = level.distinct()
+        if checkpoint_every and d % checkpoint_every == 0 and d < max_depth:
+            level = level.localCheckpoint(eager=False)
         reach = reach.unionByName(level)
     return reach.distinct()
 
 
 def chain_stats(msgs: DataFrame, edges: DataFrame,
-                max_depth: int = MAX_DEPTH) -> DataFrame:
+                max_depth: int = MAX_DEPTH,
+                checkpoint_every: int | None = CHECKPOINT_EVERY) -> DataFrame:
     """Per-root chain summary: span count, longest path, total duration
     (the root span's latency covers the whole chain by containment).
 
     Skips chain_reach's final distinct: countDistinct(node) and max(depth)
     are insensitive to duplicate (root, node, depth) triples, so the
-    aggregation itself is the dedup — one shuffle fewer."""
+    aggregation itself is the dedup — one shuffle fewer.  Frontier lazily
+    checkpointed every ``checkpoint_every`` levels (module docstring)."""
     roots = chain_roots(msgs, edges)
     level = roots.select(
         "root_id", F.col("root_id").alias("node"), F.lit(0).alias("depth")
@@ -88,6 +100,8 @@ def chain_stats(msgs: DataFrame, edges: DataFrame,
         )
         if d % 2 == 0:
             level = level.distinct()
+        if checkpoint_every and d % checkpoint_every == 0 and d < max_depth:
+            level = level.localCheckpoint(eager=False)
         reach = reach.unionByName(level)
     stats = reach.groupBy("root_id").agg(
         F.countDistinct("node").alias("n_spans"),
