@@ -104,7 +104,16 @@ def rate_latency_expr(v, max_latency_ms: int):
     emitted latency is <= max_latency_ms: values range over {20, 30, ...,
     ((max-20)//10)*10 + 20} — keeping every span inside the bound that
     streaming_link_edges threads into its range conjunct (a span exceeding
-    it would silently miss matches the batch predicate finds)."""
+    it would silently miss matches the batch predicate finds).
+
+    ``max_latency_ms`` below the 20 ms floor would silently break the bound
+    (steps clamps to 1 and every span emits 20) — rejected at the boundary
+    instead."""
+    if max_latency_ms < 20:
+        raise ValueError(
+            f"max_latency_ms must be >= 20 (the emitted floor); got "
+            f"{max_latency_ms}"
+        )
     steps = max(1, (max_latency_ms - 20) // 10 + 1)
     return (v % steps) * 10 + 20
 
