@@ -63,6 +63,10 @@ def main() -> None:
                 "overwrite").save()
             best = min(best, time.perf_counter() - t0)
         times[name] = round(best, 3)
+        # several plan builders cache shared subtrees (shingles, signature
+        # pyramids, banded edges); drop them so a long bench session doesn't
+        # accumulate pinned storage across queries
+        spark.catalog.clearCache()
 
     total = round(sum(times.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

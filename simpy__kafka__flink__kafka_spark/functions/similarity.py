@@ -281,7 +281,12 @@ def embedding_near_dup_ivf(emb: DataFrame, threshold: float = 0.92,
     same skew handling as any groupBy key).  Approximate by construction
     (a near-dup pair straddling a cell boundary is missed); the oracle
     mirrors the identical cell blocking, so the gate checks this exact
-    semantic."""
+    semantic.
+
+    Caching contract: pins the assign+norm frame (read by both self-join
+    sides).  Long-lived drivers release plan caches between query
+    generations via ``spark.catalog.clearCache()`` (the bench harness
+    does)."""
     assign = ivf_assign(emb, n_centroids).select("vec_id", "cell_id")
     # Squared norm precomputed per VECTOR (not per pair): the pair stage then
     # does one fold (the dot product) instead of three.  Cached because the
