@@ -30,6 +30,51 @@ def stratified_sample(docs: DataFrame, lang: DataFrame,
     return joined.sampleBy("lang_pred", fractions, seed=seed)
 
 
+def temperature_sample(docs: DataFrame, strat_col: str = "lang",
+                       alpha: float = 0.5, frac: float = 0.5,
+                       id_col: str = "doc_id") -> DataFrame:
+    """Temperature-based source mixing: draw a ``frac``-of-corpus sample
+    whose per-stratum shares follow ``n_s^alpha`` (alpha < 1 upsamples
+    low-resource strata relative to their natural share — the standard
+    multilingual/domain rebalancing knob for pretraining mixes).
+
+    Per-stratum keep probability::
+
+        p_s = min(1, frac * N * n_s^alpha / Z / n_s),   Z = sum_t n_t^alpha
+
+    The draw is a DETERMINISTIC hash, not an RNG: u(doc) = first 6 hex
+    digits of md5(doc_id) / 16^6, keep iff u < round(p_s, 6) — so the same
+    doc is kept on every engine and every run, and the whole operator is
+    oracle-checkable (unlike ``sampleBy``'s engine-specific Bernoulli).
+    Scale shape: one tiny groupBy for the stratum counts, broadcast back;
+    the per-doc draw is a codegen expression — no corpus shuffle at all.
+    Output: (id_col, strat_col, keep).
+    """
+    counts = docs.groupBy(strat_col).agg(F.count(F.lit(1)).alias("_cnt"))
+    tot = counts.agg(
+        F.sum("_cnt").alias("_tot"),
+        F.sum(F.pow("_cnt", F.lit(alpha))).alias("_z"),
+    )
+    probs = counts.crossJoin(F.broadcast(tot)).select(
+        strat_col,
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.lit(frac) * F.col("_tot") * F.pow("_cnt", F.lit(alpha))
+                / F.col("_z") / F.col("_cnt"),
+            ),
+            6,
+        ).alias("_p"),
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 6), 16, 10)
+        .cast("double") / F.lit(float(16 ** 6))
+    )
+    return docs.join(F.broadcast(probs), strat_col).select(
+        id_col, strat_col, (u < F.col("_p")).alias("keep")
+    )
+
+
 def pack_token_shards(docs: DataFrame, budget: int = 10_000) -> DataFrame:
     """Assign docs to fixed token-budget training shards: iterate docs in
     doc_id order, accumulate token counts, cut a new shard every ``budget``

@@ -135,23 +135,139 @@ def winnow_fingerprints(df: DataFrame, n: int = 3, window: int = 4,
     )
 
 
+def shingle_array(text_col: Column | str = "text", n: int = 3) -> Column:
+    """Array of word ``n``-gram shingles for one document.
+
+    Fewer than ``n`` words yields an empty array — matching DuckDB's
+    ``generate_series(1, 0) -> []`` (Spark's ``sequence(1, 0)`` would count
+    *down* — a real divergence trap).
+
+    Built as n whole-array slices zipped, not one slice per shingle index —
+    the per-index formulation (transform over sequence + slice) costs
+    O(L·n) interpreted lambda calls per doc and dominated the dedup
+    pipeline (4.7 s for 5000 docs at sf0.1; this shape is ~5x faster).
+    """
+    ws = words(text_col)
+    k = F.greatest(F.size(ws) - (n - 1), F.lit(0))
+    zipped = F.arrays_zip(
+        *[F.slice(ws, i + 1, k).alias(f"w{i}") for i in range(n)]
+    )
+    return F.transform(
+        zipped, lambda s: F.concat_ws(" ", *[s[f"w{i}"] for i in range(n)])
+    )
+
+
 def shingles(df: DataFrame, n: int = 3, id_col: str = "doc_id",
              text_col: str = "text") -> DataFrame:
     """Explode each document into its word ``n``-gram shingles.
 
     Output: (id_col, shingle).  Documents with fewer than ``n`` words emit
-    no rows.  Guarded so the empty case matches DuckDB's
-    ``generate_series(1, 0) -> []`` (Spark's ``sequence(1, 0)`` would count
-    *down* — a real divergence trap).
+    no rows (see :func:`shingle_array`).
     """
-    ws = words(text_col)
-    # n whole-array slices zipped, not one slice per shingle index — the
-    # per-index formulation (transform over sequence + slice) costs O(L·n)
-    # interpreted lambda calls per doc and dominated the dedup pipeline
-    # (4.7 s for 5000 docs at sf0.1; this shape is ~5x faster).
-    k = F.greatest(F.size(ws) - (n - 1), F.lit(0))
-    zipped = F.arrays_zip(
-        *[F.slice(ws, i + 1, k).alias(f"w{i}") for i in range(n)]
+    return df.select(
+        F.col(id_col), F.explode(shingle_array(text_col, n)).alias("shingle")
     )
-    sh = F.transform(zipped, lambda s: F.concat_ws(" ", *[s[f"w{i}"] for i in range(n)]))
-    return df.select(F.col(id_col), F.explode(sh).alias("shingle"))
+
+
+def repetition_stats(df: DataFrame, n: int = 3, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Within-document repetition: fraction of word ``n``-grams that are
+    repeats of an earlier ``n``-gram in the same doc — the standard cheap
+    filter for looping/boilerplate text in a pretraining corpus (a high
+    ratio means the doc is mostly self-copies).
+
+    Pure per-row column expressions (size / array_distinct on the shingle
+    array) — whole-stage codegen, zero shuffles, trivially scale-safe.
+    Output: (id_col, n_shingles, n_distinct, rep_ratio) with
+    rep_ratio = round(1 - distinct/total, 6), 0.0 for docs too short to
+    shingle.
+    """
+    sh = shingle_array(text_col, n)
+    n_sh = F.size(sh).cast("long")
+    n_d = F.size(F.array_distinct(sh)).cast("long")
+    return df.select(
+        F.col(id_col),
+        n_sh.alias("n_shingles"),
+        n_d.alias("n_distinct"),
+        F.round(
+            F.when(n_sh > 0, 1.0 - n_d.cast("double") / n_sh.cast("double"))
+            .otherwise(F.lit(0.0)),
+            6,
+        ).alias("rep_ratio"),
+    )
+
+
+def contaminated_docs(df: DataFrame, n: int = 8, bench_mod: int = 10,
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Benchmark-contamination check: corpus documents sharing any verbatim
+    word ``n``-gram with a held-out benchmark set — the pre-training hygiene
+    scan that keeps eval data out of the corpus.  The benchmark here is the
+    deterministic slice ``id % bench_mod == 0`` (in production: the actual
+    eval suites, typically a few MB).
+
+    Scale shape: distinct (doc, shingle) on both sides, then an equi-join on
+    the shingle string with the benchmark side broadcast — eval sets are
+    tiny next to a 100 TB corpus, so the probe never shuffles the corpus;
+    the per-doc count is one groupBy on the (filtered) hit set.
+    Output: (id_col, n_contaminated) — contaminated corpus docs only, with
+    the number of distinct overlapping ``n``-grams.
+    """
+    sh = shingles(df, n=n, id_col=id_col, text_col=text_col).distinct()
+    bench = (
+        sh.where(F.col(id_col) % bench_mod == 0).select("shingle").distinct()
+    )
+    return (
+        sh.where(F.col(id_col) % bench_mod != 0)
+        .join(F.broadcast(bench), "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_contaminated"))
+    )
+
+
+def vocab_coverage(df: DataFrame, min_df_pct: int = 60,
+                   id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Vocabulary build + per-document out-of-vocabulary rate.
+
+    The vocabulary is every word whose document frequency is at least
+    ``min_df_pct`` percent of the corpus (integer arithmetic —
+    ``df * 100 >= pct * n_docs`` — so both engines compare exactly); the
+    OOV rate is the token-multiplicity fraction of a doc not covered by it.
+    A doc-frequency threshold, not a top-K rank: top-K needs a global sort,
+    a threshold is one groupBy + filter at any scale, and the resulting
+    vocab (words common to most docs) is small by construction — safely
+    broadcast back over the corpus.
+
+    Output: (id_col, n_tokens, n_oov, oov_rate) per document.
+    """
+    tok = df.select(F.col(id_col), F.explode(words(text_col)).alias("wd"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("_nd"))
+    vocab = (
+        tok.distinct()
+        .groupBy("wd")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .crossJoin(F.broadcast(n_docs))
+        .where(F.col("_df") * 100 >= F.lit(min_df_pct) * F.col("_nd"))
+        .select("wd", F.lit(1).alias("_in"))
+    )
+    n_tok = F.count(F.lit(1)).cast("long")
+    n_oov = F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0)).cast("long")
+    return (
+        tok.join(F.broadcast(vocab), "wd", "left")
+        .groupBy(id_col)
+        .agg(n_tok.alias("n_tokens"), n_oov.alias("n_oov"))
+        .select(
+            id_col,
+            "n_tokens",
+            "n_oov",
+            F.round(
+                F.when(
+                    F.col("n_tokens") > 0,
+                    F.col("n_oov").cast("double")
+                    / F.col("n_tokens").cast("double"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("oov_rate"),
+        )
+    )

@@ -49,12 +49,18 @@ CHECKED_FIRST = [
     "cosine_topk", "ivf_assign", "ivf_topk", "embedding_near_dup_verified",
     "quantize_embeddings", "pack_token_shards", "tfidf_top_terms",
     "corpus_prep_full", "multimodal_features",
-    # relational surface (bonus operators beyond the reference; the three
-    # demoted twins — customers_without_orders, parts_with_cheap_supply,
-    # above_avg_orders — were gate-green in round 1 and stay pytest-checked)
+    # round-3 training-data additions (contamination scan + deterministic
+    # temperature mix get the two slots freed below; repetition_ratio and
+    # vocab_coverage are declared+pytest/oracle-checked in the tail)
+    "contamination_check", "temperature_sample",
+    # relational surface (bonus operators beyond the reference; demoted
+    # twins — customers_without_orders, parts_with_cheap_supply,
+    # above_avg_orders in r2, brand_set_ops + pivot_status in r3 to fund the
+    # training-data slots above — were all gate-green in earlier rounds
+    # (CORRECTNESS_r01/r02) and stay declared + pytest-checked)
     "asof_last_click", "supplier_order_coverage", "pricing_summary",
-    "region_revenue", "topk_per_brand", "rollup_revenue", "brand_set_ops",
-    "pivot_status", "sessionize_events", "tumbling_daily",
+    "region_revenue", "topk_per_brand", "rollup_revenue",
+    "sessionize_events", "tumbling_daily",
 ]
 
 

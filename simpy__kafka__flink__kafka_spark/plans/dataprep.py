@@ -665,6 +665,122 @@ FROM counted
 """
 
 
+def _ngram_cte(n: int) -> str:
+    """Generic word n-gram CTE (w, sh) — the n=3 `_SHINGLES_CTE` generalized."""
+    return _WORDS_CTE + f""",
+sh AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(ws) - {n - 1}, 0)),
+                               i -> array_to_string(ws[i:i+{n - 1}], ' '))) AS shingle
+  FROM w
+)"""
+
+
+def _q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir), n=3)
+
+
+_REPETITION_SQL = r"""
+WITH w AS (
+  SELECT doc_id,
+         string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS ws
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, greatest(len(ws) - 2, 0)),
+                        i -> array_to_string(ws[i:i+2], ' ')) AS sh
+  FROM w
+)
+SELECT doc_id,
+       CAST(len(sh) AS BIGINT) AS n_shingles,
+       CAST(len(list_distinct(sh)) AS BIGINT) AS n_distinct,
+       round(CASE WHEN len(sh) > 0
+                  THEN 1.0 - CAST(len(list_distinct(sh)) AS DOUBLE)
+                             / CAST(len(sh) AS DOUBLE)
+                  ELSE 0.0 END, 6) AS rep_ratio
+FROM s
+"""
+
+
+def _q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import contaminated_docs
+
+    return contaminated_docs(_docs(spark, sf_dir), n=8, bench_mod=10)
+
+
+_CONTAMINATION_SQL = f"""
+WITH {_ngram_cte(8)},
+d AS (SELECT DISTINCT doc_id, shingle FROM sh),
+b AS (SELECT DISTINCT shingle FROM d WHERE doc_id % 10 = 0)
+SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_contaminated
+FROM d JOIN b ON d.shingle = b.shingle
+WHERE d.doc_id % 10 != 0
+GROUP BY d.doc_id
+"""
+
+
+def _q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import vocab_coverage
+
+    return vocab_coverage(_docs(spark, sf_dir), min_df_pct=60)
+
+
+_VOCAB_COVERAGE_SQL = r"""
+WITH w AS (
+  SELECT doc_id,
+         string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS ws
+  FROM documents
+),
+tok AS (SELECT doc_id, unnest(ws) AS wd FROM w),
+dfreq AS (SELECT wd, count(*) AS d
+          FROM (SELECT DISTINCT doc_id, wd FROM tok) GROUP BY wd),
+nd AS (SELECT count(*) AS n FROM documents),
+vocab AS (SELECT wd FROM dfreq, nd WHERE d * 100 >= 60 * n)
+SELECT tok.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN vocab.wd IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oov,
+       round(CASE WHEN count(*) > 0
+                  THEN CAST(sum(CASE WHEN vocab.wd IS NULL THEN 1 ELSE 0 END)
+                            AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                  ELSE 0.0 END, 6) AS oov_rate
+FROM tok LEFT JOIN vocab ON tok.wd = vocab.wd
+GROUP BY tok.doc_id
+"""
+
+
+def _q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.sampling import temperature_sample
+
+    return temperature_sample(_docs(spark, sf_dir), strat_col="lang",
+                              alpha=0.5, frac=0.5)
+
+
+# u(doc) = first 6 hex digits of md5(doc_id) as an integer / 16^6 — the
+# per-digit strpos fold is the same cross-engine hex trick as the simhash
+# oracle (DuckDB has no base-16 conv()).
+_TEMPERATURE_U = " + ".join(
+    f"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), {i + 1}, 1)) - 1) * {16 ** (5 - i)}"
+    for i in range(6)
+)
+
+_TEMPERATURE_SQL = f"""
+WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+tot AS (SELECT sum(n) AS nn, sum(pow(n, 0.5)) AS z FROM counts),
+probs AS (
+  SELECT lang,
+         round(least(1.0, 0.5 * nn * pow(n, 0.5) / z / n), 6) AS p
+  FROM counts, tot
+)
+SELECT doc_id, d.lang,
+       (CAST({_TEMPERATURE_U} AS DOUBLE) / 16777216.0) < p AS keep
+FROM documents d JOIN probs ON d.lang = probs.lang
+"""
+
+
 def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows-only: Bernoulli draws are engine/hash-specific; the mix
     # proportions are property-tested in tests/test_sampling.py
@@ -920,4 +1036,12 @@ QUERIES: dict[str, Query] = {
                                "fixed token-budget training-shard packing"),
     "stratified_sample": Query(_q_stratified_sample, None,
                                "language-stratified corpus draw (rows-only)"),
+    "repetition_ratio": Query(_q_repetition_ratio, _REPETITION_SQL,
+                              "within-doc n-gram repetition filter"),
+    "contamination_check": Query(_q_contamination_check, _CONTAMINATION_SQL,
+                                 "benchmark 8-gram contamination scan"),
+    "vocab_coverage": Query(_q_vocab_coverage, _VOCAB_COVERAGE_SQL,
+                            "doc-frequency vocab + per-doc OOV rate"),
+    "temperature_sample": Query(_q_temperature_sample, _TEMPERATURE_SQL,
+                                "deterministic temperature-based source mix"),
 }

@@ -1,0 +1,120 @@
+"""Round-3 training-data operators: repetition filter, benchmark
+contamination scan, vocab/OOV coverage, deterministic temperature sampling —
+semantics plus DuckDB-oracle parity (the declared SQL twins)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from simpy__kafka__flink__kafka_spark.functions.sampling import (
+    temperature_sample)
+from simpy__kafka__flink__kafka_spark.functions.text import (
+    contaminated_docs, repetition_stats, vocab_coverage)
+from tests.oracle_utils import assert_match
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _mkdocs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# --- repetition ---------------------------------------------------------------
+
+def test_repetition_ratio_semantics(spark):
+    docs = _mkdocs(spark, [
+        (1, "a b c a b c a b c"),   # 7 trigrams, 3 distinct
+        (2, "one two three four"),  # 2 trigrams, both distinct
+        (3, "x y"),                 # too short to shingle
+    ])
+    got = {r.doc_id: r for r in repetition_stats(docs, n=3).collect()}
+    assert (got[1].n_shingles, got[1].n_distinct) == (7, 3)
+    assert abs(got[1].rep_ratio - (1 - 3 / 7)) < 1e-6
+    assert got[2].rep_ratio == 0.0
+    assert (got[3].n_shingles, got[3].rep_ratio) == (0, 0.0)
+
+
+# --- contamination ------------------------------------------------------------
+
+def test_contamination_flags_verbatim_overlap(spark):
+    run = "w0 w1 w2 w3 w4 w5 w6 w7"  # an 8-gram shared verbatim
+    docs = _mkdocs(spark, [
+        (10, f"{run} tail tail tail"),        # benchmark doc (id % 10 == 0)
+        (11, f"head head {run}"),             # contaminated corpus doc
+        (12, "clean words only nothing shared here at all ok fine yes"),
+    ])
+    got = {r.doc_id: r.n_contaminated
+           for r in contaminated_docs(docs, n=8, bench_mod=10).collect()}
+    assert 11 in got and got[11] >= 1
+    assert 12 not in got
+    assert 10 not in got  # benchmark docs are never reported against themselves
+
+
+def test_contamination_counts_distinct_ngrams_only(spark):
+    run = "w0 w1 w2 w3 w4 w5 w6 w7"
+    docs = _mkdocs(spark, [
+        (10, run),
+        (11, f"{run} x {run}"),  # same 8-gram appears twice -> counted once
+    ])
+    got = {r.doc_id: r.n_contaminated
+           for r in contaminated_docs(docs, n=8, bench_mod=10).collect()}
+    assert got[11] == 1
+
+
+# --- vocab / OOV --------------------------------------------------------------
+
+def test_vocab_coverage_semantics(spark):
+    docs = _mkdocs(spark, [
+        (1, "common rare1 common"),
+        (2, "common rare2"),
+        (3, "common rare3"),
+    ])
+    # 'common' df=3/3 >= 60%; every 'rareN' df=1/3 < 60% -> OOV
+    got = {r.doc_id: r for r in vocab_coverage(docs, min_df_pct=60).collect()}
+    assert (got[1].n_tokens, got[1].n_oov) == (3, 1)
+    assert (got[2].n_tokens, got[2].n_oov) == (2, 1)
+    assert abs(got[1].oov_rate - 1 / 3) < 1e-6
+
+
+# --- temperature sampling -----------------------------------------------------
+
+def test_temperature_sample_is_deterministic_and_rebalances(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    a = temperature_sample(docs, strat_col="lang", alpha=0.5, frac=0.5)
+    b = temperature_sample(docs, strat_col="lang", alpha=0.5, frac=0.5)
+    assert a.exceptAll(b).count() == 0  # hash draw, not an RNG
+
+    natural = {r.lang: r.n for r in
+               docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    kept = {r.lang: r.n for r in
+            a.where("keep").groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    # alpha<1 keeps a LARGER fraction of the smallest stratum than the biggest
+    big = max(natural, key=natural.get)
+    small = min(natural, key=natural.get)
+    assert kept[small] / natural[small] > kept[big] / natural[big]
+
+
+def test_temperature_alpha_one_is_uniform_rate(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    out = temperature_sample(docs, strat_col="lang", alpha=1.0, frac=0.5)
+    # alpha=1: p_s = frac for every stratum
+    rates = (
+        out.groupBy("lang")
+        .agg((F.sum(F.col("keep").cast("int")) / F.count("*")).alias("r"))
+        .collect()
+    )
+    for r in rates:
+        assert 0.30 < r.r < 0.70  # hash-uniform around frac=0.5
+
+
+# --- oracle parity (the declared SQL twins, sf0.001) --------------------------
+
+def test_new_ops_match_oracles(spark, sf_dir):
+    import __spark_entry__ as E
+
+    qs, osql = E.queries(), E.oracle_sql()
+    for name in ("repetition_ratio", "contamination_check", "vocab_coverage",
+                 "temperature_sample"):
+        assert_match(qs[name](spark, sf_dir), osql[name], sf_dir, name)
