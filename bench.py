@@ -38,6 +38,10 @@ HEADLINE = [
     "tfidf_top_terms",
     "corpus_prep_full",
     "latency_percentiles",
+    "contamination_check",
+    "temperature_sample",
+    "repetition_ratio",
+    "vocab_coverage",
 ]
 
 
