@@ -50,16 +50,18 @@ CHECKED_FIRST = [
     "quantize_embeddings", "pack_token_shards", "tfidf_top_terms",
     "corpus_prep_full", "multimodal_features",
     # round-3 training-data additions (contamination scan + deterministic
-    # temperature mix get the two slots freed below; repetition_ratio and
-    # vocab_coverage are declared+pytest/oracle-checked in the tail)
+    # temperature mix), plus repetition_ratio / vocab_coverage promoted in
+    # round 4 (VERDICT r03 task #6) into the slots freed below
     "contamination_check", "temperature_sample",
+    "repetition_ratio", "vocab_coverage",
     # relational surface (bonus operators beyond the reference; demoted
     # twins — customers_without_orders, parts_with_cheap_supply,
-    # above_avg_orders in r2, brand_set_ops + pivot_status in r3 to fund the
-    # training-data slots above — were all gate-green in earlier rounds
-    # (CORRECTNESS_r01/r02) and stay declared + pytest-checked)
+    # above_avg_orders in r2, brand_set_ops + pivot_status in r3,
+    # topk_per_brand + rollup_revenue in r4 to fund the training-data slots
+    # above — were all gate-green in earlier rounds (CORRECTNESS_r01-r03)
+    # and stay declared + pytest-checked in the tail)
     "asof_last_click", "supplier_order_coverage", "pricing_summary",
-    "region_revenue", "topk_per_brand", "rollup_revenue",
+    "region_revenue",
     "sessionize_events", "tumbling_daily",
 ]
 
