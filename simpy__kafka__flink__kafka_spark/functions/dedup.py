@@ -325,6 +325,31 @@ def near_dup_clusters_fixpoint(pairs: DataFrame,
     )
 
 
+def dedup_survivors(docs: DataFrame, pairs: DataFrame, *,
+                    fixpoint: bool = False, iterations: int = 4,
+                    id_col: str = "doc_id") -> DataFrame:
+    """Cluster-canonical dedup: keep every doc that is its own cluster
+    minimum (or in no near-dup cluster at all) — one anti-join against the
+    cluster losers, so the corpus itself never shuffles on a wide key.
+
+    ``fixpoint=False`` (default) uses fixed-round min-label propagation —
+    the oracle-matched contract form (see :func:`near_dup_clusters`).
+    ``fixpoint=True`` is the 100 TB scale recommendation: large-star /
+    small-star contraction to convergence (:func:`near_dup_clusters_fixpoint`),
+    which survives adversarial chain components whose radius exceeds the
+    fixed round count — on a chain a1—a2—…—ak, fixed rounds leave k - 1 -
+    ``iterations`` docs wrongly labeled as their own cluster minimum and
+    therefore wrongly KEPT.  Both modes return the identical survivor set
+    whenever every component's radius from its min-id node is within
+    ``iterations`` (the normal LSH near-clique case).
+    """
+    clusters = (near_dup_clusters_fixpoint(pairs) if fixpoint
+                else near_dup_clusters(pairs, iterations=iterations))
+    losers = clusters.where(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias(id_col))
+    return docs.join(losers, id_col, "left_anti")
+
+
 # --- SimHash ------------------------------------------------------------------
 
 def _hex_digit(col, i: int):

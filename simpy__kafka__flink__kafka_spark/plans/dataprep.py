@@ -277,11 +277,16 @@ SELECT doc_id, label AS cluster_id FROM {prev}
 def _q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-canonical dedup applied: keep every doc that is its own
     cluster minimum (or in no near-dup cluster at all) — the groupwise
-    keeper policy, vs corpus_prep_full's pairwise doc_b-removal policy."""
+    keeper policy, vs corpus_prep_full's pairwise doc_b-removal policy.
+
+    Uses :func:`dedup.dedup_survivors` with ``fixpoint=False`` — the
+    fixed-round form the gate oracle unrolls.  At 100 TB pass
+    ``fixpoint=True``: true connected components that survive chain
+    components deeper than the fixed round count (same anti-join shape;
+    measured head-to-head in PLANS.md "fixed-round vs fixpoint")."""
     docs = _docs(spark, sf_dir)
-    clusters = _q_near_dup_clusters(spark, sf_dir)
-    losers = clusters.where(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
-    return docs.join(losers, "doc_id", "left_anti").select(
+    pairs = _q_near_dup_verified(spark, sf_dir)
+    return dedup.dedup_survivors(docs, pairs, fixpoint=False).select(
         "doc_id", F.length("text").cast("long").alias("n_chars")
     )
 

@@ -93,7 +93,10 @@ def aggregate_updates_stream_v2(updates: DataFrame,
     """transformWithStateInPandas version of the adjacency aggregation;
     same UPDATE_SCHEMA input / OUTPUT_SCHEMA output as the v1 operator."""
     if not HAS_TWS:  # pragma: no cover
-        raise NotImplementedError("requires Spark >= 4.0")
+        raise NotImplementedError(
+            "transformWithStateInPandas needs Spark >= 4.0 AND the protobuf "
+            "package (its state-server wire format); this environment lacks "
+            "protobuf — use aggregate_updates_stream (v1) instead")
     return (
         updates.withWatermark("event_ts", watermark)
         .groupBy("key_id")

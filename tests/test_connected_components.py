@@ -59,3 +59,37 @@ def test_fixed_round_documented_stall_is_real(spark):
     assert set(fixed.values()) != {"p0"}
     true = _clusters(near_dup_clusters_fixpoint(_pairs(spark, edges)))
     assert set(true.values()) == {"p0"}
+
+def _docs_df(spark, ids):
+    return spark.createDataFrame([(d, f"text {d}") for d in ids],
+                                 "doc_id string, text string")
+
+
+def test_dedup_survivors_modes_agree_on_shallow_graphs(spark):
+    from simpy__kafka__flink__kafka_spark.functions.dedup import dedup_survivors
+
+    edges = [("x1", "x2"), ("x2", "x3"), ("x1", "x3"), ("y9", "y8")]
+    docs = _docs_df(spark, ["x1", "x2", "x3", "y8", "y9", "solo"])
+    p = _pairs(spark, edges)
+    fixed = {r["doc_id"] for r in dedup_survivors(docs, p).collect()}
+    fp = {r["doc_id"] for r in
+          dedup_survivors(docs, p, fixpoint=True).collect()}
+    assert fixed == fp == {"x1", "y8", "solo"}
+
+
+def test_dedup_survivors_fixpoint_beats_fixed_on_chains(spark):
+    from simpy__kafka__flink__kafka_spark.functions.dedup import dedup_survivors
+
+    # path a0-z1-z2-z3-z4-b0: after 4 min-label rounds a node's label is the
+    # min id within graph distance 4, so b0 (minimal in its radius-4
+    # neighborhood, but 5 hops from the true min a0) stays self-labeled and
+    # is wrongly KEPT by the fixed-round form; fixpoint resolves it.
+    chain = ["a0", "z1", "z2", "z3", "z4", "b0"]
+    edges = list(zip(chain, chain[1:]))
+    docs = _docs_df(spark, chain)
+    p = _pairs(spark, edges)
+    fp = {r["doc_id"] for r in
+          dedup_survivors(docs, p, fixpoint=True).collect()}
+    assert fp == {"a0"}
+    fixed = {r["doc_id"] for r in dedup_survivors(docs, p).collect()}
+    assert fixed == {"a0", "b0"}
