@@ -97,3 +97,35 @@ def pack_token_shards(docs: DataFrame, budget: int = 10_000) -> DataFrame:
         "n_tokens",
         (F.col("_cum") / budget).cast("long").alias("shard_id"),
     )
+
+
+def salted_split(docs: DataFrame, weights: tuple[int, int, int] = (90, 5, 5),
+                 salt: str = "split-v1", id_col: str = "doc_id") -> DataFrame:
+    """Deterministic salted train/val/test assignment: bucket = first 6 hex
+    digits of md5(id ':' salt) mod 100, cut at the cumulative weights.
+    Salting (vs hashing the raw id) means a new salt re-deals the split
+    without correlating with any other hash of the same ids — the standard
+    leakage guard when ids also drive sharding or sampling.  Pure codegen
+    expression per row: no shuffle, no RNG, identical assignment on every
+    engine and every run.
+    Output: (id_col, bucket, split).
+    """
+    w_train, w_val, w_test = weights
+    if w_train + w_val + w_test != 100:
+        raise ValueError("weights must sum to 100")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(id_col).cast("string"),
+                               F.lit(":" + salt))), 1, 6),
+            16, 10,
+        ).cast("long") % 100
+    )
+    return docs.select(
+        F.col(id_col),
+        bucket.alias("bucket"),
+        F.when(bucket < w_train, "train")
+        .when(bucket < w_train + w_val, "val")
+        .otherwise("test")
+        .alias("split"),
+    )

@@ -271,3 +271,150 @@ def vocab_coverage(df: DataFrame, min_df_pct: int = 60,
             ).alias("oov_rate"),
         )
     )
+
+
+# --- Passage-level dedup, chunking, PII scrub, corpus stats -------------------
+# C4/RefinedWeb-style span operators: the unit of dedup/packing drops below
+# the document (fixed word blocks stand in for "lines" — the synthetic corpus
+# has no newlines, but the plan shape is identical: explode -> hash ->
+# groupBy -> join-back).
+
+def doc_blocks(df: DataFrame, w: int = 8, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """Explode each doc into non-overlapping ``w``-word blocks.
+    Output: (id_col, block_idx, block_hash) — md5 of the block text, so
+    every downstream shuffle keys on a fixed-width hash, not a raw string.
+    """
+    base = df.select(F.col(id_col), words(text_col).alias("_t"))
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size("_t") - 1, F.lit(0)), F.lit(w)
+    )
+    return base.select(
+        F.col(id_col), F.posexplode(starts).alias("block_idx", "_s"), "_t"
+    ).select(
+        F.col(id_col),
+        "block_idx",
+        F.md5(
+            F.concat_ws(" ", F.slice("_t", F.col("_s") + 1, w))
+        ).alias("block_hash"),
+    )
+
+
+def passage_dup_summary(df: DataFrame, w: int = 8, id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Per-doc passage-duplication profile: how many of a doc's ``w``-word
+    blocks also appear (verbatim) in at least one OTHER doc.  The C4-style
+    span-dedup signal — docs with high ``n_dup_blocks / n_blocks`` are
+    boilerplate or templated near-copies that document-level exact dedup
+    misses.
+
+    Scale shape: one groupBy over (block_hash) for cross-doc counts, one
+    equi-join back on the same key (co-partitioned after the first
+    shuffle), one per-doc agg.  No all-pairs anything.
+    Output: (id_col, n_blocks, n_dup_blocks).
+    """
+    blocks = doc_blocks(df, w=w, id_col=id_col, text_col=text_col)
+    stats = blocks.groupBy("block_hash").agg(
+        F.countDistinct(id_col).alias("_nd")
+    )
+    return (
+        blocks.join(stats, "block_hash")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_blocks"),
+            F.sum(F.when(F.col("_nd") > 1, 1).otherwise(0))
+            .cast("long").alias("n_dup_blocks"),
+        )
+    )
+
+
+def chunk_documents(df: DataFrame, window: int = 64, stride: int = 48,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Split every doc into fixed ``window``-token chunks every ``stride``
+    tokens (overlap = window - stride) — the standard long-document
+    chunking step before tokenization/embedding.  Pure codegen exprs
+    (split / sequence / posexplode / slice); output rows ~ corpus_tokens /
+    stride, partitioned like the input — no shuffle at all.
+    Output: (id_col, chunk_idx, n_tokens, chunk_hash).
+    """
+    base = df.select(F.col(id_col), words(text_col).alias("_t"))
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size("_t") - 1, F.lit(0)), F.lit(stride)
+    )
+    chunk = F.slice("_t", F.col("_s") + 1, window)
+    return base.select(
+        F.col(id_col), F.posexplode(starts).alias("chunk_idx", "_s"), "_t"
+    ).select(
+        F.col(id_col),
+        "chunk_idx",
+        F.size(chunk).cast("long").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
+    )
+
+
+# (name, regex, replacement) applied IN ORDER — order matters where patterns
+# could overlap (an email contains dots + digits an IP regex could bite).
+# Regexes stay in the Java/RE2 common subset so the DuckDB oracle runs the
+# identical patterns.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"\+?\d{3}[- ]\d{3}[- ]\d{4}", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+]
+
+
+def pii_scrub(df: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text",
+              patterns: list[tuple[str, str, str]] | None = None) -> DataFrame:
+    """Redact PII-shaped spans (email / SSN / phone / IPv4 by default) and
+    count redactions per doc.  Sequential ``regexp_count`` +
+    ``regexp_replace`` per pattern — all JVM codegen, no shuffle, trivially
+    row-parallel at any scale.
+    Output: (id_col, n_redactions, clean_text).
+    """
+    pats = PII_PATTERNS if patterns is None else patterns
+    cur = F.col(text_col)
+    counts = []
+    for _, pat, repl in pats:
+        counts.append(F.regexp_count(cur, F.lit(pat)))
+        cur = F.regexp_replace(cur, pat, repl)
+    total = counts[0]
+    for c in counts[1:]:
+        total = total + c
+    return df.select(
+        F.col(id_col),
+        total.cast("long").alias("n_redactions"),
+        cur.alias("clean_text"),
+    )
+
+
+def source_stats(df: DataFrame) -> DataFrame:
+    """Per-source corpus health dashboard: doc/token counts, language
+    spread, and the exact-duplicate rate within each source (docs whose
+    normalized fingerprint appears more than once in that source).  Two
+    aggregations joined on the tiny ``source`` key — the corpus shuffles
+    once on (source, fingerprint) and once on source.
+    Output: (source, n_docs, n_tokens, n_langs, n_dup_docs).
+    """
+    per_doc = df.select(
+        "source",
+        "lang",
+        token_count("text").cast("long").alias("n_tokens"),
+        F.md5(normalized("text")).alias("_fp"),
+    )
+    overall = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+    )
+    fp_groups = per_doc.groupBy("source", "_fp").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    dups = fp_groups.groupBy("source").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("_c") > 1, F.col("_c"))), F.lit(0)
+        ).cast("long").alias("n_dup_docs")
+    )
+    return overall.join(dups, "source")

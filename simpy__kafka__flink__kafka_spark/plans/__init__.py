@@ -54,14 +54,18 @@ CHECKED_FIRST = [
     # round 4 (VERDICT r03 task #6) into the slots freed below
     "contamination_check", "temperature_sample",
     "repetition_ratio", "vocab_coverage",
+    # round-4 corpus additions: C4-style cross-doc passage dedup and
+    # fixed-window chunking (pii_scrub / salted_split / source_stats stay in
+    # the oracled pytest-checked tail)
+    "passage_dedup", "chunk_documents",
     # relational surface (bonus operators beyond the reference; demoted
     # twins — customers_without_orders, parts_with_cheap_supply,
     # above_avg_orders in r2, brand_set_ops + pivot_status in r3,
-    # topk_per_brand + rollup_revenue in r4 to fund the training-data slots
+    # topk_per_brand + rollup_revenue in r4 for repetition/vocab, then
+    # supplier_order_coverage + region_revenue for the two corpus rows
     # above — were all gate-green in earlier rounds (CORRECTNESS_r01-r03)
     # and stay declared + pytest-checked in the tail)
-    "asof_last_click", "supplier_order_coverage", "pricing_summary",
-    "region_revenue",
+    "asof_last_click", "pricing_summary",
     "sessionize_events", "tumbling_daily",
 ]
 

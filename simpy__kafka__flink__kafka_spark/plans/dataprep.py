@@ -988,6 +988,156 @@ GROUP BY lang_pred
 """
 
 
+# ---------------------------------------------------------------------------
+# round-4 corpus operators: passage dedup, chunking, PII scrub, split, stats
+# ---------------------------------------------------------------------------
+
+def _q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import passage_dup_summary
+
+    return passage_dup_summary(_docs(spark, sf_dir), w=8)
+
+
+_PASSAGE_DEDUP_SQL = f"""
+WITH {_WORDS_CTE},
+b AS (
+  SELECT doc_id, md5(array_to_string(ws[s+1:s+8], ' ')) AS bh
+  FROM w, unnest(generate_series(0, greatest(len(ws) - 1, 0), 8)) AS g(s)
+),
+st AS (SELECT bh, count(DISTINCT doc_id) AS nd FROM b GROUP BY 1)
+SELECT b.doc_id,
+       CAST(count(*) AS BIGINT) AS n_blocks,
+       CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_blocks
+FROM b JOIN st USING (bh)
+GROUP BY 1
+"""
+
+
+def _q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir), window=64, stride=48)
+
+
+_CHUNK_SQL = f"""
+WITH {_WORDS_CTE},
+c AS (
+  SELECT doc_id, CAST(s // 48 AS INTEGER) AS chunk_idx, ws[s+1:s+64] AS ck
+  FROM w, unnest(generate_series(0, greatest(len(ws) - 1, 0), 48)) AS g(s)
+)
+SELECT doc_id, chunk_idx,
+       CAST(len(ck) AS BIGINT) AS n_tokens,
+       md5(array_to_string(ck, ' ')) AS chunk_hash
+FROM c
+"""
+
+
+def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The synthetic corpus is PII-free, so the gate row would be vacuous on
+    raw ``documents``; instead each doc is decorated with one deterministic
+    email + one IPv4 derived from its id, and the row asserts both patterns
+    FIRE (n_redactions = 2 per doc) and the scrubbed text hash-matches."""
+    from ..functions.text import pii_scrub
+
+    docs = _docs(spark, sf_dir)
+    decorated = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or 10."),
+            (F.col("doc_id") % 256).cast("string"), F.lit(".0.1"),
+        ).alias("text"),
+    )
+    return pii_scrub(decorated).select(
+        "doc_id", "n_redactions", F.md5("clean_text").alias("clean_hash")
+    )
+
+
+def _pii_scrub_sql() -> str:
+    from ..functions.text import PII_PATTERNS
+
+    stages = []
+    prev = "d0"
+    for i, (_, pat, repl) in enumerate(PII_PATTERNS, 1):
+        cur = f"d{i}"
+        carry = (", " + ", ".join(f"c{j}" for j in range(1, i))) if i > 1 else ""
+        stages.append(
+            f"{cur} AS (SELECT doc_id, len(regexp_extract_all(t, '{pat}')) AS c{i}, "
+            f"regexp_replace(t, '{pat}', '{repl}', 'g') AS t{carry} FROM {prev})"
+        )
+        prev = cur
+    total = " + ".join(f"c{i}" for i in range(1, len(PII_PATTERNS) + 1))
+    return f"""
+WITH d0 AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or 10.' || CAST(doc_id % 256 AS VARCHAR)
+              || '.0.1' AS t
+  FROM documents
+),
+{','.join(stages)}
+SELECT doc_id, CAST({total} AS BIGINT) AS n_redactions, md5(t) AS clean_hash
+FROM {prev}
+"""
+
+
+def _q_salted_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.sampling import salted_split
+
+    return salted_split(_docs(spark, sf_dir))
+
+
+# same strpos hex fold as the temperature-sample oracle (DuckDB has no conv)
+_SPLIT_FOLD = " + ".join(
+    f"(strpos('0123456789abcdef', substr(h, {i + 1}, 1)) - 1) * {16 ** (5 - i)}"
+    for i in range(6)
+)
+
+_SALTED_SPLIT_SQL = f"""
+WITH h AS (
+  SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':split-v1') AS h FROM documents
+),
+b AS (SELECT doc_id, CAST(({_SPLIT_FOLD}) % 100 AS BIGINT) AS bucket FROM h)
+SELECT doc_id, bucket,
+       CASE WHEN bucket < 90 THEN 'train'
+            WHEN bucket < 95 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+"""
+
+
+def _q_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import source_stats
+
+    return source_stats(_docs(spark, sf_dir))
+
+
+_SOURCE_STATS_SQL = r"""
+WITH per AS (
+  SELECT source, lang,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+         md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+  FROM documents
+),
+a AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+  FROM per GROUP BY 1
+),
+g AS (SELECT source, fp, count(*) AS c FROM per GROUP BY 1, 2),
+b AS (
+  SELECT source,
+         CAST(COALESCE(sum(CASE WHEN c > 1 THEN c END), 0) AS BIGINT) AS n_dup_docs
+  FROM g GROUP BY 1
+)
+SELECT a.source, n_docs, n_tokens, n_langs, n_dup_docs
+FROM a JOIN b USING (source)
+"""
+
+
 QUERIES: dict[str, Query] = {
     "corpus_prep_pipeline": Query(_q_corpus_prep, _corpus_prep_sql(),
                                   "composed filter->dedup->stats corpus prep"),
@@ -1049,4 +1199,14 @@ QUERIES: dict[str, Query] = {
                             "doc-frequency vocab + per-doc OOV rate"),
     "temperature_sample": Query(_q_temperature_sample, _TEMPERATURE_SQL,
                                 "deterministic temperature-based source mix"),
+    "passage_dedup": Query(_q_passage_dedup, _PASSAGE_DEDUP_SQL,
+                           "C4-style cross-doc passage (8-word block) dup profile"),
+    "chunk_documents": Query(_q_chunk_documents, _CHUNK_SQL,
+                             "64-token chunks every 48 tokens (overlap 16)"),
+    "pii_scrub": Query(_q_pii_scrub, _pii_scrub_sql(),
+                       "regex PII redaction (email/ssn/phone/ipv4), seeded"),
+    "salted_split": Query(_q_salted_split, _SALTED_SPLIT_SQL,
+                          "deterministic salted train/val/test assignment"),
+    "source_stats": Query(_q_source_stats, _SOURCE_STATS_SQL,
+                          "per-source docs/tokens/langs/dup-rate dashboard"),
 }

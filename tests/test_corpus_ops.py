@@ -1,0 +1,105 @@
+"""Round-4 corpus operators: passage-level dedup, chunking, PII scrub,
+salted split, per-source stats — seeded-fixture semantics checks (the gate
+oracle twins cover cross-engine parity; these pin the intended behavior)."""
+
+from __future__ import annotations
+
+from simpy__kafka__flink__kafka_spark.functions.sampling import salted_split
+from simpy__kafka__flink__kafka_spark.functions.text import (
+    chunk_documents, passage_dup_summary, pii_scrub, source_stats)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_passage_dup_summary_flags_shared_blocks(spark):
+    shared = " ".join(f"w{i}" for i in range(8))          # one exact 8-block
+    uniq_a = " ".join(f"a{i}" for i in range(8))
+    uniq_b = " ".join(f"b{i}" for i in range(8))
+    docs = _docs(spark, [
+        (1, f"{shared} {uniq_a}"),
+        (2, f"{shared} {uniq_b}"),
+        (3, uniq_b.replace("b", "c")),
+    ])
+    got = {r["doc_id"]: (r["n_blocks"], r["n_dup_blocks"])
+           for r in passage_dup_summary(docs, w=8).collect()}
+    assert got == {1: (2, 1), 2: (2, 1), 3: (1, 0)}
+
+
+def test_chunk_documents_window_stride_and_tail(spark):
+    # 100 tokens, window 64 stride 48 -> starts 0, 48, 96: 64 + 52 + 4 tokens
+    docs = _docs(spark, [(7, " ".join(f"t{i}" for i in range(100)))])
+    rows = sorted(chunk_documents(docs, window=64, stride=48).collect(),
+                  key=lambda r: r["chunk_idx"])
+    assert [(r["chunk_idx"], r["n_tokens"]) for r in rows] == [
+        (0, 64), (1, 52), (2, 4)]
+    # consecutive chunks overlap by window - stride = 16 tokens
+    assert len({r["chunk_hash"] for r in rows}) == 3
+
+
+def test_chunk_short_doc_single_chunk(spark):
+    docs = _docs(spark, [(1, "only three tokens")])
+    rows = chunk_documents(docs, window=64, stride=48).collect()
+    assert [(r["chunk_idx"], r["n_tokens"]) for r in rows] == [(0, 3)]
+
+
+def test_pii_scrub_patterns_fire(spark):
+    docs = _docs(spark, [
+        (1, "mail me at jane.doe+x@corp.example.org today"),
+        (2, "ssn 123-45-6789 phone +1 555-867-5309 server 192.168.0.17"),
+        (3, "nothing sensitive here"),
+    ])
+    got = {r["doc_id"]: (r["n_redactions"], r["clean_text"])
+           for r in pii_scrub(docs).collect()}
+    assert got[1] == (1, "mail me at <EMAIL> today")
+    n2, t2 = got[2]
+    assert "<SSN>" in t2 and "<PHONE>" in t2 and "<IP>" in t2
+    assert "123-45-6789" not in t2 and "192.168.0.17" not in t2
+    assert n2 == 3
+    assert got[3] == (0, "nothing sensitive here")
+
+
+def test_pii_scrub_overlap_order(spark):
+    # email is applied first, so a dotted alpha-TLD host is eaten whole by
+    # the email pattern; an IP-host "email" fails the alpha-TLD requirement
+    # and its address falls through to the IPv4 pattern — redacted either way
+    docs = _docs(spark, [(1, "a@ex.com then a@10.1.2.3 then 10.1.2.3")])
+    r = pii_scrub(docs).collect()[0]
+    assert r["clean_text"] == "<EMAIL> then a@<IP> then <IP>"
+    assert r["n_redactions"] == 3
+
+
+def test_salted_split_deterministic_and_proportional(spark):
+    docs = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    out = salted_split(docs).groupBy("split").count().collect()
+    counts = {r["split"]: r["count"] for r in out}
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > 1600                  # ~90% of 2000
+    assert 40 <= counts["val"] <= 160              # ~5%
+    assert 40 <= counts["test"] <= 160
+    # same salt -> identical assignment; new salt -> a re-deal
+    a = salted_split(docs).collect()
+    b = salted_split(docs).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    c = {r["doc_id"]: r["split"]
+         for r in salted_split(docs, salt="v2").collect()}
+    moved = sum(1 for r in a if c[r["doc_id"]] != r["split"])
+    assert moved > 0
+
+
+def test_source_stats_counts_within_source_dups(spark):
+    rows = [
+        (1, "alpha beta", "en", "src_a"),
+        (2, "alpha beta", "en", "src_a"),     # exact dup within src_a
+        (3, "gamma delta", "de", "src_a"),
+        (4, "alpha beta", "en", "src_b"),     # same text, other source: no dup
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string")
+    got = {r["source"]: r for r in source_stats(docs).collect()}
+    assert got["src_a"]["n_docs"] == 3
+    assert got["src_a"]["n_tokens"] == 6
+    assert got["src_a"]["n_langs"] == 2
+    assert got["src_a"]["n_dup_docs"] == 2
+    assert got["src_b"]["n_dup_docs"] == 0
