@@ -55,22 +55,25 @@ def main() -> None:
     reg[names[0]].build(spark, sf_dir).write.format("noop").mode(
         "overwrite").save()
 
-    times: dict[str, float] = {}
-    for name in names:
-        best = float("inf")
-        for _ in range(2):  # best-of-2 damps co-tenant load spikes
+    # best-of-2, with the passes INTERLEAVED (A,B,...,A,B,... rather than
+    # A,A,B,B,...): a co-tenant load spike then dents one whole pass instead
+    # of both timings of the queries it overlaps, so min() recovers the
+    # clean number for every query
+    times: dict[str, float] = {name: float("inf") for name in names}
+    for _ in range(2):
+        for name in names:
             t0 = time.perf_counter()
             # noop sink materializes every output row without sink cost;
             # count() would let Catalyst eliminate unique-key left joins
             # (e.g. the flagship's join-back) and under-measure the plan
             reg[name].build(spark, sf_dir).write.format("noop").mode(
                 "overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        times[name] = round(best, 3)
-        # several plan builders cache shared subtrees (shingles, signature
-        # pyramids, banded edges); drop them so a long bench session doesn't
-        # accumulate pinned storage across queries
-        spark.catalog.clearCache()
+            times[name] = min(times[name], time.perf_counter() - t0)
+            # several plan builders cache shared subtrees (shingles,
+            # signature pyramids, banded edges); drop them so a long bench
+            # session doesn't accumulate pinned storage across queries
+            spark.catalog.clearCache()
+    times = {name: round(t, 3) for name, t in times.items()}
 
     total = round(sum(times.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

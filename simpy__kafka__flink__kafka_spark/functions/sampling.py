@@ -108,6 +108,13 @@ def salted_split(docs: DataFrame, weights: tuple[int, int, int] = (90, 5, 5),
     leakage guard when ids also drive sharding or sampling.  Pure codegen
     expression per row: no shuffle, no RNG, identical assignment on every
     engine and every run.
+
+    Precision note: 16^6 is not divisible by 100, so ``mod 100`` carries a
+    modulo bias of ~4e-6 per bucket (buckets 0-15 are hit by one extra
+    16^6-range value each) — proportions are "exact" only to that
+    tolerance.  If finer or unbiased splits are ever needed, switch to
+    ``mod 10000`` with basis-point weights and update ``_SALTED_SPLIT_SQL``
+    in lockstep.
     Output: (id_col, bucket, split).
     """
     w_train, w_val, w_test = weights

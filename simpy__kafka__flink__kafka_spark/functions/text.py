@@ -282,8 +282,13 @@ def vocab_coverage(df: DataFrame, min_df_pct: int = 60,
 def doc_blocks(df: DataFrame, w: int = 8, id_col: str = "doc_id",
                text_col: str = "text") -> DataFrame:
     """Explode each doc into non-overlapping ``w``-word blocks.
-    Output: (id_col, block_idx, block_hash) — md5 of the block text, so
-    every downstream shuffle keys on a fixed-width hash, not a raw string.
+    Output: (id_col, block_idx, block_hash, block_len) — md5 of the block
+    text, so every downstream shuffle keys on a fixed-width hash, not a raw
+    string; ``block_len`` is the actual word count (< ``w`` for the
+    trailing partial block), so consumers can restrict matching to
+    full-width spans — C4-style span dedup only considers those, otherwise
+    a 1-word tail fragment shared by chance across docs counts as a
+    "duplicate passage".
     """
     base = df.select(F.col(id_col), words(text_col).alias("_t"))
     starts = F.sequence(
@@ -297,6 +302,8 @@ def doc_blocks(df: DataFrame, w: int = 8, id_col: str = "doc_id",
         F.md5(
             F.concat_ws(" ", F.slice("_t", F.col("_s") + 1, w))
         ).alias("block_hash"),
+        (F.least(F.size("_t"), F.col("_s") + w) - F.col("_s"))
+        .alias("block_len"),
     )
 
 
@@ -310,21 +317,106 @@ def passage_dup_summary(df: DataFrame, w: int = 8, id_col: str = "doc_id",
 
     Scale shape: one groupBy over (block_hash) for cross-doc counts, one
     equi-join back on the same key (co-partitioned after the first
-    shuffle), one per-doc agg.  No all-pairs anything.
+    shuffle), one per-doc agg.  No all-pairs anything.  Only full-``w``
+    blocks participate in dup matching (``block_len == w``) — the trailing
+    partial block is counted in ``n_blocks`` but can never be a dup, so a
+    short tail fragment shared by chance across docs doesn't inflate the
+    signal.
     Output: (id_col, n_blocks, n_dup_blocks).
     """
     blocks = doc_blocks(df, w=w, id_col=id_col, text_col=text_col)
-    stats = blocks.groupBy("block_hash").agg(
+    stats = blocks.where(F.col("block_len") == w).groupBy("block_hash").agg(
         F.countDistinct(id_col).alias("_nd")
     )
     return (
-        blocks.join(stats, "block_hash")
+        blocks.join(stats, "block_hash", "left")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_blocks"),
-            F.sum(F.when(F.col("_nd") > 1, 1).otherwise(0))
-            .cast("long").alias("n_dup_blocks"),
+            F.sum(
+                F.when((F.col("block_len") == w) & (F.col("_nd") > 1), 1)
+                .otherwise(0)
+            ).cast("long").alias("n_dup_blocks"),
         )
+    )
+
+
+def passage_rewrite(df: DataFrame, w: int = 8, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """C4-style span REMOVAL — the transformation twin of
+    :func:`passage_dup_summary`: every full-``w``-word block whose text is
+    shared verbatim with at least one OTHER doc is removed, except the
+    globally-first occurrence (minimum ``(doc_id, block_idx)``), and the
+    doc is reassembled from the surviving blocks in order.  Partial tail
+    blocks never participate in matching and are always kept.
+
+    Contract details: "cross-doc duplicated" means the block hash appears
+    in > 1 distinct doc; for such a hash exactly ONE occurrence survives
+    corpus-wide (the minimum ``(doc_id, block_idx)``) — later repeats
+    inside the first doc are removed too.  Within-doc-only repeats are
+    untouched.
+
+    Scale shape: identical to the summary — explode -> md5 -> groupBy on
+    the fixed-width block hash -> join-back — plus one per-doc ordered
+    reassembly agg (``collect_list`` of (idx, text) structs, sorted
+    per-group; bounded by doc length, never a corpus-wide sort).  The
+    first-occurrence rule rides the same groupBy as the dup count: min
+    over the integer key ``doc_id * 1e6 + block_idx`` (block_idx < 1e6 is
+    asserted by doc length at any sane ``w``), so no second shuffle.
+    Output: (id_col, n_blocks, n_removed, clean_text).
+    """
+    base = df.select(F.col(id_col), words(text_col).alias("_t"))
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size("_t") - 1, F.lit(0)), F.lit(w)
+    )
+    blocks = (
+        base.select(
+            F.col(id_col), F.posexplode(starts).alias("block_idx", "_s"), "_t"
+        )
+        .select(
+            F.col(id_col),
+            "block_idx",
+            F.concat_ws(" ", F.slice("_t", F.col("_s") + 1, w)).alias("_bt"),
+            (F.least(F.size("_t"), F.col("_s") + w) - F.col("_s"))
+            .alias("_len"),
+        )
+        .withColumn("_bh", F.md5("_bt"))
+        .withColumn(
+            "_key",
+            F.col(id_col).cast("long") * F.lit(1_000_000) + F.col("block_idx"),
+        )
+    )
+    stats = (
+        blocks.where(F.col("_len") == w)
+        .groupBy("_bh")
+        .agg(
+            F.countDistinct(id_col).alias("_nd"),
+            F.min("_key").alias("_first"),
+        )
+    )
+    # left join: partial-block hashes may be absent from stats; for those
+    # (_len == w) is false so the AND short-circuits to false, never null
+    flagged = blocks.join(stats, "_bh", "left").withColumn(
+        "_rm",
+        (F.col("_len") == w)
+        & (F.col("_nd") > 1)
+        & (F.col("_key") != F.col("_first")),
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.sum(F.col("_rm").cast("int")).cast("long").alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.when(~F.col("_rm"),
+                               F.struct("block_idx", "_bt"))
+                    )
+                ),
+                lambda s: s["_bt"],
+            ),
+            " ",
+        ).alias("clean_text"),
     )
 
 
@@ -360,7 +452,10 @@ def chunk_documents(df: DataFrame, window: int = 64, stride: int = 48,
 PII_PATTERNS: list[tuple[str, str, str]] = [
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
-    ("phone", r"\+?\d{3}[- ]\d{3}[- ]\d{4}", "<PHONE>"),
+    # \b on both ends so the pattern can't bite a substring out of longer
+    # digit/dash runs (ids, serials like 0123-456-78901); a leading "+" is
+    # left unredacted (\b can't sit between two non-word chars) — acceptable
+    ("phone", r"\b\+?\d{3}[- ]\d{3}[- ]\d{4}\b", "<PHONE>"),
     ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
 ]
 

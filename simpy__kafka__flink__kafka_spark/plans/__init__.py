@@ -56,16 +56,18 @@ CHECKED_FIRST = [
     "repetition_ratio", "vocab_coverage",
     # round-4 corpus additions: C4-style cross-doc passage dedup and
     # fixed-window chunking (pii_scrub / salted_split / source_stats stay in
-    # the oracled pytest-checked tail)
-    "passage_dedup", "chunk_documents",
+    # the oracled pytest-checked tail); round-5 adds the span-REMOVAL twin
+    # passage_rewrite (VERDICT r04 task #2)
+    "passage_dedup", "chunk_documents", "passage_rewrite",
     # relational surface (bonus operators beyond the reference; demoted
     # twins — customers_without_orders, parts_with_cheap_supply,
     # above_avg_orders in r2, brand_set_ops + pivot_status in r3,
     # topk_per_brand + rollup_revenue in r4 for repetition/vocab, then
     # supplier_order_coverage + region_revenue for the two corpus rows
-    # above — were all gate-green in earlier rounds (CORRECTNESS_r01-r03)
-    # and stay declared + pytest-checked in the tail)
-    "asof_last_click", "pricing_summary",
+    # above, then pricing_summary (gate-green since r1) demoted in r5 to
+    # fund the passage_rewrite slot — all stay declared + pytest-checked
+    # in the tail)
+    "asof_last_click",
     "sessionize_events", "tumbling_daily",
 ]
 

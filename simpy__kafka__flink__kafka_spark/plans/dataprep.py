@@ -1001,14 +1001,56 @@ def _q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PASSAGE_DEDUP_SQL = f"""
 WITH {_WORDS_CTE},
 b AS (
-  SELECT doc_id, md5(array_to_string(ws[s+1:s+8], ' ')) AS bh
+  SELECT doc_id, md5(array_to_string(ws[s+1:s+8], ' ')) AS bh,
+         least(len(ws), s+8) - s AS bl
   FROM w, unnest(generate_series(0, greatest(len(ws) - 1, 0), 8)) AS g(s)
 ),
-st AS (SELECT bh, count(DISTINCT doc_id) AS nd FROM b GROUP BY 1)
+st AS (SELECT bh, count(DISTINCT doc_id) AS nd FROM b WHERE bl = 8 GROUP BY 1)
 SELECT b.doc_id,
        CAST(count(*) AS BIGINT) AS n_blocks,
-       CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_blocks
-FROM b JOIN st USING (bh)
+       CAST(sum(CASE WHEN bl = 8 AND nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_blocks
+FROM b LEFT JOIN st USING (bh)
+GROUP BY 1
+"""
+
+
+def _q_passage_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-removal twin of passage_dedup: cross-doc-duplicated full-width
+    blocks removed (global first occurrence kept), text reassembled; the
+    gate row hashes the reassembled text (arrays/long strings don't
+    canonicalize at the gate)."""
+    from ..functions.text import passage_rewrite
+
+    return passage_rewrite(_docs(spark, sf_dir), w=8).select(
+        "doc_id", "n_blocks", "n_removed",
+        F.md5("clean_text").alias("clean_hash"),
+    )
+
+
+_PASSAGE_REWRITE_SQL = f"""
+WITH {_WORDS_CTE},
+b AS (
+  SELECT doc_id,
+         s // 8 AS bi,
+         array_to_string(ws[s+1:s+8], ' ') AS bt,
+         least(len(ws), s+8) - s AS bl,
+         doc_id * 1000000 + (s // 8) AS k
+  FROM w, unnest(generate_series(0, greatest(len(ws) - 1, 0), 8)) AS g(s)
+),
+st AS (SELECT md5(bt) AS bh, count(DISTINCT doc_id) AS nd, min(k) AS first_k
+       FROM b WHERE bl = 8 GROUP BY 1),
+f AS (
+  SELECT b.doc_id, b.bi, b.bt,
+         COALESCE(b.bl = 8 AND st.nd > 1 AND b.k != st.first_k, FALSE) AS rm
+  FROM b LEFT JOIN st ON md5(b.bt) = st.bh
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_blocks,
+       CAST(sum(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       md5(COALESCE(string_agg(CASE WHEN NOT rm THEN bt END, ' ' ORDER BY bi),
+                    '')) AS clean_hash
+FROM f
 GROUP BY 1
 """
 
@@ -1201,6 +1243,9 @@ QUERIES: dict[str, Query] = {
                                 "deterministic temperature-based source mix"),
     "passage_dedup": Query(_q_passage_dedup, _PASSAGE_DEDUP_SQL,
                            "C4-style cross-doc passage (8-word block) dup profile"),
+    "passage_rewrite": Query(
+        _q_passage_rewrite, _PASSAGE_REWRITE_SQL,
+        "C4-style span removal: cross-doc dup blocks cut, first kept"),
     "chunk_documents": Query(_q_chunk_documents, _CHUNK_SQL,
                              "64-token chunks every 48 tokens (overlap 16)"),
     "pii_scrub": Query(_q_pii_scrub, _pii_scrub_sql(),

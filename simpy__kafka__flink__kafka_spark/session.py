@@ -12,6 +12,8 @@ import os
 
 from pyspark.sql import SparkSession
 
+from ._protobuf_compat import ensure_protobuf
+
 
 def enable_rocksdb_state(spark: SparkSession) -> None:
     """Production state-store posture for streaming (the reference requires
@@ -32,6 +34,10 @@ def enable_rocksdb_state(spark: SparkSession) -> None:
 
 def get_spark(app_name: str = "simpy_kafka_flink_kafka_spark",
               shuffle_partitions: int | None = None) -> SparkSession:
+    # transformWithStateInPandas needs google.protobuf in driver AND workers;
+    # resolve it (possibly via a vendored runtime + PYTHONPATH export) BEFORE
+    # the JVM launches so forked python workers inherit the environment.
+    ensure_protobuf()
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     if shuffle_partitions is None:
         shuffle_partitions = int(cpus) if cpus.isdigit() else 32

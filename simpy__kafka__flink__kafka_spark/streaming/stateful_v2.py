@@ -8,9 +8,11 @@ ValueState quintet + per-record event-time timer at ``end_at_ms``).
 
 The ``applyInPandasWithState`` implementation in ``stateful.py`` remains
 the battle-tested default; this one is the forward path.  NOTE: the API's
-driver worker needs the ``protobuf`` package at runtime — environments
-without it (like this build container) fall back to v1 (``HAS_TWS`` False;
-the semantics test skips).
+state-server client needs the ``protobuf`` package at runtime;
+``_protobuf_compat.ensure_protobuf`` locates a vendored pure-Python
+runtime when the package isn't pip-installed.  Environments where neither
+exists fall back to v1 (``HAS_TWS`` False; the semantics test skips, and
+the raised error carries the actual ImportError).
 """
 
 from __future__ import annotations
@@ -21,15 +23,21 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 
+from .._protobuf_compat import ensure_protobuf
+
+_PB_ORIGIN = ensure_protobuf()
+
 try:  # Spark >= 4.0, and the API's protobuf wire dependency must import
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor, StatefulProcessorHandle)
     from google.protobuf import descriptor as _descriptor  # noqa: F401
 
     HAS_TWS = True
-except ImportError:  # pragma: no cover
+    _TWS_IMPORT_ERROR: ImportError | None = None
+except ImportError as _e:  # pragma: no cover
     StatefulProcessor = object
     HAS_TWS = False
+    _TWS_IMPORT_ERROR = _e
 
 from .stateful import OUTPUT_SCHEMA, _append_unique, _emit_row
 
@@ -95,8 +103,8 @@ def aggregate_updates_stream_v2(updates: DataFrame,
     if not HAS_TWS:  # pragma: no cover
         raise NotImplementedError(
             "transformWithStateInPandas needs Spark >= 4.0 AND the protobuf "
-            "package (its state-server wire format); this environment lacks "
-            "protobuf — use aggregate_updates_stream (v1) instead")
+            "package (its state-server wire format); import failed with: "
+            f"{_TWS_IMPORT_ERROR!r} — use aggregate_updates_stream (v1) instead")
     return (
         updates.withWatermark("event_ts", watermark)
         .groupBy("key_id")

@@ -6,7 +6,8 @@ from __future__ import annotations
 
 from simpy__kafka__flink__kafka_spark.functions.sampling import salted_split
 from simpy__kafka__flink__kafka_spark.functions.text import (
-    chunk_documents, passage_dup_summary, pii_scrub, source_stats)
+    chunk_documents, passage_dup_summary, passage_rewrite, pii_scrub,
+    source_stats)
 
 
 def _docs(spark, rows):
@@ -25,6 +26,60 @@ def test_passage_dup_summary_flags_shared_blocks(spark):
     got = {r["doc_id"]: (r["n_blocks"], r["n_dup_blocks"])
            for r in passage_dup_summary(docs, w=8).collect()}
     assert got == {1: (2, 1), 2: (2, 1), 3: (1, 0)}
+
+
+def test_passage_dup_summary_ignores_partial_tail(spark):
+    # a 1-word tail fragment shared by chance across docs is NOT a dup
+    # passage — only full-w blocks participate in matching
+    docs = _docs(spark, [
+        (1, " ".join(f"a{i}" for i in range(8)) + " zz"),
+        (2, " ".join(f"b{i}" for i in range(8)) + " zz"),
+    ])
+    got = {r["doc_id"]: (r["n_blocks"], r["n_dup_blocks"])
+           for r in passage_dup_summary(docs, w=8).collect()}
+    assert got == {1: (2, 0), 2: (2, 0)}
+
+
+def test_passage_rewrite_keeps_global_first_occurrence(spark):
+    shared = " ".join(f"w{i}" for i in range(8))
+    uniq_a = " ".join(f"a{i}" for i in range(8))
+    uniq_b = " ".join(f"b{i}" for i in range(8))
+    docs = _docs(spark, [
+        (1, f"{shared} {uniq_a} tail"),
+        (2, f"{uniq_b} {shared}"),
+        (3, f"{shared} solo"),
+    ])
+    got = {r["doc_id"]: (r["n_blocks"], r["n_removed"], r["clean_text"])
+           for r in passage_rewrite(docs, w=8).collect()}
+    assert got[1] == (3, 0, f"{shared} {uniq_a} tail")  # first occurrence kept
+    assert got[2] == (2, 1, uniq_b)
+    assert got[3] == (2, 1, "solo")  # partial tail always survives
+
+
+def test_passage_rewrite_removes_repeat_inside_first_doc(spark):
+    shared = " ".join(f"w{i}" for i in range(8))
+    docs = _docs(spark, [
+        (1, f"{shared} {shared}"),  # cross-doc dup repeated in the first doc
+        (2, f"{shared} x"),
+    ])
+    got = {r["doc_id"]: (r["n_removed"], r["clean_text"])
+           for r in passage_rewrite(docs, w=8).collect()}
+    # exactly ONE occurrence of the shared block survives corpus-wide:
+    # (doc 1, block 0); the in-doc repeat and doc 2's copy are both removed
+    assert got[1] == (1, shared)
+    assert got[2] == (1, "x")
+
+
+def test_passage_rewrite_within_doc_only_repeats_untouched(spark):
+    block = " ".join(f"v{i}" for i in range(8))
+    docs = _docs(spark, [
+        (1, f"{block} {block}"),  # repeated, but in no OTHER doc
+        (2, " ".join(f"u{i}" for i in range(8))),
+    ])
+    got = {r["doc_id"]: (r["n_removed"], r["clean_text"])
+           for r in passage_rewrite(docs, w=8).collect()}
+    assert got[1] == (0, f"{block} {block}")
+    assert got[2][0] == 0
 
 
 def test_chunk_documents_window_stride_and_tail(spark):

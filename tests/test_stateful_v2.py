@@ -10,6 +10,7 @@ import uuid
 import pytest
 
 from simpy__kafka__flink__kafka_spark.schemas import golden_messages
+from simpy__kafka__flink__kafka_spark.session import enable_rocksdb_state
 from simpy__kafka__flink__kafka_spark.streaming.pipeline import (
     file_spans_source, link_traces_two_phase)
 from simpy__kafka__flink__kafka_spark.streaming.stateful_v2 import (
@@ -27,6 +28,9 @@ FLUSH = [("flush", "10.9.9.9", "10.9.9.8", 100_000, 10.0, 100_010)]
 @pytest.mark.skipif(not HAS_TWS,
                     reason="needs Spark >= 4.0 with a working protobuf install")
 def test_tws_agg_matches_v1_semantics(spark, tmp_path):
+    # transformWithStateInPandas uses multiple state column families, which
+    # the default HDFSBackedStateStoreProvider rejects — RocksDB required
+    enable_rocksdb_state(spark)
     ind, bridge, ck1 = (str(tmp_path / k) for k in ("in", "bridge", "ck1"))
     os.makedirs(ind)
     for rows in (G1, FLUSH):
