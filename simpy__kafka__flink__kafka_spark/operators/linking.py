@@ -68,13 +68,25 @@ def link_edges(msgs: DataFrame) -> DataFrame:
     )
 
 
-def link_edges_banded(msgs: DataFrame, band_ms: int = MAX_LATENCY_MS) -> DataFrame:
+def link_edges_banded(msgs: DataFrame, band_ms: int = MAX_LATENCY_MS,
+                      salt: int = 1) -> DataFrame:
     """Edge discovery via bounded-range band join (the scale path).
 
     Parents explode into every time band their interval touches (at most 2
     when ``band_ms >= max span length``); children join on their start band.
     Join key ``(ip, band)`` breaks per-IP skew and bounds per-task pair counts
     regardless of total data volume.
+
+    ``salt > 1`` is the burst-skew escape hatch: when a traffic burst puts
+    a huge span population inside ONE (ip, band) cell, the in-cell pair
+    enumeration is inherently quadratic and — without help — lands on one
+    task.  Salting splits each cell ``salt`` ways: children take a
+    deterministic salt bucket (hash of id), parents replicate into every
+    bucket (fragment-replicate), so the same total comparisons spread
+    across ``salt`` tasks.  Exactly-once is preserved — each child row
+    exists in exactly one (band, salt) cell and the parent copy in that
+    cell is unique.  Default 1 leaves the plan untouched; see
+    ``experiments/burst_skew_ab.py`` for the measured recipe.
     """
     band = F.lit(int(band_ms))
     p = (
@@ -87,13 +99,20 @@ def link_edges_banded(msgs: DataFrame, band_ms: int = MAX_LATENCY_MS) -> DataFra
                 )
             ),
         )
-    ).alias("p")
-    c = msgs.withColumn("band", (F.col("start_at_ms") / band).cast("long")).alias("c")
-    return p.join(
-        c,
-        (F.col("p.band") == F.col("c.band")) & _containment_cond(),
-        "inner",
-    ).select(F.col("p.id").alias("parent_id"), F.col("c.id").alias("child_id"))
+    )
+    c = msgs.withColumn("band", (F.col("start_at_ms") / band).cast("long"))
+    cond = (F.col("p.band") == F.col("c.band")) & _containment_cond()
+    if salt > 1:
+        p = p.withColumn(
+            "salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+        )
+        c = c.withColumn(
+            "salt", F.pmod(F.xxhash64("id"), F.lit(salt)).cast("int")
+        )
+        cond = cond & (F.col("p.salt") == F.col("c.salt"))
+    return p.alias("p").join(c.alias("c"), cond, "inner").select(
+        F.col("p.id").alias("parent_id"), F.col("c.id").alias("child_id")
+    )
 
 
 def aggregate_adjacency(msgs: DataFrame, edges: DataFrame) -> DataFrame:

@@ -75,3 +75,20 @@ def test_zero_width_nesting(spark):
     out = {r["id"]: r for r in link_traces(golden_messages(spark, rows)).collect()}
     assert out["p"]["children"] == ["c"]
     assert out["c"]["parents"] == ["p"]
+
+
+def test_salted_banded_edges_match_plain(spark, sf_dir):
+    """Fragment-replicate salting (the burst-skew escape hatch) must return
+    the identical edge set at any salt factor."""
+    from simpy__kafka__flink__kafka_spark.operators.linking import (
+        link_edges_banded)
+    from simpy__kafka__flink__kafka_spark.plans.trace import (
+        messages_from_events)
+
+    msgs = messages_from_events(spark, sf_dir)
+    plain = {(r["parent_id"], r["child_id"])
+             for r in link_edges_banded(msgs).collect()}
+    for s in (4, 7):
+        salted = {(r["parent_id"], r["child_id"])
+                  for r in link_edges_banded(msgs, salt=s).collect()}
+        assert salted == plain
