@@ -1,0 +1,99 @@
+"""Vendored dependency-free codecs: P6 PPM decode/resize and PCM WAV
+decode, plus the EXECUTED Arrow path (image_stats over mapInPandas) —
+these turn the former NotImplementedError seams into live pipelines for
+uncompressed formats.  Compressed formats still raise the documented
+NotImplementedError (also pinned here)."""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+
+import numpy as np
+import pytest
+
+from simpy__kafka__flink__kafka_spark.functions.multimodal import (
+    decode_audio, decode_image, decode_ppm, encode_ppm, image_stats,
+    resize_image)
+
+
+def _ppm_bytes(w: int, h: int, comment: bool = False) -> bytes:
+    px = (np.arange(w * h * 3) % 251).astype(np.uint8).reshape(h, w, 3)
+    raw = encode_ppm(px)
+    if comment:
+        raw = raw.replace(b"P6\n", b"P6\n# a comment\n", 1)
+    return raw
+
+
+def _wav_bytes(n_frames: int = 400, rate: int = 8000, ch: int = 1) -> bytes:
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wv:
+        wv.setnchannels(ch)
+        wv.setsampwidth(2)
+        wv.setframerate(rate)
+        t = np.arange(n_frames * ch)
+        wv.writeframes(
+            (np.sin(t / 10.0) * 1000).astype(np.int16).tobytes())
+    return buf.getvalue()
+
+
+def test_ppm_roundtrip_and_comment_header():
+    raw = _ppm_bytes(5, 3)
+    px = decode_ppm(raw)
+    assert px.shape == (3, 5, 3)
+    assert encode_ppm(px) == raw
+    px2 = decode_ppm(_ppm_bytes(5, 3, comment=True))
+    assert np.array_equal(px, px2)
+
+
+def test_decode_image_dispatches_ppm():
+    px = decode_image(_ppm_bytes(4, 4))
+    assert px.shape == (4, 4, 3)
+
+
+def test_decode_image_non_ppm_raises_documented_seam():
+    with pytest.raises(NotImplementedError, match="imaging library"):
+        decode_image(b"\x89PNG\r\n\x1a\n garbage")
+
+
+def test_resize_ppm_nearest_neighbor():
+    raw = _ppm_bytes(8, 8)
+    small = resize_image(raw, 4, 2)
+    px = decode_ppm(small)
+    assert px.shape == (2, 4, 3)
+    # corner pixel is preserved exactly by nearest-neighbor
+    assert np.array_equal(px[0, 0], decode_ppm(raw)[0, 0])
+
+
+def test_decode_audio_wav_pcm():
+    samples, rate = decode_audio(_wav_bytes(n_frames=400, rate=8000, ch=2))
+    assert rate == 8000
+    assert samples.shape == (400, 2)
+    assert samples.dtype == np.int16
+
+
+def test_decode_audio_non_wav_raises_documented_seam():
+    with pytest.raises(NotImplementedError, match="audio I/O library"):
+        decode_audio(b"fLaC garbage")
+
+
+def test_image_stats_arrow_path(spark):
+    rows = [(1, _ppm_bytes(6, 4)), (2, _ppm_bytes(3, 3))]
+    media = spark.createDataFrame(
+        rows, "doc_id long, content binary")
+    got = {r["doc_id"]: r for r in image_stats(media).collect()}
+    assert (got[1]["width"], got[1]["height"]) == (6, 4)
+    assert (got[2]["width"], got[2]["height"]) == (3, 3)
+    exp = [round(float(m), 6)
+           for m in decode_ppm(rows[0][1]).mean(axis=(0, 1))]
+    assert got[1]["mean_rgb"] == exp
+
+
+def test_wav_header_fields_honored():
+    # hand-check the RIFF header our fixture writes (guards the stdlib
+    # round-trip against silent format drift)
+    raw = _wav_bytes(n_frames=10, rate=44100, ch=1)
+    assert raw[:4] == b"RIFF" and raw[8:12] == b"WAVE"
+    rate = struct.unpack("<I", raw[raw.index(b"fmt ") + 12:][:4])[0]
+    assert rate == 44100
