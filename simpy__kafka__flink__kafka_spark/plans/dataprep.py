@@ -575,6 +575,61 @@ FROM documents
 """
 
 
+def _q_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LIVE image-decode path (round 5): synthesize a valid 4x4 P6 PPM
+    payload per doc (header + 48-byte raster from md5 hex — deterministic
+    and pure ASCII so both engines agree byte-for-byte), run the vendored
+    decoder through the Arrow ``mapInPandas`` pipeline, emit dimensions +
+    per-channel means.  Unlike ``multimodal_features`` (which fingerprints
+    opaque bytes) this row proves an actual codec executes inside the
+    distributed plan."""
+    from ..functions.multimodal import image_stats
+
+    docs = _docs(spark, sf_dir)
+    raster = F.concat(
+        F.md5(F.col("text")),
+        F.substring(F.md5(F.concat(F.col("text"), F.lit("x"))), 1, 16),
+    )
+    media = docs.select(
+        "doc_id",
+        F.concat(
+            F.encode(F.lit("P6\n4 4\n255\n"), "UTF-8"),
+            F.encode(raster, "UTF-8"),
+        ).alias("content"),
+    )
+    return image_stats(media).select(
+        "doc_id",
+        "width",
+        "height",
+        F.element_at("mean_rgb", 1).alias("mean_r"),
+        F.element_at("mean_rgb", 2).alias("mean_g"),
+        F.element_at("mean_rgb", 3).alias("mean_b"),
+    )
+
+
+# channel mean = avg of 16 byte values; the sum of <=16*102 is exact and
+# /16 is a power of two, so the double is bit-identical to numpy's mean
+_IMAGE_DECODE_SQL = """
+WITH r AS (
+  SELECT doc_id, md5(text) || substr(md5(text || 'x'), 1, 16) AS ras
+  FROM documents
+)
+SELECT doc_id,
+       CAST(4 AS INTEGER) AS width,
+       CAST(4 AS INTEGER) AS height,
+       round(list_avg(list_transform(generate_series(0, 15),
+                                     j -> ascii(substr(ras, 3*j + 1, 1)))), 6)
+         AS mean_r,
+       round(list_avg(list_transform(generate_series(0, 15),
+                                     j -> ascii(substr(ras, 3*j + 2, 1)))), 6)
+         AS mean_g,
+       round(list_avg(list_transform(generate_series(0, 15),
+                                     j -> ascii(substr(ras, 3*j + 3, 1)))), 6)
+         AS mean_b
+FROM r
+"""
+
+
 # ---------------------------------------------------------------------------
 # TF-IDF (tokenize -> tf -> idf -> score; classic text-analysis pipeline)
 # ---------------------------------------------------------------------------
@@ -1192,6 +1247,9 @@ QUERIES: dict[str, Query] = {
                               "corpus-wide term frequency top-20"),
     "multimodal_features": Query(_q_multimodal_features, _multimodal_sql(),
                                  "binary column + mapInPandas feature extraction"),
+    "image_decode_stats": Query(
+        _q_image_decode_stats, _IMAGE_DECODE_SQL,
+        "live P6 decode through Arrow mapInPandas: dims + channel means"),
     "multimodal_frames": Query(_q_multimodal_frames, _MULTIMODAL_FRAMES_SQL,
                                "fixed-stride frame sampling over binary content"),
     "language_id": Query(_q_language_id, _lang_id_sql(),

@@ -64,3 +64,44 @@ def test_tws_agg_matches_v1_semantics(spark, tmp_path):
         "id2": (["id1"], ["id3"]),
         "id3": (["id2"], []),
     }
+
+
+@pytest.mark.skipif(not HAS_TWS,
+                    reason="needs Spark >= 4.0 with a working protobuf install")
+def test_tws_idle_flush_emits_on_wall_clock(spark, tmp_path):
+    """The native processing-time TWS twin: a sparse key flushes after
+    idle_ms on the WALL clock even though no watermark ever passes its end
+    time — the divergence the v1 event-time emulation documents is closed
+    by this operator."""
+    from simpy__kafka__flink__kafka_spark.streaming.stateful import (
+        span_message_events)
+    from simpy__kafka__flink__kafka_spark.streaming.stateful_v2 import (
+        aggregate_updates_idle_v2)
+
+    enable_rocksdb_state(spark)
+    ind = str(tmp_path / "in")
+    os.makedirs(ind)
+    rows = [("solo2", "10.0.0.1", "10.0.0.2", 1000, 500.0, 1500)]
+    golden_messages(spark, rows).coalesce(1).write.mode("append").parquet(ind)
+
+    spans = file_spans_source(spark, ind, watermark=None)
+    out = aggregate_updates_idle_v2(span_message_events(spans), idle_ms=1500)
+    q = (
+        out.writeStream.format("memory")
+        .queryName(f"tws_idle_{uuid.uuid4().hex[:8]}")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        emitted = {}
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            emitted = {r.id: r for r in
+                       spark.sql(f"SELECT * FROM {q.name}").collect()}
+            if "solo2" in emitted:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert "solo2" in emitted
+    assert emitted["solo2"].parents == [] and emitted["solo2"].children == []
