@@ -270,6 +270,45 @@ def sample_frames(media: DataFrame, frame_bytes: int = 64,
     return media.mapInPandas(run, FRAME_SCHEMA)
 
 
+AUDIO_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("n_frames", T.LongType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_channels", T.IntegerType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+    ]
+)
+
+
+def audio_stats(media: DataFrame) -> DataFrame:
+    """EXECUTED audio-decode path: Arrow-batched ``mapInPandas`` running
+    :func:`decode_audio` (stdlib ``wave`` for PCM WAV) on every payload,
+    emitting frame count, rate, channels, and RMS amplitude — the
+    audio-side twin of :func:`image_stats`."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            def stats(b: bytes) -> tuple[int, int, int, float]:
+                samples, rate = decode_audio(b)
+                rms = float(np.sqrt(np.mean(samples.astype(np.float64) ** 2)))
+                return (samples.shape[0], rate, samples.shape[1],
+                        round(rms, 6))
+
+            out = pdf["content"].map(stats)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_frames": out.map(lambda t: t[0]).astype("int64"),
+                    "sample_rate": out.map(lambda t: t[1]).astype("int32"),
+                    "n_channels": out.map(lambda t: t[2]).astype("int32"),
+                    "rms": out.map(lambda t: t[3]),
+                }
+            )
+
+    return media.mapInPandas(run, AUDIO_STATS_SCHEMA)
+
+
 def _fake_features(content: bytes) -> list[float]:
     """Deterministic stand-in for a real feature extractor: first 4 bytes of
     the md5 digest, scaled to [0,1].  Matches the oracle expression

@@ -115,6 +115,57 @@ def link_edges_banded(msgs: DataFrame, band_ms: int = MAX_LATENCY_MS,
     )
 
 
+def link_edges_banded_adaptive(msgs: DataFrame,
+                               band_ms: int = MAX_LATENCY_MS,
+                               pair_budget: int = 50_000_000,
+                               max_salt: int = 64) -> DataFrame:
+    """The PLANS.md burst recipe as code: probe the (ip, band) cell
+    population with one cheap count aggregation, estimate the worst-case
+    in-cell pair enumeration (max parents x max children over cells), and
+    pick ``salt = ceil(worst_pairs / pair_budget)`` before running the
+    banded join.  A uniform workload probes to salt=1 (plan identical to
+    :func:`link_edges_banded`); a burst cell gets spread over enough tasks
+    that no task enumerates more than ~``pair_budget`` pairs.
+
+    Eager by design (the probe is a count action, like the fixpoint CC's
+    convergence check) — so this lives OUTSIDE the lazily-declared query
+    registry; batch jobs call it directly.  The probe costs one shuffle of
+    (ip, band, side) counts — O(distinct cells), trivially cheap next to
+    the join it protects.  AQE cannot do this for us: its skew detection
+    keys on input bytes and a burst cell's input is tiny
+    (``experiments/burst_skew_ab.py``).
+    """
+    band = F.lit(int(band_ms))
+    p_cells = (
+        msgs.withColumn(
+            "band",
+            F.explode(
+                F.sequence(
+                    (F.col("start_at_ms") / band).cast("long"),
+                    (F.col("end_at_ms") / band).cast("long"),
+                )
+            ),
+        )
+        .groupBy("dst_ip", "band")
+        .agg(F.count(F.lit(1)).alias("n_p"))
+    )
+    c_cells = (
+        msgs.withColumn("band", (F.col("start_at_ms") / band).cast("long"))
+        .groupBy("src_ip", "band")
+        .agg(F.count(F.lit(1)).alias("n_c"))
+    )
+    worst = (
+        p_cells.join(
+            c_cells,
+            (p_cells.dst_ip == c_cells.src_ip) & (p_cells.band == c_cells.band),
+        )
+        .agg(F.max(F.col("n_p") * F.col("n_c")).alias("w"))
+        .collect()[0]["w"]
+    )
+    salt = 1 if not worst else min(max_salt, -(-int(worst) // pair_budget))
+    return link_edges_banded(msgs, band_ms, salt=salt)
+
+
 def aggregate_adjacency(msgs: DataFrame, edges: DataFrame) -> DataFrame:
     """Fold edges into per-message ``parents``/``children`` arrays.
 

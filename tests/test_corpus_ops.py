@@ -158,3 +158,16 @@ def test_source_stats_counts_within_source_dups(spark):
     assert got["src_a"]["n_langs"] == 2
     assert got["src_a"]["n_dup_docs"] == 2
     assert got["src_b"]["n_dup_docs"] == 0
+
+
+def test_passage_rewrite_identity_when_no_cross_doc_dups(spark):
+    # with all-unique blocks the rewrite is the identity on normalized
+    # text: nothing removed, reassembly reproduces every doc verbatim
+    docs = _docs(spark, [
+        (i, " ".join(f"d{i}w{j}" for j in range(20))) for i in range(6)
+    ])
+    got = {r["doc_id"]: r for r in passage_rewrite(docs, w=8).collect()}
+    for i in range(6):
+        assert got[i]["n_removed"] == 0
+        assert got[i]["clean_text"] == " ".join(
+            f"d{i}w{j}" for j in range(20))

@@ -92,3 +92,25 @@ def test_salted_banded_edges_match_plain(spark, sf_dir):
         salted = {(r["parent_id"], r["child_id"])
                   for r in link_edges_banded(msgs, salt=s).collect()}
         assert salted == plain
+
+
+def test_adaptive_salt_probe_and_parity(spark, sf_dir):
+    """The adaptive variant must (a) pick salt=1 on the uniform testdata
+    (probe finds no hot cell at the default budget) and (b) return the
+    plain edge set either way, including when a tiny budget forces
+    salting."""
+    from simpy__kafka__flink__kafka_spark.operators.linking import (
+        link_edges_banded, link_edges_banded_adaptive)
+    from simpy__kafka__flink__kafka_spark.plans.trace import (
+        messages_from_events)
+
+    msgs = messages_from_events(spark, sf_dir)
+    plain = {(r["parent_id"], r["child_id"])
+             for r in link_edges_banded(msgs).collect()}
+    uniform = {(r["parent_id"], r["child_id"])
+               for r in link_edges_banded_adaptive(msgs).collect()}
+    assert uniform == plain
+    forced = {(r["parent_id"], r["child_id"])
+              for r in link_edges_banded_adaptive(
+                  msgs, pair_budget=10).collect()}
+    assert forced == plain

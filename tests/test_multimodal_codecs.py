@@ -14,8 +14,8 @@ import numpy as np
 import pytest
 
 from simpy__kafka__flink__kafka_spark.functions.multimodal import (
-    decode_audio, decode_image, decode_ppm, encode_ppm, image_stats,
-    resize_image)
+    audio_stats, decode_audio, decode_image, decode_ppm, encode_ppm,
+    image_stats, resize_image)
 
 
 def _ppm_bytes(w: int, h: int, comment: bool = False) -> bytes:
@@ -97,3 +97,17 @@ def test_wav_header_fields_honored():
     assert raw[:4] == b"RIFF" and raw[8:12] == b"WAVE"
     rate = struct.unpack("<I", raw[raw.index(b"fmt ") + 12:][:4])[0]
     assert rate == 44100
+
+
+def test_audio_stats_arrow_path(spark):
+    rows = [(1, _wav_bytes(n_frames=200, rate=8000, ch=1)),
+            (2, _wav_bytes(n_frames=300, rate=16000, ch=2))]
+    media = spark.createDataFrame(rows, "doc_id long, content binary")
+    got = {r["doc_id"]: r for r in audio_stats(media).collect()}
+    assert (got[1]["n_frames"], got[1]["sample_rate"],
+            got[1]["n_channels"]) == (200, 8000, 1)
+    assert (got[2]["n_frames"], got[2]["sample_rate"],
+            got[2]["n_channels"]) == (300, 16000, 2)
+    samples, _ = decode_audio(rows[0][1])
+    exp = round(float(np.sqrt(np.mean(samples.astype(np.float64) ** 2))), 6)
+    assert got[1]["rms"] == exp
