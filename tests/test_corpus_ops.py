@@ -171,3 +171,15 @@ def test_passage_rewrite_identity_when_no_cross_doc_dups(spark):
         assert got[i]["n_removed"] == 0
         assert got[i]["clean_text"] == " ".join(
             f"d{i}w{j}" for j in range(20))
+
+
+def test_phone_pattern_word_bounded(spark):
+    # ADVICE r04: the phone regex must not bite a substring out of longer
+    # digit/dash runs (ids, serials); real phones still redact
+    docs = _docs(spark, [
+        (1, "serial 0123-456-78901 stays intact"),
+        (2, "call 555-867-5309 now"),
+    ])
+    got = {r["doc_id"]: r["clean_text"] for r in pii_scrub(docs).collect()}
+    assert got[1] == "serial 0123-456-78901 stays intact"
+    assert got[2] == "call <PHONE> now"
