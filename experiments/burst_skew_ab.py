@@ -96,8 +96,16 @@ def main() -> None:
     res[f"smj_salt{args.salts}_sec"], n_d = timed(
         link_edges_banded(msgs, salt=args.salts))
 
+    # the adaptive probe end-to-end: cell-count probe + salted join, salt
+    # chosen automatically from the pair budget
+    from simpy__kafka__flink__kafka_spark.operators.linking import (
+        link_edges_banded_adaptive)
+
+    res["smj_adaptive_sec"], n_e = timed(
+        link_edges_banded_adaptive(msgs, pair_budget=50_000_000))
+
     res["edges"] = n_a
-    res["counts_match"] = bool(n_a == n_b == n_c == n_d)
+    res["counts_match"] = bool(n_a == n_b == n_c == n_d == n_e)
     print(json.dumps(res))
 
 

@@ -323,3 +323,21 @@ def aggregate_bridge(spark: SparkSession, bridge_dir: str,
         .parquet(bridge_dir)
     )
     return aggregate_updates_stream(updates, watermark)
+
+
+def aggregate_bridge_v2(spark: SparkSession, bridge_dir: str,
+                        watermark: str = WATERMARK) -> DataFrame:
+    """Phase 2 on the native ``transformWithStateInPandas`` operator
+    (``stateful_v2.AdjacencyProcessor``) — same bridge contract as
+    :func:`aggregate_bridge`; requires the RocksDB state store
+    (``session.enable_rocksdb_state``) and a usable protobuf runtime
+    (``_protobuf_compat``)."""
+    from .stateful import UPDATE_SCHEMA
+    from .stateful_v2 import aggregate_updates_stream_v2
+
+    updates = (
+        spark.readStream.schema(UPDATE_SCHEMA)
+        .option("latestFirst", "false")
+        .parquet(bridge_dir)
+    )
+    return aggregate_updates_stream_v2(updates, watermark)

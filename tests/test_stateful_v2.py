@@ -12,10 +12,8 @@ import pytest
 from simpy__kafka__flink__kafka_spark.schemas import golden_messages
 from simpy__kafka__flink__kafka_spark.session import enable_rocksdb_state
 from simpy__kafka__flink__kafka_spark.streaming.pipeline import (
-    file_spans_source, link_traces_two_phase)
-from simpy__kafka__flink__kafka_spark.streaming.stateful_v2 import (
-    HAS_TWS, aggregate_updates_stream_v2)
-from simpy__kafka__flink__kafka_spark.streaming.stateful import UPDATE_SCHEMA
+    aggregate_bridge_v2, file_spans_source, link_traces_two_phase)
+from simpy__kafka__flink__kafka_spark.streaming.stateful_v2 import HAS_TWS
 
 G1 = [
     ("id1", "10.0.0.1", "10.0.0.2", 1000, 500.0, 1500),
@@ -41,12 +39,7 @@ def test_tws_agg_matches_v1_semantics(spark, tmp_path):
     p1.processAllAvailable()
     p1.stop()
 
-    updates = (
-        spark.readStream.schema(UPDATE_SCHEMA)
-        .option("latestFirst", "false")
-        .parquet(bridge)
-    )
-    out = aggregate_updates_stream_v2(updates, watermark="0 seconds")
+    out = aggregate_bridge_v2(spark, bridge, watermark="0 seconds")
     q = (
         out.writeStream.format("memory")
         .queryName(f"tws_{uuid.uuid4().hex[:8]}")
