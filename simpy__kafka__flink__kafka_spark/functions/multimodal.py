@@ -113,21 +113,106 @@ def encode_ppm(pixels: np.ndarray) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + pixels.astype(np.uint8).tobytes()
 
 
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png(content: bytes) -> np.ndarray:
+    """Dependency-free PNG decode -> (height, width, 3) uint8 array, using
+    only stdlib ``zlib`` for the IDAT inflate plus numpy/python scanline
+    defiltering (all 5 filter types: None/Sub/Up/Average/Paeth).
+
+    Supported: 8-bit truecolor (type 2) and truecolor+alpha (type 6),
+    non-interlaced — what virtually every PNG writer emits.  Alpha is
+    dropped (same contract as PIL's ``convert("RGB")`` on opaque images).
+    Palette/grayscale/16-bit/interlaced raise ValueError.  Sub/Avg/Paeth
+    rows defilter in per-byte python (sequential dependency); fine for
+    the fixture/test sizes this vendored path serves — a production
+    deployment swaps PIL in at the same seam.
+    """
+    import zlib
+
+    buf = bytes(content)
+    if buf[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG")
+    pos, idat = 8, []
+    w = h = ctype = None
+    while pos + 8 <= len(buf):
+        ln = int.from_bytes(buf[pos:pos + 4], "big")
+        typ = buf[pos + 4:pos + 8]
+        data = buf[pos + 8:pos + 8 + ln]
+        pos += 12 + ln  # length + type + data + crc
+        if typ == b"IHDR":
+            w = int.from_bytes(data[0:4], "big")
+            h = int.from_bytes(data[4:8], "big")
+            bitd, ctype, interlace = data[8], data[9], data[12]
+            if bitd != 8 or ctype not in (2, 6) or interlace:
+                raise ValueError(
+                    f"unsupported PNG (bit depth {bitd}, color type {ctype},"
+                    f" interlace {interlace}); only 8-bit RGB/RGBA"
+                )
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(b"".join(idat))
+    ch = 3 if ctype == 2 else 4
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG raster length mismatch")
+    out = np.empty((h, stride), np.uint8)
+    prev = np.zeros(stride, np.int32)
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, np.uint8, stride, y * (stride + 1) + 1
+        ).astype(np.int32)
+        if f == 1:  # Sub
+            for x in range(ch, stride):
+                line[x] = (line[x] + line[x - ch]) & 0xFF
+        elif f == 2:  # Up
+            line = (line + prev) & 0xFF
+        elif f == 3:  # Average
+            for x in range(stride):
+                left = line[x - ch] if x >= ch else 0
+                line[x] = (line[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for x in range(stride):
+                a = line[x - ch] if x >= ch else 0
+                b = prev[x]
+                c = prev[x - ch] if x >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[x] = (line[x] + pr) & 0xFF
+        elif f != 0:
+            raise ValueError(f"bad PNG filter type {f}")
+        out[y] = line.astype(np.uint8)
+        prev = line
+    return out.reshape(h, w, ch)[:, :, :3]
+
+
 def decode_image(content: bytes) -> np.ndarray:
-    """Image decode -> (height, width, 3) uint8 array.  P6 PPM decodes via
-    the vendored dependency-free parser; any other format needs an imaging
-    library (absent from this environment — documented seam)."""
-    if bytes(content[:2]) == b"P6":
+    """Image decode -> (height, width, 3) uint8 array.  P6 PPM and 8-bit
+    RGB/RGBA PNG decode via the vendored dependency-free parsers; any
+    other format needs an imaging library (absent from this environment —
+    documented seam)."""
+    buf = bytes(content[:8])
+    if buf[:2] == b"P6":
         return decode_ppm(content)
+    if buf == PNG_MAGIC:
+        return decode_png(content)
     try:
         from PIL import Image  # type: ignore
 
         return np.asarray(Image.open(io.BytesIO(bytes(content))).convert("RGB"))
     except ImportError as exc:
         raise NotImplementedError(
-            "non-PPM image decode requires an imaging library not present "
-            "in this environment; P6 PPM decodes dependency-free — the "
-            "mapInPandas pipeline around this seam is fully wired"
+            "non-PPM/PNG image decode requires an imaging library not "
+            "present in this environment; P6 PPM and 8-bit PNG decode "
+            "dependency-free — the mapInPandas pipeline around this seam "
+            "is fully wired"
         ) from exc
 
 

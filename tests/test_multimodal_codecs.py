@@ -52,9 +52,93 @@ def test_decode_image_dispatches_ppm():
     assert px.shape == (4, 4, 3)
 
 
-def test_decode_image_non_ppm_raises_documented_seam():
+def test_decode_image_compressed_format_raises_documented_seam():
+    # JPEG is the remaining codec seam (PPM and PNG decode vendored)
     with pytest.raises(NotImplementedError, match="imaging library"):
-        decode_image(b"\x89PNG\r\n\x1a\n garbage")
+        decode_image(b"\xff\xd8\xff\xe0 jpeg garbage")
+
+
+def _png_bytes(px: np.ndarray, filters: list[int]) -> bytes:
+    """Minimal PNG writer with an explicit filter type per scanline —
+    forward-filters each row so the decoder's defilter paths all get
+    exercised."""
+    import struct as st
+    import zlib
+
+    h, w, ch = px.shape
+    ctype = 2 if ch == 3 else 6
+    flat = px.astype(np.int32)
+    raw = bytearray()
+    prev = np.zeros(w * ch, np.int32)
+    for y, f in zip(range(h), filters):
+        line = flat[y].reshape(-1)
+        enc = line.copy()
+        if f == 1:
+            for x in range(w * ch - 1, ch - 1, -1):
+                enc[x] = (line[x] - line[x - ch]) & 0xFF
+        elif f == 2:
+            enc = (line - prev) & 0xFF
+        elif f == 3:
+            for x in range(w * ch):
+                left = line[x - ch] if x >= ch else 0
+                enc[x] = (line[x] - ((left + prev[x]) >> 1)) & 0xFF
+        elif f == 4:
+            for x in range(w * ch):
+                a = line[x - ch] if x >= ch else 0
+                b = prev[x]
+                c = prev[x - ch] if x >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc[x] = (line[x] - pr) & 0xFF
+        raw.append(f)
+        raw.extend(enc.astype(np.uint8).tobytes())
+        prev = line
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (st.pack(">I", len(data)) + typ + data
+                + st.pack(">I", zlib.crc32(typ + data)))
+
+    ihdr = st.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+
+def test_png_decode_all_filter_types():
+    from simpy__kafka__flink__kafka_spark.functions.multimodal import (
+        decode_png)
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(5, 4, 3), dtype=np.uint8)
+    for filters in ([0] * 5, [1] * 5, [2] * 5, [3] * 5, [4] * 5,
+                    [0, 1, 2, 3, 4]):
+        got = decode_png(_png_bytes(px, filters))
+        assert np.array_equal(got, px), f"filters {filters}"
+
+
+def test_png_rgba_alpha_dropped_and_dispatch():
+    rng = np.random.default_rng(8)
+    rgba = rng.integers(0, 256, size=(3, 6, 4), dtype=np.uint8)
+    got = decode_image(_png_bytes(rgba, [0, 2, 4]))
+    assert np.array_equal(got, rgba[:, :, :3])
+
+
+def test_png_unsupported_variants_raise_value_error():
+    from simpy__kafka__flink__kafka_spark.functions.multimodal import (
+        decode_png)
+    import struct as st
+    import zlib
+
+    def chunk(typ, data):
+        return (st.pack(">I", len(data)) + typ + data
+                + st.pack(">I", zlib.crc32(typ + data)))
+
+    # palette color type (3) is out of scope for the vendored decoder
+    ihdr = st.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    bad = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="unsupported PNG"):
+        decode_png(bad)
 
 
 def test_resize_ppm_nearest_neighbor():
