@@ -98,3 +98,85 @@ def test_tws_idle_flush_emits_on_wall_clock(spark, tmp_path):
         q.stop()
     assert "solo2" in emitted
     assert emitted["solo2"].parents == [] and emitted["solo2"].children == []
+
+
+@pytest.mark.skipif(not HAS_TWS,
+                    reason="needs Spark >= 4.0 with a working protobuf install")
+def test_tws_state_survives_checkpoint_restart(spark, tmp_path):
+    """W6 on the native operator: value states AND registered event-time
+    timers written before a stop must survive a restart from the same
+    RocksDB checkpoint — the emitted record carries the pre-restart
+    parents, and the pre-restart timer fires once the watermark moves."""
+    import json as _json
+
+    from simpy__kafka__flink__kafka_spark.streaming.stateful import (
+        UPDATE_SCHEMA)
+    from simpy__kafka__flink__kafka_spark.streaming.stateful_v2 import (
+        aggregate_updates_stream_v2)
+
+    enable_rocksdb_state(spark)
+    upd_dir, ck, out_dir = (str(tmp_path / k) for k in ("upd", "ck", "out"))
+    os.makedirs(upd_dir)
+
+    def write_batch(rows):
+        spark.createDataFrame(rows, UPDATE_SCHEMA).coalesce(1).write.mode(
+            "append").parquet(upd_dir)
+
+    def read_out():
+        try:
+            return spark.read.parquet(out_dir).collect()
+        except Exception:  # sink dir not created yet
+            return []
+
+    def run_until(cond_fn, timeout_s=60):
+        updates = (
+            spark.readStream.schema(UPDATE_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .option("latestFirst", "false")
+            .parquet(upd_dir)
+        )
+        out = aggregate_updates_stream_v2(updates, watermark="0 seconds")
+        # file sink, not memory: only file-backed sinks support restarting
+        # from a checkpoint
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ck).outputMode("append").start()
+        )
+        try:
+            q.processAllAvailable()
+            deadline = time.time() + timeout_s
+            while time.time() < deadline and not cond_fn():
+                time.sleep(0.5)
+        finally:
+            q.stop()
+
+    from datetime import datetime, timezone
+
+    def ts(sec):
+        return datetime.fromtimestamp(sec, tz=timezone.utc).replace(tzinfo=None)
+
+    payload = _json.dumps({"id": "a", "src_ip": "10.0.0.1",
+                           "dst_ip": "10.0.0.2", "start_at_ms": 1000,
+                           "latency_msec": 500.0, "end_at_ms": 1500})
+    # batch 1: message + one parent edge; watermark (0 s) stays at 1.1 s
+    # < end 1.5 s, so nothing emits — state + timer are checkpointed
+    write_batch([("a", "message", None, payload, ts(1.0)),
+                 ("a", "add_parent", "p1", None, ts(1.1))])
+    run_until(lambda: True, timeout_s=0)
+    assert not any(r.id == "a" for r in read_out())
+
+    # restart from the same checkpoint; batch 2 only advances the watermark
+    flush = _json.dumps({"id": "zz", "src_ip": "9", "dst_ip": "9",
+                         "start_at_ms": 100_000_000,
+                         "latency_msec": 1.0, "end_at_ms": 100_000_001})
+    write_batch([("zz", "message", None, flush, ts(100_000.0))])
+
+    def emitted():
+        return any(r.id == "a" for r in read_out())
+
+    run_until(emitted)
+    rows = {r.id: r for r in read_out()}
+    assert "a" in rows, "pre-restart state/timer lost across checkpoint"
+    assert list(rows["a"].parents) == ["p1"]
+    assert list(rows["a"].children) == []
