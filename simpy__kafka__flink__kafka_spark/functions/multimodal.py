@@ -67,11 +67,14 @@ def attach_binary(docs: DataFrame) -> DataFrame:
     )
 
 
-# --- vendored dependency-free codecs (uncompressed formats only) ------------
+# --- vendored dependency-free codecs ----------------------------------------
 # P6 PPM (netpbm binary RGB) and RIFF/PCM WAV decode with no third-party
 # library: PPM via a ~30-line header parser + numpy frombuffer, WAV via the
-# stdlib ``wave`` module.  Compressed formats (PNG/JPEG/FLAC/MP3) still
-# need PIL / soundfile and keep the documented NotImplementedError seam.
+# stdlib ``wave`` module.  8-bit RGB/RGBA PNG decodes via stdlib zlib +
+# scanline defiltering below; baseline-sequential JPEG via the vendored
+# Huffman+IDCT codec in ``jpeg.py``; FLAC via the lossless codec in
+# ``flac.py``.  Remaining formats (progressive JPEG, MP3) still need
+# PIL / soundfile and keep the documented NotImplementedError seam.
 
 def _ppm_header(buf: bytes) -> tuple[int, int, int, int]:
     """Parse a P6 header (magic, width, height, maxval; '#' comments
@@ -194,33 +197,37 @@ def decode_png(content: bytes) -> np.ndarray:
 
 
 def decode_image(content: bytes) -> np.ndarray:
-    """Image decode -> (height, width, 3) uint8 array.  P6 PPM and 8-bit
-    RGB/RGBA PNG decode via the vendored dependency-free parsers; any
-    other format needs an imaging library (absent from this environment —
-    documented seam)."""
+    """Image decode -> (height, width, 3) uint8 array.  P6 PPM, 8-bit
+    RGB/RGBA PNG, and baseline-sequential JPEG decode via the vendored
+    dependency-free parsers; any other format needs an imaging library
+    (absent from this environment — documented seam)."""
     buf = bytes(content[:8])
     if buf[:2] == b"P6":
         return decode_ppm(content)
     if buf == PNG_MAGIC:
         return decode_png(content)
+    if buf[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(content)
     try:
         from PIL import Image  # type: ignore
 
         return np.asarray(Image.open(io.BytesIO(bytes(content))).convert("RGB"))
     except ImportError as exc:
         raise NotImplementedError(
-            "non-PPM/PNG image decode requires an imaging library not "
-            "present in this environment; P6 PPM and 8-bit PNG decode "
-            "dependency-free — the mapInPandas pipeline around this seam "
-            "is fully wired"
+            "non-PPM/PNG/JPEG image decode requires an imaging library not "
+            "present in this environment; P6 PPM, 8-bit PNG, and baseline "
+            "JPEG decode dependency-free — the mapInPandas pipeline around "
+            "this seam is fully wired"
         ) from exc
 
 
 def decode_audio(content: bytes) -> tuple[np.ndarray, int]:
     """Audio decode -> (samples[n_frames, n_channels], sample_rate).
-    RIFF/PCM WAV decodes dependency-free via the stdlib ``wave`` module;
-    compressed formats need an audio I/O library (absent — documented
-    seam)."""
+    RIFF/PCM WAV (stdlib ``wave``) and FLAC (vendored codec in
+    ``flac.py``) decode dependency-free; remaining compressed formats
+    (MP3/OGG/...) need an audio I/O library (absent — documented seam)."""
     buf = bytes(content)
     if buf[:4] == b"RIFF" and buf[8:12] == b"WAVE":
         import wave
@@ -231,30 +238,44 @@ def decode_audio(content: bytes) -> tuple[np.ndarray, int]:
             data = wv.readframes(n)
         dtype = {1: np.uint8, 2: np.int16, 4: np.int32}[width]
         return np.frombuffer(data, dtype=dtype).reshape(-1, ch), rate
+    if buf[:4] == b"fLaC" or (buf[:3] == b"ID3" and b"fLaC" in buf[:4096]):
+        from .flac import decode_flac
+
+        return decode_flac(buf)
     try:
         import soundfile  # type: ignore
 
         return soundfile.read(io.BytesIO(buf))
     except ImportError as exc:
         raise NotImplementedError(
-            "non-WAV audio decode requires an audio I/O library not present "
-            "in this environment; PCM WAV decodes dependency-free — the "
-            "Arrow-batched pipeline around this seam is fully wired"
+            "non-WAV/FLAC audio decode requires an audio I/O library not "
+            "present in this environment; PCM WAV and FLAC decode "
+            "dependency-free — the Arrow-batched pipeline around this seam "
+            "is fully wired"
         ) from exc
 
 
+def _nearest(px: np.ndarray, width: int, height: int) -> np.ndarray:
+    h, w = px.shape[:2]
+    rows = (np.arange(height) * h // height)
+    cols = (np.arange(width) * w // width)
+    return px[rows][:, cols]
+
+
 def resize_image(content: bytes, width: int, height: int) -> bytes:
-    """Bytes-in/bytes-out resize.  P6 PPM resizes dependency-free
-    (decode -> nearest-neighbor index -> re-encode); other formats need an
-    imaging library (absent — documented seam).  Nearest-neighbor is the
-    deterministic choice: no resampling-kernel variation across library
-    versions, so fixtures hash stably."""
+    """Bytes-in/bytes-out resize.  P6 PPM and baseline JPEG resize
+    dependency-free (decode -> nearest-neighbor index -> re-encode; JPEG
+    re-encodes 4:4:4 at quality 90); other formats need an imaging library
+    (absent — documented seam).  Nearest-neighbor is the deterministic
+    choice: no resampling-kernel variation across library versions, so
+    fixtures hash stably."""
     if bytes(content[:2]) == b"P6":
-        px = decode_ppm(content)
-        h, w = px.shape[:2]
-        rows = (np.arange(height) * h // height)
-        cols = (np.arange(width) * w // width)
-        return encode_ppm(px[rows][:, cols])
+        return encode_ppm(_nearest(decode_ppm(content), width, height))
+    if bytes(content[:2]) == b"\xff\xd8":
+        from .jpeg import decode_jpeg, encode_jpeg
+
+        return encode_jpeg(_nearest(decode_jpeg(content), width, height),
+                           quality=90, subsampling="4:4:4")
     try:
         from PIL import Image  # type: ignore
 
@@ -264,9 +285,10 @@ def resize_image(content: bytes, width: int, height: int) -> bytes:
         return out.getvalue()
     except ImportError as exc:
         raise NotImplementedError(
-            "non-PPM image resize requires an imaging library not present "
-            "in this environment; P6 PPM resizes dependency-free — the "
-            "Arrow pipeline around this seam is fully wired"
+            "non-PPM/JPEG image resize requires an imaging library not "
+            "present in this environment; P6 PPM and baseline JPEG resize "
+            "dependency-free — the Arrow pipeline around this seam is "
+            "fully wired"
         ) from exc
 
 
@@ -392,6 +414,56 @@ def audio_stats(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(run, AUDIO_STATS_SCHEMA)
+
+
+FLAC_ROUNDTRIP_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("n_frames", T.LongType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+        T.StructField("lossless", T.IntegerType(), True),
+    ]
+)
+
+
+def flac_roundtrip_stats(sig_df: DataFrame,
+                         sample_rate: int = 16000) -> DataFrame:
+    """EXECUTED lossless-codec path: derive 16 deterministic int16 samples
+    per row from the first 16 chars of a hex signature column ``sig``
+    ((ascii - 75) * 256 — spans the fixed-predictor Rice path), encode
+    them as a FLAC stream, decode it back, and emit frame count / rate /
+    RMS plus a ``lossless`` flag comparing decoded to source samples —
+    all inside one Arrow ``mapInPandas`` batch.  Because FLAC is
+    lossless, an oracle can reproduce every output (including the flag)
+    from the signature arithmetic without touching FLAC bytes; a codec
+    regression flips ``lossless`` to 0 and hash-mismatches."""
+    from .flac import decode_flac, encode_flac
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            def stats(sig: str) -> tuple[int, int, float, int]:
+                samples = np.array([(ord(c) - 75) * 256 for c in sig[:16]],
+                                   np.int32)
+                decoded, rate = decode_flac(
+                    encode_flac(samples, sample_rate, subframe="fixed"))
+                rms = float(np.sqrt(np.mean(decoded[:, 0].astype(np.float64)
+                                            ** 2)))
+                ok = int(np.array_equal(decoded[:, 0], samples))
+                return decoded.shape[0], rate, round(rms, 6), ok
+
+            out = pdf["sig"].map(stats)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_frames": out.map(lambda t: t[0]).astype("int64"),
+                    "sample_rate": out.map(lambda t: t[1]).astype("int32"),
+                    "rms": out.map(lambda t: t[2]),
+                    "lossless": out.map(lambda t: t[3]).astype("int32"),
+                }
+            )
+
+    return sig_df.mapInPandas(run, FLAC_ROUNDTRIP_SCHEMA)
 
 
 def _fake_features(content: bytes) -> list[float]:

@@ -32,7 +32,7 @@ CHECKED_FIRST = [
     "link_traces", "link_edges", "role_explode", "update_explode",
     "watermark_sharded", "emit_at_watermark", "parse_props_lenient",
     "serialize_json", "timestamp_arith", "string_format", "array_membership",
-    "counter_ids_sharded", "late_data_sharded", "distinct_parts",
+    "counter_ids_sharded", "late_data_sharded",
     # trace analytics over the linked DAG
     "chain_stats", "hop_latencies", "latency_percentiles", "trace_roots",
     "fanout_histogram",
@@ -57,8 +57,12 @@ CHECKED_FIRST = [
     # round-4 corpus additions: C4-style cross-doc passage dedup and
     # fixed-window chunking (pii_scrub / salted_split / source_stats stay in
     # the oracled pytest-checked tail); round-5 adds the span-REMOVAL twin
-    # passage_rewrite (VERDICT r04 task #2)
+    # passage_rewrite (VERDICT r04 task #2) and, late round 5, the live
+    # FLAC encode+decode round trip (distinct_parts — a plain
+    # countDistinct — demoted to the oracled pytest-checked tail to fund
+    # the slot)
     "passage_dedup", "chunk_documents", "passage_rewrite",
+    "audio_decode_stats",
     # relational surface (bonus operators beyond the reference; demoted
     # twins — customers_without_orders, parts_with_cheap_supply,
     # above_avg_orders in r2, brand_set_ops + pivot_status in r3,

@@ -607,6 +607,38 @@ def _q_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LIVE audio-codec path (late round 5): derive 16 deterministic
+    int16 samples per doc from the md5 hex of its text, encode them as a
+    FLAC stream and decode it back — BOTH inside one Arrow ``mapInPandas``
+    batch — then emit frame count / rate / RMS and a lossless flag.  The
+    DuckDB oracle reproduces every value from the same md5 arithmetic
+    without ever touching FLAC bytes, which is only possible because the
+    vendored codec is lossless; any codec regression flips the flag (or
+    perturbs the RMS) and hash-mismatches at the gate."""
+    from ..functions.multimodal import flac_roundtrip_stats
+
+    docs = _docs(spark, sf_dir)
+    return flac_roundtrip_stats(
+        docs.select("doc_id", F.md5(F.col("text")).alias("sig")))
+
+
+# sample = (ascii - 75) * 256 over md5 hex chars: sum of squares <= 16 *
+# (27*256)^2 is exact in a double, /16 is a power of two, and IEEE sqrt is
+# correctly rounded in both engines -> bit-identical rms
+_AUDIO_DECODE_SQL = """
+WITH r AS (SELECT doc_id, md5(text) AS sig FROM documents)
+SELECT doc_id,
+       CAST(16 AS BIGINT) AS n_frames,
+       CAST(16000 AS INTEGER) AS sample_rate,
+       round(sqrt(list_avg(list_transform(generate_series(0, 15),
+             j -> pow((ascii(substr(sig, j + 1, 1)) - 75) * 256.0, 2)))), 6)
+         AS rms,
+       CAST(1 AS INTEGER) AS lossless
+FROM r
+"""
+
+
 # channel mean = avg of 16 byte values; the sum of <=16*102 is exact and
 # /16 is a power of two, so the double is bit-identical to numpy's mean
 _IMAGE_DECODE_SQL = """
@@ -1250,6 +1282,9 @@ QUERIES: dict[str, Query] = {
     "image_decode_stats": Query(
         _q_image_decode_stats, _IMAGE_DECODE_SQL,
         "live P6 decode through Arrow mapInPandas: dims + channel means"),
+    "audio_decode_stats": Query(
+        _q_audio_decode_stats, _AUDIO_DECODE_SQL,
+        "live FLAC encode+decode round trip through Arrow mapInPandas"),
     "multimodal_frames": Query(_q_multimodal_frames, _MULTIMODAL_FRAMES_SQL,
                                "fixed-stride frame sampling over binary content"),
     "language_id": Query(_q_language_id, _lang_id_sql(),

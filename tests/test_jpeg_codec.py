@@ -1,0 +1,129 @@
+"""Vendored baseline JPEG codec: encoder/decoder round-trips at pinned
+error bounds, 4:2:0 subsampling + restart markers, grayscale, dispatch
+through decode_image/resize_image, the executed Arrow path, and the
+unsupported-variant (progressive) error contract."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from simpy__kafka__flink__kafka_spark.functions.jpeg import (
+    ZIGZAG, decode_jpeg, encode_jpeg)
+from simpy__kafka__flink__kafka_spark.functions.multimodal import (
+    decode_image, image_stats, resize_image)
+
+
+def _gradient(h: int, w: int) -> np.ndarray:
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [(yy * 7) % 256, (xx * 11) % 256, ((yy + xx) * 3) % 256], 2
+    ).astype(np.uint8)
+
+
+def test_zigzag_is_a_permutation_with_known_prefix():
+    assert sorted(ZIGZAG.tolist()) == list(range(64))
+    # T.81 figure 5: first six entries of the scan
+    assert ZIGZAG[:6].tolist() == [0, 1, 8, 16, 9, 2]
+
+
+def test_flat_color_quality_100_is_bit_exact():
+    img = np.full((16, 24, 3), [200, 30, 90], np.uint8)
+    assert np.array_equal(decode_jpeg(encode_jpeg(img, quality=100)), img)
+
+
+def test_gradient_roundtrip_error_bounds():
+    img = _gradient(21, 13)  # odd dims exercise MCU padding + crop
+    out = decode_jpeg(encode_jpeg(img, quality=90))
+    assert out.shape == img.shape
+    d = np.abs(out.astype(int) - img.astype(int))
+    assert d.mean() < 2.0 and d.max() <= 8
+
+
+def test_noise_roundtrip_bounded_loss():
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (32, 32, 3), np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quality=90))
+    d = np.abs(out.astype(int) - img.astype(int))
+    assert d.mean() < 10.0 and d.max() < 64
+
+
+def test_420_subsampling_with_restart_markers():
+    # smooth non-wrapping gradient: chroma averaging across a 255->0 wrap
+    # edge would dominate the error with legitimate (huge) JPEG loss
+    yy, xx = np.mgrid[0:48, 0:37]
+    img = np.stack([yy * 2, xx * 3, yy + xx], 2).astype(np.uint8)
+    # 3x3 MCU grid at 4:2:0 -> 4 restart markers
+    raw = encode_jpeg(img, quality=90, subsampling="4:2:0", restart_interval=2)
+    assert b"\xff\xdd" in raw          # DRI emitted
+    assert b"\xff\xd0" in raw          # at least one RST0
+    out = decode_jpeg(raw)
+    assert out.shape == img.shape
+    d = np.abs(out.astype(int) - img.astype(int))
+    assert d.mean() < 4.0 and d.max() <= 16
+
+
+def test_grayscale_single_component_replicates_channels():
+    yy, xx = np.mgrid[0:17, 0:9]
+    g = (yy * xx % 256).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(g, quality=95))
+    assert out.shape == (17, 9, 3)
+    assert np.array_equal(out[:, :, 0], out[:, :, 1])
+    assert np.array_equal(out[:, :, 0], out[:, :, 2])
+    d = np.abs(out[:, :, 0].astype(int) - g.astype(int))
+    assert d.max() <= 2
+
+
+def test_decode_image_dispatches_jpeg():
+    img = _gradient(16, 16)
+    out = decode_image(encode_jpeg(img, quality=90))
+    assert out.shape == (16, 16, 3)
+
+
+def test_resize_jpeg_decodes_to_expected_dims():
+    img = _gradient(32, 32)
+    resized = resize_image(encode_jpeg(img, quality=90), 8, 12)
+    assert resized[:2] == b"\xff\xd8"  # re-encoded as JPEG
+    out = decode_jpeg(resized)
+    assert out.shape == (12, 8, 3)
+    # nearest-neighbor of a smooth gradient survives two lossy passes
+    expect = img[(np.arange(12) * 32 // 12)][:, (np.arange(8) * 32 // 8)]
+    d = np.abs(out.astype(int) - expect.astype(int))
+    assert d.mean() < 6.0
+
+
+def test_progressive_sof2_raises_value_error():
+    img = _gradient(8, 8)
+    raw = bytearray(encode_jpeg(img, quality=90))
+    i = raw.find(b"\xff\xc0")
+    raw[i + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+    with pytest.raises(ValueError, match="SOF2"):
+        decode_jpeg(bytes(raw))
+
+
+def test_truncated_and_non_jpeg_raise_value_error():
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"not a jpeg at all")
+    img = _gradient(8, 8)
+    raw = encode_jpeg(img, quality=90)
+    with pytest.raises(ValueError):
+        decode_jpeg(raw[:20])  # header cut mid-segment
+
+
+def test_image_stats_arrow_path_over_jpeg(spark):
+    rows = []
+    for doc_id, (h, w) in enumerate([(8, 8), (16, 24), (21, 13)]):
+        img = _gradient(h, w)
+        rows.append((doc_id, bytearray(encode_jpeg(img, quality=95)),
+                     ("image/jpeg", 0)))
+    df = spark.createDataFrame(
+        rows, "doc_id long, content binary, "
+        "media_meta struct<media_type:string,n_bytes:long>")
+    got = {r["doc_id"]: r for r in image_stats(df).collect()}
+    assert got[0]["width"] == 8 and got[0]["height"] == 8
+    assert got[1]["width"] == 24 and got[1]["height"] == 16
+    assert got[2]["width"] == 13 and got[2]["height"] == 21
+    # channel means within JPEG loss of the source image
+    img2 = _gradient(16, 24)
+    for c in range(3):
+        assert abs(got[1]["mean_rgb"][c] - img2[:, :, c].mean()) < 3.0

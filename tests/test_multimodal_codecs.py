@@ -52,10 +52,10 @@ def test_decode_image_dispatches_ppm():
     assert px.shape == (4, 4, 3)
 
 
-def test_decode_image_compressed_format_raises_documented_seam():
-    # JPEG is the remaining codec seam (PPM and PNG decode vendored)
+def test_decode_image_unsupported_format_raises_documented_seam():
+    # GIF is a remaining codec seam (PPM, PNG, and baseline JPEG vendored)
     with pytest.raises(NotImplementedError, match="imaging library"):
-        decode_image(b"\xff\xd8\xff\xe0 jpeg garbage")
+        decode_image(b"GIF89a gif garbage")
 
 
 def _png_bytes(px: np.ndarray, filters: list[int]) -> bytes:
@@ -157,9 +157,10 @@ def test_decode_audio_wav_pcm():
     assert samples.dtype == np.int16
 
 
-def test_decode_audio_non_wav_raises_documented_seam():
+def test_decode_audio_unsupported_format_raises_documented_seam():
+    # MP3 is a remaining codec seam (PCM WAV and FLAC decode vendored)
     with pytest.raises(NotImplementedError, match="audio I/O library"):
-        decode_audio(b"fLaC garbage")
+        decode_audio(b"\xff\xfb mp3 garbage")
 
 
 def test_image_stats_arrow_path(spark):
