@@ -445,6 +445,94 @@ def chunk_documents(df: DataFrame, window: int = 64, stride: int = 48,
     )
 
 
+def exact_substring_spans(df: DataFrame, min_len: int = 30,
+                          id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """ExactSubstr-style profile (Lee et al. 2021, "Deduplicating Training
+    Data Makes Language Models Better"): maximal CHARACTER spans of length
+    >= ``min_len`` that occur verbatim in >= 2 distinct documents, on the
+    normalized text.  Character-level and boundary-free, this catches
+    duplication the fixed word-block passage family misses (spans that
+    straddle block boundaries, shifted copies).
+
+    Plan shape — no suffix array, no all-pairs: posexplode every char
+    position into its L-gram, ONE shuffle keyed on the gram for the
+    cross-doc check (map-side partial agg), equi-join back
+    (co-partitioned with the agg), then a per-doc gaps-and-islands window
+    merges overlapping duplicated gram starts into maximal spans.  For
+    L <= 64 the raw fixed-width gram IS the shuffle key — no smaller than
+    an md5 hex but free to compute and collision-free (exact semantics);
+    larger L switches to md5 so the shuffled key stays fixed-width.  The
+    position table is ~40 bytes x corpus chars — the honest lower bound
+    for exact-substring semantics at any scale; the classic mitigations
+    (stride + verification pass, per-shard suffix arrays) trade exactness
+    or shuffle locality for it.  Within-doc-only repeats do NOT count
+    (cross-doc semantics: a gram is duplicated iff min(doc_id) !=
+    max(doc_id) over its occurrences).
+
+    Output: (id_col, doc_len, n_dup_spans, dup_chars).
+    """
+    from pyspark.sql import Window as W
+
+    L = min_len
+    base = df.select(
+        F.col(id_col), normalized(text_col).alias("_t")
+    ).select(F.col(id_col), "_t", F.length("_t").alias("doc_len"))
+    pos = (
+        base.where(F.col("doc_len") >= L)
+        .select(
+            F.col(id_col),
+            F.posexplode(
+                F.sequence(F.lit(0), F.col("doc_len") - L)
+            ).alias("_i", "p"),
+            "_t",
+        )
+        .select(
+            F.col(id_col),
+            "p",
+            (
+                F.col("_t").substr(F.col("p") + 1, F.lit(L))
+                if L <= 64
+                else F.md5(F.col("_t").substr(F.col("p") + 1, F.lit(L)))
+            ).alias("g"),
+        )
+    )
+    # ">= 2 distinct docs" as min != max: a single-level agg (one shuffle
+    # with map-side partials) where countDistinct would add a second full
+    # exchange of the position stream on (g, doc_id)
+    dup = (
+        pos.groupBy("g")
+        .agg(F.min(id_col).alias("_lo"), F.max(id_col).alias("_hi"))
+        .where(F.col("_lo") != F.col("_hi"))
+        .select("g")
+    )
+    hits = pos.join(dup, "g").select(F.col(id_col), "p")
+    w_ord = W.partitionBy(id_col).orderBy("p")
+    prev_end = F.max(F.col("p") + L).over(
+        w_ord.rowsBetween(W.unboundedPreceding, -1)
+    )
+    islands = (
+        hits.withColumn(
+            "_new",
+            F.when(prev_end.isNull() | (F.col("p") > prev_end), 1).otherwise(0),
+        )
+        .withColumn("_isl", F.sum("_new").over(w_ord))
+    )
+    spans = islands.groupBy(id_col, "_isl").agg(
+        F.min("p").alias("_s0"), (F.max("p") + L).alias("_s1")
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_dup_spans"),
+        F.sum(F.col("_s1") - F.col("_s0")).cast("long").alias("dup_chars"),
+    )
+    return base.join(per_doc, id_col, "left").select(
+        F.col(id_col),
+        F.col("doc_len").cast("long").alias("doc_len"),
+        F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
+        F.coalesce("dup_chars", F.lit(0)).cast("long").alias("dup_chars"),
+    )
+
+
 # (name, regex, replacement) applied IN ORDER — order matters where patterns
 # could overlap (an email contains dots + digits an IP regex could bite).
 # Regexes stay in the Java/RE2 common subset so the DuckDB oracle runs the

@@ -1142,6 +1142,58 @@ GROUP BY 1
 """
 
 
+def _q_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-level ExactSubstr profile (Lee et al. 2021) — maximal spans of
+    >= 30 chars shared verbatim across >= 2 docs; complements the
+    word-block passage family by catching shifted / boundary-straddling
+    duplication.  See functions/text.py:exact_substring_spans for the
+    scale analysis (one shuffle on a fixed-width gram hash, per-doc
+    island merge, no suffix array / no all-pairs)."""
+    from ..functions.text import exact_substring_spans
+
+    return exact_substring_spans(_docs(spark, sf_dir), min_len=30)
+
+
+_EXACT_SUBSTR_SQL = """
+WITH n AS (
+  SELECT doc_id, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS t
+  FROM documents
+),
+p AS (
+  SELECT doc_id, s, substr(t, s + 1, 30) AS g
+  FROM n, unnest(generate_series(0, length(t) - 30)) AS u(s)
+  WHERE length(t) >= 30
+),
+d AS (SELECT g FROM p GROUP BY g HAVING min(doc_id) != max(doc_id)),
+h AS (SELECT p.doc_id, p.s FROM p JOIN d USING (g)),
+m AS (
+  SELECT doc_id, s,
+         max(s + 30) OVER (PARTITION BY doc_id ORDER BY s
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS pe
+  FROM h
+),
+i AS (
+  SELECT doc_id, s,
+         sum(CASE WHEN pe IS NULL OR s > pe THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY s) AS isl
+  FROM m
+),
+sp AS (SELECT doc_id, isl, min(s) AS s0, max(s) + 30 AS s1
+       FROM i GROUP BY 1, 2),
+a AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans,
+         CAST(sum(s1 - s0) AS BIGINT) AS dup_chars
+  FROM sp GROUP BY 1
+)
+SELECT n.doc_id,
+       CAST(length(n.t) AS BIGINT) AS doc_len,
+       COALESCE(a.n_dup_spans, 0) AS n_dup_spans,
+       COALESCE(a.dup_chars, 0) AS dup_chars
+FROM n LEFT JOIN a USING (doc_id)
+"""
+
+
 def _q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import chunk_documents
 
@@ -1334,6 +1386,9 @@ QUERIES: dict[str, Query] = {
                             "doc-frequency vocab + per-doc OOV rate"),
     "temperature_sample": Query(_q_temperature_sample, _TEMPERATURE_SQL,
                                 "deterministic temperature-based source mix"),
+    "exact_substring_spans": Query(
+        _q_exact_substring_spans, _EXACT_SUBSTR_SQL,
+        "char-level ExactSubstr profile: maximal cross-doc spans >= 30 chars"),
     "passage_dedup": Query(_q_passage_dedup, _PASSAGE_DEDUP_SQL,
                            "C4-style cross-doc passage (8-word block) dup profile"),
     "passage_rewrite": Query(

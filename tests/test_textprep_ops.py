@@ -118,3 +118,66 @@ def test_new_ops_match_oracles(spark, sf_dir):
     for name in ("repetition_ratio", "contamination_check", "vocab_coverage",
                  "temperature_sample"):
         assert_match(qs[name](spark, sf_dir), osql[name], sf_dir, name)
+
+
+# --- exact substring spans (ExactSubstr profile) ------------------------------
+
+def test_exact_substring_spans_merges_overlapping_grams(spark):
+    # a 40-char run shared by docs 1 and 2 -> ONE maximal span of 40 chars
+    # (11 overlapping 30-grams merged), not 11 spans
+    shared = "0123456789" * 4                      # 40 chars
+    docs = _mkdocs(spark, [
+        (1, f"aaaa {shared} bbbb"),
+        (2, f"cccc {shared} dddd"),
+        (3, "totally unrelated text that is long enough to gram but unique"),
+    ])
+    from simpy__kafka__flink__kafka_spark.functions.text import (
+        exact_substring_spans)
+    got = {r.doc_id: r for r in
+           exact_substring_spans(docs, min_len=30).collect()}
+    # the span is MAXIMAL: the flanking spaces are shared verbatim too,
+    # so the true duplicated run is " <shared> " = 42 chars, as one span
+    assert (got[1].n_dup_spans, got[1].dup_chars) == (1, 42)
+    assert (got[2].n_dup_spans, got[2].dup_chars) == (1, 42)
+    assert (got[3].n_dup_spans, got[3].dup_chars) == (0, 0)
+
+
+def test_exact_substring_spans_catches_shifted_copy(spark):
+    # same payload at DIFFERENT offsets -- invisible to fixed word-block
+    # passage dedup when the block grid shifts, visible at char level
+    payload = "the quick brown fox jumps over the lazy dog again"
+    docs = _mkdocs(spark, [
+        (1, f"x {payload}"),
+        (2, f"yyyy yyyy yyyy {payload}"),
+    ])
+    from simpy__kafka__flink__kafka_spark.functions.text import (
+        exact_substring_spans)
+    got = {r.doc_id: r for r in
+           exact_substring_spans(docs, min_len=30).collect()}
+    # maximal span includes the shared leading space: " <payload>" = 50
+    assert got[1].n_dup_spans == 1 and got[1].dup_chars == len(payload) + 1
+    assert got[2].n_dup_spans == 1 and got[2].dup_chars == len(payload) + 1
+
+
+def test_exact_substring_spans_ignores_within_doc_repeats(spark):
+    # a doc repeating ITS OWN phrase twice is not cross-doc duplication
+    phrase = "self repeated phrase thirty characters plus"
+    docs = _mkdocs(spark, [
+        (1, f"{phrase} middle words here {phrase}"),
+        (2, "another doc long enough to produce grams but fully unique"),
+    ])
+    from simpy__kafka__flink__kafka_spark.functions.text import (
+        exact_substring_spans)
+    got = {r.doc_id: r for r in
+           exact_substring_spans(docs, min_len=30).collect()}
+    assert (got[1].n_dup_spans, got[2].n_dup_spans) == (0, 0)
+
+
+def test_exact_substring_spans_short_docs_have_no_positions(spark):
+    docs = _mkdocs(spark, [(1, "too short"), (2, "also short")])
+    from simpy__kafka__flink__kafka_spark.functions.text import (
+        exact_substring_spans)
+    got = {r.doc_id: r for r in
+           exact_substring_spans(docs, min_len=30).collect()}
+    assert got[1].n_dup_spans == 0 and got[2].dup_chars == 0
+    assert got[1].doc_len == len("too short")
