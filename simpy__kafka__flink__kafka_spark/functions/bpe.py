@@ -1,0 +1,171 @@
+"""Distributed BPE tokenizer training and application.
+
+Byte-pair-encoding merge training is the canonical tokenizer-building
+step of an LLM data pipeline.  The scalable design mirrors production
+trainers (SentencePiece / HF tokenizers train on word-frequency tables,
+not raw corpora):
+
+- ONE corpus-scale shuffle builds the distinct-word frequency table
+  (``word_frequencies``); Zipf makes it orders of magnitude smaller
+  than the corpus.
+- every merge round then runs on that vocab-sized table: adjacent-pair
+  counting is a codegen ``zip_with`` + explode + sum(freq) agg, the
+  argmax is a top-1 collect (driver-side by design, like the fixpoint
+  CC termination check), and the merge application is a pure
+  ``F.aggregate`` fold — greedy left-to-right, the standard BPE
+  apply order.
+- applying a trained tokenizer to the corpus (``bpe_segment``) again
+  tokenizes each DISTINCT word once (vocab-sized fold) and
+  broadcast-joins the result back onto exploded doc words — per-doc
+  reassembly is an order-preserving sort_array(collect_list) agg.
+
+Training is inherently eager (a driver loop with one tiny collect per
+round) — declared rows-only in the registry and exempted from the
+lazy-build guard alongside the pyspark.ml training queries.
+
+Reference parity note: the reference system has no tokenizer surface;
+this module belongs to the training-data-pipeline extension operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import words
+
+
+def word_frequencies(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, freq) over the normalized corpus — the one corpus-scale
+    shuffle; every BPE iteration afterwards is vocab-sized."""
+    return (
+        df.select(F.explode(words(text_col)).alias("word"))
+        .where(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def _adjacent_pairs(col: str) -> Column:
+    """array<struct<l,r>> of adjacent symbol pairs (empty for 1-symbol
+    words); overlapping occurrences all count, per standard BPE."""
+    s = F.col(col)
+    return F.zip_with(
+        F.slice(s, 1, F.greatest(F.size(s) - 1, F.lit(0))),
+        F.slice(s, 2, F.greatest(F.size(s) - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+    )
+
+
+def _apply_merge(col: str | Column, left: str, right: str) -> Column:
+    """Greedy left-to-right merge of adjacent (left, right) -> left+right
+    as a pure fold: a just-merged symbol is not re-merged with the next
+    (standard BPE apply semantics)."""
+    s = F.col(col) if isinstance(col, str) else col
+    return F.aggregate(
+        s,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            # try_element_at: null (not ANSI error) on the empty accumulator
+            (F.try_element_at(acc, F.lit(-1)) == F.lit(left))
+            & (x == F.lit(right)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(left + right))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def pair_counts(sym_df: DataFrame) -> DataFrame:
+    """(l, r, cnt) adjacent-pair frequencies over a (freq, s) symbol
+    table, weighted by word frequency."""
+    return (
+        sym_df.select("freq", F.explode(_adjacent_pairs("s")).alias("p"))
+        .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+        .agg(F.sum("freq").alias("cnt"))
+    )
+
+
+def bpe_train(df: DataFrame, n_merges: int = 8, text_col: str = "text",
+              min_pair_count: int = 2) -> list[tuple[str, str, int]]:
+    """Train ``n_merges`` BPE merges on the corpus; returns the ordered
+    merge list [(left, right, pair_count), ...].  Deterministic: ties on
+    count break to the lexicographically smallest (left, right).
+
+    EAGER by design (driver merge loop, one top-1 collect per round);
+    each round's vocab-sized symbol table is cached and the previous
+    round's unpersisted, so lineage stays one round deep.
+    """
+    cur = (
+        word_frequencies(df, text_col)
+        .select("freq", F.split("word", "").alias("s"))
+        .cache()
+    )
+    merges: list[tuple[str, str, int]] = []
+    try:
+        for _ in range(n_merges):
+            top = (
+                pair_counts(cur)
+                .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
+                .limit(1)
+                .collect()
+            )
+            if not top or top[0]["cnt"] < min_pair_count:
+                break
+            left, right, cnt = top[0]["l"], top[0]["r"], int(top[0]["cnt"])
+            merges.append((left, right, cnt))
+            nxt = cur.select(
+                "freq", _apply_merge("s", left, right).alias("s")
+            ).cache()
+            nxt.count()          # materialize before dropping the parent
+            cur.unpersist()
+            cur = nxt
+    finally:
+        cur.unpersist()
+    return merges
+
+
+def segment_words(vocab: DataFrame,
+                  merges: list[tuple[str, str, int]]) -> DataFrame:
+    """(word, symbols) — apply the merge list in training order to each
+    DISTINCT word (chained folds over a vocab-sized frame)."""
+    s: Column = F.split("word", "")
+    for left, right, _ in merges:
+        s = _apply_merge(s, left, right)
+    return vocab.select("word", s.alias("symbols"))
+
+
+def bpe_segment(df: DataFrame, merges: list[tuple[str, str, int]],
+                id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Tokenize every doc with a trained merge list.  Each distinct word
+    is segmented ONCE (vocab-sized fold) and broadcast-joined back onto
+    the exploded doc words; per-doc reassembly keeps word order via a
+    sort_array(collect_list(struct(pos, ...))) agg.
+    Output: (id_col, n_words, n_bpe_tokens, token_hash) — the md5 of the
+    space-joined token stream, a stable fingerprint of the segmentation.
+    """
+    doc_words = df.select(
+        F.col(id_col), F.posexplode(words(text_col)).alias("pos", "word")
+    ).where(F.length("word") > 0)
+    vocab = doc_words.select("word").distinct()
+    seg = segment_words(vocab, merges)
+    joined = doc_words.join(F.broadcast(seg), "word")
+    per_doc = joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.sum(F.size("symbols")).cast("long").alias("n_bpe_tokens"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.flatten(
+                    F.transform(
+                        F.sort_array(
+                            F.collect_list(F.struct("pos", "symbols"))
+                        ),
+                        lambda st: st["symbols"],
+                    )
+                ),
+            )
+        ).alias("token_hash"),
+    )
+    return per_doc

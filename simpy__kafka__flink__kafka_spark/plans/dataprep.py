@@ -1194,6 +1194,23 @@ FROM n LEFT JOIN a USING (doc_id)
 """
 
 
+def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train 8 BPE merges on the corpus (functions/bpe.py) and emit the
+    ordered merge table.  EAGER by design — a driver merge loop with one
+    top-1 collect per round, exempted from the lazy-build guard alongside
+    the pyspark.ml training queries — and rows-only at the gate: the
+    iterative argmax chain is not reasonably SQL-expressible (the stated
+    driver policy for iterative algorithms).  Correctness is pinned by
+    pytest against a pure-Python reference BPE trainer instead
+    (tests/test_bpe.py)."""
+    from ..functions.bpe import bpe_train
+
+    merges = bpe_train(_docs(spark, sf_dir), n_merges=8)
+    rows = [(i, l, r, c) for i, (l, r, c) in enumerate(merges)]
+    return spark.createDataFrame(
+        rows, "rank int, left string, right string, pair_count long")
+
+
 def _q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import chunk_documents
 
@@ -1386,6 +1403,9 @@ QUERIES: dict[str, Query] = {
                             "doc-frequency vocab + per-doc OOV rate"),
     "temperature_sample": Query(_q_temperature_sample, _TEMPERATURE_SQL,
                                 "deterministic temperature-based source mix"),
+    "bpe_merges": Query(
+        _q_bpe_merges, None,
+        "distributed BPE tokenizer training: 8 merges on the word-freq table"),
     "exact_substring_spans": Query(
         _q_exact_substring_spans, _EXACT_SUBSTR_SQL,
         "char-level ExactSubstr profile: maximal cross-doc spans >= 30 chars"),

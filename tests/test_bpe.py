@@ -1,0 +1,107 @@
+"""Distributed BPE training/application vs a pure-Python reference
+trainer: merge order (incl. deterministic tie-breaks), greedy-left apply
+semantics, corpus segmentation with order-preserving reassembly, the
+min-count stop, and the registry row."""
+
+from __future__ import annotations
+
+import hashlib
+from collections import Counter
+
+from simpy__kafka__flink__kafka_spark.functions.bpe import (
+    bpe_segment, bpe_train, segment_words, word_frequencies)
+from simpy__kafka__flink__kafka_spark.plans import registry
+
+CLASSIC = ("low low low low low lower lower newest newest newest newest "
+           "newest newest widest widest widest")
+
+
+def _ref_apply(sym: tuple[str, ...], left: str, right: str) -> tuple[str, ...]:
+    out: list[str] = []
+    i = 0
+    while i < len(sym):
+        if i + 1 < len(sym) and sym[i] == left and sym[i + 1] == right:
+            out.append(left + right)
+            i += 2
+        else:
+            out.append(sym[i])
+            i += 1
+    return tuple(out)
+
+
+def _ref_bpe(word_freqs: dict[str, int], n_merges: int,
+             min_pair_count: int = 2) -> list[tuple[str, str, int]]:
+    vocab = {tuple(w): f for w, f in word_freqs.items()}
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        counts: Counter = Counter()
+        for sym, f in vocab.items():
+            for i in range(len(sym) - 1):
+                counts[(sym[i], sym[i + 1])] += f
+        if not counts:
+            break
+        best_cnt = max(counts.values())
+        if best_cnt < min_pair_count:
+            break
+        left, right = min(k for k, v in counts.items() if v == best_cnt)
+        merges.append((left, right, best_cnt))
+        vocab = {_ref_apply(s, left, right): f for s, f in vocab.items()}
+    return merges
+
+
+def _mkdocs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_bpe_matches_reference_on_classic_corpus(spark):
+    docs = _mkdocs(spark, [(1, CLASSIC)])
+    freqs = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    assert bpe_train(docs, n_merges=8) == _ref_bpe(freqs, 8)
+
+
+def test_bpe_tie_break_is_lexicographic(spark):
+    # "ab" and "cd" each appear 3 times -> (a,b) wins the tie
+    docs = _mkdocs(spark, [(1, "ab ab ab cd cd cd")])
+    merges = bpe_train(docs, n_merges=1)
+    assert merges == [("a", "b", 3)]
+
+
+def test_apply_is_greedy_left_without_remerge(spark):
+    # "aaab": greedy left merges positions 0-1 then cannot re-merge the
+    # new "aa" with the following "a"
+    docs = _mkdocs(spark, [(1, "aaab aaab")])
+    vocab = word_frequencies(docs).select("word").distinct()
+    seg = segment_words(vocab, [("a", "a", 0)])
+    assert seg.collect()[0]["symbols"] == ["aa", "a", "b"]
+
+
+def test_min_pair_count_stops_training(spark):
+    docs = _mkdocs(spark, [(1, "xy")])  # every pair occurs once
+    assert bpe_train(docs, n_merges=4, min_pair_count=2) == []
+
+
+def test_segment_reassembles_in_word_order(spark):
+    docs = _mkdocs(spark, [(1, CLASSIC), (2, "low lower newest widest newest")])
+    merges = bpe_train(docs, n_merges=8)
+    got = {r["doc_id"]: r for r in bpe_segment(docs, merges).collect()}
+    # reproduce doc 2's token stream with the reference applier
+    toks: list[str] = []
+    for w in "low lower newest widest newest".split():
+        sym = tuple(w)
+        for left, right, _ in merges:
+            sym = _ref_apply(sym, left, right)
+        toks.extend(sym)
+    assert got[2]["n_words"] == 5
+    assert got[2]["n_bpe_tokens"] == len(toks)
+    expect = hashlib.md5(" ".join(toks).encode()).hexdigest()
+    assert got[2]["token_hash"] == expect
+    assert got[1]["n_words"] == 16
+
+
+def test_bpe_merges_registry_row(spark, sf_dir):
+    q = registry()["bpe_merges"]
+    assert q.oracle is None  # rows-only by design (iterative training)
+    out = q.build(spark, sf_dir).collect()
+    assert 0 < len(out) <= 8
+    assert [r["rank"] for r in out] == list(range(len(out)))
+    assert all(r["pair_count"] >= 2 for r in out)

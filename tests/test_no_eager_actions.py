@@ -16,8 +16,9 @@ from pyspark.sql import DataFrame
 
 from simpy__kafka__flink__kafka_spark.plans import CHECKED_FIRST, registry
 
-# ml training is inherently eager; these are rows-only declared and documented
-TRAINING_QUERIES = {"ml_lsh_neighbors", "ivf_topk_trained"}
+# training is inherently eager (ml fit / the BPE driver merge loop); these
+# are rows-only declared and documented at the declaration site
+TRAINING_QUERIES = {"ml_lsh_neighbors", "ivf_topk_trained", "bpe_merges"}
 
 ACTIONS = ["collect", "count", "first", "head", "take", "toPandas", "foreach",
             "foreachPartition", "toLocalIterator"]
