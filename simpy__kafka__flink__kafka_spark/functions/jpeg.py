@@ -1,24 +1,27 @@
-"""Vendored dependency-free baseline JPEG codec (ITU-T T.81 sequential
-DCT, Huffman entropy coding) — numpy + stdlib only.
+"""Vendored dependency-free JPEG codec (ITU-T T.81) — numpy + stdlib only.
 
-Decoder supports what the overwhelming majority of real-world JPEG files
-are: baseline/extended sequential (SOF0/SOF1) Huffman scans, 8-bit
-samples, grayscale or YCbCr with arbitrary sampling factors (4:4:4,
-4:2:2, 4:2:0, ...), restart markers, multi-table DQT/DHT segments.
-Progressive (SOF2), arithmetic coding, and 12-bit precision raise
-``ValueError`` — honest unsupported-variant errors, same contract as the
-vendored PNG decoder.
+Decoder supports what real-world JPEG files are: baseline/extended
+sequential (SOF0/SOF1) AND progressive (SOF2) Huffman scans — spectral
+selection, successive approximation (DC and the intricate AC refinement
+path), EOB runs — with 8-bit samples, grayscale or YCbCr at arbitrary
+sampling factors (4:4:4, 4:2:2, 4:2:0, ...), restart markers, and
+multi-table DQT/DHT segments.  Arithmetic coding, hierarchical (SOF5+),
+and 12-bit precision raise ``ValueError`` — honest unsupported-variant
+errors, same contract as the vendored PNG decoder.
 
 The encoder exists for two product reasons: it is the re-encode side of
 ``resize_image`` for JPEG payloads, and it generates valid fixtures in
-tests without any imaging library.  It emits baseline 4:4:4 or 4:2:0
-with a *fixed, simple* canonical Huffman table (every DC category at 5
-bits, every AC run/size symbol at 9 bits).  That is deliberately not the
-Annex K optimized table: JPEG stores the Huffman tables in the file
-(DHT), so any valid prefix code round-trips, and the fixed-width code
-keeps the table construction trivially auditable.  Compression ratio is
-not a goal of this vendored path; a production deployment swaps
-libjpeg-turbo in at the same ``decode_image`` seam.
+tests without any imaging library.  It emits baseline 4:4:4 / 4:2:0 or,
+with ``progressive=True``, a 4-stage SOF2 scan script (DC first at
+Al=1, DC refinement, per-component AC first at Al=1, per-component AC
+refinement) that exercises every progressive decode path including
+EOBRUN and the AC correction bits.  It uses a *fixed, simple* canonical
+Huffman table (every DC category at 5 bits, every AC run/size symbol at
+9 bits): JPEG stores the Huffman tables in the file (DHT), so any valid
+prefix code round-trips, and the fixed-width code keeps the table
+construction trivially auditable.  Compression ratio is not a goal of
+this vendored path; a production deployment swaps libjpeg-turbo in at
+the same ``decode_image`` seam.
 
 Entropy decode is a per-bit Python loop — appropriate for the fixture /
 test sizes this vendored codec serves; the block math (dequant, IDCT,
@@ -188,27 +191,207 @@ def _category(v: int) -> int:
 
 # --- decoder -----------------------------------------------------------------
 
-def decode_jpeg(content: bytes) -> np.ndarray:
-    """Baseline/extended-sequential JPEG decode -> (height, width, 3) uint8.
+class _Frame:
+    """Per-image decode state: frame header + per-component coefficient
+    arrays accumulated across scans (one scan for sequential files, many
+    for progressive)."""
 
-    Grayscale images are replicated to 3 channels (same contract as the
-    other vendored decoders).  Raises ValueError on progressive,
-    arithmetic-coded, or non-8-bit streams.
-    """
+    def __init__(self, h: int, w: int, comps: list[tuple[int, int, int, int]],
+                 progressive: bool):
+        self.h, self.w, self.comps = h, w, comps
+        self.progressive = progressive
+        self.hmax = max(c[1] for c in comps)
+        self.vmax = max(c[2] for c in comps)
+        self.mcus_x = -(-w // (8 * self.hmax))
+        self.mcus_y = -(-h // (8 * self.vmax))
+        # MCU-padded coefficient grids (non-interleaved scans address the
+        # smaller true block grid inside them)
+        self.coefs = [
+            np.zeros((self.mcus_y * vi, self.mcus_x * hi, 64), np.int32)
+            for _, hi, vi, _ in comps
+        ]
+
+    def block_grid(self, ci: int) -> tuple[int, int]:
+        """True (non-interleaved) block dims of component ci."""
+        _, hi, vi, _ = self.comps[ci]
+        cw = -(-self.w * hi // self.hmax)
+        ch = -(-self.h * vi // self.vmax)
+        return -(-ch // 8), -(-cw // 8)
+
+
+def _split_ecs(buf: bytes, pos: int) -> tuple[list[bytes], int]:
+    """Split the entropy-coded segment starting at ``pos`` at RSTn
+    markers, un-stuffing 0xFF00; returns (segments, index of the next
+    non-RST marker's 0xFF)."""
+    segments: list[bytes] = []
+    cur = bytearray()
+    i = pos
+    while i < len(buf) - 1:
+        if buf[i] == 0xFF:
+            nxt = buf[i + 1]
+            if nxt == 0x00:
+                cur.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:     # RSTn
+                segments.append(bytes(cur))
+                cur = bytearray()
+                i += 2
+                continue
+            break                        # EOI or next marker
+        cur.append(buf[i])
+        i += 1
+    segments.append(bytes(cur))
+    return segments, i
+
+
+def _refine_nonzero(r: _BitReader, coef: np.ndarray, zz: int, p1: int) -> None:
+    """AC successive-approximation correction bit for a known-nonzero
+    coefficient (two's-complement OR semantics, per G.1.2.3)."""
+    if r.read_bit():
+        c = int(coef[zz])
+        if (c & p1) == 0:
+            coef[zz] = c + (p1 if c >= 0 else -p1)
+
+
+def _decode_scan(frame: _Frame, sel: list[tuple[int, int, int]],
+                 huff: dict[tuple[int, int], dict[tuple[int, int], int]],
+                 segments: list[bytes], restart: int,
+                 Ss: int, Se: int, Ah: int, Al: int) -> None:
+    """Decode one scan (sequential or any progressive stage) into the
+    frame's coefficient arrays."""
+    interleaved = len(sel) > 1
+    if interleaved:
+        units_total = frame.mcus_x * frame.mcus_y
+    else:
+        bh, bw = frame.block_grid(sel[0][0])
+        units_total = bh * bw
+    unit = 0
+    for seg in segments:
+        reader = _BitReader(seg)
+        preds = [0] * len(frame.comps)
+        eobrun = 0
+        n_in_seg = restart if restart else (units_total - unit)
+        for _ in range(min(n_in_seg, units_total - unit)):
+            if interleaved:
+                my, mx = divmod(unit, frame.mcus_x)
+                for ci, td, ta in sel:
+                    _, hi, vi, _ = frame.comps[ci]
+                    for by in range(vi):
+                        for bx in range(hi):
+                            eobrun, preds[ci] = _decode_block(
+                                frame.coefs[ci], my * vi + by, mx * hi + bx,
+                                reader, huff, td, ta, Ss, Se, Ah, Al,
+                                eobrun, preds[ci])
+            else:
+                ci, td, ta = sel[0]
+                by, bx = divmod(unit, bw)
+                eobrun, preds[ci] = _decode_block(
+                    frame.coefs[ci], by, bx, reader, huff, td, ta,
+                    Ss, Se, Ah, Al, eobrun, preds[ci])
+            unit += 1
+
+
+def _decode_block(coefs: np.ndarray, by: int, bx: int, r: _BitReader,
+                  huff: dict, td: int, ta: int, Ss: int, Se: int,
+                  Ah: int, Al: int, eobrun: int, pred: int) -> tuple[int, int]:
+    """Decode one block's contribution for the current scan stage.
+    Returns (eobrun, pred) carried to the next block."""
+    coef = coefs[by, bx]
+    if Ss == 0:
+        if Ah == 0:                       # DC first (or sequential DC)
+            s = r.decode(huff[(0, td)])
+            diff = _extend(r.read_bits(s), s) if s else 0
+            pred += diff
+            coef[0] = pred << Al
+        else:                             # DC refinement: one bit
+            if r.read_bit():
+                coef[0] = int(coef[0]) | (1 << Al)
+        if Se == 0:
+            return eobrun, pred
+        k = 1                             # sequential: AC follows in-block
+    else:
+        k = Ss
+    ac = huff[(1, ta)]
+    p1 = 1 << Al
+    if Ah == 0:                           # AC first pass (or sequential AC)
+        if eobrun > 0:
+            return eobrun - 1, pred
+        while k <= Se:
+            rs = r.decode(ac)
+            run, s = rs >> 4, rs & 15
+            if s == 0:
+                if run == 15:             # ZRL
+                    k += 16
+                    continue
+                eobrun = 1 << run
+                if run:
+                    eobrun += r.read_bits(run)
+                return eobrun - 1, pred   # current block counted
+            k += run
+            if k > Se:
+                raise ValueError("JPEG AC index overflow")
+            coef[ZIGZAG[k]] = _extend(r.read_bits(s), s) << Al
+            k += 1
+        return eobrun, pred
+    # AC refinement (G.1.2.3)
+    if eobrun == 0:
+        while k <= Se:
+            rs = r.decode(ac)
+            run, s = rs >> 4, rs & 15
+            val = 0
+            if s == 0:
+                if run != 15:             # EOB run begins
+                    eobrun = 1 << run
+                    if run:
+                        eobrun += r.read_bits(run)
+                    break
+                # run == 15: ZRL over 16 zero-history positions
+            else:
+                if s != 1:
+                    raise ValueError("invalid refinement magnitude")
+                val = p1 if r.read_bit() else -p1
+            while k <= Se:
+                zz = int(ZIGZAG[k])
+                if coef[zz] != 0:
+                    _refine_nonzero(r, coef, zz, p1)
+                else:
+                    if run == 0:
+                        if val:
+                            coef[zz] = val
+                        k += 1
+                        break
+                    run -= 1
+                k += 1
+    if eobrun > 0:
+        # correction bits for the remaining nonzero coefs of this block
+        while k <= Se:
+            zz = int(ZIGZAG[k])
+            if coef[zz] != 0:
+                _refine_nonzero(r, coef, zz, p1)
+            k += 1
+        eobrun -= 1
+    return eobrun, pred
+
+
+def decode_jpeg(content: bytes) -> np.ndarray:
+    """Sequential (SOF0/SOF1) or progressive (SOF2) JPEG decode ->
+    (height, width, 3) uint8.  Grayscale images are replicated to 3
+    channels (same contract as the other vendored decoders).  Raises
+    ValueError on arithmetic-coded / hierarchical / non-8-bit streams."""
     buf = bytes(content)
     if buf[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     qtables: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
-    frame = None            # (h, w, [(cid, hi, vi, tq)])
+    frame: _Frame | None = None
     restart = 0
-    scan = None             # ([(comp_idx, td, ta)], ecs bytes)
     pos = 2
     while pos + 4 <= len(buf):
         if buf[pos] != 0xFF:
             raise ValueError("JPEG marker sync lost")
         marker = buf[pos + 1]
-        if marker == 0xD9:          # EOI with no scan
+        if marker == 0xD9:          # EOI
             break
         seglen = int.from_bytes(buf[pos + 2:pos + 4], "big")
         data = buf[pos + 4:pos + 2 + seglen]
@@ -225,7 +408,7 @@ def decode_jpeg(content: bytes) -> np.ndarray:
                     vals = np.frombuffer(data[i:i + 64], np.uint8).astype(np.int64)
                     i += 64
                 qtables[tq] = vals  # zigzag order, as stored
-        elif marker in (0xC0, 0xC1):   # SOF0 / SOF1
+        elif marker in (0xC0, 0xC1, 0xC2):   # SOF0 / SOF1 / SOF2
             if data[0] != 8:
                 raise ValueError(f"unsupported JPEG precision {data[0]}")
             h = int.from_bytes(data[1:3], "big")
@@ -235,12 +418,12 @@ def decode_jpeg(content: bytes) -> np.ndarray:
             for c in range(ncomp):
                 cid, hv, tq = data[6 + 3 * c], data[7 + 3 * c], data[8 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 15, tq))
-            frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            frame = _Frame(h, w, comps, progressive=(marker == 0xC2))
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
                 f"unsupported JPEG frame type SOF{marker - 0xC0} "
-                "(only baseline/extended sequential Huffman)"
+                "(sequential and progressive Huffman only)"
             )
         elif marker == 0xC4:        # DHT (may hold several tables)
             i = 0
@@ -260,89 +443,36 @@ def decode_jpeg(content: bytes) -> np.ndarray:
             sel = []
             for c in range(ns):
                 cs, tt = data[1 + 2 * c], data[2 + 2 * c]
-                idx = next(i for i, comp in enumerate(frame[2]) if comp[0] == cs)
+                idx = next(i for i, comp in enumerate(frame.comps)
+                           if comp[0] == cs)
                 sel.append((idx, tt >> 4, tt & 15))
-            # split ECS at restart markers, un-stuffing 0xFF00 as we go
-            segments: list[bytes] = []
-            cur = bytearray()
-            i = pos
-            while i < len(buf) - 1:
-                if buf[i] == 0xFF:
-                    nxt = buf[i + 1]
-                    if nxt == 0x00:
-                        cur.append(0xFF)
-                        i += 2
-                        continue
-                    if 0xD0 <= nxt <= 0xD7:     # RSTn
-                        segments.append(bytes(cur))
-                        cur = bytearray()
-                        i += 2
-                        continue
-                    break                        # EOI or next marker
-                cur.append(buf[i])
-                i += 1
-            segments.append(bytes(cur))
-            scan = (sel, segments)
-            break
+            Ss, Se = data[1 + 2 * ns], data[2 + 2 * ns]
+            AhAl = data[3 + 2 * ns]
+            Ah, Al = AhAl >> 4, AhAl & 15
+            if not frame.progressive:
+                Ss, Se, Ah, Al = 0, 63, 0, 0
+            segments, pos = _split_ecs(buf, pos)
+            _decode_scan(frame, sel, huff, segments, restart, Ss, Se, Ah, Al)
         # APPn / COM / others: skipped via seglen
-    if frame is None or scan is None:
-        raise ValueError("JPEG missing SOF/SOS")
+    if frame is None:
+        raise ValueError("JPEG missing SOF")
 
-    h, w, comps = frame
-    sel, segments = scan
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    mcus_x = -(-w // (8 * hmax))
-    mcus_y = -(-h // (8 * vmax))
-    planes = [
-        np.zeros((mcus_y * vi * 8, mcus_x * hi * 8), np.float64)
-        for _, hi, vi, _ in comps
-    ]
-    quant = [qtables[tq][ZIGZAG].reshape(8, 8).astype(np.float64)
-             for _, _, _, tq in comps]
-
-    coefs = np.zeros(64, np.float64)
-    mcu = 0
-    for seg in segments:
-        reader = _BitReader(seg)
-        preds = [0] * len(comps)
-        n_in_seg = restart if restart else (mcus_x * mcus_y - mcu)
-        for _ in range(min(n_in_seg, mcus_x * mcus_y - mcu)):
-            my, mx = divmod(mcu, mcus_x)
-            for comp_idx, td, ta in sel:
-                _, hi, vi, _ = comps[comp_idx]
-                dc_lut, ac_lut = huff[(0, td)], huff[(1, ta)]
-                for by in range(vi):
-                    for bx in range(hi):
-                        coefs[:] = 0.0
-                        s = reader.decode(dc_lut)
-                        diff = _extend(reader.read_bits(s), s) if s else 0
-                        preds[comp_idx] += diff
-                        coefs[0] = preds[comp_idx]
-                        k = 1
-                        while k < 64:
-                            rs = reader.decode(ac_lut)
-                            r, s = rs >> 4, rs & 15
-                            if s == 0:
-                                if r == 15:       # ZRL
-                                    k += 16
-                                    continue
-                                break             # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("JPEG AC index overflow")
-                            coefs[ZIGZAG[k]] = _extend(reader.read_bits(s), s)
-                            k += 1
-                        block = coefs.reshape(8, 8) * quant[comp_idx]
-                        px = _A.T @ block @ _A + 128.0
-                        y0 = (my * vi + by) * 8
-                        x0 = (mx * hi + bx) * 8
-                        planes[comp_idx][y0:y0 + 8, x0:x0 + 8] = px
-            mcu += 1
-
+    # dequantize + IDCT + assemble
+    h, w = frame.h, frame.w
     full = []
-    for (cid, hi, vi, _), plane in zip(comps, planes):
-        up = np.repeat(np.repeat(plane, vmax // vi, axis=0), hmax // hi, axis=1)
+    for ci, (cid, hi, vi, tq) in enumerate(frame.comps):
+        quant = qtables[tq][ZIGZAG].reshape(8, 8).astype(np.float64)
+        grid = frame.coefs[ci]
+        bh, bw = grid.shape[:2]
+        plane = np.empty((bh * 8, bw * 8), np.float64)
+        for by in range(bh):
+            for bx in range(bw):
+                block = grid[by, bx].astype(np.float64).reshape(8, 8) * quant
+                plane[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = (
+                    _A.T @ block @ _A + 128.0
+                )
+        up = np.repeat(np.repeat(plane, frame.vmax // vi, axis=0),
+                       frame.hmax // hi, axis=1)
         full.append(up[:h, :w])
     if len(full) == 1:
         g = np.clip(np.rint(full[0]), 0, 255).astype(np.uint8)
@@ -364,10 +494,10 @@ def _fdct_quant(plane: np.ndarray, qt: np.ndarray, by: int, bx: int) -> np.ndarr
     return np.rint((_A @ block @ _A.T) / qt).astype(np.int64)
 
 
-def _encode_block(writer: _BitWriter, coefs: np.ndarray, pred: int,
+def _encode_block(writer: _BitWriter, zz: np.ndarray, pred: int,
                   dc_codes: dict[int, tuple[int, int]],
                   ac_codes: dict[int, tuple[int, int]]) -> int:
-    zz = coefs.reshape(64)[ZIGZAG]
+    """Sequential: DC diff + AC run-length for one zigzag block."""
     dc = int(zz[0])
     diff = dc - pred
     s = _category(diff)
@@ -397,6 +527,129 @@ def _encode_block(writer: _BitWriter, coefs: np.ndarray, pred: int,
     return dc
 
 
+class _ACFirstEncoder:
+    """Progressive AC first pass (G.1.2.2): run-length with EOB runs
+    deferred across blocks; values magnitude-shifted by Al."""
+
+    def __init__(self, writer: _BitWriter, ac_codes: dict, Al: int):
+        self.w, self.ac, self.Al = writer, ac_codes, Al
+        self.eobrun = 0
+
+    def _emit_eobrun(self) -> None:
+        if self.eobrun:
+            r = self.eobrun.bit_length() - 1
+            code, length = self.ac[r << 4]
+            self.w.write(code, length)
+            if r:
+                self.w.write(self.eobrun - (1 << r), r)
+            self.eobrun = 0
+
+    def block(self, zz: np.ndarray) -> None:
+        vals = [0] * 64
+        last = 0
+        for k in range(1, 64):
+            v = int(zz[k])
+            m = (abs(v) >> self.Al)
+            vals[k] = m if v >= 0 else -m       # magnitude shift (not arith)
+            if vals[k]:
+                last = k
+        if last == 0:
+            self.eobrun += 1
+            if self.eobrun == 0x7FFF:
+                self._emit_eobrun()
+            return
+        self._emit_eobrun()
+        run = 0
+        for k in range(1, last + 1):
+            v = vals[k]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, length = self.ac[0xF0]
+                self.w.write(code, length)
+                run -= 16
+            s = _category(v)
+            code, length = self.ac[(run << 4) | s]
+            self.w.write(code, length)
+            self.w.write(v if v >= 0 else v + (1 << s) - 1, s)
+            run = 0
+        if last < 63:
+            self.eobrun += 1
+            if self.eobrun == 0x7FFF:
+                self._emit_eobrun()
+
+    def finish(self) -> None:
+        self._emit_eobrun()
+
+
+class _ACRefineEncoder:
+    """Progressive AC refinement (G.1.2.3), written as an exact mirror of
+    the decoder's advance loop so correction bits land precisely where the
+    decoder reads them: a ZRL carries only the correction bits for history
+    positions passed before its 16th zero; a significance symbol carries
+    sign + the bits passed en route to the inserted position; everything
+    after the last newly-significant position defers into an EOB run whose
+    correction bits follow the (possibly multi-block) EOB code."""
+
+    def __init__(self, writer: _BitWriter, ac_codes: dict, Al: int):
+        self.w, self.ac, self.Al = writer, ac_codes, Al
+        self.eobrun = 0
+        self.pending: list[int] = []      # correction bits deferred with EOB
+
+    def _emit_eobrun(self) -> None:
+        if self.eobrun:
+            r = self.eobrun.bit_length() - 1
+            code, length = self.ac[r << 4]
+            self.w.write(code, length)
+            if r:
+                self.w.write(self.eobrun - (1 << r), r)
+            self.eobrun = 0
+            for b in self.pending:
+                self.w.write(b, 1)
+            self.pending = []
+
+    def block(self, zz: np.ndarray) -> None:
+        Al = self.Al
+        mag = [abs(int(zz[k])) >> Al for k in range(64)]
+        k = 1
+        while True:
+            t = next((j for j in range(k, 64) if mag[j] == 1), None)
+            if t is None:
+                break
+            run = sum(1 for j in range(k, t) if mag[j] == 0)
+            while run > 15:
+                self._emit_eobrun()
+                code, length = self.ac[0xF0]
+                self.w.write(code, length)
+                consumed = 0
+                while consumed < 16:      # decoder's ZRL advance, mirrored
+                    if mag[k] > 1:
+                        self.w.write(mag[k] & 1, 1)
+                    else:
+                        consumed += 1
+                    k += 1
+                run -= 16
+            self._emit_eobrun()
+            code, length = self.ac[(run << 4) | 1]
+            self.w.write(code, length)
+            self.w.write(1 if int(zz[t]) > 0 else 0, 1)
+            while k < t:                  # bits read during the advance
+                if mag[k] > 1:
+                    self.w.write(mag[k] & 1, 1)
+                k += 1
+            k = t + 1
+        if k <= 63:                        # trailing band -> EOB run
+            self.eobrun += 1
+            self.pending.extend(mag[j] & 1 for j in range(k, 64)
+                                if mag[j] > 1)
+            if self.eobrun == 0x7FFF:
+                self._emit_eobrun()
+
+    def finish(self) -> None:
+        self._emit_eobrun()
+
+
 def _pad_to(plane: np.ndarray, mh: int, mw: int) -> np.ndarray:
     h, w = plane.shape
     ph = -(-h // mh) * mh
@@ -404,35 +657,39 @@ def _pad_to(plane: np.ndarray, mh: int, mw: int) -> np.ndarray:
     return np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
 
 
-def encode_jpeg(pixels: np.ndarray, quality: int = 90,
-                subsampling: str = "4:4:4", restart_interval: int = 0) -> bytes:
-    """Encode an (h, w, 3) RGB or (h, w) grayscale uint8 array as baseline
-    JPEG.  ``subsampling`` is ``"4:4:4"`` or ``"4:2:0"`` (ignored for
-    grayscale).  ``restart_interval`` > 0 emits DRI + RSTn markers every
-    that many MCUs."""
-    px = np.asarray(pixels, np.float64)
+def _color_planes(px: np.ndarray, subsampling: str):
     gray = px.ndim == 2
     if gray:
-        planes = [px]
-        samp = [(1, 1)]
-    else:
-        r, g, b = px[:, :, 0], px[:, :, 1], px[:, :, 2]
-        y = 0.299 * r + 0.587 * g + 0.114 * b
-        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
-        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
-        if subsampling == "4:2:0":
-            ph, pw = _pad_to(cb, 2, 2).shape
-            cb2 = _pad_to(cb, 2, 2).reshape(ph // 2, 2, pw // 2, 2).mean((1, 3))
-            cr2 = _pad_to(cr, 2, 2).reshape(ph // 2, 2, pw // 2, 2).mean((1, 3))
-            planes, samp = [y, cb2, cr2], [(2, 2), (1, 1), (1, 1)]
-        elif subsampling == "4:4:4":
-            planes, samp = [y, cb, cr], [(1, 1), (1, 1), (1, 1)]
-        else:
-            raise ValueError(f"unsupported subsampling {subsampling!r}")
+        return [px], [(1, 1)]
+    r, g, b = px[:, :, 0], px[:, :, 1], px[:, :, 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    if subsampling == "4:2:0":
+        ph, pw = _pad_to(cb, 2, 2).shape
+        cb2 = _pad_to(cb, 2, 2).reshape(ph // 2, 2, pw // 2, 2).mean((1, 3))
+        cr2 = _pad_to(cr, 2, 2).reshape(ph // 2, 2, pw // 2, 2).mean((1, 3))
+        return [y, cb2, cr2], [(2, 2), (1, 1), (1, 1)]
+    if subsampling == "4:4:4":
+        return [y, cb, cr], [(1, 1), (1, 1), (1, 1)]
+    raise ValueError(f"unsupported subsampling {subsampling!r}")
+
+
+def encode_jpeg(pixels: np.ndarray, quality: int = 90,
+                subsampling: str = "4:4:4", restart_interval: int = 0,
+                progressive: bool = False) -> bytes:
+    """Encode an (h, w, 3) RGB or (h, w) grayscale uint8 array as JPEG.
+    ``subsampling`` is ``"4:4:4"`` or ``"4:2:0"`` (ignored for
+    grayscale).  ``restart_interval`` > 0 emits DRI + RSTn markers
+    (sequential mode only).  ``progressive=True`` emits a 4-stage SOF2
+    scan script: DC first (Al=1), DC refinement, then per-component AC
+    first (Al=1) and AC refinement scans."""
+    px = np.asarray(pixels, np.float64)
+    gray = px.ndim == 2
     h, w = px.shape[:2]
+    planes, samp = _color_planes(px, subsampling)
     hmax = max(s[0] for s in samp)
     vmax = max(s[1] for s in samp)
-    # pad every plane so the MCU grid divides it exactly
     mcus_x = -(-w // (8 * hmax))
     mcus_y = -(-h // (8 * vmax))
     planes = [
@@ -450,14 +707,28 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90,
 
     dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
     ac_codes = _canonical_codes(_AC_BITS, _AC_VALS)
+    ncomp = len(planes)
+
+    # precompute every block's quantized zigzag coefficients
+    zz_of: list[dict[tuple[int, int], np.ndarray]] = []
+    grids: list[tuple[int, int]] = []
+    for c, ((hi, vi), plane) in enumerate(zip(samp, planes)):
+        bh, bw = plane.shape[0] // 8, plane.shape[1] // 8
+        grids.append((bh, bw))
+        blocks = {}
+        for by in range(bh):
+            for bx in range(bw):
+                coefs = _fdct_quant(plane, qt_nat[qt_of[c]], by, bx)
+                blocks[(by, bx)] = coefs.reshape(64)[ZIGZAG]
+        zz_of.append(blocks)
 
     out = bytearray(b"\xff\xd8")                               # SOI
     for tq, qt in enumerate(qts):                              # DQT
         out += b"\xff\xdb" + (3 + 64).to_bytes(2, "big")
         out.append(tq)
         out += bytes(int(v) for v in qt)
-    ncomp = len(planes)                                        # SOF0
-    out += b"\xff\xc0" + (8 + 3 * ncomp).to_bytes(2, "big")
+    sof = 0xC2 if progressive else 0xC0                        # SOF0 / SOF2
+    out += bytes([0xFF, sof]) + (8 + 3 * ncomp).to_bytes(2, "big")
     out += bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
     out.append(ncomp)
     for c, (hi, vi) in enumerate(samp):
@@ -467,34 +738,108 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90,
         out += b"\xff\xc4" + (3 + 16 + len(vals)).to_bytes(2, "big")
         out.append(tc << 4)
         out += bytes(bits) + bytes(vals)
-    if restart_interval:                                       # DRI
-        out += b"\xff\xdd\x00\x04" + restart_interval.to_bytes(2, "big")
-    out += b"\xff\xda" + (6 + 2 * ncomp).to_bytes(2, "big")    # SOS
-    out.append(ncomp)
-    for c in range(ncomp):
-        out += bytes([c + 1, 0x00])
-    out += b"\x00\x3f\x00"
 
+    def sos_header(comp_ids: list[int], Ss: int, Se: int,
+                   Ah: int, Al: int) -> bytes:
+        seg = bytearray(b"\xff\xda")
+        seg += (6 + 2 * len(comp_ids)).to_bytes(2, "big")
+        seg.append(len(comp_ids))
+        for cid in comp_ids:
+            seg += bytes([cid + 1, 0x00])
+        seg += bytes([Ss, Se, (Ah << 4) | Al])
+        return bytes(seg)
+
+    if not progressive:
+        if restart_interval:                                   # DRI
+            out += b"\xff\xdd\x00\x04" + restart_interval.to_bytes(2, "big")
+        out += sos_header(list(range(ncomp)), 0, 63, 0, 0)
+        writer = _BitWriter()
+        preds = [0] * ncomp
+        rst = 0
+        for mcu in range(mcus_x * mcus_y):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                writer.flush()
+                out += writer.out
+                out += bytes([0xFF, 0xD0 + (rst & 7)])
+                rst += 1
+                writer = _BitWriter()
+                preds = [0] * ncomp
+            my, mx = divmod(mcu, mcus_x)
+            for c, (hi, vi) in enumerate(samp):
+                for by in range(vi):
+                    for bx in range(hi):
+                        zz = zz_of[c][(my * vi + by, mx * hi + bx)]
+                        preds[c] = _encode_block(writer, zz, preds[c],
+                                                 dc_codes, ac_codes)
+        writer.flush()
+        out += writer.out
+        out += b"\xff\xd9"
+        return bytes(out)
+
+    # --- progressive scan script ---------------------------------------------
+    # scan 1: DC first, interleaved, Al=1 (arithmetic shift of the diff chain)
+    out += sos_header(list(range(ncomp)), 0, 0, 0, 1)
     writer = _BitWriter()
     preds = [0] * ncomp
-    rst = 0
     for mcu in range(mcus_x * mcus_y):
-        if restart_interval and mcu and mcu % restart_interval == 0:
-            writer.flush()
-            out += writer.out
-            out += bytes([0xFF, 0xD0 + (rst & 7)])
-            rst += 1
-            writer = _BitWriter()
-            preds = [0] * ncomp
         my, mx = divmod(mcu, mcus_x)
-        for c, ((hi, vi), plane) in enumerate(zip(samp, planes)):
+        for c, (hi, vi) in enumerate(samp):
             for by in range(vi):
                 for bx in range(hi):
-                    coefs = _fdct_quant(plane, qt_nat[qt_of[c]],
-                                        my * vi + by, mx * hi + bx)
-                    preds[c] = _encode_block(writer, coefs, preds[c],
-                                             dc_codes, ac_codes)
+                    dc = int(zz_of[c][(my * vi + by, mx * hi + bx)][0]) >> 1
+                    diff = dc - preds[c]
+                    preds[c] = dc
+                    s = _category(diff)
+                    code, length = dc_codes[s]
+                    writer.write(code, length)
+                    if s:
+                        writer.write(
+                            diff if diff >= 0 else diff + (1 << s) - 1, s)
     writer.flush()
     out += writer.out
-    out += b"\xff\xd9"                                         # EOI
+    # scan 2: DC refinement (one raw bit per block)
+    out += sos_header(list(range(ncomp)), 0, 0, 1, 0)
+    writer = _BitWriter()
+    for mcu in range(mcus_x * mcus_y):
+        my, mx = divmod(mcu, mcus_x)
+        for c, (hi, vi) in enumerate(samp):
+            for by in range(vi):
+                for bx in range(hi):
+                    writer.write(
+                        int(zz_of[c][(my * vi + by, mx * hi + bx)][0]) & 1, 1)
+    writer.flush()
+    out += writer.out
+    # scans 3..: per-component AC first (Al=1), then AC refinement (Al=0).
+    # Non-interleaved scans address the component's TRUE block grid
+    # (ceil(comp dims / 8)), which can be smaller than the MCU-padded grid
+    # the blocks were computed on.
+    def true_grid(c: int) -> tuple[int, int]:
+        hi, vi = samp[c]
+        ch = -(-h * vi // vmax)
+        cw = -(-w * hi // hmax)
+        return -(-ch // 8), -(-cw // 8)
+
+    for c in range(ncomp):
+        bh, bw = true_grid(c)
+        out += sos_header([c], 1, 63, 0, 1)
+        writer = _BitWriter()
+        enc = _ACFirstEncoder(writer, ac_codes, Al=1)
+        for by in range(bh):
+            for bx in range(bw):
+                enc.block(zz_of[c][(by, bx)])
+        enc.finish()
+        writer.flush()
+        out += writer.out
+    for c in range(ncomp):
+        bh, bw = true_grid(c)
+        out += sos_header([c], 1, 63, 1, 0)
+        writer = _BitWriter()
+        ref = _ACRefineEncoder(writer, ac_codes, Al=0)
+        for by in range(bh):
+            for bx in range(bw):
+                ref.block(zz_of[c][(by, bx)])
+        ref.finish()
+        writer.flush()
+        out += writer.out
+    out += b"\xff\xd9"
     return bytes(out)

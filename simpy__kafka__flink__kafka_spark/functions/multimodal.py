@@ -72,9 +72,10 @@ def attach_binary(docs: DataFrame) -> DataFrame:
 # library: PPM via a ~30-line header parser + numpy frombuffer, WAV via the
 # stdlib ``wave`` module.  8-bit RGB/RGBA PNG decodes via stdlib zlib +
 # scanline defiltering below; baseline-sequential JPEG via the vendored
-# Huffman+IDCT codec in ``jpeg.py``; FLAC via the lossless codec in
-# ``flac.py``.  Remaining formats (progressive JPEG, MP3) still need
-# PIL / soundfile and keep the documented NotImplementedError seam.
+# Huffman+IDCT codec in ``jpeg.py`` (sequential AND progressive); FLAC via
+# the lossless codec in ``flac.py``.  Remaining formats (GIF, MP3, ...)
+# still need PIL / soundfile and keep the documented NotImplementedError
+# seam.
 
 def _ppm_header(buf: bytes) -> tuple[int, int, int, int]:
     """Parse a P6 header (magic, width, height, maxval; '#' comments
@@ -198,9 +199,9 @@ def decode_png(content: bytes) -> np.ndarray:
 
 def decode_image(content: bytes) -> np.ndarray:
     """Image decode -> (height, width, 3) uint8 array.  P6 PPM, 8-bit
-    RGB/RGBA PNG, and baseline-sequential JPEG decode via the vendored
-    dependency-free parsers; any other format needs an imaging library
-    (absent from this environment — documented seam)."""
+    RGB/RGBA PNG, and JPEG (sequential and progressive) decode via the
+    vendored dependency-free parsers; any other format needs an imaging
+    library (absent from this environment — documented seam)."""
     buf = bytes(content[:8])
     if buf[:2] == b"P6":
         return decode_ppm(content)
@@ -210,16 +211,20 @@ def decode_image(content: bytes) -> np.ndarray:
         from .jpeg import decode_jpeg
 
         return decode_jpeg(content)
+    if buf[:4] == b"GIF8":
+        from .gif import decode_gif
+
+        return decode_gif(content)
     try:
         from PIL import Image  # type: ignore
 
         return np.asarray(Image.open(io.BytesIO(bytes(content))).convert("RGB"))
     except ImportError as exc:
         raise NotImplementedError(
-            "non-PPM/PNG/JPEG image decode requires an imaging library not "
-            "present in this environment; P6 PPM, 8-bit PNG, and baseline "
-            "JPEG decode dependency-free — the mapInPandas pipeline around "
-            "this seam is fully wired"
+            "image decode beyond PPM/PNG/JPEG/GIF requires an imaging "
+            "library not present in this environment; those four decode "
+            "dependency-free — the mapInPandas pipeline around this seam "
+            "is fully wired"
         ) from exc
 
 

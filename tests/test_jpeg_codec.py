@@ -92,12 +92,40 @@ def test_resize_jpeg_decodes_to_expected_dims():
     assert d.mean() < 6.0
 
 
-def test_progressive_sof2_raises_value_error():
+def test_progressive_decode_is_bit_identical_to_sequential():
+    # both modes transport the same quantized coefficients, so the decoded
+    # images must match EXACTLY — any desync in the progressive scan
+    # machinery (EOBRUN, ZRL, AC correction bits) breaks equality
+    rng = np.random.default_rng(3)
+    cases = [
+        (np.full((16, 24, 3), [200, 30, 90], np.uint8), "4:4:4"),
+        (_gradient(21, 13), "4:4:4"),
+        (_gradient(48, 37), "4:2:0"),        # odd dims: true-grid AC scans
+        (rng.integers(0, 256, (32, 32, 3), np.uint8), "4:4:4"),
+        (rng.integers(0, 256, (17, 9, 3), np.uint8), "4:2:0"),
+    ]
+    for img, sub in cases:
+        seq = decode_jpeg(encode_jpeg(img, quality=85, subsampling=sub))
+        prog = decode_jpeg(
+            encode_jpeg(img, quality=85, subsampling=sub, progressive=True))
+        assert np.array_equal(prog, seq), (img.shape, sub)
+
+
+def test_progressive_grayscale_and_scan_structure():
+    g = (np.mgrid[0:17, 0:9][0] * 13 % 256).astype(np.uint8)
+    raw = encode_jpeg(g, quality=85, progressive=True)
+    assert b"\xff\xc2" in raw              # SOF2
+    assert raw.count(b"\xff\xda") == 4     # DC first/refine + AC first/refine
+    seq = decode_jpeg(encode_jpeg(g, quality=85))
+    assert np.array_equal(decode_jpeg(raw), seq)
+
+
+def test_arithmetic_coded_sof9_raises_value_error():
     img = _gradient(8, 8)
     raw = bytearray(encode_jpeg(img, quality=90))
     i = raw.find(b"\xff\xc0")
-    raw[i + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
-    with pytest.raises(ValueError, match="SOF2"):
+    raw[i + 1] = 0xC9  # rewrite SOF0 -> SOF9 (arithmetic sequential)
+    with pytest.raises(ValueError, match="SOF9"):
         decode_jpeg(bytes(raw))
 
 

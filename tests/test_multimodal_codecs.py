@@ -53,9 +53,9 @@ def test_decode_image_dispatches_ppm():
 
 
 def test_decode_image_unsupported_format_raises_documented_seam():
-    # GIF is a remaining codec seam (PPM, PNG, and baseline JPEG vendored)
+    # TIFF is a remaining codec seam (PPM, PNG, JPEG, and GIF vendored)
     with pytest.raises(NotImplementedError, match="imaging library"):
-        decode_image(b"GIF89a gif garbage")
+        decode_image(b"II*\x00 tiff garbage")
 
 
 def _png_bytes(px: np.ndarray, filters: list[int]) -> bytes:
