@@ -168,4 +168,12 @@ def bpe_segment(df: DataFrame, merges: list[tuple[str, str, int]],
             )
         ).alias("token_hash"),
     )
-    return per_doc
+    # left-join back so empty/whitespace-only docs keep a row (n = 0, hash
+    # of the empty token stream) instead of silently dropping out
+    return df.select(id_col).join(per_doc, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("n_words", F.lit(0)).cast("long").alias("n_words"),
+        F.coalesce("n_bpe_tokens", F.lit(0)).cast("long")
+        .alias("n_bpe_tokens"),
+        F.coalesce("token_hash", F.md5(F.lit(""))).alias("token_hash"),
+    )

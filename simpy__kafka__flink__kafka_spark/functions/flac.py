@@ -382,6 +382,8 @@ def decode_flac(content: bytes) -> tuple[np.ndarray, int]:
         pos = (r.pos + 7) >> 3
         channels_out.append([np.asarray(c, np.int64) for c in subs])
 
+    if not channels_out:                   # frameless (empty) stream
+        return np.zeros((0, s_nch), np.int32), s_rate
     nch = len(channels_out[0])
     cols = [np.concatenate([f[c] for f in channels_out]) for c in range(nch)]
     out = np.stack(cols, axis=1)
@@ -442,7 +444,15 @@ def _write_subframe(w: _Writer, samples: np.ndarray, bps: int,
     if strategy == "lpc":
         order = min(2, len(s))
         if order < 2:
-            return _write_subframe(w, samples, bps, "verbatim")
+            # verbatim fallback for blocks shorter than the predictor
+            # order — inline, because the padding bit is already written
+            # (a recursive _write_subframe call would emit it twice and
+            # corrupt the stream)
+            w.bits(1, 6)
+            w.bits(0, 1)
+            for v in s:
+                w.bits(v, bps)
+            return
         # fixed quantized predictor: pred = (3*s[i-1] - s[i-2]) >> 1
         coefs, shift, prec = [3, -1], 1, 4
         w.bits(32 + (order - 1), 6)
@@ -476,7 +486,7 @@ def encode_flac(samples: np.ndarray, sample_rate: int, bits: int = 16,
         arr = arr[:, None]
     n, nch = arr.shape
     lo, hi = -(1 << (bits - 1)), (1 << (bits - 1)) - 1
-    if arr.min() < lo or arr.max() > hi:
+    if n and (arr.min() < lo or arr.max() > hi):
         raise ValueError(f"samples exceed {bits}-bit range")
     out = bytearray(b"fLaC")
     si = _Writer()

@@ -71,7 +71,9 @@ def _lzw_decode(min_size: int, data: bytes, n_pixels: int) -> bytes:
         if code == end:
             break
         if prev is None:
-            entry = table[code]
+            entry = table.get(code)
+            if entry is None:
+                raise ValueError("corrupt GIF LZW code")
         elif code in table:
             entry = table[code]
             table[next_code] = prev + entry[:1]

@@ -443,8 +443,11 @@ def decode_jpeg(content: bytes) -> np.ndarray:
             sel = []
             for c in range(ns):
                 cs, tt = data[1 + 2 * c], data[2 + 2 * c]
-                idx = next(i for i, comp in enumerate(frame.comps)
-                           if comp[0] == cs)
+                idx = next((i for i, comp in enumerate(frame.comps)
+                            if comp[0] == cs), None)
+                if idx is None:
+                    raise ValueError(
+                        f"JPEG scan references undeclared component {cs}")
                 sel.append((idx, tt >> 4, tt & 15))
             Ss, Se = data[1 + 2 * ns], data[2 + 2 * ns]
             AhAl = data[3 + 2 * ns]
@@ -457,20 +460,21 @@ def decode_jpeg(content: bytes) -> np.ndarray:
     if frame is None:
         raise ValueError("JPEG missing SOF")
 
-    # dequantize + IDCT + assemble
+    # dequantize + IDCT + assemble (vectorized over all blocks at once)
     h, w = frame.h, frame.w
     full = []
     for ci, (cid, hi, vi, tq) in enumerate(frame.comps):
-        quant = qtables[tq][ZIGZAG].reshape(8, 8).astype(np.float64)
+        # DQT stores zigzag order; scatter to the natural-order 8x8 table
+        # (the zigzag permutation is NOT an involution — a gather here
+        # would permute the table and break interop with real encoders)
+        qn = np.empty(64, np.float64)
+        qn[ZIGZAG] = qtables[tq].astype(np.float64)
         grid = frame.coefs[ci]
         bh, bw = grid.shape[:2]
-        plane = np.empty((bh * 8, bw * 8), np.float64)
-        for by in range(bh):
-            for bx in range(bw):
-                block = grid[by, bx].astype(np.float64).reshape(8, 8) * quant
-                plane[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = (
-                    _A.T @ block @ _A + 128.0
-                )
+        blocks = grid.astype(np.float64) * qn
+        blocks = blocks.reshape(bh, bw, 8, 8)
+        px = np.einsum("ij,xyjk,kl->xyil", _A.T, blocks, _A) + 128.0
+        plane = px.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
         up = np.repeat(np.repeat(plane, frame.vmax // vi, axis=0),
                        frame.hmax // hi, axis=1)
         full.append(up[:h, :w])
@@ -488,11 +492,6 @@ def decode_jpeg(content: bytes) -> np.ndarray:
 
 
 # --- encoder -----------------------------------------------------------------
-
-def _fdct_quant(plane: np.ndarray, qt: np.ndarray, by: int, bx: int) -> np.ndarray:
-    block = plane[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] - 128.0
-    return np.rint((_A @ block @ _A.T) / qt).astype(np.int64)
-
 
 def _encode_block(writer: _BitWriter, zz: np.ndarray, pred: int,
                   dc_codes: dict[int, tuple[int, int]],
@@ -699,34 +698,37 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90,
         for p, (hi, vi) in zip(planes, samp)
     ]
 
+    # _QUANT_* literals are NATURAL (row-major) order, per Annex K's
+    # presentation; the DQT segment stores zigzag order (gathered below)
     qluma = _scaled_quant(_QUANT_LUMA, quality)
     qchroma = _scaled_quant(_QUANT_CHROMA, quality)
     qts = [qluma] + ([] if gray else [qchroma])
     qt_of = [0] + ([] if gray else [1, 1])
-    qt_nat = [qt[ZIGZAG].reshape(8, 8).astype(np.float64) for qt in qts]
+    qt_nat = [qt.reshape(8, 8).astype(np.float64) for qt in qts]
 
     dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
     ac_codes = _canonical_codes(_AC_BITS, _AC_VALS)
     ncomp = len(planes)
 
-    # precompute every block's quantized zigzag coefficients
-    zz_of: list[dict[tuple[int, int], np.ndarray]] = []
+    # precompute every block's quantized zigzag coefficients (vectorized:
+    # one einsum per component; zz_of[c][(by, bx)] -> 64-vector)
+    zz_of: list[np.ndarray] = []
     grids: list[tuple[int, int]] = []
     for c, ((hi, vi), plane) in enumerate(zip(samp, planes)):
         bh, bw = plane.shape[0] // 8, plane.shape[1] // 8
         grids.append((bh, bw))
-        blocks = {}
-        for by in range(bh):
-            for bx in range(bw):
-                coefs = _fdct_quant(plane, qt_nat[qt_of[c]], by, bx)
-                blocks[(by, bx)] = coefs.reshape(64)[ZIGZAG]
-        zz_of.append(blocks)
+        blocks = plane.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3) - 128.0
+        coefs = np.rint(
+            np.einsum("ij,xyjk,kl->xyil", _A, blocks, _A.T)
+            / qt_nat[qt_of[c]]
+        ).astype(np.int64)
+        zz_of.append(coefs.reshape(bh, bw, 64)[:, :, ZIGZAG])
 
     out = bytearray(b"\xff\xd8")                               # SOI
-    for tq, qt in enumerate(qts):                              # DQT
+    for tq, qt in enumerate(qts):                              # DQT (zigzag)
         out += b"\xff\xdb" + (3 + 64).to_bytes(2, "big")
         out.append(tq)
-        out += bytes(int(v) for v in qt)
+        out += bytes(int(v) for v in qt[ZIGZAG])
     sof = 0xC2 if progressive else 0xC0                        # SOF0 / SOF2
     out += bytes([0xFF, sof]) + (8 + 3 * ncomp).to_bytes(2, "big")
     out += bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")

@@ -105,3 +105,13 @@ def test_bpe_merges_registry_row(spark, sf_dir):
     assert 0 < len(out) <= 8
     assert [r["rank"] for r in out] == list(range(len(out)))
     assert all(r["pair_count"] >= 2 for r in out)
+
+
+def test_segment_keeps_empty_docs(spark):
+    import hashlib as _h
+    docs = _mkdocs(spark, [(1, "low lower"), (2, "   "), (3, "")])
+    merges = bpe_train(docs, n_merges=2, min_pair_count=1)
+    got = {r["doc_id"]: r for r in bpe_segment(docs, merges).collect()}
+    assert set(got) == {1, 2, 3}
+    assert (got[2]["n_words"], got[2]["n_bpe_tokens"]) == (0, 0)
+    assert got[3]["token_hash"] == _h.md5(b"").hexdigest()

@@ -109,3 +109,23 @@ def test_audio_stats_arrow_path_over_flac(spark):
             got[2]["n_channels"]) == (2000, 16000, 2)
     exp = round(float(np.sqrt(np.mean(mono.astype(np.float64) ** 2))), 6)
     assert got[1]["rms"] == exp
+
+
+def test_lpc_tail_block_shorter_than_order_roundtrips():
+    # 4097 samples at block 1024: the final 1-sample block cannot run an
+    # order-2 predictor and must fall back to verbatim WITHOUT writing a
+    # second subframe padding bit (regression: corrupted stream)
+    mono = _sine(4097)
+    out, _ = decode_flac(encode_flac(mono, 8000, subframe="lpc",
+                                     block_size=1024))
+    assert np.array_equal(out[:, 0], mono)
+    st = np.stack([mono, -mono], 1)
+    out2, _ = decode_flac(encode_flac(st, 8000, subframe="lpc",
+                                      stereo="mid_side", block_size=1024))
+    assert np.array_equal(out2, st)
+
+
+def test_empty_stream_roundtrips():
+    out, rate = decode_flac(encode_flac(np.zeros((0, 2), np.int32), 44100))
+    assert rate == 44100
+    assert out.shape == (0, 2)

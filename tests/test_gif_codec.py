@@ -66,3 +66,13 @@ def test_decode_image_dispatches_gif():
 def test_non_gif_raises():
     with pytest.raises(ValueError, match="not a GIF"):
         decode_gif(b"PNG? nope")
+
+
+def test_corrupt_first_code_after_clear_raises_value_error():
+    # first code after CLEAR outside the table must raise the documented
+    # ValueError, not KeyError (regression)
+    # min_size=2: clear=4, end=5; pack codes [4, 7] LSB-first at width 3
+    acc = 4 | (7 << 3)
+    data = bytes([acc & 0xFF])
+    with pytest.raises(ValueError, match="corrupt GIF LZW code"):
+        _lzw_decode(2, data, 4)

@@ -155,3 +155,23 @@ def test_image_stats_arrow_path_over_jpeg(spark):
     img2 = _gradient(16, 24)
     for c in range(3):
         assert abs(got[1]["mean_rgb"][c] - img2[:, :, c].mean()) < 3.0
+
+
+def test_undeclared_scan_component_raises_value_error():
+    raw = bytearray(encode_jpeg(_gradient(8, 8), quality=90))
+    i = raw.find(b"\xff\xda")
+    raw[i + 5] = 9  # scan selector -> component id 9 (not in SOF)
+    with pytest.raises(ValueError, match="undeclared component"):
+        decode_jpeg(bytes(raw))
+
+
+def test_dqt_payload_is_zigzag_ordered():
+    # quality 50 stores the Annex-K-shaped base table verbatim; the DQT
+    # segment must carry it in ZIGZAG order: 16, 11, 12, 14, 12, ...
+    # (naturals (0,0),(0,1),(1,0),(2,0),(1,1)).  A natural-order payload
+    # would read 16, 11, 10, 16, 24 — regression for the gather/scatter
+    # direction mix-up that self-consistent round-trips cannot catch.
+    raw = encode_jpeg(_gradient(16, 16), quality=50)
+    i = raw.find(b"\xff\xdb")
+    payload = raw[i + 5:i + 5 + 64]
+    assert list(payload[:6]) == [16, 11, 12, 14, 12, 10]
