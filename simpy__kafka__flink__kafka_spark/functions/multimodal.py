@@ -197,6 +197,26 @@ def decode_png(content: bytes) -> np.ndarray:
     return out.reshape(h, w, ch)[:, :, :3]
 
 
+def encode_png(pixels: np.ndarray) -> bytes:
+    """Minimal lossless PNG writer (8-bit RGB, filter type 0, stdlib
+    zlib) — the re-encode side of :func:`resize_image` for PNG inputs."""
+    import struct
+    import zlib
+
+    px = np.asarray(pixels, np.uint8)
+    h, w = px.shape[:2]
+    raw = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (len(data).to_bytes(4, "big") + typ + data
+                + zlib.crc32(typ + data).to_bytes(4, "big"))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (PNG_MAGIC + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b""))
+
+
 def decode_image(content: bytes) -> np.ndarray:
     """Image decode -> (height, width, 3) uint8 array.  P6 PPM, 8-bit
     RGB/RGBA PNG, and JPEG (sequential and progressive) decode via the
@@ -268,15 +288,23 @@ def _nearest(px: np.ndarray, width: int, height: int) -> np.ndarray:
 
 
 def resize_image(content: bytes, width: int, height: int) -> bytes:
-    """Bytes-in/bytes-out resize.  P6 PPM and baseline JPEG resize
-    dependency-free (decode -> nearest-neighbor index -> re-encode; JPEG
-    re-encodes 4:4:4 at quality 90); other formats need an imaging library
-    (absent — documented seam).  Nearest-neighbor is the deterministic
-    choice: no resampling-kernel variation across library versions, so
-    fixtures hash stably."""
-    if bytes(content[:2]) == b"P6":
+    """Bytes-in/bytes-out resize for every vendored format, re-encoding
+    in kind: P6 PPM, PNG (lossless filter-0 writer), GIF (palette
+    preserved — nearest-neighbor never invents colors), and JPEG (4:4:4
+    at quality 90).  Other formats need an imaging library (absent —
+    documented seam).  Nearest-neighbor is the deterministic choice: no
+    resampling-kernel variation across library versions, so fixtures
+    hash stably."""
+    head = bytes(content[:8])
+    if head[:2] == b"P6":
         return encode_ppm(_nearest(decode_ppm(content), width, height))
-    if bytes(content[:2]) == b"\xff\xd8":
+    if head == PNG_MAGIC:
+        return encode_png(_nearest(decode_png(content), width, height))
+    if head[:4] == b"GIF8":
+        from .gif import decode_gif, encode_gif
+
+        return encode_gif(_nearest(decode_gif(content), width, height))
+    if head[:2] == b"\xff\xd8":
         from .jpeg import decode_jpeg, encode_jpeg
 
         return encode_jpeg(_nearest(decode_jpeg(content), width, height),
@@ -290,8 +318,8 @@ def resize_image(content: bytes, width: int, height: int) -> bytes:
         return out.getvalue()
     except ImportError as exc:
         raise NotImplementedError(
-            "non-PPM/JPEG image resize requires an imaging library not "
-            "present in this environment; P6 PPM and baseline JPEG resize "
+            "image resize beyond PPM/PNG/GIF/JPEG requires an imaging "
+            "library not present in this environment; those four resize "
             "dependency-free — the Arrow pipeline around this seam is "
             "fully wired"
         ) from exc

@@ -196,3 +196,30 @@ def test_audio_stats_arrow_path(spark):
     samples, _ = decode_audio(rows[0][1])
     exp = round(float(np.sqrt(np.mean(samples.astype(np.float64) ** 2))), 6)
     assert got[1]["rms"] == exp
+
+
+def test_png_encode_roundtrip_bit_exact():
+    from simpy__kafka__flink__kafka_spark.functions.multimodal import (
+        decode_png, encode_png)
+    rng = np.random.default_rng(9)
+    px = rng.integers(0, 256, (13, 7, 3), np.uint8)
+    assert np.array_equal(decode_png(encode_png(px)), px)
+
+
+def test_resize_png_and_gif_reencode_in_kind():
+    from simpy__kafka__flink__kafka_spark.functions.gif import (
+        decode_gif, encode_gif)
+    from simpy__kafka__flink__kafka_spark.functions.multimodal import (
+        decode_png, encode_png)
+    rng = np.random.default_rng(9)
+    px = rng.integers(0, 256, (16, 12, 3), np.uint8)
+    out = resize_image(encode_png(px), 6, 8)
+    assert out[:8] == b"\x89PNG\r\n\x1a\n"
+    expect = px[(np.arange(8) * 16 // 8)][:, (np.arange(6) * 12 // 6)]
+    assert np.array_equal(decode_png(out), expect)
+    pal = (rng.integers(0, 4, (16, 12)) * 80).astype(np.uint8)
+    img = np.stack([pal, pal, 255 - pal], 2)
+    out_g = resize_image(encode_gif(img), 6, 8)
+    assert out_g[:4] == b"GIF8"
+    exp_g = img[(np.arange(8) * 16 // 8)][:, (np.arange(6) * 12 // 6)]
+    assert np.array_equal(decode_gif(out_g), exp_g)
