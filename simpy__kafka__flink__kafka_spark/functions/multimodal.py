@@ -235,16 +235,20 @@ def decode_image(content: bytes) -> np.ndarray:
         from .gif import decode_gif
 
         return decode_gif(content)
+    if buf[:4] in (b"II*\x00", b"MM\x00*"):
+        from .tiff import decode_tiff
+
+        return decode_tiff(content)
     try:
         from PIL import Image  # type: ignore
 
         return np.asarray(Image.open(io.BytesIO(bytes(content))).convert("RGB"))
     except ImportError as exc:
         raise NotImplementedError(
-            "image decode beyond PPM/PNG/JPEG/GIF requires an imaging "
-            "library not present in this environment; those four decode "
-            "dependency-free — the mapInPandas pipeline around this seam "
-            "is fully wired"
+            "image decode beyond PPM/PNG/JPEG/GIF/TIFF requires an "
+            "imaging library not present in this environment; those five "
+            "decode dependency-free — the mapInPandas pipeline around "
+            "this seam is fully wired"
         ) from exc
 
 

@@ -1,0 +1,189 @@
+"""Vendored dependency-free baseline TIFF codec — stdlib + numpy.
+
+Decoder covers baseline TIFF 6.0 stills: both byte orders (II/MM),
+8-bit grayscale (either photometric polarity) and chunky RGB/RGBA,
+multi-strip layout, uncompressed or PackBits (32773) compression.
+Tiled, planar, palette, LZW/JPEG-compressed, and non-8-bit variants
+raise ``ValueError`` — the same honest unsupported-variant contract as
+the other vendored decoders.
+
+The encoder writes single-strip chunky little-endian RGB (optionally
+PackBits-compressed) for fixtures; lossless, so round-trips are
+asserted bit-exact in tests.
+
+Reference parity note: the reference system has no media path; this
+module belongs to the training-data multimodal extension surface.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+
+
+def _packbits_decode(data: bytes, expected: int) -> bytes:
+    out = bytearray()
+    i = 0
+    while i < len(data) and len(out) < expected:
+        n = data[i]
+        i += 1
+        if n < 128:                        # literal run of n+1
+            out += data[i:i + n + 1]
+            i += n + 1
+        elif n > 128:                      # repeat next byte 257-n times
+            out += bytes([data[i]]) * (257 - n)
+            i += 1
+        # n == 128: noop
+    if len(out) < expected:
+        raise ValueError("truncated TIFF PackBits stream")
+    return bytes(out[:expected])
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        # find run length at i
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 2:
+            out += bytes([257 - run, data[i]])
+            i += run
+            continue
+        # literal stretch until the next >=3 run (2-runs inside literals
+        # are cheaper left literal)
+        j = i + 1
+        while j < n and j - i < 128:
+            r = 1
+            while j + r < n and r < 3 and data[j + r] == data[j]:
+                r += 1
+            if r >= 3:
+                break
+            j += 1
+        out += bytes([j - i - 1]) + data[i:j]
+        i = j
+    return bytes(out)
+
+
+def decode_tiff(content: bytes) -> np.ndarray:
+    """Baseline TIFF decode -> (height, width, 3) uint8 (first IFD)."""
+    buf = bytes(content)
+    if buf[:2] == b"II":
+        bo = "little"
+    elif buf[:2] == b"MM":
+        bo = "big"
+    else:
+        raise ValueError("not a TIFF")
+    if int.from_bytes(buf[2:4], bo) != 42:
+        raise ValueError("not a TIFF (bad magic number)")
+    ifd = int.from_bytes(buf[4:8], bo)
+    n_entries = int.from_bytes(buf[ifd:ifd + 2], bo)
+    tags: dict[int, list[int]] = {}
+    for e in range(n_entries):
+        off = ifd + 2 + 12 * e
+        tag = int.from_bytes(buf[off:off + 2], bo)
+        typ = int.from_bytes(buf[off + 2:off + 4], bo)
+        cnt = int.from_bytes(buf[off + 4:off + 8], bo)
+        size = _TYPE_SIZES.get(typ, 1) * cnt
+        if size <= 4:
+            raw = buf[off + 8:off + 8 + size]
+        else:
+            ptr = int.from_bytes(buf[off + 8:off + 12], bo)
+            raw = buf[ptr:ptr + size]
+        step = _TYPE_SIZES.get(typ, 1)
+        if typ == 5:                       # RATIONAL: keep numerator
+            vals = [int.from_bytes(raw[i:i + 4], bo)
+                    for i in range(0, size, 8)]
+        else:
+            vals = [int.from_bytes(raw[i:i + step], bo)
+                    for i in range(0, size, step)]
+        tags[tag] = vals
+
+    def one(tag: int, default: int | None = None) -> int:
+        if tag in tags:
+            return tags[tag][0]
+        if default is None:
+            raise ValueError(f"TIFF missing required tag {tag}")
+        return default
+
+    w, h = one(256), one(257)
+    compression = one(259, 1)
+    photometric = one(262)
+    spp = one(277, 1)
+    bits = tags.get(258, [8] * spp)
+    if any(b != 8 for b in bits):
+        raise ValueError(f"unsupported TIFF bit depths {bits} (8-bit only)")
+    if one(284, 1) != 1:
+        raise ValueError("unsupported TIFF planar configuration")
+    if 322 in tags or 323 in tags:
+        raise ValueError("unsupported tiled TIFF")
+    if photometric not in (0, 1, 2):
+        raise ValueError(f"unsupported TIFF photometric {photometric}")
+    if compression not in (1, 32773):
+        raise ValueError(
+            f"unsupported TIFF compression {compression} "
+            "(uncompressed and PackBits only)")
+    offsets = tags[273]
+    counts = tags.get(279, [len(buf) - offsets[0]])
+    rows_per_strip = one(278, h)
+    raw = bytearray()
+    for si, (so, sc) in enumerate(zip(offsets, counts)):
+        strip = buf[so:so + sc]
+        if compression == 32773:
+            rows = min(rows_per_strip, h - si * rows_per_strip)
+            strip = _packbits_decode(strip, rows * w * spp)
+        raw += strip
+    if len(raw) < h * w * spp:
+        raise ValueError("TIFF strip data shorter than image")
+    px = np.frombuffer(bytes(raw), np.uint8,
+                       h * w * spp).reshape(h, w, spp)
+    if photometric == 0:                   # WhiteIsZero
+        px = 255 - px
+    if spp == 1:
+        return np.repeat(px, 3, axis=2)
+    return np.ascontiguousarray(px[:, :, :3])   # drop alpha if present
+
+
+def encode_tiff(pixels: np.ndarray, packbits: bool = False) -> bytes:
+    """(h, w, 3) uint8 -> single-strip chunky little-endian RGB TIFF
+    (lossless; fixture generator)."""
+    px = np.asarray(pixels, np.uint8)
+    h, w = px.shape[:2]
+    data = px.tobytes()
+    if packbits:
+        data = _packbits_encode(data)
+    entries = [
+        (256, 3, 1, w), (257, 3, 1, h),
+        (258, 3, 3, None),                 # BitsPerSample -> offset
+        (259, 3, 1, 32773 if packbits else 1),
+        (262, 3, 1, 2),                    # RGB
+        (273, 4, 1, None),                 # StripOffsets -> after IFD
+        (277, 3, 1, 3),
+        (278, 3, 1, h),
+        (279, 4, 1, len(data)),
+    ]
+    ifd_off = 8
+    ifd_len = 2 + 12 * len(entries) + 4
+    bps_off = ifd_off + ifd_len
+    data_off = bps_off + 6
+    out = bytearray(b"II" + (42).to_bytes(2, "little")
+                    + ifd_off.to_bytes(4, "little"))
+    out += len(entries).to_bytes(2, "little")
+    for tag, typ, cnt, val in entries:
+        out += tag.to_bytes(2, "little") + typ.to_bytes(2, "little")
+        out += cnt.to_bytes(4, "little")
+        if tag == 258:
+            out += bps_off.to_bytes(4, "little")
+        elif tag == 273:
+            out += data_off.to_bytes(4, "little")
+        elif typ == 3:
+            out += val.to_bytes(2, "little") + b"\x00\x00"
+        else:
+            out += val.to_bytes(4, "little")
+    out += (0).to_bytes(4, "little")       # no next IFD
+    out += (8).to_bytes(2, "little") * 3   # BitsPerSample 8,8,8
+    out += data
+    return bytes(out)

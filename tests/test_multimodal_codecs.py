@@ -53,9 +53,9 @@ def test_decode_image_dispatches_ppm():
 
 
 def test_decode_image_unsupported_format_raises_documented_seam():
-    # TIFF is a remaining codec seam (PPM, PNG, JPEG, and GIF vendored)
+    # BMP is a remaining codec seam (PPM/PNG/JPEG/GIF/TIFF vendored)
     with pytest.raises(NotImplementedError, match="imaging library"):
-        decode_image(b"II*\x00 tiff garbage")
+        decode_image(b"BM bmp garbage")
 
 
 def _png_bytes(px: np.ndarray, filters: list[int]) -> bytes:
