@@ -239,14 +239,18 @@ def decode_image(content: bytes) -> np.ndarray:
         from .tiff import decode_tiff
 
         return decode_tiff(content)
+    if buf[:2] == b"BM":
+        from .bmp import decode_bmp
+
+        return decode_bmp(content)
     try:
         from PIL import Image  # type: ignore
 
         return np.asarray(Image.open(io.BytesIO(bytes(content))).convert("RGB"))
     except ImportError as exc:
         raise NotImplementedError(
-            "image decode beyond PPM/PNG/JPEG/GIF/TIFF requires an "
-            "imaging library not present in this environment; those five "
+            "image decode beyond PPM/PNG/JPEG/GIF/TIFF/BMP requires an "
+            "imaging library not present in this environment; those six "
             "decode dependency-free — the mapInPandas pipeline around "
             "this seam is fully wired"
         ) from exc
@@ -292,13 +296,12 @@ def _nearest(px: np.ndarray, width: int, height: int) -> np.ndarray:
 
 
 def resize_image(content: bytes, width: int, height: int) -> bytes:
-    """Bytes-in/bytes-out resize for every vendored format, re-encoding
-    in kind: P6 PPM, PNG (lossless filter-0 writer), GIF (palette
-    preserved — nearest-neighbor never invents colors), and JPEG (4:4:4
-    at quality 90).  Other formats need an imaging library (absent —
-    documented seam).  Nearest-neighbor is the deterministic choice: no
-    resampling-kernel variation across library versions, so fixtures
-    hash stably."""
+    """Bytes-in/bytes-out resize re-encoding in kind: P6 PPM, PNG
+    (lossless filter-0 writer), GIF (palette preserved — nearest-neighbor
+    never invents colors), BMP (24-bit), and JPEG (4:4:4 at quality 90).
+    Other formats need an imaging library (absent — documented seam).
+    Nearest-neighbor is the deterministic choice: no resampling-kernel
+    variation across library versions, so fixtures hash stably."""
     head = bytes(content[:8])
     if head[:2] == b"P6":
         return encode_ppm(_nearest(decode_ppm(content), width, height))
@@ -308,6 +311,10 @@ def resize_image(content: bytes, width: int, height: int) -> bytes:
         from .gif import decode_gif, encode_gif
 
         return encode_gif(_nearest(decode_gif(content), width, height))
+    if head[:2] == b"BM":
+        from .bmp import decode_bmp, encode_bmp
+
+        return encode_bmp(_nearest(decode_bmp(content), width, height))
     if head[:2] == b"\xff\xd8":
         from .jpeg import decode_jpeg, encode_jpeg
 

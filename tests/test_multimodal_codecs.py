@@ -53,9 +53,9 @@ def test_decode_image_dispatches_ppm():
 
 
 def test_decode_image_unsupported_format_raises_documented_seam():
-    # BMP is a remaining codec seam (PPM/PNG/JPEG/GIF/TIFF vendored)
+    # WebP is a remaining codec seam (PPM/PNG/JPEG/GIF/TIFF/BMP vendored)
     with pytest.raises(NotImplementedError, match="imaging library"):
-        decode_image(b"BM bmp garbage")
+        decode_image(b"RIFF\x00\x00\x00\x00WEBP garbage")
 
 
 def _png_bytes(px: np.ndarray, filters: list[int]) -> bytes:
