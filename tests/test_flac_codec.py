@@ -129,3 +129,17 @@ def test_empty_stream_roundtrips():
     out, rate = decode_flac(encode_flac(np.zeros((0, 2), np.int32), 44100))
     assert rate == 44100
     assert out.shape == (0, 2)
+
+
+def test_id3v2_prefixed_flac_decodes():
+    # files tagged by common tools carry an ID3v2 header before fLaC;
+    # the decoder skips it (syncsafe size) and decode_audio dispatches
+    mono = _sine(1500)
+    raw = encode_flac(mono, 8000, subframe="fixed")
+    tag_body = b"\x00" * 200
+    id3 = b"ID3\x04\x00\x00" + bytes([0, 0, 200 >> 7, 200 & 0x7F]) + tag_body
+    tagged = id3 + raw
+    out, rate = decode_flac(tagged)
+    assert rate == 8000 and np.array_equal(out[:, 0], mono)
+    samples, rate2 = decode_audio(tagged)
+    assert rate2 == 8000 and np.array_equal(samples[:, 0], mono)
