@@ -45,6 +45,9 @@ HEADLINE = [
     "passage_dedup",
     "passage_rewrite",
     "chunk_documents",
+    # live codec execution inside the distributed plan (vendored PPM
+    # decode through Arrow mapInPandas; oracle-checked at the gate)
+    "image_decode_stats",
 ]
 
 
