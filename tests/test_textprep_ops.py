@@ -181,3 +181,41 @@ def test_exact_substring_spans_short_docs_have_no_positions(spark):
            exact_substring_spans(docs, min_len=30).collect()}
     assert got[1].n_dup_spans == 0 and got[2].dup_chars == 0
     assert got[1].doc_len == len("too short")
+
+
+def test_exact_substring_spans_planted_payload_property(spark):
+    # metamorphic: plant one shared >=40-char payload into two random-hex
+    # corpora docs; exactly those two docs must report a dup span covering
+    # at least the payload (maximal spans may extend into equal flanks,
+    # never shrink), and no other doc may report anything (random 24-char
+    # hex words make chance 30-char matches impossible)
+    import random
+
+    from simpy__kafka__flink__kafka_spark.functions.text import (
+        exact_substring_spans)
+
+    rng = random.Random(17)
+
+    def hexwords(n):
+        return " ".join(f"{rng.getrandbits(96):024x}" for _ in range(n))
+
+    for trial in range(3):
+        payload = f"{rng.getrandbits(192):048x}"      # 48 chars, unique
+        rows = []
+        a, b = rng.sample(range(8), 2)
+        for doc_id in range(8):
+            text = hexwords(rng.randint(3, 10))
+            if doc_id in (a, b):
+                ws = text.split()
+                pos = rng.randint(0, len(ws))
+                text = " ".join(ws[:pos] + [payload] + ws[pos:])
+            rows.append((doc_id, text))
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.doc_id: r for r in
+               exact_substring_spans(docs, min_len=30).collect()}
+        for doc_id in range(8):
+            if doc_id in (a, b):
+                assert got[doc_id].n_dup_spans >= 1, (trial, doc_id)
+                assert got[doc_id].dup_chars >= len(payload), (trial, doc_id)
+            else:
+                assert got[doc_id].n_dup_spans == 0, (trial, doc_id)
