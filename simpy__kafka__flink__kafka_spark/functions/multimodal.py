@@ -271,7 +271,15 @@ def decode_audio(content: bytes) -> tuple[np.ndarray, int]:
             data = wv.readframes(n)
         dtype = {1: np.uint8, 2: np.int16, 4: np.int32}[width]
         return np.frombuffer(data, dtype=dtype).reshape(-1, ch), rate
-    if buf[:4] == b"fLaC" or (buf[:3] == b"ID3" and b"fLaC" in buf[:4096]):
+    if buf[:3] == b"ID3" and len(buf) >= 10:
+        # syncsafe tag size; dispatch on whatever follows the tag
+        tag_end = ((buf[6] << 21) | (buf[7] << 14) | (buf[8] << 7)
+                   | buf[9]) + 10
+        if buf[tag_end:tag_end + 4] == b"fLaC":
+            from .flac import decode_flac
+
+            return decode_flac(buf)
+    if buf[:4] == b"fLaC":
         from .flac import decode_flac
 
         return decode_flac(buf)

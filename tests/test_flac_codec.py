@@ -143,3 +143,16 @@ def test_id3v2_prefixed_flac_decodes():
     assert rate == 8000 and np.array_equal(out[:, 0], mono)
     samples, rate2 = decode_audio(tagged)
     assert rate2 == 8000 and np.array_equal(samples[:, 0], mono)
+
+
+def test_large_id3_tag_still_dispatches():
+    # a tag bigger than any fixed-probe window: dispatch must parse the
+    # syncsafe size rather than search a prefix
+    mono = _sine(800)
+    raw = encode_flac(mono, 8000, subframe="fixed")
+    size = 60000
+    ss = bytes([(size >> 21) & 0x7F, (size >> 14) & 0x7F,
+                (size >> 7) & 0x7F, size & 0x7F])
+    tagged = b"ID3\x04\x00\x00" + ss + b"\x00" * size + raw
+    samples, rate = decode_audio(tagged)
+    assert rate == 8000 and np.array_equal(samples[:, 0], mono)
