@@ -344,6 +344,50 @@ def resize_image(content: bytes, width: int, height: int) -> bytes:
         ) from exc
 
 
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """(n_frames, n_channels) int16 -> RIFF/PCM WAV via stdlib ``wave``
+    (the re-encode side of :func:`resample_audio` for WAV inputs)."""
+    import wave
+
+    arr = np.asarray(samples, np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wv:
+        wv.setnchannels(arr.shape[1] if arr.ndim == 2 else 1)
+        wv.setsampwidth(2)
+        wv.setframerate(sample_rate)
+        wv.writeframes(arr.tobytes())
+    return buf.getvalue()
+
+
+def resample_audio(content: bytes, target_rate: int) -> bytes:
+    """Bytes-in/bytes-out sample-rate normalization — the standard
+    audio-corpus prep step — re-encoding in kind (PCM WAV via stdlib,
+    FLAC via the vendored lossless codec).  Linear interpolation: exact
+    on linear signals, deterministic across platforms (pure numpy
+    arithmetic), and honest about being a corpus-prep resampler, not a
+    mastering-grade polyphase filter (a production deployment swaps a
+    resampling library in at this seam without touching the Arrow
+    plumbing)."""
+    samples, rate = decode_audio(content)
+    n = samples.shape[0]
+    out_n = max(1, round(n * target_rate / rate)) if n else 0
+    if n == 0:
+        res = samples.astype(np.float64)
+    else:
+        pos = np.arange(out_n) * (n - 1) / max(1, out_n - 1) if out_n > 1 \
+            else np.zeros(1)
+        lo = np.floor(pos).astype(np.int64)
+        hi = np.minimum(lo + 1, n - 1)
+        frac = (pos - lo)[:, None]
+        res = samples[lo] * (1.0 - frac) + samples[hi] * frac
+    res16 = np.clip(np.rint(res), -32768, 32767).astype(np.int16)
+    if bytes(content[:4]) == b"RIFF":
+        return encode_wav(res16, target_rate)
+    from .flac import encode_flac
+
+    return encode_flac(res16.astype(np.int32), target_rate, subframe="fixed")
+
+
 IMAGE_STATS_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType(), False),

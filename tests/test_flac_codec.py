@@ -156,3 +156,24 @@ def test_large_id3_tag_still_dispatches():
     tagged = b"ID3\x04\x00\x00" + ss + b"\x00" * size + raw
     samples, rate = decode_audio(tagged)
     assert rate == 8000 and np.array_equal(samples[:, 0], mono)
+
+
+def test_resample_audio_reencodes_in_kind():
+    from simpy__kafka__flink__kafka_spark.functions.multimodal import (
+        decode_audio, encode_wav, resample_audio)
+    # a pure linear ramp survives linear interpolation exactly
+    ramp = np.linspace(-8000, 8000, 4000).astype(np.int16)[:, None]
+    wav = encode_wav(ramp, 16000)
+    down = resample_audio(wav, 8000)
+    assert down[:4] == b"RIFF"
+    s, rate = decode_audio(down)
+    assert rate == 8000 and s.shape[0] == 2000
+    expect = np.rint(np.linspace(-8000, 8000, 2000)).astype(np.int16)
+    assert np.abs(s[:, 0].astype(int) - expect.astype(int)).max() <= 1
+    # FLAC in -> FLAC out, stereo preserved
+    st = np.stack([ramp[:, 0], -ramp[:, 0]], 1).astype(np.int32)
+    up = resample_audio(encode_flac(st, 8000, subframe="fixed"), 16000)
+    assert up[:4] == b"fLaC"
+    s2, rate2 = decode_audio(up)
+    assert rate2 == 16000 and s2.shape == (8000, 2)
+    assert np.array_equal(s2[0], st[0]) and np.array_equal(s2[-1], st[-1])
