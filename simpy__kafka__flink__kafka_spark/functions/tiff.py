@@ -68,6 +68,111 @@ def _packbits_encode(data: bytes) -> bytes:
     return bytes(out)
 
 
+def _lzw_decode_tiff(data: bytes, expected: int) -> bytes:
+    """TIFF-variant LZW (compression 5): MSB-first code packing, codes
+    256/257 as Clear/EOI, and the spec's EARLY-CHANGE rule (code width
+    bumps one code sooner than GIF's LZW)."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    table: list[bytes] = []
+    width = 9
+    bitpos = 0
+    prev: bytes | None = None
+
+    def reset() -> None:
+        nonlocal table, width, prev
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        width = 9
+        prev = None
+
+    reset()
+    total_bits = len(data) * 8
+    while len(out) < expected:
+        if bitpos + width > total_bits:
+            raise ValueError("truncated TIFF LZW stream")
+        code = 0
+        for _ in range(width):
+            code = (code << 1) | ((data[bitpos >> 3] >> (7 - (bitpos & 7)))
+                                  & 1)
+            bitpos += 1
+        if code == CLEAR:
+            reset()
+            continue
+        if code == EOI:
+            break
+        if prev is None:
+            if code >= 256:
+                raise ValueError("corrupt TIFF LZW code")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):           # KwKwK
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("corrupt TIFF LZW code")
+        out += entry
+        prev = entry
+        # early change: the encoder bumps when ITS next_code (one ahead of
+        # this table, which lags by the in-flight code) hits 2^width - 1 —
+        # so the decoder bumps at 2^width - 2 (libtiff's MAXCODE(n)-1)
+        if len(table) == (1 << width) - 2 and width < 12:
+            width += 1
+    if len(out) < expected:
+        raise ValueError("TIFF LZW stream shorter than raster")
+    return bytes(out[:expected])
+
+
+def _lzw_encode_tiff(data: bytes) -> bytes:
+    """Greedy TIFF-variant LZW compressor (fixture generator; mirrors the
+    early-change width rule)."""
+    CLEAR, EOI = 256, 257
+    bits: list[tuple[int, int]] = []
+    table: dict[bytes, int] = {}
+    width = 9
+
+    def reset() -> None:
+        nonlocal table, width
+        table = {bytes([i]): i for i in range(256)}
+        width = 9
+
+    reset()
+    bits.append((CLEAR, width))
+    next_code = 258
+    w = b""
+    for b in data:
+        c = bytes([b])
+        if w + c in table:
+            w += c
+            continue
+        bits.append((table[w], width))
+        table[w + c] = next_code
+        next_code += 1
+        if next_code == (1 << width) - 1 and width < 12:    # early change
+            width += 1
+        if next_code >= 4094:
+            bits.append((CLEAR, width))
+            reset()
+            next_code = 258
+        w = c
+    if w:
+        bits.append((table[w], width))
+    bits.append((EOI, width))
+    acc = nbits = 0
+    out = bytearray()
+    for code, wd in bits:
+        acc = (acc << wd) | code
+        nbits += wd
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+        acc &= (1 << nbits) - 1
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
 def decode_tiff(content: bytes) -> np.ndarray:
     """Baseline TIFF decode -> (height, width, 3) uint8 (first IFD)."""
     buf = bytes(content)
@@ -122,19 +227,23 @@ def decode_tiff(content: bytes) -> np.ndarray:
         raise ValueError("unsupported tiled TIFF")
     if photometric not in (0, 1, 2):
         raise ValueError(f"unsupported TIFF photometric {photometric}")
-    if compression not in (1, 32773):
+    if compression not in (1, 5, 32773):
         raise ValueError(
             f"unsupported TIFF compression {compression} "
-            "(uncompressed and PackBits only)")
+            "(uncompressed, LZW, and PackBits only)")
+    if compression == 5 and 317 in tags and tags[317][0] != 1:
+        raise ValueError("unsupported TIFF LZW predictor")
     offsets = tags[273]
     counts = tags.get(279, [len(buf) - offsets[0]])
     rows_per_strip = one(278, h)
     raw = bytearray()
     for si, (so, sc) in enumerate(zip(offsets, counts)):
         strip = buf[so:so + sc]
+        rows = min(rows_per_strip, h - si * rows_per_strip)
         if compression == 32773:
-            rows = min(rows_per_strip, h - si * rows_per_strip)
             strip = _packbits_decode(strip, rows * w * spp)
+        elif compression == 5:
+            strip = _lzw_decode_tiff(strip, rows * w * spp)
         raw += strip
     if len(raw) < h * w * spp:
         raise ValueError("TIFF strip data shorter than image")
@@ -147,18 +256,24 @@ def decode_tiff(content: bytes) -> np.ndarray:
     return np.ascontiguousarray(px[:, :, :3])   # drop alpha if present
 
 
-def encode_tiff(pixels: np.ndarray, packbits: bool = False) -> bytes:
+def encode_tiff(pixels: np.ndarray, packbits: bool = False,
+                lzw: bool = False) -> bytes:
     """(h, w, 3) uint8 -> single-strip chunky little-endian RGB TIFF
-    (lossless; fixture generator)."""
+    (lossless; fixture generator).  ``packbits`` or ``lzw`` selects the
+    compression (mutually exclusive)."""
+    if packbits and lzw:
+        raise ValueError("choose at most one of packbits/lzw")
     px = np.asarray(pixels, np.uint8)
     h, w = px.shape[:2]
     data = px.tobytes()
     if packbits:
         data = _packbits_encode(data)
+    elif lzw:
+        data = _lzw_encode_tiff(data)
     entries = [
         (256, 3, 1, w), (257, 3, 1, h),
         (258, 3, 3, None),                 # BitsPerSample -> offset
-        (259, 3, 1, 32773 if packbits else 1),
+        (259, 3, 1, 32773 if packbits else (5 if lzw else 1)),
         (262, 3, 1, 2),                    # RGB
         (273, 4, 1, None),                 # StripOffsets -> after IFD
         (277, 3, 1, 3),

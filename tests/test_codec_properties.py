@@ -53,11 +53,11 @@ def test_gif_roundtrip_property(dims, seed, interlace):
 
 @settings(max_examples=25, deadline=None)
 @given(dims=_dims, seed=st.integers(0, 2**32 - 1),
-       packbits=st.booleans())
-def test_tiff_roundtrip_property(dims, seed, packbits):
+       comp=st.sampled_from(["none", "packbits", "lzw"]))
+def test_tiff_roundtrip_property(dims, seed, comp):
     px = _img(seed, *dims)
-    assert np.array_equal(decode_tiff(encode_tiff(px, packbits=packbits)),
-                          px)
+    raw = encode_tiff(px, packbits=comp == "packbits", lzw=comp == "lzw")
+    assert np.array_equal(decode_tiff(raw), px)
 
 
 @settings(max_examples=25, deadline=None)

@@ -124,8 +124,38 @@ def test_unsupported_variants_raise():
         decode_tiff(b"II+\x00 not tiff")
     img = _noise(8, 6)
     raw = bytearray(encode_tiff(img))
-    # rewrite Compression (tag 259) value to 5 (LZW)
+    # rewrite Compression (tag 259) value to 2 (CCITT Group 3)
     i = raw.find((259).to_bytes(2, "little") + (3).to_bytes(2, "little"))
-    raw[i + 8] = 5
+    raw[i + 8] = 2
+    with pytest.raises(ValueError, match="unsupported TIFF compression"):
+        decode_tiff(bytes(raw))
+
+
+def test_lzw_roundtrip_and_width_growth():
+    from simpy__kafka__flink__kafka_spark.functions.tiff import (
+        _lzw_decode_tiff, _lzw_encode_tiff)
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 256, (23, 17, 3), np.uint8)
+    assert np.array_equal(decode_tiff(encode_tiff(img, lzw=True)), img)
+    # 90x80 noise pushes the code width through 10/11/12 bits and over
+    # the 4094-entry reset; runs compress >10x
+    big = rng.integers(0, 256, (90, 80, 3), np.uint8)
+    assert np.array_equal(decode_tiff(encode_tiff(big, lzw=True)), big)
+    runs = np.repeat(np.arange(8, dtype=np.uint8) * 30, 300).reshape(40, 60)
+    r3 = np.stack([runs] * 3, 2)
+    enc = encode_tiff(r3, lzw=True)
+    assert len(enc) < 40 * 60 * 3 // 10
+    assert np.array_equal(decode_tiff(enc), r3)
+    data = bytes((rng.integers(0, 8, 30000, np.uint8) * 31).astype(np.uint8))
+    assert _lzw_decode_tiff(_lzw_encode_tiff(data), len(data)) == data
+    with pytest.raises(ValueError, match="truncated"):
+        _lzw_decode_tiff(_lzw_encode_tiff(data)[:10], len(data))
+
+
+def test_jpeg_in_tiff_rejected():
+    img = _noise(8, 6)
+    raw = bytearray(encode_tiff(img, lzw=True))
+    i = raw.find((259).to_bytes(2, "little") + (3).to_bytes(2, "little"))
+    raw[i + 8] = 7  # JPEG-in-TIFF
     with pytest.raises(ValueError, match="unsupported TIFF compression"):
         decode_tiff(bytes(raw))
