@@ -32,10 +32,26 @@ def decode_bmp(content: bytes) -> np.ndarray:
     bpp = int.from_bytes(buf[28:30], "little")
     compression = int.from_bytes(buf[30:34], "little")
     if compression not in (0, 3) or bpp not in (24, 32):
-        # BI_BITFIELDS (3) with 32bpp is the common BGRA layout; accept it
         raise ValueError(
             f"unsupported BMP ({bpp}-bit, compression {compression}); "
             "24/32-bit uncompressed only")
+    if compression == 3:
+        # BI_BITFIELDS: only the standard 32-bit BGRA channel layout is
+        # supported — verify the RGB masks (at byte 54 whether they trail a
+        # 40-byte BITMAPINFOHEADER or sit inside a V4/V5 header) instead of
+        # silently decoding a non-BGRA mask set with swapped channels
+        if bpp != 32:
+            raise ValueError("BMP BI_BITFIELDS requires 32-bit pixels")
+        masks = tuple(
+            int.from_bytes(buf[54 + 4 * i:58 + 4 * i], "little")
+            for i in range(3)
+        )
+        if masks != (0x00FF0000, 0x0000FF00, 0x000000FF):
+            raise ValueError(
+                f"unsupported BMP bitfields masks {[hex(m) for m in masks]}; "
+                "standard BGRA layout only")
+    if w <= 0:
+        raise ValueError(f"invalid BMP width {w}")
     top_down = h < 0
     h = abs(h)
     nch = bpp // 8

@@ -390,6 +390,13 @@ def decode_jpeg(content: bytes) -> np.ndarray:
     while pos + 4 <= len(buf):
         if buf[pos] != 0xFF:
             raise ValueError("JPEG marker sync lost")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may pad the stream
+        # before a marker code — skip them so a padded real-world stream
+        # doesn't misread a fill byte as the marker
+        while pos + 1 < len(buf) and buf[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 4 > len(buf):
+            break
         marker = buf[pos + 1]
         if marker == 0xD9:          # EOI
             break

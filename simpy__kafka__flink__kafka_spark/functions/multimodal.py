@@ -306,7 +306,8 @@ def _nearest(px: np.ndarray, width: int, height: int) -> np.ndarray:
 def resize_image(content: bytes, width: int, height: int) -> bytes:
     """Bytes-in/bytes-out resize re-encoding in kind: P6 PPM, PNG
     (lossless filter-0 writer), GIF (palette preserved — nearest-neighbor
-    never invents colors), BMP (24-bit), and JPEG (4:4:4 at quality 90).
+    never invents colors), TIFF (uncompressed RGB strip), BMP (24-bit),
+    and JPEG (4:4:4 at quality 90).
     Other formats need an imaging library (absent — documented seam).
     Nearest-neighbor is the deterministic choice: no resampling-kernel
     variation across library versions, so fixtures hash stably."""
@@ -323,6 +324,10 @@ def resize_image(content: bytes, width: int, height: int) -> bytes:
         from .bmp import decode_bmp, encode_bmp
 
         return encode_bmp(_nearest(decode_bmp(content), width, height))
+    if head[:4] in (b"II*\x00", b"MM\x00*"):
+        from .tiff import decode_tiff, encode_tiff
+
+        return encode_tiff(_nearest(decode_tiff(content), width, height))
     if head[:2] == b"\xff\xd8":
         from .jpeg import decode_jpeg, encode_jpeg
 
@@ -337,10 +342,10 @@ def resize_image(content: bytes, width: int, height: int) -> bytes:
         return out.getvalue()
     except ImportError as exc:
         raise NotImplementedError(
-            "image resize beyond PPM/PNG/GIF/JPEG requires an imaging "
-            "library not present in this environment; those four resize "
-            "dependency-free — the Arrow pipeline around this seam is "
-            "fully wired"
+            "image resize beyond PPM/PNG/GIF/TIFF/BMP/JPEG requires an "
+            "imaging library not present in this environment; those six "
+            "resize dependency-free — the Arrow pipeline around this seam "
+            "is fully wired"
         ) from exc
 
 
@@ -359,6 +364,17 @@ def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
     return buf.getvalue()
 
 
+def _flac_bits_per_sample(buf: bytes) -> int:
+    """Bits-per-sample from the mandatory STREAMINFO block (first metadata
+    block after the fLaC magic; skips a leading ID3v2 tag).  The bps-1
+    field sits at bit offset 103 of the 34-byte STREAMINFO body."""
+    off = 0
+    if buf[:3] == b"ID3" and len(buf) >= 10:
+        off = ((buf[6] << 21) | (buf[7] << 14) | (buf[8] << 7) | buf[9]) + 10
+    si = off + 8  # 4-byte magic + 4-byte metadata block header
+    return (((buf[si + 12] & 0x01) << 4) | (buf[si + 13] >> 4)) + 1
+
+
 def resample_audio(content: bytes, target_rate: int) -> bytes:
     """Bytes-in/bytes-out sample-rate normalization — the standard
     audio-corpus prep step — re-encoding in kind (PCM WAV via stdlib,
@@ -367,19 +383,39 @@ def resample_audio(content: bytes, target_rate: int) -> bytes:
     arithmetic), and honest about being a corpus-prep resampler, not a
     mastering-grade polyphase filter (a production deployment swaps a
     resampling library in at this seam without touching the Arrow
-    plumbing)."""
+    plumbing).
+
+    Output is always 16-bit PCM in the source container: unsigned 8-bit
+    WAV input is recentered (subtract the 128 midpoint) and scaled x256
+    before interpolation so no DC offset or gain change is introduced;
+    >16-bit input (24/32-bit WAV or FLAC) raises ValueError rather than
+    silently clipping into int16 range."""
     samples, rate = decode_audio(content)
-    n = samples.shape[0]
+    if samples.dtype == np.uint8:
+        # unsigned 8-bit PCM: midpoint 128 -> signed, scale to 16-bit
+        work = (samples.astype(np.float64) - 128.0) * 256.0
+    else:
+        src_bits = (
+            _flac_bits_per_sample(bytes(content))
+            if bytes(content[:4]) != b"RIFF"
+            else samples.dtype.itemsize * 8
+        )
+        if src_bits > 16:
+            raise ValueError(
+                f"resample_audio re-encodes 16-bit PCM; {src_bits}-bit "
+                "input would clip — convert the source first")
+        work = samples.astype(np.float64)
+    n = work.shape[0]
     out_n = max(1, round(n * target_rate / rate)) if n else 0
     if n == 0:
-        res = samples.astype(np.float64)
+        res = work
     else:
         pos = np.arange(out_n) * (n - 1) / max(1, out_n - 1) if out_n > 1 \
             else np.zeros(1)
         lo = np.floor(pos).astype(np.int64)
         hi = np.minimum(lo + 1, n - 1)
         frac = (pos - lo)[:, None]
-        res = samples[lo] * (1.0 - frac) + samples[hi] * frac
+        res = work[lo] * (1.0 - frac) + work[hi] * frac
     res16 = np.clip(np.rint(res), -32768, 32767).astype(np.int16)
     if bytes(content[:4]) == b"RIFF":
         return encode_wav(res16, target_rate)

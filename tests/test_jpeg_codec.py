@@ -1,7 +1,8 @@
 """Vendored baseline JPEG codec: encoder/decoder round-trips at pinned
 error bounds, 4:2:0 subsampling + restart markers, grayscale, dispatch
-through decode_image/resize_image, the executed Arrow path, and the
-unsupported-variant (progressive) error contract."""
+through decode_image/resize_image, the executed Arrow path, progressive
+(SOF2) decode asserted bit-exact against sequential, and the remaining
+unsupported-variant error contract (arithmetic-coded SOF9)."""
 
 from __future__ import annotations
 
