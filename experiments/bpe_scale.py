@@ -5,7 +5,14 @@ scale), so after the single corpus-scale word-count shuffle every merge
 round should cost the same — and produce the same merges with N-scaled
 pair counts.
 
+Also A/Bs the driver-local trainer (bpe_train_local — one Spark shuffle,
+then a local incremental merge loop) against the distributed-round twin:
+identical merge sequence required; the local path must amortize the merge
+loop to near-zero per round so realistic vocab depths (1000+ merges)
+train in seconds.
+
     python experiments/bpe_scale.py [--copies 10] [--merges 8]
+                                    [--deep-merges 1000]
                                     [--sf /root/testdata/sf0.1]
 """
 
@@ -22,7 +29,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from pyspark.sql import functions as F  # noqa: E402
 
 from simpy__kafka__flink__kafka_spark.functions.bpe import (  # noqa: E402
-    bpe_train, word_frequencies)
+    bpe_train, bpe_train_local, word_frequencies)
 from simpy__kafka__flink__kafka_spark.session import get_spark  # noqa: E402
 
 
@@ -30,6 +37,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--copies", type=int, default=10)
     ap.add_argument("--merges", type=int, default=8)
+    ap.add_argument("--deep-merges", type=int, default=1000)
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     args = ap.parse_args()
 
@@ -66,6 +74,56 @@ def main() -> None:
     )
     assert res["same_merges"], "merge sequence changed with duplication"
     assert res["counts_scale"], "pair counts did not scale linearly"
+
+    # A/B: driver-local trainer vs the distributed twin at the shallow
+    # depth (identical merges required), then the local path at realistic
+    # depth — the distributed twin would take ~2 s/round there
+    t0 = time.perf_counter()
+    local_shallow = bpe_train_local(docs, n_merges=args.merges)
+    local_shallow_sec = round(time.perf_counter() - t0, 2)
+    res["local_matches_distributed"] = (
+        local_shallow == merges_by_copies[1])
+    assert res["local_matches_distributed"], \
+        "local trainer diverged from distributed twin"
+    t0 = time.perf_counter()
+    deep = bpe_train_local(docs, n_merges=args.deep_merges)
+    deep_sec = round(time.perf_counter() - t0, 2)
+    res["local"] = {
+        "shallow_sec": local_shallow_sec,
+        "deep_merges_requested": args.deep_merges,
+        "deep_merges_trained": len(deep),
+        "deep_sec": deep_sec,
+        "deep_ms_per_merge": round(1000 * deep_sec / max(1, len(deep)), 2),
+    }
+
+    # the synthetic corpus has a ~31-word template vocabulary, which
+    # exhausts after ~90 merges — demonstrate realistic-depth training on
+    # a generated large-vocab corpus (Zipf draws over 40k distinct words)
+    import random
+
+    rng = random.Random(1234)
+    alphabet = "abcdefghijklmnopqrstuvwxyz"
+    vocab_words = list({
+        "".join(rng.choices(alphabet, k=rng.randint(3, 12)))
+        for _ in range(40_000)
+    })
+    zipf_docs = []
+    for d in range(400):
+        n = rng.randint(200, 400)
+        ws = [vocab_words[min(int(rng.paretovariate(1.1)),
+                              len(vocab_words) - 1)] for _ in range(n)]
+        zipf_docs.append((d, " ".join(ws)))
+    sdf = spark.createDataFrame(zipf_docs, "doc_id long, text string")
+    t0 = time.perf_counter()
+    big_merges = bpe_train_local(sdf, n_merges=args.deep_merges,
+                                 min_pair_count=2)
+    big_sec = round(time.perf_counter() - t0, 2)
+    res["local_large_vocab"] = {
+        "distinct_words": len(vocab_words),
+        "merges_trained": len(big_merges),
+        "sec": big_sec,
+        "ms_per_merge": round(1000 * big_sec / max(1, len(big_merges)), 3),
+    }
     print(json.dumps(res))
 
 

@@ -125,6 +125,92 @@ def bpe_train(df: DataFrame, n_merges: int = 8, text_col: str = "text",
     return merges
 
 
+def bpe_train_local(df: DataFrame, n_merges: int = 8, text_col: str = "text",
+                    min_pair_count: int = 2) -> list[tuple[str, str, int]]:
+    """Train ``n_merges`` BPE merges with the corpus-scale stage on Spark
+    and the merge loop on the driver — the production shape
+    (SentencePiece / HF trainers work the same way): the cluster does the
+    ONE corpus-scale shuffle (:func:`word_frequencies`), the Zipf-small
+    distinct-word table is collected once, and every merge round is then
+    pure local compute with incremental pair-count maintenance.
+
+    Identical output contract to :func:`bpe_train` (ordered
+    ``[(left, right, pair_count), ...]``; ties break to the
+    lexicographically smallest pair; stops below ``min_pair_count``) —
+    asserted merge-for-merge in tests/test_bpe.py — but the per-round cost
+    is O(affected words) + O(log n_pairs) instead of a full Spark job, so
+    realistic vocab sizes (30k+ merges) train in seconds instead of hours.
+
+    Algorithm: a max-heap of ``(-count, pair)`` with lazy invalidation
+    (stale entries are discarded on pop by comparing against the live
+    count) gives the argmax; a ``pair -> {word ids}`` index confines each
+    round's re-count to the words that actually contain the merged pair.
+    """
+    import heapq
+    from collections import Counter, defaultdict
+
+    rows = word_frequencies(df, text_col).collect()
+    table: list[tuple[list[str], int]] = [
+        (list(r["word"]), int(r["freq"])) for r in rows
+    ]
+    counts: Counter = Counter()
+    where: dict[tuple[str, str], set[int]] = defaultdict(set)
+    for wi, (sym, f) in enumerate(table):
+        for i in range(len(sym) - 1):
+            p = (sym[i], sym[i + 1])
+            counts[p] += f
+            where[p].add(wi)
+    heap: list[tuple[int, tuple[str, str]]] = [
+        (-c, p) for p, c in counts.items()
+    ]
+    heapq.heapify(heap)
+
+    def _touch(p: tuple[str, str]) -> None:
+        c = counts.get(p, 0)
+        if c > 0:
+            heapq.heappush(heap, (-c, p))
+
+    merges: list[tuple[str, str, int]] = []
+    while len(merges) < n_merges and heap:
+        neg, best = heapq.heappop(heap)
+        live = counts.get(best, 0)
+        if live != -neg or live == 0:
+            continue  # stale heap entry
+        if live < min_pair_count:
+            break
+        left, right = best
+        merges.append((left, right, live))
+        new_sym = left + right
+        touched: set[tuple[str, str]] = set()
+        for wi in list(where[best]):
+            sym, f = table[wi]
+            for i in range(len(sym) - 1):
+                p = (sym[i], sym[i + 1])
+                counts[p] -= f
+                if counts[p] <= 0:
+                    del counts[p]
+                where[p].discard(wi)
+                touched.add(p)
+            out: list[str] = []
+            i = 0
+            while i < len(sym):  # greedy left-to-right, no re-merge
+                if i + 1 < len(sym) and sym[i] == left and sym[i + 1] == right:
+                    out.append(new_sym)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            table[wi] = (out, f)
+            for i in range(len(out) - 1):
+                p = (out[i], out[i + 1])
+                counts[p] += f
+                where[p].add(wi)
+                touched.add(p)
+        for p in touched:
+            _touch(p)
+    return merges
+
+
 def segment_words(vocab: DataFrame,
                   merges: list[tuple[str, str, int]]) -> DataFrame:
     """(word, symbols) — apply the merge list in training order to each

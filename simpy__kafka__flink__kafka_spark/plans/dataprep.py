@@ -1196,16 +1196,19 @@ FROM n LEFT JOIN a USING (doc_id)
 
 def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train 8 BPE merges on the corpus (functions/bpe.py) and emit the
-    ordered merge table.  EAGER by design — a driver merge loop with one
-    top-1 collect per round, exempted from the lazy-build guard alongside
-    the pyspark.ml training queries — and rows-only at the gate: the
-    iterative argmax chain is not reasonably SQL-expressible (the stated
-    driver policy for iterative algorithms).  Correctness is pinned by
-    pytest against a pure-Python reference BPE trainer instead
-    (tests/test_bpe.py)."""
-    from ..functions.bpe import bpe_train
+    ordered merge table.  Uses the production-shaped driver-local trainer
+    (bpe_train_local: ONE corpus-scale Spark shuffle to the Zipf-small
+    word-frequency table, then a local incremental merge loop — the
+    SentencePiece/HF shape), asserted merge-for-merge identical to the
+    distributed twin and the pure-Python reference in tests/test_bpe.py.
+    EAGER by design (the collect of the word table IS the algorithm),
+    exempted from the lazy-build guard alongside the pyspark.ml training
+    queries — and rows-only at the gate: the iterative argmax chain is not
+    reasonably SQL-expressible (the stated driver policy for iterative
+    algorithms)."""
+    from ..functions.bpe import bpe_train_local
 
-    merges = bpe_train(_docs(spark, sf_dir), n_merges=8)
+    merges = bpe_train_local(_docs(spark, sf_dir), n_merges=8)
     rows = [(i, l, r, c) for i, (l, r, c) in enumerate(merges)]
     return spark.createDataFrame(
         rows, "rank int, left string, right string, pair_count long")

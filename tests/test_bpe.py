@@ -1,7 +1,9 @@
 """Distributed BPE training/application vs a pure-Python reference
 trainer: merge order (incl. deterministic tie-breaks), greedy-left apply
 semantics, corpus segmentation with order-preserving reassembly, the
-min-count stop, and the registry row."""
+min-count stop, the registry row, and the driver-local trainer
+(bpe_train_local) asserted merge-for-merge identical to both the
+distributed twin and the reference."""
 
 from __future__ import annotations
 
@@ -9,7 +11,7 @@ import hashlib
 from collections import Counter
 
 from simpy__kafka__flink__kafka_spark.functions.bpe import (
-    bpe_segment, bpe_train, segment_words, word_frequencies)
+    bpe_segment, bpe_train, bpe_train_local, segment_words, word_frequencies)
 from simpy__kafka__flink__kafka_spark.plans import registry
 
 CLASSIC = ("low low low low low lower lower newest newest newest newest "
@@ -96,6 +98,42 @@ def test_segment_reassembles_in_word_order(spark):
     expect = hashlib.md5(" ".join(toks).encode()).hexdigest()
     assert got[2]["token_hash"] == expect
     assert got[1]["n_words"] == 16
+
+
+def test_local_trainer_matches_reference_on_classic_corpus(spark):
+    docs = _mkdocs(spark, [(1, CLASSIC)])
+    freqs = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    assert bpe_train_local(docs, n_merges=8) == _ref_bpe(freqs, 8)
+
+
+def test_local_trainer_matches_distributed_twin(spark):
+    docs = _mkdocs(spark, [(1, CLASSIC), (2, "wide wider widest low lowest"),
+                           (3, "newest news new lower lowest")])
+    assert bpe_train_local(docs, n_merges=12) == bpe_train(docs, n_merges=12)
+
+
+def test_local_trainer_deep_merges_match_reference(spark):
+    # deep merge chain on a synthetic corpus: exercises the lazy-heap
+    # invalidation path (counts rise and fall across rounds) well past the
+    # distributed twin's practical depth
+    import random
+
+    rng = random.Random(11)
+    ws = ["".join(rng.choices("abcdef", k=rng.randint(2, 9)))
+          for _ in range(300)]
+    text = " ".join(rng.choice(ws) for _ in range(3000))
+    docs = _mkdocs(spark, [(1, text)])
+    freqs = Counter(text.split())
+    got = bpe_train_local(docs, n_merges=200, min_pair_count=2)
+    assert got == _ref_bpe(dict(freqs), 200)
+    assert len(got) > 50  # the corpus genuinely sustains a deep chain
+
+
+def test_local_trainer_tie_break_and_stop(spark):
+    docs = _mkdocs(spark, [(1, "ab ab ab cd cd cd")])
+    assert bpe_train_local(docs, n_merges=1) == [("a", "b", 3)]
+    assert bpe_train_local(_mkdocs(spark, [(1, "xy")]), n_merges=4,
+                           min_pair_count=2) == []
 
 
 def test_bpe_merges_registry_row(spark, sf_dir):
