@@ -533,6 +533,122 @@ def exact_substring_spans(df: DataFrame, min_len: int = 30,
     )
 
 
+def exact_substring_rewrite(df: DataFrame, min_len: int = 30,
+                            id_col: str = "doc_id",
+                            text_col: str = "text") -> DataFrame:
+    """Char-span REMOVAL — the transformation twin of
+    :func:`exact_substring_spans`, completing the dedup family's third
+    granularity the way :func:`passage_rewrite` completes the second:
+    every maximal character span (length >= ``min_len``) duplicated
+    across >= 2 distinct documents is removed from the normalized text,
+    keeping the corpus-wide FIRST occurrence.
+
+    Contract: per duplicated ``min_len``-gram the first occurrence is the
+    minimum ``(doc_id, position)``; every other occurrence of that gram is
+    removable.  Removable gram starts merge into maximal islands per doc
+    (same gaps-and-islands rule as the profile operator) and the covered
+    character ranges are cut, so a payload shared by N docs survives
+    verbatim only in the smallest ``doc_id`` (later repeats inside that
+    doc are cut too — the :func:`passage_rewrite` rule at char level).
+    Removal is single-pass: stitching cut edges together may create new
+    junction substrings; they are NOT re-scanned (standard ExactSubstr
+    deployment behavior).
+
+    Plan shape: ONE exchange of the position stream, keyed on the
+    fixed-width gram — the cross-doc test (min != max doc), the
+    first-occurrence rank (row_number over (doc_id, pos)), and the hit
+    filter all ride a single ``Window.partitionBy(gram)`` sort, with no
+    join-back and no second scan of the position table (cheaper than the
+    profile twin's agg+join, which predates this plan).  Then per-doc
+    windows merge islands and a ``sort_array(collect_list)`` +
+    ``aggregate`` fold stitches the kept segments — bounded by doc span
+    count, never a corpus-wide sort.
+
+    Output: (id_col, doc_len, n_removed_spans, removed_chars, clean_text)
+    where clean_text is over the NORMALIZED text (the coordinate system
+    the spans live in — same convention as passage_rewrite's block
+    reassembly).
+    """
+    from pyspark.sql import Window as W
+
+    L = min_len
+    base = df.select(
+        F.col(id_col), normalized(text_col).alias("_t")
+    ).select(F.col(id_col), "_t", F.length("_t").alias("_len"))
+    pos = (
+        base.where(F.col("_len") >= L)
+        .select(
+            F.col(id_col),
+            F.posexplode(
+                F.sequence(F.lit(0), F.col("_len") - L)
+            ).alias("_i", "p"),
+            "_t",
+        )
+        .select(
+            F.col(id_col),
+            "p",
+            (
+                F.col("_t").substr(F.col("p") + 1, F.lit(L))
+                if L <= 64
+                else F.md5(F.col("_t").substr(F.col("p") + 1, F.lit(L)))
+            ).alias("g"),
+        )
+    )
+    wg = W.partitionBy("g")
+    wgo = wg.orderBy(id_col, "p")
+    hits = (
+        pos.withColumn("_lo", F.min(id_col).over(wg))
+        .withColumn("_hi", F.max(id_col).over(wg))
+        .withColumn("_rn", F.row_number().over(wgo))
+        .where((F.col("_lo") != F.col("_hi")) & (F.col("_rn") > 1))
+        .select(F.col(id_col), "p")
+    )
+    w_ord = W.partitionBy(id_col).orderBy("p")
+    prev_end = F.max(F.col("p") + L).over(
+        w_ord.rowsBetween(W.unboundedPreceding, -1)
+    )
+    islands = (
+        hits.withColumn(
+            "_new",
+            F.when(prev_end.isNull() | (F.col("p") > prev_end), 1).otherwise(0),
+        )
+        .withColumn("_isl", F.sum("_new").over(w_ord))
+    )
+    spans = islands.groupBy(id_col, "_isl").agg(
+        F.min("p").alias("_s0"), (F.max("p") + L).alias("_s1")
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.sort_array(F.collect_list(F.struct("_s0", "_s1"))).alias("_sp"),
+        F.count(F.lit(1)).cast("long").alias("n_removed_spans"),
+        F.sum(F.col("_s1") - F.col("_s0")).cast("long").alias("removed_chars"),
+    )
+    joined = base.join(per_doc, id_col, "left")
+    stitched = F.aggregate(
+        "_sp",
+        F.struct(F.lit(0).alias("e"), F.lit("").alias("a")),
+        lambda acc, s: F.struct(
+            s["_s1"].alias("e"),
+            F.concat(
+                acc["a"],
+                F.col("_t").substr(acc["e"] + 1, s["_s0"] - acc["e"]),
+            ).alias("a"),
+        ),
+        lambda acc: F.concat(
+            acc["a"], F.col("_t").substr(acc["e"] + 1, F.col("_len") - acc["e"])
+        ),
+    )
+    return joined.select(
+        F.col(id_col),
+        F.col("_len").cast("long").alias("doc_len"),
+        F.coalesce("n_removed_spans", F.lit(0)).cast("long")
+        .alias("n_removed_spans"),
+        F.coalesce("removed_chars", F.lit(0)).cast("long")
+        .alias("removed_chars"),
+        F.when(F.col("_sp").isNull(), F.col("_t"))
+        .otherwise(stitched).alias("clean_text"),
+    )
+
+
 # (name, regex, replacement) applied IN ORDER — order matters where patterns
 # could overlap (an email contains dots + digits an IP regex could bite).
 # Regexes stay in the Java/RE2 common subset so the DuckDB oracle runs the

@@ -62,9 +62,13 @@ CHECKED_FIRST = [
     # passage_rewrite (VERDICT r04 task #2) and, late round 5, the live
     # FLAC encode+decode round trip (distinct_parts — a plain
     # countDistinct — demoted to the oracled pytest-checked tail to fund
-    # the slot)
-    "passage_dedup", "chunk_documents", "passage_rewrite",
-    "audio_decode_stats", "exact_substring_spans",
+    # the slot); round 6 adds the char-span removal twin
+    # exact_substring_rewrite (VERDICT r05 task #2), funded by demoting
+    # chunk_documents (zero-shuffle pure codegen, headline-benched and
+    # oracled in the tail) — the substr family now has both profile and
+    # rewrite gate rows
+    "passage_dedup", "passage_rewrite",
+    "audio_decode_stats", "exact_substring_spans", "exact_substring_rewrite",
     # relational surface (bonus operators beyond the reference; demoted
     # twins — customers_without_orders, parts_with_cheap_supply,
     # above_avg_orders in r2, brand_set_ops + pivot_status in r3,

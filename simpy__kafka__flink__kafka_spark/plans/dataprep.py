@@ -1194,6 +1194,80 @@ FROM n LEFT JOIN a USING (doc_id)
 """
 
 
+def _q_exact_substring_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-span removal twin of exact_substring_spans: cross-doc
+    duplicated spans (>= 30 chars) cut from the normalized text,
+    corpus-wide first occurrence kept.  See
+    functions/text.py:exact_substring_rewrite for the single-exchange
+    window plan."""
+    from ..functions.text import exact_substring_rewrite
+
+    return exact_substring_rewrite(_docs(spark, sf_dir), min_len=30)
+
+
+_EXACT_SUBSTR_REWRITE_SQL = """
+WITH n AS (
+  SELECT doc_id, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS t
+  FROM documents
+),
+nn AS (SELECT doc_id, t, length(t) AS len FROM n),
+p AS (
+  SELECT doc_id, s, substr(t, s + 1, 30) AS g
+  FROM nn, unnest(generate_series(0, len - 30)) AS u(s)
+  WHERE len >= 30
+),
+k AS (
+  SELECT doc_id, s,
+         min(doc_id) OVER (PARTITION BY g) AS lo,
+         max(doc_id) OVER (PARTITION BY g) AS hi,
+         row_number() OVER (PARTITION BY g ORDER BY doc_id, s) AS rn
+  FROM p
+),
+h AS (SELECT doc_id, s FROM k WHERE lo != hi AND rn > 1),
+m AS (
+  SELECT doc_id, s,
+         max(s + 30) OVER (PARTITION BY doc_id ORDER BY s
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS pe
+  FROM h
+),
+i AS (
+  SELECT doc_id, s,
+         sum(CASE WHEN pe IS NULL OR s > pe THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY s) AS isl
+  FROM m
+),
+sp AS (SELECT doc_id, isl, min(s) AS s0, max(s) + 30 AS s1
+       FROM i GROUP BY 1, 2),
+segs AS (
+  SELECT doc_id,
+         coalesce(lag(s1) OVER (PARTITION BY doc_id ORDER BY s0), 0) AS a,
+         s0 AS b
+  FROM sp
+  UNION ALL
+  SELECT sp.doc_id, max(sp.s1) AS a, any_value(nn.len) AS b
+  FROM sp JOIN nn USING (doc_id) GROUP BY sp.doc_id
+),
+agg AS (
+  SELECT s.doc_id,
+         string_agg(substr(nn.t, s.a + 1, s.b - s.a), '' ORDER BY s.a)
+           AS clean_text
+  FROM segs s JOIN nn USING (doc_id) GROUP BY s.doc_id
+),
+st AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_removed_spans,
+         CAST(sum(s1 - s0) AS BIGINT) AS removed_chars
+  FROM sp GROUP BY 1
+)
+SELECT nn.doc_id,
+       CAST(nn.len AS BIGINT) AS doc_len,
+       COALESCE(st.n_removed_spans, 0) AS n_removed_spans,
+       COALESCE(st.removed_chars, 0) AS removed_chars,
+       COALESCE(agg.clean_text, nn.t) AS clean_text
+FROM nn LEFT JOIN st USING (doc_id) LEFT JOIN agg USING (doc_id)
+"""
+
+
 def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train 8 BPE merges on the corpus (functions/bpe.py) and emit the
     ordered merge table.  Uses the production-shaped driver-local trainer
@@ -1412,6 +1486,9 @@ QUERIES: dict[str, Query] = {
     "exact_substring_spans": Query(
         _q_exact_substring_spans, _EXACT_SUBSTR_SQL,
         "char-level ExactSubstr profile: maximal cross-doc spans >= 30 chars"),
+    "exact_substring_rewrite": Query(
+        _q_exact_substring_rewrite, _EXACT_SUBSTR_REWRITE_SQL,
+        "char-span removal: cross-doc dup spans cut, first occurrence kept"),
     "passage_dedup": Query(_q_passage_dedup, _PASSAGE_DEDUP_SQL,
                            "C4-style cross-doc passage (8-word block) dup profile"),
     "passage_rewrite": Query(

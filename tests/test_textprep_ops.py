@@ -183,6 +183,105 @@ def test_exact_substring_spans_short_docs_have_no_positions(spark):
     assert got[1].doc_len == len("too short")
 
 
+def test_exact_substring_rewrite_keeps_first_occurrence_only(spark):
+    payload = "the quick brown fox jumps over the lazy dog repeatedly"
+    docs = _mkdocs(spark, [
+        (1, f"alpha beta {payload} gamma delta unique one text here okay"),
+        (2, f"completely different start {payload} and a new ending two"),
+        (3, f"third doc prefix material {payload} suffix material three"),
+        (4, "no shared content at all in this one just filler words here"),
+    ])
+    from simpy__kafka__flink__kafka_spark.functions.text import (
+        exact_substring_rewrite)
+    got = {r.doc_id: r for r in
+           exact_substring_rewrite(docs, min_len=30).collect()}
+    # min doc_id keeps the payload verbatim
+    assert payload in got[1].clean_text and got[1].n_removed_spans == 0
+    for d in (2, 3):
+        assert payload not in got[d].clean_text
+        assert got[d].n_removed_spans == 1
+        # maximal span includes both flanking spaces: " <payload> "
+        assert got[d].removed_chars == len(payload) + 2
+    assert got[4].clean_text == (
+        "no shared content at all in this one just filler words here")
+    assert got[4].n_removed_spans == 0
+
+
+def test_exact_substring_rewrite_untouched_doc_is_identity(spark):
+    docs = _mkdocs(spark, [
+        (1, "  Mixed   CASE text   with   odd spacing all unique here one"),
+        (2, "another fully unique document long enough for grams two"),
+    ])
+    from simpy__kafka__flink__kafka_spark.functions.text import (
+        exact_substring_rewrite, normalized)
+    got = {r.doc_id: r for r in
+           exact_substring_rewrite(docs, min_len=30).collect()}
+    norm = {r.doc_id: r.n for r in docs.select(
+        "doc_id", normalized("text").alias("n")).collect()}
+    for d in (1, 2):
+        assert got[d].clean_text == norm[d]
+        assert got[d].n_removed_spans == 0 and got[d].removed_chars == 0
+        assert got[d].doc_len == len(norm[d])
+
+
+def test_exact_substring_rewrite_planted_shifted_payload_metamorphic(spark):
+    # metamorphic (VERDICT r05 task #2): a >=48-char payload planted at
+    # DIFFERENT offsets into 3 of 8 random-hex docs must survive in
+    # exactly the smallest doc_id and be fully absent from the other two;
+    # untouched docs must come back as their identity-normalized text
+    import random
+
+    from simpy__kafka__flink__kafka_spark.functions.text import (
+        exact_substring_rewrite)
+
+    rng = random.Random(23)
+
+    def hexwords(n):
+        return " ".join(f"{rng.getrandbits(96):024x}" for _ in range(n))
+
+    for trial in range(3):
+        payload = f"{rng.getrandbits(192):048x}"
+        carriers = sorted(rng.sample(range(8), 3))
+        rows = []
+        for doc_id in range(8):
+            text = hexwords(rng.randint(3, 10))
+            if doc_id in carriers:
+                ws = text.split()
+                pos = rng.randint(0, len(ws))
+                text = " ".join(ws[:pos] + [payload] + ws[pos:])
+            rows.append((doc_id, text))
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.doc_id: r for r in
+               exact_substring_rewrite(docs, min_len=30).collect()}
+        keeper = carriers[0]
+        assert payload in got[keeper].clean_text, (trial, keeper)
+        for d in carriers[1:]:
+            assert payload not in got[d].clean_text, (trial, d)
+            assert got[d].n_removed_spans >= 1, (trial, d)
+        for d in set(range(8)) - set(carriers):
+            assert got[d].n_removed_spans == 0, (trial, d)
+            assert got[d].clean_text == rows[d][1], (trial, d)
+
+
+def test_exact_substring_rewrite_cuts_repeat_inside_keeper_doc(spark):
+    # the passage_rewrite rule at char level: the keeper doc's LATER
+    # repeat of the shared payload is cut too — only the corpus-wide
+    # first occurrence survives
+    payload = "shared payload long enough to clear thirty characters"
+    docs = _mkdocs(spark, [
+        (1, f"{payload} filler middle words go here {payload}"),
+        (2, f"other doc also carries {payload} somewhere inside it"),
+    ])
+    from simpy__kafka__flink__kafka_spark.functions.text import (
+        exact_substring_rewrite)
+    got = {r.doc_id: r for r in
+           exact_substring_rewrite(docs, min_len=30).collect()}
+    assert got[1].clean_text.count(payload) == 1
+    assert got[1].clean_text.startswith(payload)  # first occurrence kept
+    assert got[1].n_removed_spans == 1
+    assert payload not in got[2].clean_text
+
+
 def test_exact_substring_spans_planted_payload_property(spark):
     # metamorphic: plant one shared >=40-char payload into two random-hex
     # corpora docs; exactly those two docs must report a dup span covering
