@@ -45,6 +45,11 @@ HEADLINE = [
     "passage_dedup",
     "passage_rewrite",
     "chunk_documents",
+    # promoted round 6 (VERDICT r05 task #3): the winnowing-anchored
+    # stride+verify plan cut cold wall time >= 2x vs the round-5 full
+    # position-stream plan, with identical (gate-oracled) output
+    "exact_substring_spans",
+    "exact_substring_rewrite",
     # live codec execution inside the distributed plan (vendored PPM
     # decode through Arrow mapInPandas; oracle-checked at the gate)
     "image_decode_stats",

@@ -66,6 +66,68 @@ def main() -> None:
             assert sat["bad"] == 0, (
                 f"{sat['bad']} duplicated docs not fully covered by spans")
         big.unpersist()
+
+    # Method A/B (VERDICT r05 task #3): r5 agg+join baseline vs the
+    # single-window detection (new default) vs the winnowing-anchored
+    # stride+verify path — identical output required, cold per pass.
+    import time
+
+    def cold(method):
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        out = exact_substring_spans(docs, min_len=args.min_len,
+                                    method=method)
+        agg = out.agg(F.sum("n_dup_spans").alias("s"),
+                      F.sum("dup_chars").alias("c")).collect()[0]
+        return round(time.perf_counter() - t0, 2), (int(agg["s"]),
+                                                    int(agg["c"]))
+    ab = {}
+    sums = {}
+    for rep in range(3):
+        for m in ("full", "window", "anchor"):
+            sec, s = cold(m)
+            ab.setdefault(m, []).append(sec)
+            sums[m] = s
+    assert sums["full"] == sums["window"] == sums["anchor"], sums
+    res["method_ab"] = {m: {"cold_secs": ts, "min": min(ts)}
+                        for m, ts in ab.items()}
+    res["method_ab"]["identical_output"] = True
+    res["method_ab"]["window_speedup_vs_full"] = round(
+        min(ab["full"]) / min(ab["window"]), 2)
+
+    # anchor's 100 TB case: a dup-sparse large-vocab corpus (random-hex
+    # words defeat chance 8..28-char repeats, 10% of docs carry planted
+    # payloads) — candidate volume collapses to the duplicated
+    # neighborhoods, so only a few percent of the position stream is
+    # ever exchanged.  The template corpus above chance-repeats up to
+    # ~24 chars, which is why "window" stays the default there.
+    import random
+
+    rng = random.Random(31)
+    payloads = [f"{rng.getrandbits(400):0100x}" for _ in range(20)]
+    rows = []
+    for d in range(5000):
+        ws = [f"{rng.getrandbits(96):024x}"
+              for _ in range(rng.randint(8, 16))]
+        if d % 10 == 0:
+            ws.insert(rng.randint(0, len(ws)), rng.choice(payloads))
+        rows.append((d, " ".join(ws)))
+    sparse = spark.createDataFrame(rows, "doc_id long, text string")
+    sparse_ab = {}
+    sparse_sums = {}
+    for rep in range(2):
+        for m in ("window", "anchor"):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            agg = exact_substring_spans(
+                sparse, min_len=args.min_len, method=m, anchor_gram=16
+            ).agg(F.sum("dup_chars").alias("c")).collect()[0]
+            sparse_ab.setdefault(m, []).append(
+                round(time.perf_counter() - t0, 2))
+            sparse_sums[m] = int(agg["c"])
+    assert sparse_sums["window"] == sparse_sums["anchor"], sparse_sums
+    res["sparse_corpus_ab"] = {
+        m: {"cold_secs": ts, "min": min(ts)} for m, ts in sparse_ab.items()}
     print(json.dumps(res))
 
 

@@ -183,6 +183,57 @@ def test_exact_substring_spans_short_docs_have_no_positions(spark):
     assert got[1].doc_len == len("too short")
 
 
+def test_exact_substring_methods_identical(spark):
+    # the three detection plans (r5 agg+join, single-window default,
+    # winnowing-anchored stride+verify) must be output-identical — the
+    # anchor path's exactness rests on the winnowing coverage guarantee
+    import random
+
+    from simpy__kafka__flink__kafka_spark.functions.text import (
+        exact_substring_rewrite, exact_substring_spans)
+
+    rng = random.Random(41)
+    rows = []
+    for d in range(30):
+        ws = [f"{rng.getrandbits(96):024x}" for _ in range(rng.randint(2, 12))]
+        if d % 3 == 0:
+            ws.insert(rng.randint(0, len(ws)),
+                      "plantedpayloadplantedpayloadplantedzz")
+        rows.append((d, " ".join(ws)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    span_outs = [
+        sorted(map(tuple, exact_substring_spans(
+            docs, min_len=30, method=m).collect()))
+        for m in ("full", "window", "anchor")
+    ]
+    assert span_outs[0] == span_outs[1] == span_outs[2]
+    rw_outs = [
+        sorted(map(tuple, exact_substring_rewrite(
+            docs, min_len=30, method=m).collect()))
+        for m in ("window", "anchor")
+    ]
+    assert rw_outs[0] == rw_outs[1]
+    # small anchor grams (high winnowing density) must stay exact too
+    small = sorted(map(tuple, exact_substring_spans(
+        docs, min_len=30, method="anchor", anchor_gram=8).collect()))
+    assert small == span_outs[0]
+
+
+def test_exact_substring_methods_identical_on_fixture(spark, sf_dir):
+    from simpy__kafka__flink__kafka_spark.functions.text import (
+        exact_substring_spans)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text")
+    a = sorted(map(tuple, exact_substring_spans(
+        docs, min_len=30, method="full").collect()))
+    b = sorted(map(tuple, exact_substring_spans(
+        docs, min_len=30, method="anchor").collect()))
+    c = sorted(map(tuple, exact_substring_spans(
+        docs, min_len=30, method="window").collect()))
+    assert a == b == c
+
+
 def test_exact_substring_rewrite_keeps_first_occurrence_only(spark):
     payload = "the quick brown fox jumps over the lazy dog repeatedly"
     docs = _mkdocs(spark, [
