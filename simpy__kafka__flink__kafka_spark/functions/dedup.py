@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .text import normalized, shingles
+from .text import normalized, shingle_array, shingles
 
 NUM_HASHES = 8
 BANDS = 4  # rows_per_band = NUM_HASHES // BANDS = 2
@@ -81,13 +81,55 @@ def minhash_signatures(df: DataFrame, num_hashes: int = NUM_HASHES,
     return sh.groupBy("doc_id").agg(*aggs)
 
 
+def minhash_signatures_local(df: DataFrame,
+                             num_hashes: int = NUM_HASHES,
+                             text_col: str = "text") -> DataFrame:
+    """Row-local MinHash: identical signature semantics to
+    :func:`minhash_signatures` (one md5 per shingle, sliced into
+    ``num_hashes`` 4-hex-char values, lexicographic min per slice) but
+    computed INSIDE each doc row — a transform to the md5 array followed
+    by one aggregate fold taking all slice minima in a single pass.
+    ZERO shuffle: the corpus is scanned, never exchanged, which at
+    cluster scale replaces the signature groupBy (the one corpus-scale
+    shuffle of the LSH pipeline) with per-row compute.  Docs with no
+    shingles (< n words) are dropped, matching the groupBy form's
+    empty-group absence — without the filter every shingle-less doc
+    would share one sentinel signature and bucket together.
+
+    The fold's sentinel is ``"g"``: md5 hex is [0-9a-f], so "g" compares
+    greater than every real slice value and never survives a non-empty
+    array."""
+    arr = shingle_array(text_col)
+    harr = F.transform(arr, lambda s: F.md5(s))
+    init = F.struct(*[F.lit("g").alias(f"h{j}") for j in range(num_hashes)])
+    fold = F.aggregate(
+        harr,
+        init,
+        lambda acc, h: F.struct(*[
+            F.least(acc[f"h{j}"], F.substring(h, j * 4 + 1, 4))
+            .alias(f"h{j}")
+            for j in range(num_hashes)
+        ]),
+    )
+    return (
+        df.where(F.size(arr) > 0)
+        .select("doc_id", fold.alias("_s"))
+        .select("doc_id",
+                *[F.col(f"_s.h{j}").alias(f"h{j}")
+                  for j in range(num_hashes)])
+    )
+
+
 def lsh_buckets(df: DataFrame, num_hashes: int = NUM_HASHES,
                 bands: int = BANDS,
-                shingle_df: DataFrame | None = None) -> DataFrame:
+                shingle_df: DataFrame | None = None,
+                local: bool = False) -> DataFrame:
     """(doc_id, band, bucket) — one row per (doc, band); bucket is the md5 of
-    the band's signature slice."""
+    the band's signature slice.  ``local=True`` computes signatures
+    row-locally (:func:`minhash_signatures_local`) — no corpus shuffle."""
     rows = num_hashes // bands
-    sig = minhash_signatures(df, num_hashes, shingle_df)
+    sig = (minhash_signatures_local(df, num_hashes) if local
+           else minhash_signatures(df, num_hashes, shingle_df))
     band_structs = F.array(
         *[
             F.struct(
@@ -106,7 +148,8 @@ def lsh_buckets(df: DataFrame, num_hashes: int = NUM_HASHES,
 
 def minhash_lsh_pairs(df: DataFrame, num_hashes: int = NUM_HASHES,
                       bands: int = BANDS, max_bucket: int = 1000,
-                      shingle_df: DataFrame | None = None) -> DataFrame:
+                      shingle_df: DataFrame | None = None,
+                      local: bool = False) -> DataFrame:
     """Candidate near-duplicate pairs (a < b) that share >= 1 LSH bucket.
 
     ``max_bucket`` drops degenerate buckets (a safety valve at scale; with
@@ -119,7 +162,7 @@ def minhash_lsh_pairs(df: DataFrame, num_hashes: int = NUM_HASHES,
     # join, which executed the shingle->md5->signature subtree 4x; this shape
     # computes signatures exactly once.  Buckets are capped, so the per-row
     # pair lambda is O(max_bucket^2) worst case, constant per bucket at scale.
-    bk = lsh_buckets(df, num_hashes, bands, shingle_df)
+    bk = lsh_buckets(df, num_hashes, bands, shingle_df, local=local)
     grouped = (
         bk.groupBy("band", "bucket")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
@@ -180,29 +223,47 @@ def verify_jaccard(df: DataFrame, pairs: DataFrame,
                    shingle_df: DataFrame | None = None) -> DataFrame:
     """Exact Jaccard verification restricted to a candidate-pair DataFrame
     ``(doc_a, doc_b)`` — the 100 TB dedup composition: LSH prunes, this
-    verifies.  Work is O(candidates x shingles-per-doc), never all-pairs."""
-    sh = (shingles(df) if shingle_df is None else shingle_df).distinct()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        pairs.join(a, "doc_a")
-        .join(b, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    verifies.  Work is O(candidates x shingles-per-doc), never all-pairs.
+
+    Verification is pair-local: the corpus is pre-filtered to candidate
+    docs (broadcast semi-join — LSH pruning plus the ``max_bucket`` cap
+    make candidates << corpus), each candidate doc's shingle SET is
+    built in one array row, and the Jaccard is an ``array_intersect``
+    per pair.  With no ``shingle_df`` the set is computed row-locally
+    (``array_distinct`` over the shingle array — no shuffle at all);
+    with a shared ``shingle_df`` (a composed pipeline's cached scan) it
+    is a ``collect_set`` aggregation, which dedups in-agg so the
+    multiset stream needs no separate distinct shuffle.  Either way the
+    corpus-scale shingle table is never exchanged here, per-doc arrays
+    are bounded by doc length, and the whole tail is two
+    broadcast-sized joins instead of a shingle-level join cascade
+    (ngram_jaccard_pairs keeps the join-based form as the all-pairs
+    small-scale twin)."""
+    cand_docs = pairs.select(
+        F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+    ).distinct()
+    if shingle_df is None:
+        sets = (
+            df.join(F.broadcast(cand_docs), "doc_id")
+            .select("doc_id",
+                    F.array_distinct(shingle_array("text")).alias("_sh"))
+        )
+    else:
+        sets = (
+            shingle_df.join(F.broadcast(cand_docs), "doc_id")
+            .groupBy("doc_id")
+            .agg(F.collect_set("shingle").alias("_sh"))
+        )
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("_sh").alias("_sa"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("_sh").alias("_sb"))
+    n_inter = F.size(F.array_intersect("_sa", "_sb"))
+    n_union = F.size("_sa") + F.size("_sb") - n_inter
     return (
-        inter.join(sa, "doc_a")
+        pairs.join(sa, "doc_a")
         .join(sb, "doc_b")
         .withColumn(
             "jaccard",
-            F.round(
-                F.col("n_inter")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
-                6,
-            ),
+            F.round(n_inter / n_union.cast("double"), 6),
         )
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")

@@ -200,10 +200,19 @@ def _q_near_dup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import shingles
 
     docs = _docs(spark, sf_dir)
-    # one shingle scan, cached: both the signature subtree and the Jaccard
-    # verification read it
+    # ONE multiset shingle scan cached for both branches (MinHash minima
+    # don't need distinct; the verification's collect_set dedups in-agg,
+    # so no distinct shuffle exists anywhere in this plan); the candidate
+    # frame is referenced twice by the pair-local verification
+    # (candidate-doc filter + pair join), so it is cached too — each
+    # subtree executes exactly once on a cold run.  A/B'd alternatives
+    # (PLANS.md round 6): the row-local signature fold
+    # (minhash_lsh_pairs(local=True), zero corpus shuffle) loses ~2 s at
+    # sf0.1 to interpreted higher-order-function overhead, and a
+    # distinct-first shared scan re-adds a full exchange — this shape
+    # measured fastest cold
     sh = shingles(docs).cache()
-    cand = dedup.minhash_lsh_pairs(docs, shingle_df=sh)
+    cand = dedup.minhash_lsh_pairs(docs, shingle_df=sh).cache()
     return dedup.verify_jaccard(docs, cand, threshold=0.5, shingle_df=sh)
 
 

@@ -95,3 +95,33 @@ def test_near_dup_clusters_chain_and_clique(spark):
     )
     got = {r.doc_id: r.cluster_id for r in near_dup_clusters(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_local_minhash_signatures_match_grouped(spark, sf_dir):
+    # the row-local fold (zero-shuffle cluster-scale option) must produce
+    # byte-identical signatures to the groupBy form, including dropping
+    # shingle-less docs
+    from simpy__kafka__flink__kafka_spark.functions.dedup import (
+        minhash_lsh_pairs, minhash_signatures, minhash_signatures_local)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text")
+    a = sorted(map(tuple, minhash_signatures(docs).collect()))
+    b = sorted(map(tuple, minhash_signatures_local(docs).collect()))
+    assert a == b
+    pa = sorted(map(tuple, minhash_lsh_pairs(docs).collect()))
+    pb = sorted(map(tuple, minhash_lsh_pairs(docs, local=True).collect()))
+    assert pa == pb
+
+
+def test_local_minhash_drops_shingleless_docs(spark):
+    from simpy__kafka__flink__kafka_spark.functions.dedup import (
+        minhash_signatures, minhash_signatures_local)
+
+    docs = spark.createDataFrame(
+        [(1, "only two"), (2, "three words here now"), (3, "")],
+        "doc_id long, text string")
+    a = sorted(map(tuple, minhash_signatures(docs).collect()))
+    b = sorted(map(tuple, minhash_signatures_local(docs).collect()))
+    assert a == b
+    assert [r[0] for r in b] == [2]  # docs 1 and 3 have no 3-gram shingles
