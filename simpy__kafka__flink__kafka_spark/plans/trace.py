@@ -90,6 +90,64 @@ def _q_link_edges_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LINK_EDGES_SQL = f"WITH {_MSGS}, {_EDGES_SQL} SELECT parent_id, child_id FROM edges"
 
 
+# --- adversarial J1 row: self-IP + zero-width containment (SURVEY §7.4) ------
+# The golden fixtures are containment-wellformed and never exercise
+# src_ip == dst_ip, so the documented divergence from the reference (it
+# would self-link a span with itself; we exclude p.id == c.id) was pinned
+# only by prose.  This row rewrites the span view adversarially — every
+# span's dst_ip is forced to its src_ip, and a deterministic md5-keyed
+# subset is collapsed to zero width (end = start, latency 0) — then runs
+# the BANDED scale-path join.  Every span now trivially contains itself
+# (start <= start, end >= end), so without the id guard the edge set
+# would gain one self-edge per span and the hash would diverge;
+# zero-width twins with equal (ip, start) mutually contain each other and
+# must appear in BOTH directions.  The DuckDB twin applies the identical
+# rewrite + guard.
+
+def _adv_msgs(msgs: DataFrame) -> DataFrame:
+    zero = F.substring(F.md5("id"), 1, 1).isin("0", "1", "2")
+    return msgs.select(
+        "id",
+        "src_ip",
+        F.col("src_ip").alias("dst_ip"),
+        "start_at_ms",
+        F.when(zero, F.lit(0)).otherwise(F.col("latency_msec"))
+        .alias("latency_msec"),
+        F.when(zero, F.col("start_at_ms")).otherwise(F.col("end_at_ms"))
+        .alias("end_at_ms"),
+    )
+
+
+def _q_link_edges_selfip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return link_edges_banded(_adv_msgs(messages_from_events(spark, sf_dir)))
+
+
+_ADV_SQL = """
+adv AS (
+  SELECT id, src_ip, src_ip AS dst_ip, start_at_ms,
+         CASE WHEN substr(md5(id), 1, 1) IN ('0', '1', '2')
+              THEN 0 ELSE latency_msec END AS latency_msec,
+         CASE WHEN substr(md5(id), 1, 1) IN ('0', '1', '2')
+              THEN start_at_ms ELSE end_at_ms END AS end_at_ms
+  FROM messages
+)
+"""
+
+_LINK_EDGES_SELFIP_SQL = f"""
+WITH {_MSGS}, {_ADV_SQL},
+edges AS (
+  SELECT p.id AS parent_id, c.id AS child_id
+  FROM adv p
+  JOIN adv c
+    ON p.dst_ip = c.src_ip
+   AND p.start_at_ms <= c.start_at_ms
+   AND p.end_at_ms >= c.end_at_ms
+   AND p.id <> c.id
+)
+SELECT parent_id, child_id FROM edges
+"""
+
+
 # --- R3: role expansion flat-map ---------------------------------------------
 
 def _q_role_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -385,6 +443,10 @@ QUERIES: dict[str, Query] = {
                         "J1 edge discovery (banded bounded-range join)"),
     "link_edges_naive": Query(_q_link_edges_naive, _LINK_EDGES_SQL,
                               "J1 edge discovery (naive IP-keyed equi-join)"),
+    "link_edges_selfip_zero": Query(
+        _q_link_edges_selfip, _LINK_EDGES_SELFIP_SQL,
+        "adversarial J1: self-IP spans + zero-width containment (§7.4 "
+        "p.id != c.id divergence pinned against the oracle)"),
     "role_explode": Query(_q_role_explode, _ROLE_EXPLODE_SQL, "R3 1->2 role flat-map"),
     "update_explode": Query(_q_update_explode, _UPDATE_EXPLODE_SQL, "R4 link-event flat-map"),
     "watermark_running_max": Query(_q_watermark, _WATERMARK_SQL, "A2 bounded-OOO watermark"),

@@ -114,3 +114,31 @@ def test_adaptive_salt_probe_and_parity(spark, sf_dir):
               for r in link_edges_banded_adaptive(
                   msgs, pair_budget=10).collect()}
     assert forced == plain
+
+
+def test_selfip_zero_width_excludes_self_edges(spark):
+    # SURVEY §7.4: with src_ip == dst_ip every span trivially contains
+    # itself — the reference would self-link; our contract excludes
+    # p.id == c.id.  Zero-width twins at the same (ip, start) mutually
+    # contain each other and must appear in BOTH directions.
+    from pyspark.sql import functions as F
+
+    from simpy__kafka__flink__kafka_spark.operators.linking import (
+        link_edges, link_edges_banded)
+
+    rows = [
+        # id, src, dst, start, latency, end
+        ("a", "10.0.0.1", "10.0.0.1", 1000, 0, 1000),   # zero-width
+        ("b", "10.0.0.1", "10.0.0.1", 1000, 0, 1000),   # zero-width twin
+        ("c", "10.0.0.1", "10.0.0.1", 900, 300, 1200),  # contains a, b
+        ("d", "10.0.0.2", "10.0.0.2", 1000, 0, 1000),   # other ip, alone
+    ]
+    msgs = spark.createDataFrame(
+        rows, "id string, src_ip string, dst_ip string, "
+              "start_at_ms long, latency_msec long, end_at_ms long")
+    for fn in (link_edges, link_edges_banded):
+        got = {(r.parent_id, r.child_id) for r in fn(msgs).collect()}
+        assert got == {("a", "b"), ("b", "a"),
+                       ("c", "a"), ("c", "b")}, fn.__name__
+        # no self-edges despite every span containing itself
+        assert not any(p == c for p, c in got), fn.__name__
