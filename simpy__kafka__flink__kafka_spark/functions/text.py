@@ -225,6 +225,92 @@ def contaminated_docs(df: DataFrame, n: int = 8, bench_mod: int = 10,
     )
 
 
+def contamination_overlap(df: DataFrame, n: int = 8, bench_mod: int = 10,
+                          min_ratio: float = 0.2,
+                          id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """Fuzzy decontamination — the n-gram OVERLAP-RATIO refinement of
+    :func:`contaminated_docs` (the GPT-3 appendix-C style scan): for every
+    (corpus doc, benchmark doc) pair sharing at least one verbatim word
+    ``n``-gram, the contamination score is
+
+        overlap_ratio = |shared distinct n-grams| /
+                        |benchmark doc's distinct n-grams|
+
+    and pairs at or above ``min_ratio`` are flagged.  A single shared
+    boilerplate gram no longer condemns a doc (the binary check's false-
+    positive mode); a doc that reproduces most of an eval item is caught
+    even when phrasing shifts around the overlap.
+
+    Scale shape: distinct (doc, gram) on both sides; the benchmark side
+    (eval suites — a few MB next to a 100 TB corpus) broadcasts into the
+    equi-join on the gram string, so the corpus is never shuffled; the
+    per-pair count is one groupBy over the hit set only.  Exact integer
+    counts with ONE final division rounded to 6 — deterministic across
+    engines, no float aggregation.
+    Output: (id_col, bench_id, n_shared, overlap_ratio).
+    """
+    sh = shingles(df, n=n, id_col=id_col, text_col=text_col).distinct()
+    bench = sh.where(F.col(id_col) % bench_mod == 0).select(
+        F.col(id_col).alias("bench_id"), "shingle"
+    )
+    bench_sizes = bench.groupBy("bench_id").agg(
+        F.count(F.lit(1)).alias("_nb")
+    )
+    hits = (
+        sh.where(F.col(id_col) % bench_mod != 0)
+        .join(F.broadcast(bench), "shingle")
+        .groupBy(id_col, "bench_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    return (
+        hits.join(F.broadcast(bench_sizes), "bench_id")
+        .withColumn(
+            "overlap_ratio",
+            F.round(F.col("n_shared") / F.col("_nb").cast("double"), 6),
+        )
+        .where(F.col("overlap_ratio") >= min_ratio)
+        .select(id_col, "bench_id", "n_shared", "overlap_ratio")
+    )
+
+
+def rare_bigram_rate(df: DataFrame, max_count: int = 2,
+                     id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Corpus-LM novelty signal — the integer-exact stand-in for bigram
+    perplexity: the fraction of a doc's word-bigram occurrences whose
+    corpus-wide bigram count is at most ``max_count``.  High rate means
+    the doc's word transitions are mostly unseen elsewhere (gibberish /
+    OCR noise / heavy entity soup); near-zero means boilerplate.  The
+    standard perplexity filter needs a float log-prob sum whose
+    accumulation ORDER differs between engines (hash-unsafe); rare-mass
+    counting keeps the same signal in exact integers with one final
+    division.
+
+    Scale shape: one shuffle of the bigram stream for corpus counts, one
+    equi-join back on the bigram string (co-partitioned with the agg),
+    one per-doc groupBy.  The count table is Zipf-shaped but NOT
+    broadcast — it scales with corpus vocabulary, so the join stays a
+    shuffle join co-located with the counting exchange.
+    Output: (id_col, n_bigrams, n_rare, rare_rate).
+    """
+    big = shingles(df, n=2, id_col=id_col, text_col=text_col)
+    counts = big.groupBy("shingle").agg(F.count(F.lit(1)).alias("_c"))
+    return (
+        big.join(counts, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum(F.when(F.col("_c") <= max_count, 1).otherwise(0))
+            .cast("long").alias("n_rare"),
+        )
+        .withColumn(
+            "rare_rate",
+            F.round(F.col("n_rare") / F.col("n_bigrams").cast("double"), 6),
+        )
+    )
+
+
 def vocab_coverage(df: DataFrame, min_df_pct: int = 60,
                    id_col: str = "doc_id",
                    text_col: str = "text") -> DataFrame:

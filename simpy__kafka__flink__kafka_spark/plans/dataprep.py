@@ -823,6 +823,51 @@ GROUP BY d.doc_id
 """
 
 
+def _q_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import contamination_overlap
+
+    return contamination_overlap(_docs(spark, sf_dir), n=8, bench_mod=10,
+                                 min_ratio=0.2)
+
+
+_CONTAMINATION_OVERLAP_SQL = f"""
+WITH {_ngram_cte(8)},
+d AS (SELECT DISTINCT doc_id, shingle FROM sh),
+b AS (SELECT doc_id AS bench_id, shingle FROM d WHERE doc_id % 10 = 0),
+bs AS (SELECT bench_id, count(*) AS nb FROM b GROUP BY 1),
+hits AS (
+  SELECT d.doc_id, b.bench_id, CAST(count(*) AS BIGINT) AS n_shared
+  FROM d JOIN b ON d.shingle = b.shingle
+  WHERE d.doc_id % 10 != 0
+  GROUP BY 1, 2
+)
+SELECT doc_id, bench_id, n_shared,
+       round(CAST(n_shared AS DOUBLE) / CAST(nb AS DOUBLE), 6)
+         AS overlap_ratio
+FROM hits JOIN bs USING (bench_id)
+WHERE round(CAST(n_shared AS DOUBLE) / CAST(nb AS DOUBLE), 6) >= 0.2
+"""
+
+
+def _q_rare_bigram_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import rare_bigram_rate
+
+    return rare_bigram_rate(_docs(spark, sf_dir), max_count=2)
+
+
+_RARE_BIGRAM_SQL = f"""
+WITH {_ngram_cte(2)},
+c AS (SELECT shingle, count(*) AS cc FROM sh GROUP BY 1)
+SELECT sh.doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(CASE WHEN c.cc <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+       round(CAST(sum(CASE WHEN c.cc <= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS rare_rate
+FROM sh JOIN c USING (shingle)
+GROUP BY sh.doc_id
+"""
+
+
 def _q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import vocab_coverage
 
@@ -1485,6 +1530,12 @@ QUERIES: dict[str, Query] = {
                               "within-doc n-gram repetition filter"),
     "contamination_check": Query(_q_contamination_check, _CONTAMINATION_SQL,
                                  "benchmark 8-gram contamination scan"),
+    "contamination_overlap": Query(
+        _q_contamination_overlap, _CONTAMINATION_OVERLAP_SQL,
+        "fuzzy decontamination: per (doc, bench) 8-gram overlap ratio"),
+    "rare_bigram_rate": Query(
+        _q_rare_bigram_rate, _RARE_BIGRAM_SQL,
+        "corpus-LM novelty: fraction of doc bigrams rare corpus-wide"),
     "vocab_coverage": Query(_q_vocab_coverage, _VOCAB_COVERAGE_SQL,
                             "doc-frequency vocab + per-doc OOV rate"),
     "temperature_sample": Query(_q_temperature_sample, _TEMPERATURE_SQL,

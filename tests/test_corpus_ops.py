@@ -183,3 +183,44 @@ def test_phone_pattern_word_bounded(spark):
     got = {r["doc_id"]: r["clean_text"] for r in pii_scrub(docs).collect()}
     assert got[1] == "serial 0123-456-78901 stays intact"
     assert got[2] == "call <PHONE> now"
+
+
+def test_contamination_overlap_ratio_semantics(spark):
+    # bench doc 0 has distinct 8-grams; doc 1 reproduces ALL of its text
+    # (ratio 1.0); doc 2 shares only one 8-gram window worth (< 0.2 of the
+    # bench grams) and must NOT be flagged at min_ratio=0.2
+    from simpy__kafka__flink__kafka_spark.functions.text import (
+        contamination_overlap)
+
+    bench_text = " ".join(f"w{i}" for i in range(20))        # 13 8-grams
+    partial = " ".join(f"w{i}" for i in range(8)) + " " + \
+        " ".join(f"z{i}" for i in range(30))                  # 1 shared gram
+    docs = spark.createDataFrame(
+        [(0, bench_text), (1, "prefix " + bench_text + " suffix"),
+         (2, partial), (3, " ".join(f"q{i}" for i in range(25)))],
+        "doc_id long, text string")
+    got = {(r.doc_id, r.bench_id): r for r in
+           contamination_overlap(docs, n=8, bench_mod=10,
+                                 min_ratio=0.2).collect()}
+    assert (1, 0) in got
+    assert got[(1, 0)].n_shared == 13
+    assert got[(1, 0)].overlap_ratio == 1.0
+    assert all(d != 2 for d, _ in got)   # below threshold
+    assert all(d != 3 for d, _ in got)   # no overlap at all
+
+
+def test_rare_bigram_rate_counts(spark):
+    # "a b" occurs 3x corpus-wide (not rare at max_count=2); every other
+    # bigram occurs once (rare)
+    from simpy__kafka__flink__kafka_spark.functions.text import (
+        rare_bigram_rate)
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b d"), (3, "a b")],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           rare_bigram_rate(docs, max_count=2).collect()}
+    # doc 1: bigrams (a b), (b c) -> 1 rare of 2
+    assert (got[1].n_bigrams, got[1].n_rare, got[1].rare_rate) == (2, 1, 0.5)
+    assert (got[2].n_bigrams, got[2].n_rare) == (2, 1)
+    assert (got[3].n_bigrams, got[3].n_rare, got[3].rare_rate) == (1, 0, 0.0)
