@@ -206,14 +206,16 @@ def contaminated_docs(df: DataFrame, n: int = 8, bench_mod: int = 10,
     deterministic slice ``id % bench_mod == 0`` (in production: the actual
     eval suites, typically a few MB).
 
-    Scale shape: distinct (doc, shingle) on both sides, then an equi-join on
-    the shingle string with the benchmark side broadcast — eval sets are
-    tiny next to a 100 TB corpus, so the probe never shuffles the corpus;
-    the per-doc count is one groupBy on the (filtered) hit set.
+    Scale shape: the corpus-side gram stream stays a MULTISET (narrow —
+    no corpus-wide distinct shuffle; dedup rides the final countDistinct
+    over the broadcast-filtered hit set, which is tiny); only the
+    benchmark side (a 1/bench_mod subset; in production the actual eval
+    suites, a few MB) pays a distinct before broadcasting into the
+    equi-join.  The corpus is never shuffled.
     Output: (id_col, n_contaminated) — contaminated corpus docs only, with
     the number of distinct overlapping ``n``-grams.
     """
-    sh = shingles(df, n=n, id_col=id_col, text_col=text_col).distinct()
+    sh = shingles(df, n=n, id_col=id_col, text_col=text_col)
     bench = (
         sh.where(F.col(id_col) % bench_mod == 0).select("shingle").distinct()
     )
@@ -221,7 +223,7 @@ def contaminated_docs(df: DataFrame, n: int = 8, bench_mod: int = 10,
         sh.where(F.col(id_col) % bench_mod != 0)
         .join(F.broadcast(bench), "shingle")
         .groupBy(id_col)
-        .agg(F.count(F.lit(1)).cast("long").alias("n_contaminated"))
+        .agg(F.countDistinct("shingle").cast("long").alias("n_contaminated"))
     )
 
 
@@ -242,18 +244,20 @@ def contamination_overlap(df: DataFrame, n: int = 8, bench_mod: int = 10,
     positive mode); a doc that reproduces most of an eval item is caught
     even when phrasing shifts around the overlap.
 
-    Scale shape: distinct (doc, gram) on both sides; the benchmark side
-    (eval suites — a few MB next to a 100 TB corpus) broadcasts into the
-    equi-join on the gram string, so the corpus is never shuffled; the
-    per-pair count is one groupBy over the hit set only.  Exact integer
-    counts with ONE final division rounded to 6 — deterministic across
-    engines, no float aggregation.
+    Scale shape: the corpus-side gram stream stays a MULTISET (no
+    corpus-wide distinct shuffle — dedup rides the per-pair
+    countDistinct over the broadcast-filtered hit set); only the
+    benchmark side (eval suites — a few MB next to a 100 TB corpus)
+    pays a distinct before broadcasting into the equi-join on the gram
+    string, so the corpus is never shuffled.  Exact integer counts with
+    ONE final division rounded to 6 — deterministic across engines, no
+    float aggregation.
     Output: (id_col, bench_id, n_shared, overlap_ratio).
     """
-    sh = shingles(df, n=n, id_col=id_col, text_col=text_col).distinct()
+    sh = shingles(df, n=n, id_col=id_col, text_col=text_col)
     bench = sh.where(F.col(id_col) % bench_mod == 0).select(
         F.col(id_col).alias("bench_id"), "shingle"
-    )
+    ).distinct()
     bench_sizes = bench.groupBy("bench_id").agg(
         F.count(F.lit(1)).alias("_nb")
     )
@@ -261,7 +265,7 @@ def contamination_overlap(df: DataFrame, n: int = 8, bench_mod: int = 10,
         sh.where(F.col(id_col) % bench_mod != 0)
         .join(F.broadcast(bench), "shingle")
         .groupBy(id_col, "bench_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .agg(F.countDistinct("shingle").cast("long").alias("n_shared"))
     )
     return (
         hits.join(F.broadcast(bench_sizes), "bench_id")
