@@ -1029,12 +1029,12 @@ def _q_corpus_prep_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     kept_docs = kept.select("doc_id", "text")
     sh = shingles(kept_docs).cache()  # shared by LSH + Jaccard verify
-    near = dedup.verify_jaccard(
-        kept_docs,
-        dedup.minhash_lsh_pairs(kept_docs, shingle_df=sh),
-        threshold=0.5,
-        shingle_df=sh,
-    )
+    # pair-local verification references the candidate frame twice
+    # (candidate-doc filter + pair join) — cache it so the LSH subtree
+    # executes once, same as the standalone near_dup_verified plan
+    cand = dedup.minhash_lsh_pairs(kept_docs, shingle_df=sh).cache()
+    near = dedup.verify_jaccard(kept_docs, cand, threshold=0.5,
+                                shingle_df=sh)
     drop = near.select(F.col("doc_b").alias("doc_id")).distinct()
     surv = kept.join(drop, "doc_id", "left_anti")
     # scale-safe shard assignment: ranged exclusive prefix sum (no
