@@ -65,6 +65,32 @@ def main() -> None:
             res[f"x{copies}"]["saturated"] = bool(sat["bad"] == 0)
             assert sat["bad"] == 0, (
                 f"{sat['bad']} duplicated docs not fully covered by spans")
+            # rewrite twin invariants at saturation: (a) every shifted
+            # copy (doc_id >= stride, strictly larger than all originals)
+            # is cut to empty — its whole text is one cross-doc dup span
+            # whose first occurrence lives in an original; (b) the
+            # ORIGINALS' removal profile is byte-identical to x1 — added
+            # copies can never become a first occurrence, so copying the
+            # corpus N-fold must not change what the originals lose
+            from simpy__kafka__flink__kafka_spark.functions.text import (
+                exact_substring_rewrite)
+
+            rw = exact_substring_rewrite(big, min_len=args.min_len)
+            bad_copy = rw.where(
+                (F.col("doc_len") >= args.min_len)
+                & (F.col("doc_id") >= stride)
+                & (F.col("removed_chars") != F.col("doc_len"))
+            ).count()
+            assert bad_copy == 0, (
+                f"{bad_copy} shifted copies not fully removed")
+            x1_map = {r["doc_id"]: r["removed_chars"] for r in
+                      exact_substring_rewrite(docs, min_len=args.min_len)
+                      .select("doc_id", "removed_chars").collect()}
+            xn_orig = {r["doc_id"]: r["removed_chars"] for r in
+                       rw.where(F.col("doc_id") < stride)
+                       .select("doc_id", "removed_chars").collect()}
+            assert x1_map == xn_orig, "originals' removal profile changed"
+            res[f"x{copies}"]["rewrite_saturated"] = True
         big.unpersist()
 
     # Method A/B (VERDICT r05 task #3): r5 agg+join baseline vs the
