@@ -1342,6 +1342,22 @@ def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows, "rank int, left string, right string, pair_count long")
 
 
+def _q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train 8 merges with the driver-local trainer, then tokenize the
+    whole corpus with the broadcast-join segmentation applier
+    (functions/bpe.py:bpe_segment — each DISTINCT word segmented once,
+    order-preserving per-doc reassembly).  Rows-only at the gate for the
+    same stated reason as bpe_merges (the training argmax chain is not
+    SQL-expressible, and the tokenization depends on it); the applier's
+    semantics are pinned by pytest against the pure-Python reference
+    applier (tests/test_bpe.py)."""
+    from ..functions.bpe import bpe_segment, bpe_train_local
+
+    docs = _docs(spark, sf_dir)
+    merges = bpe_train_local(docs, n_merges=8)
+    return bpe_segment(docs, merges)
+
+
 def _q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import chunk_documents
 
@@ -1543,6 +1559,10 @@ QUERIES: dict[str, Query] = {
     "bpe_merges": Query(
         _q_bpe_merges, None,
         "distributed BPE tokenizer training: 8 merges on the word-freq table"),
+    "bpe_tokenize": Query(
+        _q_bpe_tokenize, None,
+        "corpus tokenization with the trained merges (broadcast-join "
+        "segmentation applier); rows-only per the iterative-training policy"),
     "exact_substring_spans": Query(
         _q_exact_substring_spans, _EXACT_SUBSTR_SQL,
         "char-level ExactSubstr profile: maximal cross-doc spans >= 30 chars"),

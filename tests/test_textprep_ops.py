@@ -369,3 +369,73 @@ def test_exact_substring_spans_planted_payload_property(spark):
                 assert got[doc_id].dup_chars >= len(payload), (trial, doc_id)
             else:
                 assert got[doc_id].n_dup_spans == 0, (trial, doc_id)
+
+
+def _ref_substring_rewrite(texts, L):
+    """Pure-Python reference of the exact_substring_rewrite contract:
+    per duplicated gram the minimum (doc_id, position) occurrence is
+    kept, every other occurrence's start is removable; removable starts
+    merge into maximal islands; covered char ranges are cut."""
+    occ = {}
+    for d in sorted(texts):
+        t = texts[d]
+        for p in range(len(t) - L + 1):
+            occ.setdefault(t[p:p + L], []).append((d, p))
+    removable = {d: [] for d in texts}
+    for lst in occ.values():
+        if len({d for d, _ in lst}) >= 2:
+            for d, p in lst[1:]:
+                removable[d].append(p)
+    out = {}
+    for d, t in texts.items():
+        starts = sorted(set(removable[d]))
+        spans = []
+        for p in starts:
+            if spans and p <= spans[-1][1]:
+                spans[-1][1] = max(spans[-1][1], p + L)
+            else:
+                spans.append([p, p + L])
+        clean = []
+        prev = 0
+        for s0, s1 in spans:
+            clean.append(t[prev:s0])
+            prev = s1
+        clean.append(t[prev:])
+        out[d] = (len(t), len(spans), sum(s1 - s0 for s0, s1 in spans),
+                  "".join(clean))
+    return out
+
+
+def test_exact_substring_rewrite_matches_python_reference(spark):
+    # independent semantic pin (the DuckDB oracle and the Spark plan are
+    # separately expressed, but a shared misreading of the contract could
+    # slip both): tiny-alphabet random corpora force dense chance repeats
+    # — worst case for both island merging and the anchor path's
+    # selectivity — and every method must equal the reference exactly
+    import random
+
+    from simpy__kafka__flink__kafka_spark.functions.text import (
+        exact_substring_rewrite)
+
+    L = 12
+    for seed in (3, 17, 101):
+        rng = random.Random(seed)
+        texts = {
+            d: "".join(rng.choice("ab ") for _ in range(rng.randint(40, 120)))
+            .strip() or "a" * 20
+            for d in range(6)
+        }
+        # normalized form: collapse runs of spaces + lowercase (already)
+        import re
+        texts = {d: re.sub(r"\s+", " ", t).strip() for d, t in texts.items()}
+        texts = {d: t if t else "a" * 20 for d, t in texts.items()}
+        want = _ref_substring_rewrite(texts, L)
+        docs = spark.createDataFrame(
+            list(texts.items()), "doc_id long, text string")
+        for method, l0 in (("window", None), ("anchor", None), ("anchor", 4)):
+            got = {r.doc_id: (r.doc_len, r.n_removed_spans, r.removed_chars,
+                              r.clean_text)
+                   for r in exact_substring_rewrite(
+                       docs, min_len=L, method=method,
+                       anchor_gram=l0).collect()}
+            assert got == want, (seed, method, l0)
