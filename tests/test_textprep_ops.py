@@ -439,3 +439,37 @@ def test_exact_substring_rewrite_matches_python_reference(spark):
                        docs, min_len=L, method=method,
                        anchor_gram=l0).collect()}
             assert got == want, (seed, method, l0)
+
+
+def test_exact_substring_methods_identical_on_unicode(spark):
+    # non-ASCII text: the anchor path winnows over a codepoint array and
+    # slices anchor grams in Python — char coordinates must agree with
+    # Spark's substr (both codepoint-based) or candidate regions drift
+    from simpy__kafka__flink__kafka_spark.functions.text import (
+        exact_substring_rewrite, exact_substring_spans)
+
+    payload = "héllo wörld — ünïcode payload ✓ emoji 🎉 end of span"
+    docs = _mkdocs(spark, [
+        (1, f"prefix α {payload} suffix β unique einz"),
+        (2, f"different start γ {payload} another end zwei"),
+        (3, "ασχετο κείμενο αρκετά μεγάλο για γραμμάρια μοναδικό τρία"),
+    ])
+    outs = [
+        sorted(map(tuple, exact_substring_spans(
+            docs, min_len=20, method=m).collect()))
+        for m in ("full", "window", "anchor")
+    ]
+    assert outs[0] == outs[1] == outs[2]
+    # the payload really was detected (not vacuously equal)
+    by_id = {t[0]: t for t in outs[0]}
+    assert by_id[1][2] >= 1 and by_id[2][2] >= 1  # n_dup_spans
+    assert by_id[3][2] == 0
+    rw = [
+        sorted(map(tuple, exact_substring_rewrite(
+            docs, min_len=20, method=m).collect()))
+        for m in ("window", "anchor")
+    ]
+    assert rw[0] == rw[1]
+    clean = {t[0]: t[4] for t in rw[0]}
+    assert payload.lower() in clean[1]      # keeper (min doc_id)
+    assert payload.lower() not in clean[2]  # cut from the later doc
