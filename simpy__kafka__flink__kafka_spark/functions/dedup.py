@@ -100,9 +100,27 @@ def minhash_signatures_local(df: DataFrame,
     greater than every real slice value and never survives a non-empty
     array."""
     arr = shingle_array(text_col)
+    fold = minhash_fold(text_col, num_hashes)
+    return (
+        df.where(F.size(arr) > 0)
+        .select("doc_id", fold.alias("_s"))
+        .select("doc_id",
+                *[F.col(f"_s.h{j}").alias(f"h{j}")
+                  for j in range(num_hashes)])
+    )
+
+
+def minhash_fold(text_col: str, num_hashes: int = NUM_HASHES):
+    """The row-local MinHash signature as a single struct COLUMN
+    (h0..h{n-1}) — see :func:`minhash_signatures_local` for semantics.
+    Exposed separately so streaming plans (which cannot run the groupBy
+    form — arbitrary aggregations don't compose with stream-stream
+    joins) can attach signatures per-row while carrying event-time
+    columns through."""
+    arr = shingle_array(text_col)
     harr = F.transform(arr, lambda s: F.md5(s))
     init = F.struct(*[F.lit("g").alias(f"h{j}") for j in range(num_hashes)])
-    fold = F.aggregate(
+    return F.aggregate(
         harr,
         init,
         lambda acc, h: F.struct(*[
@@ -111,12 +129,24 @@ def minhash_signatures_local(df: DataFrame,
             for j in range(num_hashes)
         ]),
     )
-    return (
-        df.where(F.size(arr) > 0)
-        .select("doc_id", fold.alias("_s"))
-        .select("doc_id",
-                *[F.col(f"_s.h{j}").alias(f"h{j}")
-                  for j in range(num_hashes)])
+
+
+def band_structs(num_hashes: int = NUM_HASHES, bands: int = BANDS):
+    """array<struct<band, bucket>> over h0..h{n-1} columns — the LSH
+    banding expression shared by the batch bucketer and streaming plans."""
+    rows = num_hashes // bands
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|", *[F.col(f"h{b * rows + r}") for r in range(rows)]
+                    )
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
     )
 
 
@@ -127,23 +157,11 @@ def lsh_buckets(df: DataFrame, num_hashes: int = NUM_HASHES,
     """(doc_id, band, bucket) — one row per (doc, band); bucket is the md5 of
     the band's signature slice.  ``local=True`` computes signatures
     row-locally (:func:`minhash_signatures_local`) — no corpus shuffle."""
-    rows = num_hashes // bands
     sig = (minhash_signatures_local(df, num_hashes) if local
            else minhash_signatures(df, num_hashes, shingle_df))
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(
-                    F.concat_ws("|", *[F.col(f"h{b * rows + r}") for r in range(rows)])
-                ).alias("bucket"),
-            )
-            for b in range(bands)
-        ]
-    )
-    return sig.select("doc_id", F.explode(band_structs).alias("bb")).select(
-        "doc_id", "bb.band", "bb.bucket"
-    )
+    return sig.select(
+        "doc_id", F.explode(band_structs(num_hashes, bands)).alias("bb")
+    ).select("doc_id", "bb.band", "bb.bucket")
 
 
 def minhash_lsh_pairs(df: DataFrame, num_hashes: int = NUM_HASHES,

@@ -11,10 +11,17 @@ only for the duplicate-arrival horizon, not the stream's history, which is
 what makes the operator viable on an unbounded corpus (the same bounded-state
 posture as ``streaming/windows.py:dedup_spans``).
 
-Downstream near-dup (MinHash-LSH) stays a periodic BATCH job over the
+CORPUS-WIDE near-dup (MinHash-LSH) stays a periodic BATCH job over the
 deduped sink — candidate generation needs a corpus-wide self-join that no
 single watermark horizon can bound; the measured exact-first staging
 (PLANS.md: 12x cheaper verify at 20x duplication) is exactly this split.
+:func:`streaming_near_dup_candidates` covers the complementary NEAR-HORIZON
+case (burst reposts / spam floods arriving within the watermark window):
+row-local MinHash signatures (``functions/dedup.py:minhash_fold`` — zero
+shuffle, which is what makes LSH composable with a stream-stream join at
+all) band into buckets and self-join time-bounded, so state stays
+watermark-limited.  The lambda split is standard: streaming catches the
+burst, the periodic batch sweep catches the long tail.
 """
 
 from __future__ import annotations
@@ -56,4 +63,53 @@ def corpus_ingest(docs: DataFrame, min_quality: float = 0.3) -> DataFrame:
     return (
         scored.where(F.col("quality") >= min_quality)
         .dropDuplicatesWithinWatermark(["fingerprint"])
+    )
+
+
+def streaming_near_dup_candidates(docs: DataFrame,
+                                  horizon_ms: int = 600_000) -> DataFrame:
+    """Watermark-bounded streaming MinHash-LSH candidate pairs: documents
+    arriving within ``horizon_ms`` of each other that share an LSH band
+    bucket — the burst-repost / spam-flood detector that runs ON the
+    ingest stream instead of waiting for the periodic batch sweep.
+
+    Plan: row-local MinHash signature fold (zero shuffle — the groupBy
+    signature form cannot precede a stream-stream join, the row-local
+    fold can), band explode, then a time-interval self-join on
+    (band, bucket) with both sides watermarked, so join state holds only
+    the horizon.  Emits (doc_a, doc_b, band, ts_a, ts_b) with
+    doc_a < doc_b; a pair sharing several bands emits once per band
+    (streaming dedup of pairs would chain a second stateful operator —
+    left to the consumer, same posture as the reference's at-least-once
+    output).  Input must carry a watermark on ``ingest_ts``.
+    """
+    from ..functions.dedup import NUM_HASHES, band_structs, minhash_fold
+    from ..functions.text import shingle_array
+
+    sig = docs.where(F.size(shingle_array("text")) > 0).select(
+        "doc_id", "ingest_ts", minhash_fold("text").alias("_s")
+    ).select(
+        "doc_id", "ingest_ts",
+        *[F.col(f"_s.h{j}").alias(f"h{j}") for j in range(NUM_HASHES)],
+    )
+    bk = sig.select(
+        "doc_id", "ingest_ts", F.explode(band_structs()).alias("bb")
+    ).select("doc_id", "ingest_ts", "bb.band", "bb.bucket")
+    a = bk.alias("a")
+    b = bk.alias("b")
+    cond = (
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & (F.col("b.ingest_ts") >= F.col("a.ingest_ts")
+           - F.expr(f"INTERVAL {horizon_ms} MILLISECONDS"))
+        & (F.col("b.ingest_ts") <= F.col("a.ingest_ts")
+           + F.expr(f"INTERVAL {horizon_ms} MILLISECONDS"))
+    )
+    return a.join(b, cond, "inner").select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.band").alias("band"),
+        F.col("a.ingest_ts").alias("ts_a"),
+        F.col("b.ingest_ts").alias("ts_b"),
     )

@@ -74,3 +74,69 @@ def test_emitted_columns_match_batch_expressions(spark, tmp_path):
     assert got.quality == want.q
     assert got.fingerprint == want.fp
     assert got.n_tokens > 0
+
+
+def _run_near_dup(spark, tmp_path, batches, horizon_ms):
+    from simpy__kafka__flink__kafka_spark.streaming.corpus import (
+        streaming_near_dup_candidates)
+
+    ind = str(tmp_path / "nd_in")
+    os.makedirs(ind, exist_ok=True)
+    for rows in batches:
+        spark.createDataFrame(
+            rows, "doc_id long, text string, ingest_ts timestamp"
+        ).coalesce(1).write.mode("append").parquet(ind)
+        time.sleep(0.05)
+    stream = file_docs_source(spark, ind, watermark="10 minutes")
+    q = (
+        streaming_near_dup_candidates(stream, horizon_ms=horizon_ms)
+        .writeStream.format("memory")
+        .queryName(f"nd_{uuid.uuid4().hex[:8]}")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        return spark.sql(f"SELECT * FROM {q.name}").collect()
+    finally:
+        q.stop()
+
+
+def test_streaming_near_dup_finds_burst_pairs(spark, tmp_path):
+    # two near-identical docs 30 s apart (inside the horizon) must pair;
+    # an identical repost 1 h later (outside) must NOT pair with either
+    base = GOOD
+    variant = GOOD.replace("lazy", "sleepy")
+    rows1 = [(1, base, _ts(1000)), (2, variant, _ts(1030)),
+             (3, "completely different words about other topics entirely "
+                 "nothing shared with the fox sentences at all here",
+              _ts(1040))]
+    rows2 = [(4, base, _ts(4700))]  # 1h+ later
+    got = _run_near_dup(spark, tmp_path, [rows1, rows2], horizon_ms=60_000)
+    pairs = {(r.doc_a, r.doc_b) for r in got}
+    assert (1, 2) in pairs
+    assert all(4 not in p for p in pairs), pairs
+    assert all(3 not in p for p in pairs), pairs
+
+
+def test_streaming_near_dup_matches_batch_within_horizon(spark, tmp_path):
+    # when every doc arrives inside one horizon, the streaming candidate
+    # set must equal the batch minhash_lsh_pairs candidate set
+    from simpy__kafka__flink__kafka_spark.functions.dedup import (
+        minhash_lsh_pairs)
+
+    rows = [
+        (1, GOOD, _ts(1000)),
+        (2, GOOD.replace("fox", "cat"), _ts(1005)),
+        (3, "unrelated text with plenty of distinct words in this one "
+            "sentence running on for quite some time now", _ts(1010)),
+        (4, GOOD.replace("dog", "wolf"), _ts(1015)),
+    ]
+    got = _run_near_dup(spark, tmp_path, [rows], horizon_ms=600_000)
+    stream_pairs = {(r.doc_a, r.doc_b) for r in got}
+    docs = spark.createDataFrame(
+        [(d, t) for d, t, _ in rows], "doc_id long, text string")
+    batch_pairs = {(r.doc_a, r.doc_b)
+                   for r in minhash_lsh_pairs(docs).collect()}
+    assert stream_pairs == batch_pairs
+    assert batch_pairs  # non-vacuous: the variants really do pair
