@@ -1,0 +1,88 @@
+"""Table profiling — the deequ-style data-quality audit a training-data
+pipeline runs before trusting an input table: per-column row/null/distinct
+counts and min/max, computed in ONE aggregation pass over the table.
+
+Cross-engine determinism contract (for the DuckDB oracle twin): numeric
+min/max are rounded doubles (exact stored values, deterministic
+rounding); timestamps profile as epoch milliseconds (string formatting
+of dates/timestamps differs between engines, integers do not); strings
+compare binary/lexicographic identically in both engines.
+
+Reference parity note: the reference system has no profiling surface;
+this module belongs to the training-data-pipeline extension operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+PROFILE_SCHEMA = ("column string, n_rows long, n_nulls long, "
+                  "n_distinct long, min_num double, max_num double, "
+                  "min_str string, max_str string")
+
+
+def profile_table(df: DataFrame, numeric_cols: list[str] | None = None,
+                  string_cols: list[str] | None = None,
+                  ts_cols: list[str] | None = None) -> DataFrame:
+    """One row per profiled column: (column, n_rows, n_nulls, n_distinct,
+    min_num, max_num, min_str, max_str) — numeric columns fill the
+    ``_num`` pair (rounded to 6), strings the ``_str`` pair, timestamps
+    profile as epoch-millisecond numerics; the other pair is null.
+
+    Scale shape: a single global aggregation (count / conditional sums /
+    countDistinct / min / max for every column in one ``agg``) — Spark
+    plans the multi-distinct via one expand + partial aggregation, so
+    the table is scanned once regardless of column count; the per-column
+    rows are assembled from the one aggregated row with a struct-array
+    explode (no second pass, no per-column jobs).
+    """
+    numeric_cols = numeric_cols or []
+    string_cols = string_cols or []
+    ts_cols = ts_cols or []
+
+    def val(c: str) -> Column:
+        if c in ts_cols:
+            # parquet NTZ timestamps: cast through TIMESTAMP under the
+            # session's pinned UTC zone (session.py) so epoch millis
+            # agree with DuckDB's epoch_ms on the same naive values
+            return F.unix_millis(F.col(c).cast("timestamp")).cast("double")
+        if c in numeric_cols:
+            return F.col(c).cast("double")
+        return F.col(c)
+
+    aggs = [F.count(F.lit(1)).cast("long").alias("_n")]
+    for c in numeric_cols + ts_cols + string_cols:
+        v = val(c)
+        aggs += [
+            F.sum(F.isnull(v).cast("int")).cast("long").alias(f"_nl_{c}"),
+            F.countDistinct(v).cast("long").alias(f"_nd_{c}"),
+        ]
+        if c in string_cols:
+            aggs += [F.min(v).alias(f"_mn_{c}"), F.max(v).alias(f"_mx_{c}")]
+        else:
+            aggs += [
+                F.round(F.min(v), 6).alias(f"_mn_{c}"),
+                F.round(F.max(v), 6).alias(f"_mx_{c}"),
+            ]
+    prof = df.agg(*aggs)
+    entries = []
+    for c in numeric_cols + ts_cols + string_cols:
+        is_str = c in string_cols
+        entries.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("_n").alias("n_rows"),
+                F.col(f"_nl_{c}").alias("n_nulls"),
+                F.col(f"_nd_{c}").alias("n_distinct"),
+                (F.lit(None).cast("double") if is_str
+                 else F.col(f"_mn_{c}")).alias("min_num"),
+                (F.lit(None).cast("double") if is_str
+                 else F.col(f"_mx_{c}")).alias("max_num"),
+                (F.col(f"_mn_{c}") if is_str
+                 else F.lit(None).cast("string")).alias("min_str"),
+                (F.col(f"_mx_{c}") if is_str
+                 else F.lit(None).cast("string")).alias("max_str"),
+            )
+        )
+    return prof.select(F.explode(F.array(*entries)).alias("p")).select("p.*")

@@ -417,9 +417,72 @@ ASOF LEFT JOIN clicks c ON e.user_id = c.user_id AND e.ts_ms >= c.ts_ms
 """
 
 
+def _q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style single-pass table profile of ``orders``: per-column
+    row/null/distinct counts and min/max (timestamps as epoch ms, so the
+    cross-engine comparison never touches date formatting).  See
+    functions/profiling.py for the one-aggregation plan shape."""
+    from ..functions.profiling import profile_table
+
+    return profile_table(
+        _t(spark, sf_dir, "orders"),
+        numeric_cols=["o_orderkey", "o_custkey", "o_totalprice"],
+        string_cols=["o_orderstatus", "o_orderpriority"],
+        ts_cols=["o_orderdate"],
+    )
+
+
+_PROFILE_ORDERS_SQL = """
+SELECT 'o_orderkey' AS column, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_nulls,
+       CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+       round(CAST(min(o_orderkey) AS DOUBLE), 6) AS min_num,
+       round(CAST(max(o_orderkey) AS DOUBLE), 6) AS max_num,
+       CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+FROM orders
+UNION ALL
+SELECT 'o_custkey', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT o_custkey) AS BIGINT),
+       round(CAST(min(o_custkey) AS DOUBLE), 6),
+       round(CAST(max(o_custkey) AS DOUBLE), 6), NULL, NULL
+FROM orders
+UNION ALL
+SELECT 'o_totalprice', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT CAST(o_totalprice AS DOUBLE)) AS BIGINT),
+       round(CAST(min(o_totalprice) AS DOUBLE), 6),
+       round(CAST(max(o_totalprice) AS DOUBLE), 6), NULL, NULL
+FROM orders
+UNION ALL
+SELECT 'o_orderdate', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT epoch_ms(o_orderdate)) AS BIGINT),
+       round(CAST(min(epoch_ms(o_orderdate)) AS DOUBLE), 6),
+       round(CAST(max(epoch_ms(o_orderdate)) AS DOUBLE), 6), NULL, NULL
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+       NULL, NULL, min(o_orderstatus), max(o_orderstatus)
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT),
+       CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+       NULL, NULL, min(o_orderpriority), max(o_orderpriority)
+FROM orders
+"""
+
+
 QUERIES: dict[str, Query] = {
     "price_analytics": Query(_q_price_analytics, _PRICE_ANALYTICS_SQL,
                              "lag/lead/ntile/cume_dist analytic windows"),
+    "profile_orders": Query(_q_profile_orders, _PROFILE_ORDERS_SQL,
+                            "deequ-style single-pass per-column table audit"),
     "asof_last_click": Query(_q_asof_last_click, _ASOF_LAST_CLICK_SQL,
                              "as-of join: latest click at/before each error"),
     "supplier_order_coverage": Query(_q_supplier_order_coverage,

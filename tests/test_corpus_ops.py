@@ -224,3 +224,31 @@ def test_rare_bigram_rate_counts(spark):
     assert (got[1].n_bigrams, got[1].n_rare, got[1].rare_rate) == (2, 1, 0.5)
     assert (got[2].n_bigrams, got[2].n_rare) == (2, 1)
     assert (got[3].n_bigrams, got[3].n_rare, got[3].rare_rate) == (1, 0, 0.0)
+
+
+def test_profile_table_semantics(spark):
+    import datetime as _dt
+
+    from simpy__kafka__flink__kafka_spark.functions.profiling import (
+        profile_table)
+
+    rows = [
+        (1, "a", 1.5, _dt.datetime(2024, 1, 1)),
+        (2, "b", None, _dt.datetime(2024, 1, 2)),
+        (3, None, 2.5, None),
+        (3, "a", 2.5, _dt.datetime(2024, 1, 1)),
+    ]
+    df = spark.createDataFrame(
+        rows, "k long, s string, x double, t timestamp_ntz")
+    got = {r.column: r for r in profile_table(
+        df, numeric_cols=["k", "x"], string_cols=["s"],
+        ts_cols=["t"]).collect()}
+    assert got["k"].n_rows == 4 and got["k"].n_nulls == 0
+    assert got["k"].n_distinct == 3
+    assert (got["k"].min_num, got["k"].max_num) == (1.0, 3.0)
+    assert got["x"].n_nulls == 1 and got["x"].n_distinct == 2
+    assert got["s"].n_nulls == 1 and got["s"].n_distinct == 2
+    assert (got["s"].min_str, got["s"].max_str) == ("a", "b")
+    assert got["s"].min_num is None
+    assert got["t"].n_nulls == 1 and got["t"].n_distinct == 2
+    assert got["t"].min_num == 1704067200000.0  # 2024-01-01 UTC epoch ms
