@@ -451,3 +451,177 @@ def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.92) -> DataFra
         )
         .where(F.col("cos_sim") >= threshold)
     )
+
+
+# --- Product quantization (IVF-PQ's memory path) ------------------------------
+
+def pq_train(emb: DataFrame, m: int = 8, k: int = 16,
+             sample: int = 2048, iters: int = 10):
+    """Train PQ codebooks: split the (unit-normalized) vector into ``m``
+    subvectors and run Lloyd's k-means with ``k`` centroids per subspace
+    — driver-side numpy over a DETERMINISTIC sample (the ``sample``
+    lowest vec_ids), which is how production PQ trains (FAISS trains on a
+    sample too; the corpus-scale work is encoding, not training).  EAGER
+    by design (training exemption, like the KMeans/IVF/BPE paths).
+    Deterministic: fixed init (first k sample rows per subspace), fixed
+    iteration count, ties broken by numpy argmin (lowest index).
+
+    Returns an (m, k, dim/m) float64 numpy array of centroids.
+    """
+    import numpy as np
+
+    rows = (emb.orderBy("vec_id").limit(sample)
+            .select("embedding").collect())
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    X = X / (np.linalg.norm(X, axis=1, keepdims=True) + 1e-12)
+    d = X.shape[1]
+    assert d % m == 0, f"dim {d} not divisible by m={m}"
+    ds = d // m
+    codebooks = np.zeros((m, k, ds))
+    for j in range(m):
+        sub = X[:, j * ds:(j + 1) * ds]
+        C = sub[:k].copy()
+        for _ in range(iters):
+            dists = ((sub[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            assign = dists.argmin(1)
+            for c in range(k):
+                pts = sub[assign == c]
+                if len(pts):
+                    C[c] = pts.mean(0)
+        codebooks[j] = C
+    return codebooks
+
+
+def pq_encode(emb: DataFrame, codebooks) -> DataFrame:
+    """Encode every vector as ``m`` small centroid ids — the 100 TB
+    memory story: a 64-dim float32 vector (256 B) becomes m=8 nibble-
+    range codes (8 B here, 32x; FAISS-style m=8/k=256 gives 8 B for a
+    768-dim vector).  Arrow-batched pandas iterator, codebooks broadcast
+    by closure; one narrow scan, no shuffle.
+    Output: (vec_id, codes: array<int>).
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    cb = codebooks.copy()
+    m, k, ds = cb.shape
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType(), False),
+        T.StructField("codes", T.ArrayType(T.IntegerType()), False),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            X = np.array(list(pdf["embedding"]), dtype=np.float64)
+            X = X / (np.linalg.norm(X, axis=1, keepdims=True) + 1e-12)
+            codes = np.empty((len(X), m), dtype=np.int32)
+            for j in range(m):
+                sub = X[:, j * ds:(j + 1) * ds]
+                dists = ((sub[:, None, :] - cb[j][None, :, :]) ** 2).sum(-1)
+                codes[:, j] = dists.argmin(1)
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"].astype("int64"),
+                "codes": list(codes),
+            })
+
+    return emb.select("vec_id", "embedding").mapInPandas(run, schema)
+
+
+def pq_topk(emb: DataFrame, n_queries: int = 5, k: int = 10,
+            m: int = 8, n_centroids: int = 16) -> DataFrame:
+    """Asymmetric-distance (ADC) approximate top-k over PQ codes: queries
+    stay exact floats, each query precomputes an (m x n_centroids) inner-
+    product table against the codebooks (driver-side, tiny), and a doc's
+    score is the sum of m table lookups on its codes — the FAISS IVF-PQ
+    scoring loop as an Arrow-batched scan.  Corpus work per doc: m adds,
+    reading 8 B of codes instead of 256 B of floats.  Rows-only at the
+    gate (approximate scores are not SQL-oracle-expressible; recall vs
+    the exact baseline is pinned by pytest and charted in
+    experiments/pq_recall.py).
+    Output: (query_id, vec_id, score, rank) — rank by ADC inner product.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window as W
+    from pyspark.sql import types as T
+
+    cb = pq_train(emb, m=m, k=n_centroids)
+    q_rows = (emb.where(F.col("vec_id") < n_queries)
+              .select("vec_id", "embedding").collect())
+    ds = cb.shape[2]
+    tables = {}
+    for r in q_rows:
+        qv = np.array(r["embedding"], dtype=np.float64)
+        qv = qv / (np.linalg.norm(qv) + 1e-12)
+        tables[int(r["vec_id"])] = np.stack([
+            cb[j] @ qv[j * ds:(j + 1) * ds] for j in range(cb.shape[0])
+        ])  # (m, k) inner products
+
+    codes = pq_encode(emb.where(F.col("vec_id") >= n_queries), cb)
+    schema = T.StructType([
+        T.StructField("query_id", T.LongType(), False),
+        T.StructField("vec_id", T.LongType(), False),
+        T.StructField("score", T.DoubleType(), False),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            C = np.array(list(pdf["codes"]), dtype=np.int64)  # (n, m)
+            ids = pdf["vec_id"].to_numpy()
+            out_q, out_v, out_s = [], [], []
+            for qid, tab in tables.items():
+                s = tab[np.arange(C.shape[1])[None, :], C].sum(1)
+                out_q.append(np.full(len(ids), qid, dtype=np.int64))
+                out_v.append(ids)
+                out_s.append(np.round(s, 6))
+            yield pd.DataFrame({
+                "query_id": np.concatenate(out_q),
+                "vec_id": np.concatenate(out_v),
+                "score": np.concatenate(out_s),
+            })
+
+    scored = codes.mapInPandas(run, schema)
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def pq_topk_rerank(emb: DataFrame, n_queries: int = 5, k: int = 10,
+                   shortlist_mult: int = 10, m: int = 16,
+                   n_centroids: int = 16) -> DataFrame:
+    """PQ shortlist + exact re-rank — the production IVF-PQ pipeline's
+    refine stage: ADC retrieves ``k * shortlist_mult`` candidates per
+    query from the compressed codes (cheap scan of ~8-16 B/doc), then
+    ONLY those candidates' float vectors are read back for exact cosine
+    — float I/O is candidate-bounded, not corpus-bounded, which is the
+    whole point at 100 TB.  Recall@10 >= 0.9 on the testdata at the
+    defaults (pinned by pytest; curve in experiments/pq_recall.py).
+    Output: (query_id, vec_id, cos_sim, rank) — same shape as
+    brute_force_topk, directly comparable.
+    """
+    from pyspark.sql import Window as W
+
+    shortlist = pq_topk(emb, n_queries=n_queries, k=k * shortlist_mult,
+                        m=m, n_centroids=n_centroids).select(
+        "query_id", "vec_id")
+    q = emb.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+    )
+    cand = shortlist.join(emb.select("vec_id", "embedding"), "vec_id")
+    scored = cand.join(F.broadcast(q), "query_id").select(
+        "query_id", "vec_id",
+        cosine(F.col("q_emb"), F.col("embedding")).alias("cos_sim"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

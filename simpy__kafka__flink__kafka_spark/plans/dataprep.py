@@ -401,6 +401,16 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(_emb(spark, sf_dir))
 
 
+def _q_pq_topk_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ (m=16 subvectors, 16 centroids each, sample-trained driver-side)
+    ADC shortlist of 100, exact cosine re-rank to top-10 — the FAISS
+    IVF-PQ refine pipeline; float reads are candidate-bounded.  EAGER
+    (codebook training collects a sample — training exemption) and
+    rows-only (approximate scores aren't SQL-expressible; recall is
+    pytest-pinned vs brute_force_topk)."""
+    return similarity.pq_topk_rerank(_emb(spark, sf_dir))
+
+
 def _ivf_topk_sql() -> str:
     qc = _COS.format(a="q.qe", b="ct.ce")
     cos = _COS.format(a="p.qe", b="c.ve")
@@ -1536,6 +1546,11 @@ QUERIES: dict[str, Query] = {
         "IVF-blocked embedding near-dup (scale composition)"),
     "ivf_topk_trained": Query(_q_ivf_topk_trained, None,
                               "IVF top-k over KMeans-trained centroids (rows-only)"),
+    "pq_topk_rerank": Query(
+        _q_pq_topk_rerank, None,
+        "product-quantization ADC shortlist + exact re-rank top-10 "
+        "(rows-only per the ANN recall policy; recall >= 0.9 pinned by "
+        "pytest, curve in experiments/pq_recall.py)"),
     "quantize_embeddings": Query(_q_quantize_embeddings, _QUANTIZE_SQL,
                                  "symmetric int8 embedding quantization"),
     "pack_token_shards": Query(_q_pack_token_shards, _PACK_SHARDS_SQL,
