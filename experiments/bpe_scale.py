@@ -124,6 +124,49 @@ def main() -> None:
         "sec": big_sec,
         "ms_per_merge": round(1000 * big_sec / max(1, len(big_merges)), 3),
     }
+
+    # APPLIER at realistic depth (round 7): the rank-priority mapInPandas
+    # encoder consumes the full deep merge list in one plan node — the
+    # fold twin would build one nested F.aggregate per merge (a
+    # 1000+-deep expression tree Catalyst cannot analyze in reasonable
+    # time), so only the ranked path runs here.  Correctness is asserted
+    # against sequential application of the full list on a word sample.
+    from simpy__kafka__flink__kafka_spark.functions.bpe import (
+        bpe_segment, segment_words_ranked)
+
+    t0 = time.perf_counter()
+    seg_rows = bpe_segment(sdf, big_merges, apply_method="ranked").collect()
+    apply_sec = round(time.perf_counter() - t0, 2)
+    assert len(seg_rows) == len(zipf_docs)
+    vocab_df = word_frequencies(sdf).select("word").distinct()
+    sample = {r["word"]: tuple(r["symbols"])
+              for r in segment_words_ranked(vocab_df, big_merges)
+              .limit(500).collect()}
+
+    def _seq_apply(word: str) -> tuple[str, ...]:
+        sym = list(word)
+        for left, right, _ in big_merges:
+            out, i = [], 0
+            while i < len(sym):
+                if (i + 1 < len(sym) and sym[i] == left
+                        and sym[i + 1] == right):
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            sym = out
+        return tuple(sym)
+
+    mismatches = sum(1 for w, got in sample.items() if got != _seq_apply(w))
+    assert mismatches == 0, f"{mismatches} ranked-vs-sequential mismatches"
+    res["ranked_applier_deep"] = {
+        "merges_applied": len(big_merges),
+        "corpus_docs": len(zipf_docs),
+        "apply_sec": apply_sec,
+        "sampled_words_verified": len(sample),
+        "mismatches": mismatches,
+    }
     print(json.dumps(res))
 
 

@@ -15,9 +15,14 @@ not raw corpora):
   ``F.aggregate`` fold — greedy left-to-right, the standard BPE
   apply order.
 - applying a trained tokenizer to the corpus (``bpe_segment``) again
-  tokenizes each DISTINCT word once (vocab-sized fold) and
-  broadcast-joins the result back onto exploded doc words — per-doc
-  reassembly is an order-preserving sort_array(collect_list) agg.
+  tokenizes each DISTINCT word once and broadcast-joins the result back
+  onto exploded doc words — per-doc reassembly is an order-preserving
+  sort_array(collect_list) agg.  Two appliers share that frame: the
+  declarative per-merge fold (the correctness twin, viable to ~16
+  merges before the nested expression tree hurts Catalyst) and the
+  rank-priority mapInPandas encoder (``segment_words_ranked`` — the
+  HF-tokenizers apply loop, ONE plan node at any merge depth, the
+  production path for the 30k-merge vocabs ``bpe_train_local`` emits).
 
 Training is inherently eager (a driver loop with one tiny collect per
 round) — declared rows-only in the registry and exempted from the
@@ -211,10 +216,119 @@ def bpe_train_local(df: DataFrame, n_merges: int = 8, text_col: str = "text",
     return merges
 
 
-def segment_words(vocab: DataFrame,
-                  merges: list[tuple[str, str, int]]) -> DataFrame:
-    """(word, symbols) — apply the merge list in training order to each
-    DISTINCT word (chained folds over a vocab-sized frame)."""
+def _validate_merge_ranks(merges: list[tuple[str, str, int]]) -> None:
+    """Well-formedness check for rank-order application: every multi-char
+    merge component must be the product of an EARLIER merge (single chars
+    are always valid).  Any list produced by BPE *training* satisfies this
+    by construction (a pair can only be counted once both components exist
+    as symbols); a hand-crafted list that references a symbol before the
+    merge that creates it would make rank-order application diverge from
+    sequential application, so it is rejected rather than silently
+    mis-encoded."""
+    produced: set[str] = set()
+    for i, (left, right, _) in enumerate(merges):
+        for comp in (left, right):
+            if len(comp) > 1 and comp not in produced:
+                raise ValueError(
+                    f"merge {i} ({left!r}, {right!r}) references symbol "
+                    f"{comp!r} before any earlier merge produces it — "
+                    "rank-order application requires a trained "
+                    "(well-formed) merge list; use method='fold' for "
+                    "arbitrary lists"
+                )
+        produced.add(left + right)
+
+
+def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Rank-priority BPE encoding of one word (the GPT-2 / HF-tokenizers
+    apply loop): repeatedly merge ALL occurrences of the lowest-rank
+    adjacent pair, left-to-right without re-merge, until no ranked pair
+    remains.  For a well-formed (trained) merge list this is provably
+    identical to applying the merges sequentially in training order —
+    merging rank r can only create pairs of rank > r, because any pair
+    containing the new symbol as a component must have been trained after
+    the merge that produced that symbol — but costs
+    O(iterations x word_len) instead of O(n_merges x word_len)."""
+    sym = list(word)
+    while len(sym) > 1:
+        best_rank: int | None = None
+        best: tuple[str, str] | None = None
+        for i in range(len(sym) - 1):
+            r = ranks.get((sym[i], sym[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best = r, (sym[i], sym[i + 1])
+        if best is None:
+            break
+        left, right = best
+        out: list[str] = []
+        i = 0
+        while i < len(sym):  # greedy left-to-right, no re-merge
+            if i + 1 < len(sym) and sym[i] == left and sym[i + 1] == right:
+                out.append(left + right)
+                i += 2
+            else:
+                out.append(sym[i])
+                i += 1
+        sym = out
+    return sym
+
+
+def segment_words_ranked(vocab: DataFrame,
+                         merges: list[tuple[str, str, int]]) -> DataFrame:
+    """(word, symbols) — rank-priority applier over the distinct-word
+    vocab: an Arrow-batched ``mapInPandas`` running :func:`_encode_word`
+    per word, with the rank dict broadcast by closure (~1 MB at 30k
+    merges).  This is the applier that scales to realistic vocab depths:
+    the fold twin (:func:`segment_words` ``method="fold"``) builds one
+    nested ``F.aggregate`` per merge, so a 30k-merge list means a
+    ~30k-deep Catalyst expression tree — analysis cost explodes long
+    before data volume matters.  Here the plan is ONE mapInPandas node at
+    any depth; per-word cost is the HF-tokenizers loop.  Output is
+    asserted token-identical to the fold twin (tests/test_bpe.py), and
+    the well-formedness precondition for the equivalence is validated up
+    front (:func:`_validate_merge_ranks`)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    _validate_merge_ranks(merges)
+    ranks = {(left, right): i for i, (left, right, _) in enumerate(merges)}
+    schema = T.StructType([
+        T.StructField("word", T.StringType(), False),
+        T.StructField("symbols", T.ArrayType(T.StringType()), False),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            yield pd.DataFrame({
+                "word": pdf["word"],
+                "symbols": [_encode_word(w, ranks) for w in pdf["word"]],
+            })
+
+    return vocab.select("word").mapInPandas(run, schema)
+
+
+def segment_words(vocab: DataFrame, merges: list[tuple[str, str, int]],
+                  method: str = "auto") -> DataFrame:
+    """(word, symbols) — apply the merge list to each DISTINCT word.
+
+    ``method="fold"`` chains one pure ``F.aggregate`` fold per merge in
+    training order — fully declarative, the correctness twin, but the
+    expression tree grows with the merge count, so it is only viable for
+    shallow lists.  ``method="ranked"`` is the scale path
+    (:func:`segment_words_ranked`): one Arrow-batched mapInPandas at any
+    depth, identical output on trained lists.  ``method="auto"``
+    (default) picks fold for lists up to 16 merges (covers the oracle
+    twins and arbitrary hand-crafted lists) and ranked above."""
+    if method == "auto":
+        method = "fold" if len(merges) <= 16 else "ranked"
+    if method == "ranked":
+        return segment_words_ranked(vocab, merges)
+    if method != "fold":
+        raise ValueError(f"unknown method {method!r} (auto | fold | ranked)")
     s: Column = F.split("word", "")
     for left, right, _ in merges:
         s = _apply_merge(s, left, right)
@@ -223,7 +337,8 @@ def segment_words(vocab: DataFrame,
 
 def bpe_segment(df: DataFrame, merges: list[tuple[str, str, int]],
                 id_col: str = "doc_id",
-                text_col: str = "text") -> DataFrame:
+                text_col: str = "text",
+                apply_method: str = "auto") -> DataFrame:
     """Tokenize every doc with a trained merge list.  Each distinct word
     is segmented ONCE (vocab-sized fold) and broadcast-joined back onto
     the exploded doc words; per-doc reassembly keeps word order via a
@@ -235,7 +350,7 @@ def bpe_segment(df: DataFrame, merges: list[tuple[str, str, int]],
         F.col(id_col), F.posexplode(words(text_col)).alias("pos", "word")
     ).where(F.length("word") > 0)
     vocab = doc_words.select("word").distinct()
-    seg = segment_words(vocab, merges)
+    seg = segment_words(vocab, merges, method=apply_method)
     joined = doc_words.join(F.broadcast(seg), "word")
     per_doc = joined.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_words"),

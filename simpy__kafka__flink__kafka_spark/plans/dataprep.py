@@ -1353,19 +1353,24 @@ def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train 8 merges with the driver-local trainer, then tokenize the
-    whole corpus with the broadcast-join segmentation applier
-    (functions/bpe.py:bpe_segment — each DISTINCT word segmented once,
-    order-preserving per-doc reassembly).  Rows-only at the gate for the
-    same stated reason as bpe_merges (the training argmax chain is not
-    SQL-expressible, and the tokenization depends on it); the applier's
-    semantics are pinned by pytest against the pure-Python reference
-    applier (tests/test_bpe.py)."""
+    """Train a realistic-depth merge list (up to 1,000 merges — the
+    driver-local trainer makes this seconds, not hours) and tokenize the
+    whole corpus with the rank-priority applier
+    (functions/bpe.py:segment_words_ranked — each DISTINCT word encoded
+    once by the HF-tokenizers apply loop inside one Arrow-batched
+    mapInPandas, broadcast-joined back; order-preserving per-doc
+    reassembly).  The trainer and applier now share one scale story: the
+    fold applier's per-merge expression chain capped it at toy depths,
+    this row exercises the production pair end-to-end.  Rows-only at the
+    gate for the same stated reason as bpe_merges (the training argmax
+    chain is not SQL-expressible, and the tokenization depends on it);
+    the applier is pinned token-identical to the fold twin and the
+    pure-Python reference applier in tests/test_bpe.py."""
     from ..functions.bpe import bpe_segment, bpe_train_local
 
     docs = _docs(spark, sf_dir)
-    merges = bpe_train_local(docs, n_merges=8)
-    return bpe_segment(docs, merges)
+    merges = bpe_train_local(docs, n_merges=1000)
+    return bpe_segment(docs, merges, apply_method="ranked")
 
 
 def _q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:

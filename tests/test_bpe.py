@@ -11,7 +11,8 @@ import hashlib
 from collections import Counter
 
 from simpy__kafka__flink__kafka_spark.functions.bpe import (
-    bpe_segment, bpe_train, bpe_train_local, segment_words, word_frequencies)
+    bpe_segment, bpe_train, bpe_train_local, segment_words,
+    segment_words_ranked, word_frequencies)
 from simpy__kafka__flink__kafka_spark.plans import registry
 
 CLASSIC = ("low low low low low lower lower newest newest newest newest "
@@ -143,6 +144,73 @@ def test_bpe_merges_registry_row(spark, sf_dir):
     assert 0 < len(out) <= 8
     assert [r["rank"] for r in out] == list(range(len(out)))
     assert all(r["pair_count"] >= 2 for r in out)
+
+
+def test_ranked_applier_matches_fold_applier(spark):
+    # the scale applier (mapInPandas rank-priority loop) must be
+    # token-identical to the declarative fold twin on a trained list
+    docs = _mkdocs(spark, [(1, CLASSIC), (2, "wide wider widest low lowest"),
+                           (3, "newest news new lower lowest")])
+    merges = bpe_train_local(docs, n_merges=8)
+    vocab = word_frequencies(docs).select("word").distinct()
+    fold = {r["word"]: r["symbols"]
+            for r in segment_words(vocab, merges, method="fold").collect()}
+    ranked = {r["word"]: r["symbols"]
+              for r in segment_words(vocab, merges, method="ranked").collect()}
+    assert fold == ranked
+
+
+def test_ranked_applier_deep_merges_match_reference(spark):
+    # realistic-depth list (well past the fold applier's viability):
+    # rank-priority encoding must equal sequential application of the
+    # full trained list, word for word
+    import random
+
+    rng = random.Random(7)
+    ws = ["".join(rng.choices("abcdefgh", k=rng.randint(2, 10)))
+          for _ in range(400)]
+    text = " ".join(rng.choice(ws) for _ in range(4000))
+    docs = _mkdocs(spark, [(1, text)])
+    merges = bpe_train_local(docs, n_merges=300, min_pair_count=2)
+    assert len(merges) > 100  # the corpus genuinely sustains depth
+    vocab = word_frequencies(docs).select("word").distinct()
+    got = {r["word"]: tuple(r["symbols"])
+           for r in segment_words_ranked(vocab, merges).collect()}
+    for w in set(text.split()):
+        sym = tuple(w)
+        for left, right, _ in merges:
+            sym = _ref_apply(sym, left, right)
+        assert got[w] == sym, w
+
+
+def test_ranked_applier_rejects_ill_formed_list(spark):
+    import pytest
+
+    docs = _mkdocs(spark, [(1, "abc abc")])
+    vocab = word_frequencies(docs).select("word").distinct()
+    # "ab" referenced at rank 0 but only produced at rank 1 — rank-order
+    # application would diverge from sequential; must be rejected
+    bad = [("ab", "c", 0), ("a", "b", 0)]
+    with pytest.raises(ValueError, match="before any earlier merge"):
+        segment_words_ranked(vocab, bad)
+    # the fold applier handles the same list fine (sequential semantics)
+    rows = {r["word"]: r["symbols"]
+            for r in segment_words(vocab, bad, method="fold").collect()}
+    assert rows["abc"] == ["ab", "c"]
+
+
+def test_bpe_tokenize_registry_row_deep_vocab(spark, sf_dir):
+    # the registry row now trains up to 1,000 merges and applies them with
+    # the ranked encoder — one row per doc, fingerprints non-trivial
+    q = registry()["bpe_tokenize"]
+    assert q.oracle is None  # rows-only by design (depends on training)
+    out = q.build(spark, sf_dir)
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    rows = out.collect()
+    assert len(rows) == n_docs
+    assert all(r["n_bpe_tokens"] >= 1 for r in rows if r["n_words"] > 0)
+    # merged symbols exist: token stream strictly shorter than char count
+    assert any(r["n_bpe_tokens"] < r["n_words"] * 4 for r in rows)
 
 
 def test_segment_keeps_empty_docs(spark):
