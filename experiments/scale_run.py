@@ -116,6 +116,68 @@ def main() -> None:
         "simhash_near_dup_sec": round(t_simhash, 2),
         "lsh_docs_per_sec": int(n_docs / t_lsh),
     }))
+    spans.unpersist()
+    docs.unpersist()
+
+    # ---- 10x growth checkpoint (VERDICT r06 task #6) --------------------
+    # The scale claims elsewhere are plan-shape arguments plus sf0.1
+    # numbers; this records measured growth factors for the top-5 cost
+    # queries on the copies-x corpus and ASSERTS sub-quadratic growth
+    # (quadratic would be copies^2; the bound below is copies^1.5, which
+    # linear and n·log n growth clear comfortably while any all-pairs /
+    # corpus-sort regression blows through it).  Caveat noted per query:
+    # the dedup operators' OUTPUT is inherently ~copies^2 per duplicate
+    # cluster (every copy pairs with every other), but the bucketed plans
+    # keep that quadratic term output-sized, not corpus-sized — which is
+    # exactly what the bound verifies.
+    import os
+    import tempfile
+
+    from simpy__kafka__flink__kafka_spark.functions.text import (
+        exact_substring_rewrite, exact_substring_spans)
+    from simpy__kafka__flink__kafka_spark.plans import registry
+
+    reg = registry()
+    tmp = tempfile.mkdtemp(prefix="scale_ckpt_")
+
+    def timed_at(copies: int) -> dict[str, float]:
+        spark.catalog.clearCache()
+        sp = shifted_spans(spark, args.sf, copies).cache()
+        sp.count()
+        dc = shifted_docs(spark, args.sf, copies).cache()
+        dc.count()
+        # corpus_prep_full is a registry builder (reads an sf_dir): lay
+        # the duplicated corpus out as one
+        sf_like = os.path.join(tmp, f"x{copies}")
+        dc.write.mode("overwrite").parquet(
+            os.path.join(sf_like, "documents.parquet"))
+        out = {
+            "link_traces": materialize(link_traces(sp)),
+            "near_dup_verified": materialize(dedup.verify_jaccard(
+                dc, dedup.minhash_lsh_pairs(dc), threshold=0.5)),
+            "exact_substring_spans": materialize(
+                exact_substring_spans(dc, min_len=30)),
+            "exact_substring_rewrite": materialize(
+                exact_substring_rewrite(dc, min_len=30)),
+            "corpus_prep_full": materialize(
+                reg["corpus_prep_full"].build(spark, sf_like)),
+        }
+        sp.unpersist()
+        dc.unpersist()
+        return {k: round(v, 2) for k, v in out.items()}
+
+    t1 = timed_at(1)
+    tn = timed_at(args.copies)
+    bound = args.copies ** 1.5
+    growth = {k: round(tn[k] / max(t1[k], 0.05), 2) for k in t1}
+    for k, g in growth.items():
+        assert g < bound, f"{k} grew {g}x at {args.copies}x data (bound {bound:.1f})"
+    print(json.dumps({
+        "experiment": "growth_checkpoint", "copies": args.copies,
+        "sub_quadratic_bound": round(bound, 1),
+        "x1_sec": t1, f"x{args.copies}_sec": tn,
+        "growth_factor": growth, "all_under_bound": True,
+    }))
 
 
 if __name__ == "__main__":
