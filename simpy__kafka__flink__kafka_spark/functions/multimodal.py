@@ -269,6 +269,12 @@ def decode_audio(content: bytes) -> tuple[np.ndarray, int]:
             n, ch, width = wv.getnframes(), wv.getnchannels(), wv.getsampwidth()
             rate = wv.getframerate()
             data = wv.readframes(n)
+        if width == 3:
+            raise ValueError(
+                "24-bit (3-byte) PCM WAV is not supported by the "
+                "dependency-free decode path — convert to 16- or 32-bit "
+                "first (numpy has no 3-byte dtype to view the frames as)"
+            )
         dtype = {1: np.uint8, 2: np.int16, 4: np.int32}[width]
         return np.frombuffer(data, dtype=dtype).reshape(-1, ch), rate
     if buf[:3] == b"ID3" and len(buf) >= 10:
@@ -364,13 +370,24 @@ def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
     return buf.getvalue()
 
 
-def _flac_bits_per_sample(buf: bytes) -> int:
-    """Bits-per-sample from the mandatory STREAMINFO block (first metadata
-    block after the fLaC magic; skips a leading ID3v2 tag).  The bps-1
-    field sits at bit offset 103 of the 34-byte STREAMINFO body."""
+def _flac_magic_offset(buf: bytes) -> int | None:
+    """Byte offset of the ``fLaC`` magic (0, or past a leading ID3v2
+    tag), or None if the buffer is not a FLAC container at all."""
     off = 0
     if buf[:3] == b"ID3" and len(buf) >= 10:
         off = ((buf[6] << 21) | (buf[7] << 14) | (buf[8] << 7) | buf[9]) + 10
+    return off if buf[off:off + 4] == b"fLaC" else None
+
+
+def _flac_bits_per_sample(buf: bytes) -> int:
+    """Bits-per-sample from the mandatory STREAMINFO block (first metadata
+    block after the fLaC magic; skips a leading ID3v2 tag).  The bps-1
+    field sits at bit offset 103 of the 34-byte STREAMINFO body.
+    Raises ValueError on non-FLAC input — reading STREAMINFO bytes out of
+    another container would produce a garbage bit depth."""
+    off = _flac_magic_offset(buf)
+    if off is None:
+        raise ValueError("not a FLAC stream (no fLaC magic)")
     si = off + 8  # 4-byte magic + 4-byte metadata block header
     return (((buf[si + 12] & 0x01) << 4) | (buf[si + 13] >> 4)) + 1
 
@@ -391,13 +408,18 @@ def resample_audio(content: bytes, target_rate: int) -> bytes:
     >16-bit input (24/32-bit WAV or FLAC) raises ValueError rather than
     silently clipping into int16 range."""
     samples, rate = decode_audio(content)
+    buf = bytes(content)
     if samples.dtype == np.uint8:
         # unsigned 8-bit PCM: midpoint 128 -> signed, scale to 16-bit
         work = (samples.astype(np.float64) - 128.0) * 256.0
     else:
+        # source bit depth: STREAMINFO only when the container really is
+        # FLAC (soundfile-decoded OGG/MP3 would otherwise read garbage
+        # bytes as a bit depth); anything else falls back to the decoded
+        # dtype's width
         src_bits = (
-            _flac_bits_per_sample(bytes(content))
-            if bytes(content[:4]) != b"RIFF"
+            _flac_bits_per_sample(buf)
+            if _flac_magic_offset(buf) is not None
             else samples.dtype.itemsize * 8
         )
         if src_bits > 16:

@@ -515,6 +515,8 @@ def pq_encode(emb: DataFrame, codebooks) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            if pdf.empty:      # np.array of an empty list is shape (0,) —
+                continue       # indexing [:, j*ds:...] would IndexError
             X = np.array(list(pdf["embedding"]), dtype=np.float64)
             X = X / (np.linalg.norm(X, axis=1, keepdims=True) + 1e-12)
             codes = np.empty((len(X), m), dtype=np.int32)
@@ -571,6 +573,8 @@ def pq_topk(emb: DataFrame, n_queries: int = 5, k: int = 10,
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            if pdf.empty:      # shape-(0,) codes array cannot be indexed
+                continue       # by C.shape[1] — skip, like the winnower
             C = np.array(list(pdf["codes"]), dtype=np.int64)  # (n, m)
             ids = pdf["vec_id"].to_numpy()
             out_q, out_v, out_s = [], [], []

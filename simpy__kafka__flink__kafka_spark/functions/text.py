@@ -599,6 +599,18 @@ def _anchor_candidates(base: DataFrame, L: int, id_col: str,
 
     if not (1 < L0 <= L):
         raise ValueError(f"anchor gram length {L0} must be in (1, {L}]")
+    # the mapInPandas seam carries the doc id as int64; a non-integral id
+    # would silently null out under the cast (dropping docs from the
+    # candidate set), so reject it up front — methods "full"/"window"
+    # accept any orderable id type
+    id_type = base.schema[id_col].dataType
+    if not isinstance(id_type, (T.ByteType, T.ShortType, T.IntegerType,
+                                T.LongType)):
+        raise ValueError(
+            f"method='anchor' requires an integral {id_col!r} column "
+            f"(got {id_type.simpleString()}); use method='window' for "
+            "non-numeric doc ids"
+        )
     w = L - L0 + 1
     R = L + w
     out_schema = T.StructType([
