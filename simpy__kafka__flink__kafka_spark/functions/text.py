@@ -296,11 +296,15 @@ def rare_bigram_rate(df: DataFrame, max_count: int = 2,
     one per-doc groupBy.  The count table is Zipf-shaped but NOT
     broadcast — it scales with corpus vocabulary, so the join stays a
     shuffle join co-located with the counting exchange.
+    Contract: EVERY input doc gets a row — docs with fewer than 2 words
+    come back with (0, 0, 0.0) via a left join, the same keep-empty
+    convention as ``bpe_segment`` (round-7 contract unification; the
+    inner-join form silently dropped them).
     Output: (id_col, n_bigrams, n_rare, rare_rate).
     """
     big = shingles(df, n=2, id_col=id_col, text_col=text_col)
     counts = big.groupBy("shingle").agg(F.count(F.lit(1)).alias("_c"))
-    return (
+    per_doc = (
         big.join(counts, "shingle")
         .groupBy(id_col)
         .agg(
@@ -308,10 +312,18 @@ def rare_bigram_rate(df: DataFrame, max_count: int = 2,
             F.sum(F.when(F.col("_c") <= max_count, 1).otherwise(0))
             .cast("long").alias("n_rare"),
         )
-        .withColumn(
-            "rare_rate",
-            F.round(F.col("n_rare") / F.col("n_bigrams").cast("double"), 6),
-        )
+    )
+    return df.select(id_col).join(per_doc, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+        F.coalesce("n_rare", F.lit(0)).cast("long").alias("n_rare"),
+        F.round(
+            F.when(
+                F.coalesce("n_bigrams", F.lit(0)) > 0,
+                F.col("n_rare") / F.col("n_bigrams").cast("double"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("rare_rate"),
     )
 
 

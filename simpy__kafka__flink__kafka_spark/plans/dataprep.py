@@ -867,14 +867,22 @@ def _q_rare_bigram_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _RARE_BIGRAM_SQL = f"""
 WITH {_ngram_cte(2)},
-c AS (SELECT shingle, count(*) AS cc FROM sh GROUP BY 1)
-SELECT sh.doc_id,
-       CAST(count(*) AS BIGINT) AS n_bigrams,
-       CAST(sum(CASE WHEN c.cc <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
-       round(CAST(sum(CASE WHEN c.cc <= 2 THEN 1 ELSE 0 END) AS DOUBLE)
-             / CAST(count(*) AS DOUBLE), 6) AS rare_rate
-FROM sh JOIN c USING (shingle)
-GROUP BY sh.doc_id
+c AS (SELECT shingle, count(*) AS cc FROM sh GROUP BY 1),
+per AS (
+  SELECT sh.doc_id,
+         CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(sum(CASE WHEN c.cc <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+  FROM sh JOIN c USING (shingle)
+  GROUP BY sh.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(per.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(COALESCE(per.n_rare, 0) AS BIGINT) AS n_rare,
+       CASE WHEN COALESCE(per.n_bigrams, 0) > 0
+            THEN round(CAST(per.n_rare AS DOUBLE)
+                       / CAST(per.n_bigrams AS DOUBLE), 6)
+            ELSE 0.0 END AS rare_rate
+FROM documents d LEFT JOIN per USING (doc_id)
 """
 
 

@@ -216,7 +216,7 @@ def test_rare_bigram_rate_counts(spark):
         rare_bigram_rate)
 
     docs = spark.createDataFrame(
-        [(1, "a b c"), (2, "a b d"), (3, "a b")],
+        [(1, "a b c"), (2, "a b d"), (3, "a b"), (4, "solo"), (5, "")],
         "doc_id long, text string")
     got = {r.doc_id: r for r in
            rare_bigram_rate(docs, max_count=2).collect()}
@@ -224,6 +224,12 @@ def test_rare_bigram_rate_counts(spark):
     assert (got[1].n_bigrams, got[1].n_rare, got[1].rare_rate) == (2, 1, 0.5)
     assert (got[2].n_bigrams, got[2].n_rare) == (2, 1)
     assert (got[3].n_bigrams, got[3].n_rare, got[3].rare_rate) == (1, 0, 0.0)
+    # keep-empty contract (round 7, matching bpe_segment): docs with <2
+    # words keep a (0, 0, 0.0) row instead of dropping out
+    assert set(got) == {1, 2, 3, 4, 5}
+    for d in (4, 5):
+        assert (got[d].n_bigrams, got[d].n_rare, got[d].rare_rate) == \
+            (0, 0, 0.0)
 
 
 def test_profile_table_semantics(spark):
