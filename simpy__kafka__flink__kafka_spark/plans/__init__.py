@@ -30,27 +30,45 @@ CHECKED_FIRST = [
     # global-window twins (which stay declared + pytest-checked), so the
     # gate proves the 100 TB-shaped implementations.
     "link_traces", "link_edges", "role_explode", "update_explode",
+    # round-7 rotation (VERDICT r06 task #5): late_data_sharded (same
+    # sharded-prefix machinery and oracle family as the checked
+    # watermark_sharded) and trace_roots (its root set is a projection of
+    # chain_stats' BFS output) demoted to the oracled pytest-checked tail,
+    # funding gate rows for the round-6 additions below
     "watermark_sharded", "emit_at_watermark", "parse_props_lenient",
     "serialize_json", "timestamp_arith", "string_format", "array_membership",
-    "counter_ids_sharded", "late_data_sharded",
+    "counter_ids_sharded",
     # trace analytics over the linked DAG (fanout_histogram — a simple
     # fanout groupBy histogram, conceptually covered by chain_stats —
     # demoted late round 5 to the oracled pytest-checked tail, funding the
     # exact_substring_spans slot below)
-    "chain_stats", "hop_latencies", "latency_percentiles", "trace_roots",
+    "chain_stats", "hop_latencies", "latency_percentiles",
     # training-data pipeline operators.  Round-3 slot swap (VERDICT r02 #3):
     # minhash_signatures / ngram_jaccard_pairs / simhash are each subsumed by
     # a checked composite (minhash_lsh_pairs / near_dup_verified /
     # simhash_near_dup) — demoted to the pytest-checked tail so the round-2
     # additions near_dup_clusters / dedup_survivors / multimodal_frames get
     # gate rows.
-    "token_count", "doc_fingerprint", "exact_dedup", "winnow_fingerprints",
+    # round-7 rotation (cont.): doc_fingerprint (exact_dedup groups by the
+    # SAME md5 fingerprint — strict subsumption) and ivf_assign (ivf_topk's
+    # oracle embeds the assignment SQL verbatim as its first CTE) demoted
+    # to the oracled tail; the round-6 training-data additions
+    # contamination_overlap / rare_bigram_rate / profile_orders /
+    # pq_topk_rerank take the four freed slots below
+    "token_count", "exact_dedup", "winnow_fingerprints",
     "language_id", "quality_score", "near_dup_clusters", "minhash_lsh_pairs",
     "dedup_survivors", "near_dup_verified", "multimodal_frames",
     "simhash_near_dup",
-    "cosine_topk", "ivf_assign", "ivf_topk", "embedding_near_dup_verified",
+    "cosine_topk", "ivf_topk", "embedding_near_dup_verified",
     "quantize_embeddings", "pack_token_shards", "tfidf_top_terms",
     "corpus_prep_full", "multimodal_features",
+    # round-6 additions promoted round 7: fuzzy decontamination, bigram
+    # novelty, single-pass table profiling, and the PQ shortlist+re-rank
+    # pipeline (rows-only BY POLICY — ANN scores aren't SQL-expressible;
+    # the driver records the weaker rows-only check for it, recall is
+    # pytest-pinned >= 0.9)
+    "contamination_overlap", "rare_bigram_rate", "profile_orders",
+    "pq_topk_rerank",
     # round-3 training-data additions (contamination scan + deterministic
     # temperature mix), plus repetition_ratio / vocab_coverage promoted in
     # round 4 (VERDICT r03 task #6) into the slots freed below

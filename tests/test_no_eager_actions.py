@@ -48,6 +48,13 @@ def test_checked_first_50_cover_core_operators():
     reg = registry()
     first50 = list(reg)[:50]
     assert first50 == CHECKED_FIRST
-    # every checked-first query must be hash-checkable (has an oracle)
+    # every checked-first query must be hash-checkable (has an oracle) —
+    # except the documented rows-only policy rows (ANN scores are not
+    # SQL-expressible; the driver records the weaker rows-only check and
+    # recall is pytest-pinned instead)
+    ROWS_ONLY_BY_POLICY = {"pq_topk_rerank"}
     for name in CHECKED_FIRST:
+        if name in ROWS_ONLY_BY_POLICY:
+            assert reg[name].oracle is None
+            continue
         assert reg[name].oracle is not None, f"{name} in checked-50 lacks an oracle"
