@@ -1,0 +1,150 @@
+"""HTML main-content extraction — the FIRST operator of a web-scale
+training corpus pipeline (trafilatura / jusText posture): strip
+script/style, segment the page into blocks at block-level closing tags,
+score each block's link density, and keep only long low-link-density
+blocks as main content.  Navigation bars, sidebars of related links, and
+link-heavy footers are boilerplate by that rule; body paragraphs are not.
+
+Scale shape: ZERO shuffle — the whole extraction is per-row column
+expressions (regexp codegen + higher-order array functions over the
+block list), so it rides the ingest scan like the quality/language
+scorers.  Block order is array order (split preserves it), so no sort or
+window exists anywhere.  Everything stays in the Java-regex/RE2 common
+subset (non-greedy quantifiers + inline (?is) flags, no lookarounds, no
+backreferences) so the DuckDB oracle runs the IDENTICAL patterns —
+extraction parity is arithmetic, not approximate.
+
+Since no image/HTML corpus ships with the testdata, the registry row
+synthesizes a deterministic page around ``documents.text`` inside the
+query (the same pattern as the live-codec rows that synthesize PPM/FLAC
+bytes in plans/dataprep.py) and the oracle synthesizes the identical
+page in SQL, so the gate checks synthesis + extraction end-to-end.
+
+Reference parity note: the reference system (SimPy->Kafka->Flink trace
+pipeline) has no web-extraction surface; this module belongs to the
+training-data-pipeline extension operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Java-regex/RE2 common subset — each pattern is used VERBATIM by the
+# DuckDB oracle (plans/dataprep.py), so edits here must stay in the
+# shared dialect (no lookarounds, no backreferences).
+SCRIPT_RE = r"(?is)<script[^>]*>.*?</script>"
+STYLE_RE = r"(?is)<style[^>]*>.*?</style>"
+BLOCK_SPLIT_RE = (r"(?i)</(?:p|div|li|h1|h2|h3|h4|h5|h6|nav|header|footer"
+                  r"|section|article|td|blockquote|ul|ol|table|tr)>")
+TAG_RE = r"<[^>]*>"
+ANCHOR_RE = r"(?is)<a[^>]*>(.*?)</a>"
+WS_RE = r"\s+"
+
+
+def _block_text(b: Column) -> Column:
+    """Visible text of one block: tags -> spaces, whitespace collapsed,
+    trimmed — identical arithmetic on both engines."""
+    return F.trim(
+        F.regexp_replace(F.regexp_replace(b, TAG_RE, " "), WS_RE, " ")
+    )
+
+
+def _anchor_chars(b: Column) -> Column:
+    """Total visible characters inside the block's <a>...</a> spans."""
+    return F.aggregate(
+        F.regexp_extract_all(b, F.lit(ANCHOR_RE), 1),
+        F.lit(0),
+        lambda acc, a: acc + F.length(_block_text(a)),
+    )
+
+
+def page_blocks(html: Column | str) -> Column:
+    """array<struct<txt,txt_len,anchor_len>> of non-empty visible blocks,
+    in document order: script/style removed, page split at block-level
+    closing tags, per-block visible text + anchor-text length."""
+    h = F.col(html) if isinstance(html, str) else html
+    clean = F.regexp_replace(F.regexp_replace(h, SCRIPT_RE, " "),
+                             STYLE_RE, " ")
+    blocks = F.split(clean, BLOCK_SPLIT_RE)
+    metas = F.transform(
+        blocks,
+        lambda b: F.struct(
+            _block_text(b).alias("txt"),
+            F.length(_block_text(b)).alias("txt_len"),
+            _anchor_chars(b).alias("anchor_len"),
+        ),
+    )
+    return F.filter(metas, lambda m: m["txt_len"] > 0)
+
+
+def extract_main_content(df: DataFrame, html_col: str = "html",
+                         id_col: str = "doc_id",
+                         min_block_chars: int = 20,
+                         link_density_num: int = 1,
+                         link_density_den: int = 3) -> DataFrame:
+    """jusText-lite boilerplate removal: a block is MAIN CONTENT iff its
+    visible text has at least ``min_block_chars`` characters AND its link
+    density (anchor-text chars / text chars) is at most
+    ``link_density_num / link_density_den`` — compared in integers
+    (``anchor_len * den <= txt_len * num``), so both engines decide every
+    block identically with no float threshold.
+
+    Zero-shuffle: per-row array expressions only.  Every input doc keeps
+    a row (empty pages -> 0 blocks, empty main_text — the keep-empty
+    convention shared with bpe_segment / rare_bigram_rate).
+
+    Output: (id_col, n_blocks, n_kept, kept_chars, dropped_chars,
+    main_text) — main_text is the kept blocks' text joined with single
+    spaces in document order.
+    """
+    metas = page_blocks(html_col)
+    keep = lambda m: (  # noqa: E731 — shared by three expressions below
+        (m["txt_len"] >= min_block_chars)
+        & (m["anchor_len"] * link_density_den
+           <= m["txt_len"] * link_density_num)
+    )
+    kept = F.filter(metas, keep)
+    dropped = F.filter(metas, lambda m: ~keep(m))
+    sum_len = lambda arr: F.aggregate(  # noqa: E731
+        arr, F.lit(0), lambda acc, m: acc + m["txt_len"]
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(metas).cast("long").alias("n_blocks"),
+        F.size(kept).cast("long").alias("n_kept"),
+        sum_len(kept).cast("long").alias("kept_chars"),
+        sum_len(dropped).cast("long").alias("dropped_chars"),
+        F.array_join(
+            F.transform(kept, lambda m: m["txt"]), " "
+        ).alias("main_text"),
+    )
+
+
+def synthesize_page(id_col: str = "doc_id",
+                    text_col: str = "text") -> Column:
+    """Deterministic HTML page around a document's text: head with title
+    + style + tracking script, a link-only nav, the text as one <p> per
+    sentence inside the main div, a sidebar of related links, and a
+    link-heavy footer.  Pure column concat (the live-codec synthesis
+    pattern); the DuckDB oracle builds the IDENTICAL string, so
+    extraction parity covers synthesis too."""
+    para = F.regexp_replace(F.col(text_col), r"\. ", ".</p><p>")
+    return F.concat(
+        F.lit("<html><head><title>Doc "),
+        F.col(id_col).cast("string"),
+        F.lit("</title><style>body { margin: 0; font: 14px serif }"
+              "</style><script type=\"text/javascript\">var tracker "
+              "= \"on\"; load();</script></head><body>"
+              "<nav><a href=\"/\">Home</a> <a href=\"/docs\">Docs</a> "
+              "<a href=\"/about\">About</a></nav>"
+              "<div class=\"main\"><p>"),
+        para,
+        F.lit("</p></div><div class=\"sidebar\">"
+              "<li><a href=\"/rel/1\">Related article one</a></li>"
+              "<li><a href=\"/rel/2\">Related article two</a></li>"
+              "<li><a href=\"/rel/3\">Related article three</a></li>"
+              "</div><footer>(c) 2026 <a href=\"/privacy\">Privacy "
+              "Policy</a> <a href=\"/terms\">Terms of Service</a> "
+              "<a href=\"/contact\">Contact</a></footer></body></html>"),
+    )

@@ -1400,6 +1400,94 @@ FROM c
 """
 
 
+def _q_html_extract_main(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-corpus front door: synthesize a deterministic HTML page around
+    each document's text inside the query (the live-codec synthesis
+    pattern — no HTML corpus ships with the testdata) and run the
+    zero-shuffle jusText-lite extraction (functions/html.py): script/style
+    strip, block segmentation at closing tags, integer link-density
+    scoring, main-content reassembly.  The oracle synthesizes the
+    IDENTICAL page in SQL and extracts with the IDENTICAL regex patterns,
+    so synthesis + extraction are both hash-checked end-to-end."""
+    from ..functions.html import extract_main_content, synthesize_page
+
+    docs = _docs(spark, sf_dir)
+    pages = docs.select("doc_id", synthesize_page().alias("html"))
+    return extract_main_content(pages)
+
+
+def _html_extract_sql() -> str:
+    from ..functions.html import (ANCHOR_RE, BLOCK_SPLIT_RE, SCRIPT_RE,
+                                  STYLE_RE, TAG_RE, WS_RE)
+
+    strip_txt = ("trim(regexp_replace(regexp_replace({src}, '"
+                 + TAG_RE + "', ' ', 'g'), '" + WS_RE + "', ' ', 'g'))")
+    return ("""
+WITH page AS (
+  SELECT doc_id,
+         '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+         '</title><style>body { margin: 0; font: 14px serif }</style>""" +
+            """<script type="text/javascript">var tracker = "on"; """ +
+            r"""load();</script></head><body>' ||
+         '<nav><a href="/">Home</a> <a href="/docs">Docs</a> """ +
+            r"""<a href="/about">About</a></nav><div class="main"><p>' ||
+         regexp_replace(text, '\. ', '.</p><p>', 'g') ||
+         '</p></div><div class="sidebar">""" +
+            """<li><a href="/rel/1">Related article one</a></li>""" +
+            """<li><a href="/rel/2">Related article two</a></li>""" +
+            """<li><a href="/rel/3">Related article three</a></li>""" +
+            """</div><footer>(c) 2026 <a href="/privacy">Privacy """ +
+            """Policy</a> <a href="/terms">Terms of Service</a> """ +
+            """<a href="/contact">Contact</a></footer></body></html>'
+            AS html
+  FROM documents
+),
+blocks AS (
+  SELECT doc_id,
+         string_split_regex(
+           regexp_replace(regexp_replace(html, '""" + SCRIPT_RE +
+            "', ' ', 'g'), '" + STYLE_RE + "', ' ', 'g'), '" +
+            BLOCK_SPLIT_RE + """') AS bl
+  FROM page
+),
+b AS (
+  SELECT doc_id, unnest(bl) AS block, generate_subscripts(bl, 1) AS bidx
+  FROM blocks
+),
+m AS (
+  SELECT doc_id, bidx, """ + strip_txt.format(src="block") + """ AS txt,
+         COALESCE(list_sum(list_transform(
+           regexp_extract_all(block, '""" + ANCHOR_RE + """', 1),
+           a -> length(""" + strip_txt.format(src="a") + """))), 0)
+           AS anchor_len
+  FROM b
+),
+nz AS (SELECT doc_id, bidx, txt, length(txt) AS txt_len, anchor_len
+       FROM m WHERE length(txt) > 0),
+flag AS (SELECT *, (txt_len >= 20 AND anchor_len * 3 <= txt_len * 1)
+                   AS keep FROM nz),
+agg AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_blocks,
+         CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         CAST(COALESCE(sum(CASE WHEN keep THEN txt_len END), 0) AS BIGINT)
+           AS kept_chars,
+         CAST(COALESCE(sum(CASE WHEN NOT keep THEN txt_len END), 0)
+           AS BIGINT) AS dropped_chars,
+         COALESCE(string_agg(CASE WHEN keep THEN txt END, ' '
+                             ORDER BY bidx), '') AS main_text
+  FROM flag GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(n_blocks, 0) AS BIGINT) AS n_blocks,
+       CAST(COALESCE(n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(COALESCE(kept_chars, 0) AS BIGINT) AS kept_chars,
+       CAST(COALESCE(dropped_chars, 0) AS BIGINT) AS dropped_chars,
+       COALESCE(main_text, '') AS main_text
+FROM documents d LEFT JOIN agg USING (doc_id)
+""")
+
+
 def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The synthetic corpus is PII-free, so the gate row would be vacuous on
     raw ``documents``; instead each doc is decorated with one deterministic
@@ -1604,6 +1692,10 @@ QUERIES: dict[str, Query] = {
         "C4-style span removal: cross-doc dup blocks cut, first kept"),
     "chunk_documents": Query(_q_chunk_documents, _CHUNK_SQL,
                              "64-token chunks every 48 tokens (overlap 16)"),
+    "html_extract_main": Query(
+        _q_html_extract_main, _html_extract_sql(),
+        "HTML boilerplate removal: jusText-lite link-density extraction "
+        "over pages synthesized around documents.text"),
     "pii_scrub": Query(_q_pii_scrub, _pii_scrub_sql(),
                        "regex PII redaction (email/ssn/phone/ipv4), seeded"),
     "salted_split": Query(_q_salted_split, _SALTED_SPLIT_SQL,

@@ -1,0 +1,88 @@
+"""HTML main-content extraction (functions/html.py): planted boilerplate
+must be stripped, body paragraphs kept, counts exact, keep-empty
+convention honored, and the synthesized-page registry row green."""
+
+from __future__ import annotations
+
+from simpy__kafka__flink__kafka_spark.functions.html import (
+    extract_main_content, synthesize_page)
+from simpy__kafka__flink__kafka_spark.plans import registry
+
+PAGE = """<html><head><title>My page</title>
+<style>p { color: red }</style>
+<script>var analytics = "beacon"; fire();</script>
+</head><body>
+<nav><a href="/">Home</a> <a href="/a">Archive</a> <a href="/c">Contact</a></nav>
+<div><p>The quick brown fox jumps over the lazy dog near the river bank.</p>
+<p>A second substantial paragraph with an inline <a href="/ref">reference
+link</a> that should survive because the block is mostly prose.</p>
+<p>tiny</p></div>
+<div class="sidebar"><li><a href="/r1">Related post number one</a></li>
+<li><a href="/r2">Related post number two</a></li></div>
+<footer>(c) 2026 <a href="/p">Privacy Policy</a> <a href="/t">Terms of
+Service</a> <a href="/m">More Links Here</a></footer>
+</body></html>"""
+
+
+def _extract(spark, pages):
+    df = spark.createDataFrame(pages, "doc_id long, html string")
+    return {r["doc_id"]: r for r in extract_main_content(df).collect()}
+
+
+def test_boilerplate_stripped_and_prose_kept(spark):
+    got = _extract(spark, [(1, PAGE)])[1]
+    # both long paragraphs kept, in order; inline link text survives
+    assert "quick brown fox" in got["main_text"]
+    assert "second substantial paragraph" in got["main_text"]
+    assert "reference link" in got["main_text"]
+    assert got["main_text"].index("quick brown") < \
+        got["main_text"].index("second substantial")
+    # nav / sidebar / footer / script / style must all be gone
+    for boiler in ("Home", "Archive", "Related post", "Privacy Policy",
+                   "Terms", "analytics", "beacon", "color: red"):
+        assert boiler not in got["main_text"], boiler
+    # the sub-threshold "tiny" paragraph is dropped by length
+    assert "tiny" not in got["main_text"]
+    assert got["n_kept"] == 2
+    assert got["n_blocks"] > got["n_kept"]
+    assert got["dropped_chars"] > 0
+    assert got["kept_chars"] == len(got["main_text"]) - 1  # 1 joiner space
+
+
+def test_link_density_integer_rule(spark):
+    # exactly at the 1/3 boundary: 10 anchor chars in 30 text chars kept,
+    # 11 in 30 dropped (anchor_len * 3 <= txt_len)
+    base = "x" * 17 + " yy "          # 21 visible chars outside the anchor
+    kept_page = f"<p>{base}<a>123456789</a></p>"       # 9 + 21 = 30, 27<=30
+    drop_page = f"<p>{base}<a>0123456789A</a></p>"     # 11 anchor chars
+    got = _extract(spark, [(1, kept_page), (2, drop_page)])
+    assert got[1]["n_kept"] == 1
+    assert got[2]["n_kept"] == 0
+
+
+def test_every_doc_keeps_a_row(spark):
+    got = _extract(spark, [(1, ""), (2, "<p>no closing tags here")])
+    assert set(got) == {1, 2}
+    assert (got[1]["n_blocks"], got[1]["main_text"]) == (0, "")
+    # an unterminated block still surfaces as one block
+    assert got[2]["n_blocks"] == 1
+    assert got[2]["main_text"] == "no closing tags here"
+
+
+def test_registry_row_synthesis_roundtrip(spark, sf_dir):
+    q = registry()["html_extract_main"]
+    assert q.oracle is not None
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pages = docs.select("doc_id", synthesize_page().alias("html"))
+    out = {r["doc_id"]: r for r in extract_main_content(pages).collect()}
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    assert set(out) == set(texts)
+    for did, row in out.items():
+        # synthesized boilerplate never leaks into the extraction
+        assert "Related article" not in row["main_text"]
+        assert "Privacy" not in row["main_text"]
+        assert f"Doc {did}" not in row["main_text"]
+        # every kept block is a sentence of the source doc (normalized)
+        norm = " ".join(texts[did].split())
+        for sent in row["main_text"].split(". "):
+            assert sent.rstrip(".") in norm
