@@ -154,6 +154,39 @@ def main() -> None:
     assert sparse_sums["window"] == sparse_sums["anchor"], sparse_sums
     res["sparse_corpus_ab"] = {
         m: {"cold_secs": ts, "min": min(ts)} for m, ts in sparse_ab.items()}
+
+    # FUSION A/B (VERDICT r06 task #4): profile + rewrite each rebuild the
+    # same position stream when both run; the fused operator shares ONE
+    # gram exchange (cached duplicated-hit set feeds both per-doc tails).
+    # Required: fused cold cost < 0.7x the sum of the standalone pair,
+    # and identical column values (also pinned by pytest + DuckDB oracle).
+    from simpy__kafka__flink__kafka_spark.functions.text import (
+        exact_substring_profile_and_rewrite, exact_substring_rewrite)
+
+    def cold_pair():
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        materialize(exact_substring_spans(docs, min_len=args.min_len))
+        materialize(exact_substring_rewrite(docs, min_len=args.min_len))
+        return round(time.perf_counter() - t0, 2)
+
+    def cold_fused():
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        materialize(exact_substring_profile_and_rewrite(
+            docs, min_len=args.min_len))
+        return round(time.perf_counter() - t0, 2)
+
+    pair_ts, fused_ts = [], []
+    for rep in range(3):     # interleaved reps — co-tenant spike hygiene
+        pair_ts.append(cold_pair())
+        fused_ts.append(cold_fused())
+    ratio = round(min(fused_ts) / min(pair_ts), 3)
+    res["fusion_ab"] = {
+        "pair_cold_secs": pair_ts, "fused_cold_secs": fused_ts,
+        "fused_over_pair": ratio,
+    }
+    assert ratio < 0.7, f"fusion saved too little: {ratio}"
     print(json.dumps(res))
 
 

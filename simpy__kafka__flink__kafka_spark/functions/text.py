@@ -961,6 +961,111 @@ def exact_substring_rewrite(df: DataFrame, min_len: int = 30,
     )
 
 
+def exact_substring_profile_and_rewrite(
+        df: DataFrame, min_len: int = 30, id_col: str = "doc_id",
+        text_col: str = "text", method: str = "window",
+        anchor_gram: int | None = None) -> DataFrame:
+    """FUSED ExactSubstr profile + rewrite — both outputs off ONE gram
+    exchange.  :func:`exact_substring_spans` and
+    :func:`exact_substring_rewrite` each materialize the same ~40 B/char
+    position stream when both run; this operator shares it: a single
+    ``Window.partitionBy(gram)`` pass computes the cross-doc test
+    (min != max doc) AND the first-occurrence rank (row_number over
+    (doc_id, pos)), the surviving hit set — tiny next to the position
+    stream, only duplicated-gram positions — is cached, and the two
+    per-doc tails (all-hits islands for the PROFILE, rank>1-hits islands
+    for the REWRITE) both read it from memory.  Output column semantics
+    are identical to the two standalone operators by construction (same
+    window, same filters, same island rule) — pinned by pytest equality
+    and the combined DuckDB oracle; the A/B lives in
+    experiments/substr_scale.py (combined cost well under the sum).
+
+    Output: (id_col, doc_len, n_dup_spans, dup_chars, n_removed_spans,
+    removed_chars, clean_text).
+    """
+    from pyspark.sql import Window as W
+
+    L = min_len
+    base = df.select(
+        F.col(id_col), normalized(text_col).alias("_t")
+    ).select(F.col(id_col), "_t", F.length("_t").alias("doc_len"))
+    if method in ("full", "window"):
+        pos = _substr_positions(base, L, id_col)
+    elif method == "anchor":
+        pos = _anchored_positions(base, L, id_col, anchor_gram)
+    else:
+        raise ValueError(f"unknown method {method!r} (full | window | anchor)")
+    wg = W.partitionBy("g")
+    wgo = wg.orderBy(id_col, "p")
+    hits = (
+        pos.withColumn("_lo", F.min(id_col).over(wg))
+        .withColumn("_hi", F.max(id_col).over(wg))
+        .withColumn("_rn", F.row_number().over(wgo))
+        .where(F.col("_lo") != F.col("_hi"))
+        .select(F.col(id_col), "p", "_rn")
+        .cache()
+    )
+
+    def _spans(h: DataFrame) -> DataFrame:
+        w_ord = W.partitionBy(id_col).orderBy("p")
+        prev_end = F.max(F.col("p") + L).over(
+            w_ord.rowsBetween(W.unboundedPreceding, -1)
+        )
+        islands = (
+            h.withColumn(
+                "_new",
+                F.when(prev_end.isNull() | (F.col("p") > prev_end), 1)
+                .otherwise(0),
+            )
+            .withColumn("_isl", F.sum("_new").over(w_ord))
+        )
+        return islands.groupBy(id_col, "_isl").agg(
+            F.min("p").alias("_s0"), (F.max("p") + L).alias("_s1")
+        )
+
+    prof = _spans(hits.select(id_col, "p")).groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_dup_spans"),
+        F.sum(F.col("_s1") - F.col("_s0")).cast("long").alias("dup_chars"),
+    )
+    rm = _spans(hits.where(F.col("_rn") > 1).select(id_col, "p")).groupBy(
+        id_col
+    ).agg(
+        F.sort_array(F.collect_list(F.struct("_s0", "_s1"))).alias("_sp"),
+        F.count(F.lit(1)).cast("long").alias("n_removed_spans"),
+        F.sum(F.col("_s1") - F.col("_s0")).cast("long")
+        .alias("removed_chars"),
+    )
+    joined = base.join(prof, id_col, "left").join(rm, id_col, "left")
+    stitched = F.aggregate(
+        "_sp",
+        F.struct(F.lit(0).alias("e"), F.lit("").alias("a")),
+        lambda acc, s: F.struct(
+            s["_s1"].alias("e"),
+            F.concat(
+                acc["a"],
+                F.col("_t").substr(acc["e"] + 1, s["_s0"] - acc["e"]),
+            ).alias("a"),
+        ),
+        lambda acc: F.concat(
+            acc["a"],
+            F.col("_t").substr(acc["e"] + 1, F.col("doc_len") - acc["e"]),
+        ),
+    )
+    return joined.select(
+        F.col(id_col),
+        F.col("doc_len").cast("long").alias("doc_len"),
+        F.coalesce("n_dup_spans", F.lit(0)).cast("long")
+        .alias("n_dup_spans"),
+        F.coalesce("dup_chars", F.lit(0)).cast("long").alias("dup_chars"),
+        F.coalesce("n_removed_spans", F.lit(0)).cast("long")
+        .alias("n_removed_spans"),
+        F.coalesce("removed_chars", F.lit(0)).cast("long")
+        .alias("removed_chars"),
+        F.when(F.col("_sp").isNull(), F.col("_t"))
+        .otherwise(stitched).alias("clean_text"),
+    )
+
+
 # (name, regex, replacement) applied IN ORDER — order matters where patterns
 # could overlap (an email contains dots + digits an IP regex could bite).
 # Regexes stay in the Java/RE2 common subset so the DuckDB oracle runs the

@@ -1340,6 +1340,29 @@ FROM nn LEFT JOIN st USING (doc_id) LEFT JOIN agg USING (doc_id)
 """
 
 
+def _q_exact_substring_profile_rewrite(spark: SparkSession,
+                                       sf_dir: str) -> DataFrame:
+    """FUSED ExactSubstr profile + rewrite off ONE gram exchange
+    (functions/text.py:exact_substring_profile_and_rewrite): the shared
+    position stream is windowed once, the duplicated-hit set cached, and
+    both per-doc tails read it — the combined cost is well under the sum
+    of the two standalone operators (A/B in experiments/substr_scale.py).
+    Output semantics pinned identical to the standalone rows by pytest
+    and by this combined oracle (their two oracles joined on doc_id)."""
+    from ..functions.text import exact_substring_profile_and_rewrite
+
+    return exact_substring_profile_and_rewrite(_docs(spark, sf_dir),
+                                               min_len=30)
+
+
+_EXACT_SUBSTR_COMBINED_SQL = f"""
+SELECT p.doc_id, p.doc_len, p.n_dup_spans, p.dup_chars,
+       r.n_removed_spans, r.removed_chars, r.clean_text
+FROM ({_EXACT_SUBSTR_SQL}) p
+JOIN ({_EXACT_SUBSTR_REWRITE_SQL}) r ON p.doc_id = r.doc_id
+"""
+
+
 def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train 8 BPE merges on the corpus (functions/bpe.py) and emit the
     ordered merge table.  Uses the production-shaped driver-local trainer
@@ -1685,6 +1708,9 @@ QUERIES: dict[str, Query] = {
     "exact_substring_rewrite": Query(
         _q_exact_substring_rewrite, _EXACT_SUBSTR_REWRITE_SQL,
         "char-span removal: cross-doc dup spans cut, first occurrence kept"),
+    "exact_substring_profile_rewrite": Query(
+        _q_exact_substring_profile_rewrite, _EXACT_SUBSTR_COMBINED_SQL,
+        "fused ExactSubstr profile + rewrite off one gram exchange"),
     "passage_dedup": Query(_q_passage_dedup, _PASSAGE_DEDUP_SQL,
                            "C4-style cross-doc passage (8-word block) dup profile"),
     "passage_rewrite": Query(
