@@ -119,6 +119,50 @@ def test_streaming_near_dup_finds_burst_pairs(spark, tmp_path):
     assert all(3 not in p for p in pairs), pairs
 
 
+def test_pair_compaction_distinct_batch_parity(spark, tmp_path):
+    # end-to-end lambda split: candidate stream -> foreachBatch compaction
+    # -> DISTINCT pairs on disk, equal to the batch LSH candidate set even
+    # though the stream emits one row per shared band
+    from simpy__kafka__flink__kafka_spark.functions.dedup import (
+        minhash_lsh_pairs)
+    from simpy__kafka__flink__kafka_spark.streaming.corpus import (
+        start_pair_compaction, streaming_near_dup_candidates)
+
+    rows = [
+        (1, GOOD, _ts(1000)),
+        (2, GOOD.replace("fox", "cat"), _ts(1005)),
+        (3, "unrelated text with plenty of distinct words in this one "
+            "sentence running on for quite some time now", _ts(1010)),
+        (4, GOOD.replace("dog", "wolf"), _ts(1015)),
+    ]
+    ind = str(tmp_path / "pc_in")
+    out = str(tmp_path / "pc_pairs")
+    ckpt = str(tmp_path / "pc_ckpt")
+    os.makedirs(ind, exist_ok=True)
+    # two deliveries so the cross-batch anti-join path executes too
+    for chunk in (rows[:2], rows[2:]):
+        spark.createDataFrame(
+            chunk, "doc_id long, text string, ingest_ts timestamp"
+        ).coalesce(1).write.mode("append").parquet(ind)
+        time.sleep(0.05)
+    stream = file_docs_source(spark, ind, watermark="10 minutes")
+    q = start_pair_compaction(
+        streaming_near_dup_candidates(stream, horizon_ms=600_000), out, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    sink = spark.read.parquet(out).collect()
+    got = {(r.doc_a, r.doc_b) for r in sink}
+    assert len(sink) == len(got), "compaction left duplicate pairs"
+    docs = spark.createDataFrame(
+        [(d, t) for d, t, _ in rows], "doc_id long, text string")
+    batch_pairs = {(r.doc_a, r.doc_b)
+                   for r in minhash_lsh_pairs(docs).collect()}
+    assert got == batch_pairs
+    assert batch_pairs  # non-vacuous
+
+
 def test_streaming_near_dup_matches_batch_within_horizon(spark, tmp_path):
     # when every doc arrives inside one horizon, the streaming candidate
     # set must equal the batch minhash_lsh_pairs candidate set
