@@ -158,14 +158,27 @@ def shingle_array(text_col: Column | str = "text", n: int = 3) -> Column:
 
 
 def shingles(df: DataFrame, n: int = 3, id_col: str = "doc_id",
-             text_col: str = "text") -> DataFrame:
+             text_col: str = "text",
+             distinct_within_doc: bool = False) -> DataFrame:
     """Explode each document into its word ``n``-gram shingles.
 
     Output: (id_col, shingle).  Documents with fewer than ``n`` words emit
     no rows (see :func:`shingle_array`).
+
+    ``distinct_within_doc=True`` dedups the shingles INSIDE each doc's
+    array before exploding (``array_distinct`` — row-local, zero shuffle):
+    the map-side partial dedup for consumers that only care about the
+    per-doc shingle SET.  On repetitive docs this shrinks the exploded
+    stream without ever exchanging the corpus — the middle ground between
+    the raw multiset (cheapest to produce, largest downstream) and a
+    corpus-wide ``.distinct()`` (smallest downstream, but a full
+    exchange).  Order within the array is first-occurrence order.
     """
+    arr = shingle_array(text_col, n)
+    if distinct_within_doc:
+        arr = F.array_distinct(arr)
     return df.select(
-        F.col(id_col), F.explode(shingle_array(text_col, n)).alias("shingle")
+        F.col(id_col), F.explode(arr).alias("shingle")
     )
 
 
@@ -199,32 +212,46 @@ def repetition_stats(df: DataFrame, n: int = 3, id_col: str = "doc_id",
 
 def contaminated_docs(df: DataFrame, n: int = 8, bench_mod: int = 10,
                       id_col: str = "doc_id",
-                      text_col: str = "text") -> DataFrame:
+                      text_col: str = "text",
+                      corpus_side: str = "doc_distinct") -> DataFrame:
     """Benchmark-contamination check: corpus documents sharing any verbatim
     word ``n``-gram with a held-out benchmark set — the pre-training hygiene
     scan that keeps eval data out of the corpus.  The benchmark here is the
     deterministic slice ``id % bench_mod == 0`` (in production: the actual
     eval suites, typically a few MB).
 
-    Scale shape: the corpus-side gram stream stays a MULTISET (narrow —
-    no corpus-wide distinct shuffle; dedup rides the final countDistinct
-    over the broadcast-filtered hit set, which is tiny); only the
-    benchmark side (a 1/bench_mod subset; in production the actual eval
-    suites, a few MB) pays a distinct before broadcasting into the
-    equi-join.  The corpus is never shuffled.
+    Scale shape: the corpus side is NEVER shuffled.  Round 7 default
+    (``corpus_side="doc_distinct"``): each doc's gram array is deduped
+    row-locally (``array_distinct``) before exploding — map-side partial
+    dedup with zero exchange — so the broadcast-filtered hit stream into
+    the final per-doc agg carries no within-doc repeats and the agg is a
+    plain ``count``.  ``corpus_side="multiset"`` keeps the round-6 shape
+    (raw stream, dedup rides a final countDistinct) for the recorded A/B
+    (PLANS.md round 7; the multiset's un-deduped hit stream cost +73%
+    cold on the repetitive synthetic corpus).  Only the benchmark side (a
+    1/bench_mod subset; in production the actual eval suites, a few MB)
+    pays a distinct before broadcasting into the equi-join.
     Output: (id_col, n_contaminated) — contaminated corpus docs only, with
     the number of distinct overlapping ``n``-grams.
     """
-    sh = shingles(df, n=n, id_col=id_col, text_col=text_col)
+    doc_distinct = corpus_side == "doc_distinct"
+    sh = shingles(df, n=n, id_col=id_col, text_col=text_col,
+                  distinct_within_doc=doc_distinct)
     bench = (
         sh.where(F.col(id_col) % bench_mod == 0).select("shingle").distinct()
     )
-    return (
+    hits = (
         sh.where(F.col(id_col) % bench_mod != 0)
         .join(F.broadcast(bench), "shingle")
         .groupBy(id_col)
-        .agg(F.countDistinct("shingle").cast("long").alias("n_contaminated"))
     )
+    if doc_distinct:
+        # (id, shingle) already unique -> count == countDistinct, minus
+        # the Expand the distinct-agg would add
+        return hits.agg(
+            F.count(F.lit(1)).cast("long").alias("n_contaminated"))
+    return hits.agg(
+        F.countDistinct("shingle").cast("long").alias("n_contaminated"))
 
 
 def contamination_overlap(df: DataFrame, n: int = 8, bench_mod: int = 10,
@@ -244,20 +271,21 @@ def contamination_overlap(df: DataFrame, n: int = 8, bench_mod: int = 10,
     positive mode); a doc that reproduces most of an eval item is caught
     even when phrasing shifts around the overlap.
 
-    Scale shape: the corpus-side gram stream stays a MULTISET (no
-    corpus-wide distinct shuffle — dedup rides the per-pair
-    countDistinct over the broadcast-filtered hit set); only the
-    benchmark side (eval suites — a few MB next to a 100 TB corpus)
-    pays a distinct before broadcasting into the equi-join on the gram
-    string, so the corpus is never shuffled.  Exact integer counts with
-    ONE final division rounded to 6 — deterministic across engines, no
-    float aggregation.
+    Scale shape: the corpus side is never shuffled, and (round 7, same
+    move as :func:`contaminated_docs`) each doc's gram array is deduped
+    row-locally before exploding (``array_distinct`` — zero exchange), so
+    (doc, gram) rows are unique by construction on BOTH sides: the bench
+    slice needs no distinct before broadcasting and the per-pair overlap
+    agg is a plain ``count``.  Exact integer counts with ONE final
+    division rounded to 6 — deterministic across engines, no float
+    aggregation.
     Output: (id_col, bench_id, n_shared, overlap_ratio).
     """
-    sh = shingles(df, n=n, id_col=id_col, text_col=text_col)
+    sh = shingles(df, n=n, id_col=id_col, text_col=text_col,
+                  distinct_within_doc=True)
     bench = sh.where(F.col(id_col) % bench_mod == 0).select(
         F.col(id_col).alias("bench_id"), "shingle"
-    ).distinct()
+    )
     bench_sizes = bench.groupBy("bench_id").agg(
         F.count(F.lit(1)).alias("_nb")
     )
@@ -265,7 +293,7 @@ def contamination_overlap(df: DataFrame, n: int = 8, bench_mod: int = 10,
         sh.where(F.col(id_col) % bench_mod != 0)
         .join(F.broadcast(bench), "shingle")
         .groupBy(id_col, "bench_id")
-        .agg(F.countDistinct("shingle").cast("long").alias("n_shared"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
     )
     return (
         hits.join(F.broadcast(bench_sizes), "bench_id")
