@@ -1,0 +1,151 @@
+"""Published corpus-quality rule sets as exact, oracle-checkable column
+expressions: the C4 sentence-level cleanup (Raffel et al. 2020,
+"Exploring the Limits of Transfer Learning...", appendix of the C4
+construction) and the Gopher document-level quality rules (Rae et al.
+2021, "Scaling Language Models: ...Gopher", table A1).  Both papers'
+rules are simple counts and ratios — re-expressed here with every
+threshold compared in INTEGERS (``3 * n <= chars`` instead of
+``chars / n >= 3``) so the Spark plan and the DuckDB oracle decide every
+document identically with no float-division drift.
+
+Scale shape: both operators are zero-shuffle — per-row array/regexp
+expressions over the document scan, same posture as
+:func:`..functions.text.quality_score` and the HTML extractor.
+
+Reference parity note: the reference system has no corpus-quality
+surface; this module belongs to the training-data-pipeline extension
+operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import normalized, words
+
+# The eight Gopher stop words (Rae et al. 2021, A1.1: "the, be, to, of,
+# and, that, have, with") — a doc must contain at least STOP_MIN of them.
+GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+# C4 blocklist fragments: any document containing one is dropped whole.
+C4_BAD_FRAGMENTS = ("lorem ipsum", "{")
+
+# Shared verbatim with the DuckDB oracle (RE2/Java common subset).
+HREF_RE = '(?i)href="([^"]*)"'
+
+
+def c4_sentence_filter(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       min_sentence_words: int = 3,
+                       min_sentences: int = 3) -> DataFrame:
+    """C4-style line/sentence cleanup on the normalized text: split into
+    sentences at ``". "`` boundaries, KEEP sentences with at least
+    ``min_sentence_words`` whitespace words, then keep the DOC only if at
+    least ``min_sentences`` sentences survive and no blocklist fragment
+    ("lorem ipsum", "{") appears anywhere.  clean_text is the kept
+    sentences re-joined with ". " (trailing punctuation of the final
+    sentence preserved as-is — split semantics, not re-punctuation).
+
+    Zero-shuffle: split -> filter -> array_join per row.
+    Output: (id_col, n_sentences, n_kept, doc_kept: int, clean_text) —
+    clean_text is empty when the doc is dropped.
+    """
+    t = normalized(text_col)
+    sents = F.split(t, r"\. ")
+    nonempty = F.filter(sents, lambda s: F.length(s) > 0)
+    kept = F.filter(
+        nonempty,
+        lambda s: F.size(F.split(s, " ")) >= min_sentence_words,
+    )
+    bad = F.lit(False)
+    for frag in C4_BAD_FRAGMENTS:
+        bad = bad | t.contains(frag)
+    doc_kept = (~bad) & (F.size(kept) >= min_sentences)
+    return df.select(
+        F.col(id_col),
+        F.size(nonempty).cast("long").alias("n_sentences"),
+        F.size(kept).cast("long").alias("n_kept"),
+        doc_kept.cast("int").alias("doc_kept"),
+        F.when(doc_kept, F.array_join(kept, ". ")).otherwise(F.lit(""))
+        .alias("clean_text"),
+    )
+
+
+def _count_fragment(t: Column, frag: str) -> Column:
+    """Occurrences of a literal fragment — (len(t) - len(t without frag))
+    / len(frag), exact and regex-free on both engines."""
+    return (
+        (F.length(t) - F.length(F.replace(t, F.lit(frag), F.lit(""))))
+        / F.lit(len(frag))
+    ).cast("long")
+
+
+def gopher_quality(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text",
+                   min_words: int = 50, max_words: int = 100_000,
+                   min_mean_word_len: int = 3,
+                   max_mean_word_len: int = 10,
+                   min_stop_hits: int = 2) -> DataFrame:
+    """Gopher document-quality rules (Rae et al. 2021, A1.1) with every
+    ratio threshold decided in integers:
+
+    - word count in [min_words, max_words]
+    - mean word length in [min_mean_word_len, max_mean_word_len]
+      (``min * n <= total_chars <= max * n``)
+    - symbol-to-word ratio (``#`` or ``...``) <= 0.1  (``10 * symbols <=
+      n_words``)
+    - >= 80% of words contain an alphabetic character (``5 * alpha >=
+      4 * n_words``)
+    - at least ``min_stop_hits`` of the eight Gopher stop words present
+      (with multiplicity)
+
+    Zero-shuffle per-row expressions.  Output: (id_col, n_words,
+    total_word_chars, n_symbols, n_alpha_words, n_stop_hits,
+    passes: int).
+    """
+    t = normalized(text_col)
+    ws = words(text_col)
+    n_words = F.size(ws)
+    total_chars = F.aggregate(
+        ws, F.lit(0), lambda acc, w: acc + F.length(w))
+    n_symbols = _count_fragment(t, "#") + _count_fragment(t, "...")
+    n_alpha = F.size(F.filter(ws, lambda w: w.rlike("[a-z]")))
+    n_stops = F.size(F.filter(ws, lambda w: w.isin(*GOPHER_STOPS)))
+    passes = (
+        (n_words >= min_words) & (n_words <= max_words)
+        & (total_chars >= min_mean_word_len * n_words)
+        & (total_chars <= max_mean_word_len * n_words)
+        & (10 * n_symbols <= n_words)
+        & (5 * n_alpha >= 4 * n_words)
+        & (n_stops >= min_stop_hits)
+    )
+    return df.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        total_chars.cast("long").alias("total_word_chars"),
+        n_symbols.cast("long").alias("n_symbols"),
+        n_alpha.cast("long").alias("n_alpha_words"),
+        n_stops.cast("long").alias("n_stop_hits"),
+        passes.cast("int").alias("passes"),
+    )
+
+
+def extract_links(df: DataFrame, html_col: str = "html",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Outlink extraction from raw HTML — the web-graph side of the
+    extraction front door: every ``href="..."`` target, counted raw and
+    distinct, with a deterministic fingerprint of the sorted distinct
+    target set (hash-safe stand-in for the array column at the gate).
+    Zero-shuffle per-row expressions; the pattern stays in the
+    Java-regex/RE2 common subset for the oracle.
+    Output: (id_col, n_links, n_unique_targets, targets_hash).
+    """
+    targets = F.regexp_extract_all(F.col(html_col), F.lit(HREF_RE), 1)
+    uniq = F.array_sort(F.array_distinct(targets))
+    return df.select(
+        F.col(id_col),
+        F.size(targets).cast("long").alias("n_links"),
+        F.size(uniq).cast("long").alias("n_unique_targets"),
+        F.md5(F.array_join(uniq, "\n")).alias("targets_hash"),
+    )

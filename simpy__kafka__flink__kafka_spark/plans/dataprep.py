@@ -1439,14 +1439,11 @@ def _q_html_extract_main(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_main_content(pages)
 
 
-def _html_extract_sql() -> str:
-    from ..functions.html import (ANCHOR_RE, BLOCK_SPLIT_RE, SCRIPT_RE,
-                                  STYLE_RE, TAG_RE, WS_RE)
-
-    strip_txt = ("trim(regexp_replace(regexp_replace({src}, '"
-                 + TAG_RE + "', ' ', 'g'), '" + WS_RE + "', ' ', 'g'))")
-    return ("""
-WITH page AS (
+def _synth_page_cte() -> str:
+    """``page AS (...)`` CTE building the IDENTICAL string that
+    functions/html.py:synthesize_page builds — shared by the extraction
+    and outlink oracles."""
+    return ("""page AS (
   SELECT doc_id,
          '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
          '</title><style>body { margin: 0; font: 14px serif }</style>""" +
@@ -1464,7 +1461,17 @@ WITH page AS (
             """<a href="/contact">Contact</a></footer></body></html>'
             AS html
   FROM documents
-),
+)""")
+
+
+def _html_extract_sql() -> str:
+    from ..functions.html import (ANCHOR_RE, BLOCK_SPLIT_RE, SCRIPT_RE,
+                                  STYLE_RE, TAG_RE, WS_RE)
+
+    strip_txt = ("trim(regexp_replace(regexp_replace({src}, '"
+                 + TAG_RE + "', ' ', 'g'), '" + WS_RE + "', ' ', 'g'))")
+    return ("""
+WITH """ + _synth_page_cte() + """,
 blocks AS (
   SELECT doc_id,
          string_split_regex(
@@ -1508,6 +1515,122 @@ SELECT d.doc_id,
        CAST(COALESCE(dropped_chars, 0) AS BIGINT) AS dropped_chars,
        COALESCE(main_text, '') AS main_text
 FROM documents d LEFT JOIN agg USING (doc_id)
+""")
+
+
+def _q_c4_sentence_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style sentence cleanup (Raffel et al. 2020): sentences under 3
+    words dropped, docs with under 3 surviving sentences or a blocklist
+    fragment dropped whole.  Zero-shuffle per-row expressions
+    (functions/quality.py)."""
+    from ..functions.quality import c4_sentence_filter
+
+    return c4_sentence_filter(_docs(spark, sf_dir))
+
+
+_C4_FILTER_SQL = r"""
+WITH nrm AS (
+  SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t
+  FROM documents
+),
+m AS (
+  SELECT doc_id, t,
+         list_filter(string_split_regex(t, '\. '),
+                     x -> length(x) > 0) AS ne
+  FROM nrm
+),
+k AS (
+  SELECT doc_id, t, ne,
+         list_filter(ne, x -> len(string_split(x, ' ')) >= 3) AS kept,
+         (NOT (contains(t, 'lorem ipsum') OR contains(t, '{'))) AS clean
+  FROM m
+)
+SELECT doc_id,
+       CAST(len(ne) AS BIGINT) AS n_sentences,
+       CAST(len(kept) AS BIGINT) AS n_kept,
+       CASE WHEN clean AND len(kept) >= 3 THEN 1 ELSE 0 END AS doc_kept,
+       CASE WHEN clean AND len(kept) >= 3
+            THEN array_to_string(kept, '. ') ELSE '' END AS clean_text
+FROM k
+"""
+
+
+def _q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher document-quality rules (Rae et al. 2021 A1.1) with every
+    ratio threshold decided in integers (functions/quality.py)."""
+    from ..functions.quality import gopher_quality
+
+    return gopher_quality(_docs(spark, sf_dir))
+
+
+def _gopher_sql() -> str:
+    from ..functions.quality import GOPHER_STOPS
+
+    stops = ", ".join(f"'{s}'" for s in GOPHER_STOPS)
+    return (r"""
+WITH """ + _WORDS_CTE + r""",
+m AS (
+  SELECT doc_id,
+         lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t,
+         CAST(len(ws) AS BIGINT) AS n_words,
+         CAST(COALESCE(list_sum(list_transform(ws, x -> length(x))), 0)
+              AS BIGINT) AS total_word_chars,
+         CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-z]')))
+              AS BIGINT) AS n_alpha_words,
+         CAST(len(list_filter(ws, x -> list_contains([""" + stops + r"""],
+              x))) AS BIGINT) AS n_stop_hits
+  FROM w
+),
+s AS (
+  SELECT *,
+         CAST((length(t) - length(replace(t, '#', ''))) / 1
+              + (length(t) - length(replace(t, '...', ''))) / 3
+              AS BIGINT) AS n_symbols
+  FROM m
+)
+SELECT doc_id, n_words, total_word_chars, n_symbols, n_alpha_words,
+       n_stop_hits,
+       CASE WHEN n_words >= 50 AND n_words <= 100000
+             AND total_word_chars >= 3 * n_words
+             AND total_word_chars <= 10 * n_words
+             AND 10 * n_symbols <= n_words
+             AND 5 * n_alpha_words >= 4 * n_words
+             AND n_stop_hits >= 2
+            THEN 1 ELSE 0 END AS passes
+FROM s
+""")
+
+
+def _q_extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlink extraction over the synthesized pages (same synthesis as
+    html_extract_main) — raw and distinct href targets plus a
+    deterministic fingerprint of the sorted target set."""
+    from ..functions.html import synthesize_page
+    from ..functions.quality import extract_links
+
+    docs = _docs(spark, sf_dir)
+    pages = docs.select("doc_id", synthesize_page().alias("html"))
+    return extract_links(pages)
+
+
+def _extract_links_sql() -> str:
+    from ..functions.quality import HREF_RE
+
+    return ("""
+WITH """ + _synth_page_cte() + """,
+l AS (
+  SELECT doc_id,
+         regexp_extract_all(html, '""" + HREF_RE.replace("'", "''") +
+            """', 1) AS targets
+  FROM page
+),
+u AS (SELECT doc_id, targets,
+             list_sort(list_distinct(targets)) AS uniq FROM l)
+SELECT doc_id,
+       CAST(len(targets) AS BIGINT) AS n_links,
+       CAST(len(uniq) AS BIGINT) AS n_unique_targets,
+       md5(array_to_string(uniq, chr(10))) AS targets_hash
+FROM u
 """)
 
 
@@ -1722,6 +1845,17 @@ QUERIES: dict[str, Query] = {
         _q_html_extract_main, _html_extract_sql(),
         "HTML boilerplate removal: jusText-lite link-density extraction "
         "over pages synthesized around documents.text"),
+    "extract_links": Query(
+        _q_extract_links, _extract_links_sql(),
+        "outlink extraction over the synthesized pages (raw + distinct "
+        "href targets, fingerprinted)"),
+    "c4_sentence_filter": Query(
+        _q_c4_sentence_filter, _C4_FILTER_SQL,
+        "C4 sentence cleanup: short sentences dropped, blocklisted or "
+        "thin docs dropped whole"),
+    "gopher_quality": Query(
+        _q_gopher_quality, _gopher_sql(),
+        "Gopher A1.1 document-quality rules, integer-exact thresholds"),
     "pii_scrub": Query(_q_pii_scrub, _pii_scrub_sql(),
                        "regex PII redaction (email/ssn/phone/ipv4), seeded"),
     "salted_split": Query(_q_salted_split, _SALTED_SPLIT_SQL,

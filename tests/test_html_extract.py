@@ -69,6 +69,15 @@ def test_every_doc_keeps_a_row(spark):
     assert got[2]["main_text"] == "no closing tags here"
 
 
+def test_extraction_plan_has_no_exchange(spark):
+    # the zero-shuffle claim, asserted on the physical plan: extraction is
+    # pure per-row expressions, so no Exchange node may appear
+    df = spark.createDataFrame([(1, PAGE)], "doc_id long, html string")
+    plan = extract_main_content(df)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "Exchange" not in plan
+
+
 def test_registry_row_synthesis_roundtrip(spark, sf_dir):
     q = registry()["html_extract_main"]
     assert q.oracle is not None

@@ -1,0 +1,74 @@
+"""C4 sentence filter, Gopher quality rules, and outlink extraction
+(functions/quality.py): rule-by-rule behavior on planted documents plus
+zero-shuffle plan assertions."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from simpy__kafka__flink__kafka_spark.functions.quality import (
+    c4_sentence_filter, extract_links, gopher_quality)
+
+GOOD_SENT = "the quick brown fox jumps over the lazy dog"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_c4_sentence_rules(spark):
+    text = f"{GOOD_SENT}. ok. {GOOD_SENT} again. {GOOD_SENT} thrice. end"
+    got = {r.doc_id: r for r in c4_sentence_filter(_docs(spark, [
+        (1, text),                                    # 3 long + 2 short
+        (2, f"{GOOD_SENT}. {GOOD_SENT} two."),        # only 2 sentences
+        (3, f"{GOOD_SENT}. {GOOD_SENT}. {GOOD_SENT}. lorem ipsum filler"),
+        (4, f"{GOOD_SENT}. {GOOD_SENT}. {GOOD_SENT}. code {{ brace"),
+    ])).collect()}
+    assert (got[1].n_sentences, got[1].n_kept, got[1].doc_kept) == (5, 3, 1)
+    assert "ok" not in got[1].clean_text.split(". ")
+    assert got[2].doc_kept == 0 and got[2].clean_text == ""
+    # blocklist fragments kill the doc even with enough sentences
+    assert got[3].doc_kept == 0
+    assert got[4].doc_kept == 0
+
+
+def test_gopher_rules_each_boundary(spark):
+    filler = " ".join(["word"] * 60)                  # passes everything
+    got = {r.doc_id: r for r in gopher_quality(_docs(spark, [
+        (1, f"the of {filler}"),                      # baseline pass
+        (2, "the of " + " ".join(["word"] * 40)),     # < 50 words
+        (3, f"the of {filler} " + "# " * 20),         # symbol ratio > 0.1
+        (4, f"the of {filler} " + "123 " * 30),       # alpha ratio < 0.8
+        (5, f"{filler} {filler}"),                    # no stop words
+        (6, "the of " + " ".join(["ab"] * 60)),       # mean word len < 3
+    ])).collect()}
+    assert got[1].passes == 1
+    assert got[2].passes == 0 and got[2].n_words < 50
+    assert got[3].passes == 0 and got[3].n_symbols == 20
+    assert got[4].passes == 0 and 5 * got[4].n_alpha_words < 4 * got[4].n_words
+    assert got[5].passes == 0 and got[5].n_stop_hits == 0
+    assert got[6].passes == 0
+    # integer boundary: exactly 10% symbols passes (10 * s <= n)
+    n = got[1].n_words
+    assert 10 * got[1].n_symbols <= n
+
+
+def test_extract_links_counts_and_fingerprint(spark):
+    import hashlib
+
+    html = ('<a href="/a">x</a> <a href="/b">y</a> <a href="/a">z</a> '
+            '<a HREF="/c">w</a> no-link text')
+    got = extract_links(
+        spark.createDataFrame([(1, html)], "doc_id long, html string")
+    ).collect()[0]
+    assert got.n_links == 4            # case-insensitive HREF included
+    assert got.n_unique_targets == 3
+    want = hashlib.md5("\n".join(["/a", "/b", "/c"]).encode()).hexdigest()
+    assert got.targets_hash == want
+
+
+def test_quality_plans_have_no_exchange(spark):
+    docs = _docs(spark, [(1, GOOD_SENT)])
+    for df in (c4_sentence_filter(docs), gopher_quality(docs)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
