@@ -131,6 +131,45 @@ def gopher_quality(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+# Java-regex/RE2 common subset, shared verbatim with the DuckDB oracle.
+DOMAIN_RE = "^[a-z][a-z0-9+.-]*://([^/?#]*)"
+
+
+def url_domain(url: Column | str) -> Column:
+    """Registrable host part of a URL (scheme-prefixed), lowercased;
+    empty string for scheme-less / relative URLs."""
+    u = F.col(url) if isinstance(url, str) else url
+    return F.regexp_extract(F.lower(u), DOMAIN_RE, 1)
+
+
+def cap_per_domain(df: DataFrame, max_per_domain: int = 20,
+                   id_col: str = "doc_id",
+                   url_col: str = "url") -> DataFrame:
+    """Per-domain document cap — the RefinedWeb/FineWeb rebalancing stage
+    that stops a handful of mega-domains from dominating the corpus:
+    keep the ``max_per_domain`` lowest-``id_col`` documents of each
+    domain (deterministic rank, ties impossible on a unique id).
+
+    Scale shape: ONE shuffle keyed on the domain (the window partition).
+    Skew note for 100 TB: a mega-domain's partition holds all its docs
+    even though only K survive; if a single domain exceeds executor
+    memory, pre-filter with an approximate per-partition top-K before
+    the window (the sharded-prefix pattern in operators/sequences.py) —
+    at the cap values used in practice (10^2..10^4 docs/domain) the
+    plain window is the right default, and AQE splits oversized
+    partitions at runtime.
+    Output: (id_col, domain, domain_rank) for KEPT docs only.
+    """
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("domain").orderBy(id_col)
+    return (
+        df.select(F.col(id_col), url_domain(url_col).alias("domain"))
+        .withColumn("domain_rank", F.row_number().over(w))
+        .where(F.col("domain_rank") <= max_per_domain)
+    )
+
+
 def extract_links(df: DataFrame, html_col: str = "html",
                   id_col: str = "doc_id") -> DataFrame:
     """Outlink extraction from raw HTML — the web-graph side of the

@@ -1634,6 +1634,49 @@ FROM u
 """)
 
 
+def _q_cap_per_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document caps over deterministic synthesized URLs
+    (documents carry no URL column — the synthesis pattern again):
+    doc_id hashes onto one of 17 hosts, each domain keeps its 20
+    lowest-id docs.  One domain-keyed window shuffle
+    (functions/quality.py:cap_per_domain)."""
+    from ..functions.quality import cap_per_domain
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("https://site-"),
+            (F.col("doc_id") % 17).cast("string"),
+            F.lit(".example.com/page/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    return cap_per_domain(docs, max_per_domain=20)
+
+
+_CAP_DOMAIN_SQL = """
+WITH u AS (
+  SELECT doc_id,
+         'https://site-' || CAST(doc_id % 17 AS VARCHAR) ||
+         '.example.com/page/' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents
+),
+d AS (
+  SELECT doc_id,
+         regexp_extract(lower(url), '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1)
+           AS domain
+  FROM u
+),
+r AS (
+  SELECT doc_id, domain,
+         row_number() OVER (PARTITION BY domain ORDER BY doc_id)
+           AS domain_rank
+  FROM d
+)
+SELECT doc_id, domain, domain_rank FROM r WHERE domain_rank <= 20
+"""
+
+
 def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The synthetic corpus is PII-free, so the gate row would be vacuous on
     raw ``documents``; instead each doc is decorated with one deterministic
@@ -1856,6 +1899,10 @@ QUERIES: dict[str, Query] = {
     "gopher_quality": Query(
         _q_gopher_quality, _gopher_sql(),
         "Gopher A1.1 document-quality rules, integer-exact thresholds"),
+    "cap_per_domain": Query(
+        _q_cap_per_domain, _CAP_DOMAIN_SQL,
+        "per-domain document caps over synthesized URLs (RefinedWeb "
+        "rebalancing stage)"),
     "pii_scrub": Query(_q_pii_scrub, _pii_scrub_sql(),
                        "regex PII redaction (email/ssn/phone/ipv4), seeded"),
     "salted_split": Query(_q_salted_split, _SALTED_SPLIT_SQL,

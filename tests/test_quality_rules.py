@@ -67,6 +67,28 @@ def test_extract_links_counts_and_fingerprint(spark):
     assert got.targets_hash == want
 
 
+def test_cap_per_domain(spark):
+    from simpy__kafka__flink__kafka_spark.functions.quality import (
+        cap_per_domain, url_domain)
+
+    rows = [(i, f"https://site-{i % 3}.Example.com/p/{i}")
+            for i in range(30)] + [(100, "relative/path"), (101, "")]
+    docs = spark.createDataFrame(rows, "doc_id long, url string")
+    got = cap_per_domain(docs, max_per_domain=4).collect()
+    by_dom: dict[str, list[int]] = {}
+    for r in got:
+        by_dom.setdefault(r.domain, []).append(r.doc_id)
+    # each of the 3 real domains keeps exactly its 4 lowest ids
+    for d in range(3):
+        dom = f"site-{d}.example.com"          # lowercased host
+        assert sorted(by_dom[dom]) == [d, d + 3, d + 6, d + 9]
+    # scheme-less URLs land in the '' domain bucket, capped like any other
+    assert sorted(by_dom[""]) == [100, 101]
+    # ranks are 1..k and deterministic
+    assert all(1 <= r.domain_rank <= 4 for r in got)
+    assert url_domain(F.lit("HTTPS://A.B/x")) is not None
+
+
 def test_quality_plans_have_no_exchange(spark):
     docs = _docs(spark, [(1, GOOD_SENT)])
     for df in (c4_sentence_filter(docs), gopher_quality(docs)):
