@@ -1677,6 +1677,65 @@ SELECT doc_id, domain, domain_rank FROM r WHERE domain_rank <= 20
 """
 
 
+def _q_ngram_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy-hitter probe (functions/sketches.py): build
+    the fixed-size (4 x 1024) sketch over the corpus bigram stream, then
+    estimate the counts of the exact top-50 bigrams next to their true
+    counts.  The sketch hashes are md5-hex folds, so the DuckDB oracle
+    reproduces every cell and estimate EXACTLY — an approximate operator
+    with an exact oracle; the classic estimate >= exact guarantee is
+    additionally property-tested over every gram in pytest."""
+    from ..functions.sketches import cms_build, cms_estimate
+    from ..functions.text import shingles
+
+    stream = shingles(_docs(spark, sf_dir), n=2).select(
+        F.col("shingle").alias("item"))
+    exact = (
+        stream.groupBy("item")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_count"))
+        .orderBy(F.desc("exact_count"), F.asc("item"))
+        .limit(50)
+    )
+    est = cms_estimate(cms_build(stream), exact.select("item"))
+    return exact.join(est, "item").select(
+        F.col("item").alias("shingle"), "exact_count", "cms_estimate")
+
+
+def _cms_fold_sql(row: int) -> str:
+    inner = f"md5('cms{row}:' || shingle)"
+    return "(" + " + ".join(
+        f"(strpos('0123456789abcdef', substr({inner}, {i + 1}, 1)) - 1)"
+        f" * {16 ** (4 - i)}"
+        for i in range(5)
+    ) + ") % 1024"
+
+
+def _ngram_cms_sql() -> str:
+    unions = "\n  UNION ALL ".join(
+        f"SELECT shingle, {j} AS depth, {_cms_fold_sql(j)} AS bucket FROM sh"
+        for j in range(4)
+    )
+    return f"""
+WITH {_ngram_cte(2)},
+ex AS (SELECT shingle, CAST(count(*) AS BIGINT) AS exact_count
+       FROM sh GROUP BY 1 ORDER BY exact_count DESC, shingle LIMIT 50),
+b AS (
+  {unions}
+),
+cells AS (SELECT depth, bucket, CAST(count(*) AS BIGINT) AS cnt
+          FROM b GROUP BY 1, 2),
+pb AS (SELECT DISTINCT shingle, depth, bucket FROM b),
+pe AS (
+  SELECT e.shingle, e.exact_count, min(c.cnt) AS est
+  FROM ex e
+  JOIN pb ON pb.shingle = e.shingle
+  JOIN cells c ON c.depth = pb.depth AND c.bucket = pb.bucket
+  GROUP BY 1, 2
+)
+SELECT shingle, exact_count, CAST(est AS BIGINT) AS cms_estimate FROM pe
+"""
+
+
 def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The synthetic corpus is PII-free, so the gate row would be vacuous on
     raw ``documents``; instead each doc is decorated with one deterministic
@@ -1903,6 +1962,11 @@ QUERIES: dict[str, Query] = {
         _q_cap_per_domain, _CAP_DOMAIN_SQL,
         "per-domain document caps over synthesized URLs (RefinedWeb "
         "rebalancing stage)"),
+    "ngram_cms_counts": Query(
+        _q_ngram_cms_counts, _ngram_cms_sql(),
+        "count-min sketch bigram heavy-hitter probe (fixed-size state; "
+        "md5-fold hashes make the approximate estimates exactly "
+        "oracle-reproducible)"),
     "pii_scrub": Query(_q_pii_scrub, _pii_scrub_sql(),
                        "regex PII redaction (email/ssn/phone/ipv4), seeded"),
     "salted_split": Query(_q_salted_split, _SALTED_SPLIT_SQL,

@@ -1,0 +1,66 @@
+"""Count-min sketch (functions/sketches.py): the over-count guarantee
+over EVERY item, exactness at generous width, fixed state size, and the
+oracled registry row's engine-identical estimates."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from simpy__kafka__flink__kafka_spark.functions.sketches import (
+    CMS_DEPTH, CMS_WIDTH, cms_build, cms_estimate)
+
+
+def _stream(spark, counts: dict[str, int]):
+    rows = [(w,) for w, c in counts.items() for _ in range(c)]
+    return spark.createDataFrame(rows, "item string").repartition(8)
+
+
+def test_estimate_never_undercounts_and_is_exact_when_wide(spark):
+    import random
+
+    rng = random.Random(5)
+    counts = {f"g{i:03d}": rng.randint(1, 40) for i in range(120)}
+    stream = _stream(spark, counts)
+    sk = cms_build(stream)
+    probes = stream.select("item").distinct()
+    got = {r["item"]: r["cms_estimate"]
+           for r in cms_estimate(sk, probes).collect()}
+    assert set(got) == set(counts)
+    # CM guarantee: counters only over-count
+    assert all(got[w] >= c for w, c in counts.items())
+    # 120 items in 4x1024 cells: collisions are rare; the large majority
+    # of estimates must be exact and the mean overestimate tiny
+    exact = sum(1 for w, c in counts.items() if got[w] == c)
+    assert exact >= 110
+    n_total = sum(counts.values())
+    mean_over = sum(got[w] - c for w, c in counts.items()) / len(counts)
+    assert mean_over <= 0.05 * n_total
+
+
+def test_sketch_state_is_fixed_size(spark):
+    counts = {f"w{i}": 3 for i in range(500)}
+    sk = cms_build(_stream(spark, counts))
+    n_cells = sk.count()
+    assert n_cells <= CMS_DEPTH * CMS_WIDTH
+    # total mass: every occurrence lands in exactly one cell per row
+    mass = sk.groupBy("depth").agg(F.sum("cnt").alias("m")).collect()
+    assert {int(r["m"]) for r in mass} == {sum(counts.values())}
+    assert len(mass) == CMS_DEPTH
+
+
+def test_unseen_probe_reads_as_nonnegative(spark):
+    sk = cms_build(_stream(spark, {"a": 5, "b": 2}))
+    got = {r["item"]: r["cms_estimate"] for r in cms_estimate(
+        sk, spark.createDataFrame([("zzz-unseen",)], "item string")
+    ).collect()}
+    assert got["zzz-unseen"] >= 0  # 0 unless it collides with a/b cells
+
+
+def test_registry_row_top_grams_estimates(spark, sf_dir):
+    from simpy__kafka__flink__kafka_spark.plans import registry
+
+    q = registry()["ngram_cms_counts"]
+    assert q.oracle is not None
+    rows = q.build(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 50
+    assert all(r["cms_estimate"] >= r["exact_count"] for r in rows)
