@@ -70,6 +70,66 @@ def cms_build(items: DataFrame, item_col: str = "item",
     )
 
 
+HLL_B = 8                       # 2^8 = 256 registers
+HLL_HASH_HEX = 12               # 48-bit hash: 8 register bits + 40 rho bits
+
+
+def _bitlen(w: Column, maxbits: int) -> Column:
+    """Integer bit length of ``w`` (0 for 0) as a chained comparison —
+    no float log2, so Spark and the generated DuckDB CASE agree exactly
+    at every power-of-two boundary."""
+    out = F.lit(0)
+    for k in range(maxbits):              # low to high; later whens win
+        out = F.when(w >= 2 ** k, k + 1).otherwise(out)
+    return out
+
+
+def hll_registers(items: DataFrame, item_col: str = "item",
+                  b: int = HLL_B) -> DataFrame:
+    """HyperLogLog register table (Flajolet et al. 2007) with
+    engine-portable hashing: H = first 12 hex digits of md5(item) as a
+    48-bit integer; register = H mod 2^b; rho = leading zeros of the
+    remaining (48 - b)-bit word + 1.  Output (register, max_rho) is PURE
+    INTEGERS — at most 2^b rows after one groupBy with map-side partial
+    max, so the sketch state is fixed-size at any stream length and the
+    DuckDB oracle reproduces it exactly.  The float estimator
+    (alpha_m * m^2 / sum 2^-M, with the linear-counting small-range
+    correction) deliberately lives OUTSIDE the oracled row (pytest
+    computes it from the registers and checks accuracy against the exact
+    distinct count) so no cross-engine libm difference can ever touch
+    the hash-compared output."""
+    wbits = 4 * HLL_HASH_HEX - b
+    h = F.conv(
+        F.substring(F.md5(F.col(item_col)), 1, HLL_HASH_HEX), 16, 10
+    ).cast("long")
+    reg = (h % (2 ** b)).cast("int")
+    w = (h / F.lit(2 ** b)).cast("long")      # floor-div: h >= 0
+    rho = (F.lit(wbits) - _bitlen(w, wbits) + 1).cast("int")
+    return (
+        items.select(reg.alias("register"), rho.alias("rho"))
+        .groupBy("register")
+        .agg(F.max("rho").cast("int").alias("max_rho"))
+    )
+
+
+def hll_estimate(registers: list[tuple[int, int]], b: int = HLL_B) -> float:
+    """Driver-side HLL estimator over a collected register table —
+    the float arithmetic kept out of the oracled row by design.
+    Standard bias-corrected formula with the linear-counting
+    small-range correction."""
+    import math
+
+    m = 2 ** b
+    maxr = {int(r): int(x) for r, x in registers}
+    total = sum(2.0 ** -maxr.get(j, 0) for j in range(m))
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    e = alpha * m * m / total
+    zeros = m - len(maxr)
+    if e <= 2.5 * m and zeros > 0:
+        e = m * math.log(m / zeros)
+    return e
+
+
 def cms_estimate(sketch: DataFrame, probes: DataFrame,
                  item_col: str = "item", depth: int = CMS_DEPTH,
                  width: int = CMS_WIDTH) -> DataFrame:

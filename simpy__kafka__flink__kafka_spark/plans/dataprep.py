@@ -1736,6 +1736,46 @@ SELECT shingle, exact_count, CAST(est AS BIGINT) AS cms_estimate FROM pe
 """
 
 
+def _q_ngram_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog register table over the corpus bigram stream
+    (functions/sketches.py:hll_registers): md5-fold 48-bit hash, 256
+    registers, integer-only output so the DuckDB oracle reproduces the
+    sketch exactly (the float estimator is pytest-side by design —
+    tests/test_sketches.py checks its accuracy against the exact
+    distinct count)."""
+    from ..functions.sketches import hll_registers
+    from ..functions.text import shingles
+
+    stream = shingles(_docs(spark, sf_dir), n=2).select(
+        F.col("shingle").alias("item"))
+    return hll_registers(stream)
+
+
+def _hll_sql() -> str:
+    from ..functions.sketches import HLL_B, HLL_HASH_HEX
+
+    wbits = 4 * HLL_HASH_HEX - HLL_B
+    fold = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5(shingle), {i + 1}, 1))"
+        f" - 1) * {16 ** (HLL_HASH_HEX - 1 - i)}"
+        for i in range(HLL_HASH_HEX)
+    )
+    bitlen = "CASE " + " ".join(
+        f"WHEN w >= {2 ** k} THEN {k + 1}"
+        for k in reversed(range(wbits))
+    ) + " ELSE 0 END"
+    return f"""
+WITH {_ngram_cte(2)},
+h AS (SELECT ({fold}) AS hv FROM sh),
+rw AS (SELECT CAST(hv % {2 ** HLL_B} AS INTEGER) AS register,
+              hv // {2 ** HLL_B} AS w
+       FROM h)
+SELECT register,
+       CAST(max({wbits} - ({bitlen}) + 1) AS INTEGER) AS max_rho
+FROM rw GROUP BY register
+"""
+
+
 def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The synthetic corpus is PII-free, so the gate row would be vacuous on
     raw ``documents``; instead each doc is decorated with one deterministic
@@ -1967,6 +2007,10 @@ QUERIES: dict[str, Query] = {
         "count-min sketch bigram heavy-hitter probe (fixed-size state; "
         "md5-fold hashes make the approximate estimates exactly "
         "oracle-reproducible)"),
+    "ngram_hll_registers": Query(
+        _q_ngram_hll_registers, _hll_sql(),
+        "HyperLogLog register table over bigrams (integer-exact sketch "
+        "state; float estimator pytest-side by design)"),
     "pii_scrub": Query(_q_pii_scrub, _pii_scrub_sql(),
                        "regex PII redaction (email/ssn/phone/ipv4), seeded"),
     "salted_split": Query(_q_salted_split, _SALTED_SPLIT_SQL,

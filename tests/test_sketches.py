@@ -56,6 +56,34 @@ def test_unseen_probe_reads_as_nonnegative(spark):
     assert got["zzz-unseen"] >= 0  # 0 unless it collides with a/b cells
 
 
+def test_hll_estimate_accuracy(spark):
+    from simpy__kafka__flink__kafka_spark.functions.sketches import (
+        hll_estimate, hll_registers)
+
+    for n in (40, 500, 5000):
+        items = spark.range(n).select(
+            F.concat(F.lit("item-"), F.col("id").cast("string"))
+            .alias("item"))
+        # duplicate the stream 3x: cardinality estimates ignore multiplicity
+        stream = items.union(items).union(items)
+        regs = [(r["register"], r["max_rho"])
+                for r in hll_registers(stream).collect()]
+        est = hll_estimate(regs)
+        # 256 registers -> standard error ~6.5%; allow 4 sigma
+        assert abs(est - n) / n < 0.26, (n, est)
+
+
+def test_hll_registers_fixed_size_and_integer(spark):
+    from simpy__kafka__flink__kafka_spark.functions.sketches import (
+        HLL_B, hll_registers)
+
+    items = spark.range(20000).select(
+        F.concat(F.lit("x"), F.col("id").cast("string")).alias("item"))
+    rows = hll_registers(items).collect()
+    assert len(rows) <= 2 ** HLL_B
+    assert all(1 <= r["max_rho"] <= 41 for r in rows)
+
+
 def test_registry_row_top_grams_estimates(spark, sf_dir):
     from simpy__kafka__flink__kafka_spark.plans import registry
 
