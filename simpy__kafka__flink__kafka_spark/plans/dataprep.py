@@ -1439,10 +1439,12 @@ def _q_html_extract_main(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_main_content(pages)
 
 
-def _synth_page_cte() -> str:
+def _synth_page_cte(text_expr: str = "text") -> str:
     """``page AS (...)`` CTE building the IDENTICAL string that
-    functions/html.py:synthesize_page builds — shared by the extraction
-    and outlink oracles."""
+    functions/html.py:synthesize_page builds — shared by the extraction,
+    outlink, and web-capstone oracles.  ``text_expr`` is the SQL
+    expression for the body text (the capstone passes the sentencified
+    form)."""
     return ("""page AS (
   SELECT doc_id,
          '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
@@ -1451,7 +1453,7 @@ def _synth_page_cte() -> str:
             r"""load();</script></head><body>' ||
          '<nav><a href="/">Home</a> <a href="/docs">Docs</a> """ +
             r"""<a href="/about">About</a></nav><div class="main"><p>' ||
-         regexp_replace(text, '\. ', '.</p><p>', 'g') ||
+         regexp_replace(""" + text_expr + r""", '\. ', '.</p><p>', 'g') ||
          '</p></div><div class="sidebar">""" +
             """<li><a href="/rel/1">Related article one</a></li>""" +
             """<li><a href="/rel/2">Related article two</a></li>""" +
@@ -1464,14 +1466,14 @@ def _synth_page_cte() -> str:
 )""")
 
 
-def _html_extract_sql() -> str:
+def _html_extract_sql(text_expr: str = "text") -> str:
     from ..functions.html import (ANCHOR_RE, BLOCK_SPLIT_RE, SCRIPT_RE,
                                   STYLE_RE, TAG_RE, WS_RE)
 
     strip_txt = ("trim(regexp_replace(regexp_replace({src}, '"
                  + TAG_RE + "', ' ', 'g'), '" + WS_RE + "', ' ', 'g'))")
     return ("""
-WITH """ + _synth_page_cte() + """,
+WITH """ + _synth_page_cte(text_expr) + """,
 blocks AS (
   SELECT doc_id,
          string_split_regex(
@@ -1518,19 +1520,41 @@ FROM documents d LEFT JOIN agg USING (doc_id)
 """)
 
 
+# The synthetic corpus is a periodless word stream, so sentence-shaped
+# operators would be vacuous on it (every doc = one run-on sentence).
+# Deterministic sentencification — a period after every 12th word — gives
+# them real structure, the same synthesis convention as the URLs/pages:
+# both engines run the identical regex, so parity covers the synthesis.
+_SENT_RE = r"((\S+ ){11}\S+) "
+
+
+def _sentencified(text_col: str = "text"):
+    return F.regexp_replace(F.col(text_col), _SENT_RE, r"$1. ")
+
+
+_SENT_SQL = r"regexp_replace({c}, '((\S+ ){{11}}\S+) ', '\1. ', 'g')"
+
+
 def _q_c4_sentence_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style sentence cleanup (Raffel et al. 2020): sentences under 3
     words dropped, docs with under 3 surviving sentences or a blocklist
     fragment dropped whole.  Zero-shuffle per-row expressions
-    (functions/quality.py)."""
+    (functions/quality.py) over the deterministically sentencified
+    corpus (see _SENT_RE — the raw corpus has no sentence boundaries, so
+    short docs now genuinely fail the 3-sentence floor while median docs
+    pass)."""
     from ..functions.quality import c4_sentence_filter
 
-    return c4_sentence_filter(_docs(spark, sf_dir))
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", _sentencified().alias("text"))
+    return c4_sentence_filter(docs)
 
 
 _C4_FILTER_SQL = r"""
 WITH nrm AS (
-  SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t
+  SELECT doc_id,
+         lower(regexp_replace(trim(""" + _SENT_SQL.format(c="text") + r"""),
+                              '\s+', ' ', 'g')) AS t
   FROM documents
 ),
 m AS (
@@ -1776,6 +1800,114 @@ FROM rw GROUP BY register
 """
 
 
+def _q_web_prep_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WEB-corpus capstone — the front-door composition
+    corpus_prep_full starts too late for: synthesized pages -> HTML
+    main-content extraction -> C4 sentence cleanup -> Gopher quality
+    gate -> exact dedup (keep-first on the cleaned text) -> per-domain
+    caps -> per-domain corpus stats.  Every stage is the operator the
+    standalone oracled row checks; the composite oracle chains the same
+    arithmetic end to end.  Plan shape: the first FOUR stages are
+    zero-shuffle row expressions fused into the page scan; the dedup and
+    cap windows are the only exchanges (fingerprint-keyed, then
+    domain-keyed), and the final stats agg rides the cap exchange."""
+    from pyspark.sql import Window as W
+
+    from ..functions.html import extract_main_content, synthesize_page
+    from ..functions.quality import c4_sentence_filter, gopher_quality
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", _sentencified().alias("text"))
+    pages = docs.select("doc_id", synthesize_page().alias("html"))
+    ex = extract_main_content(pages).select("doc_id", "main_text")
+    c4 = (
+        c4_sentence_filter(ex, text_col="main_text")
+        .where(F.col("doc_kept") == 1)
+        .select("doc_id", "clean_text")
+    )
+    gq = (
+        gopher_quality(c4, text_col="clean_text")
+        .where(F.col("passes") == 1)
+        .select("doc_id", "n_words")
+    )
+    kept = c4.join(gq, "doc_id")
+    wdup = W.partitionBy(F.md5("clean_text")).orderBy("doc_id")
+    sole = (
+        kept.withColumn("_rn", F.row_number().over(wdup))
+        .where(F.col("_rn") == 1)
+    )
+    dom = F.concat(F.lit("site-"), (F.col("doc_id") % 17).cast("string"),
+                   F.lit(".example.com"))
+    wdom = W.partitionBy("domain").orderBy("doc_id")
+    capped = (
+        sole.select("doc_id", "n_words", dom.alias("domain"))
+        .withColumn("_dr", F.row_number().over(wdom))
+        .where(F.col("_dr") <= 20)
+    )
+    return capped.groupBy("domain").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("total_words"),
+    )
+
+
+def _web_prep_sql() -> str:
+    from ..functions.quality import GOPHER_STOPS
+
+    stops = ", ".join(f"'{s}'" for s in GOPHER_STOPS)
+    nrm = "lower(regexp_replace(trim({c}), '" + r"\s+" + "', ' ', 'g'))"
+    return (r"""
+WITH ex AS (SELECT doc_id, main_text FROM (""" +
+            _html_extract_sql(text_expr=_SENT_SQL.format(c="text")) +
+            r""")),
+c4n AS (SELECT doc_id, """ + nrm.format(c="main_text") + r""" AS t
+        FROM ex),
+c4m AS (SELECT doc_id, t,
+        list_filter(string_split_regex(t, '\. '),
+                    x -> length(x) > 0) AS ne
+        FROM c4n),
+c4k AS (SELECT doc_id, t,
+        list_filter(ne, x -> len(string_split(x, ' ')) >= 3) AS kept,
+        (NOT (contains(t, 'lorem ipsum') OR contains(t, '{'))) AS cleanok
+        FROM c4m),
+c4 AS (SELECT doc_id, array_to_string(kept, '. ') AS clean_text
+       FROM c4k WHERE cleanok AND len(kept) >= 3),
+gw AS (SELECT doc_id, clean_text,
+       string_split(""" + nrm.format(c="clean_text") + r""", ' ') AS ws,
+       """ + nrm.format(c="clean_text") + r""" AS gt
+       FROM c4),
+gm AS (SELECT doc_id, clean_text,
+       CAST(len(ws) AS BIGINT) AS n_words,
+       CAST(COALESCE(list_sum(list_transform(ws, x -> length(x))), 0)
+            AS BIGINT) AS tc,
+       CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-z]')))
+            AS BIGINT) AS na,
+       CAST(len(list_filter(ws, x -> list_contains([""" + stops + r"""],
+            x))) AS BIGINT) AS ns,
+       CAST((length(gt) - length(replace(gt, '#', ''))) / 1
+            + (length(gt) - length(replace(gt, '...', ''))) / 3
+            AS BIGINT) AS sym
+       FROM gw),
+gq AS (SELECT doc_id, clean_text, n_words FROM gm
+       WHERE n_words >= 50 AND n_words <= 100000
+         AND tc >= 3 * n_words AND tc <= 10 * n_words
+         AND 10 * sym <= n_words AND 5 * na >= 4 * n_words AND ns >= 2),
+ddp AS (SELECT doc_id, n_words,
+        row_number() OVER (PARTITION BY md5(clean_text) ORDER BY doc_id)
+          AS rn
+        FROM gq),
+dom AS (SELECT doc_id, n_words,
+        'site-' || CAST(doc_id % 17 AS VARCHAR) || '.example.com'
+          AS domain
+        FROM ddp WHERE rn = 1),
+cp AS (SELECT doc_id, n_words, domain,
+       row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS dr
+       FROM dom)
+SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_words) AS BIGINT) AS total_words
+FROM cp WHERE dr <= 20 GROUP BY domain
+""")
+
+
 def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The synthetic corpus is PII-free, so the gate row would be vacuous on
     raw ``documents``; instead each doc is decorated with one deterministic
@@ -2011,6 +2143,10 @@ QUERIES: dict[str, Query] = {
         _q_ngram_hll_registers, _hll_sql(),
         "HyperLogLog register table over bigrams (integer-exact sketch "
         "state; float estimator pytest-side by design)"),
+    "web_prep_full": Query(
+        _q_web_prep_full, _web_prep_sql(),
+        "web-corpus capstone: synthesized pages -> HTML extraction -> "
+        "C4 -> Gopher -> exact dedup -> domain caps -> stats"),
     "pii_scrub": Query(_q_pii_scrub, _pii_scrub_sql(),
                        "regex PII redaction (email/ssn/phone/ipv4), seeded"),
     "salted_split": Query(_q_salted_split, _SALTED_SPLIT_SQL,
