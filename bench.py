@@ -53,6 +53,12 @@ HEADLINE = [
     # live codec execution inside the distributed plan (vendored PPM
     # decode through Arrow mapInPandas; oracle-checked at the gate)
     "image_decode_stats",
+    # promoted round 7: the web front door — zero-shuffle jusText-lite
+    # extraction over synthesized pages, and the full web capstone
+    # (extract -> C4 -> Gopher -> dedup -> domain caps -> stats; one
+    # scan, two exchanges, extraction pass materialized once)
+    "html_extract_main",
+    "web_prep_full",
 ]
 
 

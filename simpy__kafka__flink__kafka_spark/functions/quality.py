@@ -86,7 +86,8 @@ def gopher_quality(df: DataFrame, id_col: str = "doc_id",
                    min_words: int = 50, max_words: int = 100_000,
                    min_mean_word_len: int = 3,
                    max_mean_word_len: int = 10,
-                   min_stop_hits: int = 2) -> DataFrame:
+                   min_stop_hits: int = 2,
+                   keep_cols: tuple[str, ...] = ()) -> DataFrame:
     """Gopher document-quality rules (Rae et al. 2021, A1.1) with every
     ratio threshold decided in integers:
 
@@ -102,7 +103,10 @@ def gopher_quality(df: DataFrame, id_col: str = "doc_id",
 
     Zero-shuffle per-row expressions.  Output: (id_col, n_words,
     total_word_chars, n_symbols, n_alpha_words, n_stop_hits,
-    passes: int).
+    passes: int) plus any ``keep_cols`` passed through verbatim — a
+    composition hook so a pipeline can gate on ``passes`` and keep the
+    scored text WITHOUT a join-back (a join would fork the upstream plan
+    into two branches that each recompute it).
     """
     t = normalized(text_col)
     ws = words(text_col)
@@ -128,6 +132,7 @@ def gopher_quality(df: DataFrame, id_col: str = "doc_id",
         n_alpha.cast("long").alias("n_alpha_words"),
         n_stops.cast("long").alias("n_stop_hits"),
         passes.cast("int").alias("passes"),
+        *[F.col(c) for c in keep_cols],
     )
 
 

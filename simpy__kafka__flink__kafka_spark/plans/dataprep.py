@@ -1819,18 +1819,28 @@ def _q_web_prep_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).select(
         "doc_id", _sentencified().alias("text"))
     pages = docs.select("doc_id", synthesize_page().alias("html"))
-    ex = extract_main_content(pages).select("doc_id", "main_text")
+    # cache = the stage boundary a production pipeline has anyway (the
+    # extraction pass lands in the lake before cleanup runs).  Without
+    # it, predicate pushdown drags the doc_kept/passes gates into the
+    # SCAN as DataFilters and the huge extraction expression tree is
+    # re-evaluated once per filter plus once for the projection —
+    # measured 3x the cold cost at sf0.1 (9.7 s vs 4.4 s)
+    ex = extract_main_content(pages).select("doc_id", "main_text").cache()
     c4 = (
         c4_sentence_filter(ex, text_col="main_text")
         .where(F.col("doc_kept") == 1)
         .select("doc_id", "clean_text")
     )
-    gq = (
-        gopher_quality(c4, text_col="clean_text")
+    # keep_cols carries clean_text through the gate so the pipeline stays
+    # LINEAR — a join-back here would fork the plan into two branches
+    # that each recompute the whole extraction (measured 3x the cold
+    # cost at sf0.1)
+    kept = (
+        gopher_quality(c4, text_col="clean_text",
+                       keep_cols=("clean_text",))
         .where(F.col("passes") == 1)
-        .select("doc_id", "n_words")
+        .select("doc_id", "n_words", "clean_text")
     )
-    kept = c4.join(gq, "doc_id")
     wdup = W.partitionBy(F.md5("clean_text")).orderBy("doc_id")
     sole = (
         kept.withColumn("_rn", F.row_number().over(wdup))
