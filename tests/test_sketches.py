@@ -84,6 +84,20 @@ def test_hll_registers_fixed_size_and_integer(spark):
     assert all(1 <= r["max_rho"] <= 41 for r in rows)
 
 
+def test_sketch_builds_partial_aggregate_before_exchange(spark):
+    # the fixed-size-state claim depends on map-side partial aggregation:
+    # each partition must collapse to <= depth*width (CMS) / <= m (HLL)
+    # rows BEFORE the wire
+    from simpy__kafka__flink__kafka_spark.functions.sketches import (
+        hll_registers)
+
+    items = _stream(spark, {"a": 3, "b": 2})
+    for df in (cms_build(items), hll_registers(items)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        pre_exchange = plan.split("Exchange", 1)[1]
+        assert "partial" in pre_exchange, plan
+
+
 def test_registry_row_top_grams_estimates(spark, sf_dir):
     from simpy__kafka__flink__kafka_spark.plans import registry
 

@@ -119,6 +119,44 @@ def test_streaming_near_dup_finds_burst_pairs(spark, tmp_path):
     assert all(3 not in p for p in pairs), pairs
 
 
+def test_quality_rules_compose_with_stream(spark, tmp_path):
+    # the C4/Gopher rules are stateless column expressions, so they bolt
+    # onto the ingest stream unchanged — batch/stream parity by
+    # construction, asserted here end to end
+    from simpy__kafka__flink__kafka_spark.functions.quality import (
+        gopher_quality)
+
+    rows = [(1, ("the data of the batch and that stream have merged "
+                 "with the table ") * 5, _ts(10)),
+            (2, "short", _ts(11))]
+    ind = str(tmp_path / "gq_in")
+    os.makedirs(ind, exist_ok=True)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, ingest_ts timestamp"
+    ).coalesce(1).write.mode("append").parquet(ind)
+    stream = file_docs_source(spark, ind, watermark="10 minutes")
+    q = (
+        gopher_quality(stream.select("doc_id", "text"))
+        .writeStream.format("memory")
+        .queryName(f"gq_{uuid.uuid4().hex[:8]}")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {r.doc_id: r for r in
+               spark.sql(f"SELECT * FROM {q.name}").collect()}
+    finally:
+        q.stop()
+    batch = {r.doc_id: r for r in gopher_quality(
+        spark.createDataFrame([(d, t) for d, t, _ in rows],
+                              "doc_id long, text string")).collect()}
+    assert got.keys() == batch.keys()
+    for d in got:
+        assert got[d].asDict() == batch[d].asDict()
+    assert got[1].passes == 1 and got[2].passes == 0
+
+
 def test_pair_compaction_distinct_batch_parity(spark, tmp_path):
     # end-to-end lambda split: candidate stream -> foreachBatch compaction
     # -> DISTINCT pairs on disk, equal to the batch LSH candidate set even
