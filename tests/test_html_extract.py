@@ -69,6 +69,46 @@ def test_every_doc_keeps_a_row(spark):
     assert got[2]["main_text"] == "no closing tags here"
 
 
+def test_extraction_invariants_on_random_html(spark):
+    # property test: on arbitrary tag soup the extraction must never
+    # leak markup, and its counts must stay internally consistent
+    import random
+
+    rng = random.Random(42)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    tags = ["p", "div", "li", "nav", "footer", "h2", "td", "span", "b"]
+
+    def rand_page() -> str:
+        parts = []
+        for _ in range(rng.randint(0, 12)):
+            t = rng.choice(tags)
+            body = " ".join(rng.choices(words, k=rng.randint(0, 9)))
+            if rng.random() < 0.4:
+                body += f' <a href="/{rng.choice(words)}">' + \
+                    " ".join(rng.choices(words, k=rng.randint(1, 4))) + "</a>"
+            closing = f"</{t}>" if rng.random() < 0.8 else ""  # unclosed tags
+            parts.append(f"<{t}>{body}{closing}")
+        if rng.random() < 0.3:
+            parts.insert(0, "<script>var x = 1;</script>")
+        if rng.random() < 0.3:
+            parts.append("<style>p { x }</style>")
+        return "".join(parts)
+
+    pages = [(i, rand_page()) for i in range(120)]
+    df = spark.createDataFrame(pages, "doc_id long, html string")
+    for r in extract_main_content(df).collect():
+        assert "<" not in r["main_text"] and ">" not in r["main_text"]
+        assert "var x" not in r["main_text"]         # script stripped
+        assert "{ x }" not in r["main_text"]         # style stripped
+        assert r["n_kept"] <= r["n_blocks"]
+        assert r["kept_chars"] >= 0 and r["dropped_chars"] >= 0
+        if r["n_kept"] == 0:
+            assert r["main_text"] == "" and r["kept_chars"] == 0
+        else:
+            # joiner spaces: kept_chars + (n_kept - 1) == len(main_text)
+            assert r["kept_chars"] + r["n_kept"] - 1 == len(r["main_text"])
+
+
 def test_extraction_plan_has_no_exchange(spark):
     # the zero-shuffle claim, asserted on the physical plan: extraction is
     # pure per-row expressions, so no Exchange node may appear

@@ -98,6 +98,41 @@ def test_sketch_builds_partial_aggregate_before_exchange(spark):
         assert "partial" in pre_exchange, plan
 
 
+def test_sketches_are_streaming_native(spark, tmp_path):
+    # fixed-register sketches are the canonical bounded-state streaming
+    # aggregate: the SAME hll_registers/cms_build plans run as streaming
+    # groupBy aggregations (complete mode), and after all batches the
+    # register/cell tables equal the batch tables exactly
+    import os
+    import uuid
+
+    from simpy__kafka__flink__kafka_spark.functions.sketches import (
+        hll_registers)
+
+    rows = [(f"item-{i}",) for i in range(300)]
+    ind = str(tmp_path / "sk_in")
+    os.makedirs(ind, exist_ok=True)
+    for chunk in (rows[:120], rows[120:]):      # two deliveries
+        spark.createDataFrame(chunk, "item string").coalesce(1) \
+            .write.mode("append").parquet(ind)
+    stream = spark.readStream.schema("item string").parquet(ind)
+    results = {}
+    for label, build in (("hll", hll_registers), ("cms", cms_build)):
+        q = (build(stream).writeStream.format("memory")
+             .queryName(f"sk_{label}_{uuid.uuid4().hex[:8]}")
+             .outputMode("complete").start())
+        try:
+            q.processAllAvailable()
+            results[label] = {tuple(r) for r in
+                              spark.sql(f"SELECT * FROM {q.name}").collect()}
+        finally:
+            q.stop()
+    batch = spark.createDataFrame(rows, "item string")
+    assert results["hll"] == {tuple(r) for r in
+                              hll_registers(batch).collect()}
+    assert results["cms"] == {tuple(r) for r in cms_build(batch).collect()}
+
+
 def test_registry_row_top_grams_estimates(spark, sf_dir):
     from simpy__kafka__flink__kafka_spark.plans import registry
 
