@@ -136,3 +136,76 @@ def salted_split(docs: DataFrame, weights: tuple[int, int, int] = (90, 5, 5),
         .otherwise("test")
         .alias("split"),
     )
+
+
+def span_corruption(docs: DataFrame, mask_ratio: float = 0.15,
+                    mean_span: int = 3, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """T5-style span-corruption planning (Raffel et al. 2020 §3.1.4):
+    choose the token spans a denoising objective would mask — span
+    STARTS drawn per position with probability ``mask_ratio /
+    mean_span``, each start masking ``mean_span`` tokens, overlapping
+    spans merging.  The draw is the deterministic md5-hex fold (the
+    :func:`temperature_sample` convention), keyed on (doc_id, position),
+    so the plan is identical on every engine and run — which makes an
+    APPROXIMATELY-15% masking objective exactly oracle-checkable.
+
+    Zero-shuffle: indexed higher-order array expressions per row
+    (DuckDB's lambda index is 1-based; the Spark side normalizes to the
+    same convention).  Output: (id_col, n_tokens, n_spans, n_masked,
+    masked_rate, flags_hash) where flags_hash fingerprints the exact
+    0/1 mask vector.
+    """
+    from .text import words
+
+    ws = words(text_col)
+    thr = int(round(mask_ratio / mean_span * 16 ** 6))
+    L = mean_span
+
+    def draw(pos1):            # pos1: 1-based position Column
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("sc:"),
+                                   F.col(id_col).cast("string"),
+                                   F.lit(":"), pos1.cast("string"))),
+                    1, 6),
+                16, 10,
+            ).cast("long")
+            < thr
+        )
+
+    starts = F.transform(ws, lambda x, i: draw(i + 1))
+    masked = F.transform(
+        starts,
+        lambda s, i: F.exists(
+            F.slice(starts,
+                    F.greatest(i + 2 - L, F.lit(1)),
+                    F.least(F.lit(L), i + 1)),
+            lambda b: b,
+        ),
+    )
+    span_starts = F.transform(
+        masked,
+        lambda m, i: m & ~F.when(i > 0, F.element_at(masked, i))
+        .otherwise(F.lit(False)),
+    )
+    n_tokens = F.size(ws)
+    n_masked = F.size(F.filter(masked, lambda b: b))
+    n_spans = F.size(F.filter(span_starts, lambda b: b))
+    return docs.select(
+        F.col(id_col),
+        n_tokens.cast("long").alias("n_tokens"),
+        n_spans.cast("long").alias("n_spans"),
+        n_masked.cast("long").alias("n_masked"),
+        F.round(
+            F.when(n_tokens > 0,
+                   n_masked.cast("double") / n_tokens.cast("double"))
+            .otherwise(F.lit(0.0)), 6).alias("masked_rate"),
+        F.md5(
+            F.array_join(
+                F.transform(masked,
+                            lambda b: F.when(b, "1").otherwise("0")),
+                "")
+        ).alias("flags_hash"),
+    )

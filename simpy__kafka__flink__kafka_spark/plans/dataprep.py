@@ -1918,6 +1918,60 @@ FROM cp WHERE dr <= 20 GROUP BY domain
 """)
 
 
+def _q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 span-corruption plan over the corpus — deterministic md5 draws
+    keyed on (doc_id, position) make the ~15% masking objective exactly
+    oracle-checkable (functions/sampling.py:span_corruption)."""
+    from ..functions.sampling import span_corruption
+
+    return span_corruption(_docs(spark, sf_dir))
+
+
+def _span_corruption_sql(mask_ratio: float = 0.15,
+                         mean_span: int = 3) -> str:
+    thr = int(round(mask_ratio / mean_span * 16 ** 6))
+    fold = " + ".join(
+        "(strpos('0123456789abcdef', substr(md5('sc:' || "
+        f"CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)), {k + 1},"
+        f" 1)) - 1) * {16 ** (5 - k)}"
+        for k in range(6)
+    )
+    return f"""
+WITH {_WORDS_CTE},
+st AS (
+  SELECT doc_id, ws,
+         list_transform(ws, (x, i) -> ({fold}) < {thr}) AS starts
+  FROM w
+),
+mk AS (
+  SELECT doc_id, ws,
+         list_transform(starts,
+           (s, i) -> len(list_filter(
+             starts[greatest(i - {mean_span - 1}, 1):i],
+             b -> b)) > 0) AS masked
+  FROM st
+),
+sp AS (
+  SELECT doc_id, ws, masked,
+         list_transform(masked,
+           (m, i) -> m AND NOT COALESCE(masked[i - 1], false)) AS sstart
+  FROM mk
+)
+SELECT doc_id,
+       CAST(len(ws) AS BIGINT) AS n_tokens,
+       CAST(len(list_filter(sstart, b -> b)) AS BIGINT) AS n_spans,
+       CAST(len(list_filter(masked, b -> b)) AS BIGINT) AS n_masked,
+       CASE WHEN len(ws) > 0
+            THEN round(CAST(len(list_filter(masked, b -> b)) AS DOUBLE)
+                       / CAST(len(ws) AS DOUBLE), 6)
+            ELSE 0.0 END AS masked_rate,
+       md5(array_to_string(
+         list_transform(masked, b -> CASE WHEN b THEN '1' ELSE '0' END),
+         '')) AS flags_hash
+FROM sp
+"""
+
+
 def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The synthetic corpus is PII-free, so the gate row would be vacuous on
     raw ``documents``; instead each doc is decorated with one deterministic
@@ -2157,6 +2211,10 @@ QUERIES: dict[str, Query] = {
         _q_web_prep_full, _web_prep_sql(),
         "web-corpus capstone: synthesized pages -> HTML extraction -> "
         "C4 -> Gopher -> exact dedup -> domain caps -> stats"),
+    "span_corruption": Query(
+        _q_span_corruption, _span_corruption_sql(),
+        "T5 span-corruption mask planning (deterministic md5 draws, "
+        "exact mask-vector fingerprints)"),
     "pii_scrub": Query(_q_pii_scrub, _pii_scrub_sql(),
                        "regex PII redaction (email/ssn/phone/ipv4), seeded"),
     "salted_split": Query(_q_salted_split, _SALTED_SPLIT_SQL,

@@ -49,3 +49,34 @@ def test_stratified_sample_hits_target_fractions(spark, sf_dir):
     # deterministic under the fixed seed
     again = stratified_sample(docs, lang, fractions).count()
     assert again == sampled.count()
+
+
+def test_span_corruption_plan(spark):
+    from simpy__kafka__flink__kafka_spark.functions.sampling import (
+        span_corruption)
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(200))) for i in range(40)],
+        "doc_id long, text string")
+    out = span_corruption(docs).collect()
+    got = {r.doc_id: r for r in out}
+    assert len(got) == 40
+    # corpus-wide masked mass near the 15% objective (deterministic, so
+    # this bound is exact and stable, not flaky)
+    total = sum(r.n_tokens for r in out)
+    masked = sum(r.n_masked for r in out)
+    assert 0.10 <= masked / total <= 0.20
+    for r in out:
+        # every span masks at least one token, at most merging-bounded
+        assert 0 <= r.n_spans <= r.n_masked
+        if r.n_spans:
+            assert r.n_masked >= r.n_spans  # >= 1 token per span
+            assert r.n_masked <= r.n_spans * 200
+    # determinism: identical on re-run
+    again = {r.doc_id: r for r in span_corruption(docs).collect()}
+    assert {d: got[d].flags_hash for d in got} == \
+        {d: again[d].flags_hash for d in again}
+    # no shuffle in the plan
+    plan = span_corruption(docs)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "Exchange" not in plan
