@@ -209,3 +209,38 @@ def span_corruption(docs: DataFrame, mask_ratio: float = 0.15,
                 "")
         ).alias("flags_hash"),
     )
+
+
+def pack_sequences(docs: DataFrame, seq_len: int = 256,
+                   id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Causal-LM sequence packing layout: concatenate the corpus token
+    stream in ``id_col`` order and cut it into fixed ``seq_len``
+    training sequences, documents crossing sequence boundaries where
+    they fall (the standard packed-pretraining layout; the EOS token
+    between docs is an off-by-one the caller owns).  Complements
+    :func:`pack_token_shards` (budget GROUPS of whole docs) with the
+    fixed-length SPLITTING layout.
+
+    Scale shape: the global token offset is the sharded ranged prefix
+    sum (operators/sequences.py — no single-task sort), everything else
+    is per-row arithmetic.
+    Output: (id_col, n_tokens, start_offset, first_seq,
+    n_seqs_spanned) — n_seqs_spanned > 1 marks boundary-crossing docs,
+    0-token docs span 0 sequences.
+    """
+    counted = docs.select(
+        F.col(id_col), token_count(text_col).cast("long").alias("n_tokens"))
+    cum = ranged_prefix_sum(counted, [id_col], "n_tokens",
+                            out_col="start_offset", exclusive=True)
+    s = F.col("start_offset")
+    n = F.col("n_tokens")
+    return cum.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        s.cast("long").alias("start_offset"),
+        F.floor(s / seq_len).cast("long").alias("first_seq"),
+        F.when(n > 0,
+               F.floor((s + n - 1) / seq_len) - F.floor(s / seq_len) + 1)
+        .otherwise(F.lit(0)).cast("long").alias("n_seqs_spanned"),
+    )

@@ -1918,6 +1918,41 @@ FROM cp WHERE dr <= 20 GROUP BY domain
 """)
 
 
+def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-length causal-LM sequence packing layout (docs split across
+    seq_len boundaries; functions/sampling.py:pack_sequences) — the
+    global offset rides the sharded ranged prefix sum, no one-task
+    sort."""
+    from ..functions.sampling import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), seq_len=256)
+
+
+_PACK_SEQUENCES_SQL = r"""
+WITH counted AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+           AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+  FROM counted
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(s AS BIGINT) AS start_offset,
+       CAST(s // 256 AS BIGINT) AS first_seq,
+       CAST(CASE WHEN n_tokens > 0
+                 THEN (s + n_tokens - 1) // 256 - s // 256 + 1
+                 ELSE 0 END AS BIGINT) AS n_seqs_spanned
+FROM c
+"""
+
+
 def _q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T5 span-corruption plan over the corpus — deterministic md5 draws
     keyed on (doc_id, position) make the ~15% masking objective exactly
@@ -2215,6 +2250,10 @@ QUERIES: dict[str, Query] = {
         _q_span_corruption, _span_corruption_sql(),
         "T5 span-corruption mask planning (deterministic md5 draws, "
         "exact mask-vector fingerprints)"),
+    "pack_sequences": Query(
+        _q_pack_sequences, _PACK_SEQUENCES_SQL,
+        "fixed-length causal-LM sequence packing layout (docs split at "
+        "seq_len boundaries; sharded prefix-sum offsets)"),
     "pii_scrub": Query(_q_pii_scrub, _pii_scrub_sql(),
                        "regex PII redaction (email/ssn/phone/ipv4), seeded"),
     "salted_split": Query(_q_salted_split, _SALTED_SPLIT_SQL,

@@ -80,3 +80,24 @@ def test_span_corruption_plan(spark):
     plan = span_corruption(docs)._jdf.queryExecution(
     ).executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_pack_sequences_layout(spark):
+    from simpy__kafka__flink__kafka_spark.functions.sampling import (
+        pack_sequences)
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(["w"] * 100)), (2, " ".join(["w"] * 200)),
+         (3, ""), (4, " ".join(["w"] * 300))],
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in pack_sequences(docs, seq_len=256).collect()}
+    # offsets are the exclusive prefix sum in doc order
+    assert [got[d].start_offset for d in (1, 2, 3, 4)] == [0, 100, 300, 300]
+    # doc 2 spans the 256 boundary; doc 3 (empty) spans nothing
+    assert got[1].n_seqs_spanned == 1 and got[1].first_seq == 0
+    assert got[2].n_seqs_spanned == 2
+    assert got[3].n_seqs_spanned == 0
+    # doc 4: tokens 300..599 -> seqs 1 and 2
+    assert (got[4].first_seq, got[4].n_seqs_spanned) == (1, 2)
+    # conservation: total tokens == max end offset
+    assert max(r.start_offset + r.n_tokens for r in got.values()) == 600
