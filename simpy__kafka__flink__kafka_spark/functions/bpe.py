@@ -378,3 +378,35 @@ def bpe_segment(df: DataFrame, merges: list[tuple[str, str, int]],
         .alias("n_bpe_tokens"),
         F.coalesce("token_hash", F.md5(F.lit(""))).alias("token_hash"),
     )
+
+
+def bpe_export(merges: list[tuple[str, str, int]]) -> str:
+    """Serialize a trained merge list to a JSON artifact (version-tagged,
+    rank-ordered — the interchange shape HF tokenizer.json carries in its
+    ``model.merges`` section).  Round-trips exactly via
+    :func:`bpe_import`; the counts ride along for provenance."""
+    import json
+
+    return json.dumps({
+        "format": "bpe-merges",
+        "version": 1,
+        "merges": [{"rank": i, "left": l, "right": r, "count": c}
+                   for i, (l, r, c) in enumerate(merges)],
+    }, ensure_ascii=False)
+
+
+def bpe_import(artifact: str) -> list[tuple[str, str, int]]:
+    """Parse a :func:`bpe_export` artifact back to the ordered merge
+    list, validating the format tag, rank contiguity, and (for safe use
+    with the rank-priority applier) well-formedness."""
+    import json
+
+    doc = json.loads(artifact)
+    if doc.get("format") != "bpe-merges" or doc.get("version") != 1:
+        raise ValueError("not a v1 bpe-merges artifact")
+    rows = doc["merges"]
+    if [m["rank"] for m in rows] != list(range(len(rows))):
+        raise ValueError("merge ranks must be contiguous from 0")
+    merges = [(m["left"], m["right"], int(m["count"])) for m in rows]
+    _validate_merge_ranks(merges)
+    return merges

@@ -221,3 +221,26 @@ def test_segment_keeps_empty_docs(spark):
     assert set(got) == {1, 2, 3}
     assert (got[2]["n_words"], got[2]["n_bpe_tokens"]) == (0, 0)
     assert got[3]["token_hash"] == _h.md5(b"").hexdigest()
+
+
+def test_export_import_roundtrip(spark):
+    import pytest
+
+    from simpy__kafka__flink__kafka_spark.functions.bpe import (
+        bpe_export, bpe_import)
+
+    docs = _mkdocs(spark, [(1, CLASSIC)])
+    merges = bpe_train_local(docs, n_merges=8)
+    art = bpe_export(merges)
+    assert bpe_import(art) == merges
+    # tokenization through the re-imported artifact is identical
+    a = {r["doc_id"]: r["token_hash"]
+         for r in bpe_segment(docs, merges).collect()}
+    b = {r["doc_id"]: r["token_hash"]
+         for r in bpe_segment(docs, bpe_import(art)).collect()}
+    assert a == b
+    with pytest.raises(ValueError, match="artifact"):
+        bpe_import('{"format": "other"}')
+    with pytest.raises(ValueError, match="contiguous"):
+        bpe_import('{"format": "bpe-merges", "version": 1, "merges": '
+                   '[{"rank": 2, "left": "a", "right": "b", "count": 3}]}')
