@@ -161,6 +161,11 @@ def main() -> None:
                 exact_substring_rewrite(dc, min_len=30)),
             "corpus_prep_full": materialize(
                 reg["corpus_prep_full"].build(spark, sf_like)),
+            # round-7 web front door (both build from an sf_dir layout)
+            "html_extract_main": materialize(
+                reg["html_extract_main"].build(spark, sf_like)),
+            "web_prep_full": materialize(
+                reg["web_prep_full"].build(spark, sf_like)),
         }
         sp.unpersist()
         dc.unpersist()
