@@ -461,22 +461,27 @@ def simhash(df: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     return agg.select("doc_id", value.cast("long").alias("simhash"))
 
 
-def simhash_near_dup_pairs(df: DataFrame, max_hamming: int = 3,
-                           bits: int = SIMHASH_BITS) -> DataFrame:
-    """Pairs (a<b) with hamming(simhash_a, simhash_b) <= max_hamming, via
-    pigeonhole banding: split the signature into ``max_hamming + 1`` disjoint
-    bit segments — a pair within the hamming bound differs in at most
-    ``max_hamming`` bits, so by pigeonhole it matches >= 1 segment exactly.
-    Candidates come from an equi-join on (segment_idx, segment_value);
-    hamming is computed only on candidates.  No all-pairs product anywhere —
-    per-segment-value group sizes bound the work, exactly like LSH banding.
+def hamming_near_dup_pairs(sig: DataFrame, max_hamming: int = 3,
+                           bits: int = SIMHASH_BITS,
+                           id_col: str = "doc_id",
+                           hash_col: str = "simhash") -> DataFrame:
+    """Generic banded hamming near-dup over ANY integer bit-signature
+    frame — pairs (a<b) with hamming(hash_a, hash_b) <= max_hamming, via
+    pigeonhole banding: split the signature into ``max_hamming + 1``
+    disjoint bit segments — a pair within the hamming bound differs in
+    at most ``max_hamming`` bits, so by pigeonhole it matches >= 1
+    segment exactly.  Candidates come from an equi-join on
+    (segment_idx, segment_value); hamming is computed only on
+    candidates.  No all-pairs product anywhere — per-segment-value group
+    sizes bound the work, exactly like LSH banding.  Consumers: text
+    SimHash (:func:`simhash_near_dup_pairs`) and image average-hash
+    (functions/multimodal.py:image_near_dup_pairs).
 
     Caching contract: pins the keyed-signature frame (both sides of the
     candidate self-join read it).  Long-lived drivers should release plan
     caches between query generations via ``spark.catalog.clearCache()`` (the
     bench harness does) or ``df.unpersist()`` on the returned plan's source.
     """
-    s = simhash(df, bits)
     n_seg = max_hamming + 1
     width = -(-bits // n_seg)  # ceil
     mask = F.lit((1 << width) - 1)
@@ -484,7 +489,7 @@ def simhash_near_dup_pairs(df: DataFrame, max_hamming: int = 3,
         *[
             F.struct(
                 F.lit(i).alias("seg"),
-                F.shiftrightunsigned(F.col("simhash"), i * width)
+                F.shiftrightunsigned(F.col(hash_col), i * width)
                 .bitwiseAND(mask)
                 .alias("val"),
             )
@@ -492,25 +497,34 @@ def simhash_near_dup_pairs(df: DataFrame, max_hamming: int = 3,
         ]
     )
     # cached: both sides of the candidate self-join read this frame, and the
-    # signature aggregation above it is the expensive part
-    keyed = s.select(
-        "doc_id", "simhash", F.explode(segs).alias("s")
-    ).select("doc_id", "simhash", "s.seg", "s.val").cache()
+    # signature computation above it is the expensive part
+    keyed = sig.select(
+        F.col(id_col), F.col(hash_col), F.explode(segs).alias("s")
+    ).select(id_col, hash_col, "s.seg", "s.val").cache()
     a = keyed.alias("a")
     b = keyed.alias("b")
-    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    ham = F.bit_count(
+        F.col(f"a.{hash_col}").bitwiseXOR(F.col(f"b.{hash_col}")))
     return (
         a.join(
             b,
             (F.col("a.seg") == F.col("b.seg"))
             & (F.col("a.val") == F.col("b.val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .where(ham <= max_hamming)
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
             ham.cast("long").alias("hamming"),
         )
         .distinct()
     )
+
+
+def simhash_near_dup_pairs(df: DataFrame, max_hamming: int = 3,
+                           bits: int = SIMHASH_BITS) -> DataFrame:
+    """Text SimHash near-dup: :func:`simhash` signatures through the
+    generic banded hamming join (:func:`hamming_near_dup_pairs`)."""
+    return hamming_near_dup_pairs(simhash(df, bits),
+                                  max_hamming=max_hamming, bits=bits)

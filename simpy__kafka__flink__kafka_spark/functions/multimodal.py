@@ -653,3 +653,66 @@ def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
             )
 
     return media.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def average_hash(px: np.ndarray, grid: int = 8) -> int:
+    """Perceptual average-hash of a decoded image: nearest-resample to
+    ``grid`` x ``grid``, integer grayscale ((r+g+b) // 3), threshold at
+    the integer mean — one bit per cell, row-major, MSB first.  Returned
+    as a SIGNED 64-bit value (two's complement) so it rides a Spark
+    LongType column; hamming distance is bit_count(xor), unaffected by
+    the signed reinterpretation."""
+    g = _nearest(px, grid, grid)
+    if g.ndim == 3:
+        gray = g[..., :3].astype(np.int64).sum(axis=-1) // 3
+    else:
+        gray = g.astype(np.int64)
+    mean = int(gray.sum()) // (grid * grid)
+    v = 0
+    for b in (gray.reshape(-1) >= mean):
+        v = (v << 1) | int(b)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def image_ahash(media: DataFrame, id_col: str = "doc_id",
+                content_col: str = "content", grid: int = 8) -> DataFrame:
+    """(id_col, ahash) — :func:`average_hash` over every payload through
+    the Arrow ``mapInPandas`` decode path (the image twin of the text
+    SimHash signature stage)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType(), False),
+        T.StructField("ahash", T.LongType(), False),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            yield pd.DataFrame({
+                id_col: pdf[id_col].astype("int64"),
+                "ahash": [average_hash(decode_image(bytes(c)), grid)
+                          for c in pdf[content_col]],
+            })
+
+    return media.select(id_col, content_col).mapInPandas(run, schema)
+
+
+def image_near_dup_pairs(media: DataFrame, max_hamming: int = 5,
+                         id_col: str = "doc_id",
+                         content_col: str = "content") -> DataFrame:
+    """Image near-dup candidate pairs — the LAION-style image-dedup step,
+    tying the live-codec family to the dedup family: average-hash
+    signatures (:func:`image_ahash`) through the generic banded hamming
+    join (functions/dedup.py:hamming_near_dup_pairs).  Same 100 TB
+    posture as text SimHash: signatures are one decode scan, candidates
+    come from a (segment, value) equi-join, never an all-pairs product.
+    Output: (doc_a, doc_b, hamming)."""
+    from .dedup import hamming_near_dup_pairs
+
+    sig = image_ahash(media, id_col=id_col, content_col=content_col)
+    return hamming_near_dup_pairs(sig, max_hamming=max_hamming, bits=64,
+                                  id_col=id_col, hash_col="ahash")

@@ -626,6 +626,37 @@ def _q_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup pairs over synthesized 8x8 P6 PPM payloads: docs in
+    the same ``doc_id % 25`` group share one md5-derived raster (exact
+    perceptual duplicates, hamming 0), and every fifth doc additionally
+    perturbs the first raster bytes (a near-duplicate at small hamming).
+    average_hash runs through the live PPM decode in mapInPandas, pairs
+    come from the generic banded hamming join.  Rows-only at the gate
+    (binary image decode is not SQL-expressible; the hash and pairing
+    semantics are pytest-pinned in tests/test_image_dedup.py)."""
+    from ..functions.multimodal import image_near_dup_pairs
+
+    docs = _docs(spark, sf_dir)
+    group = (F.col("doc_id") % 25).cast("string")
+    base = F.concat(
+        *[F.md5(F.concat(F.lit(f"img{k}:"), group)) for k in range(6)]
+    )  # 6 x 32 ASCII chars = 192 raster bytes = 8x8 RGB
+    perturbed = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                 F.substring(base, 9, 184)),
+    ).otherwise(base)
+    media = docs.select(
+        "doc_id",
+        F.concat(
+            F.encode(F.lit("P6\n8 8\n255\n"), "UTF-8"),
+            F.encode(perturbed, "UTF-8"),
+        ).alias("content"),
+    )
+    return image_near_dup_pairs(media, max_hamming=5)
+
+
 def _q_audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The LIVE audio-codec path (late round 5): derive 16 deterministic
     int16 samples per doc from the md5 hex of its text, encode them as a
@@ -2128,6 +2159,10 @@ QUERIES: dict[str, Query] = {
     "image_decode_stats": Query(
         _q_image_decode_stats, _IMAGE_DECODE_SQL,
         "live P6 decode through Arrow mapInPandas: dims + channel means"),
+    "image_near_dup": Query(
+        _q_image_near_dup, None,
+        "image average-hash near-dup via banded hamming join (rows-only: "
+        "binary decode; hash semantics pytest-pinned)"),
     "audio_decode_stats": Query(
         _q_audio_decode_stats, _AUDIO_DECODE_SQL,
         "live FLAC encode+decode round trip through Arrow mapInPandas"),

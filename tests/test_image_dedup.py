@@ -1,0 +1,69 @@
+"""Image average-hash dedup (functions/multimodal.py:average_hash /
+image_ahash / image_near_dup_pairs): hash semantics on controlled
+images, perturbation tolerance, cross-cluster separation, the generic
+banding refactor's equivalence, and the registry row."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from simpy__kafka__flink__kafka_spark.functions.multimodal import (
+    average_hash, encode_ppm, image_ahash, image_near_dup_pairs)
+
+
+def _img(pattern: np.ndarray) -> np.ndarray:
+    """Expand an 8x8 0/1 pattern into a 32x32 RGB image (black/white)."""
+    big = np.kron(pattern, np.ones((4, 4), dtype=np.uint8)) * 255
+    return np.stack([big] * 3, axis=-1)
+
+
+def test_average_hash_semantics():
+    half = np.zeros((8, 8), dtype=np.uint8)
+    half[:, 4:] = 1                       # right half bright
+    h = average_hash(_img(half))
+    # exactly the bright cells are set: row-major MSB-first
+    expect = int("".join("1" if half[r, c] else "0"
+                         for r in range(8) for c in range(8)), 2)
+    expect = expect - (1 << 64) if expect >= (1 << 63) else expect
+    assert h == expect
+    # shifting one column flips exactly 8 grid cells -> hamming 8
+    shifted = np.zeros_like(half)
+    shifted[:, 3:] = 1
+    assert bin((average_hash(_img(half)) ^ average_hash(_img(shifted)))
+               & ((1 << 64) - 1)).count("1") == 8
+    # inversion flips every bit
+    assert bin((average_hash(_img(half)) ^ average_hash(_img(1 - half)))
+               & ((1 << 64) - 1)).count("1") == 64
+
+
+def test_near_dup_pairs_cluster_and_separate(spark):
+    base = np.zeros((8, 8), dtype=np.uint8)
+    base[2:6, 2:6] = 1                    # centered square
+    near = base.copy()
+    near[2, 2] = 0                        # one grid cell off -> hamming 1
+    far = 1 - base                        # inverted -> hamming 64
+    rows = [(1, bytearray(encode_ppm(_img(base)))),
+            (2, bytearray(encode_ppm(_img(base)))),   # exact dup of 1
+            (3, bytearray(encode_ppm(_img(near)))),   # near dup
+            (4, bytearray(encode_ppm(_img(far))))]    # far
+    media = spark.createDataFrame(rows, "doc_id long, content binary")
+    sig = {r.doc_id: r.ahash for r in image_ahash(media).collect()}
+    assert sig[1] == sig[2]
+    pairs = {(r.doc_a, r.doc_b): r.hamming
+             for r in image_near_dup_pairs(media, max_hamming=5).collect()}
+    assert pairs[(1, 2)] == 0
+    assert pairs[(1, 3)] == 1 and pairs[(2, 3)] == 1
+    assert all(4 not in p for p in pairs), pairs
+
+
+def test_registry_row_groups_pair(spark, sf_dir):
+    from simpy__kafka__flink__kafka_spark.plans import registry
+
+    q = registry()["image_near_dup"]
+    assert q.oracle is None  # rows-only by policy (binary decode)
+    rows = q.build(spark, sf_dir).collect()
+    assert rows
+    # every pair's members belong to the same synthesized raster group
+    assert all(r.doc_a % 25 == r.doc_b % 25 for r in rows)
+    # exact-duplicate group members pair at hamming 0
+    assert any(r.hamming == 0 for r in rows)
