@@ -244,3 +244,59 @@ def pack_sequences(docs: DataFrame, seq_len: int = 256,
                F.floor((s + n - 1) / seq_len) - F.floor(s / seq_len) + 1)
         .otherwise(F.lit(0)).cast("long").alias("n_seqs_spanned"),
     )
+
+
+def leakage_safe_split(docs: DataFrame,
+                       weights: tuple[int, int, int] = (90, 5, 5),
+                       salt: str = "split-v1",
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Cluster-aware train/val/test split — the leakage guard
+    :func:`salted_split` alone cannot give: near-duplicate documents MUST
+    land in the same split (a train doc whose near-copy sits in test
+    leaks the answer), so the salted draw is keyed on the near-dup
+    CLUSTER id, not the doc id.  Clusters come from the oracled LSH ->
+    Jaccard-verify -> min-label composition (functions/dedup.py); docs
+    in no verified pair are their own singleton cluster.
+
+    Scale shape: the dedup composition's bucketed joins plus ONE salted
+    hash expression — no new shuffle beyond the cluster labeling.
+    Output: (id_col, cluster_id, bucket, split); every member of a
+    cluster shares bucket and split by construction.
+    """
+    from .dedup import minhash_lsh_pairs, near_dup_clusters, verify_jaccard
+    from .text import shingles
+
+    w_train, w_val, w_test = weights
+    if w_train + w_val + w_test != 100:
+        raise ValueError("weights must sum to 100")
+    sh = shingles(docs.select(F.col(id_col).alias("doc_id"),
+                              F.col(text_col).alias("text"))).cache()
+    base = docs.select(F.col(id_col).alias("doc_id"),
+                       F.col(text_col).alias("text"))
+    pairs = verify_jaccard(
+        base, minhash_lsh_pairs(base, shingle_df=sh),
+        threshold=0.5, shingle_df=sh,
+    ).select("doc_a", "doc_b")
+    clusters = near_dup_clusters(pairs)
+    full = base.select("doc_id").join(clusters, "doc_id", "left").select(
+        F.col("doc_id").alias(id_col),
+        F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("cluster_id").cast("string"),
+                               F.lit(":" + salt))), 1, 6),
+            16, 10,
+        ).cast("long") % 100
+    )
+    return full.select(
+        F.col(id_col),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        bucket.alias("bucket"),
+        F.when(bucket < w_train, "train")
+        .when(bucket < w_train + w_val, "val")
+        .otherwise("test")
+        .alias("split"),
+    )

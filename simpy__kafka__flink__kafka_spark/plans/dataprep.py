@@ -2113,6 +2113,42 @@ FROM b
 """
 
 
+def _q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-aware split: the salted draw is keyed on the near-dup
+    cluster id so near-copies never straddle train/test
+    (functions/sampling.py:leakage_safe_split)."""
+    from ..functions.sampling import leakage_safe_split
+
+    return leakage_safe_split(_docs(spark, sf_dir))
+
+
+def _leakage_split_sql() -> str:
+    fold = " + ".join(
+        f"(strpos('0123456789abcdef', substr(h, {i + 1}, 1)) - 1)"
+        f" * {16 ** (5 - i)}"
+        for i in range(6)
+    )
+    return f"""
+WITH cl AS (SELECT * FROM ({_near_dup_clusters_sql()})),
+fl AS (
+  SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN cl USING (doc_id)
+),
+hx AS (
+  SELECT doc_id, cluster_id,
+         md5(CAST(cluster_id AS VARCHAR) || ':split-v1') AS h
+  FROM fl
+),
+b AS (SELECT doc_id, CAST(cluster_id AS BIGINT) AS cluster_id,
+             CAST(({fold}) % 100 AS BIGINT) AS bucket FROM hx)
+SELECT doc_id, cluster_id, bucket,
+       CASE WHEN bucket < 90 THEN 'train'
+            WHEN bucket < 95 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+"""
+
+
 def _q_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import source_stats
 
@@ -2289,6 +2325,10 @@ QUERIES: dict[str, Query] = {
         _q_pack_sequences, _PACK_SEQUENCES_SQL,
         "fixed-length causal-LM sequence packing layout (docs split at "
         "seq_len boundaries; sharded prefix-sum offsets)"),
+    "leakage_safe_split": Query(
+        _q_leakage_safe_split, _leakage_split_sql(),
+        "cluster-aware train/val/test split: near-dups never straddle "
+        "splits (salted draw keyed on the near-dup cluster id)"),
     "pii_scrub": Query(_q_pii_scrub, _pii_scrub_sql(),
                        "regex PII redaction (email/ssn/phone/ipv4), seeded"),
     "salted_split": Query(_q_salted_split, _SALTED_SPLIT_SQL,

@@ -101,3 +101,31 @@ def test_pack_sequences_layout(spark):
     assert (got[4].first_seq, got[4].n_seqs_spanned) == (1, 2)
     # conservation: total tokens == max end offset
     assert max(r.start_offset + r.n_tokens for r in got.values()) == 600
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    from simpy__kafka__flink__kafka_spark.functions.sampling import (
+        leakage_safe_split)
+
+    base = ("the quick brown fox jumps over the lazy dog and keeps on "
+            "running through the field for quite a while longer") * 2
+    rows = [(i, f"unique document number {i} with its own words "
+                f"{'filler word ' * 10}{i}") for i in range(20)]
+    # a 3-member near-dup cluster spread across ids that would hash to
+    # different splits if drawn per-doc
+    rows += [(100, base), (101, base.replace("lazy", "sleepy")),
+             (102, base.replace("fox", "cat"))]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in leakage_safe_split(docs).collect()}
+    assert set(got) == {r[0] for r in rows}
+    # the near-dup trio shares one cluster AND one split
+    assert len({got[d].cluster_id for d in (100, 101, 102)}) == 1
+    assert len({got[d].split for d in (100, 101, 102)}) == 1
+    # singletons cluster as themselves and match salted_split's draw
+    from simpy__kafka__flink__kafka_spark.functions.sampling import (
+        salted_split)
+
+    plain = {r.doc_id: r for r in salted_split(docs).collect()}
+    for d in range(20):
+        assert got[d].cluster_id == d
+        assert got[d].split == plain[d].split
