@@ -193,3 +193,58 @@ def extract_links(df: DataFrame, html_col: str = "html",
         F.size(uniq).cast("long").alias("n_unique_targets"),
         F.md5(F.array_join(uniq, "\n")).alias("targets_hash"),
     )
+
+
+# Hashing-trick linear quality scorer -----------------------------------------
+
+HASH_DIM = 4096          # feature buckets (fastText-style hashing trick)
+
+
+def _bucket_weight(bucket: Column) -> Column:
+    """Deterministic integer weight for a feature bucket: md5-hex fold of
+    'w:<bucket>' mapped to [-500, 500].  A stand-in weight vector with
+    the exact storage/plan shape of a trained one (production swaps in
+    learned weights via the same broadcast column expression); integer
+    weights keep the logit EXACT on both engines."""
+    return (
+        F.conv(F.substring(F.md5(F.concat(F.lit("w:"),
+                                          bucket.cast("string"))), 1, 6),
+               16, 10).cast("long") % 1001 - 500
+    )
+
+
+def linear_quality_score(df: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text",
+                         dim: int = HASH_DIM) -> DataFrame:
+    """Classifier-based quality filtering in the fastText shape (the
+    GPT-3/LLaMA corpus-filter step): every word hashes into one of
+    ``dim`` feature buckets (hashing trick — no vocabulary table at any
+    corpus size) and the document logit is the sum of its buckets'
+    weights, counted WITH multiplicity.  Weights here are the
+    deterministic :func:`_bucket_weight` stand-in so the whole operator
+    is integer-exact and oracle-checkable; a trained model drops into
+    the same expression.  The mean weight (logit / n_words) is the
+    length-normalized score a threshold filter consumes.
+
+    Zero-shuffle: per-row array expressions only.
+    Output: (id_col, n_words, logit, mean_weight).
+    """
+    from .text import words
+
+    ws = words(text_col)
+    bucket = lambda w: (  # noqa: E731
+        F.conv(F.substring(F.md5(w), 1, 6), 16, 10).cast("long") % dim
+    )
+    logit = F.aggregate(
+        ws, F.lit(0).cast("long"),
+        lambda acc, w: acc + _bucket_weight(bucket(w)),
+    )
+    n = F.size(ws)
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_words"),
+        logit.alias("logit"),
+        F.round(
+            F.when(n > 0, logit.cast("double") / n.cast("double"))
+            .otherwise(F.lit(0.0)), 6).alias("mean_weight"),
+    )

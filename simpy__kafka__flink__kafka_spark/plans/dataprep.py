@@ -2149,6 +2149,45 @@ FROM b
 """
 
 
+def _q_linear_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-shape classifier quality scoring: hashing-trick features,
+    integer bucket weights, exact logit
+    (functions/quality.py:linear_quality_score)."""
+    from ..functions.quality import linear_quality_score
+
+    return linear_quality_score(_docs(spark, sf_dir))
+
+
+def _linear_quality_sql() -> str:
+    from ..functions.quality import HASH_DIM
+
+    word_fold = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5(x), {i + 1}, 1)) - 1)"
+        f" * {16 ** (5 - i)}"
+        for i in range(6)
+    )
+    w_fold = " + ".join(
+        "(strpos('0123456789abcdef', substr(md5('w:' || "
+        f"CAST(({word_fold}) % {HASH_DIM} AS VARCHAR)), {i + 1}, 1)) - 1)"
+        f" * {16 ** (5 - i)}"
+        for i in range(6)
+    )
+    return f"""
+WITH {_WORDS_CTE},
+m AS (
+  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+         CAST(COALESCE(list_sum(list_transform(ws,
+           x -> ({w_fold}) % 1001 - 500)), 0) AS BIGINT) AS logit
+  FROM w
+)
+SELECT doc_id, n_words, logit,
+       CASE WHEN n_words > 0
+            THEN round(CAST(logit AS DOUBLE) / CAST(n_words AS DOUBLE), 6)
+            ELSE 0.0 END AS mean_weight
+FROM m
+"""
+
+
 def _q_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import source_stats
 
@@ -2329,6 +2368,10 @@ QUERIES: dict[str, Query] = {
         _q_leakage_safe_split, _leakage_split_sql(),
         "cluster-aware train/val/test split: near-dups never straddle "
         "splits (salted draw keyed on the near-dup cluster id)"),
+    "linear_quality_score": Query(
+        _q_linear_quality_score, _linear_quality_sql(),
+        "fastText-shape classifier quality scorer: hashing-trick "
+        "features, integer bucket weights, exact logit"),
     "pii_scrub": Query(_q_pii_scrub, _pii_scrub_sql(),
                        "regex PII redaction (email/ssn/phone/ipv4), seeded"),
     "salted_split": Query(_q_salted_split, _SALTED_SPLIT_SQL,

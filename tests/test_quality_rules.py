@@ -94,3 +94,27 @@ def test_quality_plans_have_no_exchange(spark):
     for df in (c4_sentence_filter(docs), gopher_quality(docs)):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
+
+
+def test_linear_quality_score_exactness(spark):
+    from simpy__kafka__flink__kafka_spark.functions.quality import (
+        linear_quality_score)
+
+    docs = _docs(spark, [(1, "alpha beta alpha"), (2, "alpha"),
+                         (3, ""), (4, "beta beta beta")])
+    got = {r.doc_id: r for r in linear_quality_score(docs).collect()}
+    # multiplicity: doc 1's logit = 2*w(alpha) + w(beta)
+    w_alpha = got[2].logit
+    w_beta = got[4].logit // 3
+    assert got[4].logit == 3 * w_beta
+    assert got[1].logit == 2 * w_alpha + w_beta
+    # weights live in [-500, 500]
+    assert -500 <= w_alpha <= 500 and -500 <= w_beta <= 500
+    # determinism across runs
+    again = {r.doc_id: r.logit
+             for r in linear_quality_score(docs).collect()}
+    assert {d: got[d].logit for d in got} == again
+    # zero-shuffle plan
+    plan = linear_quality_score(docs)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "Exchange" not in plan
