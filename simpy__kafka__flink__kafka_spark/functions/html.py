@@ -148,3 +148,50 @@ def synthesize_page(id_col: str = "doc_id",
               "Policy</a> <a href=\"/terms\">Terms of Service</a> "
               "<a href=\"/contact\">Contact</a></footer></body></html>"),
     )
+
+
+# --- WARC ingestion ----------------------------------------------------------
+# The step BEFORE extraction in a real web pipeline: CommonCrawl ships
+# WARC streams (record header block, blank line, payload).  Parsing is
+# pure string codegen — record split on the version marker, header
+# fields by regexp (RE2/Java common subset), payload by the first blank
+# line — so the DuckDB oracle runs the identical arithmetic.
+
+WARC_MARKER = "WARC/1.0\r\n"
+WARC_SPLIT_RE = "WARC/1\\.0\\r\\n"     # the marker as an escaped regex
+WARC_TYPE_RE = r"WARC-Type: ([^\r]*)"
+WARC_URI_RE = r"WARC-Target-URI: ([^\r]*)"
+WARC_CLEN_RE = r"Content-Length: ([0-9]+)"
+
+
+def parse_warc_records(df: DataFrame, warc_col: str = "warc",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Explode a WARC stream (concatenated ``WARC/1.0`` records) into one
+    row per record with parsed headers and the payload: record index in
+    stream order, WARC-Type, WARC-Target-URI, declared Content-Length,
+    whether the payload length matches the declaration, and the payload
+    itself.  Zero-shuffle (split + posexplode + regexp per row).
+    Output: (id_col, rec_idx, warc_type, target_uri, content_length,
+    payload_ok: int, payload).
+    """
+    recs = F.split(F.col(warc_col), WARC_SPLIT_RE, -1)
+    exploded = df.select(
+        F.col(id_col), F.posexplode(recs).alias("rec_idx", "_rec")
+    ).where(F.length("_rec") > 0)
+    # payload starts after the first blank line (header/payload divider)
+    div = F.instr(F.col("_rec"), "\r\n\r\n")
+    payload = F.when(div > 0, F.substring(
+        F.col("_rec"), div + 4, F.lit(2_000_000_000))).otherwise(F.lit(""))
+    clen_s = F.regexp_extract("_rec", WARC_CLEN_RE, 1)
+    # '' (no Content-Length header) would throw under ANSI cast
+    clen = F.when(clen_s != "", clen_s.cast("long"))
+    return exploded.select(
+        F.col(id_col),
+        # records are 1-blank-prefixed by the consumed marker: re-rank
+        (F.col("rec_idx") - 1).cast("long").alias("rec_idx"),
+        F.regexp_extract("_rec", WARC_TYPE_RE, 1).alias("warc_type"),
+        F.regexp_extract("_rec", WARC_URI_RE, 1).alias("target_uri"),
+        F.coalesce(clen, F.lit(-1)).alias("content_length"),
+        (F.length(payload) == clen).cast("int").alias("payload_ok"),
+        payload.alias("payload"),
+    )

@@ -1566,6 +1566,94 @@ def _sentencified(text_col: str = "text"):
 _SENT_SQL = r"regexp_replace({c}, '((\S+ ){{11}}\S+) ', '\1. ', 'g')"
 
 
+def _q_warc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC ingestion — the step BEFORE extraction in a CommonCrawl-shaped
+    pipeline: synthesize a two-record WARC stream per doc (a response
+    record carrying the synthesized HTML page + a metadata record), parse
+    it back with functions/html.py:parse_warc_records, and emit parsed
+    headers + a payload fingerprint.  Synthesis simplification: payloads
+    run to the next record marker (no trailing CRLF pair), so declared
+    Content-Length must equal the parsed payload length exactly —
+    payload_ok is a per-record parser self-check the gate hashes."""
+    from ..functions.html import parse_warc_records, synthesize_page
+
+    docs = _docs(spark, sf_dir)
+    crlf = "\r\n"
+    page = synthesize_page()
+    meta = F.concat(F.lit("fetchTimeMs: "), F.col("doc_id").cast("string"))
+    uri = F.concat(F.lit("https://site-"),
+                   (F.col("doc_id") % 17).cast("string"),
+                   F.lit(".example.com/page/"),
+                   F.col("doc_id").cast("string"))
+    warc = F.concat(
+        F.lit("WARC/1.0" + crlf + "WARC-Type: response" + crlf
+              + "WARC-Target-URI: "), uri,
+        F.lit(crlf + "Content-Length: "),
+        F.length(page).cast("string"),
+        F.lit(crlf + crlf), page,
+        F.lit("WARC/1.0" + crlf + "WARC-Type: metadata" + crlf
+              + "Content-Length: "),
+        F.length(meta).cast("string"),
+        F.lit(crlf + crlf), meta,
+    )
+    src = docs.select("doc_id", warc.alias("warc"))
+    return parse_warc_records(src).select(
+        "doc_id", "rec_idx", "warc_type", "target_uri", "content_length",
+        "payload_ok", F.md5("payload").alias("payload_md5"),
+    )
+
+
+def _warc_parse_sql() -> str:
+    from ..functions.html import WARC_CLEN_RE, WARC_TYPE_RE, WARC_URI_RE
+
+    crlf = "chr(13) || chr(10)"
+    return ("""
+WITH """ + _synth_page_cte() + f""",
+wsrc AS (
+  SELECT doc_id,
+         'WARC/1.0' || {crlf} || 'WARC-Type: response' || {crlf} ||
+         'WARC-Target-URI: https://site-' ||
+         CAST(doc_id % 17 AS VARCHAR) || '.example.com/page/' ||
+         CAST(doc_id AS VARCHAR) || {crlf} ||
+         'Content-Length: ' || CAST(length(html) AS VARCHAR) ||
+         {crlf} || {crlf} || html ||
+         'WARC/1.0' || {crlf} || 'WARC-Type: metadata' || {crlf} ||
+         'Content-Length: ' ||
+         CAST(length('fetchTimeMs: ' || CAST(doc_id AS VARCHAR))
+              AS VARCHAR) ||
+         {crlf} || {crlf} || 'fetchTimeMs: ' || CAST(doc_id AS VARCHAR)
+           AS warc
+  FROM page
+),
+r AS (
+  SELECT doc_id,
+         unnest(string_split(warc, 'WARC/1.0' || {crlf})) AS rec,
+         generate_subscripts(string_split(warc, 'WARC/1.0' || {crlf}), 1)
+           AS i
+  FROM wsrc
+),
+p AS (
+  SELECT doc_id, CAST(i - 2 AS BIGINT) AS rec_idx, rec,
+         strpos(rec, {crlf} || {crlf}) AS dv,
+         regexp_extract(rec, '{WARC_TYPE_RE}', 1) AS warc_type,
+         regexp_extract(rec, '{WARC_URI_RE}', 1) AS target_uri,
+         regexp_extract(rec, '{WARC_CLEN_RE}', 1) AS cl
+  FROM r WHERE length(rec) > 0
+),
+q AS (
+  SELECT doc_id, rec_idx, warc_type, target_uri,
+         COALESCE(CAST(NULLIF(cl, '') AS BIGINT), -1) AS content_length,
+         CASE WHEN dv > 0 THEN substr(rec, dv + 4) ELSE '' END AS payload
+  FROM p
+)
+SELECT doc_id, rec_idx, warc_type, target_uri, content_length,
+       CASE WHEN length(payload) = content_length THEN 1 ELSE 0 END
+         AS payload_ok,
+       md5(payload) AS payload_md5
+FROM q
+""")
+
+
 def _q_c4_sentence_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style sentence cleanup (Raffel et al. 2020): sentences under 3
     words dropped, docs with under 3 surviving sentences or a blocklist
@@ -2332,6 +2420,10 @@ QUERIES: dict[str, Query] = {
         _q_extract_links, _extract_links_sql(),
         "outlink extraction over the synthesized pages (raw + distinct "
         "href targets, fingerprinted)"),
+    "warc_parse": Query(
+        _q_warc_parse, _warc_parse_sql(),
+        "WARC record parsing over synthesized two-record streams "
+        "(headers + Content-Length self-check + payload fingerprint)"),
     "c4_sentence_filter": Query(
         _q_c4_sentence_filter, _C4_FILTER_SQL,
         "C4 sentence cleanup: short sentences dropped, blocklisted or "

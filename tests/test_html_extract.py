@@ -135,3 +135,37 @@ def test_registry_row_synthesis_roundtrip(spark, sf_dir):
         norm = " ".join(texts[did].split())
         for sent in row["main_text"].split(". "):
             assert sent.rstrip(".") in norm
+
+
+def test_warc_parser_records_and_edges(spark):
+    from pyspark.sql import functions as F
+
+    from simpy__kafka__flink__kafka_spark.functions.html import (
+        parse_warc_records)
+
+    crlf = "\r\n"
+    body = "<p>the quick brown fox jumps over the lazy dog today</p>"
+    good = (f"WARC/1.0{crlf}WARC-Type: response{crlf}"
+            f"WARC-Target-URI: https://ex.com/a{crlf}"
+            f"Content-Length: {len(body)}{crlf}{crlf}{body}")
+    short = (f"WARC/1.0{crlf}WARC-Type: response{crlf}"
+             f"Content-Length: 9999{crlf}{crlf}tiny")      # length lies
+    noheader = f"WARC/1.0{crlf}garbage without divider"
+    df = spark.createDataFrame(
+        [(1, good + short + noheader)], "doc_id long, warc string")
+    got = {r.rec_idx: r for r in parse_warc_records(df).collect()}
+    assert len(got) == 3
+    assert got[0].warc_type == "response"
+    assert got[0].target_uri == "https://ex.com/a"
+    assert got[0].payload_ok == 1 and got[0].payload == body
+    assert got[1].payload_ok == 0                      # declared != actual
+    assert got[2].content_length == -1                 # no header at all
+    assert got[2].payload == ""
+    # the parsed payload feeds the extractor directly (WARC -> HTML chain)
+    from simpy__kafka__flink__kafka_spark.functions.html import (
+        extract_main_content)
+
+    html_rows = parse_warc_records(df).where("rec_idx = 0").select(
+        "doc_id", F.col("payload").alias("html"))
+    ex = extract_main_content(html_rows).collect()[0]
+    assert "quick brown fox" in ex.main_text
