@@ -657,6 +657,77 @@ def _q_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_near_dup_pairs(media, max_hamming=5)
 
 
+def _q_image_ahash_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The strongest multimodal correctness claim in the registry: the
+    REAL decode path (vendored P6 PPM decoder -> perceptual average_hash
+    in Arrow mapInPandas) hash-checked against a DuckDB oracle that
+    never touches image bytes — it recomputes every pixel, the grayscale
+    means, and the packed hash purely from the md5-character arithmetic
+    of the synthesized raster.  Any decoder or hash regression flips
+    hex digits and mismatches at the gate.  Same payload synthesis as
+    image_near_dup (8x8 PPM, clustered + perturbed)."""
+    from ..functions.multimodal import image_ahash
+
+    docs = _docs(spark, sf_dir)
+    group = (F.col("doc_id") % 25).cast("string")
+    base = F.concat(
+        *[F.md5(F.concat(F.lit(f"img{k}:"), group)) for k in range(6)]
+    )
+    perturbed = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                 F.substring(base, 9, 184)),
+    ).otherwise(base)
+    media = docs.select(
+        "doc_id",
+        F.concat(
+            F.encode(F.lit("P6\n8 8\n255\n"), "UTF-8"),
+            F.encode(perturbed, "UTF-8"),
+        ).alias("content"),
+    )
+    # signed-long aHash -> canonical 16-digit lowercase hex
+    return image_ahash(media).select(
+        "doc_id",
+        F.lpad(F.lower(F.hex("ahash")), 16, "0").alias("ahash_hex"),
+    )
+
+
+def _image_ahash_sql() -> str:
+    # the synthesized raster, byte-for-byte (ASCII codes of md5 chars)
+    base = " || ".join(
+        f"md5('img{k}:' || CAST(doc_id % 25 AS VARCHAR))" for k in range(6)
+    )
+    grays = ", ".join(
+        f"(ascii(substr(r, {3 * p + 1}, 1)) + ascii(substr(r, {3 * p + 2},"
+        f" 1)) + ascii(substr(r, {3 * p + 3}, 1))) // 3"
+        for p in range(64)
+    )
+    mean = " + ".join(f"g[{p + 1}]" for p in range(64))
+    hex_digits = " || ".join(
+        "substr('0123456789abcdef', "
+        + " + ".join(
+            f"CASE WHEN g[{4 * k + b + 1}] >= m THEN {2 ** (3 - b)} "
+            "ELSE 0 END"
+            for b in range(4)
+        )
+        + " + 1, 1)"
+        for k in range(16)
+    )
+    return f"""
+WITH rast AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0
+              THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) ||
+                   substr({base}, 9, 184)
+              ELSE {base} END AS r
+  FROM documents
+),
+gr AS (SELECT doc_id, [{grays}] AS g FROM rast),
+mn AS (SELECT doc_id, g, ({mean}) // 64 AS m FROM gr)
+SELECT doc_id, {hex_digits} AS ahash_hex FROM mn
+"""
+
+
 def _q_audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The LIVE audio-codec path (late round 5): derive 16 deterministic
     int16 samples per doc from the md5 hex of its text, encode them as a
@@ -2325,7 +2396,12 @@ QUERIES: dict[str, Query] = {
     "image_near_dup": Query(
         _q_image_near_dup, None,
         "image average-hash near-dup via banded hamming join (rows-only: "
-        "binary decode; hash semantics pytest-pinned)"),
+        "pair semantics pytest-pinned; the hash itself is oracled by "
+        "image_ahash_oracle)"),
+    "image_ahash_oracle": Query(
+        _q_image_ahash_oracle, _image_ahash_sql(),
+        "REAL PPM decode + perceptual aHash vs a pure-arithmetic DuckDB "
+        "twin (pixels, means, and packed hash recomputed from md5 chars)"),
     "audio_decode_stats": Query(
         _q_audio_decode_stats, _AUDIO_DECODE_SQL,
         "live FLAC encode+decode round trip through Arrow mapInPandas"),

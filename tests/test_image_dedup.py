@@ -67,3 +67,30 @@ def test_registry_row_groups_pair(spark, sf_dir):
     assert all(r.doc_a % 25 == r.doc_b % 25 for r in rows)
     # exact-duplicate group members pair at hamming 0
     assert any(r.hamming == 0 for r in rows)
+
+
+def test_image_ahash_oracle_row(spark, sf_dir):
+    # the real-decoder row must agree with the pure-arithmetic oracle
+    # (gate-checked at sf0.01; here pinned at sf0.001 alongside a direct
+    # re-derivation of one doc's hash from the synthesized raster)
+    from tests.oracle_utils import normalize, run_oracle
+
+    from simpy__kafka__flink__kafka_spark.plans import registry
+
+    q = registry()["image_ahash_oracle"]
+    assert q.oracle is not None
+    sp = q.build(spark, sf_dir).toPandas()
+    assert normalize(sp) == normalize(run_oracle(q.oracle, sf_dir))
+    # independent pure-python re-derivation for doc 1 (doc 0 is in the
+    # perturbed doc_id % 5 == 0 branch; doc 1 uses the plain group raster)
+    import hashlib
+
+    base = "".join(hashlib.md5(f"img{k}:1".encode()).hexdigest()
+                   for k in range(6))
+    grays = [(ord(base[3 * p]) + ord(base[3 * p + 1])
+              + ord(base[3 * p + 2])) // 3 for p in range(64)]
+    mean = sum(grays) // 64
+    bits = "".join("1" if g >= mean else "0" for g in grays)
+    want = f"{int(bits, 2):016x}"
+    got = sp.set_index("doc_id").loc[1, "ahash_hex"]
+    assert got == want
