@@ -26,19 +26,23 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Each builder is wrapped to drop the PREVIOUS query's pinned caches
-    before building: several plan builders ``cache()`` shared subtrees
-    (shingle scans, LSH candidate frames) that a lazy registry consumer
-    has no hook to unpersist after collecting, so a long sequential drive
-    (the driver's 50-query gate) would otherwise accumulate pinned
-    partitions across queries.  Clearing at the NEXT build keeps
-    accumulation bounded to one query's working set and never touches a
-    cache that is still in use (the previous result has been collected by
-    the time the next build is requested).  bench.py manages its own
-    cache lifecycle and calls ``registry()`` directly, bypassing this."""
+    before building: several plan builders cache shared subtrees (shingle
+    scans, LSH candidate frames) that a lazy registry consumer has no
+    hook to unpersist after collecting, so a long sequential drive (the
+    driver's 50-query gate) would otherwise accumulate pinned partitions
+    across queries.  Builders pin via ``cachepin.pin``, and the wrapper
+    unpersists exactly those tracked frames (``unpin_all``) — consumer-
+    owned caches and still-pending earlier results are untouched (the
+    former ``clearCache()`` dropped everything in the session).  Clearing
+    at the NEXT build keeps accumulation bounded to one query's working
+    set.  bench.py manages its own cache lifecycle and calls
+    ``registry()`` directly, bypassing this."""
+
+    from simpy__kafka__flink__kafka_spark.cachepin import unpin_all
 
     def wrap(build: Callable[[SparkSession, str], DataFrame]):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-            spark.catalog.clearCache()
+            unpin_all()
             return build(spark, sf_dir)
 
         return run

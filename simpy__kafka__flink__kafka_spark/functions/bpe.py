@@ -384,7 +384,11 @@ def bpe_export(merges: list[tuple[str, str, int]]) -> str:
     """Serialize a trained merge list to a JSON artifact (version-tagged,
     rank-ordered — the interchange shape HF tokenizer.json carries in its
     ``model.merges`` section).  Round-trips exactly via
-    :func:`bpe_import`; the counts ride along for provenance."""
+    :func:`bpe_import` for well-formed (trainer-produced) merge lists;
+    a hand-crafted fold-only list that is NOT well-formed serializes fine
+    but needs ``bpe_import(..., validate=False)`` to come back (and is
+    then safe only with the sequential fold applier, not the
+    rank-priority one).  The counts ride along for provenance."""
     import json
 
     return json.dumps({
@@ -395,10 +399,14 @@ def bpe_export(merges: list[tuple[str, str, int]]) -> str:
     }, ensure_ascii=False)
 
 
-def bpe_import(artifact: str) -> list[tuple[str, str, int]]:
+def bpe_import(artifact: str,
+               validate: bool = True) -> list[tuple[str, str, int]]:
     """Parse a :func:`bpe_export` artifact back to the ordered merge
-    list, validating the format tag, rank contiguity, and (for safe use
-    with the rank-priority applier) well-formedness."""
+    list, validating the format tag, rank contiguity, and (by default)
+    well-formedness — the property the rank-priority applier
+    (:func:`segment_words_ranked`) requires.  Pass ``validate=False`` to
+    import a fold-only (non-well-formed) merge list; such a list is safe
+    only with the sequential fold applier."""
     import json
 
     doc = json.loads(artifact)
@@ -408,5 +416,6 @@ def bpe_import(artifact: str) -> list[tuple[str, str, int]]:
     if [m["rank"] for m in rows] != list(range(len(rows))):
         raise ValueError("merge ranks must be contiguous from 0")
     merges = [(m["left"], m["right"], int(m["count"])) for m in rows]
-    _validate_merge_ranks(merges)
+    if validate:
+        _validate_merge_ranks(merges)
     return merges

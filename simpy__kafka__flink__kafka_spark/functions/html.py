@@ -35,8 +35,18 @@ from pyspark.sql import functions as F
 # shared dialect (no lookarounds, no backreferences).
 SCRIPT_RE = r"(?is)<script[^>]*>.*?</script>"
 STYLE_RE = r"(?is)<style[^>]*>.*?</style>"
-BLOCK_SPLIT_RE = (r"(?i)</(?:p|div|li|h1|h2|h3|h4|h5|h6|nav|header|footer"
-                  r"|section|article|td|blockquote|ul|ol|table|tr)>")
+_BLOCK_TAGS = (r"p|div|li|h1|h2|h3|h4|h5|h6|nav|header|footer"
+               r"|section|article|td|blockquote|ul|ol|table|tr")
+# Split at closing AND opening block tags plus <br>: real crawl HTML
+# routinely leaves block elements unclosed (<p> without </p>,
+# <br>-separated text), and closing-only segmentation merged such
+# regions into one oversized block whose aggregate link density could
+# misclassify everything in it (round-7 verdict).  Opening-tag splits on
+# well-formed pages only add empty fragments, which the txt_len > 0
+# filter drops.
+BLOCK_SPLIT_RE = (r"(?i)</(?:" + _BLOCK_TAGS + r")>"
+                  r"|<(?:" + _BLOCK_TAGS + r")(?:\s[^>]*)?>"
+                  r"|<br\s*/?>")
 TAG_RE = r"<[^>]*>"
 ANCHOR_RE = r"(?is)<a[^>]*>(.*?)</a>"
 WS_RE = r"\s+"
@@ -192,6 +202,10 @@ def parse_warc_records(df: DataFrame, warc_col: str = "warc",
         F.regexp_extract("_rec", WARC_TYPE_RE, 1).alias("warc_type"),
         F.regexp_extract("_rec", WARC_URI_RE, 1).alias("target_uri"),
         F.coalesce(clen, F.lit(-1)).alias("content_length"),
-        (F.length(payload) == clen).cast("int").alias("payload_ok"),
+        # a record with no Content-Length header has clen NULL — the
+        # comparison is NULL, but the documented contract (and the DuckDB
+        # oracle's CASE ... ELSE 0) is int 0 for "cannot verify"
+        F.coalesce((F.length(payload) == clen).cast("int"), F.lit(0))
+        .alias("payload_ok"),
         payload.alias("payload"),
     )

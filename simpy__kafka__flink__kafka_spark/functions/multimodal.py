@@ -703,16 +703,21 @@ def image_ahash(media: DataFrame, id_col: str = "doc_id",
 
 def image_near_dup_pairs(media: DataFrame, max_hamming: int = 5,
                          id_col: str = "doc_id",
-                         content_col: str = "content") -> DataFrame:
+                         content_col: str = "content",
+                         sig_df: DataFrame | None = None) -> DataFrame:
     """Image near-dup candidate pairs — the LAION-style image-dedup step,
     tying the live-codec family to the dedup family: average-hash
     signatures (:func:`image_ahash`) through the generic banded hamming
     join (functions/dedup.py:hamming_near_dup_pairs).  Same 100 TB
     posture as text SimHash: signatures are one decode scan, candidates
     come from a (segment, value) equi-join, never an all-pairs product.
-    Output: (doc_a, doc_b, hamming)."""
+    Pass ``sig_df`` (an :func:`image_ahash`-shaped frame) to share one
+    signature computation across several consumers — the same economy
+    minhash's ``shingle_df`` buys; without it every call re-runs the
+    decode scan.  Output: (doc_a, doc_b, hamming)."""
     from .dedup import hamming_near_dup_pairs
 
-    sig = image_ahash(media, id_col=id_col, content_col=content_col)
+    sig = sig_df if sig_df is not None else image_ahash(
+        media, id_col=id_col, content_col=content_col)
     return hamming_near_dup_pairs(sig, max_hamming=max_hamming, bits=64,
                                   id_col=id_col, hash_col="ahash")

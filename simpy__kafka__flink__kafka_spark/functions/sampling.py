@@ -270,8 +270,10 @@ def leakage_safe_split(docs: DataFrame,
     w_train, w_val, w_test = weights
     if w_train + w_val + w_test != 100:
         raise ValueError("weights must sum to 100")
-    sh = shingles(docs.select(F.col(id_col).alias("doc_id"),
-                              F.col(text_col).alias("text"))).cache()
+    from ..cachepin import pin
+
+    sh = pin(shingles(docs.select(F.col(id_col).alias("doc_id"),
+                                  F.col(text_col).alias("text"))))
     base = docs.select(F.col(id_col).alias("doc_id"),
                        F.col(text_col).alias("text"))
     pairs = verify_jaccard(

@@ -291,11 +291,12 @@ def embedding_near_dup_ivf(emb: DataFrame, threshold: float = 0.92,
     # Squared norm precomputed per VECTOR (not per pair): the pair stage then
     # does one fold (the dot product) instead of three.  Cached because the
     # assign+norm subtree feeds both sides of the in-cell self-join.
-    cells = (
+    from ..cachepin import pin
+
+    cells = pin(
         emb.select("vec_id", "embedding")
         .join(assign, "vec_id")
         .withColumn("n2", dot(F.col("embedding"), F.col("embedding")))
-        .cache()
     )
     a = cells.select(
         "cell_id", F.col("vec_id").alias("vec_a"),

@@ -1025,13 +1025,14 @@ def exact_substring_profile_and_rewrite(
         raise ValueError(f"unknown method {method!r} (full | window | anchor)")
     wg = W.partitionBy("g")
     wgo = wg.orderBy(id_col, "p")
-    hits = (
+    from ..cachepin import pin
+
+    hits = pin(
         pos.withColumn("_lo", F.min(id_col).over(wg))
         .withColumn("_hi", F.max(id_col).over(wg))
         .withColumn("_rn", F.row_number().over(wgo))
         .where(F.col("_lo") != F.col("_hi"))
         .select(F.col(id_col), "p", "_rn")
-        .cache()
     )
 
     def _spans(h: DataFrame) -> DataFrame:

@@ -31,11 +31,12 @@ from pyspark.sql import Window as W
 
 
 def _ranged(df: DataFrame, order_cols: list[str], n_parts: int) -> DataFrame:
-    return (
+    from ..cachepin import pin
+
+    return pin(
         df.repartitionByRange(n_parts, *[F.col(c) for c in order_cols])
         .sortWithinPartitions(*order_cols)
         .withColumn("_pid", F.spark_partition_id())
-        .cache()
     )
 
 

@@ -35,7 +35,7 @@ CHECKED_FIRST = [
     # watermark_sharded) and trace_roots (its root set is a projection of
     # chain_stats' BFS output) demoted to the oracled pytest-checked tail,
     # funding gate rows for the round-6 additions below
-    "watermark_sharded", "emit_at_watermark", "parse_props_lenient",
+    "watermark_sharded", "parse_props_lenient",
     "serialize_json", "timestamp_arith", "string_format", "array_membership",
     "counter_ids_sharded",
     # trace analytics over the linked DAG (fanout_histogram — a simple
@@ -55,20 +55,28 @@ CHECKED_FIRST = [
     # to the oracled tail; the round-6 training-data additions
     # contamination_overlap / rare_bigram_rate / profile_orders /
     # pq_topk_rerank take the four freed slots below
+    # round-8 rotation (VERDICT r07 task #1): pq_topk_rerank (rows-only BY
+    # POLICY — it could never hash-green; recall >= 0.9 stays pytest-pinned
+    # in the tail), minhash_lsh_pairs (subsumed: near_dup_verified's oracle
+    # embeds the full LSH banding as its candidate CTE), emit_at_watermark
+    # (same watermark oracle family as the checked watermark_sharded), and
+    # multimodal_frames (vs the checked multimodal_features, same codec
+    # path) demoted to the oracled pytest-checked tail, funding gate rows
+    # for the round-7 web front door + sketch additions below
     "token_count", "exact_dedup", "winnow_fingerprints",
-    "language_id", "quality_score", "near_dup_clusters", "minhash_lsh_pairs",
-    "dedup_survivors", "near_dup_verified", "multimodal_frames",
+    "language_id", "quality_score", "near_dup_clusters",
+    "dedup_survivors", "near_dup_verified",
     "simhash_near_dup",
     "cosine_topk", "ivf_topk", "embedding_near_dup_verified",
     "quantize_embeddings", "pack_token_shards", "tfidf_top_terms",
     "corpus_prep_full", "multimodal_features",
     # round-6 additions promoted round 7: fuzzy decontamination, bigram
-    # novelty, single-pass table profiling, and the PQ shortlist+re-rank
-    # pipeline (rows-only BY POLICY — ANN scores aren't SQL-expressible;
-    # the driver records the weaker rows-only check for it, recall is
-    # pytest-pinned >= 0.9)
+    # novelty, single-pass table profiling
     "contamination_overlap", "rare_bigram_rate", "profile_orders",
-    "pq_topk_rerank",
+    # round-7 web front door + hashed linear scorer + CMS sketch, promoted
+    # round 8 (all oracled, array-free schemas — driver-hashable)
+    "warc_parse", "html_extract_main", "web_prep_full",
+    "linear_quality_score", "ngram_cms_counts",
     # round-3 training-data additions (contamination scan + deterministic
     # temperature mix), plus repetition_ratio / vocab_coverage promoted in
     # round 4 (VERDICT r03 task #6) into the slots freed below
@@ -83,10 +91,14 @@ CHECKED_FIRST = [
     # the slot); round 6 adds the char-span removal twin
     # exact_substring_rewrite (VERDICT r05 task #2), funded by demoting
     # chunk_documents (zero-shuffle pure codegen, headline-benched and
-    # oracled in the tail) — the substr family now has both profile and
-    # rewrite gate rows
+    # oracled in the tail).  Round-8 rotation: the two standalone
+    # ExactSubstr rows are demoted in favor of the FUSED twin
+    # exact_substring_profile_rewrite, which emits both the profile and
+    # the rewrite columns off ONE gram-window exchange (0.479x the pair,
+    # column-identical pytest) — one gate row now proves both semantics
+    # AND the scale-shaped fused plan
     "passage_dedup", "passage_rewrite",
-    "audio_decode_stats", "exact_substring_spans", "exact_substring_rewrite",
+    "audio_decode_stats", "exact_substring_profile_rewrite",
     # relational surface (bonus operators beyond the reference; demoted
     # twins — customers_without_orders, parts_with_cheap_supply,
     # above_avg_orders in r2, brand_set_ops + pivot_status in r3,

@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import dedup, similarity
+from ..cachepin import pin
 from ..functions.text import (LANGS, STOPWORDS, language_id, quality_score,
                               token_count, words)
 from . import Query
@@ -211,8 +212,8 @@ def _q_near_dup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sf0.1 to interpreted higher-order-function overhead, and a
     # distinct-first shared scan re-adds a full exchange — this shape
     # measured fastest cold
-    sh = shingles(docs).cache()
-    cand = dedup.minhash_lsh_pairs(docs, shingle_df=sh).cache()
+    sh = pin(shingles(docs))
+    cand = pin(dedup.minhash_lsh_pairs(docs, shingle_df=sh))
     return dedup.verify_jaccard(docs, cand, threshold=0.5, shingle_df=sh)
 
 
@@ -248,7 +249,7 @@ def _q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import shingles
 
     docs = _docs(spark, sf_dir)
-    sh = shingles(docs).cache()
+    sh = pin(shingles(docs))
     pairs = dedup.verify_jaccard(
         docs, dedup.minhash_lsh_pairs(docs, shingle_df=sh),
         threshold=0.5, shingle_df=sh,
@@ -632,9 +633,13 @@ def _q_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     perceptual duplicates, hamming 0), and every fifth doc additionally
     perturbs the first raster bytes (a near-duplicate at small hamming).
     average_hash runs through the live PPM decode in mapInPandas, pairs
-    come from the generic banded hamming join.  Rows-only at the gate
-    (binary image decode is not SQL-expressible; the hash and pairing
-    semantics are pytest-pinned in tests/test_image_dedup.py)."""
+    come from the generic banded hamming join.  ORACLED since round 8:
+    the raster synthesis is md5 arithmetic, so the DuckDB twin
+    (_image_near_dup_sql) recomputes every pixel, grayscale mean, and
+    hash bit without touching image bytes, then string-hammings all
+    pairs — banding is lossless by pigeonhole, so the result sets match
+    exactly.  Pairing semantics additionally pytest-pinned in
+    tests/test_image_dedup.py."""
     from ..functions.multimodal import image_near_dup_pairs
 
     docs = _docs(spark, sf_dir)
@@ -725,6 +730,46 @@ WITH rast AS (
 gr AS (SELECT doc_id, [{grays}] AS g FROM rast),
 mn AS (SELECT doc_id, g, ({mean}) // 64 AS m FROM gr)
 SELECT doc_id, {hex_digits} AS ahash_hex FROM mn
+"""
+
+
+def _image_near_dup_sql() -> str:
+    # Same per-doc raster/grayscale/mean arithmetic as _image_ahash_sql,
+    # but the hash rides as a 64-char '0'/'1' string so the pair stage is
+    # plain string hamming — DuckDB's hamming() — with no 64-bit signed
+    # overflow concerns.  The oracle pairs ALL docs directly (banding is
+    # lossless by pigeonhole, so the banded join's result set is exactly
+    # the hamming-thresholded set; at oracle scale the all-pairs form is
+    # trivial).
+    base = " || ".join(
+        f"md5('img{k}:' || CAST(doc_id % 25 AS VARCHAR))" for k in range(6)
+    )
+    grays = ", ".join(
+        f"(ascii(substr(r, {3 * p + 1}, 1)) + ascii(substr(r, {3 * p + 2},"
+        f" 1)) + ascii(substr(r, {3 * p + 3}, 1))) // 3"
+        for p in range(64)
+    )
+    mean = " + ".join(f"g[{p + 1}]" for p in range(64))
+    bits = " || ".join(
+        f"CASE WHEN g[{p + 1}] >= m THEN '1' ELSE '0' END"
+        for p in range(64)
+    )
+    return f"""
+WITH rast AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0
+              THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) ||
+                   substr({base}, 9, 184)
+              ELSE {base} END AS r
+  FROM documents
+),
+gr AS (SELECT doc_id, [{grays}] AS g FROM rast),
+mn AS (SELECT doc_id, g, ({mean}) // 64 AS m FROM gr),
+bs AS (SELECT doc_id, {bits} AS b FROM mn)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(hamming(a.b, b.b) AS BIGINT) AS hamming
+FROM bs a JOIN bs b ON a.doc_id < b.doc_id
+WHERE hamming(a.b, b.b) <= 5
 """
 
 
@@ -1148,11 +1193,11 @@ def _q_corpus_prep_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import shingles
 
     kept_docs = kept.select("doc_id", "text")
-    sh = shingles(kept_docs).cache()  # shared by LSH + Jaccard verify
+    sh = pin(shingles(kept_docs))  # shared by LSH + Jaccard verify
     # pair-local verification references the candidate frame twice
     # (candidate-doc filter + pair join) — cache it so the LSH subtree
     # executes once, same as the standalone near_dup_verified plan
-    cand = dedup.minhash_lsh_pairs(kept_docs, shingle_df=sh).cache()
+    cand = pin(dedup.minhash_lsh_pairs(kept_docs, shingle_df=sh))
     near = dedup.verify_jaccard(kept_docs, cand, threshold=0.5,
                                 shingle_df=sh)
     drop = near.select(F.col("doc_b").alias("doc_id")).distinct()
@@ -1891,6 +1936,234 @@ SELECT doc_id, domain, domain_rank FROM r WHERE domain_rank <= 20
 """
 
 
+def _synth_messy_urls(docs: DataFrame) -> DataFrame:
+    """Deterministic MESSY URLs over documents (the synthesis convention
+    again): docs sharing doc_id % 100 point at the same logical page on
+    host (page % 17), spelled five different ways — uppercase scheme/host
+    + default port + trailing slash, a utm_ tracking param, a fragment,
+    unsorted query params, and tracking noise inside a real query.
+    Variants 0-2 collapse to the bare canonical, 3-4 to the sorted-query
+    canonical, so url_dedup produces genuine multi-doc groups."""
+    page = (F.col("doc_id") % 100).cast("string")
+    host = ((F.col("doc_id") % 100) % 17).cast("string")
+    # doc_id %% 100 is the page and 100 = 0 (mod 5), so a variant
+    # keyed on doc_id %% 5 would give every doc of a page the SAME
+    # spelling; keying on (doc_id // 100) %% 5 gives each page all five
+    v = (F.col("doc_id") / 100).cast("long") % 5
+    url = (
+        F.when(v == 0, F.concat(
+            F.lit("HTTP://Site-"), host, F.lit(".Example.COM:80/page/"),
+            page, F.lit("/")))
+        .when(v == 1, F.concat(
+            F.lit("http://site-"), host, F.lit(".example.com/page/"),
+            page, F.lit("?utm_source=feed")))
+        .when(v == 2, F.concat(
+            F.lit("http://site-"), host, F.lit(".example.com/page/"),
+            page, F.lit("#section-2")))
+        .when(v == 3, F.concat(
+            F.lit("http://site-"), host, F.lit(".example.com/page/"),
+            page, F.lit("?b=2&a=1")))
+        .otherwise(F.concat(
+            F.lit("http://site-"), host, F.lit(".example.com/page/"),
+            page, F.lit("?a=1&fbclid=XYZ123&b=2")))
+    )
+    return docs.select("doc_id", url.alias("url"))
+
+
+def _q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (functions/urls.py): zero-shuffle row
+    codegen — scheme/host lowercase, default-port/fragment/trailing-slash
+    strip, tracking-param removal, query-param sort.  The DuckDB oracle
+    runs the identical regex pipeline, so parity covers synthesis AND
+    every canonicalization rule."""
+    from ..functions.urls import url_canonicalize
+
+    return url_canonicalize(_synth_messy_urls(_docs(spark, sf_dir)))
+
+
+def _q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level keep-first dedup on the canonical key — the crawl stage
+    BEFORE content dedup.  ONE exchange; count+min combines map-side."""
+    from ..functions.urls import url_dedup
+
+    return url_dedup(_synth_messy_urls(_docs(spark, sf_dir)))
+
+
+def _url_synth_canon_ctes() -> str:
+    """``urls`` + ``canon`` CTEs shared by both URL-oracle SQLs —
+    replicates _synth_messy_urls and functions/urls.canonicalize_url
+    with the IDENTICAL regex constants."""
+    from ..functions.urls import (FRAGMENT_RE, HOSTPORT_RE, QUERY_RE,
+                                  REST_RE, SCHEME_RE, TRACKING_PARAM_RE,
+                                  TRAILING_SLASH_RE)
+
+    return f"""urls AS (
+  SELECT doc_id,
+         CASE CAST((doc_id // 100) % 5 AS INTEGER)
+           WHEN 0 THEN 'HTTP://Site-' || h || '.Example.COM:80/page/' ||
+                       p || '/'
+           WHEN 1 THEN 'http://site-' || h || '.example.com/page/' || p ||
+                       '?utm_source=feed'
+           WHEN 2 THEN 'http://site-' || h || '.example.com/page/' || p ||
+                       '#section-2'
+           WHEN 3 THEN 'http://site-' || h || '.example.com/page/' || p ||
+                       '?b=2&a=1'
+           ELSE 'http://site-' || h || '.example.com/page/' || p ||
+                '?a=1&fbclid=XYZ123&b=2'
+         END AS url
+  FROM (SELECT doc_id, CAST(doc_id % 100 % 17 AS VARCHAR) AS h,
+               CAST(doc_id % 100 AS VARCHAR) AS p FROM documents)
+),
+parts AS (
+  SELECT doc_id, url,
+         regexp_replace(url, '{FRAGMENT_RE}', '') AS nofrag
+  FROM urls
+),
+parts2 AS (
+  SELECT doc_id, url, nofrag,
+         lower(regexp_extract(nofrag, '{SCHEME_RE}', 1)) AS scheme,
+         lower(regexp_extract(nofrag, '{HOSTPORT_RE}', 1)) AS hostport
+  FROM parts
+),
+parts3 AS (
+  SELECT doc_id, url, scheme,
+         CASE WHEN scheme = 'http'
+                THEN regexp_replace(hostport, ':80$', '')
+              WHEN scheme = 'https'
+                THEN regexp_replace(hostport, ':443$', '')
+              ELSE hostport END AS host,
+         CASE WHEN scheme <> ''
+                THEN regexp_extract(nofrag, '{REST_RE}', 1)
+              ELSE nofrag END AS rest
+  FROM parts2
+),
+parts4 AS (
+  SELECT doc_id, url, scheme, host,
+         regexp_replace(regexp_replace(rest, '{QUERY_RE}', ''),
+                        '{TRAILING_SLASH_RE}', '') AS path,
+         array_to_string(
+           list_sort(list_filter(
+             string_split(regexp_extract(rest, '\\?([^#]*)', 1), '&'),
+             x -> x <> '' AND NOT regexp_matches(x,
+                                                 '{TRACKING_PARAM_RE}'))),
+           '&') AS q2
+  FROM parts3
+),
+canon AS (
+  SELECT doc_id, url,
+         CASE WHEN scheme <> '' THEN scheme || '://' || host ELSE '' END
+         || path
+         || CASE WHEN q2 <> '' THEN '?' || q2 ELSE '' END
+           AS canonical_url
+  FROM parts4
+)"""
+
+
+def _url_canonicalize_sql() -> str:
+    return ("WITH " + _url_synth_canon_ctes()
+            + "\nSELECT doc_id, url, canonical_url FROM canon\n")
+
+
+def _url_dedup_sql() -> str:
+    return ("WITH " + _url_synth_canon_ctes() + """
+SELECT canonical_url,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS keeper_doc_id
+FROM canon GROUP BY 1
+""")
+
+
+def _q_dedup_against_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot incremental dedup (functions/dedup.py:
+    dedup_against): the PRIOR snapshot is the documents corpus reduced to
+    its persisted profile (fingerprint + MinHash signature — text never
+    read again); the NEW snapshot is a synthesized re-crawl where every
+    10th doc is an exact copy, the next a near copy (appended tail), and
+    the rest fresh short content.  Each new doc is classified
+    exact_known / near_known / fresh.  The DuckDB oracle rebuilds both
+    snapshots and both signature pipelines with identical arithmetic."""
+    from ..functions.dedup import dedup_against, snapshot_profile
+
+    docs = _docs(spark, sf_dir)
+    prior = snapshot_profile(docs)
+    mode = F.col("doc_id") % 10
+    new_text = (
+        F.when(mode == 0, F.col("text"))
+        .when(mode == 1, F.concat(F.col("text"),
+                                  F.lit(" freshly appended tail")))
+        .otherwise(F.md5(F.col("text")))
+    )
+    new_snapshot = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        new_text.alias("text"),
+    )
+    return dedup_against(new_snapshot, prior, threshold=0.5)
+
+
+def _dedup_against_sql() -> str:
+    from ..functions import dedup
+
+    nh, nb = dedup.NUM_HASHES, dedup.BANDS
+    rows = nh // nb
+    k = -(-nh // 2)  # ceil(threshold * num_hashes) at threshold 0.5 = 4
+    norm = r"lower(regexp_replace(trim(text), '\s+', ' ', 'g'))"
+    mins = ", ".join(
+        f"min(substr(md5(shingle), {j * 4 + 1}, 4)) AS h{j}"
+        for j in range(nh))
+
+    def wsh(src: str) -> str:
+        return f"""(
+  SELECT doc_id, unnest(list_transform(
+           generate_series(1, greatest(len(ws) - 2, 0)),
+           i -> array_to_string(ws[i:i+2], ' '))) AS shingle
+  FROM (SELECT doc_id, string_split({norm}, ' ') AS ws FROM {src})
+)"""
+
+    def bands(sig: str, idc: str) -> str:
+        selects = []
+        for b in range(nb):
+            cols = " || '|' || ".join(
+                f"h{b * rows + r}" for r in range(rows))
+            selects.append(
+                f"SELECT {idc}, {b} AS band, md5({cols}) AS bucket"
+                f" FROM {sig}")
+        return "(" + "\nUNION ALL\n".join(selects) + ")"
+
+    agree = " + ".join(
+        f"(CASE WHEN n.h{j} = p.h{j} THEN 1 ELSE 0 END)"
+        for j in range(nh))
+    return f"""
+WITH nd AS (
+  SELECT doc_id + 1000000 AS doc_id,
+         CASE WHEN doc_id % 10 = 0 THEN text
+              WHEN doc_id % 10 = 1 THEN text || ' freshly appended tail'
+              ELSE md5(text) END AS text
+  FROM documents
+),
+psh AS {wsh('documents')},
+psig AS (SELECT doc_id AS prior_id, {mins} FROM psh GROUP BY doc_id),
+pfp AS (SELECT DISTINCT md5({norm}) AS fingerprint FROM documents),
+nsh AS {wsh('nd')},
+nsig AS (SELECT doc_id, {mins} FROM nsh GROUP BY doc_id),
+nfp AS (SELECT doc_id, md5({norm}) AS fingerprint FROM nd),
+pbk AS {bands('psig', 'prior_id')},
+nbk AS {bands('nsig', 'doc_id')},
+cand AS (SELECT DISTINCT doc_id, prior_id
+         FROM nbk JOIN pbk USING (band, bucket)),
+near AS (SELECT DISTINCT c.doc_id
+         FROM cand c JOIN nsig n USING (doc_id)
+                     JOIN psig p USING (prior_id)
+         WHERE ({agree}) >= {k}),
+ex AS (SELECT DISTINCT f.doc_id FROM nfp f JOIN pfp USING (fingerprint))
+SELECT nd.doc_id,
+       CASE WHEN ex.doc_id IS NOT NULL THEN 'exact_known'
+            WHEN near.doc_id IS NOT NULL THEN 'near_known'
+            ELSE 'fresh' END AS status
+FROM nd LEFT JOIN ex ON ex.doc_id = nd.doc_id
+        LEFT JOIN near ON near.doc_id = nd.doc_id
+"""
+
+
 def _q_ngram_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min-sketch heavy-hitter probe (functions/sketches.py): build
     the fixed-size (4 x 1024) sketch over the corpus bigram stream, then
@@ -1940,10 +2213,14 @@ cells AS (SELECT depth, bucket, CAST(count(*) AS BIGINT) AS cnt
           FROM b GROUP BY 1, 2),
 pb AS (SELECT DISTINCT shingle, depth, bucket FROM b),
 pe AS (
-  SELECT e.shingle, e.exact_count, min(c.cnt) AS est
+  -- LEFT JOIN + COALESCE mirrors cms_estimate's semantics exactly: a
+  -- probe item hashing into an untouched cell estimates 0 (unreachable
+  -- for these probes, which come from the sketched stream, but the
+  -- generic operator allows arbitrary probe sets)
+  SELECT e.shingle, e.exact_count, min(COALESCE(c.cnt, 0)) AS est
   FROM ex e
   JOIN pb ON pb.shingle = e.shingle
-  JOIN cells c ON c.depth = pb.depth AND c.bucket = pb.bucket
+  LEFT JOIN cells c ON c.depth = pb.depth AND c.bucket = pb.bucket
   GROUP BY 1, 2
 )
 SELECT shingle, exact_count, CAST(est AS BIGINT) AS cms_estimate FROM pe
@@ -2015,7 +2292,7 @@ def _q_web_prep_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SCAN as DataFilters and the huge extraction expression tree is
     # re-evaluated once per filter plus once for the projection —
     # measured 3x the cold cost at sf0.1 (9.7 s vs 4.4 s)
-    ex = extract_main_content(pages).select("doc_id", "main_text").cache()
+    ex = pin(extract_main_content(pages).select("doc_id", "main_text"))
     c4 = (
         c4_sentence_filter(ex, text_col="main_text")
         .where(F.col("doc_kept") == 1)
@@ -2394,10 +2671,11 @@ QUERIES: dict[str, Query] = {
         _q_image_decode_stats, _IMAGE_DECODE_SQL,
         "live P6 decode through Arrow mapInPandas: dims + channel means"),
     "image_near_dup": Query(
-        _q_image_near_dup, None,
-        "image average-hash near-dup via banded hamming join (rows-only: "
-        "pair semantics pytest-pinned; the hash itself is oracled by "
-        "image_ahash_oracle)"),
+        _q_image_near_dup, _image_near_dup_sql(),
+        "image average-hash near-dup via banded hamming join, ORACLED end "
+        "to end (round 8): the DuckDB twin recomputes every pixel, mean, "
+        "and hash bit from md5 arithmetic and string-hammings all pairs — "
+        "lossless-banding equivalence makes the result sets identical"),
     "image_ahash_oracle": Query(
         _q_image_ahash_oracle, _image_ahash_sql(),
         "REAL PPM decode + perceptual aHash vs a pure-arithmetic DuckDB "
@@ -2511,6 +2789,20 @@ QUERIES: dict[str, Query] = {
         _q_cap_per_domain, _CAP_DOMAIN_SQL,
         "per-domain document caps over synthesized URLs (RefinedWeb "
         "rebalancing stage)"),
+    "url_canonicalize": Query(
+        _q_url_canonicalize, _url_canonicalize_sql(),
+        "URL canonicalization (scheme/host case, default ports, "
+        "fragments, trailing slashes, tracking params, param sort) — "
+        "zero-shuffle codegen, identical regex pipeline on both engines"),
+    "url_dedup": Query(
+        _q_url_dedup, _url_dedup_sql(),
+        "URL-level keep-first dedup on the canonical key (the crawl "
+        "stage before content dedup) — one exchange, map-side combine"),
+    "dedup_against_prior": Query(
+        _q_dedup_against_prior, _dedup_against_sql(),
+        "cross-snapshot incremental dedup against a persisted "
+        "fingerprint+MinHash profile (repeated-crawl posture: known "
+        "content never re-admitted, prior text never re-read)"),
     "ngram_cms_counts": Query(
         _q_ngram_cms_counts, _ngram_cms_sql(),
         "count-min sketch bigram heavy-hitter probe (fixed-size state; "

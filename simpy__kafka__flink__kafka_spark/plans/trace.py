@@ -370,7 +370,9 @@ def _q_chain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # every unrolled BFS level; cache it so the join executes once instead of
     # once per reference.  (At cluster scale this is where you'd checkpoint
     # the edge set before iterating.)
-    edges = link_edges_banded(msgs).cache()
+    from ..cachepin import pin
+
+    edges = pin(link_edges_banded(msgs))
     return chain_stats(msgs, edges)
 
 

@@ -138,14 +138,7 @@ def start_pair_compaction(candidates: DataFrame, out_dir: str,
     Returns the started StreamingQuery.
     """
     def compact(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        fresh = batch_df.select("doc_a", "doc_b").distinct()
-        try:
-            existing = spark.read.parquet(out_dir).select("doc_a", "doc_b")
-            fresh = fresh.join(existing, ["doc_a", "doc_b"], "left_anti")
-        except Exception:                    # first batch: no sink yet
-            pass
-        fresh.write.mode("append").parquet(out_dir)
+        compact_pair_batch(batch_df, out_dir)
 
     return (
         candidates.writeStream.foreachBatch(compact)
@@ -153,3 +146,25 @@ def start_pair_compaction(candidates: DataFrame, out_dir: str,
         .outputMode("append")
         .start()
     )
+
+
+def compact_pair_batch(batch_df: DataFrame, out_dir: str) -> None:
+    """One micro-batch of :func:`start_pair_compaction` — distinct the
+    batch's pairs, anti-join against the compacted sink, append the
+    remainder.  ONLY the missing-sink (first batch) case may skip the
+    anti-join; any other sink-read failure (corrupt parquet footer,
+    permissions, transient FS error) must fail the batch — the
+    checkpoint will retry it — rather than silently appending duplicate
+    pairs."""
+    from pyspark.errors import AnalysisException
+
+    spark = batch_df.sparkSession
+    fresh = batch_df.select("doc_a", "doc_b").distinct()
+    try:
+        existing = spark.read.parquet(out_dir).select("doc_a", "doc_b")
+        fresh = fresh.join(existing, ["doc_a", "doc_b"], "left_anti")
+    except AnalysisException as e:
+        cls = e.getCondition() if hasattr(e, "getCondition") else None
+        if cls != "PATH_NOT_FOUND" and "Path does not exist" not in str(e):
+            raise
+    fresh.write.mode("append").parquet(out_dir)

@@ -1,0 +1,59 @@
+"""Cross-snapshot incremental dedup (functions/dedup.py:dedup_against):
+hand-built two-snapshot classifications plus the registry row's oracle
+parity at sf0.001."""
+
+from __future__ import annotations
+
+from simpy__kafka__flink__kafka_spark.functions.dedup import (
+    dedup_against, snapshot_profile)
+
+PROSE = ("the quick brown fox jumps over the lazy dog while the "
+         "patient heron watches the slow river drift past the old mill")
+
+
+def _status(spark, prior_rows, new_rows):
+    prior = snapshot_profile(spark.createDataFrame(
+        prior_rows, "doc_id long, text string"))
+    new = spark.createDataFrame(new_rows, "doc_id long, text string")
+    return {r["doc_id"]: r["status"]
+            for r in dedup_against(new, prior).collect()}
+
+
+def test_classification_matrix(spark):
+    got = _status(
+        spark,
+        [(1, PROSE), (2, "short doc")],  # doc 2: too short to shingle
+        [
+            (10, PROSE),                          # exact copy
+            (11, "  " + PROSE.upper() + "  "),    # exact after normalization
+            (12, PROSE + " with a small tail"),   # near copy
+            (13, "short doc"),                    # exact via fingerprint only
+            (14, "completely different words about winter mountain snow "
+                 "and the long cold silence of the high empty passes"),
+            (15, "tiny new"),                     # short AND unknown
+        ],
+    )
+    assert got[10] == "exact_known"
+    assert got[11] == "exact_known"   # normalized fingerprint match
+    assert got[12] == "near_known"
+    assert got[13] == "exact_known"   # prior doc had no signature
+    assert got[14] == "fresh"
+    assert got[15] == "fresh"
+    assert len(got) == 6              # one row per new doc, always
+
+
+def test_exact_wins_over_near(spark):
+    # an exact copy also shares every LSH bucket — status must still be
+    # exact_known (the documented priority)
+    got = _status(spark, [(1, PROSE)], [(10, PROSE)])
+    assert got == {10: "exact_known"}
+
+
+def test_registry_row_matches_oracle(spark, sf_dir):
+    from tests.oracle_utils import assert_match
+
+    from simpy__kafka__flink__kafka_spark.plans import registry
+
+    q = registry()["dedup_against_prior"]
+    assert_match(q.build(spark, sf_dir), q.oracle, sf_dir,
+                 "dedup_against_prior")

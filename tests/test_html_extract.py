@@ -169,3 +169,86 @@ def test_warc_parser_records_and_edges(spark):
         "doc_id", F.col("payload").alias("html"))
     ex = extract_main_content(html_rows).collect()[0]
     assert "quick brown fox" in ex.main_text
+
+
+MALFORMED_PAGE = """<html><body>
+<nav><a href="/">Home</a> <a href="/a">Archive</a> <a href="/c">Contact</a>
+<p>This perfectly good paragraph of body prose never closes its p tag but
+must still be kept as main content by the extractor.
+<p>And a second unclosed paragraph follows it with more than enough prose
+characters to clear the minimum block length rule.
+<br>Line one separated only by br tags from the following boilerplate
+<br><a href="/r1">Related one</a> <a href="/r2">Related two</a>
+<a href="/r3">Related three</a>
+</body></html>"""
+
+
+def test_unclosed_block_tags_segment_correctly(spark):
+    """Round-7 verdict: closing-only segmentation merged unclosed-tag
+    regions into one block whose aggregate link density misclassified the
+    whole region.  With opening-tag + <br> splits, the link-only nav (no
+    </nav> here) must not drag the unclosed paragraphs down with it, and
+    the br-separated trailing link pile must not ride in on the prose."""
+    got = _extract(spark, [(1, MALFORMED_PAGE)])[1]
+    assert "never closes its p tag" in got["main_text"]
+    assert "second unclosed paragraph" in got["main_text"]
+    # the link-heavy fragments stay boilerplate
+    assert "Related one" not in got["main_text"]
+    assert "Home" not in got["main_text"]
+    assert got["n_kept"] >= 2
+    assert got["dropped_chars"] > 0
+
+
+def test_malformed_page_matches_duckdb_oracle(spark):
+    """The fuzz case the round-7 verdict asked for, run through BOTH
+    engines: the identical BLOCK_SPLIT_RE must segment the malformed page
+    the same way in Spark (Java regex) and DuckDB (RE2)."""
+    import duckdb
+
+    from simpy__kafka__flink__kafka_spark.functions.html import (
+        ANCHOR_RE, BLOCK_SPLIT_RE, SCRIPT_RE, STYLE_RE, TAG_RE, WS_RE)
+
+    pages = [(1, MALFORMED_PAGE), (2, PAGE),
+             (3, "<p>unclosed at end of page with plenty of prose to keep"),
+             (4, "a<br/>b<br />c<BR>d"), (5, "")]
+    spark_rows = sorted(
+        _extract(spark, pages).values(), key=lambda r: r["doc_id"])
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE pages (doc_id BIGINT, html VARCHAR)")
+    con.executemany("INSERT INTO pages VALUES (?, ?)", pages)
+    strip = ("trim(regexp_replace(regexp_replace({src}, '" + TAG_RE
+             + "', ' ', 'g'), '" + WS_RE + "', ' ', 'g'))")
+    sql = ("""
+WITH blocks AS (
+  SELECT doc_id, string_split_regex(
+    regexp_replace(regexp_replace(html, '""" + SCRIPT_RE + "', ' ', 'g'), '"
+           + STYLE_RE + "', ' ', 'g'), '" + BLOCK_SPLIT_RE + """') AS bl
+  FROM pages),
+b AS (SELECT doc_id, unnest(bl) AS block, generate_subscripts(bl, 1) AS bidx
+      FROM blocks),
+m AS (SELECT doc_id, bidx, """ + strip.format(src="block") + """ AS txt,
+      COALESCE(list_sum(list_transform(
+        regexp_extract_all(block, '""" + ANCHOR_RE + """', 1),
+        a -> length(""" + strip.format(src="a") + """))), 0) AS anchor_len
+      FROM b),
+nz AS (SELECT doc_id, bidx, txt, length(txt) AS txt_len, anchor_len
+       FROM m WHERE length(txt) > 0),
+flag AS (SELECT *, (txt_len >= 20 AND anchor_len * 3 <= txt_len) AS keep
+         FROM nz),
+agg AS (SELECT doc_id, count(*) AS n_blocks,
+               sum(CASE WHEN keep THEN 1 ELSE 0 END) AS n_kept,
+               COALESCE(string_agg(CASE WHEN keep THEN txt END, ' '
+                                   ORDER BY bidx), '') AS main_text
+        FROM flag GROUP BY doc_id)
+SELECT p.doc_id, COALESCE(n_blocks, 0) AS n_blocks,
+       COALESCE(n_kept, 0) AS n_kept,
+       COALESCE(main_text, '') AS main_text
+FROM pages p LEFT JOIN agg USING (doc_id) ORDER BY doc_id
+""")
+    oracle = con.execute(sql).fetchall()
+    for srow, orow in zip(spark_rows, oracle):
+        assert srow["doc_id"] == orow[0]
+        assert srow["n_blocks"] == orow[1], srow["doc_id"]
+        assert srow["n_kept"] == orow[2], srow["doc_id"]
+        assert srow["main_text"] == orow[3], srow["doc_id"]

@@ -60,7 +60,7 @@ def test_registry_row_groups_pair(spark, sf_dir):
     from simpy__kafka__flink__kafka_spark.plans import registry
 
     q = registry()["image_near_dup"]
-    assert q.oracle is None  # rows-only by policy (binary decode)
+    assert q.oracle is not None  # oracled end to end since round 8
     rows = q.build(spark, sf_dir).collect()
     assert rows
     # every pair's members belong to the same synthesized raster group
@@ -94,3 +94,34 @@ def test_image_ahash_oracle_row(spark, sf_dir):
     want = f"{int(bits, 2):016x}"
     got = sp.set_index("doc_id").loc[1, "ahash_hex"]
     assert got == want
+
+
+def test_image_near_dup_oracled_and_sig_df_shared(spark, sf_dir):
+    # round 8: the PAIRS row is oracled end to end (not just the hash),
+    # and a precomputed sig_df short-circuits the decode scan with an
+    # identical result set
+    from tests.oracle_utils import normalize, run_oracle
+
+    from simpy__kafka__flink__kafka_spark.functions.multimodal import (
+        image_ahash, image_near_dup_pairs)
+    from simpy__kafka__flink__kafka_spark.plans import registry
+
+    q = registry()["image_near_dup"]
+    assert q.oracle is not None
+    sp = q.build(spark, sf_dir).toPandas()
+    assert normalize(sp) == normalize(run_oracle(q.oracle, sf_dir))
+
+    # sig_df sharing: pairs from a precomputed signature frame are
+    # identical to the self-computed path (and skip the decode entirely —
+    # media content is never read when sig_df is passed)
+    import pandas as pd
+
+    media = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "content": [b"P6\n1 1\n255\n\x00\x00\x00",
+                    b"P6\n1 1\n255\n\x00\x00\x00",
+                    b"P6\n1 1\n255\n\xff\xff\xff"]}))
+    sig = image_ahash(media)
+    direct = image_near_dup_pairs(media, max_hamming=5).collect()
+    shared = image_near_dup_pairs(media, max_hamming=5, sig_df=sig).collect()
+    assert sorted(map(tuple, direct)) == sorted(map(tuple, shared))
