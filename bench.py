@@ -59,6 +59,14 @@ HEADLINE = [
     # scan, two exchanges, extraction pass materialized once)
     "html_extract_main",
     "web_prep_full",
+    # promoted round 8: the crawl stages AROUND content dedup — URL-level
+    # keep-first dedup on the canonical key (zero-shuffle canonicalization
+    # + one exchange), cross-snapshot incremental dedup against a
+    # persisted fingerprint+MinHash profile, and the end-to-end-oracled
+    # image near-dup pairs (live PPM decode -> aHash -> banded hamming)
+    "url_dedup",
+    "dedup_against_prior",
+    "image_near_dup",
 ]
 
 

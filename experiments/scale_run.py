@@ -166,6 +166,14 @@ def main() -> None:
                 reg["html_extract_main"].build(spark, sf_like)),
             "web_prep_full": materialize(
                 reg["web_prep_full"].build(spark, sf_like)),
+            # round-8 crawl stages (canonical-URL dedup, incremental
+            # dedup vs a prior profile, integer PageRank)
+            "url_dedup": materialize(
+                reg["url_dedup"].build(spark, sf_like)),
+            "dedup_against_prior": materialize(
+                reg["dedup_against_prior"].build(spark, sf_like)),
+            "domain_pagerank": materialize(
+                reg["domain_pagerank"].build(spark, sf_like)),
         }
         sp.unpersist()
         dc.unpersist()

@@ -419,3 +419,74 @@ def bpe_import(artifact: str,
     if validate:
         _validate_merge_ranks(merges)
     return merges
+
+
+def bpe_vocab(merges: list[tuple[str, str, int]],
+              alphabet: list[str] | None = None) -> list[tuple[int, str, str]]:
+    """Derive the token vocabulary from a trained merge list — the
+    GPT-2 / HF-tokenizers derivation that completes the interchange
+    story :func:`bpe_export` / :func:`bpe_import` started: ids
+    0..len(alphabet)-1 are the sorted base characters, then one token
+    per merge in rank order (token = left || right).  Pass ``alphabet``
+    (the corpus character set) for a deployable vocab; by default the
+    base set is the characters appearing in the merge components, which
+    is sufficient for round-trip validation but smaller than a corpus
+    alphabet.  Returns [(token_id, token, kind)] with kind in
+    {'char', 'merge'}.
+
+    Closure property (validated): every symbol :func:`_encode_word`
+    can emit — single chars and merge products — has an id, so the
+    vocab maps any segmentation to ids with no OOV.  Raises on a
+    duplicate merge product (impossible for trainer output, possible
+    for hand-crafted lists)."""
+    chars = (sorted(set(alphabet)) if alphabet is not None
+             else sorted({c for l, r, _ in merges for c in l + r}))
+    out: list[tuple[int, str, str]] = []
+    seen: set[str] = set()
+    for i, c in enumerate(chars):
+        out.append((i, c, "char"))
+        seen.add(c)
+    base = len(chars)
+    for rank, (l, r, _) in enumerate(merges):
+        tok = l + r
+        if tok in seen:
+            raise ValueError(
+                f"merge {rank} product {tok!r} duplicates an existing "
+                "token — not a well-formed trained merge list")
+        out.append((base + rank, tok, "merge"))
+        seen.add(tok)
+    return out
+
+
+def bpe_vocab_export(merges: list[tuple[str, str, int]],
+                     alphabet: list[str] | None = None) -> str:
+    """Serialize the derived vocab (:func:`bpe_vocab`) to a JSON
+    artifact — the ``model.vocab`` half of the HF tokenizer.json shape,
+    version-tagged like :func:`bpe_export`.  Round-trips exactly via
+    :func:`bpe_vocab_import`."""
+    import json
+
+    return json.dumps({
+        "format": "bpe-vocab",
+        "version": 1,
+        "tokens": [{"id": i, "token": t, "kind": k}
+                   for i, t, k in bpe_vocab(merges, alphabet)],
+    }, ensure_ascii=False)
+
+
+def bpe_vocab_import(artifact: str) -> list[tuple[int, str, str]]:
+    """Parse a :func:`bpe_vocab_export` artifact back to the ordered
+    [(token_id, token, kind)] list, validating the format tag, id
+    contiguity from 0, and token uniqueness."""
+    import json
+
+    doc = json.loads(artifact)
+    if doc.get("format") != "bpe-vocab" or doc.get("version") != 1:
+        raise ValueError("not a v1 bpe-vocab artifact")
+    rows = doc["tokens"]
+    if [t["id"] for t in rows] != list(range(len(rows))):
+        raise ValueError("token ids must be contiguous from 0")
+    toks = [t["token"] for t in rows]
+    if len(set(toks)) != len(toks):
+        raise ValueError("duplicate tokens in vocab artifact")
+    return [(int(t["id"]), t["token"], t["kind"]) for t in rows]

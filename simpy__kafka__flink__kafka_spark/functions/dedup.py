@@ -540,11 +540,33 @@ def simhash_near_dup_pairs(df: DataFrame, max_hamming: int = 3,
 
 def snapshot_profile(df: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text",
-                     num_hashes: int = NUM_HASHES) -> DataFrame:
+                     num_hashes: int = NUM_HASHES,
+                     local: bool = False) -> DataFrame:
     """The per-doc artifact a crawl run persists for future incremental
     dedup: (prior_id, fingerprint, h0..h{n-1}).  Signature columns are
     NULL for docs too short to shingle (they can still be exact-matched
-    by fingerprint).  One scan + the one signature groupBy."""
+    by fingerprint).
+
+    Default shape: one scan for fingerprints + the one signature groupBy
+    — the same codegen-friendly pipeline every LSH consumer uses (the
+    round-6 A/B standard: the exchange beats interpreted higher-order
+    folds by ~7x cold at sf0.1).  ``local=True`` swaps in the row-local
+    MinHash fold (:func:`minhash_fold`, identical values — pytest-
+    asserted): ONE pass, ZERO shuffle, for deployments where removing
+    the shingle exchange is worth the interpreted-fold CPU (e.g. the
+    profile rides an ingest job that is exchange-bound, not CPU-bound).
+    """
+    if local:
+        base = df.select(F.col(id_col).alias("prior_id"),
+                         F.col(text_col).alias("text"))
+        arr = shingle_array("text")
+        fold = minhash_fold("text", num_hashes)
+        sig = F.when(F.size(arr) > 0, fold)
+        return base.select(
+            "prior_id",
+            F.md5(normalized("text")).alias("fingerprint"),
+            *[sig[f"h{j}"].alias(f"h{j}") for j in range(num_hashes)],
+        )
     base = df.select(F.col(id_col).alias("doc_id"),
                      F.col(text_col).alias("text"))
     fp = base.select(F.col("doc_id").alias("prior_id"),
@@ -569,9 +591,15 @@ def dedup_against(new_docs: DataFrame, prior: DataFrame,
     Scale shape: one signature groupBy over the NEW snapshot only, then
     banded (band, bucket) equi-joins — the prior side is the persisted
     profile, never its text; no all-pairs product anywhere.  Keeping only
-    ``status <> 'fresh'`` rows out is a filter on the output.
+    ``status <> 'fresh'`` rows out is a filter on the output.  The two
+    signature frames are pinned (cachepin): both are referenced twice
+    (bucket explode + slice-agreement join) and are signature-sized
+    (~40 bytes/doc), so the pin is safe at any corpus size while saving
+    a full pipeline recompute per reference.
     Output: (id_col, status) — one row per new doc."""
     import math
+
+    from ..cachepin import pin
 
     k = max(1, math.ceil(threshold * num_hashes))
     base = new_docs.select(F.col(id_col).alias("doc_id"),
@@ -580,10 +608,10 @@ def dedup_against(new_docs: DataFrame, prior: DataFrame,
     exact = fp_new.join(prior.select("fingerprint").distinct(),
                         "fingerprint", "left_semi").select("doc_id")
 
-    sig_new = minhash_signatures(base, num_hashes)
-    prior_sig = prior.select(
+    sig_new = pin(minhash_signatures(base, num_hashes))
+    prior_sig = pin(prior.select(
         "prior_id", *[f"h{j}" for j in range(num_hashes)]
-    ).where(F.col("h0").isNotNull())
+    ).where(F.col("h0").isNotNull()))
     bk_new = sig_new.select(
         "doc_id", F.explode(band_structs(num_hashes, bands)).alias("bb")
     ).select("doc_id", "bb.band", "bb.bucket")

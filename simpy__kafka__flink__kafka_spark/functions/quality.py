@@ -195,6 +195,53 @@ def extract_links(df: DataFrame, html_col: str = "html",
     )
 
 
+# Robots / noindex filtering --------------------------------------------------
+# The crawl-compliance gate a pipeline runs right after extraction: a
+# page opting out via <meta name="robots"> or an X-Robots-Tag response
+# header must not enter the training corpus (noindex) and must not
+# contribute outlinks (nofollow).  Zero-shuffle regexp codegen; every
+# pattern stays in the Java-regex/RE2 common subset for the oracle.
+
+# both attribute orders (name before content and content before name)
+META_ROBOTS_RE = ('(?is)<meta[^>]*name\\s*=\\s*"robots"[^>]*'
+                  'content\\s*=\\s*"([^"]*)"')
+META_ROBOTS_REV_RE = ('(?is)<meta[^>]*content\\s*=\\s*"([^"]*)"[^>]*'
+                      'name\\s*=\\s*"robots"')
+X_ROBOTS_RE = "(?im)^x-robots-tag:\\s*([^\\r\\n]*)"
+# token-wise membership: 'noindex' must be a ,/space-delimited token of
+# the directive list, not a substring of another token
+_NOINDEX_TOK_RE = "(?i)(^|[, ])(noindex|none)([, ]|$)"
+_NOFOLLOW_TOK_RE = "(?i)(^|[, ])(nofollow|none)([, ]|$)"
+
+
+def robots_flags(df: DataFrame, html_col: str = "html",
+                 headers_col: str | None = None,
+                 id_col: str = "doc_id") -> DataFrame:
+    """Per-page robots directives: meta robots content (both attribute
+    orders) and, when ``headers_col`` carries the HTTP response header
+    block, the X-Robots-Tag line.  ``none`` implies both noindex and
+    nofollow (RFC 9309 / Google semantics).  Output: (id_col,
+    noindex: int, nofollow: int, indexable: int) — filter on
+    ``indexable == 1`` before admitting pages, and drop outlinks of
+    ``nofollow == 1`` pages before the web-graph stage."""
+    h = F.col(html_col)
+    directives = F.concat_ws(
+        ",",
+        F.regexp_extract(h, META_ROBOTS_RE, 1),
+        F.regexp_extract(h, META_ROBOTS_REV_RE, 1),
+        (F.regexp_extract(F.col(headers_col), X_ROBOTS_RE, 1)
+         if headers_col is not None else F.lit("")),
+    )
+    noindex = directives.rlike(_NOINDEX_TOK_RE)
+    nofollow = directives.rlike(_NOFOLLOW_TOK_RE)
+    return df.select(
+        F.col(id_col),
+        noindex.cast("int").alias("noindex"),
+        nofollow.cast("int").alias("nofollow"),
+        (~noindex).cast("int").alias("indexable"),
+    )
+
+
 # Hashing-trick linear quality scorer -----------------------------------------
 
 HASH_DIM = 4096          # feature buckets (fastText-style hashing trick)

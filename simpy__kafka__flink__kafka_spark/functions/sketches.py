@@ -144,3 +144,62 @@ def cms_estimate(sketch: DataFrame, probes: DataFrame,
         .agg(F.min(F.coalesce("cnt", F.lit(0))).cast("long")
              .alias("cms_estimate"))
     )
+
+
+BLOOM_M = 8192                  # filter bits
+BLOOM_K = 4                     # hash functions
+
+
+def bloom_bit(item: Column, k: int, m: int = BLOOM_M) -> Column:
+    """Hash-``k`` bit position of ``item``: first 5 hex digits of
+    md5('bloom{k}:' || item) as an integer, mod m — the cms_bucket
+    pattern, reproduced verbatim by the DuckDB oracle."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"bloom{k}:"), item)),
+                    1, _HEX_DIGITS),
+        16, 10,
+    ).cast("long")
+    return (h % m).cast("int")
+
+
+def bloom_build(items: DataFrame, item_col: str = "item",
+                n_hashes: int = BLOOM_K, m: int = BLOOM_M) -> DataFrame:
+    """Build the Bloom filter as its SET-BIT table: (bit) with at most
+    ``m`` rows (Bloom 1970) — the fixed-size membership companion to the
+    CMS (counts) and HLL (cardinality) sketches.  One exchange: the
+    distinct over bit positions, map-side-combined to <= m rows per
+    partition before the wire.  At 100 TB this is how a cheap
+    pre-filter for dedup_against-style lookups ships: the bit table
+    broadcast-joins against any probe stream."""
+    bits = F.array(*[
+        bloom_bit(F.col(item_col), k, m) for k in range(n_hashes)
+    ])
+    return (
+        items.select(F.explode(bits).alias("bit"))
+        .distinct()
+    )
+
+
+def bloom_probe(filter_bits: DataFrame, probes: DataFrame,
+                item_col: str = "item", n_hashes: int = BLOOM_K,
+                m: int = BLOOM_M) -> DataFrame:
+    """Membership probe: ``maybe = 1`` iff ALL k bit positions of the
+    probe item are set in the filter (the Bloom contract: no false
+    negatives; false positives at the classic (1 - e^-kn/m)^k rate,
+    property-tested in pytest).  Broadcast left join of the probe
+    stream's exploded bits onto the tiny bit table, then an all-present
+    aggregation per item."""
+    pb = probes.select(
+        F.col(item_col),
+        F.explode(F.array(*[
+            bloom_bit(F.col(item_col), k, m) for k in range(n_hashes)
+        ])).alias("bit"),
+    )
+    hit = pb.join(
+        F.broadcast(filter_bits.withColumn("_set", F.lit(1))),
+        "bit", "left")
+    return (
+        hit.groupBy(item_col)
+        .agg((F.count(F.lit(1)) == F.sum(F.coalesce("_set", F.lit(0))))
+             .cast("int").alias("maybe"))
+    )

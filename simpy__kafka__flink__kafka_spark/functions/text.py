@@ -1163,3 +1163,32 @@ def source_stats(df: DataFrame) -> DataFrame:
         ).cast("long").alias("n_dup_docs")
     )
     return overall.join(dups, "source")
+
+
+def inverted_index(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """Term -> postings inverted index over the normalized word stream —
+    the IR-side artifact a corpus pipeline derives for retrieval /
+    contamination lookups: per term its document frequency, total term
+    frequency, and an order-canonical fingerprint of the postings list
+    ("zero-padded-doc_id:tf" entries, lexicographically sorted so both
+    engines hash the identical string; the padding makes lexicographic
+    order == numeric doc order).
+
+    Scale shape: two keyed exchanges — (term, doc) partial counts
+    combine map-side, then the per-term aggregation; postings lists are
+    per-term (bounded by document frequency), never corpus-wide.
+    Output: (term, df, total_tf, postings_hash)."""
+    tok = df.select(F.col(id_col).alias("doc_id"),
+                    F.explode(words(text_col)).alias("term"))
+    tf = (tok.where(F.length("term") > 0)
+          .groupBy("term", "doc_id")
+          .agg(F.count(F.lit(1)).alias("tf")))
+    entry = F.concat(F.lpad(F.col("doc_id").cast("string"), 12, "0"),
+                     F.lit(":"), F.col("tf").cast("string"))
+    return tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("total_tf"),
+        F.md5(F.array_join(F.array_sort(F.collect_list(entry)), ","))
+        .alias("postings_hash"),
+    )

@@ -1,0 +1,73 @@
+"""Web-graph analytics over the crawl's link structure — the ranking
+signal a corpus pipeline derives from ``extract_links`` output (domain
+authority feeds quality weighting and crawl scheduling).
+
+PageRank here is INTEGER-EXACT: ranks are scaled to a large integer
+budget and every step (teleport share, per-edge contribution split,
+damping) is integer division, so the result is bit-identical across
+engines and summation orders — which is what makes a fixed-iteration
+run DuckDB-oracle-checkable (float PageRank would diverge by engine
+reduction order).  Precision loss vs float is bounded by
+(edges + nodes) / scale per iteration — at scale=1e12, noise in the
+13th digit.
+
+Scale shape: the classic distributed PageRank — per iteration ONE join
+of the rank vector onto the out-edge list (both keyed on src) and ONE
+aggregation keyed on dst.  The edge list is re-read per iteration (at
+cluster scale it is the cached/bucketed relation); iterations are a
+fixed unroll (lazy — no driver-side convergence collect), with
+``localCheckpoint`` the documented lever past ~8 unrolled rounds (the
+chain_stats precedent).
+
+Reference parity note: the reference trace pipeline has no graph-rank
+surface; this belongs to the training-data extension operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 10 ** 12          # integer rank budget (sum of ranks ~= SCALE)
+DAMP_NUM, DAMP_DEN = 85, 100
+
+
+def pagerank(edges: DataFrame, iterations: int = 3,
+             scale: int = SCALE) -> DataFrame:
+    """Fixed-iteration integer PageRank over a weighted edge list
+    (src, dst, weight).  Every node appearing as src or dst is ranked;
+    contributions split proportionally to edge weight with integer
+    division; damping 0.85 applied as (85 * x) div 100.  Dangling nodes
+    (no out-edges) simply contribute nothing (their mass leaks — the
+    standard simplification; the synthesized registry graph has none).
+    Output: (node, rank_scaled: long) summing to ~scale."""
+    nodes = (edges.select(F.col("src").alias("node"))
+             .union(edges.select(F.col("dst").alias("node")))
+             .distinct())
+    # broadcast 1-row node count — no eager action in the build path
+    nc = nodes.agg(F.count(F.lit(1)).alias("n"))
+    out = edges.groupBy("src").agg(F.sum("weight").alias("w_out"))
+    e = edges.join(out, "src")
+
+    r = (nodes.crossJoin(F.broadcast(nc))
+         .select("node", F.expr(f"{scale} div n").alias("rank")))
+    for _ in range(iterations):
+        contrib = (
+            e.join(r, e["src"] == r["node"])
+            .select(F.col("dst").alias("node"),
+                    F.expr("(rank * weight) div w_out").alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        r = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(nc))
+            .select(
+                "node",
+                (F.expr(f"(({DAMP_DEN - DAMP_NUM} * {scale}) div "
+                        f"{DAMP_DEN}) div n")
+                 + F.expr(f"({DAMP_NUM} * coalesce(in_sum, 0)) div "
+                          f"{DAMP_DEN}")).alias("rank"),
+            )
+        )
+    return r.select("node", F.col("rank").cast("long").alias("rank_scaled"))

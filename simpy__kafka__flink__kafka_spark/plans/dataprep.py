@@ -1530,6 +1530,29 @@ def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows, "rank int, left string, right string, pair_count long")
 
 
+def _q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derive the token vocabulary artifact from trained merges
+    (functions/bpe.py:bpe_vocab — ids over corpus alphabet then merge
+    products in rank order, the HF tokenizer.json model.vocab shape),
+    completing the tokenizer interchange story bpe_export/bpe_import
+    started.  EAGER by design (training + the alphabet collect ARE the
+    algorithm) and rows-only at the gate, same stated policy as
+    bpe_merges; the derivation and artifact round-trip are pytest-pinned
+    in tests/test_bpe.py."""
+    from ..functions.bpe import bpe_train_local, bpe_vocab, word_frequencies
+
+    docs = _docs(spark, sf_dir)
+    merges = bpe_train_local(docs, n_merges=8)
+    alphabet = [
+        r["ch"] for r in word_frequencies(docs)
+        .select(F.explode(F.split("word", "")).alias("ch"))
+        .where(F.length("ch") > 0).distinct().collect()
+    ]
+    return spark.createDataFrame(
+        bpe_vocab(merges, alphabet),
+        "token_id int, token string, kind string")
+
+
 def _q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train a realistic-depth merge list (up to 1,000 merges — the
     driver-local trainer makes this seconds, not hours) and tokenize the
@@ -1822,6 +1845,151 @@ def _q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_quality(_docs(spark, sf_dir))
 
 
+def _q_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact PageRank over the synthesized domain link graph
+    (operators/graph.py): docs map onto 17 domains (the cap_per_domain
+    convention) and each doc contributes one weighted edge to a
+    deterministic neighbor, giving every domain up to 5 distinct
+    out-edges.  Three unrolled iterations; every arithmetic step is
+    integer division, so the DuckDB oracle (same unroll as CTEs)
+    hash-matches bit for bit — the reason this iterative algorithm is
+    oracle-expressible at all."""
+    from ..operators.graph import pagerank
+
+    docs = _docs(spark, sf_dir)
+    edges = (
+        docs.select(
+            (F.col("doc_id") % 17).alias("src"),
+            ((F.col("doc_id") % 17 + 1
+              + F.expr("doc_id div 17") % 5) % 17).alias("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("weight"))
+    )
+    return pagerank(edges, iterations=3)
+
+
+def _domain_pagerank_sql() -> str:
+    from ..operators.graph import DAMP_DEN, DAMP_NUM, SCALE
+
+    tele = f"(({DAMP_DEN - DAMP_NUM} * {SCALE}) // {DAMP_DEN}) // n"
+    iters = []
+    for k in (1, 2, 3):
+        iters.append(f"""c{k} AS (
+  SELECT e.dst AS node,
+         sum((r.rank * e.weight) // o.w_out) AS in_sum
+  FROM ed e JOIN outw o USING (src) JOIN r{k - 1} r ON r.node = e.src
+  GROUP BY 1
+),
+r{k} AS (
+  SELECT nodes.node,
+         {tele} + ({DAMP_NUM} * COALESCE(c.in_sum, 0)) // {DAMP_DEN}
+           AS rank
+  FROM nodes CROSS JOIN nn LEFT JOIN c{k} c ON c.node = nodes.node
+)""")
+    return f"""
+WITH ed AS (
+  SELECT src, dst, CAST(count(*) AS BIGINT) AS weight
+  FROM (SELECT doc_id % 17 AS src,
+               (doc_id % 17 + 1 + (doc_id // 17) % 5) % 17 AS dst
+        FROM documents)
+  GROUP BY 1, 2
+),
+nodes AS (SELECT DISTINCT node FROM
+          (SELECT src AS node FROM ed UNION ALL SELECT dst FROM ed)),
+nn AS (SELECT count(*) AS n FROM nodes),
+outw AS (SELECT src, sum(weight) AS w_out FROM ed GROUP BY 1),
+r0 AS (SELECT node, {SCALE} // n AS rank FROM nodes CROSS JOIN nn),
+{",".join(iters)}
+SELECT node, CAST(rank AS BIGINT) AS rank_scaled FROM r3
+"""
+
+
+def _q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots/noindex compliance gate (functions/quality.py:
+    robots_flags): synthesized pages carry meta robots tags in both
+    attribute orders plus an X-Robots-Tag response-header block —
+    noindex, nofollow, none, an unrelated directive, and clean pages.
+    Zero-shuffle regexp codegen; the oracle runs the identical patterns,
+    so token-wise directive matching is parity-checked end to end."""
+    from ..functions.quality import robots_flags
+
+    docs = _docs(spark, sf_dir)
+    v = F.col("doc_id") % 7
+    meta = (
+        F.when(v == 0, F.lit('<meta name="robots" '
+                             'content="noindex, follow">'))
+        .when(v == 1, F.lit('<meta name="robots" '
+                            'content="index, nofollow">'))
+        .when(v == 2, F.lit('<meta content="none" name="robots">'))
+        .when(v == 5, F.lit('<meta name="robots" '
+                            'content="noindexing-is-not-noindex">'))
+        .otherwise(F.lit(""))
+    )
+    headers = (
+        F.when(v == 3, F.lit("HTTP/1.1 200 OK\r\nContent-Type: "
+                             "text/html\r\nX-Robots-Tag: noindex\r\n"))
+        .when(v == 4, F.lit("HTTP/1.1 200 OK\r\nX-Robots-Tag: "
+                            "unavailable_after: 2027-01-01\r\n"))
+        .otherwise(F.lit("HTTP/1.1 200 OK\r\n"))
+    )
+    pages = docs.select(
+        "doc_id",
+        F.concat(F.lit("<html><head>"), meta,
+                 F.lit("</head><body><p>ok</p></body></html>"))
+        .alias("html"),
+        headers.alias("headers"),
+    )
+    return robots_flags(pages, headers_col="headers")
+
+
+def _robots_filter_sql() -> str:
+    from ..functions.quality import (META_ROBOTS_RE, META_ROBOTS_REV_RE,
+                                     X_ROBOTS_RE, _NOFOLLOW_TOK_RE,
+                                     _NOINDEX_TOK_RE)
+
+    return f"""
+WITH v AS (
+  SELECT doc_id, CAST(doc_id % 7 AS INTEGER) AS vv FROM documents
+),
+pages AS (
+  SELECT doc_id,
+         '<html><head>' ||
+         CASE vv
+           WHEN 0 THEN '<meta name="robots" content="noindex, follow">'
+           WHEN 1 THEN '<meta name="robots" content="index, nofollow">'
+           WHEN 2 THEN '<meta content="none" name="robots">'
+           WHEN 5 THEN
+             '<meta name="robots" content="noindexing-is-not-noindex">'
+           ELSE '' END ||
+         '</head><body><p>ok</p></body></html>' AS html,
+         CASE vv
+           WHEN 3 THEN 'HTTP/1.1 200 OK' || chr(13) || chr(10) ||
+                       'Content-Type: text/html' || chr(13) || chr(10) ||
+                       'X-Robots-Tag: noindex' || chr(13) || chr(10)
+           WHEN 4 THEN 'HTTP/1.1 200 OK' || chr(13) || chr(10) ||
+                       'X-Robots-Tag: unavailable_after: 2027-01-01' ||
+                       chr(13) || chr(10)
+           ELSE 'HTTP/1.1 200 OK' || chr(13) || chr(10) END AS headers
+  FROM v
+),
+d AS (
+  SELECT doc_id,
+         regexp_extract(html, '{META_ROBOTS_RE}', 1) || ',' ||
+         regexp_extract(html, '{META_ROBOTS_REV_RE}', 1) || ',' ||
+         regexp_extract(headers, '{X_ROBOTS_RE}', 1) AS directives
+  FROM pages
+)
+SELECT doc_id,
+       CAST(regexp_matches(directives, '{_NOINDEX_TOK_RE}') AS INTEGER)
+         AS noindex,
+       CAST(regexp_matches(directives, '{_NOFOLLOW_TOK_RE}') AS INTEGER)
+         AS nofollow,
+       CAST(NOT regexp_matches(directives, '{_NOINDEX_TOK_RE}')
+            AS INTEGER) AS indexable
+FROM d
+"""
+
+
 def _gopher_sql() -> str:
     from ..functions.quality import GOPHER_STOPS
 
@@ -2085,7 +2253,10 @@ def _q_dedup_against_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.dedup import dedup_against, snapshot_profile
 
     docs = _docs(spark, sf_dir)
-    prior = snapshot_profile(docs)
+    # pinned: the profile is referenced twice (fingerprint set + prior
+    # signatures) and in production it is a READ table — the pin stands
+    # in for that persisted artifact
+    prior = pin(snapshot_profile(docs))
     mode = F.col("doc_id") % 10
     new_text = (
         F.when(mode == 0, F.col("text"))
@@ -2227,6 +2398,116 @@ SELECT shingle, exact_count, CAST(est AS BIGINT) AS cms_estimate FROM pe
 """
 
 
+def _q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term -> postings inverted index (functions/text.py:
+    inverted_index): df + total tf + an order-canonical postings
+    fingerprint per term.  The DuckDB oracle builds the identical
+    zero-padded "doc:tf" entries with string_agg ORDER BY."""
+    from ..functions.text import inverted_index
+
+    return inverted_index(_docs(spark, sf_dir))
+
+
+_INVERTED_INDEX_SQL = r"""
+WITH w AS (
+  SELECT doc_id,
+         string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')),
+                      ' ') AS ws
+  FROM documents
+),
+tok AS (SELECT doc_id, unnest(ws) AS term FROM w),
+tf AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+       FROM tok WHERE length(term) > 0 GROUP BY 1, 2),
+e AS (SELECT term, tf,
+             lpad(CAST(doc_id AS VARCHAR), 12, '0') || ':' ||
+             CAST(tf AS VARCHAR) AS entry
+      FROM tf)
+SELECT term,
+       CAST(count(*) AS BIGINT) AS df,
+       CAST(sum(tf) AS BIGINT) AS total_tf,
+       md5(string_agg(entry, ',' ORDER BY entry)) AS postings_hash
+FROM e GROUP BY term
+"""
+
+
+def _q_ngram_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership probe over the corpus bigram stream
+    (functions/sketches.py) — the fixed-size membership companion to
+    CMS/HLL: the top-50 grams (all present -> maybe=1, the no-false-
+    negative contract hashed at the gate) plus 50 synthetic absent items
+    (maybe reflects the deterministic false-positive pattern, identical
+    on both engines because the k bit positions are md5 folds)."""
+    from ..functions.sketches import bloom_build, bloom_probe
+    from ..functions.text import shingles
+
+    stream = shingles(_docs(spark, sf_dir), n=2).select(
+        F.col("shingle").alias("item"))
+    top = (
+        stream.groupBy("item")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("item")).limit(50)
+        .select("item", F.lit(1).alias("present"))
+    )
+    absent = spark.range(50).select(
+        F.concat(F.lit("zz-absent-"), F.col("id").cast("string"))
+        .alias("item"),
+        F.lit(0).alias("present"))
+    probes = top.unionByName(absent)
+    got = bloom_probe(bloom_build(stream), probes.select("item"))
+    return probes.join(got, "item").select(
+        "item", F.col("present").cast("int").alias("present"),
+        F.col("maybe").cast("int").alias("maybe"))
+
+
+def _bloom_fold_sql(k: int, m: int) -> str:
+    inner = f"md5('bloom{k}:' || item)"
+    return "(" + " + ".join(
+        f"(strpos('0123456789abcdef', substr({inner}, {i + 1}, 1)) - 1)"
+        f" * {16 ** (4 - i)}"
+        for i in range(5)
+    ) + f") % {m}"
+
+
+def _ngram_bloom_sql() -> str:
+    from ..functions.sketches import BLOOM_K, BLOOM_M
+
+    bit_unions = "\n  UNION ALL ".join(
+        f"SELECT {_bloom_fold_sql(k, BLOOM_M)} AS bit FROM st"
+        for k in range(BLOOM_K))
+    probe_unions = "\n  UNION ALL ".join(
+        f"SELECT item, {k} AS hk, {_bloom_fold_sql(k, BLOOM_M)} AS bit"
+        " FROM probes"
+        for k in range(BLOOM_K))
+    return f"""
+WITH {_ngram_cte(2)},
+st AS (SELECT shingle AS item FROM sh),
+top50 AS (SELECT item, 1 AS present
+          FROM (SELECT item, count(*) AS c FROM st GROUP BY 1
+                ORDER BY c DESC, item LIMIT 50)),
+absent AS (SELECT 'zz-absent-' || CAST(i AS VARCHAR) AS item, 0 AS present
+           FROM generate_series(0, 49) t(i)),
+probes AS (SELECT item FROM top50 UNION ALL SELECT item FROM absent),
+pr AS (SELECT * FROM top50 UNION ALL SELECT * FROM absent),
+bits AS (SELECT DISTINCT bit FROM (
+  {bit_unions}
+)),
+pb AS (
+  {probe_unions}
+),
+hit AS (
+  SELECT pb.item,
+         CASE WHEN b.bit IS NOT NULL THEN 1 ELSE 0 END AS s
+  FROM pb LEFT JOIN bits b ON b.bit = pb.bit
+),
+mb AS (SELECT item,
+              CASE WHEN count(*) = sum(s) THEN 1 ELSE 0 END AS maybe
+       FROM hit GROUP BY 1)
+SELECT pr.item, CAST(pr.present AS INTEGER) AS present,
+       CAST(mb.maybe AS INTEGER) AS maybe
+FROM pr JOIN mb USING (item)
+"""
+
+
 def _q_ngram_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog register table over the corpus bigram stream
     (functions/sketches.py:hll_registers): md5-fold 48-bit hash, 256
@@ -2277,7 +2558,15 @@ def _q_web_prep_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic end to end.  Plan shape: the first FOUR stages are
     zero-shuffle row expressions fused into the page scan; the dedup and
     cap windows are the only exchanges (fingerprint-keyed, then
-    domain-keyed), and the final stats agg rides the cap exchange."""
+    domain-keyed), and the final stats agg rides the cap exchange.
+
+    Cache-lifecycle note (round-7 verdict): the extraction cache below
+    is LOAD-BEARING (3x cold cost without it) and pinned via
+    cachepin.pin — the __spark_entry__.queries() wrapper unpins it
+    before the next build.  A consumer calling registry() directly
+    (bench.py does) must manage the pin itself: call cachepin.unpin_all()
+    (or clearCache) between query generations, or the pinned extraction
+    frame outlives this query."""
     from pyspark.sql import Window as W
 
     from ..functions.html import extract_main_content, synthesize_page
@@ -2750,6 +3039,11 @@ QUERIES: dict[str, Query] = {
         _q_bpe_tokenize, None,
         "corpus tokenization with the trained merges (broadcast-join "
         "segmentation applier); rows-only per the iterative-training policy"),
+    "bpe_vocab": Query(
+        _q_bpe_vocab, None,
+        "token vocabulary derivation from trained merges (alphabet + "
+        "merge products with contiguous ids, the tokenizer.json "
+        "model.vocab shape); rows-only per the iterative-training policy"),
     "exact_substring_spans": Query(
         _q_exact_substring_spans, _EXACT_SUBSTR_SQL,
         "char-level ExactSubstr profile: maximal cross-doc spans >= 30 chars"),
@@ -2782,6 +3076,15 @@ QUERIES: dict[str, Query] = {
         _q_c4_sentence_filter, _C4_FILTER_SQL,
         "C4 sentence cleanup: short sentences dropped, blocklisted or "
         "thin docs dropped whole"),
+    "domain_pagerank": Query(
+        _q_domain_pagerank, _domain_pagerank_sql(),
+        "integer-exact 3-iteration PageRank over the synthesized domain "
+        "link graph (edge-join + dst-agg per round, bit-identical "
+        "across engines by integer division)"),
+    "robots_filter": Query(
+        _q_robots_filter, _robots_filter_sql(),
+        "robots/noindex compliance gate: meta robots (both attribute "
+        "orders) + X-Robots-Tag header, token-wise directive matching"),
     "gopher_quality": Query(
         _q_gopher_quality, _gopher_sql(),
         "Gopher A1.1 document-quality rules, integer-exact thresholds"),
@@ -2812,6 +3115,14 @@ QUERIES: dict[str, Query] = {
         _q_ngram_hll_registers, _hll_sql(),
         "HyperLogLog register table over bigrams (integer-exact sketch "
         "state; float estimator pytest-side by design)"),
+    "ngram_bloom_probe": Query(
+        _q_ngram_bloom, _ngram_bloom_sql(),
+        "Bloom-filter membership probe over bigrams (fixed m-bit state; "
+        "no-false-negative contract + deterministic FP pattern hashed)"),
+    "inverted_index": Query(
+        _q_inverted_index, _INVERTED_INDEX_SQL,
+        "term -> postings inverted index (df, total tf, order-canonical "
+        "postings fingerprint) — the IR retrieval artifact"),
     "web_prep_full": Query(
         _q_web_prep_full, _web_prep_sql(),
         "web-corpus capstone: synthesized pages -> HTML extraction -> "

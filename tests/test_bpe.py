@@ -244,3 +244,48 @@ def test_export_import_roundtrip(spark):
     with pytest.raises(ValueError, match="contiguous"):
         bpe_import('{"format": "bpe-merges", "version": 1, "merges": '
                    '[{"rank": 2, "left": "a", "right": "b", "count": 3}]}')
+
+
+def test_bpe_vocab_derivation_and_roundtrip(spark):
+    from simpy__kafka__flink__kafka_spark.functions.bpe import (
+        _encode_word, bpe_train_local, bpe_vocab, bpe_vocab_export,
+        bpe_vocab_import)
+
+    docs = _mkdocs(spark, [(1, CLASSIC)])
+    merges = bpe_train_local(docs, n_merges=8)
+    vocab = bpe_vocab(merges)
+    # ids contiguous; chars first (sorted), then merge products in rank order
+    assert [i for i, _, _ in vocab] == list(range(len(vocab)))
+    chars = [t for _, t, k in vocab if k == "char"]
+    assert chars == sorted(chars)
+    prods = [t for _, t, k in vocab if k == "merge"]
+    assert prods == [l + r for l, r, _ in merges]
+    # artifact round-trip
+    assert bpe_vocab_import(bpe_vocab_export(merges)) == vocab
+    # explicit corpus alphabet widens the char section, ids stay contiguous
+    v2 = bpe_vocab(merges, alphabet=list("abcdefghijklmnopqrstuvwxyz"))
+    assert [i for i, _, _ in v2] == list(range(len(v2)))
+    assert len([t for _, t, k in v2 if k == "char"]) == 26
+    # closure: with a corpus alphabet, every symbol the rank-priority
+    # encoder can emit has an id (the default merge-chars alphabet only
+    # guarantees this for words over the merge components)
+    tokens = {t for _, t, _ in v2}
+    ranks = {(l, r): i for i, (l, r, _) in enumerate(merges)}
+    for word in ("low", "lowest", "newer", "wider"):
+        assert set(_encode_word(word, ranks)) <= tokens
+    # duplicate merge product rejected
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="duplicates"):
+        bpe_vocab([("a", "b", 3), ("a", "b", 2)])
+
+
+def test_bpe_vocab_registry_row(spark, sf_dir):
+    from simpy__kafka__flink__kafka_spark.plans import registry
+
+    rows = registry()["bpe_vocab"].build(spark, sf_dir).collect()
+    assert rows
+    ids = sorted(r["token_id"] for r in rows)
+    assert ids == list(range(len(rows)))
+    kinds = {r["kind"] for r in rows}
+    assert kinds <= {"char", "merge"}
+    assert sum(1 for r in rows if r["kind"] == "merge") == 8

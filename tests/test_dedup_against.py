@@ -57,3 +57,25 @@ def test_registry_row_matches_oracle(spark, sf_dir):
     q = registry()["dedup_against_prior"]
     assert_match(q.build(spark, sf_dir), q.oracle, sf_dir,
                  "dedup_against_prior")
+
+
+def test_snapshot_profile_local_twin_zero_shuffle_and_identical(spark):
+    # default profile = the codegen groupBy pipeline (round-6 A/B: ~7x
+    # faster cold than interpreted folds); local=True = the zero-shuffle
+    # single-pass twin.  Values must be identical row for row.
+    from simpy__kafka__flink__kafka_spark.functions.dedup import (
+        snapshot_profile)
+
+    docs = spark.createDataFrame(
+        [(1, PROSE), (2, "short doc"), (3, PROSE + " and more words here")],
+        "doc_id long, text string")
+    prof = snapshot_profile(docs)
+    loc = snapshot_profile(docs, local=True)
+    plan = loc._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan          # pure scan-side projection
+    a = {r["prior_id"]: tuple(r[f"h{j}"] for j in range(8))
+         for r in prof.collect()}
+    b = {r["prior_id"]: tuple(r[f"h{j}"] for j in range(8))
+         for r in loc.collect()}
+    assert a == b
+    assert a[2] == (None,) * 8             # too short to shingle

@@ -118,3 +118,61 @@ def test_linear_quality_score_exactness(spark):
     plan = linear_quality_score(docs)._jdf.queryExecution(
     ).executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_robots_flags_directive_matrix(spark):
+    from simpy__kafka__flink__kafka_spark.functions.quality import (
+        robots_flags)
+
+    rows = [
+        (1, '<html><head><meta name="robots" content="noindex"></head>',
+         "HTTP/1.1 200 OK\r\n"),
+        (2, '<html><head><meta name="robots" content="index, nofollow">'
+            '</head>', "HTTP/1.1 200 OK\r\n"),
+        # reversed attribute order + none (= noindex AND nofollow)
+        (3, '<html><head><meta content="none" name="robots"></head>',
+         "HTTP/1.1 200 OK\r\n"),
+        # header-only noindex (case-insensitive header name)
+        (4, "<html><head></head>",
+         "HTTP/1.1 200 OK\r\nx-robots-tag: NOINDEX\r\n"),
+        # substring traps: directives are matched token-wise
+        (5, '<html><head><meta name="robots" content="noindexing"></head>',
+         "HTTP/1.1 200 OK\r\n"),
+        (6, "<html><head></head>",
+         "HTTP/1.1 200 OK\r\nX-Robots-Tag-Like: noindex\r\n"),
+        (7, "<html><head></head>", "HTTP/1.1 200 OK\r\n"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, html string, headers string")
+    got = {r["doc_id"]: (r["noindex"], r["nofollow"], r["indexable"])
+           for r in robots_flags(df, headers_col="headers").collect()}
+    assert got[1] == (1, 0, 0)
+    assert got[2] == (0, 1, 1)    # nofollow alone stays indexable
+    assert got[3] == (1, 1, 0)    # none implies both
+    assert got[4] == (1, 0, 0)
+    assert got[5] == (0, 0, 1)    # 'noindexing' is not 'noindex'
+    assert got[6] == (0, 0, 1)    # header NAME must match exactly
+    assert got[7] == (0, 0, 1)
+
+
+def test_robots_flags_html_only(spark):
+    from simpy__kafka__flink__kafka_spark.functions.quality import (
+        robots_flags)
+
+    df = spark.createDataFrame(
+        [(1, '<META NAME="robots" CONTENT="NOINDEX,NOFOLLOW">'),
+         (2, "<p>plain</p>")],
+        "doc_id long, html string")
+    got = {r["doc_id"]: (r["noindex"], r["nofollow"])
+           for r in robots_flags(df).collect()}
+    assert got[1] == (1, 1)       # case-insensitive tag + directives
+    assert got[2] == (0, 0)
+
+
+def test_robots_registry_row_matches_oracle(spark, sf_dir):
+    from tests.oracle_utils import assert_match
+
+    from simpy__kafka__flink__kafka_spark.plans import registry
+
+    q = registry()["robots_filter"]
+    assert_match(q.build(spark, sf_dir), q.oracle, sf_dir, "robots_filter")

@@ -141,3 +141,44 @@ def test_registry_row_top_grams_estimates(spark, sf_dir):
     rows = q.build(spark, sf_dir).collect()
     assert 0 < len(rows) <= 50
     assert all(r["cms_estimate"] >= r["exact_count"] for r in rows)
+
+
+def test_bloom_no_false_negatives_and_fp_rate(spark):
+    from pyspark.sql import functions as F
+
+    from simpy__kafka__flink__kafka_spark.functions.sketches import (
+        BLOOM_K, BLOOM_M, bloom_build, bloom_probe)
+
+    # load the filter to ~n/m = 1/4 (2048 items, m=8192, k=4) — classic
+    # FP rate (1 - e^{-kn/m})^k ~= (1 - e^{-1})^4 ~= 0.16
+    items = spark.range(2048).select(
+        F.concat(F.lit("present-"), F.col("id").cast("string"))
+        .alias("item"))
+    bits = bloom_build(items)
+    assert bits.count() <= BLOOM_M
+
+    # every inserted item MUST report maybe=1 (no false negatives)
+    got = {r["item"]: r["maybe"]
+           for r in bloom_probe(bits, items).collect()}
+    assert all(v == 1 for v in got.values())
+
+    # absent probes: FP rate near the classic formula, never 0-or-1 wild
+    absent = spark.range(2000).select(
+        F.concat(F.lit("absent-"), F.col("id").cast("string"))
+        .alias("item"))
+    fps = sum(r["maybe"]
+              for r in bloom_probe(bits, absent).collect())
+    rate = fps / 2000
+    import math
+    expect = (1 - math.exp(-BLOOM_K * 2048 / BLOOM_M)) ** BLOOM_K
+    assert abs(rate - expect) < 0.06, (rate, expect)
+
+
+def test_bloom_registry_row_matches_oracle(spark, sf_dir):
+    from tests.oracle_utils import assert_match
+
+    from simpy__kafka__flink__kafka_spark.plans import registry
+
+    q = registry()["ngram_bloom_probe"]
+    assert_match(q.build(spark, sf_dir), q.oracle, sf_dir,
+                 "ngram_bloom_probe")

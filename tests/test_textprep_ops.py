@@ -473,3 +473,31 @@ def test_exact_substring_methods_identical_on_unicode(spark):
     clean = {t[0]: t[4] for t in rw[0]}
     assert payload.lower() in clean[1]      # keeper (min doc_id)
     assert payload.lower() not in clean[2]  # cut from the later doc
+
+
+def test_inverted_index_hand_case(spark):
+    from simpy__kafka__flink__kafka_spark.functions.text import (
+        inverted_index)
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta alpha"), (2, "beta gamma"), (10, "alpha")],
+        "doc_id long, text string")
+    got = {r["term"]: r for r in inverted_index(docs).collect()}
+    assert got["alpha"]["df"] == 2 and got["alpha"]["total_tf"] == 3
+    assert got["beta"]["df"] == 2 and got["beta"]["total_tf"] == 2
+    assert got["gamma"]["df"] == 1
+    # postings fingerprint: zero-padded doc ids in numeric order
+    import hashlib
+    want = hashlib.md5(
+        b"000000000001:2,000000000010:1").hexdigest()
+    assert got["alpha"]["postings_hash"] == want
+
+
+def test_inverted_index_registry_row(spark, sf_dir):
+    from tests.oracle_utils import assert_match
+
+    from simpy__kafka__flink__kafka_spark.plans import registry
+
+    q = registry()["inverted_index"]
+    assert_match(q.build(spark, sf_dir), q.oracle, sf_dir,
+                 "inverted_index")
