@@ -45,11 +45,11 @@ HEADLINE = [
     "passage_dedup",
     "passage_rewrite",
     "chunk_documents",
-    # promoted round 6 (VERDICT r05 task #3): the winnowing-anchored
-    # stride+verify plan cut cold wall time >= 2x vs the round-5 full
-    # position-stream plan, with identical (gate-oracled) output
-    "exact_substring_spans",
-    "exact_substring_rewrite",
+    # round-8 rotation mirrors the gate: the FUSED profile+rewrite twin
+    # (both ExactSubstr outputs off ONE gram-window exchange, 0.48x the
+    # standalone pair it replaces here; the standalones stay declared +
+    # oracled in the registry tail)
+    "exact_substring_profile_rewrite",
     # live codec execution inside the distributed plan (vendored PPM
     # decode through Arrow mapInPandas; oracle-checked at the gate)
     "image_decode_stats",

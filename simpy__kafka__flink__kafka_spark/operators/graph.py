@@ -33,13 +33,19 @@ DAMP_NUM, DAMP_DEN = 85, 100
 
 
 def pagerank(edges: DataFrame, iterations: int = 3,
-             scale: int = SCALE) -> DataFrame:
+             scale: int = SCALE,
+             checkpoint_every: int = 0) -> DataFrame:
     """Fixed-iteration integer PageRank over a weighted edge list
     (src, dst, weight).  Every node appearing as src or dst is ranked;
     contributions split proportionally to edge weight with integer
     division; damping 0.85 applied as (85 * x) div 100.  Dangling nodes
     (no out-edges) simply contribute nothing (their mass leaks — the
     standard simplification; the synthesized registry graph has none).
+    ``checkpoint_every`` > 0 lazily ``localCheckpoint``-s the rank
+    vector every that-many iterations — the chain_stats lineage lever
+    for deep unrolls (past ~8 rounds the nested plan makes Catalyst
+    re-derive every prior level); at cluster scale the same knob maps to
+    ``df.checkpoint()`` against the checkpoint dir.
     Output: (node, rank_scaled: long) summing to ~scale."""
     nodes = (edges.select(F.col("src").alias("node"))
              .union(edges.select(F.col("dst").alias("node")))
@@ -51,7 +57,7 @@ def pagerank(edges: DataFrame, iterations: int = 3,
 
     r = (nodes.crossJoin(F.broadcast(nc))
          .select("node", F.expr(f"{scale} div n").alias("rank")))
-    for _ in range(iterations):
+    for it in range(iterations):
         contrib = (
             e.join(r, e["src"] == r["node"])
             .select(F.col("dst").alias("node"),
@@ -70,4 +76,6 @@ def pagerank(edges: DataFrame, iterations: int = 3,
                           f"{DAMP_DEN}")).alias("rank"),
             )
         )
+        if checkpoint_every and (it + 1) % checkpoint_every == 0:
+            r = r.localCheckpoint(eager=False)
     return r.select("node", F.col("rank").cast("long").alias("rank_scaled"))

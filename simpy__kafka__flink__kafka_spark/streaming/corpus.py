@@ -168,3 +168,76 @@ def compact_pair_batch(batch_df: DataFrame, out_dir: str) -> None:
         if cls != "PATH_NOT_FOUND" and "Path does not exist" not in str(e):
             raise
     fresh.write.mode("append").parquet(out_dir)
+
+
+# --- Streaming incremental ingest vs a prior snapshot ------------------------
+
+def incremental_ingest_batch(batch_df: DataFrame, prior_profile_dir: str,
+                             accepted_dir: str) -> None:
+    """One micro-batch of :func:`start_incremental_ingest`: classify the
+    batch's docs against the PRIOR snapshot's persisted profile PLUS the
+    profiles of docs accepted in earlier batches, admit only ``fresh``
+    docs, and append both the docs and their profile rows to the
+    accepted sink — so later batches (and the next crawl) see them as
+    known.  Batch-internal exact copies collapse first (keep-first on
+    the fingerprint).  At-least-once replay is idempotent by
+    construction: a replayed batch re-reads the sink profile, so its own
+    previously-accepted docs now classify ``exact_known`` and nothing is
+    appended twice — the same upsert posture as pair compaction."""
+    from pyspark.errors import AnalysisException
+    from pyspark.sql import Window as W
+
+    from ..functions.dedup import dedup_against, snapshot_profile
+    from ..functions.text import normalized as _norm
+
+    spark = batch_df.sparkSession
+    prior = spark.read.parquet(prior_profile_dir)
+    try:
+        seen = spark.read.parquet(f"{accepted_dir}/profile")
+        prior = prior.unionByName(seen)
+    except AnalysisException as e:
+        cls = e.getCondition() if hasattr(e, "getCondition") else None
+        if cls != "PATH_NOT_FOUND" and "Path does not exist" not in str(e):
+            raise
+    # keep-first within the batch so two copies arriving together don't
+    # both classify fresh (the profile can't see batch-mates)
+    batch = (
+        batch_df.select("doc_id", "text")
+        .withColumn("_fp", F.md5(_norm("text")))
+        .withColumn("_rn", F.row_number().over(
+            W.partitionBy("_fp").orderBy("doc_id")))
+        .where(F.col("_rn") == 1).drop("_fp", "_rn")
+    )
+    status = dedup_against(batch, prior)
+    # eager localCheckpoint: the classification READS the sink profile
+    # and the writes below APPEND to it — without materializing first,
+    # the second write's re-evaluation would re-list the profile path
+    # and see the first write's own output (fresh docs self-classifying
+    # as known).  The frame is batch-sized, so the checkpoint is cheap.
+    fresh = batch.join(
+        status.where(F.col("status") == "fresh").select("doc_id"),
+        "doc_id").localCheckpoint()
+    snapshot_profile(fresh).write.mode("append").parquet(
+        f"{accepted_dir}/profile")
+    fresh.write.mode("append").parquet(f"{accepted_dir}/docs")
+
+
+def start_incremental_ingest(docs_stream: DataFrame,
+                             prior_profile_dir: str, accepted_dir: str,
+                             checkpoint_dir: str):
+    """Streaming tie-in for cross-snapshot incremental dedup
+    (functions/dedup.py:dedup_against): a continuously-arriving re-crawl
+    admits only content unknown to BOTH the prior snapshot and this
+    run's own earlier batches.  foreachBatch keeps the growing
+    known-profile on the sink side (bounded by accepted volume, not
+    stream history), exactly like the pair-compaction consumer — no
+    unbounded streaming state.  Returns the started StreamingQuery."""
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        incremental_ingest_batch(batch_df, prior_profile_dir, accepted_dir)
+
+    return (
+        docs_stream.writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )

@@ -53,3 +53,16 @@ def test_registry_row_matches_oracle(spark, sf_dir):
     q = registry()["domain_pagerank"]
     assert_match(q.build(spark, sf_dir), q.oracle, sf_dir,
                  "domain_pagerank")
+
+
+def test_checkpointed_deep_unroll_identical(spark):
+    # 12 iterations with and without the lineage checkpoint must agree
+    # exactly (integer arithmetic — no drift to hide behind)
+    edges = [(0, 1, 2), (1, 2, 5), (2, 0, 1), (2, 1, 4), (3, 0, 7),
+             (0, 3, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long, weight long")
+    a = {r["node"]: r["rank_scaled"]
+         for r in pagerank(df, iterations=12).collect()}
+    b = {r["node"]: r["rank_scaled"]
+         for r in pagerank(df, iterations=12, checkpoint_every=4).collect()}
+    assert a == b

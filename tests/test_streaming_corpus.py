@@ -222,3 +222,90 @@ def test_streaming_near_dup_matches_batch_within_horizon(spark, tmp_path):
                    for r in minhash_lsh_pairs(docs).collect()}
     assert stream_pairs == batch_pairs
     assert batch_pairs  # non-vacuous: the variants really do pair
+
+
+def test_incremental_ingest_batches_and_replay(spark, tmp_path):
+    from simpy__kafka__flink__kafka_spark.streaming.corpus import (
+        incremental_ingest_batch)
+
+    prose_a = ("the quick brown fox jumps over the lazy dog near the "
+               "river bank while herons watch the slow water")
+    prose_b = ("completely different winter words about the mountain "
+               "snow and the long cold silence of the high passes")
+    prose_c = ("a third genuinely novel document about harvest moons "
+               "and the quiet orchard rows waiting for first frost")
+
+    prior_dir = str(tmp_path / "prior")
+    acc = str(tmp_path / "accepted")
+    from simpy__kafka__flink__kafka_spark.functions.dedup import (
+        snapshot_profile)
+
+    prior_docs = spark.createDataFrame(
+        [(1, prose_a)], "doc_id long, text string")
+    snapshot_profile(prior_docs).write.parquet(prior_dir)
+
+    # batch 1: a prior exact copy, a near copy, a fresh doc, and TWO
+    # batch-internal copies of the same new content
+    b1 = spark.createDataFrame(
+        [(10, prose_a),                         # known exact
+         (11, prose_a + " with a small tail"),  # known near
+         (12, prose_b),                         # fresh
+         (13, prose_c), (14, prose_c)],         # batch-internal copies
+        "doc_id long, text string")
+    incremental_ingest_batch(b1, prior_dir, acc)
+    got1 = {r["doc_id"] for r in
+            spark.read.parquet(f"{acc}/docs").collect()}
+    assert got1 == {12, 13}   # keep-first collapsed 14; 10/11 known
+
+    # batch 2: a copy of batch-1-accepted content must now be known
+    b2 = spark.createDataFrame(
+        [(20, prose_b), (21, "entirely new fifth batch of words about "
+                             "ships and the grey harbor dawn light")],
+        "doc_id long, text string")
+    incremental_ingest_batch(b2, prior_dir, acc)
+    got2 = {r["doc_id"] for r in
+            spark.read.parquet(f"{acc}/docs").collect()}
+    assert got2 == {12, 13, 21}
+
+    # at-least-once replay of batch 2: nothing appended twice
+    incremental_ingest_batch(b2, prior_dir, acc)
+    rows = spark.read.parquet(f"{acc}/docs").collect()
+    assert {r["doc_id"] for r in rows} == {12, 13, 21}
+    assert len(rows) == 3
+
+
+def test_incremental_ingest_live_stream(spark, tmp_path):
+    # end-to-end: file stream -> foreachBatch incremental ingest vs a
+    # prior profile; accepted sink holds exactly the novel content
+    from simpy__kafka__flink__kafka_spark.functions.dedup import (
+        snapshot_profile)
+    from simpy__kafka__flink__kafka_spark.streaming.corpus import (
+        start_incremental_ingest)
+
+    prior_docs = spark.createDataFrame(
+        [(1, GOOD)], "doc_id long, text string")
+    prior_dir = str(tmp_path / "ii_prior")
+    snapshot_profile(prior_docs).write.parquet(prior_dir)
+
+    ind = str(tmp_path / "ii_in")
+    acc = str(tmp_path / "ii_acc")
+    ckpt = str(tmp_path / "ii_ckpt")
+    os.makedirs(ind, exist_ok=True)
+    rows = [
+        (10, GOOD, _ts(1000)),                       # known exact
+        (11, "novel words about glass harbors and the slow tide "
+             "returning under a pale morning sky", _ts(1005)),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, ingest_ts timestamp"
+    ).coalesce(1).write.mode("append").parquet(ind)
+    stream = file_docs_source(spark, ind, watermark="10 minutes")
+    q = start_incremental_ingest(stream, prior_dir, acc, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r["doc_id"] for r in spark.read.parquet(f"{acc}/docs").collect()}
+    assert got == {11}
+    prof = spark.read.parquet(f"{acc}/profile").collect()
+    assert {r["prior_id"] for r in prof} == {11}
