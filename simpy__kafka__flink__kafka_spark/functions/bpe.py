@@ -151,13 +151,22 @@ def bpe_train_local(df: DataFrame, n_merges: int = 8, text_col: str = "text",
     count) gives the argmax; a ``pair -> {word ids}`` index confines each
     round's re-count to the words that actually contain the merged pair.
     """
-    import heapq
-    from collections import Counter, defaultdict
-
     rows = word_frequencies(df, text_col).collect()
     table: list[tuple[list[str], int]] = [
         (list(r["word"]), int(r["freq"])) for r in rows
     ]
+    return _driver_merge_loop(table, n_merges, min_pair_count)
+
+
+def _driver_merge_loop(table: list[tuple[list[str], int]], n_merges: int,
+                       min_pair_count: int) -> list[tuple[str, str, int]]:
+    """The shared driver-side merge loop (max-heap with lazy
+    invalidation + pair->words index) — used by both the char-level and
+    byte-level local trainers so their argmax/tie-break/update semantics
+    can never diverge."""
+    import heapq
+    from collections import Counter, defaultdict
+
     counts: Counter = Counter()
     where: dict[tuple[str, str], set[int]] = defaultdict(set)
     for wi, (sym, f) in enumerate(table):
@@ -490,3 +499,105 @@ def bpe_vocab_import(artifact: str) -> list[tuple[int, str, str]]:
     if len(set(toks)) != len(toks):
         raise ValueError("duplicate tokens in vocab artifact")
     return [(int(t["id"]), t["token"], t["kind"]) for t in rows]
+
+
+# --- Byte-level mode (GPT-2 posture) -----------------------------------------
+# Character-level BPE cannot represent unseen characters; byte-level BPE
+# (the GPT-2 / RoBERTa / Llama posture) trains over UTF-8 BYTES mapped
+# through a fixed byte<->printable-unicode bijection, so ANY string is
+# representable with a 256-symbol base alphabet.  The bijection is the
+# standard derivation: printable latin-1 ranges map to themselves, every
+# other byte to 256+k in discovery order — no lookup tables beyond what
+# the loop below derives.
+
+def bytes_to_unicode() -> dict[int, str]:
+    """byte -> unicode char bijection (GPT-2 derivation)."""
+    bs = (list(range(ord("!"), ord("~") + 1))
+          + list(range(ord("\xa1"), ord("\xac") + 1))
+          + list(range(ord("\xae"), ord("\xff") + 1)))
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, [chr(c) for c in cs]))
+
+
+_B2U: dict[int, str] | None = None
+_U2B: dict[str, int] | None = None
+
+
+def _byte_maps() -> tuple[dict[int, str], dict[str, int]]:
+    global _B2U, _U2B
+    if _B2U is None:
+        _B2U = bytes_to_unicode()
+        _U2B = {c: b for b, c in _B2U.items()}
+    return _B2U, _U2B
+
+
+def word_to_byte_chars(word: str) -> str:
+    """UTF-8 bytes of ``word`` as the mapped printable chars — the
+    symbol stream byte-level BPE trains and applies over."""
+    b2u, _ = _byte_maps()
+    return "".join(b2u[b] for b in word.encode("utf-8"))
+
+
+def byte_chars_to_word(s: str) -> str:
+    """Inverse of :func:`word_to_byte_chars` (exact: the map is a
+    bijection and UTF-8 decode round-trips)."""
+    _, u2b = _byte_maps()
+    return bytes(u2b[c] for c in s).decode("utf-8")
+
+
+def bpe_train_local_bytes(df: DataFrame, n_merges: int = 8,
+                          text_col: str = "text",
+                          min_pair_count: int = 2
+                          ) -> list[tuple[str, str, int]]:
+    """Byte-level twin of :func:`bpe_train_local`: the same ONE
+    corpus-scale word-frequency shuffle, with each collected word mapped
+    to its byte-char stream before the SHARED driver merge loop — so
+    merges are over the 256-symbol byte alphabet and any unicode content
+    is trainable.  Output contract unchanged ([(left, right, count)] in
+    rank order, byte-char symbols)."""
+    rows = word_frequencies(df, text_col).collect()
+    table: list[tuple[list[str], int]] = [
+        (list(word_to_byte_chars(r["word"])), int(r["freq"])) for r in rows
+    ]
+    return _driver_merge_loop(table, n_merges, min_pair_count)
+
+
+def segment_words_ranked_bytes(vocab: DataFrame,
+                               merges: list[tuple[str, str, int]]
+                               ) -> DataFrame:
+    """Byte-level twin of :func:`segment_words_ranked`: each word maps
+    to its byte-char stream inside the Arrow batch, then the same
+    rank-priority encode loop runs.  Symbols concatenated and mapped
+    back ALWAYS reproduce the word exactly (losslessness pytest) — the
+    property character-level BPE cannot give on unseen characters."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    _validate_merge_ranks(merges)
+    ranks = {(left, right): i for i, (left, right, _) in enumerate(merges)}
+    schema = T.StructType([
+        T.StructField("word", T.StringType(), False),
+        T.StructField("symbols", T.ArrayType(T.StringType()), False),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            yield pd.DataFrame({
+                "word": pdf["word"],
+                "symbols": [
+                    _encode_word(word_to_byte_chars(w), ranks)
+                    for w in pdf["word"]
+                ],
+            })
+
+    return vocab.select("word").mapInPandas(run, schema)

@@ -241,3 +241,23 @@ def start_incremental_ingest(docs_stream: DataFrame,
         .outputMode("append")
         .start()
     )
+
+
+def url_frontier_dedup(urls: DataFrame) -> DataFrame:
+    """Streaming URL-frontier dedup: canonicalize
+    (functions/urls.py:canonicalize_url — zero-shuffle, so it composes
+    with any downstream stateful operator) and keep the first arrival
+    per canonical URL within the watermark horizon.  The crawl-frontier
+    twin of :func:`corpus_ingest`'s content dedup: state is bounded by
+    the duplicate-arrival horizon, and a late re-submission beyond it is
+    the documented at-least-once residue the batch url_dedup sweep
+    catches.  Input must carry a watermark on ``ingest_ts``; output one
+    row per first-seen canonical URL: (doc_id, ingest_ts, url,
+    canonical_url)."""
+    from ..functions.urls import canonicalize_url
+
+    return (
+        urls.select("doc_id", "ingest_ts", "url",
+                    canonicalize_url("url").alias("canonical_url"))
+        .dropDuplicatesWithinWatermark(["canonical_url"])
+    )

@@ -289,3 +289,50 @@ def test_bpe_vocab_registry_row(spark, sf_dir):
     kinds = {r["kind"] for r in rows}
     assert kinds <= {"char", "merge"}
     assert sum(1 for r in rows if r["kind"] == "merge") == 8
+
+
+def test_byte_level_bijection_and_roundtrip():
+    from simpy__kafka__flink__kafka_spark.functions.bpe import (
+        byte_chars_to_word, bytes_to_unicode, word_to_byte_chars)
+
+    m = bytes_to_unicode()
+    assert len(m) == 256 and len(set(m.values())) == 256
+    # printable ascii maps to itself; control bytes map above 255
+    assert m[ord("a")] == "a" and ord(m[0]) >= 256
+    for w in ("hello", "café", "naïve", "日本語", "mixed ünïcødé",
+              "tab\tand\nnewline"):
+        assert byte_chars_to_word(word_to_byte_chars(w)) == w
+
+
+def test_byte_level_trainer_matches_char_level_on_ascii(spark):
+    # on pure-ascii input the byte-char stream IS the char stream, so
+    # the two trainers must emit identical merge lists
+    from simpy__kafka__flink__kafka_spark.functions.bpe import (
+        bpe_train_local, bpe_train_local_bytes)
+
+    docs = _mkdocs(spark, [(1, CLASSIC)])
+    assert bpe_train_local_bytes(docs, n_merges=8) == \
+        bpe_train_local(docs, n_merges=8)
+
+
+def test_byte_level_segmentation_lossless_on_unicode(spark):
+    # the property char-level BPE cannot give: unseen unicode content
+    # segments losslessly (symbols decode back to the exact word)
+    from simpy__kafka__flink__kafka_spark.functions.bpe import (
+        bpe_train_local_bytes, byte_chars_to_word,
+        segment_words_ranked_bytes)
+
+    docs = spark.createDataFrame(
+        [(1, "café déjà vu café déjà bleu café déjà über")],
+        "doc_id long, text string")
+    merges = bpe_train_local_bytes(docs, n_merges=6)
+    assert merges
+    vocab = spark.createDataFrame(
+        [("café",), ("déjà",), ("über",), ("unseen日本語",)],
+        "word string")
+    got = {r["word"]: r["symbols"]
+           for r in segment_words_ranked_bytes(vocab, merges).collect()}
+    for word, syms in got.items():
+        assert byte_chars_to_word("".join(syms)) == word
+    # trained pairs actually merged (the repeated words compress)
+    assert len(got["café"]) < len("café".encode("utf-8"))

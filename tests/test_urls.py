@@ -76,3 +76,59 @@ def test_canonicalize_is_zero_shuffle(spark):
         .alias("url"))
     plan = url_canonicalize(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_canonicalize_is_idempotent(spark):
+    # canonical(canonical(u)) == canonical(u) for every rule family --
+    # the fixed-point property a keyed dedup stage relies on
+    raws = [raw for raw, _ in CASES] + [
+        "HTTPS://X.Y:443/a/b/?utm_campaign=c&z=9&utm_id=1#f",
+        "http://h:80", "ftp://Mixed.Case/Path/",
+    ]
+    df = spark.createDataFrame(
+        [(i, r) for i, r in enumerate(raws)], "doc_id long, url string")
+    once = df.select("doc_id", canonicalize_url("url").alias("c1"))
+    twice = once.select("doc_id", "c1",
+                        canonicalize_url("c1").alias("c2")).collect()
+    for r in twice:
+        assert r["c1"] == r["c2"], r
+
+
+def test_streaming_url_frontier_dedup(spark, tmp_path):
+    import os
+    import time
+    from datetime import datetime, timezone
+
+    from simpy__kafka__flink__kafka_spark.streaming.corpus import (
+        url_frontier_dedup)
+
+    def _ts(s):
+        return datetime.fromtimestamp(s, tz=timezone.utc).replace(tzinfo=None)
+
+    rows = [
+        (1, "HTTP://A.example.com:80/x/", _ts(1000)),
+        (2, "http://a.example.com/x?utm_source=f", _ts(1001)),  # same canon
+        (3, "http://a.example.com/y", _ts(1002)),
+    ]
+    ind = str(tmp_path / "uf_in")
+    os.makedirs(ind, exist_ok=True)
+    spark.createDataFrame(
+        rows, "doc_id long, url string, ingest_ts timestamp"
+    ).coalesce(1).write.mode("append").parquet(ind)
+    stream = (
+        spark.readStream
+        .schema("doc_id long, url string, ingest_ts timestamp")
+        .parquet(ind)
+        .withWatermark("ingest_ts", "10 minutes")
+    )
+    name = f"uf_sink_{int(time.time() * 1000)}"
+    q = (url_frontier_dedup(stream)
+         .writeStream.format("memory").queryName(name)
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r["canonical_url"]: r["doc_id"]
+           for r in spark.sql(f"SELECT * FROM {name}").collect()}
+    assert set(got) == {"http://a.example.com/x", "http://a.example.com/y"}
