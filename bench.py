@@ -67,6 +67,10 @@ HEADLINE = [
     "url_dedup",
     "dedup_against_prior",
     "image_near_dup",
+    # round-8 wave 5: CCNet-style bigram-LM fluency scoring (integer-
+    # exact) and per-user hourly gap-fill/interpolation over events
+    "bigram_lm_score",
+    "gap_fill_hourly",
 ]
 
 

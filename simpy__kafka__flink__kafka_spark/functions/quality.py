@@ -295,3 +295,81 @@ def linear_quality_score(df: DataFrame, id_col: str = "doc_id",
             F.when(n > 0, logit.cast("double") / n.cast("double"))
             .otherwise(F.lit(0.0)), 6).alias("mean_weight"),
     )
+
+
+# Bigram language-model scoring ----------------------------------------------
+
+LM_SCALE = 10 ** 9       # integer probability scale (see bigram_lm_score)
+
+
+def bigram_lm_score(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text",
+                    counts_df: DataFrame | None = None) -> DataFrame:
+    """KenLM-style corpus-fluency scoring with a bigram LM — the quality
+    signal CCNet/RedPajama filter on — made hash-oracle-checkable by
+    keeping EVERY step in integers: the add-one-smoothed conditional
+    probability of each bigram is scaled to ``LM_SCALE`` with floor
+    division, and a doc's score is the floor-mean of its bigram scores.
+    (Real perplexity takes logs — float, engine-divergent; the scaled
+    linear-space mean ranks docs the same way for filtering purposes and
+    is bit-identical across engines.)
+
+    ``counts_df`` lets a deployment score against counts trained on a
+    REFERENCE corpus (the CCNet posture: a Wikipedia-trained LM scores
+    the crawl); default trains on the scored corpus itself.  Expected
+    columns: (w1, w2, c2) bigram counts.
+
+    Scale shape: one exchange for the bigram count table, one for the
+    unigram prefix table (both map-side combined), then two keyed joins
+    of the doc-bigram stream and the per-doc aggregation.  Vocabulary
+    size rides as a broadcast 1-row aggregate.  Keep-empty contract:
+    docs with < 2 words keep a row with n_bigrams 0 and lm_score 0.
+    Output: (id_col, n_bigrams, lm_score) — lm_score in [0, LM_SCALE].
+    """
+    from .text import words
+
+    from ..cachepin import pin
+
+    base = df.select(F.col(id_col).alias("doc_id"),
+                     F.col(text_col).alias("text"))
+    # adjacent pairs via zip_with over the word array (the bpe
+    # _adjacent_pairs shape) — zero-join bigram derivation, one scan,
+    # instead of a positional self-join that re-executes per reference
+    arr = words("text")
+    n1 = F.greatest(F.size(arr) - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice(arr, 1, n1), F.slice(arr, 2, n1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")))
+    bigrams = (
+        base.select("doc_id", F.explode(pairs).alias("p"))
+        .select("doc_id", "p.w1", "p.w2")
+        .where((F.length("w1") > 0) & (F.length("w2") > 0))
+    )
+    if counts_df is None:
+        # pinned: the count table feeds the prefix table, the vocab
+        # aggregate, AND the scoring join — vocabulary-sized (bounded),
+        # so the pin is safe at any corpus size
+        counts_df = pin(bigrams.groupBy("w1", "w2")
+                        .agg(F.count(F.lit(1)).alias("c2")))
+    uni = counts_df.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    vocab = counts_df.select("w2").union(counts_df.select("w1")) \
+        .distinct().agg(F.count(F.lit(1)).alias("v"))
+    scored = (
+        bigrams
+        .join(counts_df, ["w1", "w2"], "left")
+        .join(uni, "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.expr(f"((coalesce(c2, 0) + 1) * {LM_SCALE}) div "
+                   "(coalesce(c1, 0) + v)").alias("p"),
+        )
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+             F.expr("sum(p) div count(1)").cast("long").alias("lm_score"))
+    )
+    return base.select("doc_id").join(scored, "doc_id", "left").select(
+        F.col("doc_id").alias(id_col),
+        F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+        F.coalesce("lm_score", F.lit(0)).cast("long").alias("lm_score"),
+    )

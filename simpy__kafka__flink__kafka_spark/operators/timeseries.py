@@ -1,0 +1,93 @@
+"""Time-series regularization over the event stream — the resampling
+stage an analytics/feature pipeline runs before windowed models: per
+key, project the irregular event series onto a fixed grid with
+last-observation-carried-forward and linear interpolation.
+
+Exactness posture: values are floor-scaled to integers once
+(``floor(value * scale)`` — the same double on both engines floors to
+the same integer), and interpolation is pure integer arithmetic
+(``prev + ((next - prev) * dt) div span``), so the output hash-matches
+the DuckDB oracle with no float-summation concerns anywhere.  Negative
+slopes are safe: Spark's ``div`` and DuckDB's ``//`` BOTH truncate
+toward zero on negative integer operands (verified ``-7 div 2 = -3``
+on each), so descending series divide identically.
+
+Scale shape: ONE exchange keyed on the series id (the window
+partition) carrying events + grid points together; the per-user grid is
+generated from a per-key min/max aggregate (map-side combined), never a
+driver-side loop.  Both the LOCF and the interpolation ride the same
+sort via two window frames (preceding and following) over identical
+partitioning/ordering.
+
+Reference parity note: the reference trace pipeline has no resampling
+surface; this belongs to the training-data/analytics extension
+operators (same family as the as-of join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+VALUE_SCALE = 10 ** 6
+
+
+def gap_fill(events: DataFrame, grid_ms: int = 3_600_000,
+             id_col: str = "user_id", ts_col: str = "ts_ms",
+             value_col: str = "value",
+             value_scale: int = VALUE_SCALE) -> DataFrame:
+    """Resample each key's event series onto a ``grid_ms`` grid between
+    that key's first and last event: ``locf_scaled`` carries the latest
+    value at-or-before the grid instant forward; ``interp_scaled``
+    interpolates linearly (integer arithmetic) between the surrounding
+    events, falling back to the available side at the series edge.  A
+    grid instant coinciding with an event reproduces that event's value
+    exactly in both columns.  Keys whose span contains no grid instant
+    emit nothing.
+    Output: (id_col, grid_ts, locf_scaled, interp_scaled)."""
+    e = events.select(
+        F.col(id_col).alias("_id"), F.col(ts_col).alias("t"),
+        F.floor(F.col(value_col) * value_scale).cast("long").alias("v"))
+    bounds = e.groupBy("_id").agg(F.min("t").alias("t0"),
+                                  F.max("t").alias("t1"))
+    g = grid_ms
+    grid = (
+        bounds.select(
+            "_id",
+            F.expr(f"((t0 + {g - 1}) div {g}) * {g}").alias("gs"),
+            F.expr(f"(t1 div {g}) * {g}").alias("ge"))
+        .where(F.col("gs") <= F.col("ge"))
+        .select("_id", F.explode(
+            F.sequence("gs", "ge", F.lit(g))).alias("t"))
+    )
+    pts = (
+        e.select("_id", "t", F.lit(0).alias("kind"), "v")
+        .unionByName(grid.select(
+            "_id", "t", F.lit(1).alias("kind"),
+            F.lit(None).cast("long").alias("v")))
+    )
+    w = W.partitionBy("_id").orderBy("t", "kind")
+    prev = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    nxt = w.rowsBetween(W.currentRow, W.unboundedFollowing)
+    ev_t = F.when(F.col("kind") == 0, F.col("t"))
+    filled = pts.select(
+        "_id", "t", "kind",
+        F.last("v", ignorenulls=True).over(prev).alias("pv"),
+        F.last(ev_t, ignorenulls=True).over(prev).alias("pt"),
+        F.first("v", ignorenulls=True).over(nxt).alias("nv"),
+        F.first(ev_t, ignorenulls=True).over(nxt).alias("nt"),
+    )
+    interp = (
+        F.when(
+            F.col("pv").isNotNull() & F.col("nv").isNotNull()
+            & (F.col("nt") > F.col("pt")),
+            F.expr("pv + ((nv - pv) * (t - pt)) div (nt - pt)"))
+        .otherwise(F.coalesce("pv", "nv"))
+    )
+    return filled.where(F.col("kind") == 1).select(
+        F.col("_id").alias(id_col),
+        F.col("t").alias("grid_ts"),
+        F.col("pv").cast("long").alias("locf_scaled"),
+        interp.cast("long").alias("interp_scaled"),
+    )

@@ -1845,6 +1845,59 @@ def _q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_quality(_docs(spark, sf_dir))
 
 
+def _q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM fluency scoring (functions/quality.py:bigram_lm_score)
+    self-trained on the corpus — every probability is integer-scaled
+    with floor division, so the CCNet-style quality signal hash-matches
+    its DuckDB twin exactly (real perplexity takes logs — float,
+    engine-divergent; the scaled linear-space mean ranks identically
+    for filtering)."""
+    from ..functions.quality import bigram_lm_score
+
+    return bigram_lm_score(_docs(spark, sf_dir))
+
+
+def _bigram_lm_sql() -> str:
+    from ..functions.quality import LM_SCALE
+
+    return rf"""
+WITH w AS (
+  SELECT doc_id,
+         string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')),
+                      ' ') AS ws
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+  FROM w, LATERAL (SELECT unnest(generate_series(1,
+                     greatest(len(ws) - 1, 0))) AS i) t
+  WHERE length(ws[i]) > 0 AND length(ws[i + 1]) > 0
+),
+c2t AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
+        FROM bg GROUP BY 1, 2),
+c1t AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2t GROUP BY 1),
+vt AS (SELECT CAST(count(*) AS BIGINT) AS v FROM
+       (SELECT DISTINCT w1 AS t FROM c2t
+        UNION SELECT DISTINCT w2 FROM c2t)),
+sc AS (
+  SELECT bg.doc_id,
+         ((COALESCE(c2t.c2, 0) + 1) * {LM_SCALE})
+           // (COALESCE(c1t.c1, 0) + vt.v) AS p
+  FROM bg
+  LEFT JOIN c2t ON c2t.w1 = bg.w1 AND c2t.w2 = bg.w2
+  LEFT JOIN c1t ON c1t.w1 = bg.w1
+  CROSS JOIN vt
+),
+agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+               CAST(sum(p) // count(*) AS BIGINT) AS lm_score
+        FROM sc GROUP BY 1)
+SELECT d.doc_id,
+       CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(COALESCE(lm_score, 0) AS BIGINT) AS lm_score
+FROM documents d LEFT JOIN agg USING (doc_id)
+"""
+
+
 def _q_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-exact PageRank over the synthesized domain link graph
     (operators/graph.py): docs map onto 17 domains (the cap_per_domain
@@ -3076,6 +3129,10 @@ QUERIES: dict[str, Query] = {
         _q_c4_sentence_filter, _C4_FILTER_SQL,
         "C4 sentence cleanup: short sentences dropped, blocklisted or "
         "thin docs dropped whole"),
+    "bigram_lm_score": Query(
+        _q_bigram_lm_score, _bigram_lm_sql(),
+        "bigram-LM fluency scoring (CCNet posture), integer-scaled "
+        "add-one-smoothed probabilities — exact across engines"),
     "domain_pagerank": Query(
         _q_domain_pagerank, _domain_pagerank_sql(),
         "integer-exact 3-iteration PageRank over the synthesized domain "

@@ -478,6 +478,61 @@ FROM orders
 """
 
 
+
+
+def _q_gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly gap-fill/resampling of the event series per user
+    (operators/timeseries.py:gap_fill): LOCF + integer-exact linear
+    interpolation onto the hour grid between each user's first and last
+    event.  One window exchange; the DuckDB oracle mirrors the unioned
+    two-frame window arithmetic exactly."""
+    from ..operators.timeseries import gap_fill
+
+    return gap_fill(_t(spark, sf_dir, "events"), grid_ms=3_600_000)
+
+
+_GAP_FILL_SQL = """
+WITH e AS (
+  SELECT user_id, epoch_ms(ts) AS t,
+         CAST(floor(value * 1000000) AS BIGINT) AS v
+  FROM events
+),
+b AS (SELECT user_id, min(t) AS t0, max(t) AS t1 FROM e GROUP BY 1),
+g AS (
+  SELECT user_id,
+         unnest(generate_series(((t0 + 3599999) // 3600000) * 3600000,
+                                (t1 // 3600000) * 3600000, 3600000)) AS t
+  FROM b
+  WHERE ((t0 + 3599999) // 3600000) * 3600000 <= (t1 // 3600000) * 3600000
+),
+pts AS (
+  SELECT user_id, t, 0 AS kind, v FROM e
+  UNION ALL
+  SELECT user_id, t, 1, NULL FROM g
+),
+wnd AS (
+  SELECT user_id, t, kind,
+         last_value(v IGNORE NULLS) OVER wp AS pv,
+         last_value(CASE WHEN kind = 0 THEN t END IGNORE NULLS)
+           OVER wp AS pt,
+         first_value(v IGNORE NULLS) OVER wn AS nv,
+         first_value(CASE WHEN kind = 0 THEN t END IGNORE NULLS)
+           OVER wn AS nt
+  FROM pts
+  WINDOW wp AS (PARTITION BY user_id ORDER BY t, kind
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wn AS (PARTITION BY user_id ORDER BY t, kind
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, t AS grid_ts,
+       CAST(pv AS BIGINT) AS locf_scaled,
+       CAST(CASE WHEN pv IS NOT NULL AND nv IS NOT NULL AND nt > pt
+                 THEN pv + ((nv - pv) * (t - pt)) // (nt - pt)
+                 ELSE COALESCE(pv, nv) END AS BIGINT) AS interp_scaled
+FROM wnd WHERE kind = 1
+"""
+
+
 QUERIES: dict[str, Query] = {
     "price_analytics": Query(_q_price_analytics, _PRICE_ANALYTICS_SQL,
                              "lag/lead/ntile/cume_dist analytic windows"),
@@ -506,6 +561,9 @@ QUERIES: dict[str, Query] = {
     "rollup_revenue": Query(_q_rollup_revenue, _ROLLUP_REVENUE_SQL, "rollup"),
     "brand_set_ops": Query(_q_brand_set_ops, _BRAND_SET_OPS_SQL, "intersect/except"),
     "pivot_status": Query(_q_pivot_status, _PIVOT_STATUS_SQL, "conditional-agg pivot"),
+    "gap_fill_hourly": Query(_q_gap_fill_hourly, _GAP_FILL_SQL,
+                             "per-user hourly resampling: LOCF + "
+                             "integer-exact linear interpolation"),
     "sessionize_events": Query(_q_sessionize, _SESSIONIZE_SQL,
                                "gap-based sessionization (session_window analog)"),
     "tumbling_daily": Query(_q_tumbling_daily, _TUMBLING_DAILY_SQL,

@@ -176,3 +176,40 @@ def test_robots_registry_row_matches_oracle(spark, sf_dir):
 
     q = registry()["robots_filter"]
     assert_match(q.build(spark, sf_dir), q.oracle, sf_dir, "robots_filter")
+
+
+def test_bigram_lm_score_hand_case(spark):
+    from simpy__kafka__flink__kafka_spark.functions.quality import (
+        LM_SCALE, bigram_lm_score)
+
+    # corpus: "a b" x3 + "a c" -> C2(a,b)=3, C2(a,c)=1, C1(a)=4, V=3
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a b"), (4, "a c"), (5, "solo")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in bigram_lm_score(docs).collect()}
+    p_ab = ((3 + 1) * LM_SCALE) // (4 + 3)
+    p_ac = ((1 + 1) * LM_SCALE) // (4 + 3)
+    assert got[1]["lm_score"] == p_ab and got[1]["n_bigrams"] == 1
+    assert got[4]["lm_score"] == p_ac
+    # the common bigram scores strictly higher than the rare one
+    assert got[1]["lm_score"] > got[4]["lm_score"]
+    # keep-empty contract: single-word doc keeps a row with zeros
+    assert got[5]["n_bigrams"] == 0 and got[5]["lm_score"] == 0
+
+
+def test_bigram_lm_external_counts(spark):
+    from simpy__kafka__flink__kafka_spark.functions.quality import (
+        LM_SCALE, bigram_lm_score)
+
+    # CCNet posture: reference-trained counts score a different corpus;
+    # an unseen bigram falls back to the smoothed floor 1*S // (0 + V)
+    ref = spark.createDataFrame(
+        [("a", "b", 10), ("b", "c", 5)], "w1 string, w2 string, c2 long")
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "z q")], "doc_id long, text string")
+    got = {r["doc_id"]: r["lm_score"]
+           for r in bigram_lm_score(docs, counts_df=ref).collect()}
+    V = 3  # distinct over ref {a, b, c}
+    # C1('a') = sum of c2 with prefix 'a' = 10
+    assert got[1] == ((10 + 1) * LM_SCALE) // (10 + V)
+    assert got[2] == ((0 + 1) * LM_SCALE) // (0 + V)
