@@ -1530,6 +1530,21 @@ def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows, "rank int, left string, right string, pair_count long")
 
 
+def _q_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenization of the corpus (functions/unigram.py):
+    train a 200-piece vocabulary by EM over the word-frequency table
+    (driver-local, the SentencePiece posture — same split as
+    bpe_train_local) and Viterbi-segment every doc.  EAGER by design and
+    rows-only at the gate (iterative EM is not SQL-expressible — the
+    stated policy); the trainer's LL monotonicity and the Viterbi
+    applier are pytest-pinned."""
+    from ..functions.unigram import unigram_segment, unigram_train
+
+    docs = _docs(spark, sf_dir)
+    pieces, _ = unigram_train(docs, vocab_size=200)
+    return unigram_segment(docs, pieces)
+
+
 def _q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Derive the token vocabulary artifact from trained merges
     (functions/bpe.py:bpe_vocab — ids over corpus alphabet then merge
@@ -3092,6 +3107,11 @@ QUERIES: dict[str, Query] = {
         _q_bpe_tokenize, None,
         "corpus tokenization with the trained merges (broadcast-join "
         "segmentation applier); rows-only per the iterative-training policy"),
+    "unigram_tokenize": Query(
+        _q_unigram_tokenize, None,
+        "unigram-LM (SentencePiece-family) tokenization: EM-trained "
+        "piece vocabulary + per-distinct-word Viterbi segmentation; "
+        "rows-only per the iterative-training policy"),
     "bpe_vocab": Query(
         _q_bpe_vocab, None,
         "token vocabulary derivation from trained merges (alphabet + "

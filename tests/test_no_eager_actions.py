@@ -19,7 +19,8 @@ from simpy__kafka__flink__kafka_spark.plans import CHECKED_FIRST, registry
 # training is inherently eager (ml fit / the BPE driver merge loop); these
 # are rows-only declared and documented at the declaration site
 TRAINING_QUERIES = {"ml_lsh_neighbors", "ivf_topk_trained", "bpe_merges",
-                    "bpe_tokenize", "bpe_vocab", "pq_topk_rerank"}
+                    "bpe_tokenize", "bpe_vocab", "unigram_tokenize",
+                    "pq_topk_rerank"}
 
 ACTIONS = ["collect", "count", "first", "head", "take", "toPandas", "foreach",
             "foreachPartition", "toLocalIterator"]
