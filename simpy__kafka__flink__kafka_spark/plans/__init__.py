@@ -36,7 +36,7 @@ CHECKED_FIRST = [
     # chain_stats' BFS output) demoted to the oracled pytest-checked tail,
     # funding gate rows for the round-6 additions below
     "watermark_sharded", "parse_props_lenient",
-    "serialize_json", "timestamp_arith", "string_format", "array_membership",
+    "serialize_json", "timestamp_arith", "array_membership",
     "counter_ids_sharded",
     # trace analytics over the linked DAG (fanout_histogram — a simple
     # fanout groupBy histogram, conceptually covered by chain_stats —
@@ -67,7 +67,7 @@ CHECKED_FIRST = [
     "language_id", "quality_score", "near_dup_clusters",
     "dedup_survivors", "near_dup_verified",
     "simhash_near_dup",
-    "cosine_topk", "ivf_topk", "embedding_near_dup_verified",
+    "ivf_topk", "embedding_near_dup_verified",
     "quantize_embeddings", "pack_token_shards", "tfidf_top_terms",
     "corpus_prep_full", "multimodal_features",
     # round-6 additions promoted round 7: fuzzy decontamination, bigram
@@ -97,7 +97,7 @@ CHECKED_FIRST = [
     # the rewrite columns off ONE gram-window exchange (0.479x the pair,
     # column-identical pytest) — one gate row now proves both semantics
     # AND the scale-shaped fused plan
-    "passage_dedup", "passage_rewrite",
+    "passage_rewrite",
     "audio_decode_stats", "exact_substring_profile_rewrite",
     # relational surface (bonus operators beyond the reference; demoted
     # twins — customers_without_orders, parts_with_cheap_supply,
@@ -108,7 +108,16 @@ CHECKED_FIRST = [
     # fund the passage_rewrite slot — all stay declared + pytest-checked
     # in the tail)
     "asof_last_click",
-    "sessionize_events", "tumbling_daily",
+    "sessionize_events",
+    # round-8 late rotation: string_format / cosine_topk /
+    # passage_dedup / tumbling_daily (long-green twins, each subsumed
+    # by a stronger checked row in its family) demoted to the oracled
+    # pytest-checked tail, funding gate rows for the strongest
+    # round-8 additions: canonical-URL dedup, cross-snapshot
+    # incremental dedup, integer-exact PageRank, and the end-to-end
+    # oracled image near-dup pairs
+    "url_dedup", "dedup_against_prior", "domain_pagerank",
+    "image_near_dup",
 ]
 
 
