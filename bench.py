@@ -71,6 +71,9 @@ HEADLINE = [
     # exact) and per-user hourly gap-fill/interpolation over events
     "bigram_lm_score",
     "gap_fill_hourly",
+    # the crawl-admission capstone chains the round-8 front-door stages
+    # (canonical-URL dedup -> robots gate -> prior-content check)
+    "crawl_admission",
 ]
 
 

@@ -1972,16 +1972,9 @@ SELECT node, CAST(rank AS BIGINT) AS rank_scaled FROM r3
 """
 
 
-def _q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Robots/noindex compliance gate (functions/quality.py:
-    robots_flags): synthesized pages carry meta robots tags in both
-    attribute orders plus an X-Robots-Tag response-header block —
-    noindex, nofollow, none, an unrelated directive, and clean pages.
-    Zero-shuffle regexp codegen; the oracle runs the identical patterns,
-    so token-wise directive matching is parity-checked end to end."""
-    from ..functions.quality import robots_flags
-
-    docs = _docs(spark, sf_dir)
+def _synth_robots_pages(docs: DataFrame) -> DataFrame:
+    """(doc_id, html, headers) with deterministic robots directives —
+    shared by the robots_filter row and the crawl_admission capstone."""
     v = F.col("doc_id") % 7
     meta = (
         F.when(v == 0, F.lit('<meta name="robots" '
@@ -2000,23 +1993,36 @@ def _q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                             "unavailable_after: 2027-01-01\r\n"))
         .otherwise(F.lit("HTTP/1.1 200 OK\r\n"))
     )
-    pages = docs.select(
+    return docs.select(
         "doc_id",
         F.concat(F.lit("<html><head>"), meta,
                  F.lit("</head><body><p>ok</p></body></html>"))
         .alias("html"),
         headers.alias("headers"),
     )
+
+
+def _q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots/noindex compliance gate (functions/quality.py:
+    robots_flags): synthesized pages carry meta robots tags in both
+    attribute orders plus an X-Robots-Tag response-header block —
+    noindex, nofollow, none, an unrelated directive, and clean pages.
+    Zero-shuffle regexp codegen; the oracle runs the identical patterns,
+    so token-wise directive matching is parity-checked end to end."""
+    from ..functions.quality import robots_flags
+
+    pages = _synth_robots_pages(_docs(spark, sf_dir))
     return robots_flags(pages, headers_col="headers")
 
 
-def _robots_filter_sql() -> str:
+def _robots_ctes() -> str:
+    """``v``/``pages``/``rdir`` CTE block (robots synthesis + extracted
+    directive string) — shared by the robots_filter oracle and the
+    crawl_admission capstone oracle."""
     from ..functions.quality import (META_ROBOTS_RE, META_ROBOTS_REV_RE,
-                                     X_ROBOTS_RE, _NOFOLLOW_TOK_RE,
-                                     _NOINDEX_TOK_RE)
+                                     X_ROBOTS_RE)
 
-    return f"""
-WITH v AS (
+    return f"""v AS (
   SELECT doc_id, CAST(doc_id % 7 AS INTEGER) AS vv FROM documents
 ),
 pages AS (
@@ -2040,13 +2046,20 @@ pages AS (
            ELSE 'HTTP/1.1 200 OK' || chr(13) || chr(10) END AS headers
   FROM v
 ),
-d AS (
+rdir AS (
   SELECT doc_id,
          regexp_extract(html, '{META_ROBOTS_RE}', 1) || ',' ||
          regexp_extract(html, '{META_ROBOTS_REV_RE}', 1) || ',' ||
          regexp_extract(headers, '{X_ROBOTS_RE}', 1) AS directives
   FROM pages
-)
+)"""
+
+
+def _robots_filter_sql() -> str:
+    from ..functions.quality import _NOFOLLOW_TOK_RE, _NOINDEX_TOK_RE
+
+    return f"""
+WITH {_robots_ctes()}
 SELECT doc_id,
        CAST(regexp_matches(directives, '{_NOINDEX_TOK_RE}') AS INTEGER)
          AS noindex,
@@ -2054,7 +2067,7 @@ SELECT doc_id,
          AS nofollow,
        CAST(NOT regexp_matches(directives, '{_NOINDEX_TOK_RE}')
             AS INTEGER) AS indexable
-FROM d
+FROM rdir
 """
 
 
@@ -2337,6 +2350,136 @@ def _q_dedup_against_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
         new_text.alias("text"),
     )
     return dedup_against(new_snapshot, prior, threshold=0.5)
+
+
+def _profile_match_ctes(prior_src: str, new_src: str) -> str:
+    """CTE block classifying ``new_src`` docs against ``prior_src``'s
+    fingerprint+MinHash profile — the SQL twin of
+    functions/dedup.py:dedup_against, parameterized over both snapshot
+    sources so the standalone row and the crawl_admission capstone share
+    one generator.  Exposes CTEs ``ex`` (exact-known doc_ids) and
+    ``near`` (near-known doc_ids)."""
+    from ..functions import dedup
+
+    nh, nb = dedup.NUM_HASHES, dedup.BANDS
+    rows = nh // nb
+    k = -(-nh // 2)
+    norm = r"lower(regexp_replace(trim(text), '\s+', ' ', 'g'))"
+    mins = ", ".join(
+        f"min(substr(md5(shingle), {j * 4 + 1}, 4)) AS h{j}"
+        for j in range(nh))
+
+    def wsh(src: str) -> str:
+        return f"""(
+  SELECT doc_id, unnest(list_transform(
+           generate_series(1, greatest(len(ws) - 2, 0)),
+           i -> array_to_string(ws[i:i+2], ' '))) AS shingle
+  FROM (SELECT doc_id, string_split({norm}, ' ') AS ws FROM {src})
+)"""
+
+    def bands(sig: str, idc: str) -> str:
+        selects = []
+        for b in range(nb):
+            cols = " || '|' || ".join(
+                f"h{b * rows + r}" for r in range(rows))
+            selects.append(
+                f"SELECT {idc}, {b} AS band, md5({cols}) AS bucket"
+                f" FROM {sig}")
+        return "(" + "\nUNION ALL\n".join(selects) + ")"
+
+    agree = " + ".join(
+        f"(CASE WHEN n.h{j} = p.h{j} THEN 1 ELSE 0 END)"
+        for j in range(nh))
+    return f"""psh AS {wsh(prior_src)},
+psig AS (SELECT doc_id AS prior_id, {mins} FROM psh GROUP BY doc_id),
+pfp AS (SELECT DISTINCT md5({norm}) AS fingerprint FROM {prior_src}),
+nsh AS {wsh(new_src)},
+nsig AS (SELECT doc_id, {mins} FROM nsh GROUP BY doc_id),
+nfp AS (SELECT doc_id, md5({norm}) AS fingerprint FROM {new_src}),
+pbk AS {bands('psig', 'prior_id')},
+nbk AS {bands('nsig', 'doc_id')},
+cand AS (SELECT DISTINCT doc_id, prior_id
+         FROM nbk JOIN pbk USING (band, bucket)),
+near AS (SELECT DISTINCT c.doc_id
+         FROM cand c JOIN nsig n USING (doc_id)
+                     JOIN psig p USING (prior_id)
+         WHERE ({agree}) >= {k}),
+ex AS (SELECT DISTINCT f.doc_id FROM nfp f JOIN pfp USING (fingerprint))"""
+
+
+def _q_crawl_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CRAWL-ADMISSION capstone — chains the three round-8 stages a
+    crawler runs before content ever reaches the corpus pipeline, in
+    priority order: (1) canonical-URL keep-first dedup (losers ->
+    'url_duplicate'), (2) robots/noindex compliance ('robots_noindex'),
+    (3) cross-snapshot content check against the PRIOR crawl's profile —
+    here the doc_id % 3 == 0 third of the corpus, so known content
+    genuinely exists ('known_content' covers exact AND near matches) —
+    else 'admitted'.  One row per doc with its admission status; every
+    stage is the arithmetic its standalone oracled row checks, and the
+    composite oracle chains the same CTE generators end to end."""
+    from ..functions.dedup import dedup_against, snapshot_profile
+    from ..functions.quality import robots_flags
+    from ..functions.urls import canonicalize_url
+
+    docs = _docs(spark, sf_dir)
+    canon = _synth_messy_urls(docs).select(
+        "doc_id", canonicalize_url("url").alias("cu"))
+    keeper = canon.groupBy("cu").agg(F.min("doc_id").alias("keeper_id"))
+    url_dup = (canon.join(keeper, "cu")
+               .where(F.col("doc_id") != F.col("keeper_id"))
+               .select("doc_id", F.lit(1).alias("_u")))
+    robots = (robots_flags(_synth_robots_pages(docs),
+                           headers_col="headers")
+              .where(F.col("noindex") == 1)
+              .select("doc_id", F.lit(1).alias("_r")))
+    prior = pin(snapshot_profile(
+        docs.where(F.col("doc_id") % 3 == 0)))
+    content = dedup_against(docs, prior, threshold=0.5)
+    known = (content.where(F.col("status") != "fresh")
+             .select("doc_id", F.lit(1).alias("_k")))
+    return (
+        docs.select("doc_id")
+        .join(url_dup, "doc_id", "left")
+        .join(robots, "doc_id", "left")
+        .join(known, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("_u") == 1, F.lit("url_duplicate"))
+            .when(F.col("_r") == 1, F.lit("robots_noindex"))
+            .when(F.col("_k") == 1, F.lit("known_content"))
+            .otherwise(F.lit("admitted")).alias("status"),
+        )
+    )
+
+
+def _crawl_admission_sql() -> str:
+    from ..functions.quality import _NOINDEX_TOK_RE
+
+    return f"""
+WITH {_url_synth_canon_ctes()},
+keeper AS (SELECT canonical_url, min(doc_id) AS keeper_id
+           FROM canon GROUP BY 1),
+udup AS (SELECT c.doc_id FROM canon c JOIN keeper k
+         ON k.canonical_url = c.canonical_url
+         WHERE c.doc_id <> k.keeper_id),
+{_robots_ctes()},
+rnoidx AS (SELECT doc_id FROM rdir
+           WHERE regexp_matches(directives, '{_NOINDEX_TOK_RE}')),
+{_profile_match_ctes("(SELECT * FROM documents WHERE doc_id % 3 = 0)",
+                     "documents")}
+SELECT d.doc_id,
+       CASE WHEN u.doc_id IS NOT NULL THEN 'url_duplicate'
+            WHEN r.doc_id IS NOT NULL THEN 'robots_noindex'
+            WHEN e.doc_id IS NOT NULL OR nr.doc_id IS NOT NULL
+              THEN 'known_content'
+            ELSE 'admitted' END AS status
+FROM documents d
+LEFT JOIN udup u ON u.doc_id = d.doc_id
+LEFT JOIN rnoidx r ON r.doc_id = d.doc_id
+LEFT JOIN ex e ON e.doc_id = d.doc_id
+LEFT JOIN near nr ON nr.doc_id = d.doc_id
+"""
 
 
 def _dedup_against_sql() -> str:
@@ -3178,6 +3321,11 @@ QUERIES: dict[str, Query] = {
         _q_url_dedup, _url_dedup_sql(),
         "URL-level keep-first dedup on the canonical key (the crawl "
         "stage before content dedup) — one exchange, map-side combine"),
+    "crawl_admission": Query(
+        _q_crawl_admission, _crawl_admission_sql(),
+        "crawl-admission capstone: canonical-URL dedup -> robots gate -> "
+        "prior-snapshot content check, one status per doc in priority "
+        "order"),
     "dedup_against_prior": Query(
         _q_dedup_against_prior, _dedup_against_sql(),
         "cross-snapshot incremental dedup against a persisted "

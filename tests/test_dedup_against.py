@@ -79,3 +79,22 @@ def test_snapshot_profile_local_twin_zero_shuffle_and_identical(spark):
          for r in loc.collect()}
     assert a == b
     assert a[2] == (None,) * 8             # too short to shingle
+
+
+def test_crawl_admission_capstone(spark, sf_dir):
+    from tests.oracle_utils import assert_match
+
+    from simpy__kafka__flink__kafka_spark.plans import registry
+
+    q = registry()["crawl_admission"]
+    df = q.build(spark, sf_dir)
+    assert_match(df, q.oracle, sf_dir, "crawl_admission")
+    rows = {r["doc_id"]: r["status"] for r in df.collect()}
+    # one status per doc, statuses from the closed set, priority holds:
+    # a doc that is BOTH a url-duplicate and noindex reports url_duplicate
+    assert set(rows.values()) <= {"url_duplicate", "robots_noindex",
+                                  "known_content", "admitted"}
+    # every doc_id % 3 == 0 doc is its own prior -> never 'admitted'
+    for d, st in rows.items():
+        if d % 3 == 0:
+            assert st != "admitted", (d, st)
