@@ -87,10 +87,14 @@ def main() -> None:
     reg[names[0]].build(spark, sf_dir).write.format("noop").mode(
         "overwrite").save()
 
-    # best-of-2, with the passes INTERLEAVED (A,B,...,A,B,... rather than
-    # A,A,B,B,...): a co-tenant load spike then dents one whole pass instead
-    # of both timings of the queries it overlaps, so min() recovers the
-    # clean number for every query.  Caches clear between EVERY execution,
+    # best-of-N (default 3; SPARK_GRAFT_BENCH_REPS), with the passes
+    # INTERLEAVED (A,B,...,A,B,... rather than A,A,B,B,...): a co-tenant
+    # load spike then dents whole passes instead of both timings of the
+    # queries it overlaps, so min() recovers the clean number for every
+    # query.  Round-8 lesson: best-of-2's two passes can BOTH land inside
+    # one long co-tenant window (the recorded rep was +24-43% on untouched
+    # queries); a third pass ~1 min later makes that require a 3x-longer
+    # spike.  Caches clear between EVERY execution,
     # so both passes run COLD — each number is the full cost a user pays
     # running that query once, including populating its own plan caches.
     # (Through round 4 the grouped loop cleared only between queries, so a
@@ -99,17 +103,18 @@ def main() -> None:
     # SPARK_GRAFT_BENCH_MODE=warm to reproduce that scheme for
     # cross-round comparison.)
     warm = os.environ.get("SPARK_GRAFT_BENCH_MODE") == "warm"
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     times: dict[str, float] = {name: float("inf") for name in names}
     if warm:
         for name in names:
-            for _ in range(2):
+            for _ in range(reps):
                 t0 = time.perf_counter()
                 reg[name].build(spark, sf_dir).write.format("noop").mode(
                     "overwrite").save()
                 times[name] = min(times[name], time.perf_counter() - t0)
             spark.catalog.clearCache()
     else:
-        for _ in range(2):
+        for _ in range(reps):
             for name in names:
                 t0 = time.perf_counter()
                 # noop sink materializes every output row without sink cost;

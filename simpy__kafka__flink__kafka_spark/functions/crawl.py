@@ -1,0 +1,70 @@
+"""Crawl-admission composition — the priority-ordered front door a
+crawler applies before content reaches the corpus pipeline:
+
+1. canonical-URL keep-first dedup        -> 'url_duplicate'
+2. robots/noindex compliance             -> 'robots_noindex'
+3. cross-snapshot content check          -> 'known_content'
+4. otherwise                             -> 'admitted'
+
+:func:`admission_statuses` is the BATCH form (one row per doc with its
+status) shared by the ``crawl_admission`` registry capstone and the
+batch-parity test of the STREAMING front door
+(streaming/corpus.py:start_crawl_admission) — both paths run this
+module's precedence, so the test can push one fixture through each and
+compare.
+
+Scale shape: stage 1 is ONE exchange on the canonical key (zero-shuffle
+canonicalization feeding a count+min map-side combine); stage 2 is
+zero-shuffle regexp codegen; stage 3 is the banded profile check of
+functions/dedup.py:dedup_against (fingerprint semi-join + LSH candidate
+join — never all-pairs).  The final assembly is three doc_id-keyed left
+joins sharing one exchange family.
+
+Reference parity note: the reference trace pipeline has no crawl
+surface; this belongs to the training-data extension operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import dedup_against
+from .quality import robots_flags
+from .urls import canonicalize_url
+
+
+def admission_statuses(docs: DataFrame, urls: DataFrame, pages: DataFrame,
+                       prior: DataFrame, threshold: float = 0.5,
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Classify every doc with its crawl-admission status in priority
+    order (module docstring).  ``docs`` carries (id, text); ``urls``
+    (id, url); ``pages`` (id, html, headers); ``prior`` is a
+    :func:`~..functions.dedup.snapshot_profile` of the previous crawl.
+    Output: (id_col, status)."""
+    canon = urls.select(id_col, canonicalize_url("url").alias("cu"))
+    keeper = canon.groupBy("cu").agg(F.min(id_col).alias("keeper_id"))
+    url_dup = (canon.join(keeper, "cu")
+               .where(F.col(id_col) != F.col("keeper_id"))
+               .select(id_col, F.lit(1).alias("_u")))
+    robots = (robots_flags(pages, headers_col="headers", id_col=id_col)
+              .where(F.col("noindex") == 1)
+              .select(id_col, F.lit(1).alias("_r")))
+    content = dedup_against(docs, prior, threshold=threshold,
+                            id_col=id_col, text_col=text_col)
+    known = (content.where(F.col("status") != "fresh")
+             .select(id_col, F.lit(1).alias("_k")))
+    return (
+        docs.select(id_col)
+        .join(url_dup, id_col, "left")
+        .join(robots, id_col, "left")
+        .join(known, id_col, "left")
+        .select(
+            id_col,
+            F.when(F.col("_u") == 1, F.lit("url_duplicate"))
+            .when(F.col("_r") == 1, F.lit("robots_noindex"))
+            .when(F.col("_k") == 1, F.lit("known_content"))
+            .otherwise(F.lit("admitted")).alias("status"),
+        )
+    )

@@ -592,12 +592,18 @@ def dedup_against(new_docs: DataFrame, prior: DataFrame,
     banded (band, bucket) equi-joins — the prior side is the persisted
     profile, never its text; no all-pairs product anywhere.  Keeping only
     ``status <> 'fresh'`` rows out is a filter on the output.  The two
-    signature frames are pinned (cachepin): both are referenced twice
-    (bucket explode + slice-agreement join) and are signature-sized
-    (~40 bytes/doc), so the pin is safe at any corpus size while saving
-    a full pipeline recompute per reference.
+    signature frames are pinned (cachepin) at an explicit
+    MEMORY_AND_DISK level: both are referenced twice (bucket explode +
+    slice-agreement join), so the pin saves a full pipeline recompute
+    per reference.  The safety argument is SPILL, not smallness — the
+    frames are signature-sized (~40 bytes/doc), which at 100 B docs is
+    still ~4 TB of cluster-wide cache; MEMORY_AND_DISK degrades that to
+    local-disk reads instead of eviction-recompute or OOM, and caching
+    remains a performance hint, never a correctness dependency.
     Output: (id_col, status) — one row per new doc."""
     import math
+
+    from pyspark import StorageLevel
 
     from ..cachepin import pin
 
@@ -608,10 +614,11 @@ def dedup_against(new_docs: DataFrame, prior: DataFrame,
     exact = fp_new.join(prior.select("fingerprint").distinct(),
                         "fingerprint", "left_semi").select("doc_id")
 
-    sig_new = pin(minhash_signatures(base, num_hashes))
+    sig_new = pin(minhash_signatures(base, num_hashes),
+                  level=StorageLevel.MEMORY_AND_DISK)
     prior_sig = pin(prior.select(
         "prior_id", *[f"h{j}" for j in range(num_hashes)]
-    ).where(F.col("h0").isNotNull()))
+    ).where(F.col("h0").isNotNull()), level=StorageLevel.MEMORY_AND_DISK)
     bk_new = sig_new.select(
         "doc_id", F.explode(band_structs(num_hashes, bands)).alias("bb")
     ).select("doc_id", "bb.band", "bb.bucket")

@@ -214,24 +214,41 @@ _NOINDEX_TOK_RE = "(?i)(^|[, ])(noindex|none)([, ]|$)"
 _NOFOLLOW_TOK_RE = "(?i)(^|[, ])(nofollow|none)([, ]|$)"
 
 
+def robots_directives(html_col: str = "html",
+                      headers_col: str | None = None) -> Column:
+    """Folded robots directive string for one page: ALL meta robots
+    tags (both attribute orders) and ALL X-Robots-Tag header lines —
+    real pages commonly carry several of each, and a later tag adding
+    ``noindex`` is just as binding as the first (union-of-directives,
+    the most-restrictive reading crawlers apply).  A plain zero-shuffle
+    column expression, so it composes into streaming selects as well as
+    :func:`robots_flags`."""
+    h = F.col(html_col)
+    return F.concat_ws(
+        ",",
+        F.array_join(F.regexp_extract_all(h, F.lit(META_ROBOTS_RE), 1), ","),
+        F.array_join(
+            F.regexp_extract_all(h, F.lit(META_ROBOTS_REV_RE), 1), ","),
+        (F.array_join(
+            F.regexp_extract_all(F.col(headers_col), F.lit(X_ROBOTS_RE), 1),
+            ",")
+         if headers_col is not None else F.lit("")),
+    )
+
+
 def robots_flags(df: DataFrame, html_col: str = "html",
                  headers_col: str | None = None,
                  id_col: str = "doc_id") -> DataFrame:
-    """Per-page robots directives: meta robots content (both attribute
+    """Per-page robots directives: EVERY meta robots tag (both attribute
     orders) and, when ``headers_col`` carries the HTTP response header
-    block, the X-Robots-Tag line.  ``none`` implies both noindex and
+    block, EVERY X-Robots-Tag line — directives union across tags/lines,
+    so a second tag carrying ``noindex`` binds even when the first says
+    ``index``.  ``none`` implies both noindex and
     nofollow (RFC 9309 / Google semantics).  Output: (id_col,
     noindex: int, nofollow: int, indexable: int) — filter on
     ``indexable == 1`` before admitting pages, and drop outlinks of
     ``nofollow == 1`` pages before the web-graph stage."""
-    h = F.col(html_col)
-    directives = F.concat_ws(
-        ",",
-        F.regexp_extract(h, META_ROBOTS_RE, 1),
-        F.regexp_extract(h, META_ROBOTS_REV_RE, 1),
-        (F.regexp_extract(F.col(headers_col), X_ROBOTS_RE, 1)
-         if headers_col is not None else F.lit("")),
-    )
+    directives = robots_directives(html_col, headers_col)
     noindex = directives.rlike(_NOINDEX_TOK_RE)
     nofollow = directives.rlike(_NOFOLLOW_TOK_RE)
     return df.select(

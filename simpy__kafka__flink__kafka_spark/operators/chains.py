@@ -133,3 +133,61 @@ def hop_latencies(msgs: DataFrame, edges: DataFrame) -> DataFrame:
             (F.col("c_start") - F.col("p_start")).alias("start_offset_ms"),
         )
     )
+
+
+def critical_path(msgs: DataFrame, edges: DataFrame,
+                  max_depth: int = MAX_DEPTH,
+                  reduce_every: int = 2,
+                  checkpoint_every: int | None = CHECKPOINT_EVERY
+                  ) -> DataFrame:
+    """Per-chain critical path — the longest latency-weighted root->node
+    path (reference ``requirements-v2.md:177`` 链路统计: the one
+    trace-latency question ``chain_stats`` doesn't answer: WHICH chain's
+    slowest dependency walk dominates, not just its containment span).
+    Path weight = sum of the latencies of every span on the path,
+    root and endpoint inclusive; since latencies are non-negative the
+    maximum over all reached nodes equals the maximum over leaves.
+
+    Same depth-bounded BFS as :func:`chain_stats`, but the frontier is
+    contracted every ``reduce_every`` levels with a MAX-PLUS reduction —
+    ``groupBy(root, node, depth).max(path_ms)`` — instead of distinct:
+    extending a path adds latencies independent of its history, so the
+    best path through a node always extends that node's best prefix
+    (Viterbi / tropical-semiring dynamic programming).  Diamond fan-in
+    therefore collapses to ONE row per (root, node, depth) carrying the
+    max, which is what keeps the frontier output-bounded on DAGs where
+    path ENUMERATION would be exponential.
+
+    Integer-exact: latencies are integer-valued (floor-scaled at the
+    span view), summed and compared as BIGINT; ties between depths at
+    the same weight resolve to the DEEPEST path via a single packed
+    ``max(path_ms * 16 + depth)`` (depth <= 8 < 16), so the result is
+    engine-independent.  Output: (root_id, critical_ms, critical_depth).
+    """
+    lat = msgs.select(F.col("id").alias("node"),
+                      F.col("latency_msec").cast("long").alias("_lat"))
+    roots = chain_roots(msgs, edges)
+    level = roots.join(lat, roots.root_id == lat.node).select(
+        "root_id", "node", F.lit(0).alias("depth"),
+        F.col("_lat").alias("path_ms"))
+    best = level
+    for d in range(1, max_depth + 1):
+        level = (
+            level.join(edges, level.node == edges.parent_id)
+            .select("root_id", F.col("child_id").alias("node"),
+                    F.lit(d).alias("depth"), "path_ms")
+            .join(lat, "node")
+            .select("root_id", "node", "depth",
+                    (F.col("path_ms") + F.col("_lat")).alias("path_ms"))
+        )
+        if d % reduce_every == 0:
+            level = level.groupBy("root_id", "node", "depth").agg(
+                F.max("path_ms").alias("path_ms"))
+        if checkpoint_every and d % checkpoint_every == 0 and d < max_depth:
+            level = level.localCheckpoint(eager=False)
+        best = best.unionByName(level)
+    packed = F.max(F.expr("path_ms * 16 + depth"))
+    return best.groupBy("root_id").agg(
+        F.expr("max(path_ms * 16 + depth) div 16").alias("critical_ms"),
+        (packed % 16).cast("int").alias("critical_depth"),
+    )

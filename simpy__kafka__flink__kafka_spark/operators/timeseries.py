@@ -67,7 +67,13 @@ def gap_fill(events: DataFrame, grid_ms: int = 3_600_000,
             "_id", "t", F.lit(1).alias("kind"),
             F.lit(None).cast("long").alias("v")))
     )
-    w = W.partitionBy("_id").orderBy("t", "kind")
+    # "v" tiebreaks two events for one key at the same timestamp — without
+    # it pv/nv would be engine- and partition-order-dependent (grid rows
+    # are unique per (key, t) and kind separates them from events, so the
+    # only possible (t, kind) ties are event-event with v NON-null; null
+    # ordering therefore never matters and Spark/DuckDB agree).  Mirrored
+    # in the DuckDB oracle's WINDOW clauses.
+    w = W.partitionBy("_id").orderBy("t", "kind", "v")
     prev = w.rowsBetween(W.unboundedPreceding, W.currentRow)
     nxt = w.rowsBetween(W.currentRow, W.unboundedFollowing)
     ev_t = F.when(F.col("kind") == 0, F.col("t"))

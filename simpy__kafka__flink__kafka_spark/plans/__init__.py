@@ -29,20 +29,24 @@ CHECKED_FIRST = [
     # checked via their scale-safe sharded forms — SAME oracle SQL as the
     # global-window twins (which stay declared + pytest-checked), so the
     # gate proves the 100 TB-shaped implementations.
-    "link_traces", "link_edges", "role_explode", "update_explode",
-    # round-7 rotation (VERDICT r06 task #5): late_data_sharded (same
-    # sharded-prefix machinery and oracle family as the checked
-    # watermark_sharded) and trace_roots (its root set is a projection of
-    # chain_stats' BFS output) demoted to the oracled pytest-checked tail,
-    # funding gate rows for the round-6 additions below
-    "watermark_sharded", "parse_props_lenient",
-    "serialize_json", "timestamp_arith", "array_membership",
+    # Round-9 rotation (VERDICT r08 task #1): role_explode/update_explode
+    # (both embedded in link_traces' lineage — the flagship's explode
+    # stages ARE these operators) and serialize_json/timestamp_arith
+    # (same scalar-expression family as the checked parse_props_lenient)
+    # demoted to the oracled pytest-checked tail, funding gate rows for
+    # the round-8 crawl front door below.
+    "link_traces", "link_edges",
+    "watermark_sharded", "parse_props_lenient", "array_membership",
     "counter_ids_sharded",
     # trace analytics over the linked DAG (fanout_histogram — a simple
     # fanout groupBy histogram, conceptually covered by chain_stats —
     # demoted late round 5 to the oracled pytest-checked tail, funding the
-    # exact_substring_spans slot below)
-    "chain_stats", "hop_latencies", "latency_percentiles",
+    # exact_substring_spans slot below).  Round-9: hop_latencies demoted
+    # (critical_path's level-1 BFS step IS the hop join, now with path
+    # weights on top) in favor of critical_path — the max-plus
+    # latency-weighted root->leaf walk the reference's 链路统计
+    # requirement implies (requirements-v2.md:177).
+    "chain_stats", "critical_path", "latency_percentiles",
     # training-data pipeline operators.  Round-3 slot swap (VERDICT r02 #3):
     # minhash_signatures / ngram_jaccard_pairs / simhash are each subsumed by
     # a checked composite (minhash_lsh_pairs / near_dup_verified /
@@ -67,8 +71,12 @@ CHECKED_FIRST = [
     "language_id", "quality_score", "near_dup_clusters",
     "dedup_survivors", "near_dup_verified",
     "simhash_near_dup",
+    # Round-9: quantize_embeddings (pure per-row column arithmetic,
+    # long-green since r5; its embedding family keeps ivf_topk +
+    # embedding_near_dup_verified at the gate) demoted to the oracled
+    # pytest-checked tail.
     "ivf_topk", "embedding_near_dup_verified",
-    "quantize_embeddings", "pack_token_shards", "tfidf_top_terms",
+    "pack_token_shards", "tfidf_top_terms",
     "corpus_prep_full", "multimodal_features",
     # round-6 additions promoted round 7: fuzzy decontamination, bigram
     # novelty, single-pass table profiling
@@ -116,8 +124,19 @@ CHECKED_FIRST = [
     # round-8 additions: canonical-URL dedup, cross-snapshot
     # incremental dedup, integer-exact PageRank, and the end-to-end
     # oracled image near-dup pairs
-    "url_dedup", "dedup_against_prior", "domain_pagerank",
+    "url_dedup", "dedup_against_prior",
     "image_near_dup",
+    # Round-9 promotions (VERDICT r08 task #1): the full round-8 crawl
+    # front door takes the driver's hard signal — canonicalization
+    # itself, the robots gate, the CCNet-style LM score, the hourly
+    # gap-fill, and the crawl-admission capstone that chains the stages.
+    # compliant_pagerank REPLACES domain_pagerank at the gate (strict
+    # subsumption: its oracle reuses the identical 3-iteration unroll
+    # tail — one row now proves the PageRank arithmetic AND the
+    # robots->links->rank composition; the ungated twin stays oracled in
+    # the tail).
+    "url_canonicalize", "robots_filter", "bigram_lm_score",
+    "gap_fill_hourly", "crawl_admission", "compliant_pagerank",
 ]
 
 

@@ -1913,30 +1913,65 @@ FROM documents d LEFT JOIN agg USING (doc_id)
 """
 
 
+def _doc_domain_links(docs: DataFrame) -> DataFrame:
+    """Per-DOC synthetic outlink (doc_id, src, dst): docs map onto 17
+    domains (the cap_per_domain convention) and each doc contributes one
+    edge to a deterministic neighbor, giving every domain up to 5
+    distinct out-edges.  Kept per-doc (pre-aggregation) so page-level
+    gates — robots nofollow — can drop a DOC's contribution before the
+    domain-level weight rollup."""
+    return docs.select(
+        "doc_id",
+        (F.col("doc_id") % 17).alias("src"),
+        ((F.col("doc_id") % 17 + 1
+          + F.expr("doc_id div 17") % 5) % 17).alias("dst"))
+
+
+def _domain_edges(links: DataFrame) -> DataFrame:
+    """Domain-level weighted edge rollup of :func:`_doc_domain_links`."""
+    return (links.groupBy("src", "dst")
+            .agg(F.count(F.lit(1)).cast("long").alias("weight")))
+
+
 def _q_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-exact PageRank over the synthesized domain link graph
-    (operators/graph.py): docs map onto 17 domains (the cap_per_domain
-    convention) and each doc contributes one weighted edge to a
-    deterministic neighbor, giving every domain up to 5 distinct
-    out-edges.  Three unrolled iterations; every arithmetic step is
-    integer division, so the DuckDB oracle (same unroll as CTEs)
-    hash-matches bit for bit — the reason this iterative algorithm is
-    oracle-expressible at all."""
+    (operators/graph.py): every doc contributes one weighted edge
+    (:func:`_doc_domain_links`).  Three unrolled iterations; every
+    arithmetic step is integer division, so the DuckDB oracle (same
+    unroll as CTEs) hash-matches bit for bit — the reason this iterative
+    algorithm is oracle-expressible at all."""
     from ..operators.graph import pagerank
 
-    docs = _docs(spark, sf_dir)
-    edges = (
-        docs.select(
-            (F.col("doc_id") % 17).alias("src"),
-            ((F.col("doc_id") % 17 + 1
-              + F.expr("doc_id div 17") % 5) % 17).alias("dst"))
-        .groupBy("src", "dst")
-        .agg(F.count(F.lit(1)).cast("long").alias("weight"))
-    )
+    edges = _domain_edges(_doc_domain_links(_docs(spark, sf_dir)))
     return pagerank(edges, iterations=3)
 
 
-def _domain_pagerank_sql() -> str:
+def _q_compliant_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The robots->links->rank composition a REAL crawl runs (the
+    promise in robots_flags' docstring, now exercised end to end): drop
+    every outlink whose SOURCE page is ``nofollow`` (meta robots, both
+    attribute orders, X-Robots-Tag header lines, ``none``) BEFORE the
+    domain-level weight rollup, then rank what remains.  Edge weights —
+    and therefore every rank — shift wherever a nofollow page used to
+    contribute, so the oracle hash-checks the composition, not just the
+    stages.  Zero extra shuffle vs domain_pagerank: the robots gate is a
+    zero-shuffle regexp stage and the drop is a doc_id-keyed semi-join
+    that folds into the rollup's exchange."""
+    from ..functions.quality import robots_flags
+    from ..operators.graph import pagerank
+
+    docs = _docs(spark, sf_dir)
+    follow_ok = (robots_flags(_synth_robots_pages(docs),
+                              headers_col="headers")
+                 .where(F.col("nofollow") == 0).select("doc_id"))
+    links = _doc_domain_links(docs).join(follow_ok, "doc_id", "left_semi")
+    return pagerank(_domain_edges(links), iterations=3)
+
+
+def _pagerank_tail_sql() -> str:
+    """nodes/outw/r0 + the 3-iteration unroll + final select — shared by
+    every PageRank oracle; expects a preceding ``ed(src, dst, weight)``
+    CTE."""
     from ..operators.graph import DAMP_DEN, DAMP_NUM, SCALE
 
     tele = f"(({DAMP_DEN - DAMP_NUM} * {SCALE}) // {DAMP_DEN}) // n"
@@ -1954,6 +1989,17 @@ r{k} AS (
            AS rank
   FROM nodes CROSS JOIN nn LEFT JOIN c{k} c ON c.node = nodes.node
 )""")
+    return f"""nodes AS (SELECT DISTINCT node FROM
+          (SELECT src AS node FROM ed UNION ALL SELECT dst FROM ed)),
+nn AS (SELECT count(*) AS n FROM nodes),
+outw AS (SELECT src, sum(weight) AS w_out FROM ed GROUP BY 1),
+r0 AS (SELECT node, {SCALE} // n AS rank FROM nodes CROSS JOIN nn),
+{",".join(iters)}
+SELECT node, CAST(rank AS BIGINT) AS rank_scaled FROM r3
+"""
+
+
+def _domain_pagerank_sql() -> str:
     return f"""
 WITH ed AS (
   SELECT src, dst, CAST(count(*) AS BIGINT) AS weight
@@ -1962,14 +2008,26 @@ WITH ed AS (
         FROM documents)
   GROUP BY 1, 2
 ),
-nodes AS (SELECT DISTINCT node FROM
-          (SELECT src AS node FROM ed UNION ALL SELECT dst FROM ed)),
-nn AS (SELECT count(*) AS n FROM nodes),
-outw AS (SELECT src, sum(weight) AS w_out FROM ed GROUP BY 1),
-r0 AS (SELECT node, {SCALE} // n AS rank FROM nodes CROSS JOIN nn),
-{",".join(iters)}
-SELECT node, CAST(rank AS BIGINT) AS rank_scaled FROM r3
-"""
+{_pagerank_tail_sql()}"""
+
+
+def _compliant_pagerank_sql() -> str:
+    from ..functions.quality import _NOFOLLOW_TOK_RE
+
+    return f"""
+WITH {_robots_ctes()},
+fol AS (
+  SELECT doc_id FROM rdir
+  WHERE NOT regexp_matches(directives, '{_NOFOLLOW_TOK_RE}')
+),
+ed AS (
+  SELECT src, dst, CAST(count(*) AS BIGINT) AS weight
+  FROM (SELECT doc_id % 17 AS src,
+               (doc_id % 17 + 1 + (doc_id // 17) % 5) % 17 AS dst
+        FROM documents JOIN fol USING (doc_id))
+  GROUP BY 1, 2
+),
+{_pagerank_tail_sql()}"""
 
 
 def _synth_robots_pages(docs: DataFrame) -> DataFrame:
@@ -1984,13 +2042,16 @@ def _synth_robots_pages(docs: DataFrame) -> DataFrame:
         .when(v == 2, F.lit('<meta content="none" name="robots">'))
         .when(v == 5, F.lit('<meta name="robots" '
                             'content="noindexing-is-not-noindex">'))
+        .when(v == 6, F.lit('<meta name="robots" content="index, follow">'
+                            '<meta name="robots" content="noindex">'))
         .otherwise(F.lit(""))
     )
     headers = (
         F.when(v == 3, F.lit("HTTP/1.1 200 OK\r\nContent-Type: "
                              "text/html\r\nX-Robots-Tag: noindex\r\n"))
         .when(v == 4, F.lit("HTTP/1.1 200 OK\r\nX-Robots-Tag: "
-                            "unavailable_after: 2027-01-01\r\n"))
+                            "unavailable_after: 2027-01-01\r\n"
+                            "X-Robots-Tag: nofollow\r\n"))
         .otherwise(F.lit("HTTP/1.1 200 OK\r\n"))
     )
     return docs.select(
@@ -2034,6 +2095,9 @@ pages AS (
            WHEN 2 THEN '<meta content="none" name="robots">'
            WHEN 5 THEN
              '<meta name="robots" content="noindexing-is-not-noindex">'
+           WHEN 6 THEN
+             '<meta name="robots" content="index, follow">' ||
+             '<meta name="robots" content="noindex">'
            ELSE '' END ||
          '</head><body><p>ok</p></body></html>' AS html,
          CASE vv
@@ -2042,15 +2106,24 @@ pages AS (
                        'X-Robots-Tag: noindex' || chr(13) || chr(10)
            WHEN 4 THEN 'HTTP/1.1 200 OK' || chr(13) || chr(10) ||
                        'X-Robots-Tag: unavailable_after: 2027-01-01' ||
-                       chr(13) || chr(10)
+                       chr(13) || chr(10) ||
+                       'X-Robots-Tag: nofollow' || chr(13) || chr(10)
            ELSE 'HTTP/1.1 200 OK' || chr(13) || chr(10) END AS headers
   FROM v
 ),
 rdir AS (
+  -- COALESCE: DuckDB's array_to_string([]) is NULL where Spark's
+  -- array_join([]) is '' — empty match lists must not null the row
   SELECT doc_id,
-         regexp_extract(html, '{META_ROBOTS_RE}', 1) || ',' ||
-         regexp_extract(html, '{META_ROBOTS_REV_RE}', 1) || ',' ||
-         regexp_extract(headers, '{X_ROBOTS_RE}', 1) AS directives
+         coalesce(array_to_string(
+           regexp_extract_all(html, '{META_ROBOTS_RE}', 1), ','), '')
+         || ',' ||
+         coalesce(array_to_string(
+           regexp_extract_all(html, '{META_ROBOTS_REV_RE}', 1), ','), '')
+         || ',' ||
+         coalesce(array_to_string(
+           regexp_extract_all(headers, '{X_ROBOTS_RE}', 1), ','), '')
+         AS directives
   FROM pages
 )"""
 
@@ -2198,7 +2271,9 @@ def _synth_messy_urls(docs: DataFrame) -> DataFrame:
     # doc_id %% 100 is the page and 100 = 0 (mod 5), so a variant
     # keyed on doc_id %% 5 would give every doc of a page the SAME
     # spelling; keying on (doc_id // 100) %% 5 gives each page all five
-    v = (F.col("doc_id") / 100).cast("long") % 5
+    # integer div to match the oracle's doc_id // 100 exactly — float
+    # division is double-precision-lossy for ids above 2^53
+    v = F.expr("doc_id div 100") % 5
     url = (
         F.when(v == 0, F.concat(
             F.lit("HTTP://Site-"), host, F.lit(".Example.COM:80/page/"),
@@ -2418,39 +2493,14 @@ def _q_crawl_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     else 'admitted'.  One row per doc with its admission status; every
     stage is the arithmetic its standalone oracled row checks, and the
     composite oracle chains the same CTE generators end to end."""
-    from ..functions.dedup import dedup_against, snapshot_profile
-    from ..functions.quality import robots_flags
-    from ..functions.urls import canonicalize_url
+    from ..functions.crawl import admission_statuses
+    from ..functions.dedup import snapshot_profile
 
     docs = _docs(spark, sf_dir)
-    canon = _synth_messy_urls(docs).select(
-        "doc_id", canonicalize_url("url").alias("cu"))
-    keeper = canon.groupBy("cu").agg(F.min("doc_id").alias("keeper_id"))
-    url_dup = (canon.join(keeper, "cu")
-               .where(F.col("doc_id") != F.col("keeper_id"))
-               .select("doc_id", F.lit(1).alias("_u")))
-    robots = (robots_flags(_synth_robots_pages(docs),
-                           headers_col="headers")
-              .where(F.col("noindex") == 1)
-              .select("doc_id", F.lit(1).alias("_r")))
-    prior = pin(snapshot_profile(
-        docs.where(F.col("doc_id") % 3 == 0)))
-    content = dedup_against(docs, prior, threshold=0.5)
-    known = (content.where(F.col("status") != "fresh")
-             .select("doc_id", F.lit(1).alias("_k")))
-    return (
-        docs.select("doc_id")
-        .join(url_dup, "doc_id", "left")
-        .join(robots, "doc_id", "left")
-        .join(known, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.when(F.col("_u") == 1, F.lit("url_duplicate"))
-            .when(F.col("_r") == 1, F.lit("robots_noindex"))
-            .when(F.col("_k") == 1, F.lit("known_content"))
-            .otherwise(F.lit("admitted")).alias("status"),
-        )
-    )
+    prior = pin(snapshot_profile(docs.where(F.col("doc_id") % 3 == 0)))
+    return admission_statuses(docs, _synth_messy_urls(docs),
+                              _synth_robots_pages(docs), prior,
+                              threshold=0.5)
 
 
 def _crawl_admission_sql() -> str:
@@ -3301,6 +3351,10 @@ QUERIES: dict[str, Query] = {
         "integer-exact 3-iteration PageRank over the synthesized domain "
         "link graph (edge-join + dst-agg per round, bit-identical "
         "across engines by integer division)"),
+    "compliant_pagerank": Query(
+        _q_compliant_pagerank, _compliant_pagerank_sql(),
+        "robots->links->rank composition: nofollow pages' outlinks "
+        "dropped before the domain rollup, then integer PageRank"),
     "robots_filter": Query(
         _q_robots_filter, _robots_filter_sql(),
         "robots/noindex compliance gate: meta robots (both attribute "

@@ -519,9 +519,9 @@ wnd AS (
          first_value(CASE WHEN kind = 0 THEN t END IGNORE NULLS)
            OVER wn AS nt
   FROM pts
-  WINDOW wp AS (PARTITION BY user_id ORDER BY t, kind
+  WINDOW wp AS (PARTITION BY user_id ORDER BY t, kind, v
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-         wn AS (PARTITION BY user_id ORDER BY t, kind
+         wn AS (PARTITION BY user_id ORDER BY t, kind, v
                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
 )
 SELECT user_id, t AS grid_ts,

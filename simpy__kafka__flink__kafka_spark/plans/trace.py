@@ -409,6 +409,54 @@ GROUP BY root_id, l.latency_msec
 """
 
 
+def _q_critical_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-chain critical path (operators/chains.py:critical_path): the
+    longest latency-weighted root->node walk of each linked trace —
+    max-plus BFS with per-(root, node, depth) contraction, integer-exact
+    and tie-broken to the deepest path, so the recursive-CTE oracle
+    (which ENUMERATES paths where Spark contracts them) agrees bit for
+    bit on the aggregate."""
+    from ..cachepin import pin
+    from ..operators.chains import critical_path
+
+    msgs = messages_from_events(spark, sf_dir)
+    edges = pin(link_edges_banded(msgs))  # roots + every BFS level
+    return critical_path(msgs, edges)
+
+
+_CRITICAL_PATH_SQL = f"""
+WITH {_MSGS}, {_EDGES_SQL},
+lat AS (SELECT id, CAST(latency_msec AS BIGINT) AS l FROM messages),
+deg AS (
+  SELECT m.id, COALESCE(p.n_par, 0) AS n_par, COALESCE(c.n_chi, 0) AS n_chi
+  FROM messages m
+  LEFT JOIN (SELECT child_id AS id, count(DISTINCT parent_id) AS n_par
+             FROM edges GROUP BY 1) p USING (id)
+  LEFT JOIN (SELECT parent_id AS id, count(DISTINCT child_id) AS n_chi
+             FROM edges GROUP BY 1) c USING (id)
+),
+walk AS (
+  WITH RECURSIVE r(root_id, node, depth, path_ms) AS (
+    SELECT d.id, d.id, 0, lat.l
+    FROM deg d JOIN lat ON lat.id = d.id
+    WHERE d.n_par = 0 AND d.n_chi > 0
+    UNION
+    SELECT r.root_id, e.child_id, r.depth + 1, r.path_ms + lat.l
+    FROM r
+    JOIN edges e ON e.parent_id = r.node
+    JOIN lat ON lat.id = e.child_id
+    WHERE r.depth < 8
+  )
+  SELECT * FROM r
+)
+SELECT root_id,
+       max(path_ms * 16 + depth) // 16 AS critical_ms,
+       CAST(max(path_ms * 16 + depth) % 16 AS INTEGER) AS critical_depth
+FROM walk
+GROUP BY root_id
+"""
+
+
 def _q_hop_latencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.chains import hop_latencies
 
@@ -433,6 +481,9 @@ QUERIES: dict[str, Query] = {
                          "per-chain span count/depth/total duration (BFS)"),
     "hop_latencies": Query(_q_hop_latencies, _HOP_LATENCIES_SQL,
                            "per-hop latency and start offset"),
+    "critical_path": Query(_q_critical_path, _CRITICAL_PATH_SQL,
+                           "longest latency-weighted root->leaf path "
+                           "per chain (max-plus BFS)"),
     "latency_percentiles": Query(_q_latency_percentiles, _LATENCY_PERCENTILES_SQL,
                                  "exact p50/p90/p99 span latency per callee IP"),
     "trace_roots": Query(_q_trace_roots, _TRACE_ROOTS_SQL,

@@ -180,10 +180,20 @@ def incremental_ingest_batch(batch_df: DataFrame, prior_profile_dir: str,
     docs, and append both the docs and their profile rows to the
     accepted sink — so later batches (and the next crawl) see them as
     known.  Batch-internal exact copies collapse first (keep-first on
-    the fingerprint).  At-least-once replay is idempotent by
-    construction: a replayed batch re-reads the sink profile, so its own
-    previously-accepted docs now classify ``exact_known`` and nothing is
-    appended twice — the same upsert posture as pair compaction."""
+    the fingerprint).  At-least-once replay: a replayed batch re-reads
+    the sink profile, so docs whose PROFILE landed before the crash
+    classify ``exact_known`` and are not appended twice — the same
+    upsert posture as pair compaction.  The two appends are not atomic,
+    so write ORDER decides the torn-window failure mode: docs go FIRST.
+    A crash between them leaves docs-without-profile; the replay then
+    re-admits those docs (a duplicate-docs anomaly in the docs sink,
+    healed for every FUTURE batch the moment the replay's profile append
+    lands) rather than the reverse order's profile-without-docs, where
+    the replay would classify the docs ``exact_known`` from their own
+    half-committed profile and they would be PERMANENTLY absent from the
+    docs sink.  A duplicate is the documented at-least-once residue the
+    batch exact-dedup sweep (or a Delta/Iceberg MERGE in production)
+    removes; silent loss is unrecoverable."""
     from pyspark.errors import AnalysisException
     from pyspark.sql import Window as W
 
@@ -217,9 +227,10 @@ def incremental_ingest_batch(batch_df: DataFrame, prior_profile_dir: str,
     fresh = batch.join(
         status.where(F.col("status") == "fresh").select("doc_id"),
         "doc_id").localCheckpoint()
+    # docs BEFORE profile — see the docstring's torn-window analysis
+    fresh.write.mode("append").parquet(f"{accepted_dir}/docs")
     snapshot_profile(fresh).write.mode("append").parquet(
         f"{accepted_dir}/profile")
-    fresh.write.mode("append").parquet(f"{accepted_dir}/docs")
 
 
 def start_incremental_ingest(docs_stream: DataFrame,
@@ -243,7 +254,8 @@ def start_incremental_ingest(docs_stream: DataFrame,
     )
 
 
-def url_frontier_dedup(urls: DataFrame) -> DataFrame:
+def url_frontier_dedup(urls: DataFrame,
+                       keep: tuple[str, ...] = ()) -> DataFrame:
     """Streaming URL-frontier dedup: canonicalize
     (functions/urls.py:canonicalize_url — zero-shuffle, so it composes
     with any downstream stateful operator) and keep the first arrival
@@ -253,11 +265,61 @@ def url_frontier_dedup(urls: DataFrame) -> DataFrame:
     the documented at-least-once residue the batch url_dedup sweep
     catches.  Input must carry a watermark on ``ingest_ts``; output one
     row per first-seen canonical URL: (doc_id, ingest_ts, url,
-    canonical_url)."""
+    canonical_url) plus any ``keep`` passthrough columns (the streaming
+    admission chain threads html/headers/text through here)."""
     from ..functions.urls import canonicalize_url
 
     return (
         urls.select("doc_id", "ingest_ts", "url",
-                    canonicalize_url("url").alias("canonical_url"))
+                    canonicalize_url("url").alias("canonical_url"),
+                    *keep)
         .dropDuplicatesWithinWatermark(["canonical_url"])
+    )
+
+
+def start_crawl_admission(docs_stream: DataFrame, prior_profile_dir: str,
+                          accepted_dir: str, checkpoint_dir: str):
+    """STREAMING crawl admission — the batch capstone's precedence
+    (functions/crawl.py:admission_statuses) as one continuous front
+    door, each stage in the stream-appropriate form:
+
+    1. 'url_duplicate'  -> :func:`url_frontier_dedup`
+       (zero-shuffle canonicalization + dropDuplicatesWithinWatermark;
+       state bounded by the duplicate-arrival horizon)
+    2. 'robots_noindex' -> stateless filter on the SAME folded-directive
+       expression the batch gate uses
+       (functions/quality.py:robots_directives — zero shuffle)
+    3. 'known_content'  -> :func:`incremental_ingest_batch` per
+       micro-batch (prior-snapshot profile + the run's own accepted
+       profile on the sink side; bounded streaming state)
+
+    Sequential drops reproduce the batch precedence by construction: a
+    URL loser never reaches the robots gate, a noindex page never
+    reaches the content check — exactly the CASE priority of the batch
+    capstone, which is what the batch-parity test asserts by pushing
+    one fixture through both paths.  Semantics are the documented
+    at-least-once posture of the underlying stages (frontier-horizon
+    residue is caught by the batch URL sweep; the docs-first torn-write
+    window yields duplicates, never loss).
+
+    ``docs_stream`` must carry (doc_id, ingest_ts, url, html, headers,
+    text) and a watermark on ``ingest_ts``.  Returns the started
+    StreamingQuery; accepted docs + their profile land under
+    ``accepted_dir`` exactly as in :func:`start_incremental_ingest`."""
+    from ..functions.quality import _NOINDEX_TOK_RE, robots_directives
+
+    frontier = url_frontier_dedup(
+        docs_stream, keep=("html", "headers", "text"))
+    indexable = frontier.where(
+        ~robots_directives("html", "headers").rlike(_NOINDEX_TOK_RE))
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        incremental_ingest_batch(batch_df.select("doc_id", "text"),
+                                 prior_profile_dir, accepted_dir)
+
+    return (
+        indexable.writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
     )

@@ -66,3 +66,30 @@ def test_checkpointed_deep_unroll_identical(spark):
     b = {r["node"]: r["rank_scaled"]
          for r in pagerank(df, iterations=12, checkpoint_every=4).collect()}
     assert a == b
+
+
+def test_compliant_pagerank_drops_nofollow_outlinks(spark, sf_dir):
+    """The rank INPUT of the robots->links->rank composition must carry
+    no edge sourced from a nofollow page, and must differ from the
+    ungated graph wherever one was dropped."""
+    from pyspark.sql import functions as F
+
+    from simpy__kafka__flink__kafka_spark.functions.quality import (
+        robots_flags)
+    from simpy__kafka__flink__kafka_spark.plans.dataprep import (
+        _doc_domain_links, _docs, _domain_edges, _synth_robots_pages)
+
+    docs = _docs(spark, sf_dir)
+    flags = robots_flags(_synth_robots_pages(docs), headers_col="headers")
+    nofollow = flags.where(F.col("nofollow") == 1).select("doc_id")
+    assert nofollow.count() > 0  # the synthesis plants nofollow pages
+
+    links = _doc_domain_links(docs)
+    gated = links.join(flags.where(F.col("nofollow") == 0)
+                       .select("doc_id"), "doc_id", "left_semi")
+    # provably absent: a nofollow doc contributes NO link
+    assert gated.join(nofollow, "doc_id", "left_semi").count() == 0
+    # and the domain rollup lost exactly the nofollow docs' weight
+    w_all = _domain_edges(links).agg(F.sum("weight")).collect()[0][0]
+    w_gated = _domain_edges(gated).agg(F.sum("weight")).collect()[0][0]
+    assert w_all - w_gated == nofollow.count()

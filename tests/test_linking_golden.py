@@ -142,3 +142,56 @@ def test_selfip_zero_width_excludes_self_edges(spark):
                        ("c", "a"), ("c", "b")}, fn.__name__
         # no self-edges despite every span containing itself
         assert not any(p == c for p, c in got), fn.__name__
+
+
+def test_critical_path_picks_heavier_branch(spark):
+    """Hand-built chain: root A contains B and C (A->B, A->C), B contains
+    D (B->D).  Weights: A=100, B=10, C=50, D=30.  Paths from A:
+    A=100, A->B=110, A->C=150, A->B->D=140 — critical is A->C at 150,
+    depth 1 (NOT the deeper 140 walk: weight beats depth)."""
+    from simpy__kafka__flink__kafka_spark.operators.chains import (
+        critical_path)
+    from simpy__kafka__flink__kafka_spark.operators.linking import (
+        link_edges_banded)
+
+    # (id, src, dst, start, latency, end); containment drives the edges:
+    # ip chain s->a->b/c->d with B strictly inside A, D inside B, C inside A
+    rows = [
+        ("A", "ip_s", "ip_a", 0, 100.0, 100),
+        ("B", "ip_a", "ip_b", 10, 10.0, 20),
+        ("C", "ip_a", "ip_c", 30, 50.0, 80),
+        ("D", "ip_b", "ip_d", 12, 30.0, 42),
+    ]
+    # D must end within B for containment: B spans [10,20], D [12,42] does
+    # NOT fit — widen B to cover D but stay inside A
+    rows[1] = ("B", "ip_a", "ip_b", 10, 40.0, 50)
+    msgs = golden_messages(spark, rows)
+    edges = link_edges_banded(msgs)
+    got = {r.root_id: (r.critical_ms, r.critical_depth)
+           for r in critical_path(msgs, edges).collect()}
+    # with B widened to 40: A->B = 140, A->B->D = 170, A->C = 150
+    assert got == {"A": (170, 2)}
+
+
+def test_critical_path_tie_resolves_to_deepest(spark):
+    """Two walks with EQUAL total weight — the packed max resolves the
+    tie to the greater depth on both engines."""
+    from simpy__kafka__flink__kafka_spark.operators.chains import (
+        critical_path)
+    from simpy__kafka__flink__kafka_spark.operators.linking import (
+        link_edges_banded)
+
+    # A contains B (lat 60) and C (lat 40); C contains E (lat 20).
+    # A->B = 160, A->C->E = 160 — tie; deeper (depth 2) must win.
+    rows = [
+        ("A", "ip_s", "ip_a", 0, 100.0, 100),
+        ("B", "ip_a", "ip_b", 5, 60.0, 65),
+        ("C", "ip_a", "ip_c", 70, 40.0, 110),
+    ]
+    # keep C inside A: [70, 110] exceeds A's end=100 — shift C
+    rows[2] = ("C", "ip_a", "ip_c", 55, 40.0, 95)
+    rows.append(("E", "ip_c", "ip_e", 60, 20.0, 80))
+    msgs = golden_messages(spark, rows)
+    got = {r.root_id: (r.critical_ms, r.critical_depth)
+           for r in critical_path(msgs, link_edges_banded(msgs)).collect()}
+    assert got == {"A": (160, 2)}

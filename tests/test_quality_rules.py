@@ -169,6 +169,46 @@ def test_robots_flags_html_only(spark):
     assert got[2] == (0, 0)
 
 
+def test_robots_flags_multiple_tags_and_header_lines(spark):
+    """Real pages carry several meta robots tags and several
+    X-Robots-Tag lines; directives union across ALL of them — a
+    second tag's noindex binds even when the first says index."""
+    from simpy__kafka__flink__kafka_spark.functions.quality import (
+        robots_flags)
+
+    rows = [
+        # second tag carries the noindex (the round-8 VERDICT case)
+        (1, '<html><head><meta name="robots" content="index, follow">'
+            '<meta name="robots" content="noindex"></head>',
+         "HTTP/1.1 200 OK\r\n"),
+        # three tags, the middle one nofollow, mixed attribute orders
+        (2, '<html><head><meta name="robots" content="index">'
+            '<meta content="nofollow" name="robots">'
+            '<meta name="robots" content="follow"></head>',
+         "HTTP/1.1 200 OK\r\n"),
+        # second X-Robots-Tag header line carries the noindex
+        (3, "<html><head></head>",
+         "HTTP/1.1 200 OK\r\nX-Robots-Tag: unavailable_after: "
+         "2027-01-01\r\nX-Robots-Tag: noindex\r\n"),
+        # meta says index, header line says nofollow — both honored
+        (4, '<html><head><meta name="robots" content="index"></head>',
+         "HTTP/1.1 200 OK\r\nX-Robots-Tag: nofollow\r\n"),
+        # many benign tags, none restrictive
+        (5, '<html><head>' + '<meta name="robots" content="all">' * 5
+            + '</head>',
+         "HTTP/1.1 200 OK\r\nX-Robots-Tag: noarchive\r\n"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, html string, headers string")
+    got = {r["doc_id"]: (r["noindex"], r["nofollow"], r["indexable"])
+           for r in robots_flags(df, headers_col="headers").collect()}
+    assert got[1] == (1, 0, 0)
+    assert got[2] == (0, 1, 1)
+    assert got[3] == (1, 0, 0)
+    assert got[4] == (0, 1, 1)
+    assert got[5] == (0, 0, 1)
+
+
 def test_robots_registry_row_matches_oracle(spark, sf_dir):
     from tests.oracle_utils import assert_match
 

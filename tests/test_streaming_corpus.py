@@ -309,3 +309,97 @@ def test_incremental_ingest_live_stream(spark, tmp_path):
     assert got == {11}
     prof = spark.read.parquet(f"{acc}/profile").collect()
     assert {r["prior_id"] for r in prof} == {11}
+
+
+def test_streaming_crawl_admission_batch_parity(spark, tmp_path):
+    """One fixture through BOTH front doors: the streaming chain
+    (url_frontier_dedup -> robots filter -> incremental ingest) must
+    accept exactly the docs the batch composition
+    (functions/crawl.py:admission_statuses) labels 'admitted'."""
+    from simpy__kafka__flink__kafka_spark.functions.crawl import (
+        admission_statuses)
+    from simpy__kafka__flink__kafka_spark.functions.dedup import (
+        snapshot_profile)
+    from simpy__kafka__flink__kafka_spark.streaming.corpus import (
+        start_crawl_admission)
+
+    known = ("an old article about river navigation and the barge "
+             "schedules of the lower delta published last crawl")
+    fresh_a = ("genuinely new reporting on mountain weather stations "
+               "and their wind measurements this season")
+    fresh_b = ("another novel piece about orchard pollination and the "
+               "timing of late spring frosts in the valley")
+    page_ok = "<html><head></head><body><p>ok</p></body></html>"
+    page_noidx = ('<html><head><meta name="robots" content="index">'
+                  '<meta name="robots" content="noindex"></head></html>')
+    hdr_ok = "HTTP/1.1 200 OK\r\n"
+    hdr_noidx = ("HTTP/1.1 200 OK\r\nX-Robots-Tag: noarchive\r\n"
+                 "X-Robots-Tag: noindex\r\n")
+
+    # (doc_id, url, html, headers, text) — arrival order = doc_id order,
+    # so streaming keep-first and the batch min(doc_id) keeper agree
+    rows = [
+        (1, "https://a.example/page?utm_source=x", page_ok, hdr_ok,
+         fresh_a),                       # admitted
+        (2, "HTTPS://A.example:443/page", page_ok, hdr_ok,
+         fresh_b),                       # url dup of 1 -> dropped
+        (3, "https://b.example/doc", page_noidx, hdr_ok,
+         fresh_b),                       # robots (2nd meta tag)
+        (4, "https://c.example/doc", page_ok, hdr_noidx,
+         fresh_b),                       # robots (2nd header line)
+        (5, "https://d.example/doc", page_ok, hdr_ok,
+         known),                         # known content
+        (6, "https://e.example/doc", page_ok, hdr_ok,
+         fresh_b),                       # admitted
+    ]
+
+    prior_dir = str(tmp_path / "ca_prior")
+    snapshot_profile(spark.createDataFrame(
+        [(100, known)], "doc_id long, text string")
+    ).write.parquet(prior_dir)
+
+    # batch path
+    docs = spark.createDataFrame(
+        [(r[0], r[4]) for r in rows], "doc_id long, text string")
+    urls = spark.createDataFrame(
+        [(r[0], r[1]) for r in rows], "doc_id long, url string")
+    pages = spark.createDataFrame(
+        [(r[0], r[2], r[3]) for r in rows],
+        "doc_id long, html string, headers string")
+    prior = spark.read.parquet(prior_dir)
+    batch = {r.doc_id: r.status
+             for r in admission_statuses(docs, urls, pages, prior,
+                                         threshold=0.5).collect()}
+    assert batch == {1: "admitted", 2: "url_duplicate",
+                     3: "robots_noindex", 4: "robots_noindex",
+                     5: "known_content", 6: "admitted"}
+
+    # streaming path — same fixture as a file stream
+    ind = str(tmp_path / "ca_in")
+    acc = str(tmp_path / "ca_acc")
+    ckpt = str(tmp_path / "ca_ckpt")
+    os.makedirs(ind, exist_ok=True)
+    spark.createDataFrame(
+        [(r[0], _ts(1000 + r[0]), r[1], r[2], r[3], r[4]) for r in rows],
+        "doc_id long, ingest_ts timestamp, url string, html string, "
+        "headers string, text string",
+    ).coalesce(1).write.mode("append").parquet(ind)
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, ingest_ts timestamp, url string, html string, "
+            "headers string, text string")
+        .parquet(ind).withWatermark("ingest_ts", "10 minutes")
+    )
+    q = start_crawl_admission(stream, prior_dir, acc, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    accepted = {r.doc_id for r in
+                spark.read.parquet(f"{acc}/docs").collect()}
+    assert accepted == {d for d, s in batch.items() if s == "admitted"}
+    # the accepted sink profile covers exactly the admitted docs
+    prof = {r.prior_id for r in
+            spark.read.parquet(f"{acc}/profile").collect()}
+    assert prof == accepted
