@@ -34,13 +34,24 @@ DAMP_NUM, DAMP_DEN = 85, 100
 
 def pagerank(edges: DataFrame, iterations: int = 3,
              scale: int = SCALE,
-             checkpoint_every: int = 0) -> DataFrame:
+             checkpoint_every: int = 0,
+             redistribute_dangling: bool = False) -> DataFrame:
     """Fixed-iteration integer PageRank over a weighted edge list
     (src, dst, weight).  Every node appearing as src or dst is ranked;
     contributions split proportionally to edge weight with integer
-    division; damping 0.85 applied as (85 * x) div 100.  Dangling nodes
-    (no out-edges) simply contribute nothing (their mass leaks — the
-    standard simplification; the synthesized registry graph has none).
+    division; damping 0.85 applied as (85 * x) div 100.
+
+    Dangling nodes (no out-edges): by default their mass leaks (the
+    standard simplification — fine on graphs without them).  With
+    ``redistribute_dangling=True`` each iteration adds ONE tiny
+    aggregate — the summed rank of out-edge-less nodes — broadcast as a
+    single row and shared ``dm div n`` to every node INSIDE the damping
+    term (the NetworkX/classic uniform-redistribution semantics,
+    integer-exact), which is what real web graphs need: they carry
+    dangling pages everywhere and the leak otherwise compounds per
+    iteration.  Cost: one broadcast-sized agg per iteration, no extra
+    keyed shuffle.
+
     ``checkpoint_every`` > 0 lazily ``localCheckpoint``-s the rank
     vector every that-many iterations — the chain_stats lineage lever
     for deep unrolls (past ~8 rounds the nested plan makes Catalyst
@@ -54,6 +65,8 @@ def pagerank(edges: DataFrame, iterations: int = 3,
     nc = nodes.agg(F.count(F.lit(1)).alias("n"))
     out = edges.groupBy("src").agg(F.sum("weight").alias("w_out"))
     e = edges.join(out, "src")
+    dangling = nodes.join(out.select(F.col("src").alias("node")),
+                          "node", "left_anti")
 
     r = (nodes.crossJoin(F.broadcast(nc))
          .select("node", F.expr(f"{scale} div n").alias("rank")))
@@ -65,16 +78,21 @@ def pagerank(edges: DataFrame, iterations: int = 3,
             .groupBy("node")
             .agg(F.sum("c").alias("in_sum"))
         )
-        r = (
-            nodes.join(contrib, "node", "left")
-            .crossJoin(F.broadcast(nc))
-            .select(
-                "node",
-                (F.expr(f"(({DAMP_DEN - DAMP_NUM} * {scale}) div "
-                        f"{DAMP_DEN}) div n")
-                 + F.expr(f"({DAMP_NUM} * coalesce(in_sum, 0)) div "
-                          f"{DAMP_DEN}")).alias("rank"),
-            )
+        base = nodes.join(contrib, "node", "left").crossJoin(F.broadcast(nc))
+        if redistribute_dangling:
+            dmass = (dangling.join(r, "node")
+                     .agg(F.coalesce(F.sum("rank"), F.lit(0))
+                          .alias("dm")))
+            base = base.crossJoin(F.broadcast(dmass))
+            in_term = "coalesce(in_sum, 0) + (dm div n)"
+        else:
+            in_term = "coalesce(in_sum, 0)"
+        r = base.select(
+            "node",
+            (F.expr(f"(({DAMP_DEN - DAMP_NUM} * {scale}) div "
+                    f"{DAMP_DEN}) div n")
+             + F.expr(f"({DAMP_NUM} * ({in_term})) div "
+                      f"{DAMP_DEN}")).alias("rank"),
         )
         if checkpoint_every and (it + 1) % checkpoint_every == 0:
             r = r.localCheckpoint(eager=False)

@@ -1968,16 +1968,27 @@ def _q_compliant_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(_domain_edges(links), iterations=3)
 
 
-def _pagerank_tail_sql() -> str:
+def _pagerank_tail_sql(dangling: bool = False) -> str:
     """nodes/outw/r0 + the 3-iteration unroll + final select — shared by
     every PageRank oracle; expects a preceding ``ed(src, dst, weight)``
-    CTE."""
+    CTE.  ``dangling=True`` mirrors the operator's
+    ``redistribute_dangling``: per iteration a one-row sum of the
+    out-edge-less nodes' rank, shared ``dm // n`` inside the damping
+    term."""
     from ..operators.graph import DAMP_DEN, DAMP_NUM, SCALE
 
     tele = f"(({DAMP_DEN - DAMP_NUM} * {SCALE}) // {DAMP_DEN}) // n"
     iters = []
     for k in (1, 2, 3):
-        iters.append(f"""c{k} AS (
+        dcte = (f"""d{k} AS (
+  SELECT COALESCE(sum(rank), 0) AS dm FROM r{k - 1}
+  WHERE node NOT IN (SELECT DISTINCT src FROM ed)
+),
+""" if dangling else "")
+        in_term = ("COALESCE(c.in_sum, 0) + (dm // n)" if dangling
+                   else "COALESCE(c.in_sum, 0)")
+        djoin = f" CROSS JOIN d{k}" if dangling else ""
+        iters.append(f"""{dcte}c{k} AS (
   SELECT e.dst AS node,
          sum((r.rank * e.weight) // o.w_out) AS in_sum
   FROM ed e JOIN outw o USING (src) JOIN r{k - 1} r ON r.node = e.src
@@ -1985,9 +1996,10 @@ def _pagerank_tail_sql() -> str:
 ),
 r{k} AS (
   SELECT nodes.node,
-         {tele} + ({DAMP_NUM} * COALESCE(c.in_sum, 0)) // {DAMP_DEN}
+         {tele} + ({DAMP_NUM} * ({in_term})) // {DAMP_DEN}
            AS rank
-  FROM nodes CROSS JOIN nn LEFT JOIN c{k} c ON c.node = nodes.node
+  FROM nodes CROSS JOIN nn{djoin}
+  LEFT JOIN c{k} c ON c.node = nodes.node
 )""")
     return f"""nodes AS (SELECT DISTINCT node FROM
           (SELECT src AS node FROM ed UNION ALL SELECT dst FROM ed)),
@@ -2009,6 +2021,35 @@ WITH ed AS (
   GROUP BY 1, 2
 ),
 {_pagerank_tail_sql()}"""
+
+
+def _q_pagerank_dangling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank WITH uniform dangling-mass redistribution
+    (operators/graph.py:pagerank redistribute_dangling=True) over a
+    graph that genuinely has dangling nodes: the domain-link synthesis
+    with every src % 5 == 0 domain's out-edges dropped — those domains
+    still RECEIVE links, so they hold rank that must be redistributed,
+    not leaked.  Real web graphs carry dangling pages everywhere; this
+    row proves the NetworkX-semantics variant integer-exactly."""
+    from ..operators.graph import pagerank
+
+    links = (_doc_domain_links(_docs(spark, sf_dir))
+             .where(F.expr("src % 5 != 0")))
+    return pagerank(_domain_edges(links), iterations=3,
+                    redistribute_dangling=True)
+
+
+def _pagerank_dangling_sql() -> str:
+    return f"""
+WITH ed AS (
+  SELECT src, dst, CAST(count(*) AS BIGINT) AS weight
+  FROM (SELECT doc_id % 17 AS src,
+               (doc_id % 17 + 1 + (doc_id // 17) % 5) % 17 AS dst
+        FROM documents)
+  WHERE src % 5 <> 0
+  GROUP BY 1, 2
+),
+{_pagerank_tail_sql(dangling=True)}"""
 
 
 def _compliant_pagerank_sql() -> str:
@@ -2061,6 +2102,122 @@ def _synth_robots_pages(docs: DataFrame) -> DataFrame:
         .alias("html"),
         headers.alias("headers"),
     )
+
+
+_ROBOTS_TXT_BODIES = [
+    # v0: plain prefix rules with an allow carve-out
+    "User-agent: *\nDisallow: /private/\nAllow: /private/open/\n",
+    # v1: specific-agent group (ignored) + wildcard and $-anchored rules
+    "User-agent: googlebot\nDisallow: /\n\n"
+    "User-agent: *\nDisallow: /tmp/*\nAllow: /tmp/keep$\n",
+    # v2: block everything
+    "User-agent: *\nDisallow: /\n",
+    # v3: no robots.txt
+    "",
+    # v4: empty Disallow imposes nothing; wildcard allow
+    "User-agent: *\nDisallow:\nAllow: /index*\n",
+]
+
+_ROBOTS_TXT_PATHS = ["/private/a", "/private/open/b", "/tmp/keep",
+                     "/tmp/junk1", "/index.html", "/private"]
+
+
+def _q_robots_txt_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt FILE compliance (functions/robots.py): 17 synthesized
+    domains carry five robots.txt shapes (prefix rules, an ignored
+    specific-agent group, ``*`` wildcards, a ``$`` anchor, block-all,
+    missing file, empty Disallow) and every doc's URL walks six path
+    shapes through the longest-match / allow-wins-ties gate.  The
+    oracle runs the identical split/extract/LIKE arithmetic, so group
+    selection, pattern translation, and precedence are parity-checked
+    end to end."""
+    from ..functions.robots import robots_allowed, robots_rules
+
+    docs = _docs(spark, sf_dir)
+    dom = F.col("doc_id") % 17
+    robots = (docs.select(dom.alias("domain")).distinct()
+              .select("domain",
+                      F.element_at(
+                          F.array(*[F.lit(b) for b in _ROBOTS_TXT_BODIES]),
+                          (F.col("domain") % 5 + 1).cast("int"))
+                      .alias("robots_txt")))
+    path = F.element_at(F.array(*[F.lit(p) for p in _ROBOTS_TXT_PATHS]),
+                        (F.col("doc_id") % 6 + 1).cast("int"))
+    urls = docs.select(
+        "doc_id", dom.alias("domain"),
+        F.concat(F.lit("https://site-"), dom.cast("string"),
+                 F.lit(".example.com"), path).alias("url"))
+    return robots_allowed(urls, robots_rules(robots))
+
+
+def _robots_txt_gate_sql() -> str:
+    bodies = " ".join(
+        f"WHEN {i} THEN '{b}'".replace("\n", "' || chr(10) || '")
+        for i, b in enumerate(_ROBOTS_TXT_BODIES))
+    paths = " ".join(f"WHEN {i} THEN '{p}'"
+                     for i, p in enumerate(_ROBOTS_TXT_PATHS))
+    return f"""
+WITH doms AS (SELECT DISTINCT doc_id % 17 AS dom FROM documents),
+bod AS (
+  SELECT dom, CASE dom % 5 {bodies} END AS body FROM doms
+),
+merged AS (
+  SELECT dom,
+         array_to_string(
+           list_filter(
+             string_split_regex(body, '(?i)user-agent[ \\t]*:'),
+             s -> left(trim(s), 1) = '*'),
+           chr(10)) AS seg
+  FROM bod
+),
+rawr AS (
+  SELECT dom, unnest(regexp_extract_all(
+           seg,
+           '(?im)^[ \\t]*(allow|disallow)[ \\t]*:[ \\t]*([^#\\r\\n]*)',
+           0)) AS m
+  FROM merged
+),
+rul AS (
+  SELECT dom,
+         CASE WHEN lower(regexp_extract(m, '(?i)(allow|disallow)', 1))
+              = 'allow' THEN 1 ELSE 0 END AS is_allow,
+         trim(regexp_extract(m, ':(.*)$', 1)) AS path
+  FROM rawr
+  WHERE trim(regexp_extract(m, ':(.*)$', 1)) <> ''
+),
+pats AS (
+  SELECT dom, is_allow, CAST(length(path) AS INTEGER) AS rule_len,
+         CASE WHEN right(wild, 1) = '$'
+              THEN substring(wild, 1, length(wild) - 1)
+              ELSE wild || '%' END AS pat
+  FROM (SELECT dom, is_allow, path,
+               replace(replace(replace(replace(path,
+                 '!', '!!'), '%', '!%'), '_', '!_'), '*', '%') AS wild
+        FROM rul)
+),
+u AS (
+  SELECT doc_id, doc_id % 17 AS dom,
+         regexp_extract(
+           'https://site-' || CAST(doc_id % 17 AS VARCHAR) ||
+           '.example.com' || CASE doc_id % 6 {paths} END,
+           '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS p0
+  FROM documents
+),
+up AS (SELECT doc_id, dom,
+              CASE WHEN p0 = '' THEN '/' ELSE p0 END AS p FROM u),
+agg AS (
+  SELECT up.doc_id,
+         max(CASE WHEN r.pat IS NOT NULL
+                   AND up.p LIKE r.pat ESCAPE '!'
+                  THEN r.rule_len * 2 + r.is_allow END) AS pk
+  FROM up LEFT JOIN pats r USING (dom)
+  GROUP BY 1
+)
+SELECT doc_id,
+       CASE WHEN pk IS NULL OR pk % 2 = 1 THEN 1 ELSE 0 END AS allowed,
+       CAST(COALESCE(pk // 2, 0) AS INTEGER) AS match_len
+FROM agg
+"""
 
 
 def _q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3355,6 +3512,14 @@ QUERIES: dict[str, Query] = {
         _q_compliant_pagerank, _compliant_pagerank_sql(),
         "robots->links->rank composition: nofollow pages' outlinks "
         "dropped before the domain rollup, then integer PageRank"),
+    "pagerank_dangling": Query(
+        _q_pagerank_dangling, _pagerank_dangling_sql(),
+        "PageRank with uniform dangling-mass redistribution over a "
+        "graph with genuinely dangling domains (integer-exact)"),
+    "robots_txt_gate": Query(
+        _q_robots_txt_gate, _robots_txt_gate_sql(),
+        "RFC 9309 robots.txt parsing + longest-match/allow-wins URL "
+        "gate (wildcards, $ anchors, agent-group selection)"),
     "robots_filter": Query(
         _q_robots_filter, _robots_filter_sql(),
         "robots/noindex compliance gate: meta robots (both attribute "

@@ -93,3 +93,29 @@ def test_compliant_pagerank_drops_nofollow_outlinks(spark, sf_dir):
     w_all = _domain_edges(links).agg(F.sum("weight")).collect()[0][0]
     w_gated = _domain_edges(gated).agg(F.sum("weight")).collect()[0][0]
     assert w_all - w_gated == nofollow.count()
+
+
+def test_pagerank_dangling_redistribution_conserves_mass(spark):
+    """A graph whose sink node holds growing rank: without
+    redistribution that mass leaks every iteration; with it, total rank
+    stays ~SCALE (floor losses only) and the dangling node's mass flows
+    back uniformly."""
+    from simpy__kafka__flink__kafka_spark.operators.graph import (
+        SCALE, pagerank)
+
+    # B->A, C->A, A->D; D is dangling and accumulates rank
+    edges = spark.createDataFrame(
+        [("B", "A", 1), ("C", "A", 1), ("A", "D", 1)],
+        "src string, dst string, weight long")
+    leak = {r.node: r.rank_scaled
+            for r in pagerank(edges, iterations=3).collect()}
+    redist = {r.node: r.rank_scaled
+              for r in pagerank(edges, iterations=3,
+                                redistribute_dangling=True).collect()}
+    assert set(leak) == set(redist) == {"A", "B", "C", "D"}
+    # leaky: D's mass vanished each round — well under the budget
+    assert sum(leak.values()) < 0.75 * SCALE
+    # redistributed: conserved up to integer-floor crumbs
+    assert sum(redist.values()) > 0.999 * SCALE
+    # every node gains from the redistributed mass
+    assert all(redist[n] > leak[n] for n in redist)
