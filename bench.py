@@ -74,6 +74,12 @@ HEADLINE = [
     # the crawl-admission capstone chains the round-8 front-door stages
     # (canonical-URL dedup -> robots gate -> prior-content check)
     "crawl_admission",
+    # round-9 gate rows: the max-plus critical path over the trace DAG,
+    # the robots->links->rank composition, and the RFC 9309 robots.txt
+    # file gate
+    "critical_path",
+    "compliant_pagerank",
+    "robots_txt_gate",
 ]
 
 

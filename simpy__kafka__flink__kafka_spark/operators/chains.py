@@ -135,11 +135,21 @@ def hop_latencies(msgs: DataFrame, edges: DataFrame) -> DataFrame:
     )
 
 
+def weighted_edges(msgs: DataFrame, edges: DataFrame) -> DataFrame:
+    """(parent_id, child_id, _lat) — the edge list with the CHILD's
+    integer latency pre-joined, the frame every :func:`critical_path`
+    BFS level joins against.  Exposed so callers can cache/pin it once
+    (it is referenced ``max_depth`` times)."""
+    lat = msgs.select(F.col("id").alias("child_id"),
+                      F.col("latency_msec").cast("long").alias("_lat"))
+    return edges.join(lat, "child_id")
+
+
 def critical_path(msgs: DataFrame, edges: DataFrame,
                   max_depth: int = MAX_DEPTH,
                   reduce_every: int = 2,
-                  checkpoint_every: int | None = CHECKPOINT_EVERY
-                  ) -> DataFrame:
+                  checkpoint_every: int | None = CHECKPOINT_EVERY,
+                  edges_weighted: DataFrame | None = None) -> DataFrame:
     """Per-chain critical path — the longest latency-weighted root->node
     path (reference ``requirements-v2.md:177`` 链路统计: the one
     trace-latency question ``chain_stats`` doesn't answer: WHICH chain's
@@ -166,6 +176,13 @@ def critical_path(msgs: DataFrame, edges: DataFrame,
     """
     lat = msgs.select(F.col("id").alias("node"),
                       F.col("latency_msec").cast("long").alias("_lat"))
+    # child latency pre-joined onto the edge list ONCE
+    # (:func:`weighted_edges`): each BFS level is a single parent-keyed
+    # join instead of edge-join + lat-join; pass a pinned
+    # ``edges_weighted`` to materialize the shared frame once instead of
+    # recomputing it per level
+    ew = (edges_weighted if edges_weighted is not None
+          else weighted_edges(msgs, edges))
     roots = chain_roots(msgs, edges)
     level = roots.join(lat, roots.root_id == lat.node).select(
         "root_id", "node", F.lit(0).alias("depth"),
@@ -173,11 +190,9 @@ def critical_path(msgs: DataFrame, edges: DataFrame,
     best = level
     for d in range(1, max_depth + 1):
         level = (
-            level.join(edges, level.node == edges.parent_id)
+            level.join(ew, level.node == ew.parent_id)
             .select("root_id", F.col("child_id").alias("node"),
-                    F.lit(d).alias("depth"), "path_ms")
-            .join(lat, "node")
-            .select("root_id", "node", "depth",
+                    F.lit(d).alias("depth"),
                     (F.col("path_ms") + F.col("_lat")).alias("path_ms"))
         )
         if d % reduce_every == 0:

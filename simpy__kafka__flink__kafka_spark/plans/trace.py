@@ -417,11 +417,12 @@ def _q_critical_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     (which ENUMERATES paths where Spark contracts them) agrees bit for
     bit on the aggregate."""
     from ..cachepin import pin
-    from ..operators.chains import critical_path
+    from ..operators.chains import critical_path, weighted_edges
 
     msgs = messages_from_events(spark, sf_dir)
-    edges = pin(link_edges_banded(msgs))  # roots + every BFS level
-    return critical_path(msgs, edges)
+    edges = pin(link_edges_banded(msgs))          # roots derivation
+    ew = pin(weighted_edges(msgs, edges))         # every BFS level
+    return critical_path(msgs, edges, edges_weighted=ew)
 
 
 _CRITICAL_PATH_SQL = f"""
