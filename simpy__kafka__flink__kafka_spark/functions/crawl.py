@@ -68,3 +68,30 @@ def admission_statuses(docs: DataFrame, urls: DataFrame, pages: DataFrame,
             .otherwise(F.lit("admitted")).alias("status"),
         )
     )
+
+
+def crawl_schedule(urls: DataFrame, per_wave: int = 4,
+                   id_col: str = "doc_id",
+                   url_col: str = "url") -> DataFrame:
+    """Politeness scheduling for admitted URLs: fetches are grouped into
+    WAVES with at most ``per_wave`` URLs per host per wave (the
+    rate-limit discipline a crawler owes each origin).  Slot order
+    within a host is deterministic (ascending id), so the schedule is
+    reproducible and hash-checkable.
+
+    Scale shape: ONE window exchange keyed on the host — the partition
+    is per-origin (bounded by a single host's URL count), exactly the
+    key a distributed frontier shards by anyway.
+    Output: (id_col, host, slot, wave) — slot is the 0-based rank
+    within the host, wave = slot div per_wave."""
+    from pyspark.sql import Window as W
+
+    host = F.lower(F.regexp_extract(
+        F.col(url_col), r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1))
+    slot = F.row_number().over(
+        W.partitionBy("host").orderBy(id_col)) - 1
+    return (
+        urls.select(id_col, host.alias("host"))
+        .withColumn("slot", slot.cast("long"))
+        .withColumn("wave", F.expr(f"slot div {int(per_wave)}"))
+    )

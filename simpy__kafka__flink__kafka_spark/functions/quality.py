@@ -195,6 +195,46 @@ def extract_links(df: DataFrame, html_col: str = "html",
     )
 
 
+ANCHOR_RE = '(?is)<a[^>]*href="([^"]*)"[^>]*>(.*?)</a>'
+
+
+def anchor_texts(df: DataFrame, html_col: str = "html",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Per-TARGET anchor-text aggregation — the classic web-corpus
+    relevance signal (what other pages' link text says a URL is about):
+    every ``<a href="...">text</a>`` pair folds into its target's
+    profile.  Inner markup is stripped from the anchor text;
+    whitespace-trimmed.
+
+    Scale shape: zero-shuffle per-page extraction (regexp + array
+    transform, the robots-rules pattern) + ONE target-keyed exchange;
+    the per-target state is the postings-hash convention
+    (zero-padded "doc:text" entries, sorted — order-canonical so both
+    engines hash the identical string).
+    Output: (target, n_anchors, n_unique_texts, anchors_hash)."""
+    m = F.regexp_extract_all(F.col(html_col), F.lit(ANCHOR_RE), 0)
+    pairs = F.transform(
+        m,
+        lambda x: F.struct(
+            F.regexp_extract(x, ANCHOR_RE, 1).alias("target"),
+            F.trim(F.regexp_replace(
+                F.regexp_extract(x, ANCHOR_RE, 2),
+                "<[^>]*>", "")).alias("anchor"),
+        ))
+    rows = (df.select(F.col(id_col).alias("doc_id"),
+                      F.explode(pairs).alias("p"))
+            .select("doc_id", F.col("p.target").alias("target"),
+                    F.col("p.anchor").alias("anchor")))
+    entry = F.concat(F.lpad(F.col("doc_id").cast("string"), 12, "0"),
+                     F.lit(":"), F.col("anchor"))
+    return rows.groupBy("target").agg(
+        F.count(F.lit(1)).cast("long").alias("n_anchors"),
+        F.countDistinct("anchor").cast("long").alias("n_unique_texts"),
+        F.md5(F.array_join(F.array_sort(F.collect_list(entry)), "|"))
+        .alias("anchors_hash"),
+    )
+
+
 # Robots / noindex filtering --------------------------------------------------
 # The crawl-compliance gate a pipeline runs right after extraction: a
 # page opting out via <meta name="robots"> or an X-Robots-Tag response

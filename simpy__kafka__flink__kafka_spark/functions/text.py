@@ -1192,3 +1192,51 @@ def inverted_index(df: DataFrame, id_col: str = "doc_id",
         F.md5(F.array_join(F.array_sort(F.collect_list(entry)), ","))
         .alias("postings_hash"),
     )
+
+
+def bm25_scores(df: DataFrame, query_terms: list[str],
+                id_col: str = "doc_id", text_col: str = "text",
+                k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """BM25 retrieval scoring of every document against a fixed query —
+    the ranking the inverted-index artifact exists to serve (Lucene
+    idf variant, always positive: ln(1 + (N - df + 0.5)/(df + 0.5))).
+
+    Scale shape: the term filter lands BEFORE the first exchange, so
+    only query-term postings shuffle — per-(doc, term) counts combine
+    map-side, the df/N/avgdl side is a handful of broadcast-able rows,
+    and the final per-doc sum rides the doc-length exchange.  Nothing
+    corpus-wide survives past the first stage except one row per
+    (matching doc, query term).
+
+    Float posture: idf/score use ln and double division, rounded to 6
+    decimals — the latency_percentiles precedent (both engines compute
+    the same IEEE expression on the same inputs).
+    Output: (id_col, n_hits, score) for docs matching >= 1 term."""
+    qlit = [t.lower() for t in query_terms]
+    tok = (df.select(F.col(id_col).alias("doc_id"),
+                     F.explode(words(text_col)).alias("term"))
+           .where(F.length("term") > 0))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    corpus = dl.agg(F.count(F.lit(1)).alias("n_docs"),
+                    F.sum("dl").alias("total_len"))
+    tf = (tok.where(F.col("term").isin(qlit))
+          .groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dft"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+        .withColumn("avgdl", F.col("total_len").cast("double")
+                    / F.col("n_docs").cast("double"))
+        .withColumn("idf", F.log(
+            F.lit(1.0) + (F.col("n_docs").cast("double")
+                          - F.col("dft") + F.lit(0.5))
+            / (F.col("dft").cast("double") + F.lit(0.5))))
+        .withColumn("s", F.col("idf") * (F.col("tf") * (k1 + 1.0)) / (
+            F.col("tf") + k1 * (1.0 - b + b * F.col("dl").cast("double")
+                                / F.col("avgdl"))))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hits"),
+        F.round(F.sum("s"), 6).alias("score"),
+    ).select(F.col("doc_id").alias(id_col), "n_hits", "score")

@@ -2339,6 +2339,136 @@ FROM s
 """)
 
 
+def _q_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-target anchor-text aggregation (functions/quality.py:
+    anchor_texts) over the same synthesized pages as extract_links —
+    every <a href>text</a> pair folds into its target's profile with
+    the order-canonical postings-hash convention."""
+    from ..functions.html import synthesize_page
+    from ..functions.quality import anchor_texts
+
+    docs = _docs(spark, sf_dir)
+    return anchor_texts(docs.select("doc_id",
+                                    synthesize_page().alias("html")))
+
+
+def _anchor_texts_sql() -> str:
+    from ..functions.quality import ANCHOR_RE
+
+    return f"""
+WITH {_synth_page_cte()},
+m AS (
+  SELECT doc_id, unnest(regexp_extract_all(html, '{ANCHOR_RE}', 0)) AS a
+  FROM page
+),
+p AS (
+  SELECT doc_id,
+         regexp_extract(a, '{ANCHOR_RE}', 1) AS target,
+         trim(regexp_replace(regexp_extract(a, '{ANCHOR_RE}', 2),
+                             '<[^>]*>', '', 'g')) AS anchor
+  FROM m
+),
+e AS (
+  SELECT target, anchor,
+         lpad(CAST(doc_id AS VARCHAR), 12, '0') || ':' || anchor AS entry
+  FROM p
+)
+SELECT target,
+       CAST(count(*) AS BIGINT) AS n_anchors,
+       CAST(count(DISTINCT anchor) AS BIGINT) AS n_unique_texts,
+       md5(string_agg(entry, '|' ORDER BY entry)) AS anchors_hash
+FROM e GROUP BY target
+"""
+
+
+_BM25_TERMS = ("spark", "join", "window", "stream")
+
+
+def _q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval scoring (functions/text.py:bm25_scores) of every
+    document against a fixed 4-term query — the ranking consumer of the
+    inverted-index family.  Per-(doc, term) postings filter BEFORE the
+    first exchange; df/avgdl sides broadcast.  Float ln/division
+    rounded to 6 (the latency_percentiles posture)."""
+    from ..functions.text import bm25_scores
+
+    return bm25_scores(_docs(spark, sf_dir), list(_BM25_TERMS))
+
+
+def _bm25_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    return rf"""
+WITH w AS (
+  SELECT doc_id,
+         string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')),
+                      ' ') AS ws
+  FROM documents
+),
+tok AS (SELECT doc_id, unnest(ws) AS term FROM w),
+tok2 AS (SELECT * FROM tok WHERE length(term) > 0),
+dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+       FROM tok2 GROUP BY 1),
+corpus AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(sum(dl) AS BIGINT) AS total_len FROM dl),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       FROM tok2 WHERE term IN ({terms}) GROUP BY 1, 2),
+dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS dft
+          FROM tf GROUP BY 1),
+s AS (
+  SELECT tf.doc_id,
+         ln(1.0 + ((CAST(n_docs AS DOUBLE) - dft) + 0.5)
+                  / (CAST(dft AS DOUBLE) + 0.5))
+         * (tf * 2.2)
+         / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * CAST(dl AS DOUBLE)
+              / (CAST(total_len AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+           AS s
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN corpus
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+       round(sum(s), 6) AS score
+FROM s GROUP BY doc_id
+"""
+
+
+def _q_crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness scheduling (functions/crawl.py:crawl_schedule)
+    composed after canonical-URL dedup: the KEEPER per canonical URL
+    enters the per-host wave schedule (at most 4 fetches per host per
+    wave, slot order deterministic by doc id)."""
+    from ..functions.crawl import crawl_schedule
+    from ..functions.urls import canonicalize_url
+
+    docs = _docs(spark, sf_dir)
+    canon = _synth_messy_urls(docs).select(
+        "doc_id", canonicalize_url("url").alias("curl"))
+    keeper = canon.groupBy("curl").agg(F.min("doc_id").alias("doc_id"))
+    return crawl_schedule(
+        keeper.select("doc_id", F.col("curl").alias("url")), per_wave=4)
+
+
+def _crawl_schedule_sql() -> str:
+    return f"""
+WITH {_url_synth_canon_ctes()},
+keeper AS (
+  SELECT canonical_url AS curl, min(doc_id) AS doc_id
+  FROM canon GROUP BY 1
+),
+h AS (
+  SELECT doc_id,
+         lower(regexp_extract(curl,
+           '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)) AS host
+  FROM keeper
+)
+SELECT doc_id, host,
+       CAST(row_number() OVER (PARTITION BY host ORDER BY doc_id) - 1
+            AS BIGINT) AS slot,
+       CAST((row_number() OVER (PARTITION BY host ORDER BY doc_id) - 1)
+            // 4 AS BIGINT) AS wave
+FROM h
+"""
+
+
 def _q_extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Outlink extraction over the synthesized pages (same synthesis as
     html_extract_main) — raw and distinct href targets plus a
@@ -3487,6 +3617,18 @@ QUERIES: dict[str, Query] = {
         _q_html_extract_main, _html_extract_sql(),
         "HTML boilerplate removal: jusText-lite link-density extraction "
         "over pages synthesized around documents.text"),
+    "anchor_texts": Query(
+        _q_anchor_texts, _anchor_texts_sql(),
+        "per-target anchor-text aggregation over the synthesized pages "
+        "(order-canonical postings hash)"),
+    "bm25_scores": Query(
+        _q_bm25_scores, _bm25_sql(),
+        "BM25 document scoring against a fixed query (Lucene idf, "
+        "term filter before the first exchange)"),
+    "crawl_schedule": Query(
+        _q_crawl_schedule, _crawl_schedule_sql(),
+        "per-host politeness wave scheduling of canonical-URL keepers "
+        "(one window exchange on the host key)"),
     "extract_links": Query(
         _q_extract_links, _extract_links_sql(),
         "outlink extraction over the synthesized pages (raw + distinct "

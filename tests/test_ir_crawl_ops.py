@@ -1,0 +1,89 @@
+"""Round-9 IR/crawl additions: BM25 scoring, anchor-text aggregation,
+politeness scheduling."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+
+def test_bm25_matches_hand_computation(spark):
+    from simpy__kafka__flink__kafka_spark.functions.text import bm25_scores
+
+    corpus = {
+        1: "spark joins data with spark shuffles",
+        2: "window functions over streams",
+        3: "nothing relevant here at all",
+        4: "spark spark spark window",
+    }
+    docs = spark.createDataFrame(list(corpus.items()),
+                                 "doc_id long, text string")
+    terms = ["spark", "window"]
+    got = {r.doc_id: (r.n_hits, r.score)
+           for r in bm25_scores(docs, terms).collect()}
+
+    # reference computation
+    toks = {d: t.split() for d, t in corpus.items()}
+    dl = {d: len(ws) for d, ws in toks.items()}
+    n = len(corpus)
+    avgdl = sum(dl.values()) / n
+    k1, b = 1.2, 0.75
+    want = {}
+    for d, ws in toks.items():
+        hits, score = 0, 0.0
+        for t in terms:
+            tf = ws.count(t)
+            if tf == 0:
+                continue
+            dft = sum(1 for w2 in toks.values() if t in w2)
+            idf = math.log(1.0 + (n - dft + 0.5) / (dft + 0.5))
+            score += idf * (tf * (k1 + 1)) / (
+                tf + k1 * (1 - b + b * dl[d] / avgdl))
+            hits += 1
+        if hits:
+            want[d] = (hits, round(score, 6))
+    assert got == want
+    assert 3 not in got                    # no-hit docs are absent
+    assert got[4][0] == 2                  # both terms hit
+
+
+def test_anchor_texts_strip_markup_and_aggregate(spark):
+    from simpy__kafka__flink__kafka_spark.functions.quality import (
+        anchor_texts)
+
+    rows = [
+        (1, '<a href="/x"><b>Bold</b> link</a> <a href="/y">plain</a>'),
+        (2, '<A HREF="/x">Bold link</A>'),          # case-insensitive
+        (3, '<a class="z" href="/x" rel="nofollow">other text</a>'),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, html string")
+    got = {r.target: (r.n_anchors, r.n_unique_texts)
+           for r in anchor_texts(df).collect()}
+    # /x: three anchors, two distinct texts ('Bold link' twice after
+    # markup strip, 'other text' once)
+    assert got["/x"] == (3, 2)
+    assert got["/y"] == (1, 1)
+
+
+def test_crawl_schedule_politeness_cap(spark):
+    from simpy__kafka__flink__kafka_spark.functions.crawl import (
+        crawl_schedule)
+
+    rows = [(i, f"https://h{i % 3}.example/p{i}") for i in range(30)]
+    urls = spark.createDataFrame(rows, "doc_id long, url string")
+    out = crawl_schedule(urls, per_wave=4).collect()
+    # every (host, wave) bucket holds at most per_wave URLs
+    from collections import Counter
+
+    per = Counter((r.host, r.wave) for r in out)
+    assert max(per.values()) <= 4
+    # slots are dense 0..n-1 within each host
+    by_host: dict[str, list[int]] = {}
+    for r in out:
+        by_host.setdefault(r.host, []).append(r.slot)
+    for slots in by_host.values():
+        assert sorted(slots) == list(range(len(slots)))
+    # deterministic: slot order follows doc_id within a host
+    for r in out:
+        assert r.wave == r.slot // 4
