@@ -95,3 +95,35 @@ def crawl_schedule(urls: DataFrame, per_wave: int = 4,
         .withColumn("slot", slot.cast("long"))
         .withColumn("wave", F.expr(f"slot div {int(per_wave)}"))
     )
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame,
+                  key_col: str = "url",
+                  text_col: str = "text") -> DataFrame:
+    """Change classification between two crawl snapshots keyed by URL —
+    the bookkeeping an incremental pipeline runs to decide what to
+    re-extract: ``added`` (key only in the new snapshot), ``removed``
+    (only in the old), ``changed`` (both sides, content fingerprint
+    differs), ``unchanged``.  Each side must carry one row per key.
+
+    Scale shape: zero-shuffle fingerprinting on each side, then ONE
+    full-outer equi-join on the key — the minimal plan for a two-sided
+    diff; no text ever crosses the join (fingerprints only, the
+    snapshot_profile posture).
+    Output: (key_col, change)."""
+    from .text import normalized
+
+    o = old.select(F.col(key_col).alias("k"),
+                   F.md5(normalized(text_col)).alias("ofp"))
+    n = new.select(F.col(key_col).alias("k"),
+                   F.md5(normalized(text_col)).alias("nfp"))
+    return (
+        o.join(n, "k", "full_outer")
+        .select(
+            F.col("k").alias(key_col),
+            F.when(F.col("ofp").isNull(), F.lit("added"))
+            .when(F.col("nfp").isNull(), F.lit("removed"))
+            .when(F.col("ofp") != F.col("nfp"), F.lit("changed"))
+            .otherwise(F.lit("unchanged")).alias("change"),
+        )
+    )

@@ -2431,6 +2431,54 @@ FROM s GROUP BY doc_id
 """
 
 
+def _q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot URL-keyed diff (functions/crawl.py:snapshot_diff):
+    the corpus split into two deterministic snapshots — doc_id % 4
+    picks the fate: 0 added (new only), 1 removed (old only), 2 changed
+    (text edited in the new crawl), 3 unchanged — so every class is
+    populated and the full-outer fingerprint join is parity-checked."""
+    from ..functions.crawl import snapshot_diff
+
+    docs = _docs(spark, sf_dir)
+    url = F.concat(F.lit("https://site-"),
+                   (F.col("doc_id") % 17).cast("string"),
+                   F.lit(".example.com/page/"),
+                   F.col("doc_id").cast("string"))
+    v = F.col("doc_id") % 4
+    old = (docs.where(v != 0)
+           .select(url.alias("url"), "text"))
+    new = (docs.where(v != 1)
+           .select(url.alias("url"),
+                   F.when(v == 2, F.concat("text", F.lit(" [edited]")))
+                   .otherwise(F.col("text")).alias("text")))
+    return snapshot_diff(old, new)
+
+
+def _snapshot_diff_sql() -> str:
+    norm = ("md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))")
+    normed = ("md5(lower(regexp_replace(trim(text || ' [edited]'), "
+              "'\\s+', ' ', 'g')))")
+    return f"""
+WITH u AS (
+  SELECT doc_id,
+         'https://site-' || CAST(doc_id % 17 AS VARCHAR) ||
+         '.example.com/page/' || CAST(doc_id AS VARCHAR) AS url,
+         text, CAST(doc_id % 4 AS INTEGER) AS v
+  FROM documents
+),
+o AS (SELECT url AS k, {norm} AS ofp FROM u WHERE v <> 0),
+n AS (SELECT url AS k,
+             CASE WHEN v = 2 THEN {normed} ELSE {norm} END AS nfp
+      FROM u WHERE v <> 1)
+SELECT COALESCE(o.k, n.k) AS url,
+       CASE WHEN o.k IS NULL THEN 'added'
+            WHEN n.k IS NULL THEN 'removed'
+            WHEN ofp <> nfp THEN 'changed'
+            ELSE 'unchanged' END AS change
+FROM o FULL OUTER JOIN n ON o.k = n.k
+"""
+
+
 def _q_crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Politeness scheduling (functions/crawl.py:crawl_schedule)
     composed after canonical-URL dedup: the KEEPER per canonical URL
@@ -3629,6 +3677,10 @@ QUERIES: dict[str, Query] = {
         _q_crawl_schedule, _crawl_schedule_sql(),
         "per-host politeness wave scheduling of canonical-URL keepers "
         "(one window exchange on the host key)"),
+    "snapshot_diff": Query(
+        _q_snapshot_diff, _snapshot_diff_sql(),
+        "URL-keyed added/removed/changed/unchanged diff between two "
+        "crawl snapshots (fingerprints only cross the join)"),
     "extract_links": Query(
         _q_extract_links, _extract_links_sql(),
         "outlink extraction over the synthesized pages (raw + distinct "

@@ -87,3 +87,22 @@ def test_crawl_schedule_politeness_cap(spark):
     # deterministic: slot order follows doc_id within a host
     for r in out:
         assert r.wave == r.slot // 4
+
+
+def test_snapshot_diff_classes(spark):
+    from simpy__kafka__flink__kafka_spark.functions.crawl import (
+        snapshot_diff)
+
+    old = spark.createDataFrame(
+        [("u1", "kept the same text"),
+         ("u2", "will be edited soon"),
+         ("u3", "gone in the next crawl")],
+        "url string, text string")
+    new = spark.createDataFrame(
+        [("u1", "kept   the  same text"),   # whitespace-normalized equal
+         ("u2", "was edited since"),
+         ("u4", "brand new page")],
+        "url string, text string")
+    got = {r.url: r.change for r in snapshot_diff(old, new).collect()}
+    assert got == {"u1": "unchanged", "u2": "changed",
+                   "u3": "removed", "u4": "added"}
