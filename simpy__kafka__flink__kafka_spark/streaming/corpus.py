@@ -278,7 +278,8 @@ def url_frontier_dedup(urls: DataFrame,
 
 
 def start_crawl_admission(docs_stream: DataFrame, prior_profile_dir: str,
-                          accepted_dir: str, checkpoint_dir: str):
+                          accepted_dir: str, checkpoint_dir: str,
+                          robots_rules_df: DataFrame | None = None):
     """STREAMING crawl admission — the batch capstone's precedence
     (functions/crawl.py:admission_statuses) as one continuous front
     door, each stage in the stream-appropriate form:
@@ -302,6 +303,14 @@ def start_crawl_admission(docs_stream: DataFrame, prior_profile_dir: str,
     residue is caught by the batch URL sweep; the docs-first torn-write
     window yields duplicates, never loss).
 
+    When ``robots_rules_df`` is given (functions/robots.py:robots_rules
+    output keyed on ``domain`` = URL host), the robots.txt FILE gate
+    runs as stage 2b inside each micro-batch: the rules frame is a
+    STATIC broadcast side (domain-cardinality), and the longest-match /
+    allow-wins gate — a per-batch aggregate — composes in the
+    foreachBatch batch context, the standard way a streaming upsert
+    borrows batch operators.
+
     ``docs_stream`` must carry (doc_id, ingest_ts, url, html, headers,
     text) and a watermark on ``ingest_ts``.  Returns the started
     StreamingQuery; accepted docs + their profile land under
@@ -314,7 +323,18 @@ def start_crawl_admission(docs_stream: DataFrame, prior_profile_dir: str,
         ~robots_directives("html", "headers").rlike(_NOINDEX_TOK_RE))
 
     def step(batch_df: DataFrame, batch_id: int) -> None:
-        incremental_ingest_batch(batch_df.select("doc_id", "text"),
+        batch = batch_df
+        if robots_rules_df is not None:
+            from ..functions.robots import robots_allowed
+
+            withhost = batch.withColumn(
+                "domain",
+                F.lower(F.regexp_extract(
+                    "url", r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1)))
+            ok = (robots_allowed(withhost, robots_rules_df)
+                  .where(F.col("allowed") == 1).select("doc_id"))
+            batch = batch.join(ok, "doc_id", "left_semi")
+        incremental_ingest_batch(batch.select("doc_id", "text"),
                                  prior_profile_dir, accepted_dir)
 
     return (

@@ -403,3 +403,58 @@ def test_streaming_crawl_admission_batch_parity(spark, tmp_path):
     prof = {r.prior_id for r in
             spark.read.parquet(f"{acc}/profile").collect()}
     assert prof == accepted
+
+
+def test_streaming_crawl_admission_with_robots_txt(spark, tmp_path):
+    """Stage 2b: a static robots.txt rules frame gates URLs inside each
+    micro-batch — a disallowed path never reaches the accepted sink."""
+    from simpy__kafka__flink__kafka_spark.functions.dedup import (
+        snapshot_profile)
+    from simpy__kafka__flink__kafka_spark.functions.robots import (
+        robots_rules)
+    from simpy__kafka__flink__kafka_spark.streaming.corpus import (
+        start_crawl_admission)
+
+    page_ok = "<html><head></head><body><p>ok</p></body></html>"
+    hdr_ok = "HTTP/1.1 200 OK\r\n"
+    rows = [
+        (1, "https://a.example/open/one", "fresh text about rivers "
+            "and navigation charts"),
+        (2, "https://a.example/private/two", "fresh text about canals "
+            "and lock mechanisms"),
+        (3, "https://b.example/private/three", "fresh text about tides "
+            "and moon phases"),
+    ]
+    robots = robots_rules(spark.createDataFrame(
+        [("a.example", "User-agent: *\nDisallow: /private/\n")],
+        "domain string, robots_txt string"))
+
+    prior_dir = str(tmp_path / "rt_prior")
+    snapshot_profile(spark.createDataFrame(
+        [(100, "unrelated prior content about glaciers")],
+        "doc_id long, text string")).write.parquet(prior_dir)
+
+    ind = str(tmp_path / "rt_in")
+    acc = str(tmp_path / "rt_acc")
+    ckpt = str(tmp_path / "rt_ckpt")
+    os.makedirs(ind, exist_ok=True)
+    spark.createDataFrame(
+        [(d, _ts(1000 + d), u, page_ok, hdr_ok, t) for d, u, t in rows],
+        "doc_id long, ingest_ts timestamp, url string, html string, "
+        "headers string, text string",
+    ).coalesce(1).write.mode("append").parquet(ind)
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, ingest_ts timestamp, url string, html string, "
+            "headers string, text string")
+        .parquet(ind).withWatermark("ingest_ts", "10 minutes")
+    )
+    q = start_crawl_admission(stream, prior_dir, acc, ckpt,
+                              robots_rules_df=robots)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r.doc_id for r in spark.read.parquet(f"{acc}/docs").collect()}
+    # doc 2 blocked by a.example's robots.txt; doc 3's host has no rules
+    assert got == {1, 3}
