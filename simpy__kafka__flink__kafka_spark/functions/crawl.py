@@ -127,3 +127,68 @@ def snapshot_diff(old: DataFrame, new: DataFrame,
             .otherwise(F.lit("unchanged")).alias("change"),
         )
     )
+
+
+def scd2_history(snapshots: DataFrame, key_col: str = "url",
+                 snap_col: str = "snap_id",
+                 text_col: str = "text") -> DataFrame:
+    """SCD-type-2 effective-dated history over a sequence of crawl
+    snapshots — the storage layout an incremental pipeline keeps so any
+    past crawl can be reconstructed without storing every copy: one row
+    per (key, content-version run) with its validity interval.  The
+    multi-snapshot generalization of :func:`snapshot_diff` (which
+    classifies exactly two snapshots).
+
+    Input: one row per OBSERVED (key, snapshot); a key absent from a
+    snapshot simply has no observation there — a run whose fingerprint
+    matches across the gap stays one run (``n_snaps`` counts observed
+    snapshots, so gaps are auditable as ``n_snaps < last_seen -
+    valid_from + 1``).
+
+    ``valid_to`` is EXCLUSIVE (the next version's ``valid_from``), NULL
+    while current — adjacent intervals tile without overlap, the SCD2
+    join contract (``from <= s < to``).
+
+    Scale shape: ONE exchange on the key carries the whole plan — the
+    run detection (lag + running sum), the per-run frame aggregates
+    (window over (key, version): hash(key) already clusters them), the
+    run collapse (filter to run starts, no second shuffle), and the
+    valid_to stitch (lead over key) are all window passes on the same
+    partitioning; only fingerprints cross the exchange, never text.
+    Output: (key_col, fingerprint, version, valid_from, valid_to,
+    last_seen, n_snaps, is_current)."""
+    from pyspark.sql import Window as W
+
+    from .text import normalized
+
+    fp = snapshots.select(
+        F.col(key_col).alias("k"),
+        F.col(snap_col).cast("long").alias("snap"),
+        F.md5(normalized(text_col)).alias("fingerprint"),
+    )
+    wk = W.partitionBy("k").orderBy("snap")
+    runs = fp.withColumn(
+        "chg",
+        F.when(F.lag("fingerprint").over(wk).isNull()
+               | (F.lag("fingerprint").over(wk) != F.col("fingerprint")),
+               F.lit(1)).otherwise(F.lit(0)),
+    ).withColumn("version", F.sum("chg").over(
+        wk.rowsBetween(W.unboundedPreceding, W.currentRow)))
+    frame = (W.partitionBy("k", "version")
+             .rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+    per_run = runs.select(
+        "k", "fingerprint", "version", "chg",
+        F.min("snap").over(frame).alias("valid_from"),
+        F.max("snap").over(frame).alias("last_seen"),
+        F.count(F.lit(1)).over(frame).cast("long").alias("n_snaps"),
+    ).where(F.col("chg") == 1).drop("chg")
+    wv = W.partitionBy("k").orderBy("version")
+    return per_run.select(
+        F.col("k").alias(key_col), "fingerprint",
+        F.col("version").cast("long").alias("version"),
+        "valid_from",
+        F.lead("valid_from").over(wv).alias("valid_to"),
+        "last_seen", "n_snaps",
+        F.when(F.lead("valid_from").over(wv).isNull(), F.lit(1))
+        .otherwise(F.lit(0)).alias("is_current"),
+    )

@@ -648,3 +648,53 @@ def dedup_against(new_docs: DataFrame, prior: DataFrame,
             .otherwise(F.lit("fresh")).alias("status"),
         )
     )
+
+
+def soft_dedup_weights(docs: DataFrame, pairs: DataFrame,
+                       scale: int = 1_000_000,
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Duplicate-DISCOUNTED sampling weights instead of removal (the
+    SoftDeDup posture): every document survives, but its training weight
+    is divided by its effective duplicate multiplicity, so a family of N
+    copies contributes ~one document's worth of gradient in expectation.
+    ``n_eff = max(exact-copy count, near-dup cluster size)`` — exact
+    copies are a lower bound the near-dup cluster can only widen, and a
+    doc in neither family keeps weight ``scale``.
+
+    Integer posture: ``weight_ppm = scale div n_eff`` (floor), so the
+    row is hash-oracle-checkable; consumers treat ppm as the sampling
+    weight numerator.
+
+    Scale shape: the exact count is ONE fingerprint-keyed window (text
+    never shuffles — md5 only); cluster sizes are a groupBy over the
+    cluster assignment (pair-volume-sized, not corpus-sized) joined
+    back on doc_id.  ``pairs`` is the VERIFIED near-dup pair set — the
+    banded LSH candidates after Jaccard confirmation — so the whole
+    plan stays bucket-bounded.
+    Output: (id_col, n_exact, n_eff, weight_ppm)."""
+    from pyspark.sql import Window as W
+
+    from .text import normalized
+
+    fpw = W.partitionBy("_fp")
+    exact = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(normalized(text_col)).alias("_fp"),
+    ).select(
+        "doc_id",
+        F.count(F.lit(1)).over(fpw).cast("long").alias("n_exact"),
+    )
+    clusters = near_dup_clusters(pairs)
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("_csize"))
+    per_doc = clusters.join(sizes, "cluster_id").select("doc_id", "_csize")
+    out = (
+        exact.join(per_doc, "doc_id", "left")
+        .withColumn("n_eff", F.greatest(
+            "n_exact", F.coalesce("_csize", F.lit(1).cast("long"))))
+    )
+    return out.select(
+        F.col("doc_id").alias(id_col), "n_exact", "n_eff",
+        F.expr(f"{scale} div n_eff").cast("long").alias("weight_ppm"),
+    )

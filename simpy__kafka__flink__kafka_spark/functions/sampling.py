@@ -302,3 +302,46 @@ def leakage_safe_split(docs: DataFrame,
         .otherwise("test")
         .alias("split"),
     )
+
+
+def mixture_plan(docs: DataFrame, budget_tokens: int,
+                 alpha: float = 0.5,
+                 strat_col: str = "source") -> DataFrame:
+    """Per-source training-mix PLAN — the artifact a data-mixing run
+    publishes before any sampling happens: for each source its natural
+    token share, the temperature-rebalanced target share
+    (``n_tokens^alpha / Z``, the multilingual-rebalancing knob
+    ``temperature_sample`` applies per-document), the sampling rate that
+    realizes the target inside ``budget_tokens``, and the epoch count
+    (``ceil(rate)`` — a rate above 1 means the source repeats; the
+    standard upsampling readout for low-resource domains).
+
+    Float posture: shares/rates are double ``pow``/division rounded to
+    6 decimals — the temperature_sample/bm25 precedent (both engines
+    evaluate the same IEEE expression on the same integers).
+
+    Scale shape: ONE corpus aggregation to the per-source token table
+    (map-side combine on the tiny source key), then broadcast-only
+    arithmetic — no second corpus pass, no join back to docs.
+    Output: (strat_col, n_docs, n_tokens, natural_share, target_share,
+    sample_rate, epochs)."""
+    per = docs.groupBy(strat_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(token_count("text")).cast("long").alias("n_tokens"),
+    )
+    tot = per.agg(
+        F.sum("n_tokens").alias("_tot"),
+        F.sum(F.pow("n_tokens", F.lit(alpha))).alias("_z"),
+    )
+    rate = (F.lit(float(budget_tokens))
+            * F.pow("n_tokens", F.lit(alpha)) / F.col("_z")
+            / F.col("n_tokens"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        strat_col, "n_docs", "n_tokens",
+        F.round(F.col("n_tokens") / F.col("_tot"), 6)
+        .alias("natural_share"),
+        F.round(F.pow("n_tokens", F.lit(alpha)) / F.col("_z"), 6)
+        .alias("target_share"),
+        F.round(rate, 6).alias("sample_rate"),
+        F.ceil(F.round(rate, 6)).cast("long").alias("epochs"),
+    )

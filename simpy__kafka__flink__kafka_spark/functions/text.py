@@ -1240,3 +1240,52 @@ def bm25_scores(df: DataFrame, query_terms: list[str],
         F.count(F.lit(1)).cast("long").alias("n_hits"),
         F.round(F.sum("s"), 6).alias("score"),
     ).select(F.col("doc_id").alias(id_col), "n_hits", "score")
+
+
+def phrase_search(df: DataFrame, phrase: list[str],
+                  id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Exact-phrase query over positional postings — the lookup the
+    positional half of an inverted index exists for (and the operator a
+    contamination scan needs when the benchmark string must match
+    *contiguously*, not just as a bag of grams).
+
+    Anchor algebra instead of L-way self-join: token at position ``p``
+    matching ``phrase[off]`` votes for anchor ``p - off``; an anchor
+    with all ``len(phrase)`` distinct offsets matched is an occurrence.
+    One vote row per (matching token, offset) — repeated phrase terms
+    ("batch batch stream") fall out naturally because one token votes
+    for every offset where it appears in the phrase, and overlapping
+    occurrences count separately (positional-index semantics).
+
+    Scale shape: the phrase-term filter is a BROADCAST inner join (the
+    phrase is a handful of rows), so only matching-term postings ever
+    shuffle; the (doc, anchor) vote count combines map-side, and the
+    per-doc rollup rides a doc-keyed exchange of occurrence rows (one
+    row per hit, never per token).  No L-way join, no arrays collected.
+    Output: (id_col, n_occurrences, first_pos) for matching docs.
+    """
+    L = len(phrase)
+    spark = df.sparkSession
+    pdf = spark.createDataFrame(
+        [(i, t.lower()) for i, t in enumerate(phrase)],
+        "off INT, pterm STRING")
+    tok = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(words(text_col)).alias("pos", "term"),
+    ).where(F.length("term") > 0)
+    votes = (
+        tok.join(F.broadcast(pdf), F.col("term") == F.col("pterm"))
+        .select("doc_id", (F.col("pos") - F.col("off")).alias("anchor"),
+                "off")
+        .where(F.col("anchor") >= 0)
+    )
+    occ = (
+        votes.groupBy("doc_id", "anchor")
+        .agg(F.count_distinct("off").alias("k"))
+        .where(F.col("k") == L)
+    )
+    return occ.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        F.min("anchor").cast("long").alias("first_pos"),
+    ).select(F.col("doc_id").alias(id_col), "n_occurrences", "first_pos")

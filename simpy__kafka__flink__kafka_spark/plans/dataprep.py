@@ -2431,6 +2431,129 @@ FROM s GROUP BY doc_id
 """
 
 
+_PHRASE = ("batch", "batch", "stream")
+
+
+def _q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase positional query (functions/text.py:phrase_search)
+    for "batch batch stream" — the repeated leading term exercises the
+    multi-offset vote path (one token votes for both 'batch' slots) and
+    overlapping-occurrence counting.  The DuckDB oracle zips
+    unnest + generate_subscripts for positions and replays the same
+    anchor algebra (count(DISTINCT off) = phrase length)."""
+    from ..functions.text import phrase_search
+
+    return phrase_search(_docs(spark, sf_dir), list(_PHRASE))
+
+
+def _phrase_search_sql() -> str:
+    vals = ", ".join(f"({i}, '{t}')" for i, t in enumerate(_PHRASE))
+    return rf"""
+WITH w AS (
+  SELECT doc_id,
+         string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')),
+                      ' ') AS ws
+  FROM documents
+),
+tok AS (SELECT doc_id, unnest(ws) AS term,
+               generate_subscripts(ws, 1) - 1 AS pos
+        FROM w),
+p(off, pterm) AS (VALUES {vals}),
+votes AS (
+  SELECT doc_id, pos - off AS anchor, off
+  FROM tok JOIN p ON term = pterm AND length(term) > 0
+  WHERE pos - off >= 0
+),
+occ AS (
+  SELECT doc_id, anchor FROM votes
+  GROUP BY 1, 2 HAVING count(DISTINCT off) = {len(_PHRASE)}
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_occurrences,
+       CAST(min(anchor) AS BIGINT) AS first_pos
+FROM occ GROUP BY doc_id
+"""
+
+
+def _q_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-discounted sampling weights (functions/dedup.py:
+    soft_dedup_weights) — SoftDeDup posture: weight_ppm = 1e6 div
+    max(exact copies, verified near-dup cluster size).  Pair input is
+    the same verified LSH pair set as the checked near_dup_clusters
+    row; the oracle composes that row's unrolled min-label CTE with a
+    fingerprint window and integer floor division."""
+    from ..functions.text import shingles
+
+    docs = _docs(spark, sf_dir)
+    sh = pin(shingles(docs))
+    pairs = dedup.verify_jaccard(
+        docs, dedup.minhash_lsh_pairs(docs, shingle_df=sh),
+        threshold=0.5, shingle_df=sh,
+    ).select("doc_a", "doc_b")
+    return dedup.soft_dedup_weights(docs, pairs)
+
+
+def _soft_dedup_weights_sql() -> str:
+    return f"""
+WITH clusters AS ({_near_dup_clusters_sql()}),
+cs AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS csize
+       FROM clusters GROUP BY 1),
+per_doc AS (SELECT c.doc_id, cs.csize
+            FROM clusters c JOIN cs USING (cluster_id)),
+ex AS (
+  SELECT doc_id,
+         CAST(count(*) OVER (
+           PARTITION BY md5(lower(regexp_replace(trim(text), '\\s+', ' ',
+                                                 'g')))) AS BIGINT)
+           AS n_exact
+  FROM documents
+),
+j AS (
+  SELECT ex.doc_id, ex.n_exact,
+         greatest(ex.n_exact, COALESCE(p.csize, 1)) AS n_eff
+  FROM ex LEFT JOIN per_doc p USING (doc_id)
+)
+SELECT doc_id, n_exact, CAST(n_eff AS BIGINT) AS n_eff,
+       CAST(1000000 // n_eff AS BIGINT) AS weight_ppm
+FROM j
+"""
+
+
+_MIX_BUDGET = 2_000_000
+
+
+def _q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source training-mix plan (functions/sampling.py:
+    mixture_plan): temperature-rebalanced target shares and the
+    sampling rate / epoch count that realize them inside a fixed token
+    budget.  One corpus aggregation; float pow/div rounded to 6 (the
+    temperature_sample posture)."""
+    from ..functions.sampling import mixture_plan
+
+    return mixture_plan(_docs(spark, sf_dir), budget_tokens=_MIX_BUDGET)
+
+
+def _mixture_plan_sql() -> str:
+    return rf"""
+WITH per AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                  END) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1
+),
+tot AS (SELECT sum(n_tokens) AS _tot, sum(pow(n_tokens, 0.5)) AS _z
+        FROM per)
+SELECT source, n_docs, n_tokens,
+       round(CAST(n_tokens AS DOUBLE) / _tot, 6) AS natural_share,
+       round(pow(n_tokens, 0.5) / _z, 6) AS target_share,
+       round({float(_MIX_BUDGET)} * pow(n_tokens, 0.5) / _z / n_tokens,
+             6) AS sample_rate,
+       CAST(ceil(round({float(_MIX_BUDGET)} * pow(n_tokens, 0.5) / _z
+                       / n_tokens, 6)) AS BIGINT) AS epochs
+FROM per CROSS JOIN tot
+"""
+
+
 def _q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-snapshot URL-keyed diff (functions/crawl.py:snapshot_diff):
     the corpus split into two deterministic snapshots — doc_id % 4
@@ -2476,6 +2599,76 @@ SELECT COALESCE(o.k, n.k) AS url,
             WHEN ofp <> nfp THEN 'changed'
             ELSE 'unchanged' END AS change
 FROM o FULL OUTER JOIN n ON o.k = n.k
+"""
+
+
+def _q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 effective-dated history (functions/crawl.py:scd2_history)
+    over FOUR deterministic snapshots of the corpus: doc_id %% 5 picks
+    the snapshot where the page's content changes (0 = changed from the
+    start -> one run; 4 = never changes within the window -> one run;
+    1..3 -> two runs with a mid-window boundary), and doc_id %% 7 == 3
+    pages are UNOBSERVED in snapshot 1 (a crawl gap — the run must span
+    it with n_snaps = 3).  The DuckDB oracle replays the identical
+    lag/run-sum/lead window algebra."""
+    from ..functions.crawl import scd2_history
+
+    docs = _docs(spark, sf_dir)
+    url = F.concat(F.lit("https://site-"),
+                   (F.col("doc_id") % 17).cast("string"),
+                   F.lit(".example.com/page/"),
+                   F.col("doc_id").cast("string"))
+    snaps = (
+        docs.select("doc_id", "text", url.alias("url"),
+                    F.explode(F.sequence(F.lit(0), F.lit(3)))
+                    .alias("snap_id"))
+        .where(~((F.col("doc_id") % 7 == 3) & (F.col("snap_id") == 1)))
+        .withColumn(
+            "text",
+            F.when(F.col("snap_id") >= F.col("doc_id") % 5,
+                   F.concat("text", F.lit(" rev1")))
+            .otherwise(F.col("text")))
+    )
+    return scd2_history(snaps)
+
+
+_SCD2_HISTORY_SQL = r"""
+WITH s AS (
+  SELECT doc_id,
+         'https://site-' || CAST(doc_id % 17 AS VARCHAR) ||
+         '.example.com/page/' || CAST(doc_id AS VARCHAR) AS url,
+         CAST(t.snap AS BIGINT) AS snap,
+         CASE WHEN t.snap >= doc_id % 5 THEN text || ' rev1'
+              ELSE text END AS text
+  FROM documents, range(4) t(snap)
+  WHERE NOT (doc_id % 7 = 3 AND t.snap = 1)
+),
+fp AS (
+  SELECT url AS k, snap,
+         md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+  FROM s
+),
+c AS (
+  SELECT k, snap, fp,
+         CASE WHEN lag(fp) OVER w IS NULL OR lag(fp) OVER w <> fp
+              THEN 1 ELSE 0 END AS chg
+  FROM fp WINDOW w AS (PARTITION BY k ORDER BY snap)
+),
+v AS (
+  SELECT *, sum(chg) OVER (PARTITION BY k ORDER BY snap) AS version
+  FROM c
+),
+g AS (
+  SELECT k, fp, CAST(version AS BIGINT) AS version,
+         min(snap) AS valid_from, max(snap) AS last_seen,
+         CAST(count(*) AS BIGINT) AS n_snaps
+  FROM v GROUP BY 1, 2, 3
+)
+SELECT k AS url, fp AS fingerprint, version, valid_from,
+       lead(valid_from) OVER w2 AS valid_to, last_seen, n_snaps,
+       CAST(CASE WHEN lead(valid_from) OVER w2 IS NULL
+                 THEN 1 ELSE 0 END AS INTEGER) AS is_current
+FROM g WINDOW w2 AS (PARTITION BY k ORDER BY version)
 """
 
 
@@ -3673,6 +3866,23 @@ QUERIES: dict[str, Query] = {
         _q_bm25_scores, _bm25_sql(),
         "BM25 document scoring against a fixed query (Lucene idf, "
         "term filter before the first exchange)"),
+    "soft_dedup_weights": Query(
+        _q_soft_dedup_weights, _soft_dedup_weights_sql(),
+        "SoftDeDup duplicate-discounted sampling weights: 1e6 div "
+        "max(exact copies, near-dup cluster size), integer-exact"),
+    "mixture_plan": Query(
+        _q_mixture_plan, _mixture_plan_sql(),
+        "per-source temperature mix plan: target shares, sampling "
+        "rate, epochs inside a fixed token budget"),
+    "scd2_history": Query(
+        _q_scd2_history, _SCD2_HISTORY_SQL,
+        "SCD2 effective-dated fingerprint history over 4 crawl "
+        "snapshots (one key exchange carries runs, frames, and the "
+        "valid_to stitch)"),
+    "phrase_search": Query(
+        _q_phrase_search, _phrase_search_sql(),
+        "exact-phrase positional query via anchor votes (broadcast "
+        "phrase join; only matching-term postings shuffle)"),
     "crawl_schedule": Query(
         _q_crawl_schedule, _crawl_schedule_sql(),
         "per-host politeness wave scheduling of canonical-URL keepers "
