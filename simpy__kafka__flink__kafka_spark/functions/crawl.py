@@ -72,28 +72,67 @@ def admission_statuses(docs: DataFrame, urls: DataFrame, pages: DataFrame,
 
 def crawl_schedule(urls: DataFrame, per_wave: int = 4,
                    id_col: str = "doc_id",
-                   url_col: str = "url") -> DataFrame:
+                   url_col: str = "url",
+                   shard_size: int = 65536,
+                   delays: DataFrame | None = None,
+                   default_delay_s: float = 1.0) -> DataFrame:
     """Politeness scheduling for admitted URLs: fetches are grouped into
     WAVES with at most ``per_wave`` URLs per host per wave (the
     rate-limit discipline a crawler owes each origin).  Slot order
     within a host is deterministic (ascending id), so the schedule is
     reproducible and hash-checkable.
 
-    Scale shape: ONE window exchange keyed on the host — the partition
-    is per-origin (bounded by a single host's URL count), exactly the
-    key a distributed frontier shards by anyway.
-    Output: (id_col, host, slot, wave) — slot is the 0-based rank
-    within the host, wave = slot div per_wave."""
+    Scale shape: the per-host rank is SHARDED — a mega-host (10^8 URLs
+    on one origin, routine at real crawl scale) must not become one
+    window partition sorted on a single task.  Rows shard on
+    ``(host, id div shard_size)``; each shard ranks locally (bounded
+    sort), and a shard-cardinality offset table (per-host exclusive
+    prefix count over shard index — the ranged-rank family of
+    operators/sequences.py:ranged_row_number, keyed per host) lifts
+    local ranks to exact per-host slots.  Identical output to
+    ``row_number() OVER (PARTITION BY host ORDER BY id)`` because the
+    shard index is monotone in the id.
+
+    When ``delays`` carries per-host ``Crawl-delay`` seconds
+    (functions/robots.py:robots_crawl_delays keyed on ``host``), each
+    wave also gets its earliest polite fetch time ``not_before_s =
+    wave * delay`` (hosts without a stated delay pace at
+    ``default_delay_s``) — the schedule honors the robots.txt pacing
+    hint, not just the per-wave cap.
+
+    Output: (id_col, host, slot, wave[, not_before_s]) — slot is the
+    0-based rank within the host, wave = slot div per_wave."""
     from pyspark.sql import Window as W
 
     host = F.lower(F.regexp_extract(
         F.col(url_col), r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1))
-    slot = F.row_number().over(
-        W.partitionBy("host").orderBy(id_col)) - 1
-    return (
-        urls.select(id_col, host.alias("host"))
-        .withColumn("slot", slot.cast("long"))
+    sh = (urls.select(id_col, host.alias("host"))
+          .withColumn("_shard", F.expr(f"{id_col} div {int(shard_size)}")))
+    counts = sh.groupBy("host", "_shard").agg(
+        F.count(F.lit(1)).alias("_c"))
+    w_off = (W.partitionBy("host").orderBy("_shard")
+             .rowsBetween(W.unboundedPreceding, -1))
+    offs = counts.select(
+        "host", "_shard",
+        F.coalesce(F.sum("_c").over(w_off), F.lit(0)).alias("_off"))
+    w_local = W.partitionBy("host", "_shard").orderBy(id_col)
+    out = (
+        sh.join(offs, ["host", "_shard"])
+        .withColumn("slot", (F.row_number().over(w_local) - 1
+                             + F.col("_off")).cast("long"))
         .withColumn("wave", F.expr(f"slot div {int(per_wave)}"))
+        .select(id_col, "host", "slot", "wave")
+    )
+    if delays is None:
+        return out
+    return (
+        out.join(F.broadcast(delays), "host", "left")
+        .withColumn(
+            "not_before_s",
+            F.round(F.col("wave")
+                    * F.coalesce("crawl_delay",
+                                 F.lit(float(default_delay_s))), 6))
+        .select(id_col, "host", "slot", "wave", "not_before_s")
     )
 
 
@@ -104,19 +143,29 @@ def snapshot_diff(old: DataFrame, new: DataFrame,
     the bookkeeping an incremental pipeline runs to decide what to
     re-extract: ``added`` (key only in the new snapshot), ``removed``
     (only in the old), ``changed`` (both sides, content fingerprint
-    differs), ``unchanged``.  Each side must carry one row per key.
+    differs), ``unchanged``.
 
-    Scale shape: zero-shuffle fingerprinting on each side, then ONE
-    full-outer equi-join on the key — the minimal plan for a two-sided
-    diff; no text ever crosses the join (fingerprints only, the
+    The one-row-per-key-per-side contract is ENFORCED, not assumed: a
+    snapshot carrying duplicate keys (a re-crawl that fetched one URL
+    twice) collapses to its minimum fingerprint per key — the keep-min
+    keeper rule of url_dedup, deterministic on both engines — so a
+    duplicated key classifies once instead of fanning out up to 4 join
+    rows with mixed classifications.
+
+    Scale shape: zero-shuffle fingerprinting on each side, then one
+    key-keyed min-aggregate (map-side combine; a no-op exchange-wise
+    when keys are already unique) feeding ONE full-outer equi-join on
+    the key — no text ever crosses the join (fingerprints only, the
     snapshot_profile posture).
     Output: (key_col, change)."""
     from .text import normalized
 
-    o = old.select(F.col(key_col).alias("k"),
-                   F.md5(normalized(text_col)).alias("ofp"))
-    n = new.select(F.col(key_col).alias("k"),
-                   F.md5(normalized(text_col)).alias("nfp"))
+    o = (old.select(F.col(key_col).alias("k"),
+                    F.md5(normalized(text_col)).alias("_fp"))
+         .groupBy("k").agg(F.min("_fp").alias("ofp")))
+    n = (new.select(F.col(key_col).alias("k"),
+                    F.md5(normalized(text_col)).alias("_fp"))
+         .groupBy("k").agg(F.min("_fp").alias("nfp")))
     return (
         o.join(n, "k", "full_outer")
         .select(

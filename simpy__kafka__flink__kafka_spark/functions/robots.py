@@ -34,22 +34,51 @@ from pyspark.sql import functions as F
 
 # one directive line: type + path, comments and CR stripped
 _RULE_RE = r"(?im)^[ \t]*(allow|disallow)[ \t]*:[ \t]*([^#\r\n]*)"
+# Crawl-delay: seconds (integer or decimal) — non-standard but ubiquitous
+_DELAY_RE = r"(?im)^[ \t]*crawl-delay[ \t]*:[ \t]*([0-9]+(?:\.[0-9]+)?)"
+# agent token of a post-split segment: first non-ws run on the UA line
+_AGENT_TOK_RE = r"^[ \t]*([^ \t\r\n#]*)"
+
+
+def _agent_token(seg: Column) -> Column:
+    """The user-agent product token a post-split segment names — the
+    FIRST whitespace-delimited token only, compared by EQUALITY.  (A
+    ``startswith('*')`` comparison would also claim invalid-but-seen
+    ``User-agent: *bot`` segments for the default group.)"""
+    return F.lower(F.regexp_extract(seg, _AGENT_TOK_RE, 1))
+
+
+def _group_segments(body_col: str, user_agent: str | None) -> Column:
+    """The segments whose rules bind ``user_agent`` (RFC 9309 §2.2.1):
+    segments naming the crawler's product token exactly
+    (case-insensitive) when any exist, else the ``*`` segments — a
+    named group OVERRIDES the default group rather than merging with
+    it.  Same-agent segments merge (§2.2.1's group-merge rule).
+    ``user_agent=None`` is the generic-crawler posture: ``*`` only."""
+    segs = F.split(F.col(body_col), r"(?i)user-agent[ \t]*:")
+    star = F.filter(segs, lambda s: _agent_token(s) == "*")
+    if user_agent is None:
+        return star
+    ua = user_agent.strip().lower()
+    named = F.filter(segs, lambda s: _agent_token(s) == ua)
+    return F.when(F.size(named) > 0, named).otherwise(star)
 
 
 def robots_rules(df: DataFrame, body_col: str = "robots_txt",
-                 key_col: str = "domain") -> DataFrame:
-    """Explode each robots.txt body into the DEFAULT-AGENT group's rules:
-    (key_col, is_allow: int, path: string, rule_len: int).
+                 key_col: str = "domain",
+                 user_agent: str | None = None) -> DataFrame:
+    """Explode each robots.txt body into the rules binding
+    ``user_agent``: (key_col, is_allow: int, path: string, rule_len:
+    int).
 
-    Group selection: the body splits on ``User-agent:`` lines; every
-    segment whose agent token is ``*`` contributes its rules (RFC 9309
-    merges same-agent groups).  Specific-agent groups are ignored — the
-    default-group posture of a generic corpus crawler.  Empty-path rules
-    are dropped (they impose nothing)."""
-    segs = F.split(F.col(body_col), r"(?i)user-agent[ \t]*:")
-    star = F.filter(
-        segs, lambda s: F.trim(s).startswith("*"))
-    merged = F.array_join(star, "\n")
+    Group selection (RFC 9309 §2.2.1): segments naming the crawler's
+    exact product token when any exist, else the ``*`` segments — see
+    :func:`_group_segments`.  Known simplification: a group declared
+    with several stacked ``User-agent:`` lines contributes its rules
+    only to the LAST listed agent (the split puts the rules in the
+    final token's segment).  Empty-path rules are dropped (they impose
+    nothing, RFC 9309 §2.2.2)."""
+    merged = F.array_join(_group_segments(body_col, user_agent), "\n")
     matches = F.regexp_extract_all(merged, F.lit(_RULE_RE), 0)
     rules = F.transform(
         matches,
@@ -65,6 +94,27 @@ def robots_rules(df: DataFrame, body_col: str = "robots_txt",
                 F.col("r.path").alias("path"))
         .where(F.col("path") != "")
         .withColumn("rule_len", F.length("path").cast("int"))
+    )
+
+
+def robots_crawl_delays(df: DataFrame, body_col: str = "robots_txt",
+                        key_col: str = "domain",
+                        user_agent: str | None = None) -> DataFrame:
+    """Per-domain ``Crawl-delay`` (seconds) from the group binding
+    ``user_agent`` — the pacing hint :func:`~.crawl.crawl_schedule`
+    turns into per-wave fetch times.  Several delay lines in the
+    merged group fold to the MAXIMUM — the most conservative reading
+    (wait at least as long as any line asks).
+    Domains whose group carries no delay are omitted (the caller
+    applies its default).  Zero-shuffle parse on a domain-cardinality
+    frame.  Output: (key_col, crawl_delay: double)."""
+    merged = F.array_join(_group_segments(body_col, user_agent), "\n")
+    delays = F.transform(
+        F.regexp_extract_all(merged, F.lit(_DELAY_RE), 1),
+        lambda d: d.cast("double"))
+    return (
+        df.select(key_col, F.array_max(delays).alias("crawl_delay"))
+        .where(F.col("crawl_delay").isNotNull())
     )
 
 

@@ -306,7 +306,8 @@ def leakage_safe_split(docs: DataFrame,
 
 def mixture_plan(docs: DataFrame, budget_tokens: int,
                  alpha: float = 0.5,
-                 strat_col: str = "source") -> DataFrame:
+                 strat_col: str = "source",
+                 text_col: str = "text") -> DataFrame:
     """Per-source training-mix PLAN — the artifact a data-mixing run
     publishes before any sampling happens: for each source its natural
     token share, the temperature-rebalanced target share
@@ -323,24 +324,32 @@ def mixture_plan(docs: DataFrame, budget_tokens: int,
     Scale shape: ONE corpus aggregation to the per-source token table
     (map-side combine on the tiny source key), then broadcast-only
     arithmetic — no second corpus pass, no join back to docs.
+
+    A source whose documents are all empty/whitespace has
+    ``n_tokens = 0``: it contributes nothing to the mix, so its shares
+    and rate are pinned to 0.0 (and epochs to 0) rather than letting
+    0/0 produce NULL/NaN that the two engines could disagree on.
     Output: (strat_col, n_docs, n_tokens, natural_share, target_share,
     sample_rate, epochs)."""
     per = docs.groupBy(strat_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum(token_count("text")).cast("long").alias("n_tokens"),
+        F.sum(token_count(text_col)).cast("long").alias("n_tokens"),
     )
     tot = per.agg(
         F.sum("n_tokens").alias("_tot"),
         F.sum(F.pow("n_tokens", F.lit(alpha))).alias("_z"),
     )
-    rate = (F.lit(float(budget_tokens))
-            * F.pow("n_tokens", F.lit(alpha)) / F.col("_z")
-            / F.col("n_tokens"))
+    nz = F.col("n_tokens") > 0
+    rate = F.when(nz, F.lit(float(budget_tokens))
+                  * F.pow("n_tokens", F.lit(alpha)) / F.col("_z")
+                  / F.col("n_tokens")).otherwise(F.lit(0.0))
     return per.crossJoin(F.broadcast(tot)).select(
         strat_col, "n_docs", "n_tokens",
-        F.round(F.col("n_tokens") / F.col("_tot"), 6)
+        F.round(F.when(nz, F.col("n_tokens") / F.col("_tot"))
+                .otherwise(F.lit(0.0)), 6)
         .alias("natural_share"),
-        F.round(F.pow("n_tokens", F.lit(alpha)) / F.col("_z"), 6)
+        F.round(F.when(nz, F.pow("n_tokens", F.lit(alpha)) / F.col("_z"))
+                .otherwise(F.lit(0.0)), 6)
         .alias("target_share"),
         F.round(rate, 6).alias("sample_rate"),
         F.ceil(F.round(rate, 6)).cast("long").alias("epochs"),

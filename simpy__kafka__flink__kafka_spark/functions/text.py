@@ -1258,6 +1258,12 @@ def phrase_search(df: DataFrame, phrase: list[str],
     for every offset where it appears in the phrase, and overlapping
     occurrences count separately (positional-index semantics).
 
+    Phrase terms are normalized the way :func:`words` normalizes the
+    document side (strip + lowercase); a term that is empty after
+    stripping or still contains internal whitespace can never match a
+    single token, so it raises ``ValueError`` instead of silently
+    returning an empty result — as does an empty phrase.
+
     Scale shape: the phrase-term filter is a BROADCAST inner join (the
     phrase is a handful of rows), so only matching-term postings ever
     shuffle; the (doc, anchor) vote count combines map-side, and the
@@ -1265,11 +1271,18 @@ def phrase_search(df: DataFrame, phrase: list[str],
     row per hit, never per token).  No L-way join, no arrays collected.
     Output: (id_col, n_occurrences, first_pos) for matching docs.
     """
-    L = len(phrase)
+    if not phrase:
+        raise ValueError("phrase_search requires a non-empty phrase")
+    terms = [t.strip().lower() for t in phrase]
+    bad = [t for t in terms if not t or any(c.isspace() for c in t)]
+    if bad:
+        raise ValueError(
+            "phrase terms must be single non-empty tokens "
+            f"(no internal whitespace); got {bad!r}")
+    L = len(terms)
     spark = df.sparkSession
     pdf = spark.createDataFrame(
-        [(i, t.lower()) for i, t in enumerate(phrase)],
-        "off INT, pterm STRING")
+        list(enumerate(terms)), "off INT, pterm STRING")
     tok = df.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(words(text_col)).alias("pos", "term"),

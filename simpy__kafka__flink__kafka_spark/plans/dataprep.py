@@ -2162,11 +2162,15 @@ bod AS (
   SELECT dom, CASE dom % 5 {bodies} END AS body FROM doms
 ),
 merged AS (
+  -- agent-token EQUALITY (not a '*' prefix test): mirrors the Spark
+  -- side's _agent_token, so an invalid 'User-agent: *bot' segment is
+  -- NOT claimed by the default group
   SELECT dom,
          array_to_string(
            list_filter(
              string_split_regex(body, '(?i)user-agent[ \\t]*:'),
-             s -> left(trim(s), 1) = '*'),
+             s -> lower(regexp_extract(s, '^[ \\t]*([^ \\t\\r\\n#]*)', 1))
+                  = '*'),
            chr(10)) AS seg
   FROM bod
 ),
@@ -2543,13 +2547,22 @@ WITH per AS (
 ),
 tot AS (SELECT sum(n_tokens) AS _tot, sum(pow(n_tokens, 0.5)) AS _z
         FROM per)
+-- the n_tokens = 0 CASE mirrors the Spark guard: an all-empty source
+-- must yield 0.0 shares/rate on both engines, never NULL/NaN from 0/0
 SELECT source, n_docs, n_tokens,
-       round(CAST(n_tokens AS DOUBLE) / _tot, 6) AS natural_share,
-       round(pow(n_tokens, 0.5) / _z, 6) AS target_share,
-       round({float(_MIX_BUDGET)} * pow(n_tokens, 0.5) / _z / n_tokens,
-             6) AS sample_rate,
-       CAST(ceil(round({float(_MIX_BUDGET)} * pow(n_tokens, 0.5) / _z
-                       / n_tokens, 6)) AS BIGINT) AS epochs
+       round(CASE WHEN n_tokens > 0
+                  THEN CAST(n_tokens AS DOUBLE) / _tot
+                  ELSE 0.0 END, 6) AS natural_share,
+       round(CASE WHEN n_tokens > 0 THEN pow(n_tokens, 0.5) / _z
+                  ELSE 0.0 END, 6) AS target_share,
+       round(CASE WHEN n_tokens > 0
+                  THEN {float(_MIX_BUDGET)} * pow(n_tokens, 0.5) / _z
+                       / n_tokens
+                  ELSE 0.0 END, 6) AS sample_rate,
+       CAST(ceil(round(CASE WHEN n_tokens > 0
+                            THEN {float(_MIX_BUDGET)} * pow(n_tokens, 0.5)
+                                 / _z / n_tokens
+                            ELSE 0.0 END, 6)) AS BIGINT) AS epochs
 FROM per CROSS JOIN tot
 """
 
@@ -2589,10 +2602,11 @@ WITH u AS (
          text, CAST(doc_id % 4 AS INTEGER) AS v
   FROM documents
 ),
-o AS (SELECT url AS k, {norm} AS ofp FROM u WHERE v <> 0),
+-- min() per key mirrors the Spark-side keep-min duplicate-key collapse
+o AS (SELECT url AS k, min({norm}) AS ofp FROM u WHERE v <> 0 GROUP BY 1),
 n AS (SELECT url AS k,
-             CASE WHEN v = 2 THEN {normed} ELSE {norm} END AS nfp
-      FROM u WHERE v <> 1)
+             min(CASE WHEN v = 2 THEN {normed} ELSE {norm} END) AS nfp
+      FROM u WHERE v <> 1 GROUP BY 1)
 SELECT COALESCE(o.k, n.k) AS url,
        CASE WHEN o.k IS NULL THEN 'added'
             WHEN n.k IS NULL THEN 'removed'
