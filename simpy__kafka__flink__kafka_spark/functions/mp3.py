@@ -1,0 +1,143 @@
+"""MPEG audio (MP3) frame-walk STATS — the header-only half of MP3
+support: frame count, sample rate, bitrate range, VBR flag, and exact
+duration from walking the frame headers, with no PCM synthesis.  A full
+MPEG-1 Layer III decoder (huffman tables, IMDCT, synthesis filterbank)
+is out of scope for the dependency-free container — PCM decode remains
+the documented seam in ``multimodal.py:decode_audio`` — but the stats a
+corpus pipeline actually filters on (duration, bitrate, corruption)
+come from the headers alone, exactly like ``warc_parse`` audits records
+without executing their payloads.
+
+Format facts used (public MPEG-1/2 audio spec):
+- frame header = 32 bits: 11-bit sync (all ones), 2-bit version ID,
+  2-bit layer, protection bit, 4-bit bitrate index, 2-bit sample-rate
+  index, padding bit, then channel/mode/emphasis bits (ignored here);
+- Layer III frame length = ``144000 * kbps // rate + padding`` for
+  MPEG-1 and ``72000 * kbps // rate + padding`` for MPEG-2/2.5
+  (576-sample granule halving);
+- samples per Layer III frame: 1152 (MPEG-1) / 576 (MPEG-2/2.5);
+- an ID3v2 tag ("ID3" + syncsafe length at offset 6..9) precedes the
+  first frame in most real files and must be skipped.
+
+Reference parity note: the reference trace pipeline has no media
+surface; this belongs to the training-data extension operators
+(multimodal columns).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+# bitrate tables, kbps, indexed by the 4-bit header field (0 = "free
+# format" — unsupported here; 15 = invalid)
+_BITRATES_V1_L3 = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
+                   224, 256, 320)
+_BITRATES_V2_L3 = (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+                   144, 160)
+_RATES = {
+    3: (44100, 48000, 32000),   # version ID 3 = MPEG-1
+    2: (22050, 24000, 16000),   # version ID 2 = MPEG-2
+    0: (11025, 12000, 8000),    # version ID 0 = MPEG-2.5
+}
+
+
+@dataclass(frozen=True)
+class Mp3Stats:
+    n_frames: int
+    sample_rate: int
+    min_kbps: int
+    max_kbps: int
+    duration_ms: int
+    vbr: bool
+
+
+def id3v2_size(buf: bytes) -> int:
+    """Bytes occupied by a leading ID3v2 tag (0 if none): 10-byte header
+    whose size field (offsets 6..9) is syncsafe (7 bits per byte)."""
+    if buf[:3] != b"ID3" or len(buf) < 10:
+        return 0
+    return ((buf[6] << 21) | (buf[7] << 14) | (buf[8] << 7) | buf[9]) + 10
+
+
+def mp3_stream_stats(buf: bytes) -> Mp3Stats:
+    """Walk every Layer III frame header in ``buf`` (after skipping any
+    ID3v2 tag) and fold the stats.  Raises ``ValueError`` on a stream
+    with no valid frame, a reserved/free-format header, a layer other
+    than III, or a mid-stream sample-rate change (one container, one
+    clock)."""
+    buf = bytes(buf)
+    i = id3v2_size(buf)
+    n_frames = 0
+    total_samples = 0
+    rate: int | None = None
+    min_k = None
+    max_k = None
+    while i + 4 <= len(buf):
+        b0, b1, b2 = buf[i], buf[i + 1], buf[i + 2]
+        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+            break  # lost sync: end of the frame train (trailing tag etc.)
+        version = (b1 >> 3) & 0x3
+        layer = (b1 >> 1) & 0x3
+        if version == 1 or layer != 0x1:  # reserved version / not Layer III
+            raise ValueError(
+                "unsupported MPEG header (reserved version or non-Layer-III)"
+            )
+        br_idx = (b2 >> 4) & 0xF
+        sr_idx = (b2 >> 2) & 0x3
+        padding = (b2 >> 1) & 0x1
+        if br_idx in (0, 15) or sr_idx == 3:
+            raise ValueError(
+                "free-format or invalid bitrate/sample-rate index")
+        table = _BITRATES_V1_L3 if version == 3 else _BITRATES_V2_L3
+        kbps = table[br_idx]
+        frame_rate = _RATES[version][sr_idx]
+        if rate is None:
+            rate = frame_rate
+        elif rate != frame_rate:
+            raise ValueError("mid-stream sample-rate change")
+        factor = 144000 if version == 3 else 72000
+        frame_len = factor * kbps // frame_rate + padding
+        if frame_len <= 4:
+            raise ValueError("degenerate frame length")
+        n_frames += 1
+        total_samples += 1152 if version == 3 else 576
+        min_k = kbps if min_k is None else min(min_k, kbps)
+        max_k = kbps if max_k is None else max(max_k, kbps)
+        i += frame_len
+    if n_frames == 0 or rate is None:
+        raise ValueError("no MPEG audio frame found")
+    return Mp3Stats(
+        n_frames=n_frames,
+        sample_rate=rate,
+        min_kbps=min_k,
+        max_kbps=max_k,
+        duration_ms=total_samples * 1000 // rate,
+        vbr=min_k != max_k,
+    )
+
+
+def encode_mp3_frames(bitrate_indexes: list[int], sr_idx: int = 0,
+                      id3_bytes: int = 0) -> bytes:
+    """Synthesize a VALID MPEG-1 Layer III frame train (header-correct,
+    zeroed payload) — the fixture generator for the stats walker, the
+    same synthesize-then-parse posture as the FLAC round-trip row.
+    One frame per bitrate index; ``id3_bytes`` > 0 prepends an ID3v2
+    tag of that payload size."""
+    out = bytearray()
+    if id3_bytes:
+        out += b"ID3\x04\x00\x00"
+        out += bytes(((id3_bytes >> 21) & 0x7F, (id3_bytes >> 14) & 0x7F,
+                      (id3_bytes >> 7) & 0x7F, id3_bytes & 0x7F))
+        out += bytes(id3_bytes)
+    rate = _RATES[3][sr_idx]
+    for br_idx in bitrate_indexes:
+        kbps = _BITRATES_V1_L3[br_idx]
+        frame_len = 144000 * kbps // rate  # no padding bit
+        hdr = bytes((
+            0xFF,
+            0xFB,                       # sync low bits + MPEG-1 + Layer III
+            (br_idx << 4) | (sr_idx << 2),
+            0xC0,                       # mono, no emphasis
+        ))
+        out += hdr + bytes(frame_len - 4)
+    return bytes(out)

@@ -298,7 +298,10 @@ def decode_audio(content: bytes) -> tuple[np.ndarray, int]:
             "non-WAV/FLAC audio decode requires an audio I/O library not "
             "present in this environment; PCM WAV and FLAC decode "
             "dependency-free — the Arrow-batched pipeline around this seam "
-            "is fully wired"
+            "is fully wired.  MP3 header-level stats (duration, bitrate, "
+            "frame count) ARE available dependency-free via "
+            "audio_container_stats / mp3.mp3_stream_stats; only MP3 PCM "
+            "decode remains the seam"
         ) from exc
 
 
@@ -568,6 +571,118 @@ def audio_stats(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(run, AUDIO_STATS_SCHEMA)
+
+
+CONTAINER_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("format", T.StringType(), True),
+        T.StructField("n_frames", T.LongType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("min_kbps", T.IntegerType(), True),
+        T.StructField("max_kbps", T.IntegerType(), True),
+        T.StructField("vbr", T.IntegerType(), True),
+    ]
+)
+
+
+def _container_stats(b: bytes) -> tuple:
+    """Header-only audio container stats — no PCM is produced, so this
+    covers MP3 (whose PCM decode is the documented seam in
+    :func:`decode_audio`) alongside WAV and FLAC.  WAV: stdlib header;
+    FLAC: the 34-byte STREAMINFO block (rate 20 bits, total samples 36
+    bits); MP3: the frame-header walk of ``mp3.py``."""
+    import io
+    import wave
+
+    from .mp3 import id3v2_size, mp3_stream_stats
+
+    buf = bytes(b)
+    if buf[:4] == b"RIFF" and buf[8:12] == b"WAVE":
+        with wave.open(io.BytesIO(buf)) as wv:
+            n, rate = wv.getnframes(), wv.getframerate()
+        return ("wav", n, rate, n * 1000 // rate, None, None, 0)
+    off = id3v2_size(buf)
+    if buf[off:off + 4] == b"fLaC":
+        si = buf[off + 8:off + 8 + 34]  # skip 4-byte block header
+        rate = (si[10] << 12) | (si[11] << 4) | (si[12] >> 4)
+        total = (((si[13] & 0x0F) << 32) | (si[14] << 24)
+                 | (si[15] << 16) | (si[16] << 8) | si[17])
+        return ("flac", total, rate,
+                total * 1000 // rate if rate else None, None, None, 0)
+    if buf[off] == 0xFF and (buf[off + 1] & 0xE0) == 0xE0:
+        s = mp3_stream_stats(buf)
+        return ("mp3", s.n_frames, s.sample_rate, s.duration_ms,
+                s.min_kbps, s.max_kbps, int(s.vbr))
+    raise ValueError("unrecognized audio container")
+
+
+def audio_container_stats(media: DataFrame) -> DataFrame:
+    """Header-walk audio stats over a binary ``content`` column —
+    duration / frame count / bitrate range per doc WITHOUT decoding
+    PCM, which is what lets the operator accept MP3 (stats from frame
+    headers; PCM decode stays the documented seam) next to WAV and
+    FLAC.  Same Arrow ``mapInPandas`` shape as :func:`audio_stats`."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf["content"].map(_container_stats)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "format": out.map(lambda t: t[0]),
+                    "n_frames": out.map(lambda t: t[1]).astype("int64"),
+                    "sample_rate": out.map(lambda t: t[2]).astype("int32"),
+                    "duration_ms": out.map(lambda t: t[3]).astype("int64"),
+                    "min_kbps": out.map(lambda t: t[4]),
+                    "max_kbps": out.map(lambda t: t[5]),
+                    "vbr": out.map(lambda t: t[6]).astype("int32"),
+                }
+            )
+
+    return media.mapInPandas(run, CONTAINER_STATS_SCHEMA)
+
+
+def mp3_synth_stats(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """The LIVE MP3-header path (round 10): synthesize a valid MPEG-1
+    Layer III frame train per doc from its id — frame count
+    ``3 + id % 5``, a VBR 128/160 kbps alternation when ``id % 3 == 0``
+    (CBR 128 otherwise), an ID3v2 tag prefix when ``id % 2 == 0`` —
+    and WALK it back with :func:`~.mp3.mp3_stream_stats`, both inside
+    one Arrow batch (the flac_roundtrip_stats posture).  The DuckDB
+    oracle reproduces every stat from the same id arithmetic without
+    touching MP3 bytes, so any header-walk regression (sync scan, ID3
+    skip, frame-length arithmetic, VBR fold) hash-mismatches."""
+    from .mp3 import encode_mp3_frames, mp3_stream_stats
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            def stats(i: int) -> tuple:
+                n = 3 + i % 5
+                idxs = ([9 + (k % 2) for k in range(n)]
+                        if i % 3 == 0 else [9] * n)
+                buf = encode_mp3_frames(
+                    idxs, id3_bytes=17 if i % 2 == 0 else 0)
+                s = mp3_stream_stats(buf)
+                return (s.n_frames, s.sample_rate, s.duration_ms,
+                        s.min_kbps, s.max_kbps, int(s.vbr))
+
+            out = pdf[id_col].map(stats)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "format": "mp3",
+                    "n_frames": out.map(lambda t: t[0]).astype("int64"),
+                    "sample_rate": out.map(lambda t: t[1]).astype("int32"),
+                    "duration_ms": out.map(lambda t: t[2]).astype("int64"),
+                    "min_kbps": out.map(lambda t: t[3]).astype("int32"),
+                    "max_kbps": out.map(lambda t: t[4]).astype("int32"),
+                    "vbr": out.map(lambda t: t[5]).astype("int32"),
+                }
+            )
+
+    return docs.select(id_col).mapInPandas(run, CONTAINER_STATS_SCHEMA)
 
 
 FLAC_ROUNDTRIP_SCHEMA = T.StructType(

@@ -195,16 +195,33 @@ def extract_links(df: DataFrame, html_col: str = "html",
     )
 
 
-ANCHOR_RE = '(?is)<a[^>]*href="([^"]*)"[^>]*>(.*?)</a>'
+# href value in ALL THREE attribute forms real HTML carries — double-
+# quoted, single-quoted, unquoted (to the next whitespace/'>').  Group 1
+# is the RAW token (quotes included; the alternation keeps it free of
+# nested groups), group 2 the anchor text; _unquote_href strips a
+# symmetric quote pair.  Stays in the Java-regex/RE2 common subset.
+ANCHOR_RE = ("(?is)<a[^>]*href\\s*=\\s*"
+             "(\"[^\"]*\"|'[^']*'|[^\\s>\"'][^\\s>]*)"
+             "[^>]*>(.*?)</a>")
+
+
+def _unquote_href(raw: Column) -> Column:
+    """Strip one symmetric surrounding quote pair from a raw href token
+    ((?s) so a value containing a newline still unquotes)."""
+    return F.regexp_replace(
+        F.regexp_replace(raw, '(?s)^"(.*)"$', "$1"),
+        "(?s)^'(.*)'$", "$1")
 
 
 def anchor_texts(df: DataFrame, html_col: str = "html",
                  id_col: str = "doc_id") -> DataFrame:
     """Per-TARGET anchor-text aggregation — the classic web-corpus
     relevance signal (what other pages' link text says a URL is about):
-    every ``<a href="...">text</a>`` pair folds into its target's
-    profile.  Inner markup is stripped from the anchor text;
-    whitespace-trimmed.
+    every ``<a href=...>text</a>`` pair folds into its target's
+    profile, whichever of the three attribute quote forms the page
+    uses (double-quoted, single-quoted, unquoted — all common in real
+    HTML; dropping the latter two understated n_anchors).  Inner markup
+    is stripped from the anchor text; whitespace-trimmed.
 
     Scale shape: zero-shuffle per-page extraction (regexp + array
     transform, the robots-rules pattern) + ONE target-keyed exchange;
@@ -216,7 +233,8 @@ def anchor_texts(df: DataFrame, html_col: str = "html",
     pairs = F.transform(
         m,
         lambda x: F.struct(
-            F.regexp_extract(x, ANCHOR_RE, 1).alias("target"),
+            _unquote_href(F.regexp_extract(x, ANCHOR_RE, 1))
+            .alias("target"),
             F.trim(F.regexp_replace(
                 F.regexp_extract(x, ANCHOR_RE, 2),
                 "<[^>]*>", "")).alias("anchor"),

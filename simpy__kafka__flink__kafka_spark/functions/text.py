@@ -1194,9 +1194,26 @@ def inverted_index(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def positional_tokens(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """One corpus tokenization shared by the IR operators: (doc_id,
+    pos, term) with empty tokens dropped — posexplode of the same
+    :func:`words` normalization every text operator uses.  Build it
+    once and pass it as ``tok_df`` to :func:`bm25_scores` and
+    :func:`phrase_search` (pin it when both consume it — the
+    ``shingle_df`` sharing idiom of the dedup family) so a composed
+    retrieval plan scans and explodes the corpus once instead of once
+    per operator."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(words(text_col)).alias("pos", "term"),
+    ).where(F.length("term") > 0)
+
+
 def bm25_scores(df: DataFrame, query_terms: list[str],
                 id_col: str = "doc_id", text_col: str = "text",
-                k1: float = 1.2, b: float = 0.75) -> DataFrame:
+                k1: float = 1.2, b: float = 0.75,
+                tok_df: DataFrame | None = None) -> DataFrame:
     """BM25 retrieval scoring of every document against a fixed query —
     the ranking the inverted-index artifact exists to serve (Lucene
     idf variant, always positive: ln(1 + (N - df + 0.5)/(df + 0.5))).
@@ -1213,8 +1230,9 @@ def bm25_scores(df: DataFrame, query_terms: list[str],
     the same IEEE expression on the same inputs).
     Output: (id_col, n_hits, score) for docs matching >= 1 term."""
     qlit = [t.lower() for t in query_terms]
-    tok = (df.select(F.col(id_col).alias("doc_id"),
-                     F.explode(words(text_col)).alias("term"))
+    tok = (tok_df.select("doc_id", "term") if tok_df is not None
+           else df.select(F.col(id_col).alias("doc_id"),
+                          F.explode(words(text_col)).alias("term"))
            .where(F.length("term") > 0))
     dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
     corpus = dl.agg(F.count(F.lit(1)).alias("n_docs"),
@@ -1244,7 +1262,8 @@ def bm25_scores(df: DataFrame, query_terms: list[str],
 
 def phrase_search(df: DataFrame, phrase: list[str],
                   id_col: str = "doc_id",
-                  text_col: str = "text") -> DataFrame:
+                  text_col: str = "text",
+                  tok_df: DataFrame | None = None) -> DataFrame:
     """Exact-phrase query over positional postings — the lookup the
     positional half of an inverted index exists for (and the operator a
     contamination scan needs when the benchmark string must match
@@ -1283,10 +1302,8 @@ def phrase_search(df: DataFrame, phrase: list[str],
     spark = df.sparkSession
     pdf = spark.createDataFrame(
         list(enumerate(terms)), "off INT, pterm STRING")
-    tok = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(words(text_col)).alias("pos", "term"),
-    ).where(F.length("term") > 0)
+    tok = (tok_df if tok_df is not None
+           else positional_tokens(df, id_col=id_col, text_col=text_col))
     votes = (
         tok.join(F.broadcast(pdf), F.col("term") == F.col("pterm"))
         .select("doc_id", (F.col("pos") - F.col("off")).alias("anchor"),

@@ -250,10 +250,14 @@ def _q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     sh = pin(shingles(docs))
-    pairs = dedup.verify_jaccard(
+    # pin the VERIFIED pair set too: the fixed-round propagation
+    # references it once per round (und appears in every join), so an
+    # unpinned pairs frame re-evaluates the whole LSH+verify subtree
+    # iterations+1 times (measured 27 s -> ~3 s at sf0.01)
+    pairs = pin(dedup.verify_jaccard(
         docs, dedup.minhash_lsh_pairs(docs, shingle_df=sh),
         threshold=0.5, shingle_df=sh,
-    ).select("doc_a", "doc_b")
+    ).select("doc_a", "doc_b"))
     return dedup.near_dup_clusters(pairs)
 
 
@@ -295,7 +299,9 @@ def _q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     components deeper than the fixed round count (same anti-join shape;
     measured head-to-head in PLANS.md "fixed-round vs fixpoint")."""
     docs = _docs(spark, sf_dir)
-    pairs = _q_near_dup_verified(spark, sf_dir)
+    # pinned for the same reason as _q_near_dup_clusters: the pair set
+    # feeds every propagation round plus the final anti-join
+    pairs = pin(_q_near_dup_verified(spark, sf_dir))
     return dedup.dedup_survivors(docs, pairs, fixpoint=False).select(
         "doc_id", F.length("text").cast("long").alias("n_chars")
     )
@@ -2345,30 +2351,52 @@ FROM s
 
 def _q_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-target anchor-text aggregation (functions/quality.py:
-    anchor_texts) over the same synthesized pages as extract_links —
-    every <a href>text</a> pair folds into its target's profile with
-    the order-canonical postings-hash convention."""
+    anchor_texts) over the synthesized pages of extract_links PLUS a
+    mixed-quote tail — one single-quoted and one unquoted-href anchor
+    per page (both quote styles are common in real HTML and were
+    silently dropped before round 10), so the gate hash covers all
+    three attribute forms and the quote-strip."""
     from ..functions.html import synthesize_page
     from ..functions.quality import anchor_texts
 
     docs = _docs(spark, sf_dir)
-    return anchor_texts(docs.select("doc_id",
-                                    synthesize_page().alias("html")))
+    html = F.concat(
+        synthesize_page(),
+        F.lit("<div><a href='/s/"),
+        (F.col("doc_id") % 3).cast("string"),
+        F.lit("' rel='nofollow'>beta <b>link</b></a> "
+              "<a class=plain href=/u/"),
+        (F.col("doc_id") % 4).cast("string"),
+        F.lit(">gamma unquoted</a></div>"),
+    )
+    return anchor_texts(docs.select("doc_id", html.alias("html")))
 
 
 def _anchor_texts_sql() -> str:
     from ..functions.quality import ANCHOR_RE
 
+    pat = ANCHOR_RE.replace("'", "''")
     return f"""
 WITH {_synth_page_cte()},
-m AS (
-  SELECT doc_id, unnest(regexp_extract_all(html, '{ANCHOR_RE}', 0)) AS a
+mixed AS (
+  SELECT doc_id,
+         html || '<div><a href=''/s/' || CAST(doc_id % 3 AS VARCHAR) ||
+         ''' rel=''nofollow''>beta <b>link</b></a> ' ||
+         '<a class=plain href=/u/' || CAST(doc_id % 4 AS VARCHAR) ||
+         '>gamma unquoted</a></div>' AS html
   FROM page
+),
+m AS (
+  SELECT doc_id, unnest(regexp_extract_all(html, '{pat}', 0)) AS a
+  FROM mixed
 ),
 p AS (
   SELECT doc_id,
-         regexp_extract(a, '{ANCHOR_RE}', 1) AS target,
-         trim(regexp_replace(regexp_extract(a, '{ANCHOR_RE}', 2),
+         regexp_replace(regexp_replace(
+           regexp_extract(a, '{pat}', 1),
+           '(?s)^"(.*)"$', '\\1'),
+           '(?s)^''(.*)''$', '\\1') AS target,
+         trim(regexp_replace(regexp_extract(a, '{pat}', 2),
                              '<[^>]*>', '', 'g')) AS anchor
   FROM m
 ),
@@ -2489,10 +2517,12 @@ def _q_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs(spark, sf_dir)
     sh = pin(shingles(docs))
-    pairs = dedup.verify_jaccard(
+    # pinned: the pair set feeds the cluster propagation rounds AND the
+    # per-doc weight join (see _q_near_dup_clusters)
+    pairs = pin(dedup.verify_jaccard(
         docs, dedup.minhash_lsh_pairs(docs, shingle_df=sh),
         threshold=0.5, shingle_df=sh,
-    ).select("doc_a", "doc_b")
+    ).select("doc_a", "doc_b"))
     return dedup.soft_dedup_weights(docs, pairs)
 
 
@@ -2721,6 +2751,341 @@ SELECT doc_id, host,
        CAST((row_number() OVER (PARTITION BY host ORDER BY doc_id) - 1)
             // 4 AS BIGINT) AS wave
 FROM h
+"""
+
+
+# --- search_rank: the IR capstone (anchor_texts + BM25 + phrase) -------------
+# The composition the three standalone IR rows imply: per-query top-k
+# retrieval where the BM25 text score is boosted by what OTHER pages'
+# anchors say (ln(1 + n_anchors) on a doc-addressed link layer) and by
+# exact-phrase occurrences — mirroring how crawl_admission proved the
+# crawl front door end to end.
+
+_SEARCH_TOPK = 25
+
+
+def _synth_doc_links(docs: DataFrame) -> DataFrame:
+    """Doc-addressed link layer: every doc's page carries TWO anchors
+    pointing at '/page/<k>' hub targets (k = doc_id % 97 and
+    doc_id * 3 % 97), one single-quoted and one unquoted — the quote
+    forms the round-10 ANCHOR_RE fix added, exercised INSIDE the
+    capstone."""
+    h = F.concat(
+        F.lit("<p><a href='/page/"),
+        (F.col("doc_id") % 97).cast("string"),
+        F.lit("'>read about spark joins</a> and <a href=/page/"),
+        (F.col("doc_id") * 3 % 97).cast("string"),
+        F.lit(" rel=x>stream window notes</a></p>"),
+    )
+    return docs.select("doc_id", h.alias("html"))
+
+
+def _q_search_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end retrieval ranking (the IR capstone): BM25 candidates
+    for the fixed 4-term query (functions/text.py:bm25_scores), boosted
+    by per-target anchor counts (functions/quality.py:anchor_texts over
+    the doc-addressed link layer) and exact-phrase occurrences
+    (functions/text.py:phrase_search), then deterministic top-25.
+
+    Scale shape: the BM25 stages shuffle only query-term postings; the
+    anchor layer folds to <= 97 hub rows (broadcast side of the boost
+    join); the phrase side joins doc-keyed; the top-k is
+    TakeOrderedAndProject (per-partition heads + driver merge — no
+    global sort, no single-partition window over the corpus; the rank
+    column is numbered on the already-limited 25 rows)."""
+    from pyspark.sql import Window as W
+
+    from ..functions.quality import anchor_texts
+    from ..functions.text import (bm25_scores, phrase_search,
+                                  positional_tokens)
+
+    docs = _docs(spark, sf_dir)
+    # ONE corpus tokenization shared by the BM25 and phrase stages (the
+    # shingle_df sharing idiom): without it each operator re-scans and
+    # re-explodes documents — 12 parquet scans at audit, 3 with the pin
+    tok = pin(positional_tokens(docs))
+    cand = bm25_scores(docs, list(_BM25_TERMS), tok_df=tok)
+    anch = (
+        anchor_texts(_synth_doc_links(docs))
+        .select(
+            F.regexp_extract("target", r"^/page/([0-9]+)$", 1)
+            .cast("long").alias("doc_id"),
+            F.col("n_anchors"))
+    )
+    ph = phrase_search(docs, list(_PHRASE), tok_df=tok).select(
+        "doc_id", F.col("n_occurrences").alias("n_occ"))
+    scored = (
+        cand.join(F.broadcast(anch), "doc_id", "left")
+        .join(ph, "doc_id", "left")
+        .select(
+            "doc_id", "n_hits",
+            F.coalesce("n_anchors", F.lit(0)).cast("long")
+            .alias("n_anchors"),
+            F.coalesce("n_occ", F.lit(0)).cast("long")
+            .alias("phrase_hits"),
+            F.round(
+                F.col("score")
+                + 0.4 * F.log(F.lit(1.0)
+                              + F.coalesce("n_anchors", F.lit(0)))
+                + 0.25 * F.log(F.lit(1.0)
+                               + F.coalesce("n_occ", F.lit(0))), 6)
+            .alias("final_score"),
+        )
+    )
+    top = (scored.orderBy(F.col("final_score").desc(), "doc_id")
+           .limit(_SEARCH_TOPK))
+    # rank over the already-limited 25 rows: bounded single partition
+    wr = W.orderBy(F.col("final_score").desc(), "doc_id")
+    return top.withColumn("rank", F.row_number().over(wr).cast("long"))
+
+
+def _search_rank_sql() -> str:
+    from ..functions.quality import ANCHOR_RE
+
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    vals = ", ".join(f"({i}, '{t}')" for i, t in enumerate(_PHRASE))
+    pat = ANCHOR_RE.replace("'", "''")
+    return rf"""
+WITH w AS (
+  SELECT doc_id,
+         string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')),
+                      ' ') AS ws
+  FROM documents
+),
+tok AS (SELECT doc_id, unnest(ws) AS term,
+               generate_subscripts(ws, 1) - 1 AS pos FROM w),
+tok2 AS (SELECT * FROM tok WHERE length(term) > 0),
+dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+       FROM tok2 GROUP BY 1),
+corpus AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                  CAST(sum(dl) AS BIGINT) AS total_len FROM dl),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       FROM tok2 WHERE term IN ({terms}) GROUP BY 1, 2),
+dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS dft
+          FROM tf GROUP BY 1),
+s AS (
+  SELECT tf.doc_id,
+         ln(1.0 + ((CAST(n_docs AS DOUBLE) - dft) + 0.5)
+                  / (CAST(dft AS DOUBLE) + 0.5))
+         * (tf * 2.2)
+         / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * CAST(dl AS DOUBLE)
+              / (CAST(total_len AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+           AS s
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN corpus
+),
+bm AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+              round(sum(s), 6) AS score
+       FROM s GROUP BY doc_id),
+links AS (
+  SELECT doc_id,
+         '<p><a href=''/page/' || CAST(doc_id % 97 AS VARCHAR) ||
+         '''>read about spark joins</a> and <a href=/page/' ||
+         CAST(doc_id * 3 % 97 AS VARCHAR) ||
+         ' rel=x>stream window notes</a></p>' AS html
+  FROM documents
+),
+am AS (SELECT unnest(regexp_extract_all(html, '{pat}', 0)) AS a
+       FROM links),
+atgt AS (
+  SELECT CAST(regexp_extract(
+           regexp_replace(regexp_replace(
+             regexp_extract(a, '{pat}', 1),
+             '(?s)^"(.*)"$', '\1'), '(?s)^''(.*)''$', '\1'),
+           '^/page/([0-9]+)$', 1) AS BIGINT) AS doc_id,
+         CAST(count(*) AS BIGINT) AS n_anchors
+  FROM am GROUP BY 1
+),
+p(off, pterm) AS (VALUES {vals}),
+votes AS (
+  SELECT doc_id, pos - off AS anchor, off
+  FROM tok2 JOIN p ON term = pterm
+  WHERE pos - off >= 0
+),
+occ AS (
+  SELECT doc_id, anchor FROM votes
+  GROUP BY 1, 2 HAVING count(DISTINCT off) = {len(_PHRASE)}
+),
+phr AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_occ
+        FROM occ GROUP BY 1),
+scored AS (
+  SELECT bm.doc_id, bm.n_hits,
+         COALESCE(atgt.n_anchors, 0) AS n_anchors,
+         COALESCE(phr.n_occ, 0) AS phrase_hits,
+         round(bm.score
+               + 0.4 * ln(1.0 + COALESCE(atgt.n_anchors, 0))
+               + 0.25 * ln(1.0 + COALESCE(phr.n_occ, 0)), 6)
+           AS final_score
+  FROM bm LEFT JOIN atgt USING (doc_id) LEFT JOIN phr USING (doc_id)
+),
+top AS (SELECT * FROM scored
+        ORDER BY final_score DESC, doc_id LIMIT {_SEARCH_TOPK})
+SELECT doc_id, n_hits, n_anchors, phrase_hits, final_score,
+       CAST(row_number() OVER (ORDER BY final_score DESC, doc_id)
+            AS BIGINT) AS rank
+FROM top
+"""
+
+
+# --- named-agent robots.txt gate variant -------------------------------------
+
+_ROBOTS_NAMED_BODIES = [
+    # v0: named group blocks what '*' allows — the RFC 9309 §2.2.1 case
+    "User-agent: corpusbot\nDisallow: /\n\nUser-agent: *\nAllow: /\n",
+    # v1: named group RELAXES a '*' block (allow carve-out for the bot;
+    # /private/open/ is one of the walked paths, so the carve-out fires)
+    "User-agent: *\nDisallow: /\n\n"
+    "User-agent: corpusbot\nAllow: /private/open/\nDisallow: /\n",
+    # v2: invalid '*bot' segment — binds NOBODY (neither default nor a
+    # crawler literally named '*bot'... the named crawler here)
+    "User-agent: *bot\nDisallow: /\n\nUser-agent: *\nAllow: /\n",
+    # v3: no group names the crawler -> falls back to '*'
+    "User-agent: googlebot\nDisallow: /\n\n"
+    "User-agent: *\nDisallow: /private/\n",
+    # v4: named group only, no '*' group at all
+    "User-agent: corpusbot\nDisallow: /tmp/\n",
+]
+
+
+def _q_robots_txt_gate_named(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt gate for a NAMED crawler ('corpusbot'): five bodies
+    where the named group must override, relax, or fall back to the
+    default group per RFC 9309 §2.2.1 — plus the '*bot' invalid-segment
+    trap the round-10 token-equality fix closed.  Same longest-match /
+    allow-wins arithmetic as the default-agent gate row."""
+    from ..functions.robots import robots_allowed, robots_rules
+
+    docs = _docs(spark, sf_dir)
+    dom = F.col("doc_id") % 13
+    robots = (docs.select(dom.alias("domain")).distinct()
+              .select("domain",
+                      F.element_at(
+                          F.array(*[F.lit(b)
+                                    for b in _ROBOTS_NAMED_BODIES]),
+                          (F.col("domain") % 5 + 1).cast("int"))
+                      .alias("robots_txt")))
+    path = F.element_at(F.array(*[F.lit(p) for p in _ROBOTS_TXT_PATHS]),
+                        (F.col("doc_id") % 6 + 1).cast("int"))
+    urls = docs.select(
+        "doc_id", dom.alias("domain"),
+        F.concat(F.lit("https://named-"), dom.cast("string"),
+                 F.lit(".example.com"), path).alias("url"))
+    return robots_allowed(urls,
+                          robots_rules(robots, user_agent="corpusbot"))
+
+
+def _robots_txt_gate_named_sql() -> str:
+    bodies = " ".join(
+        f"WHEN {i} THEN '{b}'".replace("\n", "' || chr(10) || '")
+        for i, b in enumerate(_ROBOTS_NAMED_BODIES))
+    paths = " ".join(f"WHEN {i} THEN '{p}'"
+                     for i, p in enumerate(_ROBOTS_TXT_PATHS))
+    return f"""
+WITH doms AS (SELECT DISTINCT doc_id % 13 AS dom FROM documents),
+bod AS (
+  SELECT dom, CASE dom % 5 {bodies} END AS body FROM doms
+),
+segs AS (
+  SELECT dom, string_split_regex(body, '(?i)user-agent[ \\t]*:') AS sl
+  FROM bod
+),
+-- RFC 9309 §2.2.1: the named group binds when any segment names the
+-- crawler's exact token; only then does '*' stop applying
+merged AS (
+  SELECT dom,
+         array_to_string(
+           CASE WHEN len(list_filter(sl,
+                  s -> lower(regexp_extract(s,
+                         '^[ \\t]*([^ \\t\\r\\n#]*)', 1)) = 'corpusbot'))
+                > 0
+                THEN list_filter(sl,
+                  s -> lower(regexp_extract(s,
+                         '^[ \\t]*([^ \\t\\r\\n#]*)', 1)) = 'corpusbot')
+                ELSE list_filter(sl,
+                  s -> lower(regexp_extract(s,
+                         '^[ \\t]*([^ \\t\\r\\n#]*)', 1)) = '*')
+           END, chr(10)) AS seg
+  FROM segs
+),
+rawr AS (
+  SELECT dom, unnest(regexp_extract_all(
+           seg,
+           '(?im)^[ \\t]*(allow|disallow)[ \\t]*:[ \\t]*([^#\\r\\n]*)',
+           0)) AS m
+  FROM merged
+),
+rul AS (
+  SELECT dom,
+         CASE WHEN lower(regexp_extract(m, '(?i)(allow|disallow)', 1))
+              = 'allow' THEN 1 ELSE 0 END AS is_allow,
+         trim(regexp_extract(m, ':(.*)$', 1)) AS path
+  FROM rawr
+  WHERE trim(regexp_extract(m, ':(.*)$', 1)) <> ''
+),
+pats AS (
+  SELECT dom, is_allow, CAST(length(path) AS INTEGER) AS rule_len,
+         CASE WHEN right(wild, 1) = '$'
+              THEN substring(wild, 1, length(wild) - 1)
+              ELSE wild || '%' END AS pat
+  FROM (SELECT dom, is_allow, path,
+               replace(replace(replace(replace(path,
+                 '!', '!!'), '%', '!%'), '_', '!_'), '*', '%') AS wild
+        FROM rul)
+),
+u AS (
+  SELECT doc_id, doc_id % 13 AS dom,
+         regexp_extract(
+           'https://named-' || CAST(doc_id % 13 AS VARCHAR) ||
+           '.example.com' || CASE doc_id % 6 {paths} END,
+           '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS p0
+  FROM documents
+),
+up AS (SELECT doc_id, dom,
+              CASE WHEN p0 = '' THEN '/' ELSE p0 END AS p FROM u),
+agg AS (
+  SELECT up.doc_id,
+         max(CASE WHEN r.pat IS NOT NULL
+                   AND up.p LIKE r.pat ESCAPE '!'
+                  THEN r.rule_len * 2 + r.is_allow END) AS pk
+  FROM up LEFT JOIN pats r USING (dom)
+  GROUP BY 1
+)
+SELECT doc_id,
+       CASE WHEN pk IS NULL OR pk % 2 = 1 THEN 1 ELSE 0 END AS allowed,
+       CAST(COALESCE(pk // 2, 0) AS INTEGER) AS match_len
+FROM agg
+"""
+
+
+# --- MP3 header-walk stats ----------------------------------------------------
+
+def _q_mp3_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LIVE MP3-header path (functions/mp3.py via
+    multimodal.py:mp3_synth_stats): synthesize a valid MPEG-1 Layer III
+    frame train per doc (frame count, VBR alternation, and an ID3v2
+    prefix all derived from doc_id) and WALK it back inside one Arrow
+    batch.  The oracle reproduces every stat from the same doc_id
+    arithmetic without touching MP3 bytes — any sync-scan / ID3-skip /
+    frame-length / VBR-fold regression hash-mismatches."""
+    from ..functions.multimodal import mp3_synth_stats
+
+    return mp3_synth_stats(_docs(spark, sf_dir))
+
+
+# duration: n_frames Layer III MPEG-1 frames of 1152 samples at 44.1 kHz,
+# integer-exact on both engines
+_MP3_STATS_SQL = """
+SELECT doc_id,
+       'mp3' AS format,
+       CAST(3 + doc_id % 5 AS BIGINT) AS n_frames,
+       CAST(44100 AS INTEGER) AS sample_rate,
+       CAST((3 + doc_id % 5) * 1152 * 1000 // 44100 AS BIGINT)
+         AS duration_ms,
+       CAST(128 AS INTEGER) AS min_kbps,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 160 ELSE 128 END AS INTEGER)
+         AS max_kbps,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS INTEGER) AS vbr
+FROM documents
 """
 
 
@@ -3900,7 +4265,21 @@ QUERIES: dict[str, Query] = {
     "crawl_schedule": Query(
         _q_crawl_schedule, _crawl_schedule_sql(),
         "per-host politeness wave scheduling of canonical-URL keepers "
-        "(one window exchange on the host key)"),
+        "(sharded ranged rank — no single-task mega-host sort)"),
+    "search_rank": Query(
+        _q_search_rank, _search_rank_sql(),
+        "IR capstone: BM25 candidates boosted by anchor counts and "
+        "exact-phrase hits, deterministic top-25 "
+        "(TakeOrderedAndProject, no global sort)"),
+    "robots_txt_gate_named": Query(
+        _q_robots_txt_gate_named, _robots_txt_gate_named_sql(),
+        "robots.txt gate for a NAMED crawler: RFC 9309 §2.2.1 group "
+        "selection (named overrides *, '*bot' binds nobody, fallback "
+        "to default)"),
+    "mp3_stats": Query(
+        _q_mp3_stats, _MP3_STATS_SQL,
+        "live MP3 frame-header walk (synthesize + parse in one Arrow "
+        "batch): frame count, duration, bitrate range, VBR, ID3 skip"),
     "snapshot_diff": Query(
         _q_snapshot_diff, _snapshot_diff_sql(),
         "URL-keyed added/removed/changed/unchanged diff between two "

@@ -171,6 +171,55 @@ def test_snapshot_diff_duplicate_keys_classify_once(spark):
     assert got == {"u1": u1_change, "u2": "unchanged"}
 
 
+# --- 3b. anchor_texts quote forms --------------------------------------------
+
+
+def test_anchor_texts_all_quote_forms(spark):
+    """Double-quoted, single-quoted, AND unquoted hrefs all count; a
+    symmetric quote pair is stripped from the target, inner markup from
+    the anchor text.  (Single/unquoted were silently dropped pre-r10.)"""
+    from simpy__kafka__flink__kafka_spark.functions.quality import (
+        anchor_texts)
+
+    page = ('<p><a href="/x">double</a>'
+            "<a href='/x'>single <b>bold</b></a>"
+            '<a rel=nofollow href=/x class=y>unquoted</a>'
+            '<a href = "/spaced">spaced eq</a>'
+            "<a href='/y'>other</a></p>")
+    df = spark.createDataFrame([(1, page)], "doc_id long, html string")
+    got = {r.target: (r.n_anchors, r.n_unique_texts)
+           for r in anchor_texts(df).collect()}
+    assert got == {"/x": (3, 3), "/spaced": (1, 1), "/y": (1, 1)}
+
+
+def test_anchor_texts_quote_forms_engine_parity(spark):
+    """The same mixed-quote page through Spark and DuckDB with the
+    shared ANCHOR_RE: identical pair extraction on both engines."""
+    from simpy__kafka__flink__kafka_spark.functions.quality import (
+        ANCHOR_RE, anchor_texts)
+
+    page = ('<a href="/a">one</a><a href=\'/b\'>two</a>'
+            '<a href=/c>three</a><a href=\'\'>empty</a>')
+    df = spark.createDataFrame([(1, page)], "doc_id long, html string")
+    got = sorted((r.target, r.n_anchors)
+                 for r in anchor_texts(df).collect())
+    pat = ANCHOR_RE.replace("'", "''")
+    con = duckdb.connect()
+    want = sorted(con.execute(f"""
+        WITH m AS (
+          SELECT unnest(regexp_extract_all(?, '{pat}', 0)) AS a),
+        p AS (
+          SELECT regexp_replace(regexp_replace(
+                   regexp_extract(a, '{pat}', 1),
+                   '(?s)^"(.*)"$', '\\1'),
+                   '(?s)^''(.*)''$', '\\1') AS target
+          FROM m)
+        SELECT target, CAST(count(*) AS BIGINT) FROM p GROUP BY 1
+    """, [page]).fetchall())
+    assert got == want
+    assert ("/b", 1) in got and ("/c", 1) in got
+
+
 # --- 4. robots group selection ----------------------------------------------
 
 _STARBOT_BODY = (

@@ -1,0 +1,103 @@
+"""MP3 header-walk stats (functions/mp3.py + multimodal.py:
+audio_container_stats / mp3_synth_stats): frame-length arithmetic,
+ID3v2 skipping, VBR detection, typed errors on malformed streams, and
+the Arrow-batched container dispatch over WAV/FLAC/MP3 payloads."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from simpy__kafka__flink__kafka_spark.functions.mp3 import (
+    encode_mp3_frames, id3v2_size, mp3_stream_stats)
+
+
+def test_cbr_stats_exact():
+    # 4 frames @ 128 kbps, 44100 Hz: frame_len = 144000*128//44100 = 417
+    buf = encode_mp3_frames([9, 9, 9, 9])
+    assert len(buf) == 4 * (144000 * 128 // 44100)
+    s = mp3_stream_stats(buf)
+    assert (s.n_frames, s.sample_rate) == (4, 44100)
+    assert (s.min_kbps, s.max_kbps, s.vbr) == (128, 128, False)
+    assert s.duration_ms == 4 * 1152 * 1000 // 44100
+
+
+def test_vbr_and_id3_skip():
+    buf = encode_mp3_frames([9, 10, 9], id3_bytes=33)
+    assert id3v2_size(buf) == 43
+    s = mp3_stream_stats(buf)
+    assert (s.n_frames, s.min_kbps, s.max_kbps, s.vbr) == (3, 128, 160,
+                                                           True)
+
+
+def test_sample_rates():
+    # sr_idx 1 = 48000 Hz: frame_len = 144000*128//48000 = 384
+    s = mp3_stream_stats(encode_mp3_frames([9, 9], sr_idx=1))
+    assert s.sample_rate == 48000
+    assert s.duration_ms == 2 * 1152 * 1000 // 48000
+
+
+def test_truncated_tail_stops_clean():
+    """A trailing partial frame (< 4 header bytes) ends the walk at the
+    last complete header."""
+    buf = encode_mp3_frames([9, 9]) + b"\xff"
+    assert mp3_stream_stats(buf).n_frames == 2
+
+
+def test_errors_are_typed():
+    with pytest.raises(ValueError, match="no MPEG audio frame"):
+        mp3_stream_stats(b"garbage bytes here")
+    # free-format bitrate index 0
+    bad = bytearray(encode_mp3_frames([9]))
+    bad[2] = 0x00
+    with pytest.raises(ValueError, match="free-format or invalid"):
+        mp3_stream_stats(bytes(bad))
+    # Layer I header (layer bits 11)
+    l1 = bytearray(encode_mp3_frames([9]))
+    l1[1] = 0xFF
+    with pytest.raises(ValueError, match="non-Layer-III"):
+        mp3_stream_stats(bytes(l1))
+
+
+def test_audio_container_stats_dispatch(spark):
+    """One frame of each container through the Arrow path: WAV, FLAC,
+    and MP3 all report header-exact duration without PCM decode."""
+    from simpy__kafka__flink__kafka_spark.functions.flac import encode_flac
+    from simpy__kafka__flink__kafka_spark.functions.multimodal import (
+        audio_container_stats, encode_wav)
+
+    samples = np.arange(160, dtype=np.int16).reshape(-1, 1)
+    rows = [
+        (1, bytearray(encode_wav(samples, 16000))),
+        (2, bytearray(encode_flac(samples.ravel(), sample_rate=8000))),
+        (3, bytearray(encode_mp3_frames([9, 10, 9, 9], id3_bytes=12))),
+    ]
+    media = spark.createDataFrame(rows, "doc_id long, content binary")
+    got = {r.doc_id: r for r in audio_container_stats(media).collect()}
+    assert got[1].format == "wav"
+    assert (got[1].n_frames, got[1].sample_rate) == (160, 16000)
+    assert got[1].duration_ms == 160 * 1000 // 16000
+    assert got[2].format == "flac"
+    assert (got[2].n_frames, got[2].sample_rate) == (160, 8000)
+    assert got[3].format == "mp3"
+    assert (got[3].n_frames, got[3].vbr) == (4, 1)
+    assert (got[3].min_kbps, got[3].max_kbps) == (128, 160)
+
+
+def test_mp3_synth_stats_matches_id_arithmetic(spark):
+    from simpy__kafka__flink__kafka_spark.functions.multimodal import (
+        mp3_synth_stats)
+
+    docs = spark.createDataFrame([(i,) for i in range(12)],
+                                 "doc_id long")
+    got = {r.doc_id: r for r in mp3_synth_stats(docs).collect()}
+    for i in range(12):
+        n = 3 + i % 5
+        r = got[i]
+        assert r.n_frames == n
+        assert r.sample_rate == 44100
+        assert r.duration_ms == n * 1152 * 1000 // 44100
+        if i % 3 == 0:
+            assert (r.min_kbps, r.max_kbps, r.vbr) == (128, 160, 1)
+        else:
+            assert (r.min_kbps, r.max_kbps, r.vbr) == (128, 128, 0)
