@@ -254,6 +254,179 @@ def start_incremental_ingest(docs_stream: DataFrame,
     )
 
 
+# --- Streaming SCD2 snapshot maintenance -------------------------------------
+
+def scd2_apply(history: DataFrame | None, obs: DataFrame,
+               key_col: str = "url", snap_col: str = "snap_id",
+               text_col: str = "text") -> DataFrame:
+    """One incremental SCD2 step: advance an effective-dated history
+    (schema of functions/crawl.py:scd2_history) by a batch of new
+    observations — the merge a CONTINUOUS crawl runs per micro-batch
+    instead of recomputing the whole history from every snapshot ever
+    taken.  Pure batch function (foreachBatch wraps it in
+    :func:`start_scd2_maintenance`), so the batch-parity test can fold
+    snapshots through it one at a time and compare against the
+    all-at-once batch operator.
+
+    Merge algebra (one key-keyed exchange over touched keys only):
+    each touched key's CURRENT row becomes a seed row carrying its run
+    state (fingerprint, version, valid_from, last_seen, n_snaps); the
+    batch's observations union under it and the same lag/run-sum/lead
+    window algebra as the batch operator re-derives the key's current
+    + new versions.  Closed versions and untouched keys pass through
+    byte-identical.  A batch observation with ``snap <= last_seen`` of
+    the key's current row is DROPPED — it was either already applied
+    (checkpoint replay: this is what makes the step idempotent) or it
+    arrived out of order (late data; the batch operator over the full
+    snapshot archive is the backfill path, same at-least-once posture
+    as the rest of the front door).
+
+    Observations: (key_col, snap_col, text_col); duplicate (key, snap)
+    rows collapse to the min fingerprint (the snapshot_diff contract).
+    Returns the full new history."""
+    from pyspark.sql import Window as W
+
+    from ..functions.text import normalized
+
+    fp = (obs.select(F.col(key_col).alias("k"),
+                     F.col(snap_col).cast("long").alias("snap"),
+                     F.md5(normalized(text_col)).alias("fingerprint"))
+          .groupBy("k", "snap")
+          .agg(F.min("fingerprint").alias("fingerprint")))
+    hist_cols = [key_col, "fingerprint", "version", "valid_from",
+                 "valid_to", "last_seen", "n_snaps", "is_current"]
+    if history is None:
+        spark = obs.sparkSession
+        history = spark.createDataFrame(
+            [], f"{key_col} string, fingerprint string, version long, "
+                "valid_from long, valid_to long, last_seen long, "
+                "n_snaps long, is_current int")
+    hist = history.select(*hist_cols)
+    keys = fp.select("k").distinct()
+    untouched = hist.join(keys, F.col(key_col) == F.col("k"),
+                          "left_anti")
+    touched = hist.join(keys, F.col(key_col) == F.col("k"),
+                        "left_semi")
+    cur = touched.where(F.col("is_current") == 1)
+    closed = touched.where(F.col("is_current") == 0)
+    # replay/late guard: drop observations at or before the current edge
+    fresh = (fp.join(cur.select(F.col(key_col).alias("k"),
+                                F.col("last_seen").alias("_edge")),
+                     "k", "left")
+             .where(F.col("_edge").isNull()
+                    | (F.col("snap") > F.col("_edge")))
+             .drop("_edge"))
+    seed = cur.select(
+        F.col(key_col).alias("k"),
+        F.col("last_seen").alias("snap"),
+        "fingerprint",
+        F.col("valid_from").alias("vf"),
+        F.col("n_snaps").alias("w"),
+        F.col("version").alias("base"),
+        F.lit(1).alias("is_seed"),
+    )
+    rows = seed.unionByName(fresh.select(
+        "k", "snap", "fingerprint",
+        F.col("snap").alias("vf"),
+        F.lit(1).cast("long").alias("w"),
+        F.lit(None).cast("long").alias("base"),
+        F.lit(0).alias("is_seed"),
+    ))
+    wk = W.partitionBy("k").orderBy("snap")
+    runs = (
+        rows.withColumn(
+            "chg",
+            F.when(F.col("is_seed") == 1, F.lit(0))
+            .when(F.lag("fingerprint").over(wk).isNull()
+                  | (F.lag("fingerprint").over(wk)
+                     != F.col("fingerprint")), F.lit(1))
+            .otherwise(F.lit(0)))
+        .withColumn("_base", F.coalesce(
+            F.max("base").over(W.partitionBy("k")), F.lit(0)))
+        .withColumn("version", F.col("_base") + F.sum("chg").over(
+            wk.rowsBetween(W.unboundedPreceding, W.currentRow)))
+    )
+    per_run = runs.groupBy("k", "version").agg(
+        F.min_by("fingerprint", "snap").alias("fingerprint"),
+        F.min("vf").alias("valid_from"),
+        F.max("snap").alias("last_seen"),
+        F.sum("w").cast("long").alias("n_snaps"),
+    )
+    wv = W.partitionBy("k").orderBy("version")
+    rebuilt = per_run.select(
+        F.col("k").alias(key_col), "fingerprint",
+        F.col("version").cast("long").alias("version"),
+        "valid_from",
+        F.lead("valid_from").over(wv).alias("valid_to"),
+        "last_seen", "n_snaps",
+        F.when(F.lead("valid_from").over(wv).isNull(), F.lit(1))
+        .otherwise(F.lit(0)).alias("is_current"),
+    )
+    return untouched.unionByName(closed).unionByName(rebuilt)
+
+
+def scd2_update_batch(batch_df: DataFrame, history_dir: str,
+                      key_col: str = "url", snap_col: str = "snap_id",
+                      text_col: str = "text") -> None:
+    """One micro-batch of :func:`start_scd2_maintenance`: read the
+    persisted history, merge the batch via :func:`scd2_apply`, persist
+    the result.  The new history is materialized (localCheckpoint)
+    BEFORE the swap because it READS the path it replaces; the swap is
+    write-to-side-dir + replace (a crash between delete and rename
+    leaves the complete new history in the side dir — recoverable,
+    never silently truncated; production swaps this for a Delta/Iceberg
+    MERGE, the same posture as pair compaction)."""
+    import os
+    import shutil
+
+    from pyspark.errors import AnalysisException
+
+    spark = batch_df.sparkSession
+    try:
+        hist = spark.read.parquet(history_dir)
+    except AnalysisException as e:
+        cls = e.getCondition() if hasattr(e, "getCondition") else None
+        if cls != "PATH_NOT_FOUND" and "Path does not exist" not in str(e):
+            raise
+        hist = None
+    new_hist = scd2_apply(hist, batch_df, key_col=key_col,
+                          snap_col=snap_col,
+                          text_col=text_col).localCheckpoint()
+    tmp = history_dir.rstrip("/") + ".next"
+    new_hist.write.mode("overwrite").parquet(tmp)
+    if os.path.exists(history_dir):
+        shutil.rmtree(history_dir)
+    os.rename(tmp, history_dir)
+
+
+def start_scd2_maintenance(obs_stream: DataFrame, history_dir: str,
+                           checkpoint_dir: str,
+                           key_col: str = "url",
+                           snap_col: str = "snap_id",
+                           text_col: str = "text"):
+    """Streaming SCD2 maintenance — the storage layer a continuous
+    crawl keeps so :func:`~..functions.crawl.snapshot_diff` questions
+    ("what changed since snapshot N?") are answerable without storing
+    every page copy: each micro-batch of (key, snap, text) observations
+    advances the persisted effective-dated history via
+    :func:`scd2_update_batch`.  Composes downstream of
+    :func:`start_crawl_admission`'s accepted stream (feed it the
+    accepted docs plus their crawl/snapshot id).  Restart-safe: a
+    replayed batch's observations fall at-or-before each key's
+    last_seen edge and are dropped by :func:`scd2_apply`'s idempotence
+    guard.  Returns the started StreamingQuery."""
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        scd2_update_batch(batch_df, history_dir, key_col=key_col,
+                          snap_col=snap_col, text_col=text_col)
+
+    return (
+        obs_stream.writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )
+
+
 def url_frontier_dedup(urls: DataFrame,
                        keep: tuple[str, ...] = ()) -> DataFrame:
     """Streaming URL-frontier dedup: canonicalize
