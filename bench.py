@@ -80,7 +80,105 @@ HEADLINE = [
     "critical_path",
     "compliant_pagerank",
     "robots_txt_gate",
+    # round-10 gate rows: the IR family (BM25, quote-complete anchor
+    # aggregation, and the search_rank capstone chaining them with
+    # phrase positions), the snapshot bookkeeping pair, SoftDeDup
+    # weights, the temperature mixture plan, the resharded politeness
+    # schedule, and the live MP3 header walk
+    "bm25_scores",
+    "anchor_texts",
+    "search_rank",
+    "snapshot_diff",
+    "scd2_history",
+    "soft_dedup_weights",
+    "mixture_plan",
+    "crawl_schedule",
+    "mp3_stats",
 ]
+
+
+# --- scale ladder ------------------------------------------------------------
+# The 5 most expensive headline queries also run once against a 10x
+# synthesized blow-up of sf0.1 (disjoint per-replica id/user worlds,
+# per-replica text/props markers so dedup and linking workloads keep
+# their shape), and the JSON carries both points plus the growth ratio —
+# the PLANS.md growth-checkpoint prose as a driver-visible artifact.
+# Skip with SPARK_GRAFT_BENCH_SCALE=0; factor override via the same var.
+SCALE_QUERIES = [
+    "link_traces",
+    "critical_path",
+    "gap_fill_hourly",
+    "crawl_admission",
+    "exact_substring_profile_rewrite",
+]
+
+
+def _ensure_scaled_dir(spark, sf_dir: str, factor: int) -> str:
+    """Materialize the scaled twin of ``sf_dir`` under the repo (kept
+    across rounds; regenerated only when absent).  documents/events get
+    real ``factor``-replica blow-ups; the small dims symlink through."""
+    base = Path(__file__).resolve().parent / ".bench_scale" / (
+        f"x{factor}_" + Path(sf_dir).name)
+    marker = base / "_COMPLETE"
+    if marker.exists():
+        return str(base)
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    if base.exists():
+        shutil.rmtree(base)
+    base.mkdir(parents=True)
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "embeddings"):
+        os.symlink(f"{sf_dir}/{t}.parquet", base / f"{t}.parquet")
+    rep = F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("_rep")
+    off = F.col("_rep").cast("long") * F.lit(1 << 40)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    (docs.select("*", rep)
+     .withColumn("doc_id", F.col("doc_id") + off)
+     .withColumn("text", F.concat("text", F.lit(" r"),
+                                  F.col("_rep").cast("string")))
+     .drop("_rep")
+     .write.mode("overwrite").parquet(str(base / "documents.parquet")))
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    (ev.select("*", rep)
+     .withColumn("event_id", F.col("event_id") + off)
+     .withColumn("user_id", F.col("user_id") + off)
+     # keep msg references world-disjoint too, so parse/link queries
+     # never cross replicas
+     .withColumn("props", F.regexp_replace(
+         "props", "msg_", F.concat(F.lit("msg"),
+                                   F.col("_rep").cast("string"),
+                                   F.lit("_"))))
+     .drop("_rep")
+     .write.mode("overwrite").parquet(str(base / "events.parquet")))
+    marker.touch()
+    return str(base)
+
+
+def _run_scale(spark, reg, sf_dir: str, base_times: dict[str, float],
+               factor: int) -> dict:
+    scaled_dir = _ensure_scaled_dir(spark, sf_dir, factor)
+    out: dict[str, dict] = {}
+    for name in SCALE_QUERIES:
+        if name not in reg or name not in base_times:
+            continue
+        t0 = time.perf_counter()
+        reg[name].build(spark, scaled_dir).write.format("noop").mode(
+            "overwrite").save()
+        tx = round(time.perf_counter() - t0, 3)
+        spark.catalog.clearCache()
+        out[name] = {
+            "x1": base_times[name],
+            f"x{factor}": tx,
+            "growth": round(tx / base_times[name], 2)
+            if base_times[name] > 0 else None,
+        }
+    return {"factor": factor, "queries": out}
 
 
 def main() -> None:
@@ -137,13 +235,18 @@ def main() -> None:
 
     total = round(sum(times.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(json.dumps({
+    payload = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
         "queries": times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }))
+    }
+    scale_env = os.environ.get("SPARK_GRAFT_BENCH_SCALE", "10")
+    factor = int(scale_env) if scale_env.isdigit() else 0
+    if factor > 1:
+        payload["scale"] = _run_scale(spark, reg, sf_dir, times, factor)
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

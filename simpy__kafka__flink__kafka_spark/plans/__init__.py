@@ -35,9 +35,14 @@ CHECKED_FIRST = [
     # (same scalar-expression family as the checked parse_props_lenient)
     # demoted to the oracled pytest-checked tail, funding gate rows for
     # the round-8 crawl front door below.
+    # Round-10 rotation (VERDICT r09 task #1): array_membership and
+    # counter_ids_sharded demoted to the oracled pytest-checked tail —
+    # array_membership is the same scalar-expression family as the
+    # checked parse_props_lenient, and counter_ids_sharded's ranged
+    # row-number algebra is now at the gate TWICE (watermark_sharded's
+    # ranged-offset family plus the newly sharded crawl_schedule).
     "link_traces", "link_edges",
-    "watermark_sharded", "parse_props_lenient", "array_membership",
-    "counter_ids_sharded",
+    "watermark_sharded", "parse_props_lenient",
     # trace analytics over the linked DAG (fanout_histogram — a simple
     # fanout groupBy histogram, conceptually covered by chain_stats —
     # demoted late round 5 to the oracled pytest-checked tail, funding the
@@ -67,8 +72,16 @@ CHECKED_FIRST = [
     # multimodal_frames (vs the checked multimodal_features, same codec
     # path) demoted to the oracled pytest-checked tail, funding gate rows
     # for the round-7 web front door + sketch additions below
-    "token_count", "exact_dedup", "winnow_fingerprints",
-    "language_id", "quality_score", "near_dup_clusters",
+    # Round-10 rotation (cont.): winnow_fingerprints (embedded in the
+    # checked fused exact_substring_profile_rewrite — same gram-window
+    # exchange), language_id and quality_score (both called INSIDE the
+    # checked corpus_prep_full capstone, so their arithmetic stays
+    # hash-checked through it), and near_dup_clusters (its oracle is
+    # the candidate CTE of the checked dedup_survivors AND the promoted
+    # soft_dedup_weights embeds the full clusters CTE) demoted to the
+    # oracled pytest-checked tail, funding four of the round-9/10
+    # promotions below.
+    "token_count", "exact_dedup",
     "dedup_survivors", "near_dup_verified",
     "simhash_near_dup",
     # Round-9: quantize_embeddings (pure per-row column arithmetic,
@@ -78,18 +91,25 @@ CHECKED_FIRST = [
     "ivf_topk", "embedding_near_dup_verified",
     "pack_token_shards", "tfidf_top_terms",
     "corpus_prep_full", "multimodal_features",
-    # round-6 additions promoted round 7: fuzzy decontamination, bigram
-    # novelty, single-pass table profiling
-    "contamination_overlap", "rare_bigram_rate", "profile_orders",
+    # round-6 additions promoted round 7: bigram novelty, single-pass
+    # table profiling (contamination_overlap demoted round 10, see above)
+    "rare_bigram_rate", "profile_orders",
     # round-7 web front door + hashed linear scorer + CMS sketch, promoted
     # round 8 (all oracled, array-free schemas — driver-hashable)
     "warc_parse", "html_extract_main", "web_prep_full",
     "linear_quality_score", "ngram_cms_counts",
-    # round-3 training-data additions (contamination scan + deterministic
-    # temperature mix), plus repetition_ratio / vocab_coverage promoted in
-    # round 4 (VERDICT r03 task #6) into the slots freed below
-    "contamination_check", "temperature_sample",
-    "repetition_ratio", "vocab_coverage",
+    # round-3 training-data additions (contamination scan), plus
+    # repetition_ratio promoted in round 4 (VERDICT r03 task #6).
+    # Round-10 rotation (cont.): temperature_sample demoted — the
+    # promoted mixture_plan applies the same temperature-pow
+    # rebalancing arithmetic corpus-wide (the per-doc twin stays
+    # oracled in the tail); vocab_coverage demoted — its corpus tf->df
+    # statistics pipeline is the checked tfidf_top_terms' first two
+    # stages (the OOV fold stays oracled in the tail);
+    # contamination_overlap demoted — same fuzzy-decontamination family
+    # as the checked contamination_check.
+    "contamination_check",
+    "repetition_ratio",
     # round-4 corpus additions: C4-style cross-doc passage dedup and
     # fixed-window chunking (pii_scrub / salted_split / source_stats stay in
     # the oracled pytest-checked tail); round-5 adds the span-REMOVAL twin
@@ -137,6 +157,19 @@ CHECKED_FIRST = [
     # the tail).
     "url_canonicalize", "robots_filter", "bigram_lm_score",
     "gap_fill_hourly", "crawl_admission", "compliant_pagerank",
+    # Round-10 promotions (VERDICT r09 task #1 + the round-10 surface):
+    # the RFC 9309 robots.txt FILE gate, the snapshot bookkeeping pair
+    # (two-sided diff + SCD2 effective-dated history), SoftDeDup
+    # weights, and the IR family — BM25 scoring, the quote-fixed
+    # anchor-text aggregation (round-10 ANCHOR_RE change: least-soaked
+    # code takes the hard signal), and the search_rank capstone that
+    # chains anchors + BM25 + phrase positions into one oracled top-k.
+    # crawl_schedule is promoted in the same spirit: its rank was
+    # resharded this round (mega-host fix) and the gate should hash the
+    # new plan.  mixture_plan carries the round-10 zero-token guard.
+    "robots_txt_gate", "snapshot_diff", "scd2_history",
+    "soft_dedup_weights", "bm25_scores", "anchor_texts",
+    "search_rank", "crawl_schedule", "mixture_plan",
 ]
 
 
