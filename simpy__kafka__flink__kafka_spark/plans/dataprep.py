@@ -3057,6 +3057,94 @@ FROM agg
 """
 
 
+# --- Crawl-delay-paced schedule -----------------------------------------------
+
+_ROBOTS_DELAY_BODIES = [
+    "User-agent: *\nCrawl-delay: 2\nDisallow: /private/\n",
+    "User-agent: *\nCrawl-delay: 0.5\nCrawl-delay: 4\nAllow: /\n",
+    "User-agent: *\nDisallow: /tmp/\n",    # no delay -> caller default
+]
+
+
+def _q_crawl_schedule_paced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt -> Crawl-delay -> schedule composition: per-domain
+    delays parsed from the binding group (max across lines) pace the
+    sharded wave schedule's not_before_s; hosts without a stated delay
+    pace at the 1.5 s default.  One broadcast delay join on top of the
+    crawl_schedule gate row's plan."""
+    from ..functions.crawl import crawl_schedule
+    from ..functions.robots import robots_crawl_delays
+
+    docs = _docs(spark, sf_dir)
+    dom = F.col("doc_id") % 7
+    host = F.concat(F.lit("paced-"), dom.cast("string"),
+                    F.lit(".example.com"))
+    robots = (docs.select(dom.alias("d")).distinct()
+              .select(
+                  F.concat(F.lit("paced-"), F.col("d").cast("string"),
+                           F.lit(".example.com")).alias("host"),
+                  F.element_at(
+                      F.array(*[F.lit(b) for b in _ROBOTS_DELAY_BODIES]),
+                      (F.col("d") % 3 + 1).cast("int"))
+                  .alias("robots_txt")))
+    urls = docs.select(
+        "doc_id",
+        F.concat(F.lit("https://"), host, F.lit("/p/"),
+                 F.col("doc_id").cast("string")).alias("url"))
+    delays = robots_crawl_delays(robots, key_col="host")
+    return crawl_schedule(urls, per_wave=4, delays=delays,
+                          default_delay_s=1.5)
+
+
+def _crawl_schedule_paced_sql() -> str:
+    bodies = " ".join(
+        f"WHEN {i} THEN '{b}'".replace("\n", "' || chr(10) || '")
+        for i, b in enumerate(_ROBOTS_DELAY_BODIES))
+    return f"""
+WITH doms AS (SELECT DISTINCT doc_id % 7 AS d FROM documents),
+bod AS (
+  SELECT 'paced-' || CAST(d AS VARCHAR) || '.example.com' AS host,
+         CASE d % 3 {bodies} END AS body
+  FROM doms
+),
+merged AS (
+  SELECT host,
+         array_to_string(
+           list_filter(
+             string_split_regex(body, '(?i)user-agent[ \\t]*:'),
+             s -> lower(regexp_extract(s, '^[ \\t]*([^ \\t\\r\\n#]*)', 1))
+                  = '*'),
+           chr(10)) AS seg
+  FROM bod
+),
+dl AS (
+  SELECT host,
+         list_max(list_transform(
+           regexp_extract_all(seg,
+             '(?im)^[ \\t]*crawl-delay[ \\t]*:[ \\t]*([0-9]+(?:\\.[0-9]+)?)',
+             1),
+           x -> CAST(x AS DOUBLE))) AS crawl_delay
+  FROM merged
+),
+u AS (
+  SELECT doc_id,
+         'paced-' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' AS host
+  FROM documents
+),
+sched AS (
+  SELECT doc_id, host,
+         CAST(row_number() OVER (PARTITION BY host ORDER BY doc_id) - 1
+              AS BIGINT) AS slot
+  FROM u
+)
+SELECT s.doc_id, s.host, s.slot,
+       CAST(s.slot // 4 AS BIGINT) AS wave,
+       round((s.slot // 4) * COALESCE(dl.crawl_delay, 1.5), 6)
+         AS not_before_s
+FROM sched s LEFT JOIN dl USING (host)
+"""
+
+
 # --- MP3 header-walk stats ----------------------------------------------------
 
 def _q_mp3_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4276,6 +4364,10 @@ QUERIES: dict[str, Query] = {
         "robots.txt gate for a NAMED crawler: RFC 9309 §2.2.1 group "
         "selection (named overrides *, '*bot' binds nobody, fallback "
         "to default)"),
+    "crawl_schedule_paced": Query(
+        _q_crawl_schedule_paced, _crawl_schedule_paced_sql(),
+        "robots.txt Crawl-delay -> per-host wave pacing composition "
+        "(not_before_s = wave * delay, default for silent hosts)"),
     "mp3_stats": Query(
         _q_mp3_stats, _MP3_STATS_SQL,
         "live MP3 frame-header walk (synthesize + parse in one Arrow "

@@ -173,7 +173,8 @@ def compact_pair_batch(batch_df: DataFrame, out_dir: str) -> None:
 # --- Streaming incremental ingest vs a prior snapshot ------------------------
 
 def incremental_ingest_batch(batch_df: DataFrame, prior_profile_dir: str,
-                             accepted_dir: str) -> None:
+                             accepted_dir: str,
+                             keep: tuple[str, ...] = ()) -> None:
     """One micro-batch of :func:`start_incremental_ingest`: classify the
     batch's docs against the PRIOR snapshot's persisted profile PLUS the
     profiles of docs accepted in earlier batches, admit only ``fresh``
@@ -210,9 +211,11 @@ def incremental_ingest_batch(batch_df: DataFrame, prior_profile_dir: str,
         if cls != "PATH_NOT_FOUND" and "Path does not exist" not in str(e):
             raise
     # keep-first within the batch so two copies arriving together don't
-    # both classify fresh (the profile can't see batch-mates)
+    # both classify fresh (the profile can't see batch-mates).  ``keep``
+    # columns (e.g. url + snapshot id for the downstream SCD2 composer)
+    # ride through to the docs sink; the profile stays doc_id-keyed.
     batch = (
-        batch_df.select("doc_id", "text")
+        batch_df.select("doc_id", "text", *keep)
         .withColumn("_fp", F.md5(_norm("text")))
         .withColumn("_rn", F.row_number().over(
             W.partitionBy("_fp").orderBy("doc_id")))
@@ -452,7 +455,8 @@ def url_frontier_dedup(urls: DataFrame,
 
 def start_crawl_admission(docs_stream: DataFrame, prior_profile_dir: str,
                           accepted_dir: str, checkpoint_dir: str,
-                          robots_rules_df: DataFrame | None = None):
+                          robots_rules_df: DataFrame | None = None,
+                          keep: tuple[str, ...] = ()):
     """STREAMING crawl admission — the batch capstone's precedence
     (functions/crawl.py:admission_statuses) as one continuous front
     door, each stage in the stream-appropriate form:
@@ -487,11 +491,15 @@ def start_crawl_admission(docs_stream: DataFrame, prior_profile_dir: str,
     ``docs_stream`` must carry (doc_id, ingest_ts, url, html, headers,
     text) and a watermark on ``ingest_ts``.  Returns the started
     StreamingQuery; accepted docs + their profile land under
-    ``accepted_dir`` exactly as in :func:`start_incremental_ingest`."""
+    ``accepted_dir`` exactly as in :func:`start_incremental_ingest`.
+    ``keep`` columns ride through to the accepted docs sink — pass
+    ("url", "snap_id") to feed :func:`start_scd2_maintenance` off the
+    sink, closing the crawl -> admission -> history loop."""
     from ..functions.quality import _NOINDEX_TOK_RE, robots_directives
 
     frontier = url_frontier_dedup(
-        docs_stream, keep=("html", "headers", "text"))
+        docs_stream, keep=tuple({"html", "headers", "text", *keep}
+                                - {"doc_id", "ingest_ts", "url"}))
     indexable = frontier.where(
         ~robots_directives("html", "headers").rlike(_NOINDEX_TOK_RE))
 
@@ -507,8 +515,9 @@ def start_crawl_admission(docs_stream: DataFrame, prior_profile_dir: str,
             ok = (robots_allowed(withhost, robots_rules_df)
                   .where(F.col("allowed") == 1).select("doc_id"))
             batch = batch.join(ok, "doc_id", "left_semi")
-        incremental_ingest_batch(batch.select("doc_id", "text"),
-                                 prior_profile_dir, accepted_dir)
+        incremental_ingest_batch(batch.select("doc_id", "text", *keep),
+                                 prior_profile_dir, accepted_dir,
+                                 keep=keep)
 
     return (
         indexable.writeStream.foreachBatch(step)

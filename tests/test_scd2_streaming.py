@@ -127,6 +127,124 @@ def test_scd2_stream_end_to_end(spark, tmp_path):
     assert got == _canon(scd2_history(_obs_df(spark, {0, 1, 2, 3})))
 
 
+def test_admission_feeds_scd2_history(spark, tmp_path):
+    """The full crawl loop: start_crawl_admission (keep=url+snap_id)
+    writes accepted docs; start_scd2_maintenance consumes the accepted
+    sink and maintains the effective-dated history.  A re-crawl with
+    UNCHANGED content is dropped by the content check (an observation
+    gap the SCD2 run simply spans); changed content lands as a new
+    version; a robots-noindex page never reaches the history."""
+    from datetime import datetime, timezone
+
+    from simpy__kafka__flink__kafka_spark.functions.dedup import (
+        snapshot_profile)
+    from simpy__kafka__flink__kafka_spark.streaming.corpus import (
+        start_crawl_admission)
+
+    def ts(minutes):
+        return datetime(2026, 3, 1, 12, minutes, tzinfo=timezone.utc)
+
+    ok = "<html><head></head><body><p>ok</p></body></html>"
+    noidx = ('<html><head><meta name="robots" content="noindex">'
+             "</head></html>")
+    hdr = "HTTP/1.1 200 OK\r\n"
+    a0 = "original article about river navigation and barge routes"
+    # the revision must be genuinely FRESH content: a lightly-edited
+    # page is (correctly) near-dup-known to the content check and never
+    # reaches the history — revisions version the SCD2 record only when
+    # the re-crawl passes admission
+    a1 = "total rewrite covering desert irrigation pumps and canal " \
+         "maintenance rotas for the dry season"
+    b0 = "stable piece on orchard pollination and spring frosts"
+    d1 = "new report on mountain weather stations and wind data"
+
+    # wave 0 (snap 0), TWO watermark-advancer batches, then wave 1
+    # (snap 1): frontier-dedup state is evicted against the watermark
+    # from the PREVIOUS batch's end, so expiring snap-0 URL state needs
+    # one batch to raise the watermark past the horizon and one more so
+    # the re-crawl batch STARTS with it — the real-pipeline posture
+    # where re-crawls arrive well after the duplicate-arrival horizon
+    waves = [
+        [(1, ts(0), "https://s.example/a", ok, hdr, a0, 0),
+         (2, ts(1), "https://s.example/b", ok, hdr, b0, 0),
+         (3, ts(2), "https://s.example/c", noidx, hdr, d1, 0)],
+        [(8, ts(40), "https://s.example/wm-advancer-1", noidx, hdr,
+          "ignored", 0)],
+        [(9, ts(41), "https://s.example/wm-advancer-2", noidx, hdr,
+          "ignored", 0)],
+        [(11, ts(45), "https://s.example/a", ok, hdr, a1, 1),
+         (12, ts(46), "https://s.example/b", ok, hdr, b0, 1),
+         (13, ts(47), "https://s.example/d", ok, hdr, d1, 1)],
+    ]
+    schema = ("doc_id long, ingest_ts timestamp, url string, "
+              "html string, headers string, text string, snap_id long")
+
+    prior_dir = str(tmp_path / "prior")
+    snapshot_profile(spark.createDataFrame(
+        [(100, "unrelated prior content about glaciers")],
+        "doc_id long, text string")).write.parquet(prior_dir)
+
+    ind = tmp_path / "in"
+    ind.mkdir()
+    acc = str(tmp_path / "acc")
+    for i, wave in enumerate(waves):
+        spark.createDataFrame(wave, schema).coalesce(1).write.parquet(
+            str(ind / f"w{i}"))
+    adm_stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", "1")
+                  .parquet(str(ind) + "/*")
+                  .withWatermark("ingest_ts", "10 minutes"))
+    q1 = start_crawl_admission(adm_stream, prior_dir, acc,
+                               str(tmp_path / "ckpt_adm"),
+                               keep=("url", "snap_id"))
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            q1.processAllAvailable()
+            try:
+                got = {r.doc_id for r in
+                       spark.read.parquet(f"{acc}/docs").collect()}
+                if got == {1, 2, 11, 13}:
+                    break
+            except Exception:
+                pass
+            time.sleep(0.5)
+    finally:
+        q1.stop()
+    accepted = spark.read.parquet(f"{acc}/docs")
+    assert ({(r.doc_id, r.url, r.snap_id) for r in accepted.collect()}
+            == {(1, "https://s.example/a", 0),
+                (2, "https://s.example/b", 0),
+                (11, "https://s.example/a", 1),
+                (13, "https://s.example/d", 1)})
+
+    hist_dir = str(tmp_path / "history")
+    scd2_stream = (spark.readStream
+                   .schema("doc_id long, text string, url string, "
+                           "snap_id long")
+                   .parquet(f"{acc}/docs"))
+    q2 = start_scd2_maintenance(scd2_stream, hist_dir,
+                                str(tmp_path / "ckpt_scd2"))
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    obs = spark.createDataFrame(
+        [("https://s.example/a", 0, a0), ("https://s.example/b", 0, b0),
+         ("https://s.example/a", 1, a1), ("https://s.example/d", 1, d1)],
+        "url string, snap_id long, text string")
+    assert _canon(spark.read.parquet(hist_dir)) == _canon(
+        scd2_history(obs))
+    # /a carries two versions; /b's snap-1 re-crawl was content-known
+    # (observation gap), /d appears at snap 1, /c never entered
+    by_url = {}
+    for r in spark.read.parquet(hist_dir).collect():
+        by_url.setdefault(r.url, []).append(r)
+    assert len(by_url["https://s.example/a"]) == 2
+    assert len(by_url["https://s.example/b"]) == 1
+    assert "https://s.example/c" not in by_url
+
+
 def test_scd2_stream_restart_resumes(spark, tmp_path):
     """Kill the stream after wave 0, restart on the same checkpoint,
     deliver wave 1: the resumed query must complete the history (and
