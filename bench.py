@@ -148,6 +148,12 @@ def _ensure_scaled_dir(spark, sf_dir: str, factor: int) -> str:
     (ev.select("*", rep)
      .withColumn("event_id", F.col("event_id") + off)
      .withColumn("user_id", F.col("user_id") + off)
+     # shift each replica's clock by 400 days so the blow-up scales
+     # DURATION (10x more traffic-days at the same rate — the 100 TB
+     # story), not density: overlapping replicas would inflate every
+     # time-banded bucket 10x and quadratically explode interval-join
+     # pair counts, a different (rate-scaling) experiment
+     .withColumn("ts", F.expr("timestampadd(DAY, _rep * 400, ts)"))
      # keep msg references world-disjoint too, so parse/link queries
      # never cross replicas
      .withColumn("props", F.regexp_replace(
