@@ -48,20 +48,72 @@ def _agent_token(seg: Column) -> Column:
     return F.lower(F.regexp_extract(seg, _AGENT_TOK_RE, 1))
 
 
-def _group_segments(body_col: str, user_agent: str | None) -> Column:
-    """The segments whose rules bind ``user_agent`` (RFC 9309 §2.2.1):
-    segments naming the crawler's product token exactly
-    (case-insensitive) when any exist, else the ``*`` segments — a
-    named group OVERRIDES the default group rather than merging with
-    it.  Same-agent segments merge (§2.2.1's group-merge rule).
-    ``user_agent=None`` is the generic-crawler posture: ``*`` only."""
-    segs = F.split(F.col(body_col), r"(?i)user-agent[ \t]*:")
-    star = F.filter(segs, lambda s: _agent_token(s) == "*")
+# a segment COUNTS as rule-bearing when it carries any group-member
+# directive line (allow / disallow / crawl-delay) — a crawl-delay-only
+# group must not collapse into the next group's rules
+_DIRECTIVE_RE = r"(?im)^[ \t]*(allow|disallow|crawl-delay)[ \t]*:"
+_UA_SPLIT_RE = r"(?i)user-agent[ \t]*:"
+
+
+def _group_rule_text(df: DataFrame, body_col: str, key_col: str,
+                     user_agent: str | None) -> DataFrame:
+    """Per key, the concatenated directive text of the segments whose
+    rules bind ``user_agent`` (RFC 9309 §2.2.1-2.2.2).
+
+    Bodies split on ``User-agent:`` lines; a group declared with
+    STACKED agent lines (``User-agent: a`` / ``User-agent: b`` /
+    rules — blank lines in between allowed, per the RFC ABNF) splits
+    into agent-only segments whose rules live in the first FOLLOWING
+    rule-bearing segment, so each segment's binding rules are at
+    ``rpos = min(pos of rule-bearing segment >= own pos)`` — a window
+    over SEGMENT rows (tens per domain; the frame is domain-cardinality,
+    so this whole selection is negligible next to the URL stream).
+
+    Selection: positions claimed by segments naming the crawler's exact
+    product token when any exist, else those claimed by ``*`` segments
+    — a named group OVERRIDES the default group (never merges).
+    Same-agent segments merge.  ``user_agent=None`` is the
+    generic-crawler posture (``*`` only).
+    Output: (key_col, seg) — one row per key that HAS a binding group.
+    """
+    from pyspark.sql import Window as W
+
+    segs = F.split(F.col(body_col), _UA_SPLIT_RE)
+    ex = (df.select(key_col, F.posexplode(segs).alias("pos", "seg"))
+          # pos 0 is the preamble before any User-agent line: rules
+          # there belong to no group (RFC: ignored)
+          .where(F.col("pos") > 0)
+          .select(key_col, "pos", "seg",
+                  _agent_token(F.col("seg")).alias("tok"),
+                  F.col("seg").rlike(_DIRECTIVE_RE).alias("has_rules")))
+    w = (W.partitionBy(key_col).orderBy("pos")
+         .rowsBetween(W.currentRow, W.unboundedFollowing))
+    ex = ex.withColumn(
+        "rpos", F.min(F.when(F.col("has_rules"), F.col("pos"))).over(w))
+    star = (ex.where((F.col("tok") == "*") & F.col("rpos").isNotNull())
+            .select(key_col, "rpos").distinct())
     if user_agent is None:
-        return star
-    ua = user_agent.strip().lower()
-    named = F.filter(segs, lambda s: _agent_token(s) == ua)
-    return F.when(F.size(named) > 0, named).otherwise(star)
+        chosen = star
+    else:
+        ua = user_agent.strip().lower()
+        named = (ex.where((F.col("tok") == ua)
+                          & F.col("rpos").isNotNull())
+                 .select(key_col, "rpos").distinct())
+        keys_with_named = named.select(key_col).distinct()
+        chosen = named.unionByName(
+            star.join(keys_with_named, key_col, "left_anti"))
+    picked = chosen.join(
+        ex.select(key_col, F.col("pos").alias("rpos"), "seg"),
+        [key_col, "rpos"])
+    # rule/delay consumers treat the text as a SET of directive lines,
+    # so the merge order is immaterial — concat in position order
+    # anyway for determinism
+    return picked.groupBy(key_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rpos", "seg"))),
+                lambda s: s["seg"]),
+            "\n").alias("seg"))
 
 
 def robots_rules(df: DataFrame, body_col: str = "robots_txt",
@@ -72,14 +124,12 @@ def robots_rules(df: DataFrame, body_col: str = "robots_txt",
     int).
 
     Group selection (RFC 9309 §2.2.1): segments naming the crawler's
-    exact product token when any exist, else the ``*`` segments — see
-    :func:`_group_segments`.  Known simplification: a group declared
-    with several stacked ``User-agent:`` lines contributes its rules
-    only to the LAST listed agent (the split puts the rules in the
-    final token's segment).  Empty-path rules are dropped (they impose
-    nothing, RFC 9309 §2.2.2)."""
-    merged = F.array_join(_group_segments(body_col, user_agent), "\n")
-    matches = F.regexp_extract_all(merged, F.lit(_RULE_RE), 0)
+    exact product token when any exist, else the ``*`` segments, with
+    STACKED ``User-agent:`` lines sharing the following rules — see
+    :func:`_group_rule_text`.  Empty-path rules are dropped (they
+    impose nothing, RFC 9309 §2.2.2)."""
+    grouped = _group_rule_text(df, body_col, key_col, user_agent)
+    matches = F.regexp_extract_all(F.col("seg"), F.lit(_RULE_RE), 0)
     rules = F.transform(
         matches,
         lambda m: F.struct(
@@ -89,7 +139,7 @@ def robots_rules(df: DataFrame, body_col: str = "robots_txt",
             F.trim(F.regexp_extract(m, r":(.*)$", 1)).alias("path"),
         ))
     return (
-        df.select(key_col, F.explode(rules).alias("r"))
+        grouped.select(key_col, F.explode(rules).alias("r"))
         .select(key_col, F.col("r.is_allow").alias("is_allow"),
                 F.col("r.path").alias("path"))
         .where(F.col("path") != "")
@@ -108,12 +158,12 @@ def robots_crawl_delays(df: DataFrame, body_col: str = "robots_txt",
     Domains whose group carries no delay are omitted (the caller
     applies its default).  Zero-shuffle parse on a domain-cardinality
     frame.  Output: (key_col, crawl_delay: double)."""
-    merged = F.array_join(_group_segments(body_col, user_agent), "\n")
+    grouped = _group_rule_text(df, body_col, key_col, user_agent)
     delays = F.transform(
-        F.regexp_extract_all(merged, F.lit(_DELAY_RE), 1),
+        F.regexp_extract_all(F.col("seg"), F.lit(_DELAY_RE), 1),
         lambda d: d.cast("double"))
     return (
-        df.select(key_col, F.array_max(delays).alias("crawl_delay"))
+        grouped.select(key_col, F.array_max(delays).alias("crawl_delay"))
         .where(F.col("crawl_delay").isNotNull())
     )
 

@@ -2113,19 +2113,78 @@ def _synth_robots_pages(docs: DataFrame) -> DataFrame:
 _ROBOTS_TXT_BODIES = [
     # v0: plain prefix rules with an allow carve-out
     "User-agent: *\nDisallow: /private/\nAllow: /private/open/\n",
-    # v1: specific-agent group (ignored) + wildcard and $-anchored rules
-    "User-agent: googlebot\nDisallow: /\n\n"
+    # v1: STACKED specific-agent group (ignored by the default gate —
+    # neither token is '*') + wildcard and $-anchored rules
+    "User-agent: googlebot\nUser-agent: bingbot\nDisallow: /\n\n"
     "User-agent: *\nDisallow: /tmp/*\nAllow: /tmp/keep$\n",
     # v2: block everything
     "User-agent: *\nDisallow: /\n",
     # v3: no robots.txt
     "",
-    # v4: empty Disallow imposes nothing; wildcard allow
-    "User-agent: *\nDisallow:\nAllow: /index*\n",
+    # v4: '*' STACKED under a named token (RFC: both share the rules);
+    # empty Disallow imposes nothing; wildcard allow
+    "User-agent: fetchbot\nUser-agent: *\nDisallow:\nAllow: /index*\n",
 ]
 
 _ROBOTS_TXT_PATHS = ["/private/a", "/private/open/b", "/tmp/keep",
                      "/tmp/junk1", "/index.html", "/private"]
+
+
+def _robots_group_ctes(ua: str | None = None) -> str:
+    """``segx``/``segp``/``segr``/``chosen``/``merged`` CTE block
+    mirroring functions/robots.py:_group_rule_text — expects a
+    ``bod(dom, body)`` CTE above it; yields ``merged(dom, seg)``.
+    Stacked User-agent lines share the first FOLLOWING rule-bearing
+    segment (rpos); a named crawler's groups override ``*``."""
+    tok = "lower(regexp_extract(seg, '^[ \\t]*([^ \\t\\r\\n#]*)', 1))"
+    named = ""
+    chosen = """chosen AS (
+  SELECT DISTINCT dom, rpos FROM segr
+  WHERE tok = '*' AND rpos IS NOT NULL
+)"""
+    if ua is not None:
+        named = f"""namedp AS (
+  SELECT DISTINCT dom, rpos FROM segr
+  WHERE tok = '{ua.lower()}' AND rpos IS NOT NULL
+),
+starp AS (
+  SELECT DISTINCT dom, rpos FROM segr
+  WHERE tok = '*' AND rpos IS NOT NULL
+),"""
+        chosen = """chosen AS (
+  SELECT dom, rpos FROM namedp
+  UNION ALL
+  SELECT dom, rpos FROM starp
+  WHERE dom NOT IN (SELECT dom FROM namedp)
+)"""
+    return f"""segx AS (
+  SELECT dom, generate_subscripts(sl, 1) - 1 AS pos, unnest(sl) AS seg
+  FROM (SELECT dom,
+               string_split_regex(body, '(?i)user-agent[ \\t]*:') AS sl
+        FROM bod)
+),
+segp AS (
+  SELECT dom, pos, seg, {tok} AS tok,
+         regexp_matches(seg,
+           '(?im)^[ \\t]*(allow|disallow|crawl-delay)[ \\t]*:')
+           AS has_rules
+  FROM segx WHERE pos > 0
+),
+segr AS (
+  SELECT dom, pos, seg, tok,
+         min(CASE WHEN has_rules THEN pos END)
+           OVER (PARTITION BY dom ORDER BY pos
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+           AS rpos
+  FROM segp
+),
+{named}
+{chosen},
+merged AS (
+  SELECT s.dom, string_agg(s.seg, chr(10) ORDER BY s.pos) AS seg
+  FROM segr s JOIN chosen c ON s.dom = c.dom AND s.pos = c.rpos
+  GROUP BY s.dom
+)"""
 
 
 def _q_robots_txt_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2167,19 +2226,7 @@ WITH doms AS (SELECT DISTINCT doc_id % 17 AS dom FROM documents),
 bod AS (
   SELECT dom, CASE dom % 5 {bodies} END AS body FROM doms
 ),
-merged AS (
-  -- agent-token EQUALITY (not a '*' prefix test): mirrors the Spark
-  -- side's _agent_token, so an invalid 'User-agent: *bot' segment is
-  -- NOT claimed by the default group
-  SELECT dom,
-         array_to_string(
-           list_filter(
-             string_split_regex(body, '(?i)user-agent[ \\t]*:'),
-             s -> lower(regexp_extract(s, '^[ \\t]*([^ \\t\\r\\n#]*)', 1))
-                  = '*'),
-           chr(10)) AS seg
-  FROM bod
-),
+{_robots_group_ctes()},
 rawr AS (
   SELECT dom, unnest(regexp_extract_all(
            seg,
@@ -2942,8 +2989,10 @@ _ROBOTS_NAMED_BODIES = [
     # v3: no group names the crawler -> falls back to '*'
     "User-agent: googlebot\nDisallow: /\n\n"
     "User-agent: *\nDisallow: /private/\n",
-    # v4: named group only, no '*' group at all
-    "User-agent: corpusbot\nDisallow: /tmp/\n",
+    # v4: named group bound via a STACKED agent list (RFC 9309 ABNF:
+    # consecutive User-agent lines share the following rules), no '*'
+    # group at all
+    "User-agent: otherbot\nUser-agent: corpusbot\nDisallow: /tmp/\n",
 ]
 
 
@@ -2985,28 +3034,7 @@ WITH doms AS (SELECT DISTINCT doc_id % 13 AS dom FROM documents),
 bod AS (
   SELECT dom, CASE dom % 5 {bodies} END AS body FROM doms
 ),
-segs AS (
-  SELECT dom, string_split_regex(body, '(?i)user-agent[ \\t]*:') AS sl
-  FROM bod
-),
--- RFC 9309 §2.2.1: the named group binds when any segment names the
--- crawler's exact token; only then does '*' stop applying
-merged AS (
-  SELECT dom,
-         array_to_string(
-           CASE WHEN len(list_filter(sl,
-                  s -> lower(regexp_extract(s,
-                         '^[ \\t]*([^ \\t\\r\\n#]*)', 1)) = 'corpusbot'))
-                > 0
-                THEN list_filter(sl,
-                  s -> lower(regexp_extract(s,
-                         '^[ \\t]*([^ \\t\\r\\n#]*)', 1)) = 'corpusbot')
-                ELSE list_filter(sl,
-                  s -> lower(regexp_extract(s,
-                         '^[ \\t]*([^ \\t\\r\\n#]*)', 1)) = '*')
-           END, chr(10)) AS seg
-  FROM segs
-),
+{_robots_group_ctes(ua="corpusbot")},
 rawr AS (
   SELECT dom, unnest(regexp_extract_all(
            seg,
@@ -3103,22 +3131,13 @@ def _crawl_schedule_paced_sql() -> str:
     return f"""
 WITH doms AS (SELECT DISTINCT doc_id % 7 AS d FROM documents),
 bod AS (
-  SELECT 'paced-' || CAST(d AS VARCHAR) || '.example.com' AS host,
+  SELECT 'paced-' || CAST(d AS VARCHAR) || '.example.com' AS dom,
          CASE d % 3 {bodies} END AS body
   FROM doms
 ),
-merged AS (
-  SELECT host,
-         array_to_string(
-           list_filter(
-             string_split_regex(body, '(?i)user-agent[ \\t]*:'),
-             s -> lower(regexp_extract(s, '^[ \\t]*([^ \\t\\r\\n#]*)', 1))
-                  = '*'),
-           chr(10)) AS seg
-  FROM bod
-),
+{_robots_group_ctes()},
 dl AS (
-  SELECT host,
+  SELECT dom AS host,
          list_max(list_transform(
            regexp_extract_all(seg,
              '(?im)^[ \\t]*crawl-delay[ \\t]*:[ \\t]*([0-9]+(?:\\.[0-9]+)?)',

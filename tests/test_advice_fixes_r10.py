@@ -280,6 +280,48 @@ def test_named_group_gates_urls(spark):
     assert named.allowed == 0
 
 
+def test_stacked_user_agent_lines_share_rules(spark):
+    """RFC 9309 ABNF: consecutive User-agent lines (blank lines between
+    them allowed) form ONE group sharing the following rules — the
+    split-based parser used to bind them to the last token only."""
+    body = ("User-agent: abot\n\nUser-agent: bbot\nUser-agent: *\n"
+            "Disallow: /x\n\nUser-agent: cbot\nDisallow: /y\n")
+    star = {(r.is_allow, r.path)
+            for r in _rules_df(spark, body).collect()}
+    abot = {(r.is_allow, r.path)
+            for r in _rules_df(spark, body, user_agent="abot").collect()}
+    cbot = {(r.is_allow, r.path)
+            for r in _rules_df(spark, body, user_agent="cbot").collect()}
+    assert star == {(0, "/x")}
+    assert abot == {(0, "/x")}   # stacked above '*', shares its rules
+    assert cbot == {(0, "/y")}
+
+
+def test_crawl_delay_only_group_does_not_collapse(spark):
+    """A group carrying ONLY a Crawl-delay line is still rule-bearing:
+    its delay must not be skipped, and the next group's rules must not
+    leak into it."""
+    from simpy__kafka__flink__kafka_spark.functions.robots import (
+        robots_crawl_delays)
+
+    body = ("User-agent: *\nCrawl-delay: 7\n\n"
+            "User-agent: slowbot\nDisallow: /\n")
+    dom = spark.createDataFrame([("d", body)],
+                                "domain string, robots_txt string")
+    [d] = robots_crawl_delays(dom).collect()
+    assert d.crawl_delay == 7.0
+    assert _rules_df(spark, body).count() == 0  # '*' group has no paths
+
+
+def test_preamble_rules_bind_nobody(spark):
+    """Directives before the first User-agent line belong to no group
+    (RFC: ignored)."""
+    body = "Disallow: /secret\nUser-agent: *\nAllow: /\n"
+    rules = {(r.is_allow, r.path)
+             for r in _rules_df(spark, body).collect()}
+    assert rules == {(1, "/")}
+
+
 def test_crawl_delays_max_of_lines_and_group_selection(spark):
     from simpy__kafka__flink__kafka_spark.functions.robots import (
         robots_crawl_delays)
