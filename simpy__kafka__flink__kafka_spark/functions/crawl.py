@@ -136,6 +136,54 @@ def crawl_schedule(urls: DataFrame, per_wave: int = 4,
     )
 
 
+# sitemaps.org XML: <urlset><url><loc/><lastmod/><changefreq/>
+# <priority/></url>... or an index <sitemapindex><sitemap><loc/>...
+# Tags are lowercase per the protocol; (?s) because entries span lines.
+SITEMAP_URL_BLOCK_RE = r"(?s)<url>(.*?)</url>"
+SITEMAP_INDEX_BLOCK_RE = r"(?s)<sitemap>(.*?)</sitemap>"
+_LOC_RE = r"(?s)<loc>\s*(.*?)\s*</loc>"
+_LASTMOD_RE = r"(?s)<lastmod>\s*(.*?)\s*</lastmod>"
+_CHANGEFREQ_RE = r"(?s)<changefreq>\s*(.*?)\s*</changefreq>"
+_PRIORITY_RE = r"(?s)<priority>\s*(.*?)\s*</priority>"
+
+
+def parse_sitemap(df: DataFrame, xml_col: str = "xml",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Explode sitemap XML into one row per entry — the frontier-seeding
+    step after :func:`~.robots.robots_sitemaps` surfaces the files:
+    ``<urlset>`` entries come out as kind ``url`` (loc, lastmod,
+    changefreq, priority — priority defaults to 0.5 per the protocol,
+    unparseable values fall back via try_cast), ``<sitemapindex>``
+    entries as kind ``sitemap`` (loc only; fetch-and-recurse is the
+    consumer's loop).  Zero-shuffle regexp codegen, the warc_parse
+    posture; patterns stay in the Java-regex/RE2 common subset.
+    Output: (id_col, kind, loc, lastmod, changefreq, priority)."""
+    def entries(block_re: str, kind: str, with_meta: bool) -> DataFrame:
+        blocks = F.regexp_extract_all(F.col(xml_col), F.lit(block_re), 1)
+        ex = df.select(F.col(id_col), F.explode(blocks).alias("b"))
+        loc = F.regexp_extract("b", _LOC_RE, 1)
+        if with_meta:
+            meta = [
+                F.nullif(F.regexp_extract("b", _LASTMOD_RE, 1), F.lit(""))
+                .alias("lastmod"),
+                F.nullif(F.regexp_extract("b", _CHANGEFREQ_RE, 1),
+                         F.lit("")).alias("changefreq"),
+                F.coalesce(
+                    F.regexp_extract("b", _PRIORITY_RE, 1)
+                    .try_cast("double"),
+                    F.lit(0.5)).alias("priority"),
+            ]
+        else:
+            meta = [F.lit(None).cast("string").alias("lastmod"),
+                    F.lit(None).cast("string").alias("changefreq"),
+                    F.lit(None).cast("double").alias("priority")]
+        return ex.select(F.col(id_col), F.lit(kind).alias("kind"),
+                         loc.alias("loc"), *meta).where(F.col("loc") != "")
+
+    return entries(SITEMAP_URL_BLOCK_RE, "url", True).unionByName(
+        entries(SITEMAP_INDEX_BLOCK_RE, "sitemap", False))
+
+
 def snapshot_diff(old: DataFrame, new: DataFrame,
                   key_col: str = "url",
                   text_col: str = "text") -> DataFrame:

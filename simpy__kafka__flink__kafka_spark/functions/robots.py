@@ -187,6 +187,28 @@ def url_path(url: Column) -> Column:
     return F.when(p == "", F.lit("/")).otherwise(p)
 
 
+# Sitemap: lines are GLOBAL per the sitemaps.org protocol — they bind
+# regardless of any User-agent group, so they parse from the whole body
+_SITEMAP_RE = r"(?im)^[ \t]*sitemap[ \t]*:[ \t]*([^#\r\n]*)"
+
+
+def robots_sitemaps(df: DataFrame, body_col: str = "robots_txt",
+                    key_col: str = "domain") -> DataFrame:
+    """Sitemap URLs advertised by each robots.txt — the frontier-seeding
+    half of the file (sitemaps.org: Sitemap lines are global, NOT part
+    of any agent group, so no group selection applies).  Zero-shuffle
+    parse on the domain-cardinality frame.
+    Output: (key_col, sitemap_url) — one row per advertised sitemap,
+    whitespace-trimmed, empty lines dropped."""
+    urls = F.transform(
+        F.regexp_extract_all(F.col(body_col), F.lit(_SITEMAP_RE), 1),
+        lambda u: F.trim(u))
+    return (
+        df.select(key_col, F.explode(urls).alias("sitemap_url"))
+        .where(F.col("sitemap_url") != "")
+    )
+
+
 def robots_allowed(urls: DataFrame, rules: DataFrame,
                    url_col: str = "url", id_col: str = "doc_id",
                    key_col: str = "domain") -> DataFrame:

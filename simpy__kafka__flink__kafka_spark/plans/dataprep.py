@@ -3164,6 +3164,235 @@ FROM sched s LEFT JOIN dl USING (host)
 """
 
 
+# --- Sitemap parsing + frontier seeding ----------------------------------------
+
+def _q_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap XML parsing (functions/crawl.py:parse_sitemap) over
+    per-doc synthesized files: a urlset entry with full metadata, one
+    with defaults only (priority 0.5, NULL lastmod/changefreq), a
+    junk-priority entry (try_cast fallback), and — for every third doc
+    — a sitemapindex entry (kind 'sitemap').  Zero-shuffle regexp
+    parse, the warc_parse posture."""
+    from ..functions.crawl import parse_sitemap
+
+    docs = _docs(spark, sf_dir)
+    dom = (F.col("doc_id") % 9).cast("string")
+    did = F.col("doc_id").cast("string")
+    xml = F.concat(
+        F.lit('<?xml version="1.0"?><urlset>'
+              "<url><loc> https://sm-"), dom,
+        F.lit(".example.com/p/"), did,
+        F.lit(" </loc><lastmod>2026-0"),
+        (F.col("doc_id") % 9 + 1).cast("string"),
+        F.lit("-01</lastmod><changefreq>daily</changefreq><priority>0."),
+        dom,
+        F.lit("</priority></url><url><loc>https://sm-"), dom,
+        F.lit(".example.com/q/"), did, F.lit("?utm_source=x</loc></url>"),
+        F.when(F.col("doc_id") % 4 == 0,
+               F.lit("<url><loc>https://sm-x.example.com/bad</loc>"
+                     "<priority>high</priority></url>"))
+        .otherwise(F.lit("")),
+        F.lit("</urlset>"),
+        F.when(F.col("doc_id") % 3 == 0, F.concat(
+            F.lit("<sitemapindex><sitemap><loc>https://sm-"), dom,
+            F.lit(".example.com/sitemap-"), did,
+            F.lit(".xml</loc></sitemap></sitemapindex>")))
+        .otherwise(F.lit("")),
+    )
+    return parse_sitemap(docs.select("doc_id", xml.alias("xml")))
+
+
+def _sitemap_parse_sql() -> str:
+    from ..functions.crawl import (SITEMAP_INDEX_BLOCK_RE,
+                                   SITEMAP_URL_BLOCK_RE, _CHANGEFREQ_RE,
+                                   _LASTMOD_RE, _LOC_RE, _PRIORITY_RE)
+
+    return rf"""
+WITH x AS (
+  SELECT doc_id,
+         '<?xml version="1.0"?><urlset><url><loc> https://sm-' ||
+         CAST(doc_id % 9 AS VARCHAR) || '.example.com/p/' ||
+         CAST(doc_id AS VARCHAR) || ' </loc><lastmod>2026-0' ||
+         CAST(doc_id % 9 + 1 AS VARCHAR) ||
+         '-01</lastmod><changefreq>daily</changefreq><priority>0.' ||
+         CAST(doc_id % 9 AS VARCHAR) ||
+         '</priority></url><url><loc>https://sm-' ||
+         CAST(doc_id % 9 AS VARCHAR) || '.example.com/q/' ||
+         CAST(doc_id AS VARCHAR) || '?utm_source=x</loc></url>' ||
+         CASE WHEN doc_id % 4 = 0
+              THEN '<url><loc>https://sm-x.example.com/bad</loc>' ||
+                   '<priority>high</priority></url>'
+              ELSE '' END ||
+         '</urlset>' ||
+         CASE WHEN doc_id % 3 = 0
+              THEN '<sitemapindex><sitemap><loc>https://sm-' ||
+                   CAST(doc_id % 9 AS VARCHAR) || '.example.com/sitemap-'
+                   || CAST(doc_id AS VARCHAR) ||
+                   '.xml</loc></sitemap></sitemapindex>'
+              ELSE '' END AS xml
+  FROM documents
+),
+ub AS (SELECT doc_id,
+              unnest(regexp_extract_all(xml, '{SITEMAP_URL_BLOCK_RE}', 1))
+                AS b
+       FROM x),
+sb AS (SELECT doc_id,
+              unnest(regexp_extract_all(xml, '{SITEMAP_INDEX_BLOCK_RE}',
+                                        1)) AS b
+       FROM x),
+u AS (
+  SELECT doc_id, 'url' AS kind,
+         regexp_extract(b, '{_LOC_RE}', 1) AS loc,
+         nullif(regexp_extract(b, '{_LASTMOD_RE}', 1), '') AS lastmod,
+         nullif(regexp_extract(b, '{_CHANGEFREQ_RE}', 1), '')
+           AS changefreq,
+         COALESCE(TRY_CAST(regexp_extract(b, '{_PRIORITY_RE}', 1)
+                           AS DOUBLE), 0.5) AS priority
+  FROM ub
+),
+s AS (
+  SELECT doc_id, 'sitemap' AS kind,
+         regexp_extract(b, '{_LOC_RE}', 1) AS loc,
+         CAST(NULL AS VARCHAR) AS lastmod,
+         CAST(NULL AS VARCHAR) AS changefreq,
+         CAST(NULL AS DOUBLE) AS priority
+  FROM sb
+)
+SELECT * FROM u WHERE loc <> ''
+UNION ALL
+SELECT * FROM s WHERE loc <> ''
+"""
+
+
+def _q_sitemap_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontier seeding composition: each domain's robots.txt
+    advertises its sitemap (functions/robots.py:robots_sitemaps — the
+    GLOBAL, group-independent half of the file) and disallows
+    /private/; the per-domain sitemap XML (one urlset entry per doc of
+    that domain, deterministic priorities) parses into candidate locs
+    (parse_sitemap) which then walk the longest-match robots gate
+    (robots_allowed) — seeds the crawler may actually fetch, with
+    their priorities.  Exchanges: ONE domain-keyed agg to build the
+    per-domain XML (fixture-side), zero-shuffle parse, one loc-keyed
+    gate aggregate over broadcast rules."""
+    from ..functions.crawl import parse_sitemap
+    from ..functions.robots import (robots_allowed, robots_rules,
+                                    robots_sitemaps)
+
+    docs = _docs(spark, sf_dir)
+    dom = (F.col("doc_id") % 11).cast("string")
+    domain = F.concat(F.lit("seed-"), dom, F.lit(".example.com"))
+    path = F.when(F.col("doc_id") % 3 == 1,
+                  F.concat(F.lit("/private/"),
+                           F.col("doc_id").cast("string")))\
+        .otherwise(F.concat(F.lit("/p/"), F.col("doc_id").cast("string")))
+    entry = F.concat(F.lit("<url><loc>https://"), domain, path,
+                     F.lit("</loc><priority>0."),
+                     (F.col("doc_id") % 9).cast("string"),
+                     F.lit("</priority></url>"))
+    xmls = (docs.select(domain.alias("domain"), F.col("doc_id"),
+                        entry.alias("e"))
+            .groupBy("domain")
+            .agg(F.concat(
+                F.lit("<urlset>"),
+                F.array_join(F.array_sort(F.collect_list(
+                    F.struct("doc_id", "e"))).getField("e"), ""),
+                F.lit("</urlset>")).alias("xml")))
+    robots = xmls.select(
+        "domain",
+        F.concat(F.lit("User-agent: *\nDisallow: /private/\nSitemap: "
+                       "https://"), F.col("domain"),
+                 F.lit("/sitemap.xml\n")).alias("robots_txt"))
+    advertised = robots_sitemaps(robots)
+    entries = parse_sitemap(xmls, id_col="domain").where(
+        F.col("kind") == "url")
+    gated = robots_allowed(
+        entries.select(F.col("loc"), F.col("domain"),
+                       F.col("loc").alias("url")),
+        robots_rules(robots), id_col="loc")
+    return (
+        entries.select("domain", "loc", "priority")
+        .join(gated, "loc")
+        .join(advertised.groupBy("domain").agg(
+            F.count(F.lit(1)).cast("long").alias("n_sitemaps")),
+            "domain")
+        .select("domain", F.col("loc").alias("url"), "priority",
+                "allowed", "match_len", "n_sitemaps")
+    )
+
+
+def _sitemap_frontier_sql() -> str:
+    from ..functions.crawl import SITEMAP_URL_BLOCK_RE, _LOC_RE, _PRIORITY_RE
+
+    return rf"""
+WITH e AS (
+  SELECT 'seed-' || CAST(doc_id % 11 AS VARCHAR) || '.example.com'
+           AS domain,
+         doc_id,
+         '<url><loc>https://seed-' || CAST(doc_id % 11 AS VARCHAR) ||
+         '.example.com' ||
+         CASE WHEN doc_id % 3 = 1
+              THEN '/private/' || CAST(doc_id AS VARCHAR)
+              ELSE '/p/' || CAST(doc_id AS VARCHAR) END ||
+         '</loc><priority>0.' || CAST(doc_id % 9 AS VARCHAR) ||
+         '</priority></url>' AS entry
+  FROM documents
+),
+xmls AS (
+  SELECT domain,
+         '<urlset>' || string_agg(entry, '' ORDER BY doc_id) ||
+         '</urlset>' AS xml
+  FROM e GROUP BY domain
+),
+robots AS (
+  SELECT domain,
+         'User-agent: *' || chr(10) || 'Disallow: /private/' || chr(10)
+         || 'Sitemap: https://' || domain || '/sitemap.xml' || chr(10)
+           AS body
+  FROM xmls
+),
+adv AS (
+  SELECT domain, CAST(count(*) AS BIGINT) AS n_sitemaps
+  FROM (SELECT domain,
+               unnest(regexp_extract_all(body,
+                 '(?im)^[ \t]*sitemap[ \t]*:[ \t]*([^#\r\n]*)', 1)) AS sm
+        FROM robots)
+  WHERE trim(sm) <> '' GROUP BY domain
+),
+ent AS (
+  SELECT domain,
+         regexp_extract(b, '{_LOC_RE}', 1) AS loc,
+         COALESCE(TRY_CAST(regexp_extract(b, '{_PRIORITY_RE}', 1)
+                           AS DOUBLE), 0.5) AS priority
+  FROM (SELECT domain,
+               unnest(regexp_extract_all(xml, '{SITEMAP_URL_BLOCK_RE}',
+                                         1)) AS b
+        FROM xmls)
+  WHERE regexp_extract(b, '{_LOC_RE}', 1) <> ''
+),
+-- the gate: single '*' group, one Disallow: /private/ rule
+p AS (
+  SELECT domain, loc, priority,
+         regexp_extract(loc,
+           '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS p0
+  FROM ent
+),
+agg AS (
+  SELECT domain, loc, priority,
+         CASE WHEN (CASE WHEN p0 = '' THEN '/' ELSE p0 END)
+                   LIKE '/private/%' ESCAPE '!'
+              THEN 9 * 2 + 0 END AS pk
+  FROM p
+)
+SELECT domain, loc AS url, priority,
+       CAST(CASE WHEN pk IS NULL OR pk % 2 = 1 THEN 1 ELSE 0 END
+            AS INTEGER) AS allowed,
+       CAST(COALESCE(pk // 2, 0) AS INTEGER) AS match_len,
+       n_sitemaps
+FROM agg JOIN adv USING (domain)
+"""
+
+
 # --- MP3 header-walk stats ----------------------------------------------------
 
 def _q_mp3_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4387,6 +4616,14 @@ QUERIES: dict[str, Query] = {
         _q_crawl_schedule_paced, _crawl_schedule_paced_sql(),
         "robots.txt Crawl-delay -> per-host wave pacing composition "
         "(not_before_s = wave * delay, default for silent hosts)"),
+    "sitemap_parse": Query(
+        _q_sitemap_parse, _sitemap_parse_sql(),
+        "sitemap XML parsing: urlset entries with metadata defaults + "
+        "try_cast fallback, sitemapindex entries (zero-shuffle regexp)"),
+    "sitemap_frontier": Query(
+        _q_sitemap_frontier, _sitemap_frontier_sql(),
+        "frontier seeding: robots.txt Sitemap lines -> per-domain XML "
+        "parse -> robots gate, with priorities"),
     "mp3_stats": Query(
         _q_mp3_stats, _MP3_STATS_SQL,
         "live MP3 frame-header walk (synthesize + parse in one Arrow "
