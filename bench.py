@@ -145,15 +145,20 @@ def _ensure_scaled_dir(spark, sf_dir: str, factor: int) -> str:
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # NOTE on the growth direction for the span view: schemas.py folds
+    # every event into ONE simulated day (ts_ms % 1d) over 10 IPs, so
+    # replicas can never be made time-disjoint — a bigger event table
+    # IS a denser folded day, exactly what the driver's larger SFs look
+    # like.  The link queries therefore density-scale here (candidate
+    # pairs grow superlinearly; the banded join + burst salt are what
+    # keep the measured growth sub-quadratic), while the id-keyed and
+    # documents-side queries scale linearly on their disjoint replica
+    # worlds.  A timestamp shift per replica would be a no-op through
+    # the day fold (any whole-day shift vanishes; sub-day shifts just
+    # rotate a uniformly-covered day), so none is applied.
     (ev.select("*", rep)
      .withColumn("event_id", F.col("event_id") + off)
      .withColumn("user_id", F.col("user_id") + off)
-     # shift each replica's clock by 400 days so the blow-up scales
-     # DURATION (10x more traffic-days at the same rate — the 100 TB
-     # story), not density: overlapping replicas would inflate every
-     # time-banded bucket 10x and quadratically explode interval-join
-     # pair counts, a different (rate-scaling) experiment
-     .withColumn("ts", F.expr("timestampadd(DAY, _rep * 400, ts)"))
      # keep msg references world-disjoint too, so parse/link queries
      # never cross replicas
      .withColumn("props", F.regexp_replace(
@@ -169,15 +174,21 @@ def _ensure_scaled_dir(spark, sf_dir: str, factor: int) -> str:
 def _run_scale(spark, reg, sf_dir: str, base_times: dict[str, float],
                factor: int) -> dict:
     scaled_dir = _ensure_scaled_dir(spark, sf_dir, factor)
+    names = [n for n in SCALE_QUERIES if n in reg and n in base_times]
+    # best-of-2, interleaved (the headline lesson): a single cold rep
+    # right after generating the scaled dir is page-cache- and
+    # co-tenant-exposed, and a noisy x10 point corrupts the growth ratio
+    best: dict[str, float] = {n: float("inf") for n in names}
+    for _ in range(2):
+        for name in names:
+            t0 = time.perf_counter()
+            reg[name].build(spark, scaled_dir).write.format("noop").mode(
+                "overwrite").save()
+            best[name] = min(best[name], time.perf_counter() - t0)
+            spark.catalog.clearCache()
     out: dict[str, dict] = {}
-    for name in SCALE_QUERIES:
-        if name not in reg or name not in base_times:
-            continue
-        t0 = time.perf_counter()
-        reg[name].build(spark, scaled_dir).write.format("noop").mode(
-            "overwrite").save()
-        tx = round(time.perf_counter() - t0, 3)
-        spark.catalog.clearCache()
+    for name in names:
+        tx = round(best[name], 3)
         out[name] = {
             "x1": base_times[name],
             f"x{factor}": tx,

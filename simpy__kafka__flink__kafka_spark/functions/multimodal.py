@@ -606,12 +606,17 @@ def _container_stats(b: bytes) -> tuple:
     off = id3v2_size(buf)
     if buf[off:off + 4] == b"fLaC":
         si = buf[off + 8:off + 8 + 34]  # skip 4-byte block header
+        if len(si) < 18:
+            raise ValueError("truncated FLAC STREAMINFO block")
         rate = (si[10] << 12) | (si[11] << 4) | (si[12] >> 4)
         total = (((si[13] & 0x0F) << 32) | (si[14] << 24)
                  | (si[15] << 16) | (si[16] << 8) | si[17])
         return ("flac", total, rate,
                 total * 1000 // rate if rate else None, None, None, 0)
-    if buf[off] == 0xFF and (buf[off + 1] & 0xE0) == 0xE0:
+    # empty buffers, lone sync bytes, and ID3-only files (off beyond the
+    # payload) must all land on the typed error, never an IndexError
+    if (off + 2 <= len(buf) and buf[off] == 0xFF
+            and (buf[off + 1] & 0xE0) == 0xE0):
         s = mp3_stream_stats(buf)
         return ("mp3", s.n_frames, s.sample_rate, s.duration_ms,
                 s.min_kbps, s.max_kbps, int(s.vbr))

@@ -206,11 +206,13 @@ ANCHOR_RE = ("(?is)<a[^>]*href\\s*=\\s*"
 
 
 def _unquote_href(raw: Column) -> Column:
-    """Strip one symmetric surrounding quote pair from a raw href token
-    ((?s) so a value containing a newline still unquotes)."""
-    return F.regexp_replace(
-        F.regexp_replace(raw, '(?s)^"(.*)"$', "$1"),
-        "(?s)^'(.*)'$", "$1")
+    """Strip EXACTLY ONE symmetric surrounding quote pair from a raw
+    href token — a single alternation pass, because two sequential
+    strips would also peel inner quotes (``href="'x'"`` must yield
+    ``'x'``, not ``x``).  A backreference to the non-participating
+    alternative is empty on both engines ((?s) so a value containing a
+    newline still unquotes)."""
+    return F.regexp_replace(raw, "(?s)^\"(.*)\"$|^'(.*)'$", "$1$2")
 
 
 def anchor_texts(df: DataFrame, html_col: str = "html",

@@ -99,7 +99,12 @@ def _group_rule_text(df: DataFrame, body_col: str, key_col: str,
         named = (ex.where((F.col("tok") == ua)
                           & F.col("rpos").isNotNull())
                  .select(key_col, "rpos").distinct())
-        keys_with_named = named.select(key_col).distinct()
+        # keyed on the TOKEN match, not on named rule positions: a
+        # matching group with ZERO rules (trailing 'User-agent: <bot>'
+        # at EOF) still overrides '*' per RFC 9309 §2.2.1 — the named
+        # crawler gets NO restrictions, not the default group's
+        keys_with_named = (ex.where(F.col("tok") == ua)
+                           .select(key_col).distinct())
         chosen = named.unionByName(
             star.join(keys_with_named, key_col, "left_anti"))
     picked = chosen.join(

@@ -2147,6 +2147,11 @@ def _robots_group_ctes(ua: str | None = None) -> str:
   SELECT DISTINCT dom, rpos FROM segr
   WHERE tok = '{ua.lower()}' AND rpos IS NOT NULL
 ),
+-- token-keyed (not rule-position-keyed): a matching group with ZERO
+-- rules still overrides '*' (RFC 9309 §2.2.1)
+named_keys AS (
+  SELECT DISTINCT dom FROM segr WHERE tok = '{ua.lower()}'
+),
 starp AS (
   SELECT DISTINCT dom, rpos FROM segr
   WHERE tok = '*' AND rpos IS NOT NULL
@@ -2155,7 +2160,7 @@ starp AS (
   SELECT dom, rpos FROM namedp
   UNION ALL
   SELECT dom, rpos FROM starp
-  WHERE dom NOT IN (SELECT dom FROM namedp)
+  WHERE dom NOT IN (SELECT dom FROM named_keys)
 )"""
     return f"""segx AS (
   SELECT dom, generate_subscripts(sl, 1) - 1 AS pos, unnest(sl) AS seg
@@ -2438,11 +2443,12 @@ m AS (
   FROM mixed
 ),
 p AS (
+  -- ONE alternation pass (a second sequential strip would peel inner
+  -- quotes too); a non-participating group's backref is empty on RE2
   SELECT doc_id,
-         regexp_replace(regexp_replace(
+         regexp_replace(
            regexp_extract(a, '{pat}', 1),
-           '(?s)^"(.*)"$', '\\1'),
-           '(?s)^''(.*)''$', '\\1') AS target,
+           '(?s)^"(.*)"$|^''(.*)''$', '\\1\\2') AS target,
          trim(regexp_replace(regexp_extract(a, '{pat}', 2),
                              '<[^>]*>', '', 'g')) AS anchor
   FROM m
@@ -2936,9 +2942,9 @@ am AS (SELECT unnest(regexp_extract_all(html, '{pat}', 0)) AS a
        FROM links),
 atgt AS (
   SELECT CAST(regexp_extract(
-           regexp_replace(regexp_replace(
+           regexp_replace(
              regexp_extract(a, '{pat}', 1),
-             '(?s)^"(.*)"$', '\1'), '(?s)^''(.*)''$', '\1'),
+             '(?s)^"(.*)"$|^''(.*)''$', '\1\2'),
            '^/page/([0-9]+)$', 1) AS BIGINT) AS doc_id,
          CAST(count(*) AS BIGINT) AS n_anchors
   FROM am GROUP BY 1
@@ -2983,9 +2989,13 @@ _ROBOTS_NAMED_BODIES = [
     # /private/open/ is one of the walked paths, so the carve-out fires)
     "User-agent: *\nDisallow: /\n\n"
     "User-agent: corpusbot\nAllow: /private/open/\nDisallow: /\n",
-    # v2: invalid '*bot' segment — binds NOBODY (neither default nor a
-    # crawler literally named '*bot'... the named crawler here)
-    "User-agent: *bot\nDisallow: /\n\nUser-agent: *\nAllow: /\n",
+    # v2: invalid '*bot' segment — binds NOBODY — plus an EOF-empty
+    # named group: corpusbot is MATCHED with zero rules, so it gets no
+    # restrictions and does NOT inherit '*' (RFC 9309 §2.2.1); here '*'
+    # allows everything anyway, so the discriminator is match_len
+    # (0 for the empty named group vs 1 via the star Allow)
+    "User-agent: *bot\nDisallow: /\n\nUser-agent: *\nAllow: /\n\n"
+    "User-agent: corpusbot\n",
     # v3: no group names the crawler -> falls back to '*'
     "User-agent: googlebot\nDisallow: /\n\n"
     "User-agent: *\nDisallow: /private/\n",

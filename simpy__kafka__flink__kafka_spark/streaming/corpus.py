@@ -375,16 +375,26 @@ def scd2_update_batch(batch_df: DataFrame, history_dir: str,
     persisted history, merge the batch via :func:`scd2_apply`, persist
     the result.  The new history is materialized (localCheckpoint)
     BEFORE the swap because it READS the path it replaces; the swap is
-    write-to-side-dir + replace (a crash between delete and rename
-    leaves the complete new history in the side dir — recoverable,
-    never silently truncated; production swaps this for a Delta/Iceberg
-    MERGE, the same posture as pair compaction)."""
+    write-to-side-dir + replace, and the read path RECOVERS the swap's
+    one crash window — history_dir missing with a complete ``.next``
+    side dir (the rmtree happened, the rename didn't) renames the side
+    dir back into place before reading.  The side dir is only ever
+    deleted by its own overwrite AFTER the history read, so a partial
+    side-dir write always coexists with an intact history_dir and is
+    never recovered from.  Production swaps this file dance for a
+    Delta/Iceberg MERGE, the same posture as pair compaction."""
     import os
     import shutil
 
     from pyspark.errors import AnalysisException
 
     spark = batch_df.sparkSession
+    tmp = history_dir.rstrip("/") + ".next"
+    if not os.path.exists(history_dir) and os.path.exists(tmp):
+        # torn swap from a previous run: the side dir IS the complete
+        # newest history (it is written in full before the old dir is
+        # removed) — restore it instead of silently restarting history
+        os.rename(tmp, history_dir)
     try:
         hist = spark.read.parquet(history_dir)
     except AnalysisException as e:
@@ -395,7 +405,6 @@ def scd2_update_batch(batch_df: DataFrame, history_dir: str,
     new_hist = scd2_apply(hist, batch_df, key_col=key_col,
                           snap_col=snap_col,
                           text_col=text_col).localCheckpoint()
-    tmp = history_dir.rstrip("/") + ".next"
     new_hist.write.mode("overwrite").parquet(tmp)
     if os.path.exists(history_dir):
         shutil.rmtree(history_dir)

@@ -209,15 +209,27 @@ def test_anchor_texts_quote_forms_engine_parity(spark):
         WITH m AS (
           SELECT unnest(regexp_extract_all(?, '{pat}', 0)) AS a),
         p AS (
-          SELECT regexp_replace(regexp_replace(
+          SELECT regexp_replace(
                    regexp_extract(a, '{pat}', 1),
-                   '(?s)^"(.*)"$', '\\1'),
-                   '(?s)^''(.*)''$', '\\1') AS target
+                   '(?s)^"(.*)"$|^''(.*)''$', '\\1\\2') AS target
           FROM m)
         SELECT target, CAST(count(*) AS BIGINT) FROM p GROUP BY 1
     """, [page]).fetchall())
     assert got == want
     assert ("/b", 1) in got and ("/c", 1) in got
+
+
+def test_anchor_target_quote_strip_is_single_layer(spark):
+    """href=\"'x'\" must yield the literal target 'x' (inner quotes
+    preserved) — a sequential double-strip would merge it with anchors
+    pointing at plain x."""
+    from simpy__kafka__flink__kafka_spark.functions.quality import (
+        anchor_texts)
+
+    page = '<a href="\'x\'">inner</a><a href="x">plain</a>'
+    df = spark.createDataFrame([(1, page)], "doc_id long, html string")
+    got = {r.target for r in anchor_texts(df).collect()}
+    assert got == {"'x'", "x"}
 
 
 # --- 4. robots group selection ----------------------------------------------
@@ -278,6 +290,20 @@ def test_named_group_gates_urls(spark):
         urls, robots_rules(dom, user_agent="mybot")).collect()
     assert default.allowed == 1
     assert named.allowed == 0
+
+
+def test_empty_named_group_overrides_star(spark):
+    """RFC 9309 §2.2.1: a group that MATCHES the crawler but carries no
+    rules (trailing 'User-agent: bot' at EOF) means no restrictions —
+    it must override '*', not fall back to it."""
+    body = "User-agent: *\nDisallow: /\n\nUser-agent: freebot\n"
+    star = {(r.is_allow, r.path)
+            for r in _rules_df(spark, body).collect()}
+    named = {(r.is_allow, r.path)
+             for r in _rules_df(spark, body,
+                                user_agent="freebot").collect()}
+    assert star == {(0, "/")}
+    assert named == set()  # matched, zero rules -> everything allowed
 
 
 def test_stacked_user_agent_lines_share_rules(spark):

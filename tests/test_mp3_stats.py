@@ -59,6 +59,20 @@ def test_errors_are_typed():
         mp3_stream_stats(bytes(l1))
 
 
+def test_container_stats_typed_errors_on_malformed_buffers():
+    """Empty, lone-sync, ID3-only, and truncated-FLAC buffers must all
+    raise the documented ValueError, never an IndexError out of the
+    Arrow task."""
+    from simpy__kafka__flink__kafka_spark.functions.multimodal import (
+        _container_stats)
+
+    id3_only = b"ID3\x04\x00\x00\x00\x00\x00\x0a" + bytes(10)
+    trunc_flac = b"fLaC" + bytes(12)  # header + partial STREAMINFO
+    for buf in (b"", b"\xff", id3_only, b"garbage!", trunc_flac):
+        with pytest.raises(ValueError):
+            _container_stats(buf)
+
+
 def test_audio_container_stats_dispatch(spark):
     """One frame of each container through the Arrow path: WAV, FLAC,
     and MP3 all report header-exact duration without PCM decode."""

@@ -93,6 +93,23 @@ def test_scd2_update_batch_persists_and_swaps(spark, tmp_path):
     assert _canon(spark.read.parquet(hist_dir)) == got
 
 
+def test_scd2_torn_swap_recovers_from_side_dir(spark, tmp_path):
+    """Crash window between rmtree(history) and rename(.next): the next
+    batch must restore the complete side dir instead of silently
+    restarting history from one batch."""
+    import shutil
+
+    hist_dir = str(tmp_path / "history")
+    scd2_update_batch(_obs_df(spark, {0, 1}), hist_dir)
+    scd2_update_batch(_obs_df(spark, {2}), hist_dir)
+    # simulate the torn swap: the new history made it to .next, the
+    # rename never happened
+    shutil.move(hist_dir, hist_dir + ".next")
+    scd2_update_batch(_obs_df(spark, {3}), hist_dir)
+    got = _canon(spark.read.parquet(hist_dir))
+    assert got == _canon(scd2_history(_obs_df(spark, {0, 1, 2, 3})))
+
+
 def test_scd2_stream_end_to_end(spark, tmp_path):
     """File-source stream -> start_scd2_maintenance: two snapshot
     waves land as files; the persisted history must match the batch
