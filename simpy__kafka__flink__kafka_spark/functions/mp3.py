@@ -53,10 +53,15 @@ class Mp3Stats:
 
 def id3v2_size(buf: bytes) -> int:
     """Bytes occupied by a leading ID3v2 tag (0 if none): 10-byte header
-    whose size field (offsets 6..9) is syncsafe (7 bits per byte)."""
+    whose size field (offsets 6..9) is syncsafe (7 bits per byte), plus
+    10 more when the v2.4 footer flag (header flags bit 0x10) is set —
+    the declared size covers neither header nor footer."""
     if buf[:3] != b"ID3" or len(buf) < 10:
         return 0
-    return ((buf[6] << 21) | (buf[7] << 14) | (buf[8] << 7) | buf[9]) + 10
+    size = ((buf[6] << 21) | (buf[7] << 14) | (buf[8] << 7) | buf[9]) + 10
+    if buf[5] & 0x10:
+        size += 10
+    return size
 
 
 def mp3_stream_stats(buf: bytes) -> Mp3Stats:

@@ -600,8 +600,20 @@ def _container_stats(b: bytes) -> tuple:
 
     buf = bytes(b)
     if buf[:4] == b"RIFF" and buf[8:12] == b"WAVE":
-        with wave.open(io.BytesIO(buf)) as wv:
-            n, rate = wv.getnframes(), wv.getframerate()
+        import struct
+
+        # the stdlib parser leaks bare RuntimeError (chunk.py skip on a
+        # bogus chunk size) and EOFError alongside wave.Error — fold
+        # every malformed-container shape into the typed error
+        try:
+            with wave.open(io.BytesIO(buf)) as wv:
+                n, rate = wv.getnframes(), wv.getframerate()
+        except (wave.Error, EOFError, OSError, RuntimeError,
+                struct.error) as exc:
+            raise ValueError(f"malformed RIFF/WAVE container: {exc}") \
+                from exc
+        if rate <= 0:
+            raise ValueError("WAV header declares sample rate 0")
         return ("wav", n, rate, n * 1000 // rate, None, None, 0)
     off = id3v2_size(buf)
     if buf[off:off + 4] == b"fLaC":
@@ -611,8 +623,12 @@ def _container_stats(b: bytes) -> tuple:
         rate = (si[10] << 12) | (si[11] << 4) | (si[12] >> 4)
         total = (((si[13] & 0x0F) << 32) | (si[14] << 24)
                  | (si[15] << 16) | (si[16] << 8) | si[17])
-        return ("flac", total, rate,
-                total * 1000 // rate if rate else None, None, None, 0)
+        if rate <= 0:
+            # the spec requires a positive rate; 0 would also make the
+            # duration division (and the wrapper's int64 cast) blow up
+            raise ValueError("FLAC STREAMINFO declares sample rate 0")
+        return ("flac", total, rate, total * 1000 // rate,
+                None, None, 0)
     # empty buffers, lone sync bytes, and ID3-only files (off beyond the
     # payload) must all land on the typed error, never an IndexError
     if (off + 2 <= len(buf) and buf[off] == 0xFF

@@ -196,13 +196,20 @@ def extract_links(df: DataFrame, html_col: str = "html",
 
 
 # href value in ALL THREE attribute forms real HTML carries — double-
-# quoted, single-quoted, unquoted (to the next whitespace/'>').  Group 1
-# is the RAW token (quotes included; the alternation keeps it free of
-# nested groups), group 2 the anchor text; _unquote_href strips a
-# symmetric quote pair.  Stays in the Java-regex/RE2 common subset.
-ANCHOR_RE = ("(?is)<a[^>]*href\\s*=\\s*"
+# quoted, single-quoted, unquoted (to the next whitespace/'>').  The
+# tag-prefix and tag-tail walkers consume OTHER attributes as whole
+# quoted units or quote-free runs ((?:"[^"]*"|'[^']*'|[^>"'])*?), so an
+# ``href=`` occurrence INSIDE another attribute's quoted value (e.g.
+# title="see href=/fake") can never be claimed as the link — and a '>'
+# inside a later attribute's quoted value no longer ends the tag.
+# Group 1 is the RAW href token (quotes included; the alternation keeps
+# it free of nested groups), group 2 the anchor text; _unquote_href
+# strips one symmetric quote pair.  Java-regex/RE2 common subset (no
+# lookaround, no backrefs in the pattern).
+ANCHOR_RE = ("(?is)<a(?:\"[^\"]*\"|'[^']*'|[^>\"'])*?"
+             "\\shref\\s*=\\s*"
              "(\"[^\"]*\"|'[^']*'|[^\\s>\"'][^\\s>]*)"
-             "[^>]*>(.*?)</a>")
+             "(?:\"[^\"]*\"|'[^']*'|[^>\"'])*>(.*?)</a>")
 
 
 def _unquote_href(raw: Column) -> Column:

@@ -1230,10 +1230,15 @@ def bm25_scores(df: DataFrame, query_terms: list[str],
     the same IEEE expression on the same inputs).
     Output: (id_col, n_hits, score) for docs matching >= 1 term."""
     qlit = [t.lower() for t in query_terms]
-    tok = (tok_df.select("doc_id", "term") if tok_df is not None
-           else df.select(F.col(id_col).alias("doc_id"),
-                          F.explode(words(text_col)).alias("term"))
-           .where(F.length("term") > 0))
+    if tok_df is not None:
+        tok = tok_df.select("doc_id", "term")
+    else:
+        tok = df.select(F.col(id_col).alias("doc_id"),
+                        F.explode(words(text_col)).alias("term"))
+    # applied to BOTH sources: a caller-supplied tok_df without the
+    # empty-token filter would silently inflate dl/avgdl (idempotent on
+    # positional_tokens, which pre-filters)
+    tok = tok.where(F.length("term") > 0)
     dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
     corpus = dl.agg(F.count(F.lit(1)).alias("n_docs"),
                     F.sum("dl").alias("total_len"))

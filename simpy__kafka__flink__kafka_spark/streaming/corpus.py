@@ -390,10 +390,14 @@ def scd2_update_batch(batch_df: DataFrame, history_dir: str,
 
     spark = batch_df.sparkSession
     tmp = history_dir.rstrip("/") + ".next"
-    if not os.path.exists(history_dir) and os.path.exists(tmp):
-        # torn swap from a previous run: the side dir IS the complete
-        # newest history (it is written in full before the old dir is
-        # removed) — restore it instead of silently restarting history
+    if (not os.path.exists(history_dir)
+            and os.path.exists(os.path.join(tmp, "_SUCCESS"))):
+        # torn swap from a previous run: a COMMITTED side dir (Spark's
+        # _SUCCESS marker present) is the complete newest history —
+        # restore it instead of silently restarting history.  Without
+        # the marker the side dir is a half-written FIRST batch (crash
+        # mid-write before any history existed): leave it for the
+        # overwrite below, never read it.
         os.rename(tmp, history_dir)
     try:
         hist = spark.read.parquet(history_dir)

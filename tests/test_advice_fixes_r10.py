@@ -219,6 +219,22 @@ def test_anchor_texts_quote_forms_engine_parity(spark):
     assert ("/b", 1) in got and ("/c", 1) in got
 
 
+def test_anchor_href_inside_other_attribute_not_claimed(spark):
+    """An 'href=' occurrence inside ANOTHER attribute's quoted value
+    must not fabricate an anchor — the tag-prefix walker consumes whole
+    quoted attribute values."""
+    from simpy__kafka__flink__kafka_spark.functions.quality import (
+        anchor_texts)
+
+    page = ('<a title="see href=/fake now">click</a>'
+            '<a title="href=/fake2">other</a>'
+            '<a data-x="noise" href="/real" rel="a>b">ok</a>')
+    df = spark.createDataFrame([(1, page)], "doc_id long, html string")
+    got = {r.target for r in anchor_texts(df).collect()}
+    # only the genuine href; the rel="a>b" quoted '>' doesn't end the tag
+    assert got == {"/real"}
+
+
 def test_anchor_target_quote_strip_is_single_layer(spark):
     """href=\"'x'\" must yield the literal target 'x' (inner quotes
     preserved) — a sequential double-strip would merge it with anchors
@@ -230,6 +246,31 @@ def test_anchor_target_quote_strip_is_single_layer(spark):
     df = spark.createDataFrame([(1, page)], "doc_id long, html string")
     got = {r.target for r in anchor_texts(df).collect()}
     assert got == {"'x'", "x"}
+
+
+# --- 3c. bm25 tok_df hygiene --------------------------------------------------
+
+
+def test_bm25_filters_caller_supplied_tokens(spark):
+    """A tok_df built WITHOUT the empty-token filter must yield the
+    same scores as the default path (the filter applies to both
+    sources, not just the else branch)."""
+    from pyspark.sql import functions as F
+
+    from simpy__kafka__flink__kafka_spark.functions.text import (
+        bm25_scores, words)
+
+    docs = spark.createDataFrame(
+        [(1, "spark joins  and   windows"), (2, "stream stream spark")],
+        "doc_id long, text string")
+    raw_tok = docs.select("doc_id",
+                          F.explode(words("text")).alias("term"))
+    want = {(r.doc_id): (r.n_hits, r.score)
+            for r in bm25_scores(docs, ["spark", "stream"]).collect()}
+    got = {(r.doc_id): (r.n_hits, r.score)
+           for r in bm25_scores(docs, ["spark", "stream"],
+                                tok_df=raw_tok).collect()}
+    assert got == want
 
 
 # --- 4. robots group selection ----------------------------------------------

@@ -67,10 +67,24 @@ def test_container_stats_typed_errors_on_malformed_buffers():
         _container_stats)
 
     id3_only = b"ID3\x04\x00\x00\x00\x00\x00\x0a" + bytes(10)
-    trunc_flac = b"fLaC" + bytes(12)  # header + partial STREAMINFO
-    for buf in (b"", b"\xff", id3_only, b"garbage!", trunc_flac):
+    trunc_flac = b"fLaC" + bytes(12)     # header + partial STREAMINFO
+    zero_rate_flac = b"fLaC" + bytes(38)  # STREAMINFO with rate 0
+    bad_wav = b"RIFF\x24\x00\x00\x00WAVEjunkjunkjunk"
+    for buf in (b"", b"\xff", id3_only, b"garbage!", trunc_flac,
+                zero_rate_flac, bad_wav):
         with pytest.raises(ValueError):
             _container_stats(buf)
+
+
+def test_id3v24_footer_flag_skipped():
+    """An ID3v2.4 tag with the footer flag occupies size+20 bytes; the
+    sync scan must start after the footer."""
+    frames = encode_mp3_frames([9, 9])
+    tag = b"ID3\x04\x00\x10" + bytes((0, 0, 0, 8)) + bytes(8)  # flags 0x10
+    footer = b"3DI\x04\x00\x10" + bytes((0, 0, 0, 8))
+    buf = tag + footer + frames
+    assert id3v2_size(buf) == 28
+    assert mp3_stream_stats(buf).n_frames == 2
 
 
 def test_audio_container_stats_dispatch(spark):

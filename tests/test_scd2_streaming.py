@@ -110,6 +110,23 @@ def test_scd2_torn_swap_recovers_from_side_dir(spark, tmp_path):
     assert got == _canon(scd2_history(_obs_df(spark, {0, 1, 2, 3})))
 
 
+def test_scd2_partial_first_batch_side_dir_not_recovered(spark,
+                                                         tmp_path):
+    """Crash DURING the very first batch's side-dir write leaves a
+    partial .next with no _SUCCESS and no history at all: the replay
+    must ignore the partial dir (no rename) and rebuild from scratch."""
+    import os
+
+    hist_dir = str(tmp_path / "history")
+    tmp = hist_dir + ".next"
+    os.makedirs(tmp)
+    with open(os.path.join(tmp, "part-00000.parquet.tmp"), "wb") as f:
+        f.write(b"partial garbage")
+    scd2_update_batch(_obs_df(spark, {0, 1}), hist_dir)
+    got = _canon(spark.read.parquet(hist_dir))
+    assert got == _canon(scd2_history(_obs_df(spark, {0, 1})))
+
+
 def test_scd2_stream_end_to_end(spark, tmp_path):
     """File-source stream -> start_scd2_maintenance: two snapshot
     waves land as files; the persisted history must match the batch
