@@ -252,7 +252,11 @@ def decode_image(content: bytes) -> np.ndarray:
             "image decode beyond PPM/PNG/JPEG/GIF/TIFF/BMP requires an "
             "imaging library not present in this environment; those six "
             "decode dependency-free — the mapInPandas pipeline around "
-            "this seam is fully wired"
+            "this seam is fully wired.  WebP header-level stats "
+            "(format + dimensions, all three container kinds) ARE "
+            "available dependency-free via image_dims / "
+            "image_container_stats; only WebP/AVIF pixel decode remains "
+            "the seam"
         ) from exc
 
 
@@ -704,6 +708,188 @@ def mp3_synth_stats(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return docs.select(id_col).mapInPandas(run, CONTAINER_STATS_SCHEMA)
+
+
+# --- header-only image container stats ---------------------------------------
+# The image twin of the MP3 frame-walk: width/height/format from the
+# container HEADERS alone, which is what lets the operator cover WebP
+# (whose pixel decode would need a full VP8/VP8L implementation — the
+# documented seam) alongside the fully-decodable formats.
+
+IMAGE_DIMS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("format", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+    ]
+)
+
+
+def image_dims(content: bytes) -> tuple[str, int, int]:
+    """(format, width, height) from container headers only — P6 PPM,
+    PNG (IHDR), JPEG (SOF marker walk), GIF, BMP, TIFF (IFD tags
+    256/257, both byte orders), and WebP (VP8 lossy frame tag, VP8L
+    signature packing, VP8X canvas).  Raises ValueError on anything
+    unrecognized or truncated."""
+    import struct
+
+    buf = bytes(content)
+    try:
+        if buf[:2] == b"P6":
+            w, h, _, _ = _ppm_header(buf)
+            return ("ppm", w, h)
+        if buf[:8] == PNG_MAGIC:
+            w, h = struct.unpack(">II", buf[16:24])
+            return ("png", w, h)
+        if buf[:2] == b"\xff\xd8":
+            i = 2
+            while i + 9 < len(buf):
+                if buf[i] != 0xFF:
+                    break
+                marker = buf[i + 1]
+                if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                    i += 2
+                    continue
+                seglen = struct.unpack(">H", buf[i + 2:i + 4])[0]
+                if (0xC0 <= marker <= 0xCF
+                        and marker not in (0xC4, 0xC8, 0xCC)):
+                    h, w = struct.unpack(">HH", buf[i + 5:i + 9])
+                    return ("jpeg", w, h)
+                i += 2 + seglen
+            raise ValueError("no JPEG SOF marker found")
+        if buf[:4] == b"GIF8":
+            w, h = struct.unpack("<HH", buf[6:10])
+            return ("gif", w, h)
+        if buf[:2] == b"BM":
+            w, h = struct.unpack("<ii", buf[18:26])
+            return ("bmp", w, abs(h))
+        if buf[:4] in (b"II*\x00", b"MM\x00*"):
+            bo = "<" if buf[:2] == b"II" else ">"
+            (ifd,) = struct.unpack(bo + "I", buf[4:8])
+            (count,) = struct.unpack(bo + "H", buf[ifd:ifd + 2])
+            w = h = None
+            for k in range(count):
+                e = ifd + 2 + 12 * k
+                tag, typ = struct.unpack(bo + "HH", buf[e:e + 4])
+                if tag in (256, 257):
+                    val = (struct.unpack(bo + "H", buf[e + 8:e + 10])[0]
+                           if typ == 3 else
+                           struct.unpack(bo + "I", buf[e + 8:e + 12])[0])
+                    if tag == 256:
+                        w = val
+                    else:
+                        h = val
+            if w is None or h is None:
+                raise ValueError("TIFF IFD lacks dimension tags")
+            return ("tiff", w, h)
+        if buf[:4] == b"RIFF" and buf[8:12] == b"WEBP":
+            fourcc = buf[12:16]
+            p = buf[20:]  # chunk payload
+            if fourcc == b"VP8 ":
+                if p[3:6] != b"\x9d\x01\x2a":
+                    raise ValueError("bad VP8 keyframe sync code")
+                w = struct.unpack("<H", p[6:8])[0] & 0x3FFF
+                h = struct.unpack("<H", p[8:10])[0] & 0x3FFF
+                return ("webp", w, h)
+            if fourcc == b"VP8L":
+                if p[0] != 0x2F:
+                    raise ValueError("bad VP8L signature byte")
+                bits = struct.unpack("<I", p[1:5])[0]
+                return ("webp", (bits & 0x3FFF) + 1,
+                        ((bits >> 14) & 0x3FFF) + 1)
+            if fourcc == b"VP8X":
+                w = 1 + (p[4] | (p[5] << 8) | (p[6] << 16))
+                h = 1 + (p[7] | (p[8] << 8) | (p[9] << 16))
+                return ("webp", w, h)
+            raise ValueError("unknown WebP chunk "
+                             + fourcc.decode("ascii", "replace"))
+    except (IndexError, struct.error) as exc:
+        raise ValueError(f"truncated image container: {exc}") from exc
+    raise ValueError("unrecognized image container")
+
+
+def encode_webp_stub(width: int, height: int,
+                     kind: str = "lossless") -> bytes:
+    """Header-valid WebP container with a zeroed payload — the fixture
+    generator for the dims walker (the encode_mp3_frames posture: the
+    HEADERS are real, the bitstream is not — pixel decode is the
+    documented seam)."""
+    import struct
+
+    if kind == "lossless":
+        bits = (width - 1) | ((height - 1) << 14)
+        payload = bytes([0x2F]) + struct.pack("<I", bits) + bytes(3)
+        fourcc = b"VP8L"
+    elif kind == "lossy":
+        payload = (bytes(3) + b"\x9d\x01\x2a"
+                   + struct.pack("<HH", width, height) + bytes(2))
+        fourcc = b"VP8 "
+    elif kind == "extended":
+        payload = (bytes(4)
+                   + bytes(((width - 1) & 0xFF, ((width - 1) >> 8) & 0xFF,
+                            ((width - 1) >> 16) & 0xFF))
+                   + bytes(((height - 1) & 0xFF,
+                            ((height - 1) >> 8) & 0xFF,
+                            ((height - 1) >> 16) & 0xFF))
+                   + bytes(2))
+        fourcc = b"VP8X"
+    else:
+        raise ValueError(f"unknown stub kind {kind!r}")
+    chunk = fourcc + struct.pack("<I", len(payload)) + payload
+    if len(payload) % 2:
+        chunk += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def image_container_stats(media: DataFrame) -> DataFrame:
+    """Header-walk image stats over a binary ``content`` column —
+    format and dimensions WITHOUT pixel decode, which is what lets the
+    operator accept WebP (VP8/VP8L/VP8X headers; bitstream decode stays
+    the documented seam) next to the fully-decodable formats.  Same
+    Arrow ``mapInPandas`` shape as :func:`audio_container_stats`."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf["content"].map(image_dims)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "format": out.map(lambda t: t[0]),
+                    "width": out.map(lambda t: t[1]).astype("int32"),
+                    "height": out.map(lambda t: t[2]).astype("int32"),
+                }
+            )
+
+    return media.mapInPandas(run, IMAGE_DIMS_SCHEMA)
+
+
+def webp_synth_dims(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """The LIVE WebP-header path: synthesize a header-valid WebP per doc
+    — kind cycles lossless/lossy/extended on ``id % 3``, dims are
+    ``4 + id % 13`` x ``3 + id % 7`` — and walk it back with
+    :func:`image_dims`, both inside one Arrow batch (the
+    mp3_synth_stats posture).  The DuckDB oracle reproduces the dims
+    from the same id arithmetic without touching WebP bytes."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        kinds = ("lossless", "lossy", "extended")
+        for pdf in batches:
+            def dims(i: int) -> tuple[str, int, int]:
+                buf = encode_webp_stub(4 + i % 13, 3 + i % 7,
+                                       kind=kinds[i % 3])
+                return image_dims(buf)
+
+            out = pdf[id_col].map(dims)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "format": out.map(lambda t: t[0]),
+                    "width": out.map(lambda t: t[1]).astype("int32"),
+                    "height": out.map(lambda t: t[2]).astype("int32"),
+                }
+            )
+
+    return docs.select(id_col).mapInPandas(run, IMAGE_DIMS_SCHEMA)
 
 
 FLAC_ROUNDTRIP_SCHEMA = T.StructType(

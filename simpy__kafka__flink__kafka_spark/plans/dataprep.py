@@ -3418,6 +3418,29 @@ def _q_mp3_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mp3_synth_stats(_docs(spark, sf_dir))
 
 
+def _q_webp_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LIVE WebP-header path (functions/multimodal.py:
+    webp_synth_dims): synthesize a header-valid WebP per doc — the
+    container kind cycles VP8L/VP8/VP8X on doc_id %% 3, dims derive
+    from doc_id — and walk it back with image_dims inside one Arrow
+    batch.  The oracle reproduces the dims from the same id arithmetic
+    without touching WebP bytes, so any regression in the RIFF walk,
+    the VP8 sync check, the VP8L bit packing, or the VP8X 24-bit canvas
+    arithmetic hash-mismatches."""
+    from ..functions.multimodal import webp_synth_dims
+
+    return webp_synth_dims(_docs(spark, sf_dir))
+
+
+_WEBP_DIMS_SQL = """
+SELECT doc_id,
+       'webp' AS format,
+       CAST(4 + doc_id % 13 AS INTEGER) AS width,
+       CAST(3 + doc_id % 7 AS INTEGER) AS height
+FROM documents
+"""
+
+
 # duration: n_frames Layer III MPEG-1 frames of 1152 samples at 44.1 kHz,
 # integer-exact on both engines
 _MP3_STATS_SQL = """
@@ -4638,6 +4661,10 @@ QUERIES: dict[str, Query] = {
         _q_mp3_stats, _MP3_STATS_SQL,
         "live MP3 frame-header walk (synthesize + parse in one Arrow "
         "batch): frame count, duration, bitrate range, VBR, ID3 skip"),
+    "webp_dims": Query(
+        _q_webp_dims, _WEBP_DIMS_SQL,
+        "live WebP header walk (VP8 lossy / VP8L lossless / VP8X "
+        "extended): dims without pixel decode, synthesized in-batch"),
     "snapshot_diff": Query(
         _q_snapshot_diff, _snapshot_diff_sql(),
         "URL-keyed added/removed/changed/unchanged diff between two "

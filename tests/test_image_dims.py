@@ -1,0 +1,91 @@
+"""Header-only image dims (functions/multimodal.py:image_dims /
+image_container_stats / webp_synth_dims): every container's dimensions
+come from headers alone — including WebP in all three container kinds,
+whose pixel decode remains the documented seam."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from simpy__kafka__flink__kafka_spark.functions.multimodal import (
+    encode_png, encode_ppm, encode_webp_stub, image_container_stats,
+    image_dims)
+
+
+def test_decodable_formats_header_dims():
+    from simpy__kafka__flink__kafka_spark.functions.bmp import encode_bmp
+    from simpy__kafka__flink__kafka_spark.functions.gif import encode_gif
+    from simpy__kafka__flink__kafka_spark.functions.jpeg import encode_jpeg
+    from simpy__kafka__flink__kafka_spark.functions.tiff import encode_tiff
+
+    px = (np.arange(5 * 7 * 3, dtype=np.uint8).reshape(7, 5, 3))
+    assert image_dims(encode_ppm(px)) == ("ppm", 5, 7)
+    assert image_dims(encode_png(px)) == ("png", 5, 7)
+    assert image_dims(encode_jpeg(px)) == ("jpeg", 5, 7)
+    assert image_dims(encode_gif(px)) == ("gif", 5, 7)
+    assert image_dims(encode_bmp(px)) == ("bmp", 5, 7)
+    assert image_dims(encode_tiff(px)) == ("tiff", 5, 7)
+    # big-endian TIFF: hand-build the minimal MM header + one IFD
+    # (SHORT values occupy the FIRST two bytes of the value field)
+    import struct
+
+    def entry(tag, val):
+        return struct.pack(">HHI", tag, 3, 1) + struct.pack(">H", val) \
+            + b"\x00\x00"
+
+    mm = (b"MM\x00*" + struct.pack(">I", 8) + struct.pack(">H", 2)
+          + entry(256, 5) + entry(257, 7) + struct.pack(">I", 0))
+    assert image_dims(mm) == ("tiff", 5, 7)
+
+
+def test_webp_all_three_kinds():
+    assert image_dims(encode_webp_stub(640, 480, "lossless")) == (
+        "webp", 640, 480)
+    assert image_dims(encode_webp_stub(640, 480, "lossy")) == (
+        "webp", 640, 480)
+    assert image_dims(encode_webp_stub(16384, 3000, "extended")) == (
+        "webp", 16384, 3000)  # beyond the 14-bit VP8 limit
+
+
+def test_dims_typed_errors():
+    with pytest.raises(ValueError):
+        image_dims(b"")
+    with pytest.raises(ValueError):
+        image_dims(b"not an image at all")
+    # truncated PNG (magic only)
+    with pytest.raises(ValueError):
+        image_dims(b"\x89PNG\r\n\x1a\n")
+    # WebP with a corrupted VP8 sync code
+    bad = bytearray(encode_webp_stub(8, 8, "lossy"))
+    bad[23] = 0x00
+    with pytest.raises(ValueError, match="sync"):
+        image_dims(bytes(bad))
+    # JPEG with no SOF marker
+    with pytest.raises(ValueError, match="SOF"):
+        image_dims(b"\xff\xd8\xff\xe0\x00\x04ab\xff\xd9\x00\x00")
+
+
+def test_image_container_stats_arrow_path(spark):
+    px = np.zeros((3, 4, 3), dtype=np.uint8)
+    rows = [
+        (1, bytearray(encode_png(px))),
+        (2, bytearray(encode_webp_stub(100, 50, "lossless"))),
+        (3, bytearray(encode_webp_stub(33, 22, "lossy"))),
+    ]
+    media = spark.createDataFrame(rows, "doc_id long, content binary")
+    got = {r.doc_id: (r.format, r.width, r.height)
+           for r in image_container_stats(media).collect()}
+    assert got == {1: ("png", 4, 3), 2: ("webp", 100, 50),
+                   3: ("webp", 33, 22)}
+
+
+def test_webp_synth_dims_matches_id_arithmetic(spark):
+    from simpy__kafka__flink__kafka_spark.functions.multimodal import (
+        webp_synth_dims)
+
+    docs = spark.createDataFrame([(i,) for i in range(20)], "doc_id long")
+    got = {r.doc_id: (r.format, r.width, r.height)
+           for r in webp_synth_dims(docs).collect()}
+    for i in range(20):
+        assert got[i] == ("webp", 4 + i % 13, 3 + i % 7)
