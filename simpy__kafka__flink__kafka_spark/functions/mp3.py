@@ -59,7 +59,9 @@ def id3v2_size(buf: bytes) -> int:
     if buf[:3] != b"ID3" or len(buf) < 10:
         return 0
     size = ((buf[6] << 21) | (buf[7] << 14) | (buf[8] << 7) | buf[9]) + 10
-    if buf[5] & 0x10:
+    # the footer exists only in v2.4; earlier versions define no 0x10
+    # flag, and honoring a stray one would skip 10 bytes of audio
+    if buf[3] >= 4 and buf[5] & 0x10:
         size += 10
     return size
 

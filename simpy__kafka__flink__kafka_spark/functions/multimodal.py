@@ -726,28 +726,40 @@ IMAGE_DIMS_SCHEMA = T.StructType(
 )
 
 
+def _dims_checked(fmt: str, w: int, h: int) -> tuple[str, int, int]:
+    """Reject non-positive or >= 2^31 dims — a corrupt header must be a
+    typed error, not an int32 wraparound in the Arrow cast."""
+    if not (0 < w < 2**31 and 0 < h < 2**31):
+        raise ValueError(f"{fmt} header declares invalid dims {w}x{h}")
+    return (fmt, w, h)
+
+
 def image_dims(content: bytes) -> tuple[str, int, int]:
     """(format, width, height) from container headers only — P6 PPM,
-    PNG (IHDR), JPEG (SOF marker walk), GIF, BMP, TIFF (IFD tags
+    PNG (IHDR), JPEG (SOF marker walk incl. fill bytes), GIF, BMP
+    (BITMAPINFOHEADER and OS/2 BITMAPCOREHEADER), TIFF (IFD tags
     256/257, both byte orders), and WebP (VP8 lossy frame tag, VP8L
     signature packing, VP8X canvas).  Raises ValueError on anything
-    unrecognized or truncated."""
+    unrecognized, truncated, or dimension-invalid."""
     import struct
 
     buf = bytes(content)
     try:
         if buf[:2] == b"P6":
             w, h, _, _ = _ppm_header(buf)
-            return ("ppm", w, h)
+            return _dims_checked("ppm", w, h)
         if buf[:8] == PNG_MAGIC:
             w, h = struct.unpack(">II", buf[16:24])
-            return ("png", w, h)
+            return _dims_checked("png", w, h)
         if buf[:2] == b"\xff\xd8":
             i = 2
             while i + 9 < len(buf):
                 if buf[i] != 0xFF:
                     break
                 marker = buf[i + 1]
+                if marker == 0xFF:  # spec-valid fill byte before a marker
+                    i += 1
+                    continue
                 if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                     i += 2
                     continue
@@ -755,15 +767,21 @@ def image_dims(content: bytes) -> tuple[str, int, int]:
                 if (0xC0 <= marker <= 0xCF
                         and marker not in (0xC4, 0xC8, 0xCC)):
                     h, w = struct.unpack(">HH", buf[i + 5:i + 9])
-                    return ("jpeg", w, h)
+                    return _dims_checked("jpeg", w, h)
                 i += 2 + seglen
             raise ValueError("no JPEG SOF marker found")
         if buf[:4] == b"GIF8":
             w, h = struct.unpack("<HH", buf[6:10])
-            return ("gif", w, h)
+            return _dims_checked("gif", w, h)
         if buf[:2] == b"BM":
+            (dib,) = struct.unpack("<I", buf[14:18])
+            if dib == 12:  # OS/2 BITMAPCOREHEADER: 16-bit dims
+                w, h = struct.unpack("<HH", buf[18:22])
+                return _dims_checked("bmp", w, h)
+            if dib < 40:
+                raise ValueError(f"unknown BMP DIB header size {dib}")
             w, h = struct.unpack("<ii", buf[18:26])
-            return ("bmp", w, abs(h))
+            return _dims_checked("bmp", w, abs(h))
         if buf[:4] in (b"II*\x00", b"MM\x00*"):
             bo = "<" if buf[:2] == b"II" else ">"
             (ifd,) = struct.unpack(bo + "I", buf[4:8])
@@ -782,7 +800,7 @@ def image_dims(content: bytes) -> tuple[str, int, int]:
                         h = val
             if w is None or h is None:
                 raise ValueError("TIFF IFD lacks dimension tags")
-            return ("tiff", w, h)
+            return _dims_checked("tiff", w, h)
         if buf[:4] == b"RIFF" and buf[8:12] == b"WEBP":
             fourcc = buf[12:16]
             p = buf[20:]  # chunk payload
@@ -791,17 +809,17 @@ def image_dims(content: bytes) -> tuple[str, int, int]:
                     raise ValueError("bad VP8 keyframe sync code")
                 w = struct.unpack("<H", p[6:8])[0] & 0x3FFF
                 h = struct.unpack("<H", p[8:10])[0] & 0x3FFF
-                return ("webp", w, h)
+                return _dims_checked("webp", w, h)
             if fourcc == b"VP8L":
                 if p[0] != 0x2F:
                     raise ValueError("bad VP8L signature byte")
                 bits = struct.unpack("<I", p[1:5])[0]
-                return ("webp", (bits & 0x3FFF) + 1,
-                        ((bits >> 14) & 0x3FFF) + 1)
+                return _dims_checked("webp", (bits & 0x3FFF) + 1,
+                                     ((bits >> 14) & 0x3FFF) + 1)
             if fourcc == b"VP8X":
                 w = 1 + (p[4] | (p[5] << 8) | (p[6] << 16))
                 h = 1 + (p[7] | (p[8] << 8) | (p[9] << 16))
-                return ("webp", w, h)
+                return _dims_checked("webp", w, h)
             raise ValueError("unknown WebP chunk "
                              + fourcc.decode("ascii", "replace"))
     except (IndexError, struct.error) as exc:
@@ -817,6 +835,17 @@ def encode_webp_stub(width: int, height: int,
     documented seam)."""
     import struct
 
+    limits = {"lossless": 1 << 14,        # stores width-1 in 14 bits
+              "lossy": (1 << 14) - 1,     # stores width directly
+              "extended": 1 << 24}
+    if kind not in limits:
+        raise ValueError(f"unknown stub kind {kind!r}")
+    limit = limits[kind]
+    if not (0 < width <= limit and 0 < height <= limit):
+        raise ValueError(
+            f"{kind} WebP cannot represent {width}x{height} "
+            f"(limit {limit}) — out-of-range dims would silently wrap "
+            "into neighboring bit fields")
     if kind == "lossless":
         bits = (width - 1) | ((height - 1) << 14)
         payload = bytes([0x2F]) + struct.pack("<I", bits) + bytes(3)

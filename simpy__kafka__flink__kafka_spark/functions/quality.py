@@ -196,19 +196,29 @@ def extract_links(df: DataFrame, html_col: str = "html",
 
 
 # href value in ALL THREE attribute forms real HTML carries — double-
-# quoted, single-quoted, unquoted (to the next whitespace/'>').  The
-# tag-prefix and tag-tail walkers consume OTHER attributes as whole
-# quoted units or quote-free runs ((?:"[^"]*"|'[^']*'|[^>"'])*?), so an
-# ``href=`` occurrence INSIDE another attribute's quoted value (e.g.
-# title="see href=/fake") can never be claimed as the link — and a '>'
-# inside a later attribute's quoted value no longer ends the tag.
-# Group 1 is the RAW href token (quotes included; the alternation keeps
-# it free of nested groups), group 2 the anchor text; _unquote_href
-# strips one symmetric quote pair.  Java-regex/RE2 common subset (no
-# lookaround, no backrefs in the pattern).
-ANCHOR_RE = ("(?is)<a(?:\"[^\"]*\"|'[^']*'|[^>\"'])*?"
-             "\\shref\\s*=\\s*"
-             "(\"[^\"]*\"|'[^']*'|[^\\s>\"'][^\\s>]*)"
+# quoted, single-quoted, unquoted (to the next whitespace/'>').  Design
+# points (every one is pinned by the 18-case cross-engine matrix in
+# tests/test_advice_fixes_r10.py):
+# - ``<a\s``: the tag NAME must be exactly ``a`` — ``<area href=...>``
+#   (image maps carry href by spec) fabricates nothing;
+# - the tag-prefix walker consumes other attributes as whole quoted
+#   units or quote-free runs, so an ``href=`` INSIDE another
+#   attribute's quoted value (title="see href=/fake") is never claimed;
+#   prefix quoted units are '>'-BOUNDED so an unbalanced quote can at
+#   worst drop THIS tag's anchor, never swallow into following tags;
+# - href must follow whitespace (``data-href=`` never matches);
+# - the tag-tail walker's quoted units may span '>' (rel="a>b" keeps
+#   its anchor), which is safe there: the href is already captured.
+# Documented recall tradeoff (regex engines without atomic groups —
+# the RE2/Java common subset — cannot have both): a tag whose earlier
+# UNQUOTED attribute value contains a quote character
+# (title=don't ... href=...) drops its anchor rather than risking a
+# fabricated one.  Group 1 is the RAW href token (quotes included; the
+# alternation keeps it free of nested groups), group 2 the anchor
+# text; _unquote_href strips one symmetric quote pair.
+ANCHOR_RE = ("(?is)<a\\s(?:(?:\"[^\">]*\"|'[^'>]*'|[^>\"'])*?\\s)?"
+             "href\\s*=\\s*"
+             "(\"[^\">]*\"|'[^'>]*'|[^\\s>\"'][^\\s>]*)"
              "(?:\"[^\"]*\"|'[^']*'|[^>\"'])*>(.*?)</a>")
 
 

@@ -389,15 +389,27 @@ def scd2_update_batch(batch_df: DataFrame, history_dir: str,
     from pyspark.errors import AnalysisException
 
     spark = batch_df.sparkSession
+    import glob
+
     tmp = history_dir.rstrip("/") + ".next"
-    if (not os.path.exists(history_dir)
-            and os.path.exists(os.path.join(tmp, "_SUCCESS"))):
-        # torn swap from a previous run: a COMMITTED side dir (Spark's
-        # _SUCCESS marker present) is the complete newest history —
-        # restore it instead of silently restarting history.  Without
-        # the marker the side dir is a half-written FIRST batch (crash
-        # mid-write before any history existed): leave it for the
-        # overwrite below, never read it.
+
+    def _committed(d: str) -> bool:
+        # Spark's _SUCCESS marker, or — for sessions that disable
+        # marksuccessfuljobs — committed part files with the
+        # _temporary staging dir gone (a mid-write crash always leaves
+        # _temporary behind)
+        if os.path.exists(os.path.join(d, "_SUCCESS")):
+            return True
+        return (not os.path.exists(os.path.join(d, "_temporary"))
+                and bool(glob.glob(os.path.join(d, "part-*"))))
+
+    if not os.path.exists(history_dir) and os.path.exists(tmp) \
+            and _committed(tmp):
+        # torn swap from a previous run: a COMMITTED side dir is the
+        # complete newest history — restore it instead of silently
+        # restarting history.  An uncommitted side dir is a
+        # half-written FIRST batch (crash mid-write before any history
+        # existed): leave it for the overwrite below, never read it.
         os.rename(tmp, history_dir)
     try:
         hist = spark.read.parquet(history_dir)

@@ -235,6 +235,26 @@ def test_anchor_href_inside_other_attribute_not_claimed(spark):
     assert got == {"/real"}
 
 
+def test_anchor_tag_name_and_recall_tradeoffs(spark):
+    """The hardened ANCHOR_RE's design points: <area href> fabricates
+    nothing (tag name must be exactly 'a'), data-href never matches,
+    an unbalanced quote in a tag drops only THAT tag's anchor (no
+    cross-tag swallowing), and the documented recall tradeoff — a
+    quote inside an earlier UNQUOTED attribute value drops the anchor
+    rather than risking a fabricated one."""
+    from simpy__kafka__flink__kafka_spark.functions.quality import (
+        anchor_texts)
+
+    page = ('<map><area href="/map-target" alt=x></map>'
+            '<a name="z">plain named anchor</a>'
+            '<a data-href=/not-a-link>nope</a>'
+            "<a title=don't href=\"/dropped\">tradeoff</a>"
+            '<a href="/kept">good</a>')
+    df = spark.createDataFrame([(1, page)], "doc_id long, html string")
+    got = {r.target for r in anchor_texts(df).collect()}
+    assert got == {"/kept"}
+
+
 def test_anchor_target_quote_strip_is_single_layer(spark):
     """href=\"'x'\" must yield the literal target 'x' (inner quotes
     preserved) — a sequential double-strip would merge it with anchors

@@ -66,6 +66,57 @@ def test_dims_typed_errors():
         image_dims(b"\xff\xd8\xff\xe0\x00\x04ab\xff\xd9\x00\x00")
 
 
+def test_jpeg_fill_bytes_before_sof():
+    """JPEG permits any number of 0xFF fill bytes before a marker; the
+    walk must skip them, not derail."""
+    import struct
+
+    app0 = b"\xff\xe0" + struct.pack(">H", 4) + b"ab"
+    sof0 = (b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+            + struct.pack(">HH", 7, 5) + b"\x01\x11\x00")
+    buf = b"\xff\xd8" + app0 + b"\xff\xff\xff" + sof0 + b"\xff\xd9"
+    assert image_dims(buf) == ("jpeg", 5, 7)
+
+
+def test_bmp_core_header_and_unknown_dib():
+    import struct
+
+    core = (b"BM" + struct.pack("<I", 26) + bytes(4)
+            + struct.pack("<I", 26) + struct.pack("<I", 12)
+            + struct.pack("<HHHH", 100, 50, 1, 24))
+    assert image_dims(core) == ("bmp", 100, 50)
+    weird = (b"BM" + struct.pack("<I", 30) + bytes(4)
+             + struct.pack("<I", 30) + struct.pack("<I", 16) + bytes(12))
+    with pytest.raises(ValueError, match="DIB header"):
+        image_dims(weird)
+
+
+def test_dims_bounds_checked():
+    """A header declaring a >= 2^31 dimension must raise, not wrap to a
+    negative int32 in the Arrow cast."""
+    import struct
+
+    png = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+           + struct.pack(">II", 2**31 + 5, 10) + b"\x08\x02\x00\x00\x00"
+           + bytes(4))
+    with pytest.raises(ValueError, match="invalid dims"):
+        image_dims(png)
+
+
+def test_webp_stub_rejects_unrepresentable_dims():
+    from simpy__kafka__flink__kafka_spark.functions.multimodal import (
+        encode_webp_stub)
+
+    with pytest.raises(ValueError, match="cannot represent"):
+        encode_webp_stub(20000, 10, "lossless")
+    with pytest.raises(ValueError, match="cannot represent"):
+        encode_webp_stub(16384, 10, "lossy")  # lossy stores width direct
+    assert image_dims(encode_webp_stub(16384, 10, "lossless")) == (
+        "webp", 16384, 10)
+    assert image_dims(encode_webp_stub(16383, 10, "lossy")) == (
+        "webp", 16383, 10)
+
+
 def test_image_container_stats_arrow_path(spark):
     px = np.zeros((3, 4, 3), dtype=np.uint8)
     rows = [

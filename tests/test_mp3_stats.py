@@ -87,6 +87,16 @@ def test_id3v24_footer_flag_skipped():
     assert mp3_stream_stats(buf).n_frames == 2
 
 
+def test_id3v23_stray_footer_flag_ignored():
+    """The footer exists only in ID3v2.4 — a stray 0x10 flag bit on a
+    v2.3 tag must NOT widen the skip (it would swallow audio bytes)."""
+    frames = encode_mp3_frames([9])
+    tag = b"ID3\x03\x00\x10" + bytes((0, 0, 0, 8)) + bytes(8)
+    buf = tag + frames
+    assert id3v2_size(buf) == 18
+    assert mp3_stream_stats(buf).n_frames == 1
+
+
 def test_audio_container_stats_dispatch(spark):
     """One frame of each container through the Arrow path: WAV, FLAC,
     and MP3 all report header-exact duration without PCM decode."""

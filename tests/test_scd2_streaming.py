@@ -113,18 +113,38 @@ def test_scd2_torn_swap_recovers_from_side_dir(spark, tmp_path):
 def test_scd2_partial_first_batch_side_dir_not_recovered(spark,
                                                          tmp_path):
     """Crash DURING the very first batch's side-dir write leaves a
-    partial .next with no _SUCCESS and no history at all: the replay
-    must ignore the partial dir (no rename) and rebuild from scratch."""
+    partial .next (staging _temporary still present, no _SUCCESS) and
+    no history at all: the replay must ignore the partial dir (no
+    rename) and rebuild from scratch."""
     import os
 
     hist_dir = str(tmp_path / "history")
     tmp = hist_dir + ".next"
-    os.makedirs(tmp)
-    with open(os.path.join(tmp, "part-00000.parquet.tmp"), "wb") as f:
+    os.makedirs(os.path.join(tmp, "_temporary"))
+    with open(os.path.join(tmp, "part-00000.parquet"), "wb") as f:
         f.write(b"partial garbage")
     scd2_update_batch(_obs_df(spark, {0, 1}), hist_dir)
     got = _canon(spark.read.parquet(hist_dir))
     assert got == _canon(scd2_history(_obs_df(spark, {0, 1})))
+
+
+def test_scd2_torn_swap_recovers_without_success_marker(spark,
+                                                        tmp_path):
+    """Deployments disabling marksuccessfuljobs have no _SUCCESS file;
+    a committed side dir (part files present, _temporary gone) must
+    still be recovered after a torn swap."""
+    import os
+    import shutil
+
+    hist_dir = str(tmp_path / "history")
+    scd2_update_batch(_obs_df(spark, {0, 1, 2}), hist_dir)
+    shutil.move(hist_dir, hist_dir + ".next")
+    success = os.path.join(hist_dir + ".next", "_SUCCESS")
+    if os.path.exists(success):
+        os.remove(success)
+    scd2_update_batch(_obs_df(spark, {3}), hist_dir)
+    got = _canon(spark.read.parquet(hist_dir))
+    assert got == _canon(scd2_history(_obs_df(spark, {0, 1, 2, 3})))
 
 
 def test_scd2_stream_end_to_end(spark, tmp_path):
