@@ -94,6 +94,13 @@ HEADLINE = [
     "mixture_plan",
     "crawl_schedule",
     "mp3_stats",
+    # round-10 wave 2/3: named-agent robots gate, Crawl-delay pacing,
+    # sitemap parsing + frontier seeding, and the WebP header walk
+    "robots_txt_gate_named",
+    "crawl_schedule_paced",
+    "sitemap_parse",
+    "sitemap_frontier",
+    "webp_dims",
 ]
 
 
