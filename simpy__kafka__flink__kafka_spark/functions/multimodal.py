@@ -862,9 +862,7 @@ def encode_webp_stub(width: int, height: int,
                             ((height - 1) >> 8) & 0xFF,
                             ((height - 1) >> 16) & 0xFF))
                    + bytes(2))
-        fourcc = b"VP8X"
-    else:
-        raise ValueError(f"unknown stub kind {kind!r}")
+        fourcc = b"VP8X"  # kind already validated by the limits lookup
     chunk = fourcc + struct.pack("<I", len(payload)) + payload
     if len(payload) % 2:
         chunk += b"\x00"

@@ -207,19 +207,28 @@ def extract_links(df: DataFrame, html_col: str = "html",
 #   prefix quoted units are '>'-BOUNDED so an unbalanced quote can at
 #   worst drop THIS tag's anchor, never swallow into following tags;
 # - href must follow whitespace (``data-href=`` never matches);
-# - the tag-tail walker's quoted units may span '>' (rel="a>b" keeps
-#   its anchor), which is safe there: the href is already captured.
-# Documented recall tradeoff (regex engines without atomic groups —
-# the RE2/Java common subset — cannot have both): a tag whose earlier
-# UNQUOTED attribute value contains a quote character
-# (title=don't ... href=...) drops its anchor rather than risking a
-# fabricated one.  Group 1 is the RAW href token (quotes included; the
-# alternation keeps it free of nested groups), group 2 the anchor
-# text; _unquote_href strips one symmetric quote pair.
+# - the tag-tail walker is ALSO '>'-bounded but adds a lone-quote
+#   fallback (safe post-capture: the href is already taken), so an
+#   unbalanced quote AFTER the href can never swallow the next tag's
+#   anchor — the tag simply ends at the first '>' reachable without
+#   crossing a balanced '>' -free quoted unit.
+# Documented recall tradeoffs (regex engines without atomic groups —
+# the RE2/Java common subset — cannot avoid all of these at once):
+# - a tag whose earlier UNQUOTED attribute value contains a quote
+#   character (title=don't ... href=...) drops its anchor rather than
+#   risking a fabricated one;
+# - a raw '>' inside a quoted attribute value BEFORE the href (or in
+#   the href value itself — where valid URLs pct-encode it) drops the
+#   anchor; AFTER the href it only truncates the tag there, so the
+#   target survives and at worst the anchor text carries value
+#   remnants.
+# Group 1 is the RAW href token (quotes included; the alternation
+# keeps it free of nested groups), group 2 the anchor text;
+# _unquote_href strips one symmetric quote pair.
 ANCHOR_RE = ("(?is)<a\\s(?:(?:\"[^\">]*\"|'[^'>]*'|[^>\"'])*?\\s)?"
              "href\\s*=\\s*"
              "(\"[^\">]*\"|'[^'>]*'|[^\\s>\"'][^\\s>]*)"
-             "(?:\"[^\"]*\"|'[^']*'|[^>\"'])*>(.*?)</a>")
+             "(?:\"[^\">]*\"|'[^'>]*'|[^>\"']|[\"'])*?>(.*?)</a>")
 
 
 def _unquote_href(raw: Column) -> Column:

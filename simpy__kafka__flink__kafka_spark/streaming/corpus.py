@@ -400,8 +400,12 @@ def scd2_update_batch(batch_df: DataFrame, history_dir: str,
         # _temporary behind)
         if os.path.exists(os.path.join(d, "_SUCCESS")):
             return True
+        # glob.escape: a history path containing glob metacharacters
+        # ('[', ']', '*', '?') must not silently fail the part-file
+        # probe — that would skip the recovery and lose the history
         return (not os.path.exists(os.path.join(d, "_temporary"))
-                and bool(glob.glob(os.path.join(d, "part-*"))))
+                and bool(glob.glob(os.path.join(glob.escape(d),
+                                                "part-*"))))
 
     if not os.path.exists(history_dir) and os.path.exists(tmp) \
             and _committed(tmp):

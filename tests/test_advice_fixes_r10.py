@@ -231,8 +231,22 @@ def test_anchor_href_inside_other_attribute_not_claimed(spark):
             '<a data-x="noise" href="/real" rel="a>b">ok</a>')
     df = spark.createDataFrame([(1, page)], "doc_id long, html string")
     got = {r.target for r in anchor_texts(df).collect()}
-    # only the genuine href; the rel="a>b" quoted '>' doesn't end the tag
+    # only the genuine href survives; the '>' inside rel="a>b" (after
+    # the href) truncates the tag there — target kept, text may carry
+    # value remnants (the documented post-href tradeoff)
     assert got == {"/real"}
+
+
+def test_anchor_unbalanced_tail_quote_does_not_swallow_next_tag(spark):
+    """An unbalanced quote AFTER the href must not swallow the next
+    tag: both anchors survive with their own texts."""
+    from simpy__kafka__flink__kafka_spark.functions.quality import (
+        anchor_texts)
+
+    page = '<a href=/x p="u>A</a><a href=/y q=">B</a>'
+    df = spark.createDataFrame([(1, page)], "doc_id long, html string")
+    got = {r.target: r.n_anchors for r in anchor_texts(df).collect()}
+    assert got == {"/x": 1, "/y": 1}
 
 
 def test_anchor_tag_name_and_recall_tradeoffs(spark):
