@@ -182,9 +182,16 @@ def _run_scale(spark, reg, sf_dir: str, base_times: dict[str, float],
                factor: int) -> dict:
     scaled_dir = _ensure_scaled_dir(spark, sf_dir, factor)
     names = [n for n in SCALE_QUERIES if n in reg and n in base_times]
-    # best-of-2, interleaved (the headline lesson): a single cold rep
-    # right after generating the scaled dir is page-cache- and
-    # co-tenant-exposed, and a noisy x10 point corrupts the growth ratio
+    # warm the OS page cache on the scaled files first: the x1 numbers
+    # run against sf0.1 files the whole headline already touched, so an
+    # x10 point paying the FIRST disk read of a freshly-written blow-up
+    # measures disk-first-touch, not plan growth (observed 5.5-20 s
+    # swings on identical data before this)
+    for t in ("documents", "events"):
+        spark.read.parquet(f"{scaled_dir}/{t}.parquet").write.format(
+            "noop").mode("overwrite").save()
+    # best-of-2, interleaved (the headline lesson): co-tenant noise on a
+    # single rep corrupts the growth ratio
     best: dict[str, float] = {n: float("inf") for n in names}
     for _ in range(2):
         for name in names:
