@@ -94,11 +94,13 @@ def crawl_schedule(urls: DataFrame, per_wave: int = 4,
     shard index is monotone in the id.
 
     When ``delays`` carries per-host ``Crawl-delay`` seconds
-    (functions/robots.py:robots_crawl_delays keyed on ``host``), each
-    wave also gets its earliest polite fetch time ``not_before_s =
-    wave * delay`` (hosts without a stated delay pace at
-    ``default_delay_s``) — the schedule honors the robots.txt pacing
-    hint, not just the per-wave cap.
+    (functions/robots.py:robots_crawl_delays keyed on ``host``), hosts
+    with a STATED delay pace per-SLOT (``not_before_s = slot * delay``)
+    — Crawl-delay is the interval between successive requests, so
+    ``per_wave`` simultaneous fetches every ``delay`` seconds would be
+    ``per_wave``x the promised request rate.  Hosts without a stated
+    delay keep the wave cadence at ``default_delay_s`` (the per-wave cap
+    is the only politeness contract they have declared).
 
     Output: (id_col, host, slot, wave[, not_before_s]) — slot is the
     0-based rank within the host, wave = slot div per_wave."""
@@ -129,9 +131,11 @@ def crawl_schedule(urls: DataFrame, per_wave: int = 4,
         out.join(F.broadcast(delays), "host", "left")
         .withColumn(
             "not_before_s",
-            F.round(F.col("wave")
-                    * F.coalesce("crawl_delay",
-                                 F.lit(float(default_delay_s))), 6))
+            F.round(
+                F.when(F.col("crawl_delay").isNotNull(),
+                       F.col("slot") * F.col("crawl_delay"))
+                .otherwise(F.col("wave") * F.lit(float(default_delay_s))),
+                6))
         .select(id_col, "host", "slot", "wave", "not_before_s")
     )
 

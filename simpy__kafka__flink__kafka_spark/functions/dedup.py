@@ -309,29 +309,38 @@ def near_dup_clusters(pairs: DataFrame, iterations: int = 4) -> DataFrame:
     large-star/small-star iterated to convergence.
     Output: (doc_id, cluster_id) for every doc appearing in ``pairs``.
     """
+    from ..cachepin import pin
+
+    # Plan-growth contract: the iterate must reference the previous round's
+    # `labels` exactly ONCE.  The naive update — least(own label, min of
+    # neighbor labels) — references it twice (inside the neighbor aggregate
+    # and as the join's left side), so the analyzed plan carries
+    # ~2^iterations copies of the seed subtree; Catalyst planning and cache
+    # canonicalization over that tree cost a scale-FLAT ~15 s at the gate
+    # (and per-round caching does NOT help: cache substitution happens
+    # after analysis, which already paid the exponential tree).  Folding a
+    # self-edge per node into the edge list makes the identical value —
+    # min over N(d) ∪ {d} — a single join + min-aggregate per round, so
+    # the lineage grows linearly in ``iterations``.
     und = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionByName(
         pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     )
-    labels = (
-        und.select(F.col("src").alias("doc_id")).distinct()
-        .withColumn("label", F.col("doc_id"))
-    )
+    # pinned: referenced by the self-edge union AND the label seed
+    nodes = pin(und.select(F.col("src").alias("doc_id")).distinct())
+    # pinned: every round's join reads this frame
+    edges = pin(und.unionByName(
+        nodes.select(F.col("doc_id").alias("src"),
+                     F.col("doc_id").alias("dst"))
+    ))
+    labels = nodes.withColumn("label", F.col("doc_id"))
     for _ in range(iterations):
-        neigh = (
-            und.join(labels, und.dst == labels.doc_id)
-            .groupBy("src")
-            .agg(F.min("label").alias("nl"))
-        )
         labels = (
-            labels.join(neigh, labels.doc_id == neigh.src, "left")
-            .select(
-                labels.doc_id,
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nl"), F.col("label"))
-                ).alias("label"),
-            )
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("label").alias("label"))
+            .select(F.col("src").alias("doc_id"), "label")
         )
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
 
@@ -685,10 +694,12 @@ def soft_dedup_weights(docs: DataFrame, pairs: DataFrame,
         "doc_id",
         F.count(F.lit(1)).over(fpw).cast("long").alias("n_exact"),
     )
-    clusters = near_dup_clusters(pairs)
-    sizes = clusters.groupBy("cluster_id").agg(
-        F.count(F.lit(1)).cast("long").alias("_csize"))
-    per_doc = clusters.join(sizes, "cluster_id").select("doc_id", "_csize")
+    # cluster sizes via ONE window over the (pair-volume-sized) cluster
+    # assignment — a groupBy + join-back would reference `clusters` twice
+    # and re-execute the whole propagation chain for each reference
+    cw = W.partitionBy("cluster_id")
+    per_doc = near_dup_clusters(pairs).select(
+        "doc_id", F.count(F.lit(1)).over(cw).cast("long").alias("_csize"))
     out = (
         exact.join(per_doc, "doc_id", "left")
         .withColumn("n_eff", F.greatest(

@@ -207,11 +207,15 @@ def extract_links(df: DataFrame, html_col: str = "html",
 #   prefix quoted units are '>'-BOUNDED so an unbalanced quote can at
 #   worst drop THIS tag's anchor, never swallow into following tags;
 # - href must follow whitespace (``data-href=`` never matches);
-# - the tag-tail walker is ALSO '>'-bounded but adds a lone-quote
-#   fallback (safe post-capture: the href is already taken), so an
-#   unbalanced quote AFTER the href can never swallow the next tag's
-#   anchor — the tag simply ends at the first '>' reachable without
-#   crossing a balanced '>' -free quoted unit.
+# - the tag-tail walker is simply ``[^>]*`` — the tag ends at the FIRST
+#   '>' after the href (safe post-capture: the href is already taken,
+#   and quoted units in the prefix/tail grammar are '>'-free anyway, so
+#   a unit-aware walker would stop at the identical '>').  An earlier
+#   quote-unit-or-lone-quote alternation matched the SAME language but
+#   was ambiguous (a quote parses as unit-start or as lone quote) and
+#   backtracked exponentially on Java/PCRE over adversarial quote runs
+#   with no closing '>' — one crawled page could hang an executor while
+#   the RE2 oracle (linear) never saw it.
 # Documented recall tradeoffs (regex engines without atomic groups —
 # the RE2/Java common subset — cannot avoid all of these at once):
 # - a tag whose earlier UNQUOTED attribute value contains a quote
@@ -228,7 +232,7 @@ def extract_links(df: DataFrame, html_col: str = "html",
 ANCHOR_RE = ("(?is)<a\\s(?:(?:\"[^\">]*\"|'[^'>]*'|[^>\"'])*?\\s)?"
              "href\\s*=\\s*"
              "(\"[^\">]*\"|'[^'>]*'|[^\\s>\"'][^\\s>]*)"
-             "(?:\"[^\">]*\"|'[^'>]*'|[^>\"']|[\"'])*?>(.*?)</a>")
+             "[^>]*>(.*?)</a>")
 
 
 def _unquote_href(raw: Column) -> Column:

@@ -88,37 +88,47 @@ def _group_rule_text(df: DataFrame, body_col: str, key_col: str,
                   F.col("seg").rlike(_DIRECTIVE_RE).alias("has_rules")))
     w = (W.partitionBy(key_col).orderBy("pos")
          .rowsBetween(W.currentRow, W.unboundedFollowing))
+    # each segment's binding rules live in the first FOLLOWING (or own)
+    # rule-bearing segment — fetched directly in the same window pass, so
+    # no join-back to the segment table is ever needed
     ex = ex.withColumn(
-        "rpos", F.min(F.when(F.col("has_rules"), F.col("pos"))).over(w))
-    star = (ex.where((F.col("tok") == "*") & F.col("rpos").isNotNull())
-            .select(key_col, "rpos").distinct())
+        "rpos", F.min(F.when(F.col("has_rules"), F.col("pos"))).over(w)
+    ).withColumn(
+        "bseg", F.first(F.when(F.col("has_rules"), F.col("seg")),
+                        ignorenulls=True).over(w))
+
+    def _merge(chosen: DataFrame) -> DataFrame:
+        # rule/delay consumers treat the text as a SET of directive
+        # lines, so the merge order is immaterial — dedup (stacked agent
+        # lines sharing one rule segment) and concat in position order
+        # anyway for determinism, inside the aggregate (collect_set)
+        # rather than as a separate distinct exchange
+        return chosen.groupBy(key_col).agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_set(F.struct("rpos", "bseg"))),
+                    lambda s: s["bseg"]),
+                "\n").alias("seg"))
+
+    star = ex.where((F.col("tok") == "*") & F.col("rpos").isNotNull())
     if user_agent is None:
-        chosen = star
-    else:
-        ua = user_agent.strip().lower()
-        named = (ex.where((F.col("tok") == ua)
-                          & F.col("rpos").isNotNull())
-                 .select(key_col, "rpos").distinct())
-        # keyed on the TOKEN match, not on named rule positions: a
-        # matching group with ZERO rules (trailing 'User-agent: <bot>'
-        # at EOF) still overrides '*' per RFC 9309 §2.2.1 — the named
-        # crawler gets NO restrictions, not the default group's
-        keys_with_named = (ex.where(F.col("tok") == ua)
-                           .select(key_col).distinct())
-        chosen = named.unionByName(
-            star.join(keys_with_named, key_col, "left_anti"))
-    picked = chosen.join(
-        ex.select(key_col, F.col("pos").alias("rpos"), "seg"),
-        [key_col, "rpos"])
-    # rule/delay consumers treat the text as a SET of directive lines,
-    # so the merge order is immaterial — concat in position order
-    # anyway for determinism
-    return picked.groupBy(key_col).agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("rpos", "seg"))),
-                lambda s: s["seg"]),
-            "\n").alias("seg"))
+        # generic-crawler short-circuit: no named-override selection —
+        # one window pass + one aggregate, nothing else
+        return _merge(star.select(key_col, "rpos", "bseg"))
+    ua = user_agent.strip().lower()
+    named = (ex.where((F.col("tok") == ua)
+                      & F.col("rpos").isNotNull())
+             .select(key_col, "rpos", "bseg"))
+    # keyed on the TOKEN match, not on named rule positions: a
+    # matching group with ZERO rules (trailing 'User-agent: <bot>'
+    # at EOF) still overrides '*' per RFC 9309 §2.2.1 — the named
+    # crawler gets NO restrictions, not the default group's
+    keys_with_named = (ex.where(F.col("tok") == ua)
+                       .select(key_col).distinct())
+    chosen = named.unionByName(
+        star.select(key_col, "rpos", "bseg")
+        .join(keys_with_named, key_col, "left_anti"))
+    return _merge(chosen)
 
 
 def robots_rules(df: DataFrame, body_col: str = "robots_txt",

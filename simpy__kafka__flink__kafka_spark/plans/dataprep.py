@@ -3107,9 +3107,10 @@ _ROBOTS_DELAY_BODIES = [
 def _q_crawl_schedule_paced(spark: SparkSession, sf_dir: str) -> DataFrame:
     """robots.txt -> Crawl-delay -> schedule composition: per-domain
     delays parsed from the binding group (max across lines) pace the
-    sharded wave schedule's not_before_s; hosts without a stated delay
-    pace at the 1.5 s default.  One broadcast delay join on top of the
-    crawl_schedule gate row's plan."""
+    sharded schedule's not_before_s per-SLOT (Crawl-delay is the
+    interval between successive requests); hosts without a stated delay
+    pace per-wave at the 1.5 s default.  One broadcast delay join on
+    top of the crawl_schedule gate row's plan."""
     from ..functions.crawl import crawl_schedule
     from ..functions.robots import robots_crawl_delays
 
@@ -3168,7 +3169,9 @@ sched AS (
 )
 SELECT s.doc_id, s.host, s.slot,
        CAST(s.slot // 4 AS BIGINT) AS wave,
-       round((s.slot // 4) * COALESCE(dl.crawl_delay, 1.5), 6)
+       round(CASE WHEN dl.crawl_delay IS NOT NULL
+                  THEN s.slot * dl.crawl_delay
+                  ELSE (s.slot // 4) * 1.5 END, 6)
          AS not_before_s
 FROM sched s LEFT JOIN dl USING (host)
 """

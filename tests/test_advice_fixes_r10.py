@@ -484,7 +484,12 @@ def test_crawl_schedule_delay_pacing(spark):
                                    "host string, crawl_delay double")
     out = crawl_schedule(urls, per_wave=2, delays=delays,
                          default_delay_s=1.0).collect()
-    by = {(r.host, r.wave): r.not_before_s for r in out}
+    by = {(r.host, r.slot): r.not_before_s for r in out}
+    # delayed host paces per-SLOT (round-11 semantics fix: Crawl-delay
+    # is the interval between successive requests, so per_wave
+    # simultaneous fetches would be per_wave x the promised rate)
     assert by[("slow.example.com", 0)] == 0.0
-    assert by[("slow.example.com", 2)] == 10.0   # wave * Crawl-delay
-    assert by[("fast.example.com", 2)] == 2.0    # wave * default
+    assert by[("slow.example.com", 1)] == 5.0
+    assert by[("slow.example.com", 4)] == 20.0   # slot * Crawl-delay
+    # default host keeps the wave cadence
+    assert by[("fast.example.com", 4)] == 2.0    # wave(=2) * default

@@ -89,6 +89,35 @@ def test_crawl_schedule_politeness_cap(spark):
         assert r.wave == r.slot // 4
 
 
+def test_crawl_schedule_paced_per_slot_for_delayed_hosts(spark):
+    """Crawl-delay is the interval between SUCCESSIVE requests: a host
+    with a stated delay must never see two fetch slots closer than the
+    delay (per-slot pacing), while a host without one keeps the wave
+    cadence at the caller default."""
+    from simpy__kafka__flink__kafka_spark.functions.crawl import (
+        crawl_schedule)
+
+    rows = ([(i, f"https://slow.example/p{i}") for i in range(10)]
+            + [(100 + i, f"https://fast.example/p{i}") for i in range(10)])
+    urls = spark.createDataFrame(rows, "doc_id long, url string")
+    delays = spark.createDataFrame([("slow.example", 10.0)],
+                                   "host string, crawl_delay double")
+    out = crawl_schedule(urls, per_wave=4, delays=delays,
+                         default_delay_s=1.5).collect()
+    slow = sorted((r.slot, r.not_before_s) for r in out
+                  if r.host == "slow.example")
+    fast = sorted((r.slot, r.wave, r.not_before_s) for r in out
+                  if r.host == "fast.example")
+    # delayed host: successive slots are >= delay apart (= slot * delay)
+    for (s, t) in slow:
+        assert t == s * 10.0
+    gaps = [b[1] - a[1] for a, b in zip(slow, slow[1:])]
+    assert all(g >= 10.0 for g in gaps)
+    # default host: wave cadence, per_wave simultaneous fetches allowed
+    for (s, w, t) in fast:
+        assert w == s // 4 and t == w * 1.5
+
+
 def test_snapshot_diff_classes(spark):
     from simpy__kafka__flink__kafka_spark.functions.crawl import (
         snapshot_diff)
