@@ -81,9 +81,16 @@ CHECKED_FIRST = [
     # soft_dedup_weights embeds the full clusters CTE) demoted to the
     # oracled pytest-checked tail, funding four of the round-9/10
     # promotions below.
-    "token_count", "exact_dedup",
+    # Round-11 rotation (VERDICT r10 task #2): token_count demoted —
+    # the checked pack_token_shards oracle embeds the IDENTICAL
+    # token-count CTE as its first stage (strict subsumption);
+    # simhash_near_dup demoted — the banded pigeonhole hamming join is
+    # the SAME generic function (functions/dedup.py:
+    # hamming_near_dup_pairs) the checked image_near_dup drives
+    # end-to-end, and the SimHash signature arithmetic stays oracled in
+    # the pytest tail.
+    "exact_dedup",
     "dedup_survivors", "near_dup_verified",
-    "simhash_near_dup",
     # Round-9: quantize_embeddings (pure per-row column arithmetic,
     # long-green since r5; its embedding family keeps ivf_topk +
     # embedding_near_dup_verified at the gate) demoted to the oracled
@@ -91,9 +98,12 @@ CHECKED_FIRST = [
     "ivf_topk", "embedding_near_dup_verified",
     "pack_token_shards", "tfidf_top_terms",
     "corpus_prep_full", "multimodal_features",
-    # round-6 additions promoted round 7: bigram novelty, single-pass
-    # table profiling (contamination_overlap demoted round 10, see above)
-    "rare_bigram_rate", "profile_orders",
+    # round-6 additions promoted round 7: single-pass table profiling
+    # (contamination_overlap demoted round 10, see above).  Round-11:
+    # rare_bigram_rate demoted — same bigram explode+count machinery as
+    # the checked bigram_lm_score (which additionally scores against
+    # the trained counts); the novelty fold stays oracled in the tail.
+    "profile_orders",
     # round-7 web front door + hashed linear scorer + CMS sketch, promoted
     # round 8 (all oracled, array-free schemas — driver-hashable)
     "warc_parse", "html_extract_main", "web_prep_full",
@@ -125,8 +135,12 @@ CHECKED_FIRST = [
     # the rewrite columns off ONE gram-window exchange (0.479x the pair,
     # column-identical pytest) — one gate row now proves both semantics
     # AND the scale-shaped fused plan
-    "passage_rewrite",
-    "audio_decode_stats", "exact_substring_profile_rewrite",
+    # Round-11: audio_decode_stats demoted — its WAV/FLAC vendored-codec
+    # walk has been gate-green since round 5 while the round-10 MP3
+    # header walk was tail-only; the codec-in-Arrow-batches posture now
+    # takes the hard signal through mp3_stats + webp_dims below, and
+    # the WAV/FLAC row stays oracled in the pytest tail.
+    "passage_rewrite", "exact_substring_profile_rewrite",
     # relational surface (bonus operators beyond the reference; demoted
     # twins — customers_without_orders, parts_with_cheap_supply,
     # above_avg_orders in r2, brand_set_ops + pivot_status in r3,
@@ -167,9 +181,22 @@ CHECKED_FIRST = [
     # crawl_schedule is promoted in the same spirit: its rank was
     # resharded this round (mega-host fix) and the gate should hash the
     # new plan.  mixture_plan carries the round-10 zero-token guard.
-    "robots_txt_gate", "snapshot_diff", "scd2_history",
+    "snapshot_diff", "scd2_history",
     "soft_dedup_weights", "bm25_scores", "anchor_texts",
-    "search_rank", "crawl_schedule", "mixture_plan",
+    "search_rank", "mixture_plan",
+    # Round-11 promotions (VERDICT r10 task #2): the round-10 wave-2/3
+    # surface takes the hard signal — the RFC 9309 §2.2.1 named-agent
+    # group selector with stacked User-agent lines and the empty-named-
+    # group override (robots_txt_gate, its user_agent=None special
+    # case, is demoted to the oracled tail: the named row's selector
+    # subsumes the star-only path), the per-slot Crawl-delay-paced
+    # schedule (crawl_schedule demoted: the paced row is the identical
+    # sharded-rank plan plus the delay join — and the rank algebra is
+    # ALSO checked through watermark_sharded's ranged-offset family),
+    # sitemap parsing + frontier seeding, the WebP/7-format header-dims
+    # walk, and the MP3 frame/ID3 header walk.
+    "robots_txt_gate_named", "crawl_schedule_paced",
+    "sitemap_parse", "sitemap_frontier", "webp_dims", "mp3_stats",
 ]
 
 
