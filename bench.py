@@ -138,7 +138,10 @@ def _ensure_scaled_dir(spark, sf_dir: str, factor: int) -> str:
     base.mkdir(parents=True)
     for t in ("region", "nation", "customer", "supplier", "part",
               "orders", "lineitem", "embeddings"):
-        os.symlink(f"{sf_dir}/{t}.parquet", base / f"{t}.parquet")
+        # abspath: a relative SPARK_GRAFT_SF_DIR would otherwise resolve
+        # relative to .bench_scale/x*/ and dangle
+        os.symlink(os.path.abspath(f"{sf_dir}/{t}.parquet"),
+                   base / f"{t}.parquet")
     rep = F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("_rep")
     off = F.col("_rep").cast("long") * F.lit(1 << 40)
 

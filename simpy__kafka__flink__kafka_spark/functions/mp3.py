@@ -49,6 +49,12 @@ class Mp3Stats:
     max_kbps: int
     duration_ms: int
     vbr: bool
+    # True when the stream's final frame HEADER declared a length that
+    # extends past the end of the buffer — a cut-off download.  The
+    # truncated frame is EXCLUDED from n_frames/duration_ms (its
+    # samples never fully exist), so stats stay honest and the flag
+    # lets a corpus quality filter drop or repair the file.
+    truncated: bool = False
 
 
 def id3v2_size(buf: bytes) -> int:
@@ -71,7 +77,10 @@ def mp3_stream_stats(buf: bytes) -> Mp3Stats:
     ID3v2 tag) and fold the stats.  Raises ``ValueError`` on a stream
     with no valid frame, a reserved/free-format header, a layer other
     than III, or a mid-stream sample-rate change (one container, one
-    clock)."""
+    clock).  A final frame whose declared length extends past the end
+    of the buffer is excluded and surfaces as ``truncated=True``; a
+    lost sync mid-buffer simply ends the frame train (trailing ID3v1 /
+    APE tags are normal, not corruption)."""
     buf = bytes(buf)
     i = id3v2_size(buf)
     n_frames = 0
@@ -79,6 +88,7 @@ def mp3_stream_stats(buf: bytes) -> Mp3Stats:
     rate: int | None = None
     min_k = None
     max_k = None
+    truncated = False
     while i + 4 <= len(buf):
         b0, b1, b2 = buf[i], buf[i + 1], buf[i + 2]
         if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
@@ -106,6 +116,12 @@ def mp3_stream_stats(buf: bytes) -> Mp3Stats:
         frame_len = factor * kbps // frame_rate + padding
         if frame_len <= 4:
             raise ValueError("degenerate frame length")
+        if i + frame_len > len(buf):
+            # the header promises more payload than the buffer holds —
+            # a cut-off final frame: don't count samples that were
+            # never written
+            truncated = True
+            break
         n_frames += 1
         total_samples += 1152 if version == 3 else 576
         min_k = kbps if min_k is None else min(min_k, kbps)
@@ -120,6 +136,7 @@ def mp3_stream_stats(buf: bytes) -> Mp3Stats:
         max_kbps=max_k,
         duration_ms=total_samples * 1000 // rate,
         vbr=min_k != max_k,
+        truncated=truncated,
     )
 
 

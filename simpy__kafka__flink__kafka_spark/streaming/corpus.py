@@ -526,9 +526,12 @@ def start_crawl_admission(docs_stream: DataFrame, prior_profile_dir: str,
     sink, closing the crawl -> admission -> history loop."""
     from ..functions.quality import _NOINDEX_TOK_RE, robots_directives
 
+    # sorted: Python set iteration order varies across processes (hash
+    # randomization), and a checkpoint-recovered restart of this query
+    # must project the frontier in the SAME column order
     frontier = url_frontier_dedup(
-        docs_stream, keep=tuple({"html", "headers", "text", *keep}
-                                - {"doc_id", "ingest_ts", "url"}))
+        docs_stream, keep=tuple(sorted({"html", "headers", "text", *keep}
+                                       - {"doc_id", "ingest_ts", "url"})))
     indexable = frontier.where(
         ~robots_directives("html", "headers").rlike(_NOINDEX_TOK_RE))
 

@@ -68,3 +68,43 @@ def test_anchor_tail_rewrite_same_language_as_alternation(spark):
     """, [page]).fetchall())
     assert got == want
     assert ("/b", 1) in got and ("/d", 1) in got
+
+
+# --- b. mp3 truncated final frame -----------------------------------------------
+
+
+def test_mp3_truncated_final_frame_excluded_and_flagged():
+    from simpy__kafka__flink__kafka_spark.functions.mp3 import (
+        encode_mp3_frames, mp3_stream_stats)
+
+    full = encode_mp3_frames([9, 9, 9])           # 3 CBR frames
+    whole = mp3_stream_stats(full)
+    assert (whole.n_frames, whole.truncated) == (3, False)
+    # cut the last frame's payload short: its header declares a length
+    # past the buffer end — the frame must be excluded, not counted
+    cut = mp3_stream_stats(full[:-10])
+    assert cut.truncated is True
+    assert cut.n_frames == 2
+    assert cut.duration_ms == whole.duration_ms * 2 // 3
+    # a lone truncated frame leaves NO countable frame -> typed error
+    one = encode_mp3_frames([9])
+    import pytest
+
+    with pytest.raises(ValueError):
+        mp3_stream_stats(one[:-10])
+    # a trailing non-sync tag (ID3v1-style) is NOT truncation
+    tagged = mp3_stream_stats(full + b"TAG" + bytes(125))
+    assert (tagged.n_frames, tagged.truncated) == (3, False)
+
+
+# --- c. deterministic frontier keep order ---------------------------------------
+
+
+def test_crawl_admission_keep_projection_is_sorted():
+    """The streaming front door's frontier projection must not depend on
+    Python set iteration order (hash randomization across restarts of a
+    checkpointed query): the derived keep tuple is sorted."""
+    keep = ("url", "snap_id")
+    derived = tuple(sorted({"html", "headers", "text", *keep}
+                           - {"doc_id", "ingest_ts", "url"}))
+    assert derived == ("headers", "html", "snap_id", "text")
