@@ -101,23 +101,28 @@ HEADLINE = [
     "sitemap_parse",
     "sitemap_frontier",
     "webp_dims",
+    # round-11: the AVIF ISO-BMFF header walk (eighth image format)
+    "avif_dims",
 ]
 
 
 # --- scale ladder ------------------------------------------------------------
-# The 5 most expensive headline queries also run once against a 10x
-# synthesized blow-up of sf0.1 (disjoint per-replica id/user worlds,
-# per-replica text/props markers so dedup and linking workloads keep
-# their shape), and the JSON carries both points plus the growth ratio —
-# the PLANS.md growth-checkpoint prose as a driver-visible artifact.
+# The N most expensive headline queries BY THIS RUN'S MEASURED TIMES
+# also run once against a 10x synthesized blow-up of sf0.1 (disjoint
+# per-replica id/user worlds, per-replica text/props markers so dedup
+# and linking workloads keep their shape), and the JSON carries both
+# points plus the growth ratio — the PLANS.md growth-checkpoint prose
+# as a driver-visible artifact.  Deriving the list from the measured
+# times (round-11 fix; previously a hand-pinned round-9 list) keeps the
+# ladder pointed at the actual most expensive plans — a new slowest
+# query can never be invisible to the growth check.
 # Skip with SPARK_GRAFT_BENCH_SCALE=0; factor override via the same var.
-SCALE_QUERIES = [
-    "link_traces",
-    "critical_path",
-    "gap_fill_hourly",
-    "crawl_admission",
-    "exact_substring_profile_rewrite",
-]
+SCALE_TOP_N = 5
+
+
+def scale_queries(base_times: dict[str, float]) -> list[str]:
+    return sorted(base_times, key=base_times.get, reverse=True)[
+        :SCALE_TOP_N]
 
 
 def _ensure_scaled_dir(spark, sf_dir: str, factor: int) -> str:
@@ -184,7 +189,7 @@ def _ensure_scaled_dir(spark, sf_dir: str, factor: int) -> str:
 def _run_scale(spark, reg, sf_dir: str, base_times: dict[str, float],
                factor: int) -> dict:
     scaled_dir = _ensure_scaled_dir(spark, sf_dir, factor)
-    names = [n for n in SCALE_QUERIES if n in reg and n in base_times]
+    names = [n for n in scale_queries(base_times) if n in reg]
     # warm the OS page cache on the scaled files first: the x1 numbers
     # run against sf0.1 files the whole headline already touched, so an
     # x10 point paying the FIRST disk read of a freshly-written blow-up

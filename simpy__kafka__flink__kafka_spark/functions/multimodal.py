@@ -734,13 +734,65 @@ def _dims_checked(fmt: str, w: int, h: int) -> tuple[str, int, int]:
     return (fmt, w, h)
 
 
+def _bmff_boxes(buf: bytes, start: int, end: int):
+    """Iterate ISO-BMFF boxes in ``buf[start:end]`` as (type, body_lo,
+    body_hi) — size==1 reads the 64-bit largesize, size==0 extends to
+    the scan end; a box overrunning its container is a typed error."""
+    import struct
+
+    i = start
+    while i + 8 <= end:
+        (size,), btype = struct.unpack(">I", buf[i:i + 4]), buf[i + 4:i + 8]
+        hdr = 8
+        if size == 1:
+            (size,) = struct.unpack(">Q", buf[i + 8:i + 16])
+            hdr = 16
+        elif size == 0:
+            size = end - i
+        if size < hdr or i + size > end:
+            raise ValueError(
+                f"malformed ISO-BMFF box {btype!r}: size {size} overruns "
+                "its container")
+        yield btype, i + hdr, i + size
+        i += size
+
+
+def _avif_ispe_dims(buf: bytes) -> tuple[int, int]:
+    """Walk the ISO-BMFF box tree meta -> iprp -> ipco to the first
+    ``ispe`` (image spatial extents) property and return (w, h) — pure
+    header arithmetic, no AV1 bitstream is touched (pixel decode stays
+    the documented seam).  Taking the FIRST ispe is the documented
+    tradeoff: binding the PRIMARY item's extent exactly would need the
+    full ipma item-property association walk, and encoders emit the
+    primary image's ispe first in practice."""
+    import struct
+
+    def children(scope):
+        return _bmff_boxes(buf, scope[0], scope[1])
+
+    def find(scope, btype, skip=0):
+        for t, lo, hi in children(scope):
+            if t == btype:
+                return (lo + skip, hi)
+        raise ValueError(f"AVIF meta walk: no {btype!r} box found")
+
+    # meta is a FullBox: 4 bytes of version/flags precede its children
+    meta = find((0, len(buf)), b"meta", skip=4)
+    ipco = find(find(meta, b"iprp"), b"ipco")
+    ispe = find(ipco, b"ispe", skip=4)  # FullBox again
+    if ispe[1] - ispe[0] < 8:
+        raise ValueError("truncated AVIF ispe property")
+    return struct.unpack(">II", buf[ispe[0]:ispe[0] + 8])
+
+
 def image_dims(content: bytes) -> tuple[str, int, int]:
     """(format, width, height) from container headers only — P6 PPM,
     PNG (IHDR), JPEG (SOF marker walk incl. fill bytes), GIF, BMP
     (BITMAPINFOHEADER and OS/2 BITMAPCOREHEADER), TIFF (IFD tags
-    256/257, both byte orders), and WebP (VP8 lossy frame tag, VP8L
-    signature packing, VP8X canvas).  Raises ValueError on anything
-    unrecognized, truncated, or dimension-invalid."""
+    256/257, both byte orders), WebP (VP8 lossy frame tag, VP8L
+    signature packing, VP8X canvas), and AVIF (ISO-BMFF box walk to the
+    ispe property).  Raises ValueError on anything unrecognized,
+    truncated, or dimension-invalid."""
     import struct
 
     buf = bytes(content)
@@ -822,6 +874,9 @@ def image_dims(content: bytes) -> tuple[str, int, int]:
                 return _dims_checked("webp", w, h)
             raise ValueError("unknown WebP chunk "
                              + fourcc.decode("ascii", "replace"))
+        if buf[4:8] == b"ftyp" and buf[8:12] in (b"avif", b"avis"):
+            w, h = _avif_ispe_dims(buf)
+            return _dims_checked("avif", w, h)
     except (IndexError, struct.error) as exc:
         raise ValueError(f"truncated image container: {exc}") from exc
     raise ValueError("unrecognized image container")
@@ -904,6 +959,64 @@ def webp_synth_dims(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             def dims(i: int) -> tuple[str, int, int]:
                 buf = encode_webp_stub(4 + i % 13, 3 + i % 7,
                                        kind=kinds[i % 3])
+                return image_dims(buf)
+
+            out = pdf[id_col].map(dims)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "format": out.map(lambda t: t[0]),
+                    "width": out.map(lambda t: t[1]).astype("int32"),
+                    "height": out.map(lambda t: t[2]).astype("int32"),
+                }
+            )
+
+    return docs.select(id_col).mapInPandas(run, IMAGE_DIMS_SCHEMA)
+
+
+def encode_avif_stub(width: int, height: int,
+                     extra_ispe: tuple[int, int] | None = None) -> bytes:
+    """Header-valid AVIF container with no AV1 payload — the fixture
+    generator for the ISO-BMFF dims walk (the encode_webp_stub
+    posture: the box tree is real, the bitstream is absent — pixel
+    decode is the documented seam).  ``extra_ispe`` appends a second
+    ispe property (an auxiliary/thumbnail extent) AFTER the primary
+    one, pinning the first-ispe selection rule."""
+    import struct
+
+    if not (0 < width < 2**31 and 0 < height < 2**31):
+        raise ValueError(f"AVIF stub cannot represent {width}x{height}")
+
+    def box(btype: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + btype + body
+
+    def ispe(w: int, h: int) -> bytes:
+        return box(b"ispe", b"\x00\x00\x00\x00" + struct.pack(">II", w, h))
+
+    props = ispe(width, height)
+    if extra_ispe is not None:
+        props += ispe(*extra_ispe)
+    meta = box(b"meta", b"\x00\x00\x00\x00"
+               + box(b"iprp", box(b"ipco", props)))
+    ftyp = box(b"ftyp", b"avif" + b"\x00\x00\x00\x00" + b"avifmif1")
+    return ftyp + meta
+
+
+def avif_synth_dims(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """The LIVE AVIF-header path: synthesize a header-valid ISO-BMFF
+    box tree per doc — dims ``5 + id % 11`` x ``4 + id % 9``, every
+    third doc carrying a second (thumbnail) ispe that must NOT win —
+    and walk it back with :func:`image_dims`, both inside one Arrow
+    batch (the webp_synth_dims posture).  The DuckDB oracle reproduces
+    the dims from the same id arithmetic without touching AVIF bytes,
+    so any box-walk regression (size/largesize handling, FullBox
+    skips, first-ispe selection) hash-mismatches."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            def dims(i: int) -> tuple[str, int, int]:
+                extra = (1 + i % 3, 1 + i % 2) if i % 3 == 0 else None
+                buf = encode_avif_stub(5 + i % 11, 4 + i % 9,
+                                       extra_ispe=extra)
                 return image_dims(buf)
 
             out = pdf[id_col].map(dims)

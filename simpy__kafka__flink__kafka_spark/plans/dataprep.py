@@ -3444,6 +3444,30 @@ FROM documents
 """
 
 
+def _q_avif_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LIVE AVIF-header path (functions/multimodal.py:
+    avif_synth_dims): synthesize a header-valid ISO-BMFF box tree per
+    doc (ftyp/meta/iprp/ipco/ispe, dims derived from doc_id, every
+    third doc carrying a second thumbnail ispe that must NOT win) and
+    walk it back with image_dims inside one Arrow batch.  The oracle
+    reproduces the dims from the same id arithmetic without touching
+    AVIF bytes, so any regression in the box walk (size/largesize,
+    FullBox version/flags skips, first-ispe selection)
+    hash-mismatches."""
+    from ..functions.multimodal import avif_synth_dims
+
+    return avif_synth_dims(_docs(spark, sf_dir))
+
+
+_AVIF_DIMS_SQL = """
+SELECT doc_id,
+       'avif' AS format,
+       CAST(5 + doc_id % 11 AS INTEGER) AS width,
+       CAST(4 + doc_id % 9 AS INTEGER) AS height
+FROM documents
+"""
+
+
 # duration: n_frames Layer III MPEG-1 frames of 1152 samples at 44.1 kHz,
 # integer-exact on both engines
 _MP3_STATS_SQL = """
@@ -4668,6 +4692,11 @@ QUERIES: dict[str, Query] = {
         _q_webp_dims, _WEBP_DIMS_SQL,
         "live WebP header walk (VP8 lossy / VP8L lossless / VP8X "
         "extended): dims without pixel decode, synthesized in-batch"),
+    "avif_dims": Query(
+        _q_avif_dims, _AVIF_DIMS_SQL,
+        "live AVIF ISO-BMFF box walk (ftyp/meta/iprp/ipco/ispe): dims "
+        "without AV1 decode, first-ispe rule pinned, synthesized "
+        "in-batch"),
     "snapshot_diff": Query(
         _q_snapshot_diff, _snapshot_diff_sql(),
         "URL-keyed added/removed/changed/unchanged diff between two "

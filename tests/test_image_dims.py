@@ -140,3 +140,77 @@ def test_webp_synth_dims_matches_id_arithmetic(spark):
            for r in webp_synth_dims(docs).collect()}
     for i in range(20):
         assert got[i] == ("webp", 4 + i % 13, 3 + i % 7)
+
+
+# --- AVIF (round 11): ISO-BMFF box walk to ispe ---------------------------------
+
+
+def test_avif_header_dims_and_first_ispe_rule():
+    from simpy__kafka__flink__kafka_spark.functions.multimodal import (
+        encode_avif_stub)
+
+    assert image_dims(encode_avif_stub(1920, 1080)) == ("avif", 1920, 1080)
+    # a second (thumbnail) ispe after the primary must not win
+    assert image_dims(encode_avif_stub(640, 480, extra_ispe=(64, 48))) == (
+        "avif", 640, 480)
+
+
+def test_avif_largesize_and_avis_brand():
+    """size==1 boxes read the 64-bit largesize; the avis (sequence)
+    brand walks the same tree."""
+    import struct
+
+    from simpy__kafka__flink__kafka_spark.functions.multimodal import (
+        encode_avif_stub)
+
+    buf = bytearray(encode_avif_stub(12, 34))
+    # rewrite the meta box (follows ftyp) as a largesize box
+    (meta_off,) = struct.unpack(">I", buf[0:4])
+    (size,) = struct.unpack(">I", buf[meta_off:meta_off + 4])
+    body = bytes(buf[meta_off + 8:meta_off + size])
+    large = (struct.pack(">I", 1) + b"meta"
+             + struct.pack(">Q", 16 + len(body)) + body)
+    assert image_dims(bytes(buf[:meta_off]) + large) == ("avif", 12, 34)
+    buf2 = bytearray(encode_avif_stub(7, 8))
+    buf2[8:12] = b"avis"
+    assert image_dims(bytes(buf2)) == ("avif", 7, 8)
+
+
+def test_avif_typed_errors():
+    import struct
+
+    from simpy__kafka__flink__kafka_spark.functions.multimodal import (
+        encode_avif_stub)
+
+    full = encode_avif_stub(100, 200)
+    # truncation anywhere in the tree is a typed error (box size
+    # overruns its container), never an IndexError/struct.error leak
+    for cut in (10, 20, 30, len(full) - 4):
+        with pytest.raises(ValueError):
+            image_dims(full[:cut])
+    # a tree with no ispe property
+    def box(btype, body):
+        return struct.pack(">I", 8 + len(body)) + btype + body
+
+    ftyp = box(b"ftyp", b"avif" + bytes(4))
+    empty = ftyp + box(b"meta", bytes(4)
+                       + box(b"iprp", box(b"ipco", b"")))
+    with pytest.raises(ValueError, match="ispe"):
+        image_dims(empty)
+    # dims bounds: a >= 2^31 width must raise, not wrap
+    wild = ftyp + box(b"meta", bytes(4) + box(b"iprp", box(
+        b"ipco", box(b"ispe", bytes(4)
+                     + struct.pack(">II", 2**31 + 1, 5)))))
+    with pytest.raises(ValueError, match="invalid dims"):
+        image_dims(wild)
+
+
+def test_avif_synth_dims_matches_id_arithmetic(spark):
+    from simpy__kafka__flink__kafka_spark.functions.multimodal import (
+        avif_synth_dims)
+
+    docs = spark.createDataFrame([(i,) for i in range(20)], "doc_id long")
+    got = {r.doc_id: (r.format, r.width, r.height)
+           for r in avif_synth_dims(docs).collect()}
+    for i in range(20):
+        assert got[i] == ("avif", 5 + i % 11, 4 + i % 9)
