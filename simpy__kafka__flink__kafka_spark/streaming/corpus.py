@@ -174,7 +174,11 @@ def compact_pair_batch(batch_df: DataFrame, out_dir: str) -> None:
 
 def incremental_ingest_batch(batch_df: DataFrame, prior_profile_dir: str,
                              accepted_dir: str,
-                             keep: tuple[str, ...] = ()) -> None:
+                             keep: tuple[str, ...] = (),
+                             schedule_dir: str | None = None,
+                             delays: DataFrame | None = None,
+                             per_wave: int = 4,
+                             default_delay_s: float = 1.0) -> None:
     """One micro-batch of :func:`start_incremental_ingest`: classify the
     batch's docs against the PRIOR snapshot's persisted profile PLUS the
     profiles of docs accepted in earlier batches, admit only ``fresh``
@@ -194,7 +198,18 @@ def incremental_ingest_batch(batch_df: DataFrame, prior_profile_dir: str,
     half-committed profile and they would be PERMANENTLY absent from the
     docs sink.  A duplicate is the documented at-least-once residue the
     batch exact-dedup sweep (or a Delta/Iceberg MERGE in production)
-    removes; silent loss is unrecoverable."""
+    removes; silent loss is unrecoverable.
+
+    When ``schedule_dir`` is given (the streaming politeness tail —
+    round-11), the batch's admitted docs ALSO get politeness schedule
+    rows (url, host, slot, wave, not_before_s) continuing each host's
+    slot sequence across batches via :func:`schedule_accepted_batch`;
+    ``keep`` must then include ``url``.  The schedule append goes FIRST
+    (before docs/profile): its sink-side doc_id anti-join makes replays
+    idempotent, whereas appending it LAST would open a crash window
+    (docs+profile landed, schedule didn't) in which the replay
+    classifies the docs ``exact_known`` and the schedule rows would be
+    PERMANENTLY lost."""
     from pyspark.errors import AnalysisException
     from pyspark.sql import Window as W
 
@@ -230,7 +245,17 @@ def incremental_ingest_batch(batch_df: DataFrame, prior_profile_dir: str,
     fresh = batch.join(
         status.where(F.col("status") == "fresh").select("doc_id"),
         "doc_id").localCheckpoint()
-    # docs BEFORE profile — see the docstring's torn-window analysis
+    # schedule BEFORE docs BEFORE profile — see the docstring's
+    # torn-window analyses
+    if schedule_dir is not None:
+        if "url" not in keep:
+            raise ValueError(
+                "schedule_dir requires 'url' in keep: the politeness "
+                "schedule is keyed on the accepted doc's URL host")
+        schedule_accepted_batch(
+            fresh.select("doc_id", "url"), schedule_dir,
+            per_wave=per_wave, delays=delays,
+            default_delay_s=default_delay_s)
     fresh.write.mode("append").parquet(f"{accepted_dir}/docs")
     snapshot_profile(fresh).write.mode("append").parquet(
         f"{accepted_dir}/profile")
@@ -459,6 +484,159 @@ def start_scd2_maintenance(obs_stream: DataFrame, history_dir: str,
     )
 
 
+# --- Streaming politeness schedule (round 11) ---------------------------------
+
+def schedule_accepted_batch(batch_urls: DataFrame, schedule_dir: str,
+                            per_wave: int = 4,
+                            delays: DataFrame | None = None,
+                            default_delay_s: float = 1.0,
+                            id_col: str = "doc_id",
+                            url_col: str = "url") -> None:
+    """Politeness-schedule one micro-batch of admitted URLs, CONTINUING
+    each host's slot sequence across batches: the batch ranks locally
+    (functions/crawl.py:crawl_schedule — the sharded rank), then lifts
+    every slot by the host's already-scheduled row count from the sink,
+    so the (host, slot) sequence stays dense and the pacing arithmetic
+    (per-slot for delayed hosts, per-wave otherwise) keeps counting
+    from where the previous batch stopped.  Slot order is ADMISSION
+    order across batches (a live crawler schedules work as it admits
+    it), id-ascending within a batch — identical to the batch operator
+    whenever arrival order follows ids, which is what the parity test
+    feeds.  Replays are idempotent via a sink-side doc_id anti-join
+    (the pair-compaction posture).  Output rows: (id_col, host, slot,
+    wave, not_before_s)."""
+    from pyspark.errors import AnalysisException
+
+    from ..functions.crawl import crawl_schedule
+
+    spark = batch_urls.sparkSession
+    local = crawl_schedule(batch_urls.select(id_col, url_col),
+                           per_wave=per_wave, id_col=id_col,
+                           url_col=url_col)
+    offs = None
+    try:
+        existing = spark.read.parquet(schedule_dir)
+        seen = existing.select(id_col)
+        local = local.join(seen, id_col, "left_anti")
+        offs = existing.groupBy("host").agg(
+            F.count(F.lit(1)).alias("_off"))
+    except AnalysisException as e:
+        cls = e.getCondition() if hasattr(e, "getCondition") else None
+        if cls != "PATH_NOT_FOUND" and "Path does not exist" not in str(e):
+            raise
+    if offs is not None:
+        local = (local.join(F.broadcast(offs), "host", "left")
+                 .withColumn("slot", F.col("slot")
+                             + F.coalesce("_off", F.lit(0)))
+                 .drop("_off"))
+    lifted = local.withColumn("wave", F.expr(f"slot div {int(per_wave)}"))
+    if delays is not None:
+        lifted = (lifted.join(F.broadcast(delays), "host", "left")
+                  .withColumn(
+                      "not_before_s",
+                      F.round(
+                          F.when(F.col("crawl_delay").isNotNull(),
+                                 F.col("slot") * F.col("crawl_delay"))
+                          .otherwise(F.col("wave")
+                                     * F.lit(float(default_delay_s))),
+                          6)))
+    else:
+        lifted = lifted.withColumn(
+            "not_before_s",
+            F.round(F.col("wave") * F.lit(float(default_delay_s)), 6))
+    lifted.select(id_col, "host", "slot", "wave", "not_before_s") \
+        .write.mode("append").parquet(schedule_dir)
+
+
+# --- Streaming sitemap -> frontier seeding (round 11) --------------------------
+
+def seed_frontier_batch(batch_df: DataFrame, frontier_dir: str,
+                        fetch_df: DataFrame | None = None,
+                        robots_rules_df: DataFrame | None = None) -> None:
+    """One micro-batch of :func:`start_sitemap_seeding`: parse the
+    batch's FETCHED sitemap files (rows of (domain, xml)) into frontier
+    candidates, resolve ONE ``<sitemapindex>`` recursion level against
+    ``fetch_df`` ((sitemap_url, xml) — the test's fake fetcher, the
+    documented seam for a real HTTP fetch), gate candidates through the
+    advertising domain's robots rules when given, and append the
+    never-seen-before URLs to the frontier sink.
+
+    Recursion bound: exactly one index level resolves IN the batch;
+    nested indexes inside a CHILD sitemap are dropped here — the stream
+    itself is the outer loop (fetching that child index later makes it
+    a new stream row, which resolves its own children then), so the
+    bound is per-batch, not per-crawl.  Sink-side (domain, url)
+    anti-join makes replays idempotent — the pair-compaction posture.
+    Output rows: (domain, url, priority, lastmod, changefreq)."""
+    from pyspark.errors import AnalysisException
+
+    from ..functions.crawl import parse_sitemap
+
+    spark = batch_df.sparkSession
+    ent = parse_sitemap(batch_df.select("domain", "xml"),
+                        xml_col="xml", id_col="domain")
+    urls = ent.where(F.col("kind") == "url")
+    if fetch_df is not None:
+        child_xml = (
+            ent.where(F.col("kind") == "sitemap")
+            .join(F.broadcast(fetch_df),
+                  ent.loc == fetch_df.sitemap_url)
+            .select("domain", "xml")
+        )
+        child = parse_sitemap(child_xml, xml_col="xml", id_col="domain")
+        # one level only: a sitemapindex INSIDE a child is left to the
+        # stream (see the docstring's recursion bound)
+        urls = urls.unionByName(child.where(F.col("kind") == "url"))
+    cand = urls.groupBy("domain", F.col("loc").alias("url")).agg(
+        F.max("priority").alias("priority"),
+        F.max("lastmod").alias("lastmod"),
+        F.max("changefreq").alias("changefreq"),
+    )
+    if robots_rules_df is not None:
+        from ..functions.robots import robots_allowed
+
+        gid = F.concat_ws("|", "domain", "url")
+        ok = robots_allowed(
+            cand.select(gid.alias("gid"), "domain", "url"),
+            robots_rules_df, url_col="url", id_col="gid",
+        ).where(F.col("allowed") == 1).select("gid")
+        cand = (cand.withColumn("gid", gid)
+                .join(ok, "gid", "left_semi").drop("gid"))
+    try:
+        seen = spark.read.parquet(frontier_dir).select("domain", "url")
+        cand = cand.join(seen, ["domain", "url"], "left_anti")
+    except AnalysisException as e:
+        cls = e.getCondition() if hasattr(e, "getCondition") else None
+        if cls != "PATH_NOT_FOUND" and "Path does not exist" not in str(e):
+            raise
+    cand.write.mode("append").parquet(frontier_dir)
+
+
+def start_sitemap_seeding(sitemap_stream: DataFrame, frontier_dir: str,
+                          checkpoint_dir: str,
+                          fetch_df: DataFrame | None = None,
+                          robots_rules_df: DataFrame | None = None):
+    """Streaming frontier seeding from fetched sitemap files — the
+    missing streaming stage of the crawl loop (robots Sitemap lines
+    surface the files via functions/robots.py:robots_sitemaps; this
+    turns their CONTENTS into frontier URLs as they arrive): each
+    micro-batch of (domain, xml, ingest_ts) rows runs
+    :func:`seed_frontier_batch`.  The seeded frontier sink is the
+    natural input of the admission chain (read it, or union it into
+    ``docs_stream`` once fetched).  Restart-safe: replayed batches
+    anti-join against the sink.  Returns the started StreamingQuery."""
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        seed_frontier_batch(batch_df, frontier_dir, fetch_df=fetch_df,
+                            robots_rules_df=robots_rules_df)
+
+    return (
+        sitemap_stream.writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )
+
+
 def url_frontier_dedup(urls: DataFrame,
                        keep: tuple[str, ...] = ()) -> DataFrame:
     """Streaming URL-frontier dedup: canonicalize
@@ -485,7 +663,11 @@ def url_frontier_dedup(urls: DataFrame,
 def start_crawl_admission(docs_stream: DataFrame, prior_profile_dir: str,
                           accepted_dir: str, checkpoint_dir: str,
                           robots_rules_df: DataFrame | None = None,
-                          keep: tuple[str, ...] = ()):
+                          keep: tuple[str, ...] = (),
+                          schedule_dir: str | None = None,
+                          delays_df: DataFrame | None = None,
+                          per_wave: int = 4,
+                          default_delay_s: float = 1.0):
     """STREAMING crawl admission — the batch capstone's precedence
     (functions/crawl.py:admission_statuses) as one continuous front
     door, each stage in the stream-appropriate form:
@@ -523,7 +705,16 @@ def start_crawl_admission(docs_stream: DataFrame, prior_profile_dir: str,
     ``accepted_dir`` exactly as in :func:`start_incremental_ingest`.
     ``keep`` columns ride through to the accepted docs sink — pass
     ("url", "snap_id") to feed :func:`start_scd2_maintenance` off the
-    sink, closing the crawl -> admission -> history loop."""
+    sink, closing the crawl -> admission -> history loop.
+
+    When ``schedule_dir`` is given (round-11: the politeness tail, the
+    last batch-only stage of the crawl loop), every admitted doc ALSO
+    gets a politeness schedule row (doc_id, host, slot, wave,
+    not_before_s) under it — per-host slot sequences CONTINUE across
+    micro-batches (:func:`schedule_accepted_batch`), ``delays_df``
+    carries per-host Crawl-delay seconds (per-slot pacing; hosts
+    without one pace per-wave at ``default_delay_s``), and ``keep``
+    must include ``url``."""
     from ..functions.quality import _NOINDEX_TOK_RE, robots_directives
 
     # sorted: Python set iteration order varies across processes (hash
@@ -549,7 +740,9 @@ def start_crawl_admission(docs_stream: DataFrame, prior_profile_dir: str,
             batch = batch.join(ok, "doc_id", "left_semi")
         incremental_ingest_batch(batch.select("doc_id", "text", *keep),
                                  prior_profile_dir, accepted_dir,
-                                 keep=keep)
+                                 keep=keep, schedule_dir=schedule_dir,
+                                 delays=delays_df, per_wave=per_wave,
+                                 default_delay_s=default_delay_s)
 
     return (
         indexable.writeStream.foreachBatch(step)

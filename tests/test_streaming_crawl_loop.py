@@ -1,0 +1,224 @@
+"""Round-11 streaming crawl-loop closure: sitemap -> frontier seeding
+(streaming/corpus.py:seed_frontier_batch / start_sitemap_seeding) and
+the politeness-schedule tail on the admission chain
+(schedule_accepted_batch, start_crawl_admission(schedule_dir=...)) —
+each proved by pushing ONE fixture through the batch operators and the
+streaming path and comparing."""
+
+from __future__ import annotations
+
+import datetime as _dt
+import os
+
+from pyspark.sql import functions as F
+
+URLSET_A = """<?xml version="1.0"?>
+<urlset>
+  <url><loc>https://a.example/page1</loc><lastmod>2026-01-02</lastmod>
+       <changefreq>daily</changefreq><priority>0.9</priority></url>
+  <url><loc>https://a.example/private/secret</loc></url>
+  <url><loc>https://a.example/page2</loc><priority>junk</priority></url>
+</urlset>"""
+
+INDEX_B = """<?xml version="1.0"?>
+<sitemapindex>
+  <sitemap><loc>https://b.example/sitemaps/child.xml</loc></sitemap>
+</sitemapindex>"""
+
+# the child carries urls AND a nested index entry (must be dropped —
+# the one-level recursion bound; the stream is the outer loop)
+CHILD_B = """<?xml version="1.0"?>
+<urlset>
+  <url><loc>https://b.example/doc1</loc><priority>0.4</priority></url>
+  <url><loc>https://b.example/private/x</loc></url>
+</urlset>
+<sitemapindex>
+  <sitemap><loc>https://b.example/sitemaps/grandchild.xml</loc></sitemap>
+</sitemapindex>"""
+
+ROBOTS = {"a.example": "User-agent: *\nDisallow: /private/\n"
+                       "Sitemap: https://a.example/sitemap.xml\n",
+          "b.example": "User-agent: *\nDisallow: /private/\n"
+                       "Sitemap: https://b.example/sitemap_index.xml\n"}
+
+
+def _ts(s: int) -> _dt.datetime:
+    return _dt.datetime.fromtimestamp(
+        s, tz=_dt.timezone.utc).replace(tzinfo=None)
+
+
+def _rules(spark):
+    from simpy__kafka__flink__kafka_spark.functions.robots import (
+        robots_rules)
+
+    robots = spark.createDataFrame(list(ROBOTS.items()),
+                                   "domain string, robots_txt string")
+    return robots_rules(robots).localCheckpoint()
+
+
+def test_robots_sitemaps_surface_the_stream_inputs(spark):
+    """The composition's first hop: robots Sitemap lines surface
+    exactly the files the seeding stream will carry."""
+    from simpy__kafka__flink__kafka_spark.functions.robots import (
+        robots_sitemaps)
+
+    robots = spark.createDataFrame(list(ROBOTS.items()),
+                                   "domain string, robots_txt string")
+    got = {(r.domain, r.sitemap_url)
+           for r in robots_sitemaps(robots).collect()}
+    assert got == {("a.example", "https://a.example/sitemap.xml"),
+                   ("b.example", "https://b.example/sitemap_index.xml")}
+
+
+def test_seed_frontier_batch_parity_recursion_and_replay(spark, tmp_path):
+    from simpy__kafka__flink__kafka_spark.streaming.corpus import (
+        seed_frontier_batch)
+
+    frontier = str(tmp_path / "frontier")
+    fetch = spark.createDataFrame(
+        [("https://b.example/sitemaps/child.xml", CHILD_B)],
+        "sitemap_url string, xml string")
+    rules = _rules(spark)
+    batch = spark.createDataFrame(
+        [("a.example", URLSET_A), ("b.example", INDEX_B)],
+        "domain string, xml string")
+    seed_frontier_batch(batch, frontier, fetch_df=fetch,
+                        robots_rules_df=rules)
+
+    got = {(r.domain, r.url): (r.priority, r.lastmod, r.changefreq)
+           for r in spark.read.parquet(frontier).collect()}
+    # /private/ urls robots-gated on BOTH domains; the child urlset
+    # resolved through one recursion level; the grandchild index entry
+    # seeds nothing (one-level bound)
+    assert set(got) == {("a.example", "https://a.example/page1"),
+                        ("a.example", "https://a.example/page2"),
+                        ("b.example", "https://b.example/doc1")}
+    assert got[("a.example", "https://a.example/page1")] == (
+        0.9, "2026-01-02", "daily")
+    # junk priority falls back to the protocol default
+    assert got[("a.example", "https://a.example/page2")][0] == 0.5
+    assert got[("b.example", "https://b.example/doc1")][0] == 0.4
+
+    # replay idempotence: the same batch again appends nothing
+    seed_frontier_batch(batch, frontier, fetch_df=fetch,
+                        robots_rules_df=rules)
+    assert spark.read.parquet(frontier).count() == 3
+
+
+def test_start_sitemap_seeding_live_stream(spark, tmp_path):
+    from simpy__kafka__flink__kafka_spark.streaming.corpus import (
+        start_sitemap_seeding)
+
+    ind = str(tmp_path / "sm_in")
+    frontier = str(tmp_path / "sm_frontier")
+    ckpt = str(tmp_path / "sm_ckpt")
+    os.makedirs(ind, exist_ok=True)
+    spark.createDataFrame(
+        [("a.example", URLSET_A, _ts(100)),
+         ("b.example", INDEX_B, _ts(101))],
+        "domain string, xml string, ingest_ts timestamp",
+    ).coalesce(1).write.mode("append").parquet(ind)
+    stream = (spark.readStream
+              .schema("domain string, xml string, ingest_ts timestamp")
+              .parquet(ind).withWatermark("ingest_ts", "10 minutes"))
+    fetch = spark.createDataFrame(
+        [("https://b.example/sitemaps/child.xml", CHILD_B)],
+        "sitemap_url string, xml string")
+    q = start_sitemap_seeding(stream, frontier, ckpt, fetch_df=fetch,
+                              robots_rules_df=_rules(spark))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r.url for r in spark.read.parquet(frontier).collect()}
+    assert got == {"https://a.example/page1", "https://a.example/page2",
+                   "https://b.example/doc1"}
+
+
+def test_schedule_accepted_batch_folds_to_batch_operator(spark, tmp_path):
+    """Folding admitted URLs through per-batch scheduling (in arrival =
+    id order) must equal the all-at-once batch crawl_schedule, per-slot
+    pacing included."""
+    from simpy__kafka__flink__kafka_spark.functions.crawl import (
+        crawl_schedule)
+    from simpy__kafka__flink__kafka_spark.streaming.corpus import (
+        schedule_accepted_batch)
+
+    rows = [(i, f"https://h{i % 2}.example/p{i}") for i in range(12)]
+    delays = spark.createDataFrame([("h0.example", 3.0)],
+                                   "host string, crawl_delay double")
+    sched_dir = str(tmp_path / "sched")
+    for lo, hi in ((0, 4), (4, 9), (9, 12)):
+        batch = spark.createDataFrame(rows[lo:hi],
+                                      "doc_id long, url string")
+        schedule_accepted_batch(batch, sched_dir, per_wave=2,
+                                delays=delays, default_delay_s=1.5)
+    got = {r.doc_id: (r.host, r.slot, r.wave, r.not_before_s)
+           for r in spark.read.parquet(sched_dir).collect()}
+    urls = spark.createDataFrame(rows, "doc_id long, url string")
+    want = {r.doc_id: (r.host, r.slot, r.wave, r.not_before_s)
+            for r in crawl_schedule(urls, per_wave=2, delays=delays,
+                                    default_delay_s=1.5).collect()}
+    assert got == want
+    # replay idempotence: re-running the middle batch changes nothing
+    schedule_accepted_batch(
+        spark.createDataFrame(rows[4:9], "doc_id long, url string"),
+        sched_dir, per_wave=2, delays=delays, default_delay_s=1.5)
+    assert spark.read.parquet(sched_dir).count() == 12
+
+
+def test_admission_with_schedule_tail_end_to_end(spark, tmp_path):
+    """The full streaming front door with the politeness tail: admitted
+    docs (and ONLY admitted docs) get schedule rows, slots dense per
+    host, pacing per the host's Crawl-delay."""
+    from simpy__kafka__flink__kafka_spark.functions.dedup import (
+        snapshot_profile)
+    from simpy__kafka__flink__kafka_spark.streaming.corpus import (
+        start_crawl_admission)
+
+    page = "<html><body><p>ok</p></body></html>"
+    hdr = "HTTP/1.1 200 OK\r\n"
+    fresh = ("a genuinely new page about %s with enough words to pass "
+             "the gates and some more trailing text")
+    rows = [
+        (1, "https://s.example/a", fresh % "alpha"),
+        (2, "https://s.example/a?utm_source=x", fresh % "beta"),  # url dup
+        (3, "https://s.example/b", fresh % "gamma"),
+        (4, "https://t.example/c", fresh % "delta"),
+    ]
+    prior_dir = str(tmp_path / "pp")
+    snapshot_profile(spark.createDataFrame(
+        [(99, "totally unrelated prior content nothing matches")],
+        "doc_id long, text string")).write.parquet(prior_dir)
+    ind = str(tmp_path / "in")
+    os.makedirs(ind, exist_ok=True)
+    spark.createDataFrame(
+        [(d, _ts(1000 + d), u, page, hdr, t) for d, u, t in rows],
+        "doc_id long, ingest_ts timestamp, url string, html string, "
+        "headers string, text string",
+    ).coalesce(1).write.mode("append").parquet(ind)
+    stream = (spark.readStream.schema(
+        "doc_id long, ingest_ts timestamp, url string, html string, "
+        "headers string, text string")
+        .parquet(ind).withWatermark("ingest_ts", "10 minutes"))
+    delays = spark.createDataFrame([("s.example", 7.0)],
+                                   "host string, crawl_delay double")
+    acc = str(tmp_path / "acc")
+    sched = str(tmp_path / "sched")
+    q = start_crawl_admission(stream, prior_dir, acc,
+                              str(tmp_path / "ck"), keep=("url",),
+                              schedule_dir=sched, delays_df=delays,
+                              per_wave=4, default_delay_s=1.5)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    accepted = {r.doc_id for r in
+                spark.read.parquet(f"{acc}/docs").collect()}
+    assert accepted == {1, 3, 4}                 # 2 is a url duplicate
+    got = {r.doc_id: (r.host, r.slot, r.not_before_s)
+           for r in spark.read.parquet(sched).collect()}
+    assert set(got) == accepted
+    assert got[1] == ("s.example", 0, 0.0)
+    assert got[3] == ("s.example", 1, 7.0)       # per-slot Crawl-delay
+    assert got[4] == ("t.example", 0, 0.0)       # wave 0 * default
