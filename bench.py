@@ -132,7 +132,13 @@ def _ensure_scaled_dir(spark, sf_dir: str, factor: int) -> str:
     base = Path(__file__).resolve().parent / ".bench_scale" / (
         f"x{factor}_" + Path(sf_dir).name)
     marker = base / "_COMPLETE"
-    if marker.exists():
+    tables = ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "embeddings", "documents", "events")
+    # Path.exists() follows symlinks, so a dir built by a pre-abspath-fix
+    # run with dangling relative symlinks fails this probe and rebuilds
+    # instead of short-circuiting into path-not-found at the x10 point
+    if marker.exists() and all(
+            (base / f"{t}.parquet").exists() for t in tables):
         return str(base)
     import shutil
 
@@ -141,8 +147,7 @@ def _ensure_scaled_dir(spark, sf_dir: str, factor: int) -> str:
     if base.exists():
         shutil.rmtree(base)
     base.mkdir(parents=True)
-    for t in ("region", "nation", "customer", "supplier", "part",
-              "orders", "lineitem", "embeddings"):
+    for t in tables[:8]:
         # abspath: a relative SPARK_GRAFT_SF_DIR would otherwise resolve
         # relative to .bench_scale/x*/ and dangle
         os.symlink(os.path.abspath(f"{sf_dir}/{t}.parquet"),

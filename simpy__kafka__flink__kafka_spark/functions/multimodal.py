@@ -874,9 +874,17 @@ def image_dims(content: bytes) -> tuple[str, int, int]:
                 return _dims_checked("webp", w, h)
             raise ValueError("unknown WebP chunk "
                              + fourcc.decode("ascii", "replace"))
-        if buf[4:8] == b"ftyp" and buf[8:12] in (b"avif", b"avis"):
-            w, h = _avif_ispe_dims(buf)
-            return _dims_checked("avif", w, h)
+        if buf[4:8] == b"ftyp":
+            # AVIF by MAJOR brand, or by a compatible-brands entry —
+            # MIAF permits (and some heif tooling emits) major 'mif1'
+            # with 'avif' listed only among the compatible brands
+            (ftyp_end,) = struct.unpack(">I", buf[0:4])
+            brands = {buf[8:12]} | {
+                buf[o:o + 4]
+                for o in range(16, min(ftyp_end, len(buf)) - 3, 4)}
+            if brands & {b"avif", b"avis"}:
+                w, h = _avif_ispe_dims(buf)
+                return _dims_checked("avif", w, h)
     except (IndexError, struct.error) as exc:
         raise ValueError(f"truncated image container: {exc}") from exc
     raise ValueError("unrecognized image container")

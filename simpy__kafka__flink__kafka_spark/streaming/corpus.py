@@ -510,20 +510,24 @@ def schedule_accepted_batch(batch_urls: DataFrame, schedule_dir: str,
     from ..functions.crawl import crawl_schedule
 
     spark = batch_urls.sparkSession
-    local = crawl_schedule(batch_urls.select(id_col, url_col),
-                           per_wave=per_wave, id_col=id_col,
-                           url_col=url_col)
+    fresh = batch_urls.select(id_col, url_col)
     offs = None
     try:
         existing = spark.read.parquet(schedule_dir)
-        seen = existing.select(id_col)
-        local = local.join(seen, id_col, "left_anti")
+        # anti-join BEFORE ranking: a replayed batch that partially
+        # overlaps the sink (half-committed append, overlapping caller
+        # batches) must rank only its surviving rows — ranking first
+        # would leave the dropped rows' ranks as permanent holes in the
+        # dense (host, slot) sequence after the lift
+        fresh = fresh.join(existing.select(id_col), id_col, "left_anti")
         offs = existing.groupBy("host").agg(
             F.count(F.lit(1)).alias("_off"))
     except AnalysisException as e:
         cls = e.getCondition() if hasattr(e, "getCondition") else None
         if cls != "PATH_NOT_FOUND" and "Path does not exist" not in str(e):
             raise
+    local = crawl_schedule(fresh, per_wave=per_wave, id_col=id_col,
+                           url_col=url_col)
     if offs is not None:
         local = (local.join(F.broadcast(offs), "host", "left")
                  .withColumn("slot", F.col("slot")
@@ -593,6 +597,11 @@ def seed_frontier_batch(batch_df: DataFrame, frontier_dir: str,
         F.max("changefreq").alias("changefreq"),
     )
     if robots_rules_df is not None:
+        # materialize first: the gate references `cand` twice (inside
+        # robots_allowed and as the semi-join's left side) — unpinned,
+        # the whole parse + child-fetch + dedup would execute twice per
+        # batch; the frame is batch-sized, so the checkpoint is cheap
+        cand = cand.localCheckpoint()
         from ..functions.robots import robots_allowed
 
         gid = F.concat_ws("|", "domain", "url")

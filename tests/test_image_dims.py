@@ -176,6 +176,23 @@ def test_avif_largesize_and_avis_brand():
     assert image_dims(bytes(buf2)) == ("avif", 7, 8)
 
 
+def test_avif_compatible_brand_only():
+    """MIAF permits major brand mif1 with avif listed only in the
+    compatible brands — the walk must still claim it."""
+    from simpy__kafka__flink__kafka_spark.functions.multimodal import (
+        encode_avif_stub)
+
+    buf = bytearray(encode_avif_stub(31, 17))
+    assert bytes(buf[8:12]) == b"avif"
+    buf[8:12] = b"mif1"          # compat list still carries 'avif'
+    assert image_dims(bytes(buf)) == ("avif", 31, 17)
+    # but a mif1 file with NO avif/avis brand anywhere stays unclaimed
+    buf[16:20] = b"heic"
+    buf[20:24] = b"mif1"
+    with pytest.raises(ValueError, match="unrecognized"):
+        image_dims(bytes(buf))
+
+
 def test_avif_typed_errors():
     import struct
 

@@ -167,6 +167,28 @@ def test_schedule_accepted_batch_folds_to_batch_operator(spark, tmp_path):
     assert spark.read.parquet(sched_dir).count() == 12
 
 
+def test_schedule_partial_overlap_replay_stays_dense(spark, tmp_path):
+    """A replayed batch PARTIALLY overlapping the sink (half-committed
+    append / overlapping caller batches) must rank only its surviving
+    rows: ranking before the anti-join would leave the dropped rows'
+    ranks as permanent holes in the dense (host, slot) sequence."""
+    from simpy__kafka__flink__kafka_spark.streaming.corpus import (
+        schedule_accepted_batch)
+
+    sched_dir = str(tmp_path / "sched")
+    a = spark.createDataFrame([(1, "https://h.example/a")],
+                              "doc_id long, url string")
+    schedule_accepted_batch(a, sched_dir, per_wave=2)
+    # replay carries the already-sunk doc 1 plus the new doc 2
+    both = spark.createDataFrame(
+        [(1, "https://h.example/a"), (2, "https://h.example/b")],
+        "doc_id long, url string")
+    schedule_accepted_batch(both, sched_dir, per_wave=2)
+    got = {r.doc_id: r.slot
+           for r in spark.read.parquet(sched_dir).collect()}
+    assert got == {1: 0, 2: 1}                   # dense, no hole at 1
+
+
 def test_admission_with_schedule_tail_end_to_end(spark, tmp_path):
     """The full streaming front door with the politeness tail: admitted
     docs (and ONLY admitted docs) get schedule rows, slots dense per
