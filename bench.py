@@ -101,8 +101,12 @@ HEADLINE = [
     "sitemap_parse",
     "sitemap_frontier",
     "webp_dims",
-    # round-11: the AVIF ISO-BMFF header walk (eighth image format)
+    # round-11: the AVIF ISO-BMFF header walk (eighth image format),
+    # rolling z-score burst detection over hourly event rates, and the
+    # per-host reputation profile (frontier prioritization signal)
     "avif_dims",
+    "hourly_anomalies",
+    "host_reputation",
 ]
 
 

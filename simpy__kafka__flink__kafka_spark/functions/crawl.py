@@ -140,6 +140,50 @@ def crawl_schedule(urls: DataFrame, per_wave: int = 4,
     )
 
 
+def host_reputation(docs: DataFrame, host_col: str = "host",
+                    text_col: str = "text",
+                    ppm: int = 1_000_000) -> DataFrame:
+    """Per-host crawl-quality profile — the seed-prioritization signal a
+    frontier scheduler reads (a host that keeps serving duplicates or
+    junk earns less fetch budget): document count, exact-duplicate rate
+    (content fingerprints), mean quality score, and a combined
+    reputation = mean quality discounted by the duplicate rate.
+
+    Exactness posture: per-doc quality (already round(.,6) on both
+    engines) integer-scales as ``floor(q * ppm + 0.5)`` — within 1e-9
+    of an integer, so the +0.5 floor is deterministic — and every
+    downstream ratio is integer division (``div``/``//`` agree), so the
+    row hash-matches with no float summation anywhere.
+
+    Scale shape: zero-shuffle per-doc fingerprint+score, then one
+    host-keyed aggregate family (the distinct-fingerprint count expands
+    to a (host, fp) pre-aggregate — fingerprints only cross the
+    exchange, never text).  Output: (host_col, n_docs, n_unique,
+    dup_rate_ppm, mean_quality_ppm, reputation_ppm)."""
+    from .text import normalized, quality_score
+
+    per = docs.select(
+        F.col(host_col).alias("host"),
+        F.md5(normalized(text_col)).alias("_fp"),
+        F.floor(quality_score(text_col) * ppm + F.lit(0.5))
+        .cast("long").alias("_q"),
+    )
+    agg = per.groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("_fp").cast("long").alias("n_unique"),
+        F.sum("_q").alias("_sq"),
+    )
+    return agg.select(
+        F.col("host").alias(host_col), "n_docs", "n_unique",
+        F.expr(f"((n_docs - n_unique) * {ppm}) div n_docs")
+        .alias("dup_rate_ppm"),
+        F.expr("_sq div n_docs").alias("mean_quality_ppm"),
+        F.expr(f"((_sq div n_docs) * "
+               f"({ppm} - ((n_docs - n_unique) * {ppm}) div n_docs)) "
+               f"div {ppm}").alias("reputation_ppm"),
+    )
+
+
 # sitemaps.org XML: <urlset><url><loc/><lastmod/><changefreq/>
 # <priority/></url>... or an index <sitemapindex><sitemap><loc/>...
 # Tags are lowercase per the protocol; (?s) because entries span lines.

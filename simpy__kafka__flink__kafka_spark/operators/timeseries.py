@@ -97,3 +97,67 @@ def gap_fill(events: DataFrame, grid_ms: int = 3_600_000,
         F.col("pv").cast("long").alias("locf_scaled"),
         interp.cast("long").alias("interp_scaled"),
     )
+
+
+def rolling_zscore_anomalies(events: DataFrame,
+                             grid_ms: int = 3_600_000,
+                             window: int = 24,
+                             min_history: int = 8,
+                             z_threshold: int = 3,
+                             id_col: str = "user_id",
+                             ts_col: str = "ts_ms") -> DataFrame:
+    """Rolling z-score anomaly detection over per-key event RATES — the
+    burst/outage detector an ops pipeline runs on an event stream: each
+    key's events bucket onto a ``grid_ms`` grid (count per bucket), and
+    every bucket with at least ``min_history`` PRIOR observed buckets in
+    its trailing ``window`` is scored against that history's mean and
+    population variance.
+
+    Exactness posture (the gap_fill discipline): the z-score test is
+    algebraically cleared of divisions — with s = sum, q = sum of
+    squares, n = history size, the flag ``|x - s/n| / sigma > z`` is
+    exactly ``(x*n - s)^2 > z^2 * (n*q - s^2)`` in pure integer
+    arithmetic (variance is the population form, times n^2), and the
+    reported magnitude ``z2_scaled = ((x*n - s)^2 * 10^4) div
+    max(n*q - s^2, 1)`` is integer division — both engines hash-match
+    with no float anywhere.  A zero-variance history (all buckets
+    equal) flags any deviation, which is the honest reading.
+
+    Scale shape: one exchange for the bucket counts (map-side
+    combined), then one window pass per key ordered by bucket — the
+    trailing frame is ``window``-bounded, and per-key bucket
+    cardinality is timeline-hours, never event volume, so a hot key
+    costs the same partition as a quiet one.
+    Output: (id_col, bucket_ts, n_events, n_hist, z2_scaled,
+    is_anomaly)."""
+    g = int(grid_ms)
+    counts = (
+        events.select(F.col(id_col).alias("_id"),
+                      F.expr(f"({ts_col} div {g}) * {g}").alias("bucket_ts"))
+        .groupBy("_id", "bucket_ts")
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    hist = (W.partitionBy("_id").orderBy("bucket_ts")
+            .rowsBetween(-int(window), -1))
+    scored = counts.select(
+        "_id", "bucket_ts", "x",
+        F.coalesce(F.sum("x").over(hist), F.lit(0)).alias("s"),
+        F.coalesce(F.sum(F.col("x") * F.col("x")).over(hist),
+                   F.lit(0)).alias("q"),
+        F.count(F.lit(1)).over(hist).cast("long").alias("n"),
+    )
+    num = (F.col("x") * F.col("n") - F.col("s"))
+    den = F.col("n") * F.col("q") - F.col("s") * F.col("s")
+    z2s = F.expr(f"((x * n - s) * (x * n - s) * 10000) div "
+                 f"greatest(n * q - s * s, 1)")
+    flag = (num * num) > (F.lit(int(z_threshold) ** 2) * den)
+    return (
+        scored.where(F.col("n") >= int(min_history))
+        .select(
+            F.col("_id").alias(id_col), "bucket_ts",
+            F.col("x").alias("n_events"),
+            F.col("n").alias("n_hist"),
+            z2s.cast("long").alias("z2_scaled"),
+            F.when(flag, F.lit(1)).otherwise(F.lit(0)).alias("is_anomaly"),
+        )
+    )

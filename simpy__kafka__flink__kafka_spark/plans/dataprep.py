@@ -3177,6 +3177,69 @@ FROM sched s LEFT JOIN dl USING (host)
 """
 
 
+def _q_host_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host crawl-quality profile (functions/crawl.py:
+    host_reputation): hosts synthesized from doc_id %% 11, duplicate
+    rate from content fingerprints, mean quality integer-scaled, and
+    the reputation combination — all integer arithmetic after the
+    shared round(.,6) quality expression, so the row hash-matches."""
+    from ..functions.crawl import host_reputation
+
+    docs = _docs(spark, sf_dir)
+    host = F.concat(F.lit("rep-"), (F.col("doc_id") % 11).cast("string"),
+                    F.lit(".example.com"))
+    return host_reputation(docs.select(host.alias("host"), "text"))
+
+
+def _host_reputation_sql() -> str:
+    en = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    return rf"""
+WITH {_WORDS_CTE},
+m AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+           AS n_tok,
+         CAST(length(text) AS DOUBLE) AS n_chars,
+         CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '',
+                                                   'g')) AS DOUBLE)
+           AS n_punct,
+         CAST(len(list_filter(ws, x -> list_contains([{en}], x)))
+              AS DOUBLE) AS n_stop,
+         md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+  FROM w
+),
+per AS (
+  SELECT 'rep-' || CAST(doc_id % 11 AS VARCHAR) || '.example.com'
+           AS host,
+         fp,
+         CAST(floor(round(0.4 * least(CAST(n_tok AS DOUBLE) / 100.0, 1.0)
+           + 0.3 * (1.0 - least((CASE WHEN n_chars > 0
+                                      THEN n_punct / n_chars
+                                      ELSE 0.0 END) * 10.0, 1.0))
+           + 0.3 * least((CASE WHEN n_tok > 0
+                               THEN n_stop / CAST(n_tok AS DOUBLE)
+                               ELSE 0.0 END) * 5.0, 1.0), 6)
+           * 1000000 + 0.5) AS BIGINT) AS q
+  FROM m
+),
+agg AS (
+  SELECT host, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(DISTINCT fp) AS BIGINT) AS n_unique,
+         sum(q) AS sq
+  FROM per GROUP BY 1
+)
+SELECT host, n_docs, n_unique,
+       CAST(((n_docs - n_unique) * 1000000) // n_docs AS BIGINT)
+         AS dup_rate_ppm,
+       CAST(sq // n_docs AS BIGINT) AS mean_quality_ppm,
+       CAST(((sq // n_docs)
+             * (1000000 - ((n_docs - n_unique) * 1000000) // n_docs))
+            // 1000000 AS BIGINT) AS reputation_ppm
+FROM agg
+"""
+
+
 # --- Sitemap parsing + frontier seeding ----------------------------------------
 
 def _q_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4697,6 +4760,10 @@ QUERIES: dict[str, Query] = {
         "live AVIF ISO-BMFF box walk (ftyp/meta/iprp/ipco/ispe): dims "
         "without AV1 decode, first-ispe rule pinned, synthesized "
         "in-batch"),
+    "host_reputation": Query(
+        _q_host_reputation, _host_reputation_sql(),
+        "per-host crawl-quality profile: duplicate rate + mean quality "
+        "-> reputation, integer-exact (frontier prioritization signal)"),
     "snapshot_diff": Query(
         _q_snapshot_diff, _snapshot_diff_sql(),
         "URL-keyed added/removed/changed/unchanged diff between two "

@@ -533,6 +533,43 @@ FROM wnd WHERE kind = 1
 """
 
 
+def _q_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection over per-user hourly event
+    rates (operators/timeseries.py:rolling_zscore_anomalies): each
+    bucket scored against its trailing-24-bucket history with the
+    division-free integer z-test, so the row is hash-exact against the
+    identical DuckDB arithmetic."""
+    from ..operators.timeseries import rolling_zscore_anomalies
+
+    return rolling_zscore_anomalies(_t(spark, sf_dir, "events"),
+                                    grid_ms=3_600_000, window=24,
+                                    min_history=8, z_threshold=3)
+
+
+_HOURLY_ANOMALIES_SQL = """
+WITH c AS (
+  SELECT user_id, (epoch_ms(ts) // 3600000) * 3600000 AS bucket_ts,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+w AS (
+  SELECT user_id, bucket_ts, x,
+         COALESCE(sum(x) OVER h, 0) AS s,
+         COALESCE(sum(x * x) OVER h, 0) AS q,
+         CAST(count(*) OVER h AS BIGINT) AS n
+  FROM c
+  WINDOW h AS (PARTITION BY user_id ORDER BY bucket_ts
+               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+)
+SELECT user_id, bucket_ts, x AS n_events, n AS n_hist,
+       CAST(((x * n - s) * (x * n - s) * 10000)
+            // greatest(n * q - s * s, 1) AS BIGINT) AS z2_scaled,
+       CAST(CASE WHEN (x * n - s) * (x * n - s) > 9 * (n * q - s * s)
+                 THEN 1 ELSE 0 END AS INTEGER) AS is_anomaly
+FROM w WHERE n >= 8
+"""
+
+
 QUERIES: dict[str, Query] = {
     "price_analytics": Query(_q_price_analytics, _PRICE_ANALYTICS_SQL,
                              "lag/lead/ntile/cume_dist analytic windows"),
@@ -564,6 +601,10 @@ QUERIES: dict[str, Query] = {
     "gap_fill_hourly": Query(_q_gap_fill_hourly, _GAP_FILL_SQL,
                              "per-user hourly resampling: LOCF + "
                              "integer-exact linear interpolation"),
+    "hourly_anomalies": Query(_q_hourly_anomalies, _HOURLY_ANOMALIES_SQL,
+                              "rolling z-score burst detection over "
+                              "hourly event rates (division-free "
+                              "integer z-test)"),
     "sessionize_events": Query(_q_sessionize, _SESSIONIZE_SQL,
                                "gap-based sessionization (session_window analog)"),
     "tumbling_daily": Query(_q_tumbling_daily, _TUMBLING_DAILY_SQL,

@@ -1,0 +1,79 @@
+"""Round-11 extension operators: rolling z-score anomaly detection
+(operators/timeseries.py:rolling_zscore_anomalies) and per-host
+reputation scoring (functions/crawl.py:host_reputation)."""
+
+from __future__ import annotations
+
+
+def test_rolling_zscore_flags_burst_and_respects_history(spark):
+    from simpy__kafka__flink__kafka_spark.operators.timeseries import (
+        rolling_zscore_anomalies)
+
+    # key 1: 10 calm buckets (1 event each), then a 50-event burst;
+    # key 2: constant rate — never anomalous
+    g = 1000
+    rows = []
+    for b in range(10):
+        rows.append((1, b * g))
+        rows.append((2, b * g))
+    rows += [(1, 10 * g)] * 50
+    rows.append((2, 10 * g))
+    ev = spark.createDataFrame(rows, "user_id long, ts_ms long")
+    out = {(r.user_id, r.bucket_ts): (r.n_events, r.n_hist, r.is_anomaly)
+           for r in rolling_zscore_anomalies(
+               ev, grid_ms=g, window=24, min_history=8,
+               z_threshold=3).collect()}
+    # buckets before min_history prior observations emit nothing
+    assert (1, 0) not in out and (1, 7 * g) not in out
+    # calm bucket with enough history: zero variance, zero deviation
+    assert out[(1, 9 * g)] == (1, 9, 0)
+    # the burst: history mean 1, x=50 -> flagged
+    assert out[(1, 10 * g)] == (50, 10, 1)
+    assert out[(2, 10 * g)][2] == 0
+
+
+def test_rolling_zscore_integer_z2(spark):
+    """z2_scaled is the division-free integer form of z^2 * 1e4:
+    history [1]*8, x=5 -> mean 1, pop var 0 -> den clamps to 1 and
+    z2 = (x*n - s)^2 * 1e4; with var > 0 the exact ratio divides."""
+    from simpy__kafka__flink__kafka_spark.operators.timeseries import (
+        rolling_zscore_anomalies)
+
+    g = 10
+    rows = [(1, b * g) for b in range(8)] + [(1, 8 * g)] * 5
+    ev = spark.createDataFrame(rows, "user_id long, ts_ms long")
+    out = {r.bucket_ts: (r.z2_scaled, r.is_anomaly)
+           for r in rolling_zscore_anomalies(
+               ev, grid_ms=g, window=24, min_history=8).collect()}
+    # x=5, n=8, s=8, q=8: num=32, den=0 -> z2 = 32^2*1e4 // 1
+    assert out[8 * g] == (32 * 32 * 10000, 1)
+
+
+def test_host_reputation_arithmetic(spark):
+    from simpy__kafka__flink__kafka_spark.functions.crawl import (
+        host_reputation)
+    from simpy__kafka__flink__kafka_spark.functions.text import (
+        quality_score)
+    from pyspark.sql import functions as F
+
+    good = ("a long and useful sentence with many plain words that "
+            "clears the quality bar easily, and then some.")
+    rows = [("h1", good), ("h1", good), ("h1", good + " unique tail"),
+            ("h2", good)]
+    docs = spark.createDataFrame(rows, "host string, text string")
+    got = {r.host: r for r in host_reputation(docs).collect()}
+    q_ppm = int(spark.createDataFrame([(good,)], "text string")
+                .select(F.floor(quality_score("text") * 1_000_000
+                                + F.lit(0.5)).cast("long"))
+                .collect()[0][0])
+    h1 = got["h1"]
+    assert (h1.n_docs, h1.n_unique) == (3, 2)
+    assert h1.dup_rate_ppm == 1 * 1_000_000 // 3
+    # reputation discounts mean quality by the duplicate rate
+    assert h1.reputation_ppm == (h1.mean_quality_ppm
+                                 * (1_000_000 - h1.dup_rate_ppm)
+                                 // 1_000_000)
+    h2 = got["h2"]
+    assert (h2.n_docs, h2.dup_rate_ppm) == (1, 0)
+    assert h2.mean_quality_ppm == q_ppm
+    assert h2.reputation_ppm == q_ppm
