@@ -135,6 +135,44 @@ def test_start_sitemap_seeding_live_stream(spark, tmp_path):
                    "https://b.example/doc1"}
 
 
+def test_sitemap_seeding_checkpoint_restart(spark, tmp_path):
+    """Stop the seeding query after batch 1, deliver more files, restart
+    from the same checkpoint: the frontier ends with exactly the union,
+    no duplicates — replayed batches hit the sink anti-join."""
+    from simpy__kafka__flink__kafka_spark.streaming.corpus import (
+        start_sitemap_seeding)
+
+    ind = str(tmp_path / "in")
+    frontier = str(tmp_path / "frontier")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(ind, exist_ok=True)
+    schema = "domain string, xml string, ingest_ts timestamp"
+
+    def deliver(rows):
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.mode("append").parquet(ind)
+
+    def run_until_quiet():
+        stream = (spark.readStream.schema(schema).parquet(ind)
+                  .withWatermark("ingest_ts", "10 minutes"))
+        q = start_sitemap_seeding(stream, frontier, ckpt)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    deliver([("a.example", URLSET_A, _ts(1))])
+    run_until_quiet()
+    n1 = spark.read.parquet(frontier).count()
+    assert n1 == 3          # ungated: both /private/ rows seed too
+    deliver([("b.example",
+              CHILD_B.replace("sitemapindex>", "ignored>"), _ts(2))])
+    run_until_quiet()       # restart from the same checkpoint
+    rows = spark.read.parquet(frontier).collect()
+    assert len(rows) == 5
+    assert len({(r.domain, r.url) for r in rows}) == 5   # no dups
+
+
 def test_schedule_accepted_batch_folds_to_batch_operator(spark, tmp_path):
     """Folding admitted URLs through per-batch scheduling (in arrival =
     id order) must equal the all-at-once batch crawl_schedule, per-slot
