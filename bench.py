@@ -107,6 +107,9 @@ HEADLINE = [
     "avif_dims",
     "hourly_anomalies",
     "host_reputation",
+    # round-11: executed VP8L pixel roundtrip (lossless WebP decode for
+    # transform-free streams — the narrowed WebP seam)
+    "webp_roundtrip_stats",
 ]
 
 

@@ -219,10 +219,15 @@ def encode_png(pixels: np.ndarray) -> bytes:
 
 def decode_image(content: bytes) -> np.ndarray:
     """Image decode -> (height, width, 3) uint8 array.  P6 PPM, 8-bit
-    RGB/RGBA PNG, and JPEG (sequential and progressive) decode via the
-    vendored dependency-free parsers; any other format needs an imaging
-    library (absent from this environment — documented seam)."""
+    RGB/RGBA PNG, JPEG (sequential and progressive), GIF, TIFF, BMP,
+    and transform-free lossless WebP (VP8L — functions/vp8l.py) decode
+    via the vendored dependency-free parsers; any other format needs an
+    imaging library (absent from this environment — documented seam)."""
     buf = bytes(content[:8])
+    if buf[:4] == b"RIFF" and bytes(content[8:16]) == b"WEBPVP8L":
+        from .vp8l import decode_vp8l
+
+        return decode_vp8l(content)[..., :3]
     if buf[:2] == b"P6":
         return decode_ppm(content)
     if buf == PNG_MAGIC:
@@ -255,8 +260,10 @@ def decode_image(content: bytes) -> np.ndarray:
             "this seam is fully wired.  WebP header-level stats "
             "(format + dimensions, all three container kinds) ARE "
             "available dependency-free via image_dims / "
-            "image_container_stats; only WebP/AVIF pixel decode remains "
-            "the seam"
+            "image_container_stats, and transform-free lossless WebP "
+            "(VP8L) pixels decode via functions/vp8l.py; only lossy-VP8 "
+            "/ transform-bearing-VP8L / AVIF pixel decode remains the "
+            "seam"
         ) from exc
 
 
@@ -1038,6 +1045,65 @@ def avif_synth_dims(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return docs.select(id_col).mapInPandas(run, IMAGE_DIMS_SCHEMA)
+
+
+WEBP_ROUNDTRIP_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("sum_r", T.LongType(), True),
+        T.StructField("sum_g", T.LongType(), True),
+        T.StructField("sum_b", T.LongType(), True),
+        T.StructField("lossless", T.IntegerType(), True),
+    ]
+)
+
+
+def webp_roundtrip_stats(docs: DataFrame,
+                         id_col: str = "doc_id") -> DataFrame:
+    """EXECUTED lossless WebP path (functions/vp8l.py): synthesize an
+    8x4 RGBA image per doc from its id — r=(id+3x+5y)%%11,
+    g=(id+x+y)%%16, b=(id+7x)%%5, opaque alpha — encode it as a
+    transform-free VP8L stream, decode it back, and emit per-channel
+    sums plus a ``lossless`` flag comparing decoded to source, all
+    inside one Arrow batch (the flac_roundtrip posture).  Because VP8L
+    is lossless, the DuckDB oracle reproduces every output (including
+    the flag) from the id arithmetic without touching WebP bytes; any
+    codec regression (tree layout, canonical codes, bit packing,
+    channel order) flips ``lossless`` or shifts a sum and
+    hash-mismatches."""
+    from .vp8l import decode_vp8l, encode_vp8l
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        xs, ys = np.meshgrid(np.arange(8), np.arange(4))
+        for pdf in batches:
+            def stats(i: int) -> tuple:
+                img = np.zeros((4, 8, 4), dtype=np.uint8)
+                img[..., 0] = (i + 3 * xs + 5 * ys) % 11
+                img[..., 1] = (i + xs + ys) % 16
+                img[..., 2] = (i + 7 * xs) % 5
+                img[..., 3] = 255
+                dec = decode_vp8l(encode_vp8l(img))
+                return (dec.shape[1], dec.shape[0],
+                        int(dec[..., 0].sum()), int(dec[..., 1].sum()),
+                        int(dec[..., 2].sum()),
+                        int(np.array_equal(dec, img)))
+
+            out = pdf[id_col].map(stats)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "width": out.map(lambda t: t[0]).astype("int32"),
+                    "height": out.map(lambda t: t[1]).astype("int32"),
+                    "sum_r": out.map(lambda t: t[2]).astype("int64"),
+                    "sum_g": out.map(lambda t: t[3]).astype("int64"),
+                    "sum_b": out.map(lambda t: t[4]).astype("int64"),
+                    "lossless": out.map(lambda t: t[5]).astype("int32"),
+                }
+            )
+
+    return docs.select(id_col).mapInPandas(run, WEBP_ROUNDTRIP_SCHEMA)
 
 
 FLAC_ROUNDTRIP_SCHEMA = T.StructType(

@@ -1,0 +1,366 @@
+"""VP8L (lossless WebP) pixel codec — the TRANSFORM-FREE subset: a
+general decoder for VP8L streams that carry no transforms and no
+entropy image (simple AND normal code-length-coded prefix trees, the
+max-symbol cap, repeat codes 16/17/18, LZ77 backward references with
+direct distances, the color cache), plus an encoder that synthesizes
+spec-shaped literal-pixel streams — the fixture generator for the
+roundtrip row (the encode_mp3_frames / flac_roundtrip posture: headers
+and entropy coding are real, the corpus never depends on external
+codec libraries).
+
+This NARROWS the documented WebP seam (multimodal.py previously walked
+only the VP8L header): pixel decode now executes for transform-free
+streams.  Remaining seams, each a typed error so corpus filters see
+corruption-vs-unsupported distinctly:
+- the four spatial transforms (predictor / color / subtract-green /
+  color-indexing) and the entropy image (meta prefix groups);
+- the 2D near-distance map (LZ77 distance codes <= 120) — real
+  encoders emit these constantly, so full libwebp interop is NOT
+  claimed; direct distances (> 120 at the code level) decode exactly.
+Bit packing follows the spec's deflate-style convention (LSB-first
+bytes, prefix-code bits packed most-significant-first); the
+encode->decode pair is self-consistent and the tests pin exact bit
+layouts, but cross-validation against libwebp-encoded files remains
+out of scope for this container.
+
+Format facts used (public "WebP Lossless Bitstream Specification"):
+signature 0x2F; 14-bit w-1 / 14-bit h-1 / alpha hint / 3-bit version;
+per-group trees [green+len+cache(256+24+cache), red(256), blue(256),
+alpha(256), distance(40)]; code-length-code order
+[17,18,0,1,2,3,4,5,16,6,7,8,9,10,11,12,13,14,15]; LZ77 prefix value
+``code<4 ? code+1 : ((2+(code&1))<<eb) + bits(eb) + 1`` with
+``eb=(code-2)>>1``; color-cache hash ``(0x1e35a7bd*argb) >>
+(32-bits)``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+CLC_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13,
+             14, 15)
+_HASH_MUL = 0x1E35A7BD
+
+
+class _LsbReader:
+    """LSB-first bit reader (the VP8L convention)."""
+
+    def __init__(self, data: bytes) -> None:
+        self._d = data
+        self._pos = 0          # bit position
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for k in range(n):
+            byte = self._pos >> 3
+            if byte >= len(self._d):
+                raise ValueError("truncated VP8L bitstream")
+            v |= ((self._d[byte] >> (self._pos & 7)) & 1) << k
+            self._pos += 1
+        return v
+
+
+class _LsbWriter:
+    def __init__(self) -> None:
+        self._bytes = bytearray()
+        self._bit = 0
+
+    def bits(self, v: int, n: int) -> None:
+        for k in range(n):
+            if self._bit == 0:
+                self._bytes.append(0)
+            if (v >> k) & 1:
+                self._bytes[-1] |= 1 << self._bit
+            self._bit = (self._bit + 1) & 7
+
+    def code(self, c: int, length: int) -> None:
+        """Prefix-code bits pack most-significant-first (deflate style)."""
+        for k in range(length - 1, -1, -1):
+            self.bits((c >> k) & 1, 1)
+
+    def payload(self) -> bytes:
+        return bytes(self._bytes)
+
+
+def _canonical(lengths: dict[int, int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) canonical assignment: increasing code
+    values in (length, symbol) order; zero-length symbols absent."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    prev_len = 0
+    for sym in sorted((s for s, ln in lengths.items() if ln > 0),
+                      key=lambda s: (lengths[s], s)):
+        code <<= lengths[sym] - prev_len
+        out[sym] = (code, lengths[sym])
+        code += 1
+        prev_len = lengths[sym]
+    return out
+
+
+class _Tree:
+    """Decodable prefix tree: single-symbol trees read zero bits."""
+
+    def __init__(self, lengths: dict[int, int]) -> None:
+        nonzero = [s for s, ln in lengths.items() if ln > 0]
+        if not nonzero:
+            raise ValueError("VP8L prefix tree with no symbols")
+        if len(nonzero) == 1:
+            self._only: int | None = nonzero[0]
+            self._lut: dict[tuple[int, int], int] = {}
+            return
+        self._only = None
+        self._lut = {cl: s for s, cl in _canonical(lengths).items()}
+        # completeness (Kraft equality) — an over/under-subscribed code
+        # is a malformed stream, not a decoder loop
+        if sum(2 ** -ln for s, ln in lengths.items() if ln > 0) != 1.0:
+            raise ValueError("incomplete VP8L prefix code")
+
+    def read(self, r: _LsbReader) -> int:
+        if self._only is not None:
+            return self._only
+        code, length = 0, 0
+        while True:
+            code = (code << 1) | r.bits(1)
+            length += 1
+            if (code, length) in self._lut:
+                return self._lut[(code, length)]
+            if length > 15:
+                raise ValueError("VP8L prefix walk exceeded 15 bits")
+
+
+def _read_tree(r: _LsbReader, alphabet: int) -> _Tree:
+    if r.bits(1):                                 # simple code
+        num_symbols = r.bits(1) + 1
+        first_8bits = r.bits(1)
+        s0 = r.bits(8 if first_8bits else 1)
+        if num_symbols == 1:
+            return _Tree({s0: 1})                 # becomes zero-bit
+        s1 = r.bits(8)
+        if s0 == s1:
+            raise ValueError("simple VP8L code repeats a symbol")
+        return _Tree({s0: 1, s1: 1})
+    num_codes = 4 + r.bits(4)
+    clc_lengths = {CLC_ORDER[i]: r.bits(3) for i in range(num_codes)}
+    clc = _Tree(clc_lengths)
+    if r.bits(1):                                 # max-symbol cap
+        length_nbits = 2 + 2 * r.bits(3)
+        max_symbol = 2 + r.bits(length_nbits)
+    else:
+        max_symbol = alphabet
+    lengths: dict[int, int] = {}
+    prev_len = 8
+    symbol = 0
+    while symbol < alphabet and max_symbol > 0:
+        max_symbol -= 1
+        cl = clc.read(r)
+        if cl < 16:
+            lengths[symbol] = cl
+            symbol += 1
+            if cl:
+                prev_len = cl
+        elif cl == 16:
+            rep = 3 + r.bits(2)
+            for _ in range(rep):
+                if symbol < alphabet:
+                    lengths[symbol] = prev_len
+                    symbol += 1
+        elif cl == 17:
+            symbol += 3 + r.bits(3)
+        else:                                     # 18
+            symbol += 11 + r.bits(7)
+    return _Tree(lengths)
+
+
+def _lz77_value(code: int, r: _LsbReader) -> int:
+    if code < 4:
+        return code + 1
+    eb = (code - 2) >> 1
+    return ((2 + (code & 1)) << eb) + r.bits(eb) + 1
+
+
+def decode_vp8l(content: bytes) -> np.ndarray:
+    """Decode a VP8L stream (RIFF/WEBP container or a bare VP8L
+    payload) to an (h, w, 4) uint8 RGBA array.  Transform-free subset
+    — see the module docstring for the typed-error seams."""
+    buf = bytes(content)
+    if buf[:4] == b"RIFF" and buf[8:12] == b"WEBP":
+        if buf[12:16] != b"VP8L":
+            raise ValueError("not a VP8L (lossless) WebP chunk")
+        buf = buf[20:]
+    if not buf or buf[0] != 0x2F:
+        raise ValueError("bad VP8L signature byte")
+    r = _LsbReader(buf[1:])
+    w = r.bits(14) + 1
+    h = r.bits(14) + 1
+    r.bits(1)                                     # alpha hint
+    if r.bits(3) != 0:
+        raise ValueError("unknown VP8L version")
+    while r.bits(1):
+        raise NotImplementedError(
+            "VP8L spatial transforms are a documented seam")
+    cache_bits = 0
+    if r.bits(1):
+        cache_bits = r.bits(4)
+        if not 1 <= cache_bits <= 11:
+            raise ValueError("invalid VP8L color-cache size")
+    if r.bits(1):
+        raise NotImplementedError(
+            "VP8L entropy image (meta prefix groups) is a documented "
+            "seam")
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    green = _read_tree(r, 256 + 24 + cache_size)
+    red = _read_tree(r, 256)
+    blue = _read_tree(r, 256)
+    alpha = _read_tree(r, 256)
+    dist_tree = _read_tree(r, 40)
+    cache = [0] * cache_size
+    out = np.zeros(w * h, dtype=np.uint32)
+    pos = 0
+
+    def emit(argb: int) -> None:
+        nonlocal pos
+        out[pos] = argb
+        pos += 1
+        if cache_size:
+            cache[((_HASH_MUL * argb) & 0xFFFFFFFF) >> (32 - cache_bits)] \
+                = argb
+
+    while pos < w * h:
+        s = green.read(r)
+        if s < 256:
+            rr = red.read(r)
+            b = blue.read(r)
+            a = alpha.read(r)
+            emit((a << 24) | (rr << 16) | (s << 8) | b)
+        elif s < 256 + 24:
+            length = _lz77_value(s - 256, r)
+            dcode = _lz77_value(dist_tree.read(r), r)
+            if dcode <= 120:
+                raise NotImplementedError(
+                    "VP8L 2D near-distance map (codes <= 120) is a "
+                    "documented seam")
+            dist = dcode - 120
+            if dist > pos:
+                raise ValueError("VP8L backward reference before start")
+            for _ in range(length):
+                if pos >= w * h:
+                    raise ValueError("VP8L backward reference overruns")
+                emit(int(out[pos - dist]))
+        else:
+            idx = s - 256 - 24
+            if idx >= cache_size:
+                raise ValueError("VP8L color-cache index out of range")
+            emit(cache[idx])
+    argb = out.reshape(h, w)
+    rgba = np.zeros((h, w, 4), dtype=np.uint8)
+    rgba[..., 0] = (argb >> 16) & 0xFF
+    rgba[..., 1] = (argb >> 8) & 0xFF
+    rgba[..., 2] = argb & 0xFF
+    rgba[..., 3] = (argb >> 24) & 0xFF
+    return rgba
+
+
+# --- encoder (literal-pixel subset) --------------------------------------------
+
+def _flat_lengths(symbols: list[int]) -> dict[int, int]:
+    """Complete (Kraft-exact) code lengths over ``symbols``: with
+    k = len(symbols) and L = ceil(log2 k), the first 2^L - k symbols
+    get length L-1 and the rest length L."""
+    k = len(symbols)
+    if k == 1:
+        return {symbols[0]: 1}
+    length = (k - 1).bit_length()
+    n_short = (1 << length) - k
+    return {s: (length - 1 if i < n_short else length)
+            for i, s in enumerate(sorted(symbols))}
+
+
+def _write_tree(w: _LsbWriter, lengths: dict[int, int]) -> None:
+    """Emit one prefix tree: simple form for <= 2 symbols, else the
+    normal code-length-coded form with the max-symbol cap and a flat
+    (possibly single-symbol) code-length code."""
+    syms = sorted(lengths)
+    if len(syms) <= 2 and syms[-1] <= 255:
+        # simple codes carry 8-bit symbols only — larger ones (length /
+        # color-cache codes in the green alphabet) take the normal form
+        w.bits(1, 1)                              # simple
+        w.bits(len(syms) - 1, 1)
+        w.bits(1, 1)                              # first symbol in 8 bits
+        w.bits(syms[0], 8)
+        if len(syms) == 2:
+            w.bits(syms[1], 8)
+        return
+    w.bits(0, 1)                                  # normal
+    max_sym = syms[-1] + 1
+    seq = [lengths.get(i, 0) for i in range(max_sym)]
+    clc_lengths = _flat_lengths(sorted(set(seq)))
+    num_codes = 1 + max(CLC_ORDER.index(v) for v in clc_lengths)
+    if num_codes < 4:
+        num_codes = 4
+    w.bits(num_codes - 4, 4)
+    for i in range(num_codes):
+        w.bits(clc_lengths.get(CLC_ORDER[i], 0), 3)
+    # max-symbol cap: nbits = 2 + 2v must hold max_sym - 2
+    v = 0
+    while (max_sym - 2) >> (2 + 2 * v):
+        v += 1
+    w.bits(1, 1)                                  # use max-symbol cap
+    w.bits(v, 3)
+    w.bits(max_sym - 2, 2 + 2 * v)
+    clc_codes = _canonical(clc_lengths)
+    single = len(clc_lengths) == 1
+    for v in seq:
+        if not single:
+            w.code(*clc_codes[v])
+
+
+def encode_vp8l(rgba: np.ndarray) -> bytes:
+    """Encode an (h, w, 4) uint8 RGBA array as a spec-shaped VP8L
+    stream: no transforms, no color cache, no LZ77 — every pixel a
+    literal under per-channel flat prefix codes (simple codes when a
+    channel uses <= 2 values, normal code-length-coded trees with the
+    max-symbol cap otherwise).  Wrapped in a RIFF/WEBP container."""
+    import struct
+
+    a = np.asarray(rgba, dtype=np.uint8)
+    if a.ndim != 3 or a.shape[2] != 4:
+        raise ValueError("encode_vp8l expects (h, w, 4) RGBA")
+    h, wd = a.shape[:2]
+    if not (0 < wd <= 1 << 14 and 0 < h <= 1 << 14):
+        raise ValueError("VP8L cannot represent these dimensions")
+    w = _LsbWriter()
+    w.bits(wd - 1, 14)
+    w.bits(h - 1, 14)
+    w.bits(1 if (a[..., 3] != 255).any() else 0, 1)
+    w.bits(0, 3)                                  # version
+    w.bits(0, 1)                                  # no transforms
+    w.bits(0, 1)                                  # no color cache
+    w.bits(0, 1)                                  # no entropy image
+    chans = {
+        "g": sorted({int(v) for v in a[..., 1].flat}),
+        "r": sorted({int(v) for v in a[..., 0].flat}),
+        "b": sorted({int(v) for v in a[..., 2].flat}),
+        "a": sorted({int(v) for v in a[..., 3].flat}),
+    }
+    lengths = {k: _flat_lengths(v) for k, v in chans.items()}
+    for key in ("g", "r", "b", "a"):
+        _write_tree(w, lengths[key])
+    _write_tree(w, {0: 1})                        # distance: single symbol
+    codes = {k: _canonical(v) for k, v in lengths.items()}
+
+    def put(key: str, val: int) -> None:
+        if len(chans[key]) > 1:
+            w.code(*codes[key][val])
+
+    for y in range(h):
+        for x in range(wd):
+            # spec literal order: green, red, blue, alpha
+            put("g", int(a[y, x, 1]))
+            put("r", int(a[y, x, 0]))
+            put("b", int(a[y, x, 2]))
+            put("a", int(a[y, x, 3]))
+    payload = bytes([0x2F]) + w.payload()
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    if len(payload) % 2:
+        chunk += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk

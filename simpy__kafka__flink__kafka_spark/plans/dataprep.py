@@ -3177,6 +3177,34 @@ FROM sched s LEFT JOIN dl USING (host)
 """
 
 
+def _q_webp_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTED VP8L encode+decode roundtrip per doc (functions/vp8l.py
+    via multimodal.py:webp_roundtrip_stats) — pixel decode for
+    transform-free lossless WebP, the round-11 narrowing of the WebP
+    seam.  The oracle reproduces dims, per-channel sums, and the
+    lossless flag from the id arithmetic without touching WebP bytes."""
+    from ..functions.multimodal import webp_roundtrip_stats
+
+    return webp_roundtrip_stats(_docs(spark, sf_dir))
+
+
+_WEBP_ROUNDTRIP_SQL = """
+WITH px AS (
+  SELECT d.doc_id, x.x, y.y
+  FROM documents d,
+       (SELECT unnest(generate_series(0, 7)) AS x) x,
+       (SELECT unnest(generate_series(0, 3)) AS y) y
+)
+SELECT doc_id,
+       CAST(8 AS INTEGER) AS width, CAST(4 AS INTEGER) AS height,
+       CAST(sum((doc_id + 3 * x + 5 * y) % 11) AS BIGINT) AS sum_r,
+       CAST(sum((doc_id + x + y) % 16) AS BIGINT) AS sum_g,
+       CAST(sum((doc_id + 7 * x) % 5) AS BIGINT) AS sum_b,
+       CAST(1 AS INTEGER) AS lossless
+FROM px GROUP BY 1
+"""
+
+
 def _q_host_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-host crawl-quality profile (functions/crawl.py:
     host_reputation): hosts synthesized from doc_id %% 11, duplicate
@@ -4764,6 +4792,10 @@ QUERIES: dict[str, Query] = {
         _q_host_reputation, _host_reputation_sql(),
         "per-host crawl-quality profile: duplicate rate + mean quality "
         "-> reputation, integer-exact (frontier prioritization signal)"),
+    "webp_roundtrip_stats": Query(
+        _q_webp_roundtrip_stats, _WEBP_ROUNDTRIP_SQL,
+        "executed VP8L encode+decode roundtrip (transform-free lossless "
+        "WebP pixels): per-channel sums + lossless flag, in-batch"),
     "snapshot_diff": Query(
         _q_snapshot_diff, _snapshot_diff_sql(),
         "URL-keyed added/removed/changed/unchanged diff between two "
