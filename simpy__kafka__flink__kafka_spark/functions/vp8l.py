@@ -195,9 +195,15 @@ def decode_vp8l(content: bytes) -> np.ndarray:
     r.bits(1)                                     # alpha hint
     if r.bits(3) != 0:
         raise ValueError("unknown VP8L version")
+    subtract_green = False
     while r.bits(1):
+        ttype = r.bits(2)
+        if ttype == 2:                            # subtract-green
+            subtract_green = True
+            continue
         raise NotImplementedError(
-            "VP8L spatial transforms are a documented seam")
+            "VP8L predictor / color / color-indexing transforms are a "
+            "documented seam (subtract-green decodes)")
     cache_bits = 0
     if r.bits(1):
         cache_bits = r.bits(4)
@@ -257,6 +263,10 @@ def decode_vp8l(content: bytes) -> np.ndarray:
     rgba[..., 1] = (argb >> 8) & 0xFF
     rgba[..., 2] = argb & 0xFF
     rgba[..., 3] = (argb >> 24) & 0xFF
+    if subtract_green:
+        # inverse transform: the encoder subtracted green from red/blue
+        rgba[..., 0] += rgba[..., 1]
+        rgba[..., 2] += rgba[..., 1]
     return rgba
 
 
@@ -314,12 +324,13 @@ def _write_tree(w: _LsbWriter, lengths: dict[int, int]) -> None:
             w.code(*clc_codes[v])
 
 
-def encode_vp8l(rgba: np.ndarray) -> bytes:
+def encode_vp8l(rgba: np.ndarray, subtract_green: bool = False) -> bytes:
     """Encode an (h, w, 4) uint8 RGBA array as a spec-shaped VP8L
-    stream: no transforms, no color cache, no LZ77 — every pixel a
-    literal under per-channel flat prefix codes (simple codes when a
-    channel uses <= 2 values, normal code-length-coded trees with the
-    max-symbol cap otherwise).  Wrapped in a RIFF/WEBP container."""
+    stream: optional subtract-green transform, no color cache, no LZ77
+    — every pixel a literal under per-channel flat prefix codes (simple
+    codes when a channel uses <= 2 values, normal code-length-coded
+    trees with the max-symbol cap otherwise).  Wrapped in a RIFF/WEBP
+    container."""
     import struct
 
     a = np.asarray(rgba, dtype=np.uint8)
@@ -333,7 +344,13 @@ def encode_vp8l(rgba: np.ndarray) -> bytes:
     w.bits(h - 1, 14)
     w.bits(1 if (a[..., 3] != 255).any() else 0, 1)
     w.bits(0, 3)                                  # version
-    w.bits(0, 1)                                  # no transforms
+    if subtract_green:
+        a = a.copy()
+        a[..., 0] -= a[..., 1]                    # uint8 wraparound = mod 256
+        a[..., 2] -= a[..., 1]
+        w.bits(1, 1)                              # a transform follows
+        w.bits(2, 2)                              # type: subtract-green
+    w.bits(0, 1)                                  # end of transforms
     w.bits(0, 1)                                  # no color cache
     w.bits(0, 1)                                  # no entropy image
     chans = {

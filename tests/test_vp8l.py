@@ -21,6 +21,15 @@ def test_roundtrip_property_random_images():
         assert np.array_equal(dec, img), (h, w, k)
 
 
+def test_subtract_green_roundtrip():
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, size=(6, 7, 4)).astype(np.uint8)
+    buf = encode_vp8l(img, subtract_green=True)
+    assert np.array_equal(decode_vp8l(buf), img)
+    # the transform changes the BITSTREAM, not the pixels
+    assert buf != encode_vp8l(img)
+
+
 def test_container_and_dims_agree():
     from simpy__kafka__flink__kafka_spark.functions.multimodal import (
         image_dims)
