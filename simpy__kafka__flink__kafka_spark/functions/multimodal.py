@@ -884,11 +884,20 @@ def image_dims(content: bytes) -> tuple[str, int, int]:
         if buf[4:8] == b"ftyp":
             # AVIF by MAJOR brand, or by a compatible-brands entry —
             # MIAF permits (and some heif tooling emits) major 'mif1'
-            # with 'avif' listed only among the compatible brands
-            (ftyp_end,) = struct.unpack(">I", buf[0:4])
-            brands = {buf[8:12]} | {
+            # with 'avif' listed only among the compatible brands.
+            # size==1 boxes carry a 64-bit largesize before the body;
+            # size==0 extends to EOF.
+            (size,) = struct.unpack(">I", buf[0:4])
+            body = 8
+            if size == 1:
+                (size,) = struct.unpack(">Q", buf[8:16])
+                body = 16
+            elif size == 0:
+                size = len(buf)
+            major = buf[body:body + 4]
+            brands = {major} | {
                 buf[o:o + 4]
-                for o in range(16, min(ftyp_end, len(buf)) - 3, 4)}
+                for o in range(body + 8, min(size, len(buf)) - 3, 4)}
             if brands & {b"avif", b"avis"}:
                 w, h = _avif_ispe_dims(buf)
                 return _dims_checked("avif", w, h)

@@ -123,6 +123,13 @@ def rolling_zscore_anomalies(events: DataFrame,
     with no float anywhere.  A zero-variance history (all buckets
     equal) flags any deviation, which is the honest reading.
 
+    Overflow bound: counts SATURATE at 2^20 per bucket inside the
+    algebra (``n_events`` still reports the true count) — with
+    ``window <= 24`` that caps ``num^2 * 10^4`` below 2^63, so a
+    mega-burst can never overflow the int64 arithmetic (under ANSI
+    mode an unclamped burst of ~1.3M events would ERROR the whole
+    query; a bucket past the cap is an anomaly by any reading).
+
     Scale shape: one exchange for the bucket counts (map-side
     combined), then one window pass per key ordered by bucket — the
     trailing frame is ``window``-bounded, and per-key bucket
@@ -131,33 +138,39 @@ def rolling_zscore_anomalies(events: DataFrame,
     Output: (id_col, bucket_ts, n_events, n_hist, z2_scaled,
     is_anomaly)."""
     g = int(grid_ms)
+    cap = 1 << 20
     counts = (
         events.select(F.col(id_col).alias("_id"),
                       F.expr(f"({ts_col} div {g}) * {g}").alias("bucket_ts"))
         .groupBy("_id", "bucket_ts")
         .agg(F.count(F.lit(1)).cast("long").alias("x"))
+        .withColumn("xc", F.least("x", F.lit(cap)))
     )
     hist = (W.partitionBy("_id").orderBy("bucket_ts")
             .rowsBetween(-int(window), -1))
     scored = counts.select(
-        "_id", "bucket_ts", "x",
-        F.coalesce(F.sum("x").over(hist), F.lit(0)).alias("s"),
-        F.coalesce(F.sum(F.col("x") * F.col("x")).over(hist),
+        "_id", "bucket_ts", "x", "xc",
+        F.coalesce(F.sum("xc").over(hist), F.lit(0)).alias("s"),
+        F.coalesce(F.sum(F.col("xc") * F.col("xc")).over(hist),
                    F.lit(0)).alias("q"),
         F.count(F.lit(1)).over(hist).cast("long").alias("n"),
+    ).select(
+        # nc/dc are the SINGLE source of the z algebra — the magnitude
+        # and the flag below both derive from these two columns
+        "*",
+        (F.col("xc") * F.col("n") - F.col("s")).alias("nc"),
+        (F.col("n") * F.col("q") - F.col("s") * F.col("s")).alias("dc"),
     )
-    num = (F.col("x") * F.col("n") - F.col("s"))
-    den = F.col("n") * F.col("q") - F.col("s") * F.col("s")
-    z2s = F.expr(f"((x * n - s) * (x * n - s) * 10000) div "
-                 f"greatest(n * q - s * s, 1)")
-    flag = (num * num) > (F.lit(int(z_threshold) ** 2) * den)
     return (
         scored.where(F.col("n") >= int(min_history))
         .select(
             F.col("_id").alias(id_col), "bucket_ts",
             F.col("x").alias("n_events"),
             F.col("n").alias("n_hist"),
-            z2s.cast("long").alias("z2_scaled"),
-            F.when(flag, F.lit(1)).otherwise(F.lit(0)).alias("is_anomaly"),
+            F.expr("(nc * nc * 10000) div greatest(dc, 1)")
+            .cast("long").alias("z2_scaled"),
+            F.when(F.col("nc") * F.col("nc")
+                   > F.lit(int(z_threshold) ** 2) * F.col("dc"),
+                   F.lit(1)).otherwise(F.lit(0)).alias("is_anomaly"),
         )
     )

@@ -121,24 +121,38 @@ def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _quality_sql() -> str:
+def _quality_m_cte(extra: str = "") -> str:
+    """The per-doc quality-metrics CTE ``m`` (n_tok / n_chars / n_punct
+    / n_stop) — ONE definition shared by every oracle that embeds the
+    quality formula, so the formula can never silently diverge between
+    rows.  Expects the ``w`` words CTE above it; ``extra`` appends
+    additional projected columns."""
     en = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
-    return rf"""
-WITH {_WORDS_CTE},
-m AS (
+    return rf"""m AS (
   SELECT doc_id,
          CASE WHEN length(trim(text)) = 0 THEN 0
               ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok,
          CAST(length(text) AS DOUBLE) AS n_chars,
          CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE) AS n_punct,
-         CAST(len(list_filter(ws, x -> list_contains([{en}], x))) AS DOUBLE) AS n_stop
+         CAST(len(list_filter(ws, x -> list_contains([{en}], x))) AS DOUBLE) AS n_stop{extra}
   FROM w
-)
-SELECT doc_id, n_tok AS n_tokens,
-       round(0.4 * least(CAST(n_tok AS DOUBLE) / 100.0, 1.0)
+)"""
+
+
+# the quality formula over m's columns — the single SQL rendering of
+# functions/text.py:quality_score
+_QUALITY_EXPR = """round(0.4 * least(CAST(n_tok AS DOUBLE) / 100.0, 1.0)
            + 0.3 * (1.0 - least((CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END) * 10.0, 1.0))
            + 0.3 * least((CASE WHEN n_tok > 0 THEN n_stop / CAST(n_tok AS DOUBLE) ELSE 0.0 END) * 5.0, 1.0),
-           6) AS quality
+           6)"""
+
+
+def _quality_sql() -> str:
+    return rf"""
+WITH {_WORDS_CTE},
+{_quality_m_cte()}
+SELECT doc_id, n_tok AS n_tokens,
+       {_QUALITY_EXPR} AS quality
 FROM m
 """
 
@@ -3220,35 +3234,16 @@ def _q_host_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _host_reputation_sql() -> str:
-    en = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    fp_extra = (",\n         md5(lower(regexp_replace(trim(text), "
+                r"'\s+', ' ', 'g'))) AS fp")
     return rf"""
 WITH {_WORDS_CTE},
-m AS (
-  SELECT doc_id,
-         CASE WHEN length(trim(text)) = 0 THEN 0
-              ELSE len(regexp_split_to_array(trim(text), '\s+')) END
-           AS n_tok,
-         CAST(length(text) AS DOUBLE) AS n_chars,
-         CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '',
-                                                   'g')) AS DOUBLE)
-           AS n_punct,
-         CAST(len(list_filter(ws, x -> list_contains([{en}], x)))
-              AS DOUBLE) AS n_stop,
-         md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
-  FROM w
-),
+{_quality_m_cte(extra=fp_extra)},
 per AS (
   SELECT 'rep-' || CAST(doc_id % 11 AS VARCHAR) || '.example.com'
            AS host,
          fp,
-         CAST(floor(round(0.4 * least(CAST(n_tok AS DOUBLE) / 100.0, 1.0)
-           + 0.3 * (1.0 - least((CASE WHEN n_chars > 0
-                                      THEN n_punct / n_chars
-                                      ELSE 0.0 END) * 10.0, 1.0))
-           + 0.3 * least((CASE WHEN n_tok > 0
-                               THEN n_stop / CAST(n_tok AS DOUBLE)
-                               ELSE 0.0 END) * 5.0, 1.0), 6)
-           * 1000000 + 0.5) AS BIGINT) AS q
+         CAST(floor({_QUALITY_EXPR} * 1000000 + 0.5) AS BIGINT) AS q
   FROM m
 ),
 agg AS (

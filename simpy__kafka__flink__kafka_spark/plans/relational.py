@@ -549,22 +549,23 @@ def _q_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HOURLY_ANOMALIES_SQL = """
 WITH c AS (
   SELECT user_id, (epoch_ms(ts) // 3600000) * 3600000 AS bucket_ts,
-         CAST(count(*) AS BIGINT) AS x
+         CAST(count(*) AS BIGINT) AS x,
+         least(CAST(count(*) AS BIGINT), 1048576) AS xc
   FROM events GROUP BY 1, 2
 ),
 w AS (
-  SELECT user_id, bucket_ts, x,
-         COALESCE(sum(x) OVER h, 0) AS s,
-         COALESCE(sum(x * x) OVER h, 0) AS q,
+  SELECT user_id, bucket_ts, x, xc,
+         COALESCE(sum(xc) OVER h, 0) AS s,
+         COALESCE(sum(xc * xc) OVER h, 0) AS q,
          CAST(count(*) OVER h AS BIGINT) AS n
   FROM c
   WINDOW h AS (PARTITION BY user_id ORDER BY bucket_ts
                ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
 )
 SELECT user_id, bucket_ts, x AS n_events, n AS n_hist,
-       CAST(((x * n - s) * (x * n - s) * 10000)
+       CAST(((xc * n - s) * (xc * n - s) * 10000)
             // greatest(n * q - s * s, 1) AS BIGINT) AS z2_scaled,
-       CAST(CASE WHEN (x * n - s) * (x * n - s) > 9 * (n * q - s * s)
+       CAST(CASE WHEN (xc * n - s) * (xc * n - s) > 9 * (n * q - s * s)
                  THEN 1 ELSE 0 END AS INTEGER) AS is_anomaly
 FROM w WHERE n >= 8
 """

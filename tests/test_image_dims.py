@@ -176,6 +176,24 @@ def test_avif_largesize_and_avis_brand():
     assert image_dims(bytes(buf2)) == ("avif", 7, 8)
 
 
+def test_avif_largesize_ftyp_brand_walk():
+    """A size==1 ftyp box stores its brands after the 64-bit largesize;
+    the brand walk must not read the largesize bytes as the major
+    brand."""
+    import struct
+
+    from simpy__kafka__flink__kafka_spark.functions.multimodal import (
+        encode_avif_stub)
+
+    buf = bytearray(encode_avif_stub(21, 12))
+    (size,) = struct.unpack(">I", buf[0:4])
+    body = bytes(buf[8:size])                   # brands payload
+    rest = bytes(buf[size:])
+    large_ftyp = (struct.pack(">I", 1) + b"ftyp"
+                  + struct.pack(">Q", 16 + len(body)) + body)
+    assert image_dims(large_ftyp + rest) == ("avif", 21, 12)
+
+
 def test_avif_compatible_brand_only():
     """MIAF permits major brand mif1 with avif listed only in the
     compatible brands — the walk must still claim it."""
