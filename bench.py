@@ -108,8 +108,10 @@ HEADLINE = [
     "hourly_anomalies",
     "host_reputation",
     # round-11: executed VP8L pixel roundtrip (lossless WebP decode for
-    # transform-free streams — the narrowed WebP seam)
+    # transform-free streams — the narrowed WebP seam), and the
+    # reputation-weighted frontier ordering capstone
     "webp_roundtrip_stats",
+    "frontier_rank",
 ]
 
 

@@ -3363,22 +3363,11 @@ SELECT * FROM s WHERE loc <> ''
 """
 
 
-def _q_sitemap_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frontier seeding composition: each domain's robots.txt
-    advertises its sitemap (functions/robots.py:robots_sitemaps — the
-    GLOBAL, group-independent half of the file) and disallows
-    /private/; the per-domain sitemap XML (one urlset entry per doc of
-    that domain, deterministic priorities) parses into candidate locs
-    (parse_sitemap) which then walk the longest-match robots gate
-    (robots_allowed) — seeds the crawler may actually fetch, with
-    their priorities.  Exchanges: ONE domain-keyed agg to build the
-    per-domain XML (fixture-side), zero-shuffle parse, one loc-keyed
-    gate aggregate over broadcast rules."""
-    from ..functions.crawl import parse_sitemap
-    from ..functions.robots import (robots_allowed, robots_rules,
-                                    robots_sitemaps)
-
-    docs = _docs(spark, sf_dir)
+def _seed_sitemap_fixture(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """The shared seed-domain fixture of the sitemap composition rows:
+    per-domain sitemap XML (one urlset entry per doc, deterministic
+    priorities, /private/ paths for doc_id %% 3 == 1) and the robots.txt
+    bodies advertising them — returns (xmls, robots)."""
     dom = (F.col("doc_id") % 11).cast("string")
     domain = F.concat(F.lit("seed-"), dom, F.lit(".example.com"))
     path = F.when(F.col("doc_id") % 3 == 1,
@@ -3402,6 +3391,26 @@ def _q_sitemap_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("User-agent: *\nDisallow: /private/\nSitemap: "
                        "https://"), F.col("domain"),
                  F.lit("/sitemap.xml\n")).alias("robots_txt"))
+    return xmls, robots
+
+
+def _q_sitemap_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontier seeding composition: each domain's robots.txt
+    advertises its sitemap (functions/robots.py:robots_sitemaps — the
+    GLOBAL, group-independent half of the file) and disallows
+    /private/; the per-domain sitemap XML (one urlset entry per doc of
+    that domain, deterministic priorities) parses into candidate locs
+    (parse_sitemap) which then walk the longest-match robots gate
+    (robots_allowed) — seeds the crawler may actually fetch, with
+    their priorities.  Exchanges: ONE domain-keyed agg to build the
+    per-domain XML (fixture-side), zero-shuffle parse, one loc-keyed
+    gate aggregate over broadcast rules."""
+    from ..functions.crawl import parse_sitemap
+    from ..functions.robots import (robots_allowed, robots_rules,
+                                    robots_sitemaps)
+
+    docs = _docs(spark, sf_dir)
+    xmls, robots = _seed_sitemap_fixture(docs)
     advertised = robots_sitemaps(robots)
     entries = parse_sitemap(xmls, id_col="domain").where(
         F.col("kind") == "url")
@@ -3420,11 +3429,14 @@ def _q_sitemap_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sitemap_frontier_sql() -> str:
+def _seed_frontier_ctes() -> str:
+    """Shared seed-domain CTE block (e / xmls / ent / p / agg — the
+    fixture plus the single-rule robots gate) — ONE definition for the
+    sitemap_frontier and frontier_rank oracles, mirroring
+    :func:`_seed_sitemap_fixture` on the Spark side."""
     from ..functions.crawl import SITEMAP_URL_BLOCK_RE, _LOC_RE, _PRIORITY_RE
 
-    return rf"""
-WITH e AS (
+    return rf"""e AS (
   SELECT 'seed-' || CAST(doc_id % 11 AS VARCHAR) || '.example.com'
            AS domain,
          doc_id,
@@ -3442,21 +3454,6 @@ xmls AS (
          '<urlset>' || string_agg(entry, '' ORDER BY doc_id) ||
          '</urlset>' AS xml
   FROM e GROUP BY domain
-),
-robots AS (
-  SELECT domain,
-         'User-agent: *' || chr(10) || 'Disallow: /private/' || chr(10)
-         || 'Sitemap: https://' || domain || '/sitemap.xml' || chr(10)
-           AS body
-  FROM xmls
-),
-adv AS (
-  SELECT domain, CAST(count(*) AS BIGINT) AS n_sitemaps
-  FROM (SELECT domain,
-               unnest(regexp_extract_all(body,
-                 '(?im)^[ \t]*sitemap[ \t]*:[ \t]*([^#\r\n]*)', 1)) AS sm
-        FROM robots)
-  WHERE trim(sm) <> '' GROUP BY domain
 ),
 ent AS (
   SELECT domain,
@@ -3482,6 +3479,26 @@ agg AS (
                    LIKE '/private/%' ESCAPE '!'
               THEN 9 * 2 + 0 END AS pk
   FROM p
+)"""
+
+
+def _sitemap_frontier_sql() -> str:
+    return rf"""
+WITH {_seed_frontier_ctes()},
+robots AS (
+  SELECT domain,
+         'User-agent: *' || chr(10) || 'Disallow: /private/' || chr(10)
+         || 'Sitemap: https://' || domain || '/sitemap.xml' || chr(10)
+           AS body
+  FROM xmls
+),
+adv AS (
+  SELECT domain, CAST(count(*) AS BIGINT) AS n_sitemaps
+  FROM (SELECT domain,
+               unnest(regexp_extract_all(body,
+                 '(?im)^[ \t]*sitemap[ \t]*:[ \t]*([^#\r\n]*)', 1)) AS sm
+        FROM robots)
+  WHERE trim(sm) <> '' GROUP BY domain
 )
 SELECT domain, loc AS url, priority,
        CAST(CASE WHEN pk IS NULL OR pk % 2 = 1 THEN 1 ELSE 0 END
@@ -3489,6 +3506,82 @@ SELECT domain, loc AS url, priority,
        CAST(COALESCE(pk // 2, 0) AS INTEGER) AS match_len,
        n_sitemaps
 FROM agg JOIN adv USING (domain)
+"""
+
+
+def _q_frontier_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reputation-weighted frontier ordering — the seed scheduler's
+    read side, composing two audited stages over the SAME seed-domain
+    universe: the robots-gated sitemap seeds (priorities) and the
+    per-host reputation profile (functions/crawl.py:host_reputation).
+    Each allowed seed gets its within-host rank (priority-descending,
+    URL tiebreak — the order a polite crawler dequeues one host) and an
+    integer cross-host score ``reputation_ppm * round(priority*10) div
+    10``.  Exchanges: the fixture agg, the gate agg, one host aggregate
+    for reputation, one window on the domain — every join side is
+    domain-cardinality."""
+    from pyspark.sql import Window as W
+
+    from ..functions.crawl import host_reputation, parse_sitemap
+    from ..functions.robots import robots_allowed, robots_rules
+
+    docs = _docs(spark, sf_dir)
+    xmls, robots = _seed_sitemap_fixture(docs)
+    entries = parse_sitemap(xmls, id_col="domain").where(
+        F.col("kind") == "url")
+    gated = robots_allowed(
+        entries.select(F.col("loc"), F.col("domain"),
+                       F.col("loc").alias("url")),
+        robots_rules(robots), id_col="loc")
+    seeds = (entries.select("domain", "loc", "priority")
+             .join(gated.where(F.col("allowed") == 1), "loc"))
+    host = F.concat(F.lit("seed-"),
+                    (F.col("doc_id") % 11).cast("string"),
+                    F.lit(".example.com"))
+    rep = host_reputation(docs.select(host.alias("host"), "text"))
+    w = W.partitionBy("domain").orderBy(F.col("priority").desc(), "loc")
+    return (
+        seeds.join(rep, seeds.domain == rep.host)
+        .select(
+            "domain", F.col("loc").alias("url"), "priority",
+            F.row_number().over(w).cast("long").alias("seed_rank"),
+            "reputation_ppm",
+            F.expr("(reputation_ppm * cast(round(priority * 10, 0) "
+                   "as int)) div 10").cast("long").alias("score_ppm"),
+        )
+    )
+
+
+def _frontier_rank_sql() -> str:
+    fp_extra = (",\n         md5(lower(regexp_replace(trim(text), "
+                r"'\s+', ' ', 'g'))) AS fp")
+    return rf"""
+WITH {_WORDS_CTE},
+{_quality_m_cte(extra=fp_extra)},
+{_seed_frontier_ctes()},
+per AS (
+  SELECT 'seed-' || CAST(doc_id % 11 AS VARCHAR) || '.example.com'
+           AS host,
+         fp,
+         CAST(floor({_QUALITY_EXPR} * 1000000 + 0.5) AS BIGINT) AS q
+  FROM m
+),
+rep AS (
+  SELECT host,
+         CAST((sum(q) // count(*))
+              * (1000000 - ((count(*) - count(DISTINCT fp)) * 1000000)
+                 // count(*)) // 1000000 AS BIGINT) AS reputation_ppm
+  FROM per GROUP BY 1
+)
+SELECT domain, loc AS url, priority,
+       CAST(row_number() OVER (PARTITION BY domain
+                               ORDER BY priority DESC, loc)
+            AS BIGINT) AS seed_rank,
+       reputation_ppm,
+       CAST((reputation_ppm * CAST(round(priority * 10, 0) AS INTEGER))
+            // 10 AS BIGINT) AS score_ppm
+FROM agg JOIN rep ON agg.domain = rep.host
+WHERE pk IS NULL OR pk % 2 = 1
 """
 
 
@@ -4791,6 +4884,10 @@ QUERIES: dict[str, Query] = {
         _q_webp_roundtrip_stats, _WEBP_ROUNDTRIP_SQL,
         "executed VP8L encode+decode roundtrip (transform-free lossless "
         "WebP pixels): per-channel sums + lossless flag, in-batch"),
+    "frontier_rank": Query(
+        _q_frontier_rank, _frontier_rank_sql(),
+        "reputation-weighted frontier ordering: robots-gated sitemap "
+        "seeds ranked per host, scored by host reputation x priority"),
     "snapshot_diff": Query(
         _q_snapshot_diff, _snapshot_diff_sql(),
         "URL-keyed added/removed/changed/unchanged diff between two "
