@@ -98,12 +98,14 @@ CHECKED_FIRST = [
     "ivf_topk", "embedding_near_dup_verified",
     "pack_token_shards", "tfidf_top_terms",
     "corpus_prep_full", "multimodal_features",
-    # round-6 additions promoted round 7: single-pass table profiling
-    # (contamination_overlap demoted round 10, see above).  Round-11:
-    # rare_bigram_rate demoted — same bigram explode+count machinery as
-    # the checked bigram_lm_score (which additionally scores against
-    # the trained counts); the novelty fold stays oracled in the tail.
-    "profile_orders",
+    # round-6 additions promoted round 7 (contamination_overlap demoted
+    # round 10, see above).  Round-11: rare_bigram_rate demoted — same
+    # bigram explode+count machinery as the checked bigram_lm_score
+    # (which additionally scores against the trained counts); the
+    # novelty fold stays oracled in the tail.  Round-11 wave 2:
+    # profile_orders demoted — long-green single-pass count/min/max
+    # profiling whose aggregate family the gate checks through a dozen
+    # rows; funds the hourly_anomalies slot below.
     # round-7 web front door + hashed linear scorer + CMS sketch, promoted
     # round 8 (all oracled, array-free schemas — driver-hashable)
     "warc_parse", "html_extract_main", "web_prep_full",
@@ -169,7 +171,13 @@ CHECKED_FIRST = [
     # tail — one row now proves the PageRank arithmetic AND the
     # robots->links->rank composition; the ungated twin stays oracled in
     # the tail).
-    "url_canonicalize", "robots_filter", "bigram_lm_score",
+    # Round-11 wave 2: url_canonicalize demoted — the checked url_dedup
+    # keys its keeper rule on the IDENTICAL canonicalization expression
+    # (its oracle embeds it verbatim); robots_filter demoted — the
+    # folded-directive noindex gate is stage 2 of the checked
+    # crawl_admission capstone (same expression, same oracle CASE arm).
+    # Both stay oracled in the pytest tail.
+    "bigram_lm_score",
     "gap_fill_hourly", "crawl_admission", "compliant_pagerank",
     # Round-10 promotions (VERDICT r09 task #1 + the round-10 surface):
     # the RFC 9309 robots.txt FILE gate, the snapshot bookkeeping pair
@@ -196,7 +204,22 @@ CHECKED_FIRST = [
     # sitemap parsing + frontier seeding, the WebP/7-format header-dims
     # walk, and the MP3 frame/ID3 header walk.
     "robots_txt_gate_named", "crawl_schedule_paced",
-    "sitemap_parse", "sitemap_frontier", "webp_dims", "mp3_stats",
+    "sitemap_parse", "mp3_stats",
+    # Round-11 wave-2 promotions — the hard signal moves onto the
+    # round's own newest code immediately instead of waiting a round
+    # (the standing verdict discipline), funded by strict-subsumption
+    # demotions: webp_dims demoted for webp_roundtrip_stats (the
+    # roundtrip EXECUTES the full VP8L codec, header arithmetic
+    # included; the VP8/VP8X header variants stay oracled in the
+    # tail); sitemap_frontier demoted for frontier_rank (its oracle
+    # embeds the identical shared seed CTE block + robots gate and
+    # adds the reputation ranking on top); profile_orders /
+    # url_canonicalize / robots_filter demotions above fund
+    # hourly_anomalies (new division-free z algebra), host_reputation
+    # (new integer reputation algebra), and avif_dims (the ISO-BMFF
+    # box walk — the newest header walker).
+    "webp_roundtrip_stats", "frontier_rank", "hourly_anomalies",
+    "host_reputation", "avif_dims",
 ]
 
 
