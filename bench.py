@@ -109,7 +109,11 @@ HEADLINE = [
     "host_reputation",
     # round-11: executed VP8L pixel roundtrip (lossless WebP decode for
     # transform-free streams — the narrowed WebP seam), and the
-    # reputation-weighted frontier ordering capstone
+    # reputation-weighted frontier ordering capstone.  NOTE: the
+    # roundtrip fixture memoizes on its 880-pattern doc_id period, so
+    # this row's wall time measures the codec over the DISTINCT
+    # patterns, not corpus volume — its growth ratio (if it ever enters
+    # the measured-top-5 ladder) reads as plumbing, not codec scaling.
     "webp_roundtrip_stats",
     "frontier_rank",
 ]

@@ -3233,19 +3233,36 @@ def _q_host_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return host_reputation(docs.select(host.alias("host"), "text"))
 
 
-def _host_reputation_sql() -> str:
-    fp_extra = (",\n         md5(lower(regexp_replace(trim(text), "
-                r"'\s+', ' ', 'g'))) AS fp")
-    return rf"""
-WITH {_WORDS_CTE},
-{_quality_m_cte(extra=fp_extra)},
-per AS (
-  SELECT 'rep-' || CAST(doc_id % 11 AS VARCHAR) || '.example.com'
-           AS host,
+# the dedup-normal-form fingerprint projection appended to the quality
+# m CTE — ONE rendering shared by every reputation-embedding oracle
+_FP_EXTRA = (",\n         md5(lower(regexp_replace(trim(text), "
+             r"'\s+', ' ', 'g'))) AS fp")
+
+
+def _rep_per_cte(host_sql: str) -> str:
+    """The per-doc (host, fp, scaled-quality) CTE of the reputation
+    family — ONE definition so the quality scaling can never diverge
+    between the host_reputation and frontier_rank oracles."""
+    return f"""per AS (
+  SELECT {host_sql} AS host,
          fp,
          CAST(floor({_QUALITY_EXPR} * 1000000 + 0.5) AS BIGINT) AS q
   FROM m
-),
+)"""
+
+
+def _rep_ppm_expr(n: str, nu: str, sq: str) -> str:
+    """reputation_ppm = mean quality discounted by the duplicate rate —
+    the single SQL rendering of host_reputation's integer algebra."""
+    return (f"CAST((({sq}) // ({n})) * (1000000 - ((({n}) - ({nu})) "
+            f"* 1000000) // ({n})) // 1000000 AS BIGINT)")
+
+
+def _host_reputation_sql() -> str:
+    return rf"""
+WITH {_WORDS_CTE},
+{_quality_m_cte(extra=_FP_EXTRA)},
+{_rep_per_cte("'rep-' || CAST(doc_id % 11 AS VARCHAR) || '.example.com'")},
 agg AS (
   SELECT host, CAST(count(*) AS BIGINT) AS n_docs,
          CAST(count(DISTINCT fp) AS BIGINT) AS n_unique,
@@ -3256,9 +3273,7 @@ SELECT host, n_docs, n_unique,
        CAST(((n_docs - n_unique) * 1000000) // n_docs AS BIGINT)
          AS dup_rate_ppm,
        CAST(sq // n_docs AS BIGINT) AS mean_quality_ppm,
-       CAST(((sq // n_docs)
-             * (1000000 - ((n_docs - n_unique) * 1000000) // n_docs))
-            // 1000000 AS BIGINT) AS reputation_ppm
+       {_rep_ppm_expr("n_docs", "n_unique", "sq")} AS reputation_ppm
 FROM agg
 """
 
@@ -3363,13 +3378,24 @@ SELECT * FROM s WHERE loc <> ''
 """
 
 
+# the seed-domain scheme of the sitemap composition rows — ONE Spark
+# rendering and ONE SQL rendering, shared by the fixture, the
+# frontier_rank host mapping, and both oracles' CTEs: a drift between
+# any two of them would degrade the inner joins to empty-but-green rows
+def _seed_host_col():
+    return F.concat(F.lit("seed-"), (F.col("doc_id") % 11).cast("string"),
+                    F.lit(".example.com"))
+
+
+_SEED_HOST_SQL = "'seed-' || CAST(doc_id % 11 AS VARCHAR) || '.example.com'"
+
+
 def _seed_sitemap_fixture(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     """The shared seed-domain fixture of the sitemap composition rows:
     per-domain sitemap XML (one urlset entry per doc, deterministic
     priorities, /private/ paths for doc_id %% 3 == 1) and the robots.txt
     bodies advertising them — returns (xmls, robots)."""
-    dom = (F.col("doc_id") % 11).cast("string")
-    domain = F.concat(F.lit("seed-"), dom, F.lit(".example.com"))
+    domain = _seed_host_col()
     path = F.when(F.col("doc_id") % 3 == 1,
                   F.concat(F.lit("/private/"),
                            F.col("doc_id").cast("string")))\
@@ -3437,11 +3463,9 @@ def _seed_frontier_ctes() -> str:
     from ..functions.crawl import SITEMAP_URL_BLOCK_RE, _LOC_RE, _PRIORITY_RE
 
     return rf"""e AS (
-  SELECT 'seed-' || CAST(doc_id % 11 AS VARCHAR) || '.example.com'
-           AS domain,
+  SELECT {_SEED_HOST_SQL} AS domain,
          doc_id,
-         '<url><loc>https://seed-' || CAST(doc_id % 11 AS VARCHAR) ||
-         '.example.com' ||
+         '<url><loc>https://' || {_SEED_HOST_SQL} ||
          CASE WHEN doc_id % 3 = 1
               THEN '/private/' || CAST(doc_id AS VARCHAR)
               ELSE '/p/' || CAST(doc_id AS VARCHAR) END ||
@@ -3535,10 +3559,8 @@ def _q_frontier_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         robots_rules(robots), id_col="loc")
     seeds = (entries.select("domain", "loc", "priority")
              .join(gated.where(F.col("allowed") == 1), "loc"))
-    host = F.concat(F.lit("seed-"),
-                    (F.col("doc_id") % 11).cast("string"),
-                    F.lit(".example.com"))
-    rep = host_reputation(docs.select(host.alias("host"), "text"))
+    rep = host_reputation(docs.select(_seed_host_col().alias("host"),
+                                      "text"))
     w = W.partitionBy("domain").orderBy(F.col("priority").desc(), "loc")
     return (
         seeds.join(rep, seeds.domain == rep.host)
@@ -3553,24 +3575,15 @@ def _q_frontier_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _frontier_rank_sql() -> str:
-    fp_extra = (",\n         md5(lower(regexp_replace(trim(text), "
-                r"'\s+', ' ', 'g'))) AS fp")
     return rf"""
 WITH {_WORDS_CTE},
-{_quality_m_cte(extra=fp_extra)},
+{_quality_m_cte(extra=_FP_EXTRA)},
 {_seed_frontier_ctes()},
-per AS (
-  SELECT 'seed-' || CAST(doc_id % 11 AS VARCHAR) || '.example.com'
-           AS host,
-         fp,
-         CAST(floor({_QUALITY_EXPR} * 1000000 + 0.5) AS BIGINT) AS q
-  FROM m
-),
+{_rep_per_cte(_SEED_HOST_SQL)},
 rep AS (
   SELECT host,
-         CAST((sum(q) // count(*))
-              * (1000000 - ((count(*) - count(DISTINCT fp)) * 1000000)
-                 // count(*)) // 1000000 AS BIGINT) AS reputation_ppm
+         {_rep_ppm_expr("count(*)", "count(DISTINCT fp)", "sum(q)")}
+           AS reputation_ppm
   FROM per GROUP BY 1
 )
 SELECT domain, loc AS url, priority,
