@@ -22,3 +22,15 @@ def test_all_queries_return_rows(spark, sf_dir):
     for name, q in REG.items():
         n = q.build(spark, sf_dir).limit(1).count()
         assert n >= 0, name
+
+
+def test_checked_queries_are_nonempty(spark, sf_dir):
+    """Every gate row must return AT LEAST one row at the smallest SF:
+    a hash-green EMPTY result (e.g. a fixture-domain drift degrading an
+    inner join to zero rows on BOTH engines) is a gate row that has
+    silently stopped checking anything."""
+    from simpy__kafka__flink__kafka_spark.plans import CHECKED_FIRST
+
+    for name in CHECKED_FIRST:
+        n = REG[name].build(spark, sf_dir).limit(1).count()
+        assert n >= 1, f"checked-50 row {name} returned 0 rows"
