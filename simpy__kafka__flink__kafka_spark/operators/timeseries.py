@@ -138,14 +138,28 @@ def rolling_zscore_anomalies(events: DataFrame,
     Output: (id_col, bucket_ts, n_events, n_hist, z2_scaled,
     is_anomaly)."""
     g = int(grid_ms)
-    cap = 1 << 20
     counts = (
-        events.select(F.col(id_col).alias("_id"),
+        events.select(F.col(id_col),
                       F.expr(f"({ts_col} div {g}) * {g}").alias("bucket_ts"))
-        .groupBy("_id", "bucket_ts")
+        .groupBy(id_col, "bucket_ts")
         .agg(F.count(F.lit(1)).cast("long").alias("x"))
-        .withColumn("xc", F.least("x", F.lit(cap)))
     )
+    return score_bucket_counts(counts, window=window,
+                               min_history=min_history,
+                               z_threshold=z_threshold, id_col=id_col)
+
+
+def score_bucket_counts(counts: DataFrame, window: int = 24,
+                        min_history: int = 8, z_threshold: int = 3,
+                        id_col: str = "user_id") -> DataFrame:
+    """The scoring half of :func:`rolling_zscore_anomalies` over
+    PRE-BUCKETED counts (``id_col``, bucket_ts, x) — shared verbatim by
+    the batch operator and the streaming detector
+    (streaming/corpus.py:score_anomaly_batch), so their parity is by
+    construction, the same split as quality scoring."""
+    cap = 1 << 20
+    counts = counts.select(F.col(id_col).alias("_id"), "bucket_ts", "x") \
+        .withColumn("xc", F.least("x", F.lit(cap)))
     hist = (W.partitionBy("_id").orderBy("bucket_ts")
             .rowsBetween(-int(window), -1))
     scored = counts.select(

@@ -72,3 +72,95 @@ def session_ip_activity(spans: DataFrame, gap: str = "30 seconds") -> DataFrame:
             "src_ip", "n_spans",
         )
     )
+
+
+# --- Streaming rolling-z-score anomaly detection (round 11) --------------------
+
+def score_anomaly_batch(batch_counts: DataFrame, out_dir: str,
+                        window: int = 24, min_history: int = 8,
+                        z_threshold: int = 3,
+                        id_col: str = "user_id") -> None:
+    """One micro-batch of FINALIZED bucket counts (id_col, bucket_ts,
+    x): anti-join the sink on (key, bucket) for replay idempotence,
+    union the sink's history for the touched keys, score the fresh
+    buckets with the SAME algebra as the batch operator
+    (operators/timeseries.py:score_bucket_counts — parity by
+    construction), and append.  Buckets below ``min_history`` land with
+    NULL score columns so they can serve as history for later buckets
+    (dropping them would permanently understate every successor's
+    n_hist).  Watermark-finalized windows emit in event-time order per
+    key (the watermark is monotone), so cross-batch history is always
+    older than the batch's fresh buckets — the same ordering argument
+    as the SCD2 merge.  Sink reads per batch are key-scoped
+    (left-semi); production swaps the parquet sink for a keyed MERGE,
+    the pair-compaction posture."""
+    from pyspark.errors import AnalysisException
+
+    from ..operators.timeseries import score_bucket_counts
+
+    spark = batch_counts.sparkSession
+    fresh = batch_counts.select(id_col, "bucket_ts", "x")
+    hist = None
+    try:
+        sink = spark.read.parquet(out_dir)
+        fresh = fresh.join(sink.select(id_col, "bucket_ts"),
+                           [id_col, "bucket_ts"], "left_anti")
+        hist = (sink.join(fresh.select(id_col).distinct(), id_col,
+                          "left_semi")
+                .select(id_col, "bucket_ts",
+                        F.col("n_events").alias("x")))
+    except AnalysisException as e:
+        cls = e.getCondition() if hasattr(e, "getCondition") else None
+        if cls != "PATH_NOT_FOUND" and "Path does not exist" not in str(e):
+            raise
+    # materialize: the classification below reads the sink this batch
+    # appends to (the incremental-ingest posture)
+    fresh = fresh.localCheckpoint()
+    both = fresh if hist is None else fresh.unionByName(hist)
+    scored = score_bucket_counts(both, window=window,
+                                 min_history=min_history,
+                                 z_threshold=z_threshold, id_col=id_col)
+    out = (
+        fresh.join(scored.select(id_col, "bucket_ts", "n_hist",
+                                 "z2_scaled", "is_anomaly"),
+                   [id_col, "bucket_ts"], "left")
+        .select(id_col, "bucket_ts", F.col("x").alias("n_events"),
+                "n_hist", "z2_scaled", "is_anomaly")
+    )
+    out.write.mode("append").parquet(out_dir)
+
+
+def start_anomaly_detection(events: DataFrame, out_dir: str,
+                            checkpoint_dir: str, grid: str = "1 hour",
+                            window: int = 24, min_history: int = 8,
+                            z_threshold: int = 3,
+                            id_col: str = "user_id",
+                            ts_col: str = "ts"):
+    """Streaming rolling-z-score burst detection — the live twin of the
+    ``hourly_anomalies`` batch row: tumbling ``grid`` windows per key
+    finalize under the input's watermark (append mode), and each
+    micro-batch of finalized counts scores against the persisted
+    history via :func:`score_anomaly_batch`.  ``events`` must carry a
+    watermark on ``ts_col``.  Returns the started StreamingQuery."""
+    counts = (
+        events.groupBy(F.window(ts_col, grid).alias("w"),
+                       F.col(id_col))
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+        # integer division — `/` goes through double (the read_events
+        # discipline)
+        .select(id_col,
+                F.expr("unix_micros(w.start) div 1000").alias("bucket_ts"),
+                "x")
+    )
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        score_anomaly_batch(batch_df, out_dir, window=window,
+                            min_history=min_history,
+                            z_threshold=z_threshold, id_col=id_col)
+
+    return (
+        counts.writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )

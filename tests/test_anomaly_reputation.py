@@ -49,6 +49,66 @@ def test_rolling_zscore_integer_z2(spark):
     assert out[8 * g] == (32 * 32 * 10000, 1)
 
 
+def test_streaming_anomaly_batch_parity(spark, tmp_path):
+    """Event batches through the streaming detector (finalized-window
+    fold + persisted history) must score exactly like the all-at-once
+    batch operator — including buckets whose history spans batches."""
+    import datetime as _dt
+    import os
+
+    from simpy__kafka__flink__kafka_spark.operators.timeseries import (
+        rolling_zscore_anomalies)
+    from simpy__kafka__flink__kafka_spark.streaming.windows import (
+        start_anomaly_detection)
+
+    def ts(h: int) -> _dt.datetime:
+        return _dt.datetime.fromtimestamp(
+            3600 * h + 1, tz=_dt.timezone.utc).replace(tzinfo=None)
+
+    # key 1: calm then burst; key 2: constant.  The flush row at hour
+    # 99 advances the watermark past every scored bucket.
+    rows = []
+    for h in range(10):
+        rows.append((1, ts(h)))
+        rows.append((2, ts(h)))
+    rows += [(1, ts(10))] * 40
+    rows.append((2, ts(10)))
+    flush = [(999, ts(99))]
+
+    ind = str(tmp_path / "ev_in")
+    out = str(tmp_path / "ev_out")
+    ckpt = str(tmp_path / "ev_ck")
+    os.makedirs(ind, exist_ok=True)
+
+    def run(batch_rows):
+        spark.createDataFrame(batch_rows, "user_id long, ts timestamp") \
+            .coalesce(1).write.mode("append").parquet(ind)
+        stream = (spark.readStream.schema("user_id long, ts timestamp")
+                  .parquet(ind).withWatermark("ts", "0 seconds"))
+        q = start_anomaly_detection(stream, out, ckpt, grid="1 hour",
+                                    window=24, min_history=8)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run(rows[:12])              # first hours finalize nothing yet
+    run(rows[12:] + flush)      # the rest + flush past the burst
+
+    got = {(r.user_id, r.bucket_ts): (r.n_events, r.n_hist, r.is_anomaly)
+           for r in spark.read.parquet(out).collect()
+           if r.n_hist is not None and r.user_id != 999}
+    ev = spark.createDataFrame(
+        [(u, int(t.replace(tzinfo=_dt.timezone.utc).timestamp() * 1000))
+         for u, t in rows], "user_id long, ts_ms long")
+    want = {(r.user_id, r.bucket_ts): (r.n_events, r.n_hist, r.is_anomaly)
+            for r in rolling_zscore_anomalies(
+                ev, grid_ms=3_600_000, window=24,
+                min_history=8).collect()}
+    assert got == want
+    assert any(f[2] == 1 for f in got.values())   # the burst is flagged
+
+
 def test_host_reputation_arithmetic(spark):
     from simpy__kafka__flink__kafka_spark.functions.crawl import (
         host_reputation)
