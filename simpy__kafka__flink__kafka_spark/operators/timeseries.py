@@ -155,7 +155,7 @@ def score_bucket_counts(counts: DataFrame, window: int = 24,
     """The scoring half of :func:`rolling_zscore_anomalies` over
     PRE-BUCKETED counts (``id_col``, bucket_ts, x) — shared verbatim by
     the batch operator and the streaming detector
-    (streaming/corpus.py:score_anomaly_batch), so their parity is by
+    (streaming/windows.py:score_anomaly_batch), so their parity is by
     construction, the same split as quality scoring."""
     cap = 1 << 20
     counts = counts.select(F.col(id_col).alias("_id"), "bucket_ts", "x") \
