@@ -1,0 +1,132 @@
+"""Untrusted-bytes fuzz over the header walkers and codecs: every
+parser that touches crawled content must yield a TYPED error
+(ValueError / NotImplementedError) or a valid result on ANY mutation of
+a valid stream — never an IndexError / struct.error / KeyError /
+OverflowError leak (the ANCHOR_RE lesson: one adversarial page must not
+take down an executor)."""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pytest
+
+OK_ERRORS = (ValueError, NotImplementedError)
+
+
+def _fixtures() -> dict[str, bytes]:
+    from simpy__kafka__flink__kafka_spark.functions.bmp import encode_bmp
+    from simpy__kafka__flink__kafka_spark.functions.gif import encode_gif
+    from simpy__kafka__flink__kafka_spark.functions.jpeg import encode_jpeg
+    from simpy__kafka__flink__kafka_spark.functions.mp3 import (
+        encode_mp3_frames)
+    from simpy__kafka__flink__kafka_spark.functions.multimodal import (
+        encode_avif_stub, encode_png, encode_ppm, encode_webp_stub)
+    from simpy__kafka__flink__kafka_spark.functions.tiff import encode_tiff
+    from simpy__kafka__flink__kafka_spark.functions.vp8l import encode_vp8l
+
+    px = (np.arange(6 * 5 * 3, dtype=np.uint8).reshape(5, 6, 3))
+    rgba = np.dstack([px, np.full((5, 6), 255, np.uint8)])
+    return {
+        "ppm": encode_ppm(px),
+        "png": encode_png(px),
+        "jpeg": encode_jpeg(px),
+        "gif": encode_gif(px),
+        "bmp": encode_bmp(px),
+        "tiff": encode_tiff(px),
+        "webp": encode_webp_stub(6, 5, "lossless"),
+        "avif": encode_avif_stub(6, 5),
+        "vp8l": encode_vp8l(rgba),
+        "mp3": encode_mp3_frames([9, 10, 9], id3_bytes=8),
+    }
+
+
+def _mutations(buf: bytes, rng: random.Random):
+    # every truncation point (small fixtures, exhaustive is cheap)
+    for cut in range(len(buf)):
+        yield buf[:cut]
+    # deterministic single-byte flips
+    for _ in range(200):
+        i = rng.randrange(len(buf))
+        b = bytearray(buf)
+        b[i] ^= 1 << rng.randrange(8)
+        yield bytes(b)
+    # random garbage of assorted sizes
+    for n in (0, 1, 3, 7, 64):
+        yield bytes(rng.randrange(256) for _ in range(n))
+
+
+def test_image_dims_typed_errors_only():
+    from simpy__kafka__flink__kafka_spark.functions.multimodal import (
+        image_dims)
+
+    rng = random.Random(1234)
+    for name, buf in _fixtures().items():
+        if name == "mp3":
+            continue
+        for mut in _mutations(buf, rng):
+            try:
+                fmt, w, h = image_dims(mut)
+                assert 0 < w < 2**31 and 0 < h < 2**31
+            except OK_ERRORS:
+                pass
+
+
+def test_vp8l_decode_typed_errors_only():
+    from simpy__kafka__flink__kafka_spark.functions.vp8l import (
+        decode_vp8l, encode_vp8l)
+
+    rng = random.Random(99)
+    img = np.random.RandomState(2).randint(0, 40, size=(4, 6, 4)) \
+        .astype(np.uint8)
+    buf = encode_vp8l(img)
+    for mut in _mutations(buf, rng):
+        try:
+            out = decode_vp8l(mut)
+            assert out.ndim == 3 and out.shape[2] == 4
+        except OK_ERRORS:
+            pass
+
+
+def test_mp3_stats_typed_errors_only():
+    from simpy__kafka__flink__kafka_spark.functions.mp3 import (
+        encode_mp3_frames, mp3_stream_stats)
+
+    rng = random.Random(7)
+    buf = encode_mp3_frames([9, 10, 9], id3_bytes=8)
+    for mut in _mutations(buf, rng):
+        try:
+            s = mp3_stream_stats(mut)
+            assert s.n_frames >= 1 and s.sample_rate > 0
+        except OK_ERRORS:
+            pass
+
+
+def test_audio_container_stats_typed_errors_only():
+    from simpy__kafka__flink__kafka_spark.functions.flac import encode_flac
+    from simpy__kafka__flink__kafka_spark.functions.multimodal import (
+        _container_stats)
+
+    rng = random.Random(55)
+    samples = np.arange(16, dtype=np.int32) * 128
+    for buf in (encode_flac(samples, 16000, subframe="fixed"),
+                _fixtures()["mp3"]):
+        for mut in _mutations(buf, rng):
+            try:
+                _container_stats(mut)
+            except OK_ERRORS:
+                pass
+
+
+def test_parsers_reject_empty_and_tiny():
+    from simpy__kafka__flink__kafka_spark.functions.mp3 import (
+        mp3_stream_stats)
+    from simpy__kafka__flink__kafka_spark.functions.multimodal import (
+        image_dims)
+    from simpy__kafka__flink__kafka_spark.functions.vp8l import decode_vp8l
+
+    for fn in (image_dims, decode_vp8l, mp3_stream_stats):
+        for payload in (b"", b"\x00", b"\xff", b"RIFF", b"ID3"):
+            with pytest.raises(OK_ERRORS):
+                fn(payload)
