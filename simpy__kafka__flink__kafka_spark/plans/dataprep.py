@@ -3541,13 +3541,20 @@ def _q_frontier_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     Each allowed seed gets its within-host rank (priority-descending,
     URL tiebreak — the order a polite crawler dequeues one host) and an
     integer cross-host score ``reputation_ppm * round(priority*10) div
-    10``.  Exchanges: the fixture agg, the gate agg, one host aggregate
-    for reputation, one window on the domain — every join side is
-    domain-cardinality."""
-    from pyspark.sql import Window as W
+    10``.
 
+    Scale shape: the within-host rank is NOT a per-domain window — a
+    mega-host (10^8 seeds on one origin) must never become one window
+    partition sorted on a single task (the crawl_schedule lesson).  It
+    composes two scale-safe ranged operators instead: a global ranged
+    row_number over (domain, -priority, url) minus each domain's
+    exclusive prefix count over domain order (ranged prefix sum on the
+    DOMAIN-cardinality count frame) — identical output to
+    ``row_number() OVER (PARTITION BY domain ORDER BY priority DESC,
+    url)``, which is exactly what the oracle runs."""
     from ..functions.crawl import host_reputation, parse_sitemap
     from ..functions.robots import robots_allowed, robots_rules
+    from ..operators.sequences import ranged_prefix_sum, ranged_row_number
 
     docs = _docs(spark, sf_dir)
     xmls, robots = _seed_sitemap_fixture(docs)
@@ -3558,15 +3565,23 @@ def _q_frontier_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.col("loc").alias("url")),
         robots_rules(robots), id_col="loc")
     seeds = (entries.select("domain", "loc", "priority")
-             .join(gated.where(F.col("allowed") == 1), "loc"))
+             .join(gated.where(F.col("allowed") == 1), "loc")
+             .withColumn("_negp", -F.col("priority")))
+    ranked = ranged_row_number(seeds, ["domain", "_negp", "loc"],
+                               out_col="_gseq")
+    counts = ranked.groupBy("domain").agg(
+        F.count(F.lit(1)).cast("long").alias("_c"))
+    offs = ranged_prefix_sum(counts, ["domain"], "_c", out_col="_doff",
+                             exclusive=True).select("domain", "_doff")
     rep = host_reputation(docs.select(_seed_host_col().alias("host"),
                                       "text"))
-    w = W.partitionBy("domain").orderBy(F.col("priority").desc(), "loc")
     return (
-        seeds.join(rep, seeds.domain == rep.host)
+        ranked.join(offs, "domain")
+        .join(rep, ranked.domain == rep.host)
         .select(
             "domain", F.col("loc").alias("url"), "priority",
-            F.row_number().over(w).cast("long").alias("seed_rank"),
+            (F.col("_gseq") - F.col("_doff")).cast("long")
+            .alias("seed_rank"),
             "reputation_ppm",
             F.expr("(reputation_ppm * cast(round(priority * 10, 0) "
                    "as int)) div 10").cast("long").alias("score_ppm"),
