@@ -3564,9 +3564,11 @@ def _q_frontier_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         entries.select(F.col("loc"), F.col("domain"),
                        F.col("loc").alias("url")),
         robots_rules(robots), id_col="loc")
-    seeds = (entries.select("domain", "loc", "priority")
-             .join(gated.where(F.col("allowed") == 1), "loc")
-             .withColumn("_negp", -F.col("priority")))
+    # pinned: repartitionByRange's boundary sampling would otherwise
+    # re-execute the whole parse+gate subtree a second time
+    seeds = pin(entries.select("domain", "loc", "priority")
+                .join(gated.where(F.col("allowed") == 1), "loc")
+                .withColumn("_negp", -F.col("priority")))
     ranked = ranged_row_number(seeds, ["domain", "_negp", "loc"],
                                out_col="_gseq")
     counts = ranked.groupBy("domain").agg(
