@@ -70,6 +70,24 @@ def admission_statuses(docs: DataFrame, urls: DataFrame, pages: DataFrame,
     )
 
 
+def not_before_expr(default_delay_s: float = 1.0):
+    """THE pacing rule, rendered once (round 12): ``not_before_s`` =
+    ``slot * crawl_delay`` for hosts with a STATED Crawl-delay (the
+    interval between successive requests — per-wave pacing would be
+    ``per_wave``x the promised rate), else ``wave * default_delay_s``.
+    Expects columns ``slot``, ``wave``, and a nullable ``crawl_delay``.
+    Shared by :func:`crawl_schedule` and the streaming schedule
+    (streaming/corpus.py:schedule_accepted_batch) — the round-11
+    per-wave -> per-slot semantics change had to be hand-synchronized
+    across two verbatim copies of this expression; one rendering ends
+    that drift class (VERDICT r11 task 4)."""
+    return F.round(
+        F.when(F.col("crawl_delay").isNotNull(),
+               F.col("slot") * F.col("crawl_delay"))
+        .otherwise(F.col("wave") * F.lit(float(default_delay_s))),
+        6)
+
+
 def crawl_schedule(urls: DataFrame, per_wave: int = 4,
                    id_col: str = "doc_id",
                    url_col: str = "url",
@@ -129,14 +147,50 @@ def crawl_schedule(urls: DataFrame, per_wave: int = 4,
         return out
     return (
         out.join(F.broadcast(delays), "host", "left")
-        .withColumn(
-            "not_before_s",
-            F.round(
-                F.when(F.col("crawl_delay").isNotNull(),
-                       F.col("slot") * F.col("crawl_delay"))
-                .otherwise(F.col("wave") * F.lit(float(default_delay_s))),
-                6))
+        .withColumn("not_before_s", not_before_expr(default_delay_s))
         .select(id_col, "host", "slot", "wave", "not_before_s")
+    )
+
+
+def anomaly_backoff(schedule: DataFrame, anomalies: DataFrame,
+                    backoff: int = 4,
+                    host_col: str = "host") -> DataFrame:
+    """Feed rate-anomaly signals into the politeness schedule — the
+    READ side of the rolling z-score detector (VERDICT r11 task 9:
+    reputation already feeds seed ORDER through frontier_rank; this
+    feeds fetch TIMING).  A host with >= 1 flagged bucket backs off:
+    its ``not_before_s`` stretches by integer ``backoff`` (slot order
+    is kept — the crawler still owes the host its dense sequence, it
+    just fetches slower until the flags age out of the detector's
+    trailing window).
+
+    ``anomalies`` is the detector's output keyed on ``host_col``
+    (operators/timeseries.py:rolling_zscore_anomalies, or the parquet
+    sink of streaming/windows.py:start_anomaly_detection — both carry
+    ``is_anomaly``).  ``schedule`` is :func:`crawl_schedule` output (or
+    the streaming schedule sink): (id, host, slot, wave, not_before_s).
+
+    Scale shape: flags collapse to HOST cardinality (one map-side
+    combined aggregate over the detector's already-bucketed output —
+    bucket rows are timeline-hours per host, never event volume), then
+    ONE broadcast join onto the schedule: no new exchange over the URL
+    volume.  Output: schedule columns + (n_anomalies,
+    not_before_backoff_s)."""
+    flags = (
+        anomalies.where(F.col("is_anomaly") == 1)
+        .groupBy(F.col(host_col).alias("host"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_anomalies"))
+    )
+    return (
+        schedule.join(F.broadcast(flags), "host", "left")
+        .withColumn("n_anomalies",
+                    F.coalesce("n_anomalies", F.lit(0)).cast("long"))
+        .withColumn(
+            "not_before_backoff_s",
+            F.round(F.col("not_before_s")
+                    * F.when(F.col("n_anomalies") > 0,
+                             F.lit(int(backoff)))
+                    .otherwise(F.lit(1)), 6))
     )
 
 

@@ -9,14 +9,27 @@ and entropy coding are real, the corpus never depends on external
 codec libraries).
 
 This NARROWS the documented WebP seam (multimodal.py previously walked
-only the VP8L header): pixel decode now executes for transform-free
-streams.  Remaining seams, each a typed error so corpus filters see
+only the VP8L header): pixel decode now executes for transform-free,
+subtract-green, and PREDICTOR-transformed streams (all 14 predictor
+modes, the border rules, and the rightmost-column TR wrap — round 12).
+Remaining seams, each a typed error so corpus filters see
 corruption-vs-unsupported distinctly:
-- the four spatial transforms (predictor / color / subtract-green /
-  color-indexing) and the entropy image (meta prefix groups);
+- the color and color-indexing transforms and the entropy image (meta
+  prefix groups);
 - the 2D near-distance map (LZ77 distance codes <= 120) — real
   encoders emit these constantly, so full libwebp interop is NOT
   claimed; direct distances (> 120 at the code level) decode exactly.
+
+Robustness: :func:`decode_vp8l` enforces a PIXEL BUDGET before any
+allocation or per-pixel loop — 28 attacker-controlled header bits
+(14-bit w/h) must not drive an unbounded pure-Python decode on the
+untrusted ``decode_image`` path (a ~13-byte crafted header declaring
+16384x16384 with zero-bit trees would otherwise cost ~2^28 loop
+iterations and a 1 GiB buffer per document).  The budget ties declared
+pixels to payload size (``VP8L_PIXELS_PER_BYTE`` — set at the LZ77
+maximum copy length, far beyond any real encoder's density) under an
+absolute cap ``VP8L_MAX_PIXELS``; a denser stream is rejected with the
+typed ValueError family even when its header is formally valid.
 Bit packing follows the spec's deflate-style convention (LSB-first
 bytes, prefix-code bits packed most-significant-first); the
 encode->decode pair is self-consistent and the tests pin exact bit
@@ -178,41 +191,28 @@ def _lz77_value(code: int, r: _LsbReader) -> int:
     return ((2 + (code & 1)) << eb) + r.bits(eb) + 1
 
 
-def decode_vp8l(content: bytes) -> np.ndarray:
-    """Decode a VP8L stream (RIFF/WEBP container or a bare VP8L
-    payload) to an (h, w, 4) uint8 RGBA array.  Transform-free subset
-    — see the module docstring for the typed-error seams."""
-    buf = bytes(content)
-    if buf[:4] == b"RIFF" and buf[8:12] == b"WEBP":
-        if buf[12:16] != b"VP8L":
-            raise ValueError("not a VP8L (lossless) WebP chunk")
-        buf = buf[20:]
-    if not buf or buf[0] != 0x2F:
-        raise ValueError("bad VP8L signature byte")
-    r = _LsbReader(buf[1:])
-    w = r.bits(14) + 1
-    h = r.bits(14) + 1
-    r.bits(1)                                     # alpha hint
-    if r.bits(3) != 0:
-        raise ValueError("unknown VP8L version")
-    subtract_green = False
-    while r.bits(1):
-        ttype = r.bits(2)
-        if ttype == 2:                            # subtract-green
-            subtract_green = True
-            continue
-        raise NotImplementedError(
-            "VP8L predictor / color / color-indexing transforms are a "
-            "documented seam (subtract-green decodes)")
-    cache_bits = 0
-    if r.bits(1):
-        cache_bits = r.bits(4)
-        if not 1 <= cache_bits <= 11:
-            raise ValueError("invalid VP8L color-cache size")
-    if r.bits(1):
-        raise NotImplementedError(
-            "VP8L entropy image (meta prefix groups) is a documented "
-            "seam")
+# decompression-bomb guard (round 12): declared pixels may not exceed
+# payload_bytes * VP8L_PIXELS_PER_BYTE (the LZ77 maximum copy length —
+# one maximal copy per payload byte is already beyond any real stream)
+# nor VP8L_MAX_PIXELS; small legit files always clear the 4096-px floor.
+VP8L_MAX_PIXELS = 1 << 22
+VP8L_PIXELS_PER_BYTE = 4096
+
+
+def _read_cache_bits(r: _LsbReader) -> int:
+    if not r.bits(1):
+        return 0
+    cache_bits = r.bits(4)
+    if not 1 <= cache_bits <= 11:
+        raise ValueError("invalid VP8L color-cache size")
+    return cache_bits
+
+
+def _decode_pixel_stream(r: _LsbReader, n_pixels: int,
+                         cache_bits: int) -> np.ndarray:
+    """One prefix-code group (5 trees) + the LZ77/color-cache pixel
+    loop: ``n_pixels`` uint32 ARGB values in scan order.  Shared by the
+    main image and entropy-coded transform sub-images."""
     cache_size = (1 << cache_bits) if cache_bits else 0
     green = _read_tree(r, 256 + 24 + cache_size)
     red = _read_tree(r, 256)
@@ -220,7 +220,7 @@ def decode_vp8l(content: bytes) -> np.ndarray:
     alpha = _read_tree(r, 256)
     dist_tree = _read_tree(r, 40)
     cache = [0] * cache_size
-    out = np.zeros(w * h, dtype=np.uint32)
+    out = np.zeros(n_pixels, dtype=np.uint32)
     pos = 0
 
     def emit(argb: int) -> None:
@@ -231,7 +231,7 @@ def decode_vp8l(content: bytes) -> np.ndarray:
             cache[((_HASH_MUL * argb) & 0xFFFFFFFF) >> (32 - cache_bits)] \
                 = argb
 
-    while pos < w * h:
+    while pos < n_pixels:
         s = green.read(r)
         if s < 256:
             rr = red.read(r)
@@ -249,7 +249,7 @@ def decode_vp8l(content: bytes) -> np.ndarray:
             if dist > pos:
                 raise ValueError("VP8L backward reference before start")
             for _ in range(length):
-                if pos >= w * h:
+                if pos >= n_pixels:
                     raise ValueError("VP8L backward reference overruns")
                 emit(int(out[pos - dist]))
         else:
@@ -257,16 +257,181 @@ def decode_vp8l(content: bytes) -> np.ndarray:
             if idx >= cache_size:
                 raise ValueError("VP8L color-cache index out of range")
             emit(cache[idx])
-    argb = out.reshape(h, w)
+    return out
+
+
+def _decode_entropy_coded(r: _LsbReader, w: int, h: int) -> np.ndarray:
+    """Entropy-coded image (spec: ``<color cache info><data>`` — no
+    transforms, no meta-prefix bit): the encoding of transform data
+    such as the predictor mode sub-image.  Returns (h, w) uint32."""
+    cache_bits = _read_cache_bits(r)
+    return _decode_pixel_stream(r, w * h, cache_bits).reshape(h, w)
+
+
+def _avg2(a: int, b: int) -> int:
+    return (a + b) >> 1
+
+
+def _clamp255(v: int) -> int:
+    return 0 if v < 0 else (255 if v > 255 else v)
+
+
+def _div2_trunc(v: int) -> int:
+    """C-style truncating division by 2 (Python // floors negatives)."""
+    return v // 2 if v >= 0 else -((-v) // 2)
+
+
+def _predict(mode: int, left: tuple, top: tuple, tl: tuple,
+             tr: tuple) -> tuple:
+    """One predicted ARGB pixel as an (a, r, g, b) channel tuple.
+    Modes per the public VP8L spec §4.2 (predictor transform)."""
+    if mode == 0:
+        return (0xFF, 0, 0, 0)
+    if mode == 1:
+        return left
+    if mode == 2:
+        return top
+    if mode == 3:
+        return tr
+    if mode == 4:
+        return tl
+    if mode == 5:
+        return tuple(_avg2(_avg2(le, t2), t)
+                     for le, t2, t in zip(left, tr, top))
+    if mode == 6:
+        return tuple(_avg2(le, c) for le, c in zip(left, tl))
+    if mode == 7:
+        return tuple(_avg2(le, t) for le, t in zip(left, top))
+    if mode == 8:
+        return tuple(_avg2(c, t) for c, t in zip(tl, top))
+    if mode == 9:
+        return tuple(_avg2(t, t2) for t, t2 in zip(top, tr))
+    if mode == 10:
+        return tuple(_avg2(_avg2(le, c), _avg2(t, t2))
+                     for le, c, t, t2 in zip(left, tl, top, tr))
+    if mode == 11:
+        # Select: Manhattan distance of each candidate to L+T-TL
+        p_l = sum(abs(t - c) for t, c in zip(top, tl))
+        p_t = sum(abs(le - c) for le, c in zip(left, tl))
+        return left if p_l < p_t else top
+    if mode == 12:
+        return tuple(_clamp255(le + t - c)
+                     for le, t, c in zip(left, top, tl))
+    if mode == 13:
+        return tuple(
+            _clamp255(_avg2(le, t) + _div2_trunc(_avg2(le, t) - c))
+            for le, t, c in zip(left, top, tl))
+    raise ValueError(f"invalid VP8L predictor mode {mode}")
+
+
+def _inverse_predictor(argb: np.ndarray, size_bits: int,
+                       modes: np.ndarray) -> np.ndarray:
+    """Invert the predictor transform in place over a (h, w) uint32
+    residual image: scan order, per-channel mod-256 addition of the
+    tile's predicted pixel.  Border rules per the spec: (0,0) is
+    predicted BLACK (0xff000000), the rest of the top row L, the left
+    column T, and the TR-pixel of the rightmost column wraps to the
+    leftmost pixel of the SAME row."""
+    h, w = argb.shape
+    px = [[(0, 0, 0, 0)] * w for _ in range(h)]
+
+    def chans(v: int) -> tuple:
+        return ((v >> 24) & 0xFF, (v >> 16) & 0xFF, (v >> 8) & 0xFF,
+                v & 0xFF)
+
+    for y in range(h):
+        row = px[y]
+        prev = px[y - 1]
+        for x in range(w):
+            if y == 0 and x == 0:
+                pred = (0xFF, 0, 0, 0)
+            elif y == 0:
+                pred = row[x - 1]
+            elif x == 0:
+                pred = prev[x]
+            else:
+                mode_px = int(modes[y >> size_bits, x >> size_bits])
+                mode = (mode_px >> 8) & 0xFF
+                if mode > 13:
+                    raise ValueError(
+                        f"invalid VP8L predictor mode {mode}")
+                tr = row[0] if x + 1 == w else prev[x + 1]
+                pred = _predict(mode, row[x - 1], prev[x],
+                                prev[x - 1], tr)
+            res = chans(int(argb[y, x]))
+            row[x] = tuple((rv + pv) & 0xFF for rv, pv in zip(res, pred))
+    out = np.zeros((h, w), dtype=np.uint32)
+    for y in range(h):
+        for x in range(w):
+            a, rr, g, b = px[y][x]
+            out[y, x] = (a << 24) | (rr << 16) | (g << 8) | b
+    return out
+
+
+def decode_vp8l(content: bytes, max_pixels: int | None = None) -> np.ndarray:
+    """Decode a VP8L stream (RIFF/WEBP container or a bare VP8L
+    payload) to an (h, w, 4) uint8 RGBA array.  Subtract-green and
+    predictor transforms decode; see the module docstring for the
+    remaining typed-error seams and the pixel-budget bomb guard
+    (``max_pixels`` overrides the payload-tied default)."""
+    buf = bytes(content)
+    if buf[:4] == b"RIFF" and buf[8:12] == b"WEBP":
+        if buf[12:16] != b"VP8L":
+            raise ValueError("not a VP8L (lossless) WebP chunk")
+        buf = buf[20:]
+    if not buf or buf[0] != 0x2F:
+        raise ValueError("bad VP8L signature byte")
+    budget = (max_pixels if max_pixels is not None
+              else min(VP8L_MAX_PIXELS,
+                       max(4096, VP8L_PIXELS_PER_BYTE * len(buf))))
+    r = _LsbReader(buf[1:])
+    w = r.bits(14) + 1
+    h = r.bits(14) + 1
+    r.bits(1)                                     # alpha hint
+    if r.bits(3) != 0:
+        raise ValueError("unknown VP8L version")
+    # the bomb guard: BEFORE any transform sub-image read, buffer
+    # allocation, or per-pixel loop (ADVICE r11 / VERDICT r11 task 1)
+    if w * h > budget:
+        raise ValueError(
+            f"VP8L declares {w}x{h} = {w * h} pixels against a "
+            f"{budget}-pixel budget for a {len(buf)}-byte payload — "
+            "rejected as a decompression bomb")
+    transforms: list[tuple] = []
+    while r.bits(1):
+        ttype = r.bits(2)
+        if ttype == 2:                            # subtract-green
+            transforms.append(("subtract_green",))
+        elif ttype == 0:                          # predictor
+            size_bits = r.bits(3) + 2
+            bw = (w + (1 << size_bits) - 1) >> size_bits
+            bh = (h + (1 << size_bits) - 1) >> size_bits
+            modes = _decode_entropy_coded(r, bw, bh)
+            transforms.append(("predictor", size_bits, modes))
+        else:
+            raise NotImplementedError(
+                "VP8L color / color-indexing transforms are a "
+                "documented seam (subtract-green and predictor decode)")
+    cache_bits = _read_cache_bits(r)
+    if r.bits(1):
+        raise NotImplementedError(
+            "VP8L entropy image (meta prefix groups) is a documented "
+            "seam")
+    argb = _decode_pixel_stream(r, w * h, cache_bits).reshape(h, w)
+    # inverse transforms apply in REVERSE order of their reading
+    for t in reversed(transforms):
+        if t[0] == "subtract_green":
+            g = (argb >> 8) & 0xFF
+            rr = (((argb >> 16) & 0xFF) + g) & 0xFF
+            b = ((argb & 0xFF) + g) & 0xFF
+            argb = (argb & 0xFF00FF00) | (rr << 16) | b
+        else:
+            argb = _inverse_predictor(argb, t[1], t[2])
     rgba = np.zeros((h, w, 4), dtype=np.uint8)
     rgba[..., 0] = (argb >> 16) & 0xFF
     rgba[..., 1] = (argb >> 8) & 0xFF
     rgba[..., 2] = argb & 0xFF
     rgba[..., 3] = (argb >> 24) & 0xFF
-    if subtract_green:
-        # inverse transform: the encoder subtracted green from red/blue
-        rgba[..., 0] += rgba[..., 1]
-        rgba[..., 2] += rgba[..., 1]
     return rgba
 
 
@@ -376,6 +541,107 @@ def encode_vp8l(rgba: np.ndarray, subtract_green: bool = False) -> bytes:
             put("r", int(a[y, x, 0]))
             put("b", int(a[y, x, 2]))
             put("a", int(a[y, x, 3]))
+    payload = bytes([0x2F]) + w.payload()
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    if len(payload) % 2:
+        chunk += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def _write_literal_image(w: _LsbWriter, argb: np.ndarray) -> None:
+    """One prefix-code group + every pixel as a literal (g, r, b, a
+    order) for an (h, w) uint32 ARGB image — the data body shared by
+    the predictor fixture's mode sub-image and residual image."""
+    vals = {
+        "g": [(int(v) >> 8) & 0xFF for v in argb.flat],
+        "r": [(int(v) >> 16) & 0xFF for v in argb.flat],
+        "b": [int(v) & 0xFF for v in argb.flat],
+        "a": [(int(v) >> 24) & 0xFF for v in argb.flat],
+    }
+    lengths = {k: _flat_lengths(sorted(set(v))) for k, v in vals.items()}
+    for key in ("g", "r", "b", "a"):
+        _write_tree(w, lengths[key])
+    _write_tree(w, {0: 1})                        # distance: single symbol
+    codes = {k: _canonical(v) for k, v in lengths.items()}
+    for i in range(argb.size):
+        for key in ("g", "r", "b", "a"):
+            if len(lengths[key]) > 1:
+                w.code(*codes[key][vals[key][i]])
+
+
+def encode_vp8l_predicted(rgba: np.ndarray, modes: np.ndarray,
+                          size_bits: int = 2) -> bytes:
+    """Spec-shaped PREDICTOR-transformed VP8L stream — the fixture
+    generator that lets the registry row EXECUTE the predictor decode
+    path (round 12), the same synthesize-then-parse posture as
+    :func:`encode_vp8l` for the transform-free row.  Applies the
+    forward transform (residual = pixel - predict(FINAL neighbors),
+    the spec's border rules — sharing :func:`_predict` with the
+    decoder; the INDEPENDENT forward rendering lives in
+    tests/test_vp8l.py), emits the transform signaling, the
+    entropy-coded per-tile mode sub-image, and the residuals as
+    literal-pixel data.  ``modes`` is the
+    (ceil(h/2^size_bits), ceil(w/2^size_bits)) tile-mode grid.  The
+    public :func:`encode_vp8l` stays transform-free."""
+    import struct
+
+    a = np.asarray(rgba, dtype=np.uint8)
+    if a.ndim != 3 or a.shape[2] != 4:
+        raise ValueError("encode_vp8l_predicted expects (h, w, 4) RGBA")
+    h, wd = a.shape[:2]
+    if not (0 < wd <= 1 << 14 and 0 < h <= 1 << 14):
+        raise ValueError("VP8L cannot represent these dimensions")
+    if not 2 <= size_bits <= 9:                   # 3-bit field holds -2
+        raise ValueError("predictor size_bits must be in 2..9")
+    bw = (wd + (1 << size_bits) - 1) >> size_bits
+    bh = (h + (1 << size_bits) - 1) >> size_bits
+    modes = np.asarray(modes, dtype=np.uint32)
+    if modes.shape != (bh, bw) or int(modes.max()) > 13:
+        raise ValueError("predictor mode grid must be "
+                         f"({bh}, {bw}) of modes 0..13")
+    argb = ((a[..., 3].astype(np.uint32) << 24)
+            | (a[..., 0].astype(np.uint32) << 16)
+            | (a[..., 1].astype(np.uint32) << 8)
+            | a[..., 2].astype(np.uint32))
+
+    def chans(v: int) -> tuple:
+        return ((v >> 24) & 0xFF, (v >> 16) & 0xFF, (v >> 8) & 0xFF,
+                v & 0xFF)
+
+    res = np.zeros((h, wd), dtype=np.uint32)
+    for y in range(h):
+        for x in range(wd):
+            if y == 0 and x == 0:
+                pred = (0xFF, 0, 0, 0)
+            elif y == 0:
+                pred = chans(int(argb[y, x - 1]))
+            elif x == 0:
+                pred = chans(int(argb[y - 1, x]))
+            else:
+                tr = (int(argb[y, 0]) if x + 1 == wd
+                      else int(argb[y - 1, x + 1]))
+                pred = _predict(int(modes[y >> size_bits, x >> size_bits]),
+                                chans(int(argb[y, x - 1])),
+                                chans(int(argb[y - 1, x])),
+                                chans(int(argb[y - 1, x - 1])),
+                                chans(tr))
+            cv = chans(int(argb[y, x]))
+            d = tuple((c - p) & 0xFF for c, p in zip(cv, pred))
+            res[y, x] = (d[0] << 24) | (d[1] << 16) | (d[2] << 8) | d[3]
+    w = _LsbWriter()
+    w.bits(wd - 1, 14)
+    w.bits(h - 1, 14)
+    w.bits(1 if (a[..., 3] != 255).any() else 0, 1)
+    w.bits(0, 3)                                  # version
+    w.bits(1, 1)                                  # a transform follows
+    w.bits(0, 2)                                  # type 0: predictor
+    w.bits(size_bits - 2, 3)
+    w.bits(0, 1)                                  # sub-image: no cache
+    _write_literal_image(w, modes << 8)           # mode in green channel
+    w.bits(0, 1)                                  # end of transforms
+    w.bits(0, 1)                                  # main: no color cache
+    w.bits(0, 1)                                  # no entropy image
+    _write_literal_image(w, res)
     payload = bytes([0x2F]) + w.payload()
     chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
     if len(payload) % 2:

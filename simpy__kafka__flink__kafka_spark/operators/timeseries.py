@@ -123,12 +123,13 @@ def rolling_zscore_anomalies(events: DataFrame,
     with no float anywhere.  A zero-variance history (all buckets
     equal) flags any deviation, which is the honest reading.
 
-    Overflow bound: counts SATURATE at 2^20 per bucket inside the
-    algebra (``n_events`` still reports the true count) — with
-    ``window <= 24`` that caps ``num^2 * 10^4`` below 2^63, so a
-    mega-burst can never overflow the int64 arithmetic (under ANSI
-    mode an unclamped burst of ~1.3M events would ERROR the whole
-    query; a bucket past the cap is an anomaly by any reading).
+    Overflow bound: counts SATURATE per bucket inside the algebra
+    (``n_events`` still reports the true count) at a cap DERIVED from
+    ``window`` and ``z_threshold`` (2^20 at the defaults — see
+    :func:`score_bucket_counts` for the proof), so a mega-burst can
+    never overflow the int64 arithmetic at ANY window (under ANSI mode
+    an unclamped burst of ~1.3M events would ERROR the whole query; a
+    bucket past the cap is an anomaly by any reading).
 
     Scale shape: one exchange for the bucket counts (map-side
     combined), then one window pass per key ordered by bucket — the
@@ -156,8 +157,30 @@ def score_bucket_counts(counts: DataFrame, window: int = 24,
     PRE-BUCKETED counts (``id_col``, bucket_ts, x) — shared verbatim by
     the batch operator and the streaming detector
     (streaming/windows.py:score_anomaly_batch), so their parity is by
-    construction, the same split as quality scoring."""
-    cap = 1 << 20
+    construction, the same split as quality scoring.
+
+    Overflow proof (round 12 — the cap now DERIVES from the
+    parameters instead of assuming ``window <= 24``, ADVICE r11): with
+    per-bucket counts saturated at ``cap`` and ``n <= window`` history
+    rows, ``|nc| <= n*cap`` and ``dc <= n*q <= n^2*cap^2``, so both
+    ``nc^2 * 10^4`` and ``z^2 * dc`` stay below 2^63 whenever
+    ``(window*cap)^2 * max(10^4, z^2) < 2^63`` — enforced here by
+    deriving ``cap = min(2^20, isqrt((2^63-1) // max(10^4, z^2)) //
+    window)`` and raising if that leaves no headroom, rather than
+    silently wrapping under non-ANSI Spark."""
+    from math import isqrt
+
+    window = int(window)
+    z_threshold = int(z_threshold)
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    cap = min(1 << 20,
+              isqrt((2 ** 63 - 1) // max(10 ** 4, z_threshold ** 2))
+              // window)
+    if cap < 1:
+        raise ValueError(
+            f"window {window} (z {z_threshold}) leaves no int64-exact "
+            "headroom for the division-free z algebra")
     counts = counts.select(F.col(id_col).alias("_id"), "bucket_ts", "x") \
         .withColumn("xc", F.least("x", F.lit(cap)))
     hist = (W.partitionBy("_id").orderBy("bucket_ts")

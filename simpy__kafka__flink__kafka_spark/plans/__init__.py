@@ -89,7 +89,14 @@ CHECKED_FIRST = [
     # hamming_near_dup_pairs) the checked image_near_dup drives
     # end-to-end, and the SimHash signature arithmetic stays oracled in
     # the pytest tail.
-    "exact_dedup",
+    # Round-12 rotation (cont.): exact_dedup demoted — long-green since
+    # r1, and its md5(normalized)-fingerprint group-aggregate is
+    # embedded in FIVE checked rows (url_dedup's keeper rule,
+    # snapshot_diff's and scd2_history's change fingerprints,
+    # dedup_against_prior's profile semi-join, host_reputation's
+    # dup-rate) — the arithmetic cannot regress without a checked row
+    # hash-mismatching; it stays oracled in the pytest tail.  Funds the
+    # webp_predictor_stats slot below.
     "dedup_survivors", "near_dup_verified",
     # Round-9: quantize_embeddings (pure per-row column arithmetic,
     # long-green since r5; its embedding family keeps ivf_topk +
@@ -218,8 +225,22 @@ CHECKED_FIRST = [
     # hourly_anomalies (new division-free z algebra), host_reputation
     # (new integer reputation algebra), and avif_dims (the ISO-BMFF
     # box walk — the newest header walker).
-    "webp_roundtrip_stats", "frontier_rank", "hourly_anomalies",
+    "webp_roundtrip_stats", "frontier_rank",
     "host_reputation", "avif_dims",
+    # Round-12 rotation (VERDICT r11 task 6/9): crawl_backoff_schedule
+    # — the anomaly detector's READ side (z flags -> schedule backoff,
+    # the round's newest composition) — takes the hard signal
+    # immediately, funded by demoting hourly_anomalies: the backoff
+    # row's oracle embeds the IDENTICAL factored z-algebra rendering
+    # (plans/relational.py:z_anomaly_select — one rendering in both
+    # engines) plus the schedule + pacing + backoff on top; the
+    # user-keyed detector row stays oracled in the pytest tail.
+    # webp_predictor_stats: the round's OTHER newest code — the
+    # predictor-transform decode (all 14 modes, border rules, TR wrap,
+    # sub-image entropy decode) EXECUTES at the gate the way
+    # webp_roundtrip_stats executes the transform-free codec; funded by
+    # the exact_dedup demotion above.
+    "crawl_backoff_schedule", "webp_predictor_stats",
 ]
 
 

@@ -3191,6 +3191,93 @@ FROM sched s LEFT JOIN dl USING (host)
 """
 
 
+def _backoff_host(col, mod: int):
+    return F.concat(F.lit("backoff-"), (col % mod).cast("string"),
+                    F.lit(".example.com"))
+
+
+def _q_crawl_backoff_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomaly-aware politeness schedule — the READ side of the rolling
+    z-score detector (VERDICT r11 task 9): per-host hourly fetch-rate
+    anomalies (events keyed onto 7 synthetic hosts) back off the paced
+    schedule's cadence via functions/crawl.py:anomaly_backoff, the way
+    host reputation feeds frontier_rank's seed order.  Plan: the
+    detector's one count-agg + one bounded window (host-keyed — bucket
+    rows are timeline-hours), collapsed to a host-cardinality flags
+    frame, broadcast onto the sharded-rank schedule; the even-numbered
+    hosts carry a stated 2 s Crawl-delay so both pacing arms compose
+    with the backoff.  The URL space spans 9 hosts but fetch events
+    only 7, so hosts 7/8 have NO detector history and keep their
+    un-backed-off cadence — both CASE arms fire at every SF."""
+    from ..functions.crawl import anomaly_backoff, crawl_schedule
+    from ..operators.timeseries import rolling_zscore_anomalies
+    from ..sources.tables import read_table
+
+    docs = _docs(spark, sf_dir)
+    events = read_table(spark, sf_dir, "events")
+    fetches = events.select(
+        _backoff_host(F.col("user_id"), 7).alias("host"), "ts_ms")
+    anomalies = rolling_zscore_anomalies(fetches, grid_ms=3_600_000,
+                                         window=24, min_history=8,
+                                         z_threshold=3, id_col="host")
+    urls = docs.select(
+        "doc_id",
+        F.concat(F.lit("https://"), _backoff_host(F.col("doc_id"), 9),
+                 F.lit("/p/"), F.col("doc_id").cast("string")).alias("url"))
+    delays = (docs.select((F.col("doc_id") % 9).alias("d")).distinct()
+              .where(F.col("d") % 2 == 0)
+              .select(_backoff_host(F.col("d"), 9).alias("host"),
+                      F.lit(2.0).alias("crawl_delay")))
+    sched = crawl_schedule(urls, per_wave=4, delays=delays,
+                           default_delay_s=1.0)
+    return anomaly_backoff(sched, anomalies, backoff=4)
+
+
+def _crawl_backoff_schedule_sql() -> str:
+    from .relational import z_anomaly_select
+
+    return f"""
+WITH fc AS (
+  SELECT 'backoff-' || CAST(user_id % 7 AS VARCHAR) || '.example.com'
+           AS host,
+         (epoch_ms(ts) // 3600000) * 3600000 AS bucket_ts,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+an AS ({z_anomaly_select("fc", "host")}),
+fl AS (
+  SELECT host, CAST(count(*) AS BIGINT) AS n_anomalies
+  FROM an WHERE is_anomaly = 1 GROUP BY 1
+),
+u AS (
+  SELECT doc_id,
+         'backoff-' || CAST(doc_id % 9 AS VARCHAR) || '.example.com'
+           AS host,
+         doc_id % 9 AS d
+  FROM documents
+),
+sched AS (
+  SELECT doc_id, host, d,
+         CAST(row_number() OVER (PARTITION BY host ORDER BY doc_id) - 1
+              AS BIGINT) AS slot
+  FROM u
+),
+p AS (
+  SELECT doc_id, host, slot,
+         CAST(slot // 4 AS BIGINT) AS wave,
+         round(CASE WHEN d % 2 = 0 THEN slot * 2.0
+                    ELSE (slot // 4) * 1.0 END, 6) AS not_before_s
+  FROM sched
+)
+SELECT p.doc_id, p.host, p.slot, p.wave, p.not_before_s,
+       COALESCE(fl.n_anomalies, 0) AS n_anomalies,
+       round(p.not_before_s
+             * CASE WHEN COALESCE(fl.n_anomalies, 0) > 0 THEN 4 ELSE 1
+               END, 6) AS not_before_backoff_s
+FROM p LEFT JOIN fl USING (host)
+"""
+
+
 def _q_webp_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXECUTED VP8L encode+decode roundtrip per doc (functions/vp8l.py
     via multimodal.py:webp_roundtrip_stats) — pixel decode for
@@ -3216,6 +3303,43 @@ SELECT doc_id,
        CAST(sum((doc_id + 7 * x) % 5) AS BIGINT) AS sum_b,
        CAST(1 AS INTEGER) AS lossless
 FROM px GROUP BY 1
+"""
+
+
+def _q_webp_predictor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTED predictor-transform decode (round 12, functions/vp8l.py
+    via multimodal.py:webp_predictor_stats): forward-transformed VP8L
+    streams with per-tile modes spanning all 14 predictors decode back
+    through the general decoder; the oracle reproduces sums + modes +
+    the lossless flag from the id arithmetic alone."""
+    from ..functions.multimodal import webp_predictor_stats
+
+    return webp_predictor_stats(_docs(spark, sf_dir))
+
+
+_WEBP_PREDICTOR_SQL = """
+WITH px AS (
+  SELECT d.doc_id, d.doc_id % 16 AS k, x.x, y.y
+  FROM documents d,
+       (SELECT unnest(generate_series(0, 7)) AS x) x,
+       (SELECT unnest(generate_series(0, 3)) AS y) y
+),
+s AS (
+  SELECT doc_id, k,
+         sum((k + 3 * x + 5 * y) % 16) AS sr,
+         sum((k + x + y) % 16) AS sg,
+         sum((k + 7 * x) % 16) AS sb
+  FROM px GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(8 AS INTEGER) AS width, CAST(4 AS INTEGER) AS height,
+       CAST(k % 14 AS INTEGER) AS mode_a,
+       CAST((k + 7) % 14 AS INTEGER) AS mode_b,
+       CAST(sr AS BIGINT) AS sum_r,
+       CAST(sg AS BIGINT) AS sum_g,
+       CAST(sb AS BIGINT) AS sum_b,
+       CAST(1 AS INTEGER) AS lossless
+FROM s
 """
 
 
@@ -3689,7 +3813,9 @@ SELECT doc_id,
        CAST(128 AS INTEGER) AS min_kbps,
        CAST(CASE WHEN doc_id % 3 = 0 THEN 160 ELSE 128 END AS INTEGER)
          AS max_kbps,
-       CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS INTEGER) AS vbr
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS INTEGER) AS vbr,
+       CAST(CASE WHEN doc_id % 4 = 1 THEN 1 ELSE 0 END AS INTEGER)
+         AS truncated
 FROM documents
 """
 
@@ -4885,6 +5011,10 @@ QUERIES: dict[str, Query] = {
         _q_crawl_schedule_paced, _crawl_schedule_paced_sql(),
         "robots.txt Crawl-delay -> per-host wave pacing composition "
         "(not_before_s = wave * delay, default for silent hosts)"),
+    "crawl_backoff_schedule": Query(
+        _q_crawl_backoff_schedule, _crawl_backoff_schedule_sql(),
+        "anomaly-aware schedule: per-host rolling z-score fetch-rate "
+        "flags back off the paced cadence (the detector's read side)"),
     "sitemap_parse": Query(
         _q_sitemap_parse, _sitemap_parse_sql(),
         "sitemap XML parsing: urlset entries with metadata defaults + "
@@ -4914,6 +5044,10 @@ QUERIES: dict[str, Query] = {
         _q_webp_roundtrip_stats, _WEBP_ROUNDTRIP_SQL,
         "executed VP8L encode+decode roundtrip (transform-free lossless "
         "WebP pixels): per-channel sums + lossless flag, in-batch"),
+    "webp_predictor_stats": Query(
+        _q_webp_predictor_stats, _WEBP_PREDICTOR_SQL,
+        "executed VP8L PREDICTOR-transform decode (all 14 modes, border "
+        "rules, TR wrap, sub-image entropy decode): sums + lossless"),
     "frontier_rank": Query(
         _q_frontier_rank, _frontier_rank_sql(),
         "reputation-weighted frontier ordering: robots-gated sitemap "

@@ -546,28 +546,42 @@ def _q_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     min_history=8, z_threshold=3)
 
 
-_HOURLY_ANOMALIES_SQL = """
-WITH c AS (
-  SELECT user_id, (epoch_ms(ts) // 3600000) * 3600000 AS bucket_ts,
-         CAST(count(*) AS BIGINT) AS x,
-         least(CAST(count(*) AS BIGINT), 1048576) AS xc
-  FROM events GROUP BY 1, 2
-),
-w AS (
-  SELECT user_id, bucket_ts, x, xc,
+def z_anomaly_select(src: str, key: str, window: int = 24,
+                     min_history: int = 8, z_threshold: int = 3,
+                     cap: int = 1 << 20) -> str:
+    """ONE SQL rendering of the division-free integer z algebra
+    (operators/timeseries.py:score_bucket_counts) over pre-bucketed
+    counts — ``src`` must provide ({key}, bucket_ts, x) rows.  Shared
+    by the hourly_anomalies oracle and the crawl_backoff_schedule
+    oracle (the one-rendering discipline: a z-algebra change may not
+    drift between the two)."""
+    return f"""
+SELECT {key}, bucket_ts, x AS n_events, n AS n_hist,
+       CAST(((xc * n - s) * (xc * n - s) * 10000)
+            // greatest(n * q - s * s, 1) AS BIGINT) AS z2_scaled,
+       CAST(CASE WHEN (xc * n - s) * (xc * n - s)
+                      > {int(z_threshold) ** 2} * (n * q - s * s)
+                 THEN 1 ELSE 0 END AS INTEGER) AS is_anomaly
+FROM (
+  SELECT {key}, bucket_ts, x, xc,
          COALESCE(sum(xc) OVER h, 0) AS s,
          COALESCE(sum(xc * xc) OVER h, 0) AS q,
          CAST(count(*) OVER h AS BIGINT) AS n
-  FROM c
-  WINDOW h AS (PARTITION BY user_id ORDER BY bucket_ts
-               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+  FROM (SELECT {key}, bucket_ts, x, least(x, {int(cap)}) AS xc
+        FROM {src})
+  WINDOW h AS (PARTITION BY {key} ORDER BY bucket_ts
+               ROWS BETWEEN {int(window)} PRECEDING AND 1 PRECEDING)
+) WHERE n >= {int(min_history)}
+"""
+
+
+_HOURLY_ANOMALIES_SQL = f"""
+WITH c AS (
+  SELECT user_id, (epoch_ms(ts) // 3600000) * 3600000 AS bucket_ts,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
 )
-SELECT user_id, bucket_ts, x AS n_events, n AS n_hist,
-       CAST(((xc * n - s) * (xc * n - s) * 10000)
-            // greatest(n * q - s * s, 1) AS BIGINT) AS z2_scaled,
-       CAST(CASE WHEN (xc * n - s) * (xc * n - s) > 9 * (n * q - s * s)
-                 THEN 1 ELSE 0 END AS INTEGER) AS is_anomaly
-FROM w WHERE n >= 8
+{z_anomaly_select("c", "user_id")}
 """
 
 

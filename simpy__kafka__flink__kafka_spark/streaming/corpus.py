@@ -491,7 +491,8 @@ def schedule_accepted_batch(batch_urls: DataFrame, schedule_dir: str,
                             delays: DataFrame | None = None,
                             default_delay_s: float = 1.0,
                             id_col: str = "doc_id",
-                            url_col: str = "url") -> None:
+                            url_col: str = "url",
+                            anomalies: DataFrame | None = None) -> None:
     """Politeness-schedule one micro-batch of admitted URLs, CONTINUING
     each host's slot sequence across batches: the batch ranks locally
     (functions/crawl.py:crawl_schedule — the sharded rank), then lifts
@@ -504,7 +505,16 @@ def schedule_accepted_batch(batch_urls: DataFrame, schedule_dir: str,
     whenever arrival order follows ids, which is what the parity test
     feeds.  Replays are idempotent via a sink-side doc_id anti-join
     (the pair-compaction posture).  Output rows: (id_col, host, slot,
-    wave, not_before_s)."""
+    wave, not_before_s).
+
+    When ``anomalies`` carries the rate-detector's scored buckets (the
+    sink of streaming/windows.py:start_anomaly_detection — host-keyed,
+    with ``is_anomaly``), the batch additionally applies the SAME
+    backoff rendering as the batch operator
+    (functions/crawl.py:anomaly_backoff — one rendering, the
+    not_before_s discipline) and the sink rows gain (n_anomalies,
+    not_before_backoff_s): the crawl loop's schedule now READS the
+    anomaly signal (VERDICT r11 task 9)."""
     from pyspark.errors import AnalysisException
 
     from ..functions.crawl import crawl_schedule
@@ -534,22 +544,25 @@ def schedule_accepted_batch(batch_urls: DataFrame, schedule_dir: str,
                              + F.coalesce("_off", F.lit(0)))
                  .drop("_off"))
     lifted = local.withColumn("wave", F.expr(f"slot div {int(per_wave)}"))
+    # ONE rendering of the pacing rule (functions/crawl.py:
+    # not_before_expr — VERDICT r11 task 4): no-delays batches get a
+    # null crawl_delay column so the default-wave arm applies
+    from ..functions.crawl import not_before_expr
+
     if delays is not None:
-        lifted = (lifted.join(F.broadcast(delays), "host", "left")
-                  .withColumn(
-                      "not_before_s",
-                      F.round(
-                          F.when(F.col("crawl_delay").isNotNull(),
-                                 F.col("slot") * F.col("crawl_delay"))
-                          .otherwise(F.col("wave")
-                                     * F.lit(float(default_delay_s))),
-                          6)))
+        lifted = lifted.join(F.broadcast(delays), "host", "left")
     else:
         lifted = lifted.withColumn(
-            "not_before_s",
-            F.round(F.col("wave") * F.lit(float(default_delay_s)), 6))
-    lifted.select(id_col, "host", "slot", "wave", "not_before_s") \
-        .write.mode("append").parquet(schedule_dir)
+            "crawl_delay", F.lit(None).cast("double"))
+    lifted = lifted.withColumn("not_before_s",
+                               not_before_expr(default_delay_s))
+    cols = [id_col, "host", "slot", "wave", "not_before_s"]
+    if anomalies is not None:
+        from ..functions.crawl import anomaly_backoff
+
+        lifted = anomaly_backoff(lifted.select(*cols), anomalies)
+        cols += ["n_anomalies", "not_before_backoff_s"]
+    lifted.select(*cols).write.mode("append").parquet(schedule_dir)
 
 
 # --- Streaming sitemap -> frontier seeding (round 11) --------------------------

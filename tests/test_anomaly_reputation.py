@@ -4,6 +4,8 @@ reputation scoring (functions/crawl.py:host_reputation)."""
 
 from __future__ import annotations
 
+import pytest
+
 
 def test_rolling_zscore_flags_burst_and_respects_history(spark):
     from simpy__kafka__flink__kafka_spark.operators.timeseries import (
@@ -137,3 +139,25 @@ def test_host_reputation_arithmetic(spark):
     assert (h2.n_docs, h2.dup_rate_ppm) == (1, 0)
     assert h2.mean_quality_ppm == q_ppm
     assert h2.reputation_ppm == q_ppm
+
+
+def test_score_bucket_counts_window_bound_validated(spark):
+    """ADVICE r11: the saturation cap derives from (window, z) instead
+    of assuming window <= 24 — a window the int64 algebra cannot carry
+    raises instead of silently wrapping, and a large-but-legal window
+    scores with a tighter cap."""
+    from simpy__kafka__flink__kafka_spark.operators.timeseries import (
+        score_bucket_counts)
+
+    counts = spark.createDataFrame(
+        [("k", t * 1000, 5) for t in range(40)],
+        "user_id string, bucket_ts long, x long")
+    with pytest.raises(ValueError, match="window must be >= 1"):
+        score_bucket_counts(counts, window=0)
+    with pytest.raises(ValueError, match="headroom"):
+        score_bucket_counts(counts, window=40_000_000)
+    # window > 24 now legal: derived cap ~ 3.03e7 // 1000 >> any count
+    # here, so a flat series still scores anomaly-free
+    out = score_bucket_counts(counts, window=1000, min_history=8)
+    assert out.count() == 32
+    assert out.where("is_anomaly = 1").count() == 0

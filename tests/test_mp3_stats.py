@@ -109,17 +109,29 @@ def test_audio_container_stats_dispatch(spark):
         (1, bytearray(encode_wav(samples, 16000))),
         (2, bytearray(encode_flac(samples.ravel(), sample_rate=8000))),
         (3, bytearray(encode_mp3_frames([9, 10, 9, 9], id3_bytes=12))),
+        # a cut-off download: full frame + a second frame's header with
+        # only a sliver of its declared 417-byte payload
+        (4, bytearray(encode_mp3_frames([9])
+                      + encode_mp3_frames([9])[:10])),
     ]
     media = spark.createDataFrame(rows, "doc_id long, content binary")
     got = {r.doc_id: r for r in audio_container_stats(media).collect()}
     assert got[1].format == "wav"
     assert (got[1].n_frames, got[1].sample_rate) == (160, 16000)
     assert got[1].duration_ms == 160 * 1000 // 16000
+    assert got[1].truncated == 0
     assert got[2].format == "flac"
     assert (got[2].n_frames, got[2].sample_rate) == (160, 8000)
+    assert got[2].truncated == 0
     assert got[3].format == "mp3"
     assert (got[3].n_frames, got[3].vbr) == (4, 1)
     assert (got[3].min_kbps, got[3].max_kbps) == (128, 160)
+    assert got[3].truncated == 0
+    # the flag the corpus quality filter reads (VERDICT r11 task 5):
+    # visible AT THE PLAN LAYER, cut-off frame excluded from the stats
+    assert got[4].format == "mp3"
+    assert (got[4].n_frames, got[4].truncated) == (1, 1)
+    assert got[4].duration_ms == 1152 * 1000 // 44100
 
 
 def test_mp3_synth_stats_matches_id_arithmetic(spark):
@@ -139,3 +151,4 @@ def test_mp3_synth_stats_matches_id_arithmetic(spark):
             assert (r.min_kbps, r.max_kbps, r.vbr) == (128, 160, 1)
         else:
             assert (r.min_kbps, r.max_kbps, r.vbr) == (128, 128, 0)
+        assert r.truncated == (1 if i % 4 == 1 else 0)

@@ -282,3 +282,61 @@ def test_admission_with_schedule_tail_end_to_end(spark, tmp_path):
     assert got[1] == ("s.example", 0, 0.0)
     assert got[3] == ("s.example", 1, 7.0)       # per-slot Crawl-delay
     assert got[4] == ("t.example", 0, 0.0)       # wave 0 * default
+
+
+def test_schedule_backoff_folds_to_batch_composition(spark, tmp_path):
+    """The anomaly READ side (VERDICT r11 task 9): fold host-keyed
+    bucket counts through the streaming anomaly sink in two batches,
+    feed that sink into per-batch scheduling, and compare to the
+    all-at-once batch composition anomaly_backoff(crawl_schedule(...),
+    score_bucket_counts(...)) — parity by the one-rendering
+    construction."""
+    from simpy__kafka__flink__kafka_spark.functions.crawl import (
+        anomaly_backoff, crawl_schedule)
+    from simpy__kafka__flink__kafka_spark.operators.timeseries import (
+        score_bucket_counts)
+    from simpy__kafka__flink__kafka_spark.streaming.corpus import (
+        schedule_accepted_batch)
+    from simpy__kafka__flink__kafka_spark.streaming.windows import (
+        score_anomaly_batch)
+
+    # hb bursts at bucket 12 (50 vs calm 1s: 12 zero-variance history
+    # buckets flag it); ha stays calm and must keep its cadence
+    counts = ([("hb.example", t * 3_600_000, 1 if t != 12 else 50)
+               for t in range(16)]
+              + [("ha.example", t * 3_600_000, 2) for t in range(16)])
+    schema = "host string, bucket_ts long, x long"
+    anom_dir = str(tmp_path / "anom")
+    for lo, hi in ((0, 10), (10, 16)):   # watermark-ordered fold
+        rows = [c for c in counts if lo <= c[1] // 3_600_000 < hi]
+        score_anomaly_batch(spark.createDataFrame(rows, schema),
+                            anom_dir, id_col="host")
+    sink = spark.read.parquet(anom_dir)
+    url_rows = [(i, f"https://{'hb' if i % 2 else 'ha'}.example/p{i}")
+                for i in range(10)]
+    delays = spark.createDataFrame([("hb.example", 2.0)],
+                                   "host string, crawl_delay double")
+    sched_dir = str(tmp_path / "sched")
+    for lo, hi in ((0, 6), (6, 10)):
+        batch = spark.createDataFrame(url_rows[lo:hi],
+                                      "doc_id long, url string")
+        schedule_accepted_batch(batch, sched_dir, per_wave=2,
+                                delays=delays, anomalies=sink)
+    cols = ("host", "slot", "wave", "not_before_s", "n_anomalies",
+            "not_before_backoff_s")
+    got = {r.doc_id: tuple(r[c] for c in cols)
+           for r in spark.read.parquet(sched_dir).collect()}
+    urls = spark.createDataFrame(url_rows, "doc_id long, url string")
+    batch_anom = score_bucket_counts(
+        spark.createDataFrame(counts, schema), id_col="host")
+    want = {r.doc_id: tuple(r[c] for c in cols)
+           for r in anomaly_backoff(
+               crawl_schedule(urls, per_wave=2, delays=delays),
+               batch_anom).collect()}
+    assert got == want
+    # not vacuous: the burst host backed off 4x, the calm host did not
+    hb = {k: v for k, v in want.items() if v[0] == "hb.example"}
+    ha = {k: v for k, v in want.items() if v[0] == "ha.example"}
+    assert all(v[4] > 0 and v[5] == round(v[3] * 4, 6)
+               for v in hb.values())
+    assert all(v[4] == 0 and v[5] == v[3] for v in ha.values())

@@ -119,6 +119,62 @@ def test_audio_container_stats_typed_errors_only():
                 pass
 
 
+def test_crafted_max_output_headers_rejected_fast():
+    """Mutation fuzzing cannot surface VALID-header resource bombs (the
+    round-11 VP8L lesson): probe decode_image with crafted headers that
+    declare maximal output over tiny payloads — each must fail the
+    pixel budget in milliseconds, never allocate or loop on the
+    declared dims."""
+    import time
+
+    from simpy__kafka__flink__kafka_spark.functions.bmp import encode_bmp
+    from simpy__kafka__flink__kafka_spark.functions.gif import encode_gif
+    from simpy__kafka__flink__kafka_spark.functions.multimodal import (
+        decode_image, encode_png)
+
+    px = np.zeros((2, 3, 3), np.uint8)
+    bombs = []
+    # PNG: IHDR w/h big-endian at bytes 16..23 (CRCs are not validated)
+    png = bytearray(encode_png(px))
+    png[16:24] = (60000).to_bytes(4, "big") + (60000).to_bytes(4, "big")
+    bombs.append(bytes(png))
+    # GIF: logical-screen w/h little-endian at bytes 6..9
+    gif = bytearray(encode_gif(px))
+    gif[6:10] = (60000).to_bytes(2, "little") * 2
+    bombs.append(bytes(gif))
+    # BMP: DIB w/h little-endian int32 at bytes 18..25
+    bmp = bytearray(encode_bmp(px))
+    bmp[18:26] = (60000).to_bytes(4, "little") * 2
+    bombs.append(bytes(bmp))
+    for bomb in bombs:
+        t0 = time.perf_counter()
+        with pytest.raises(OK_ERRORS):
+            decode_image(bomb)
+        assert time.perf_counter() - t0 < 0.2
+
+
+def test_png_inflate_bounded_against_zlib_expansion():
+    """A PNG whose IDAT inflates far past the raster the header
+    promised must fail the length check WITHOUT materializing the
+    expansion (bounded decompressobj, not zlib.decompress)."""
+    import struct
+    import zlib
+
+    from simpy__kafka__flink__kafka_spark.functions.multimodal import (
+        PNG_MAGIC, decode_png)
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (len(data).to_bytes(4, "big") + typ + data
+                + zlib.crc32(typ + data).to_bytes(4, "big"))
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)  # tiny 2x2
+    blob = zlib.compress(bytes(50_000_000))              # ~48 KB payload
+    bomb = (PNG_MAGIC + chunk(b"IHDR", ihdr) + chunk(b"IDAT", blob)
+            + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="raster length"):
+        decode_png(bomb)
+
+
 def test_parsers_reject_empty_and_tiny():
     from simpy__kafka__flink__kafka_spark.functions.mp3 import (
         mp3_stream_stats)

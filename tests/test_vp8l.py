@@ -104,12 +104,15 @@ def test_typed_seams_and_errors():
         decode_vp8l(b"\x00\x01\x02")
     with pytest.raises(ValueError, match="truncated"):
         decode_vp8l(full[:-2])
-    # transform bit set -> documented seam
-    w = _LsbWriter()
-    w.bits(0, 14); w.bits(0, 14); w.bits(0, 1); w.bits(0, 3)
-    w.bits(1, 1)                           # a transform follows
-    with pytest.raises(NotImplementedError, match="transform"):
-        decode_vp8l(bytes([0x2F]) + w.payload() + bytes(4))
+    # color / color-indexing transforms -> documented seam (predictor
+    # and subtract-green now DECODE — round 12)
+    for ttype in (1, 3):
+        w = _LsbWriter()
+        w.bits(0, 14); w.bits(0, 14); w.bits(0, 1); w.bits(0, 3)
+        w.bits(1, 1)                       # a transform follows
+        w.bits(ttype, 2)
+        with pytest.raises(NotImplementedError, match="transform"):
+            decode_vp8l(bytes([0x2F]) + w.payload() + bytes(4))
     # entropy image bit -> documented seam
     w = _LsbWriter()
     _header(w, 1, 1)
@@ -141,6 +144,314 @@ def test_flat_lengths_kraft_exact():
         assert sum(2.0 ** -v for v in lens.values()) == 1.0
 
 
+def _bomb_stream(wd: int = 16384, h: int = 16384) -> bytes:
+    """A formally-valid VP8L stream whose 28 header bits declare wd*h
+    pixels decodable with ZERO data bits (five single-symbol trees) —
+    the decompression bomb of VERDICT r11 / ADVICE r11."""
+    w = _LsbWriter()
+    w.bits(wd - 1, 14)
+    w.bits(h - 1, 14)
+    w.bits(0, 1); w.bits(0, 3)     # alpha hint, version
+    w.bits(0, 1)                   # no transforms
+    w.bits(0, 1)                   # no color cache
+    w.bits(0, 1)                   # no entropy image
+    for sym in (2, 1, 3, 4, 0):    # green, red, blue, alpha, distance
+        _write_tree(w, {sym: 1})
+    return bytes([0x2F]) + w.payload()
+
+
+def test_decompression_bomb_rejected_fast():
+    import time
+
+    from simpy__kafka__flink__kafka_spark.functions.vp8l import (
+        VP8L_MAX_PIXELS, VP8L_PIXELS_PER_BYTE)
+
+    bomb = _bomb_stream()
+    assert len(bomb) <= 16         # the ~13-byte adversarial payload
+    t0 = time.perf_counter()
+    with pytest.raises(ValueError, match="decompression bomb"):
+        decode_vp8l(bomb)
+    assert time.perf_counter() - t0 < 0.2
+    # truncated right after the header: the guard fires before any
+    # tree read, so the cut-off variant is equally cheap
+    with pytest.raises(ValueError, match="decompression bomb"):
+        decode_vp8l(bomb[:6])
+    # an explicit caller budget overrides the payload-tied default
+    img = np.full((2, 3, 4), 9, dtype=np.uint8)
+    with pytest.raises(ValueError, match="decompression bomb"):
+        decode_vp8l(encode_vp8l(img), max_pixels=3)
+    # legitimate images clear the floor regardless of payload size
+    assert np.array_equal(decode_vp8l(encode_vp8l(img)), img)
+    assert VP8L_PIXELS_PER_BYTE * len(bomb) < 16384 * 16384
+    assert VP8L_MAX_PIXELS < 16384 * 16384
+
+
+def test_bomb_dispatches_to_typed_error_via_decode_image():
+    from simpy__kafka__flink__kafka_spark.functions.multimodal import (
+        decode_image)
+    import struct
+
+    payload = _bomb_stream()
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    riff = b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+    with pytest.raises(ValueError, match="decompression bomb"):
+        decode_image(riff)
+
+
+def test_hand_derived_spec_vector_decodes():
+    """A 1x1 stream packed BY HAND from the spec's bit conventions
+    (hex constants on paper — no _LsbWriter involved): pins the decoder
+    against a mirrored bit-order error that a self-consistent
+    writer/reader pair cannot see (VERDICT r11 task 3).  Layout: 35
+    zero header bits (dims 1x1, no transforms/cache/entropy-image),
+    then five simple single-symbol trees (1,0,1 + 8 symbol bits
+    LSB-first) for green=2, red=1, blue=3, alpha=4, distance=0; the
+    single pixel costs zero data bits."""
+    vec = bytes([0x2F, 0x00, 0x00, 0x00, 0x00, 0xA8, 0x40, 0x03, 0x3A,
+                 0x50, 0x82, 0x02, 0x00])
+    out = decode_vp8l(vec)
+    assert out.shape == (1, 1, 4)
+    assert tuple(int(v) for v in out[0, 0]) == (1, 2, 3, 4)
+
+
+def test_bit_conventions_cross_validated_against_zlib():
+    """DEFLATE shares VP8L's exact bit conventions (LSB-first byte
+    packing, prefix codes packed most-significant-bit-first, canonical
+    code assignment in (length, symbol) order).  Decode a zlib-produced
+    FIXED-Huffman raw-deflate stream with this module's _LsbReader +
+    _Tree: a mirrored convention in either fails against the
+    independently-produced bitstream (VERDICT r11 task 3)."""
+    import zlib
+
+    from simpy__kafka__flink__kafka_spark.functions.vp8l import (
+        _LsbReader, _Tree)
+
+    data = b"The quick brown fox jumps over the lazy dog. " * 4
+    co = zlib.compressobj(9, zlib.DEFLATED, -15, 9, zlib.Z_FIXED)
+    comp = co.compress(data) + co.flush()
+    r = _LsbReader(comp)
+    assert r.bits(1) == 1          # BFINAL
+    assert r.bits(2) == 1          # BTYPE 01 = fixed Huffman
+    lit_lengths = {}
+    for s in range(288):
+        lit_lengths[s] = (8 if s < 144 else 9 if s < 256
+                          else 7 if s < 280 else 8)
+    lit = _Tree(lit_lengths)
+    dist = _Tree({s: 5 for s in range(32)})
+    len_base = (3, 4, 5, 6, 7, 8, 9, 10, 11, 13, 15, 17, 19, 23, 27, 31,
+                35, 43, 51, 59, 67, 83, 99, 115, 131, 163, 195, 227, 258)
+    len_extra = (0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 2, 2, 3, 3,
+                 3, 3, 4, 4, 4, 4, 5, 5, 5, 5, 0)
+    dist_base = (1, 2, 3, 4, 5, 7, 9, 13, 17, 25, 33, 49, 65, 97, 129,
+                 193, 257, 385, 513, 769, 1025, 1537, 2049, 3073, 4097,
+                 6145, 8193, 12289, 16385, 24577)
+    dist_extra = (0, 0, 0, 0, 1, 1, 2, 2, 3, 3, 4, 4, 5, 5, 6, 6, 7, 7,
+                  8, 8, 9, 9, 10, 10, 11, 11, 12, 12, 13, 13)
+    out = bytearray()
+    while True:
+        s = lit.read(r)
+        if s == 256:
+            break
+        if s < 256:
+            out.append(s)
+            continue
+        length = len_base[s - 257] + r.bits(len_extra[s - 257])
+        d = dist.read(r)
+        distance = dist_base[d] + r.bits(dist_extra[d])
+        for _ in range(length):
+            out.append(out[-distance])
+    assert bytes(out) == data
+
+
+# --- predictor transform (round 12) -------------------------------------------
+
+def _emit_trees_and_pixels(w: _LsbWriter, arr: np.ndarray) -> None:
+    """Literal-pixel data for one (h, w) uint32 ARGB image: flat
+    per-channel trees, every pixel a literal in g, r, b, a order."""
+    vals = {
+        "g": [(int(v) >> 8) & 0xFF for v in arr.flat],
+        "r": [(int(v) >> 16) & 0xFF for v in arr.flat],
+        "b": [int(v) & 0xFF for v in arr.flat],
+        "a": [(int(v) >> 24) & 0xFF for v in arr.flat],
+    }
+    lengths = {k: _flat_lengths(sorted(set(v))) for k, v in vals.items()}
+    for key in ("g", "r", "b", "a"):
+        _write_tree(w, lengths[key])
+    _write_tree(w, {0: 1})
+    codes = {k: _canonical(v) for k, v in lengths.items()}
+    for i in range(arr.size):
+        for key in ("g", "r", "b", "a"):
+            if len(lengths[key]) > 1:
+                w.code(*codes[key][vals[key][i]])
+
+
+def _spec_predict(m: int, L, T, TL, TR):
+    """Test-side predictor table written INDEPENDENTLY from the spec
+    text (numpy int64 channel vectors) — the decoder's inverse is
+    checked against this forward rendering, not against itself."""
+    def avg2(a, b):
+        return (a + b) // 2
+
+    if m == 0:
+        return np.array([255, 0, 0, 0])
+    if m == 1:
+        return L
+    if m == 2:
+        return T
+    if m == 3:
+        return TR
+    if m == 4:
+        return TL
+    if m == 5:
+        return avg2(avg2(L, TR), T)
+    if m == 6:
+        return avg2(L, TL)
+    if m == 7:
+        return avg2(L, T)
+    if m == 8:
+        return avg2(TL, T)
+    if m == 9:
+        return avg2(T, TR)
+    if m == 10:
+        return avg2(avg2(L, TL), avg2(T, TR))
+    if m == 11:
+        p_l = int(np.abs(T - TL).sum())
+        p_t = int(np.abs(L - TL).sum())
+        return L if p_l < p_t else T
+    if m == 12:
+        return np.clip(L + T - TL, 0, 255)
+    if m == 13:
+        a = avg2(L, T)
+        d = a - TL
+        trunc = np.where(d >= 0, d // 2, -((-d) // 2))  # C truncation
+        return np.clip(a + trunc, 0, 255)
+    raise AssertionError(m)
+
+
+def _forward_predictor(img: np.ndarray, modes: np.ndarray,
+                       size_bits: int) -> np.ndarray:
+    """Forward transform: residual = pixel - predict(FINAL neighbors),
+    border rules per the spec ((0,0) black, top row L, left column T,
+    rightmost TR wraps to the row's leftmost pixel)."""
+    h, wd = img.shape
+
+    def ch(v: int):
+        return np.array([(v >> 24) & 0xFF, (v >> 16) & 0xFF,
+                         (v >> 8) & 0xFF, v & 0xFF], dtype=np.int64)
+
+    res = np.zeros_like(img)
+    for y in range(h):
+        for x in range(wd):
+            if x == 0 and y == 0:
+                p = np.array([255, 0, 0, 0])
+            elif y == 0:
+                p = ch(int(img[y, x - 1]))
+            elif x == 0:
+                p = ch(int(img[y - 1, x]))
+            else:
+                L = ch(int(img[y, x - 1]))
+                T = ch(int(img[y - 1, x]))
+                TL = ch(int(img[y - 1, x - 1]))
+                TR = (ch(int(img[y, 0])) if x == wd - 1
+                      else ch(int(img[y - 1, x + 1])))
+                p = _spec_predict(int(modes[y >> size_bits,
+                                            x >> size_bits]), L, T, TL, TR)
+            d = (ch(int(img[y, x])) - p) % 256
+            res[y, x] = ((int(d[0]) << 24) | (int(d[1]) << 16)
+                         | (int(d[2]) << 8) | int(d[3]))
+    return res
+
+
+def _predictor_stream(residuals: np.ndarray, modes: np.ndarray,
+                      size_bits: int,
+                      subtract_green_after: bool = False) -> bytes:
+    h, wd = residuals.shape
+    w = _LsbWriter()
+    w.bits(wd - 1, 14)
+    w.bits(h - 1, 14)
+    w.bits(0, 1); w.bits(0, 3)
+    w.bits(1, 1)                   # transform present
+    w.bits(0, 2)                   # type 0: predictor
+    w.bits(size_bits - 2, 3)
+    w.bits(0, 1)                   # sub-image: no color cache
+    _emit_trees_and_pixels(w, (modes.astype(np.uint32) << 8))
+    if subtract_green_after:
+        w.bits(1, 1)
+        w.bits(2, 2)               # type 2: subtract-green
+    w.bits(0, 1)                   # end of transforms
+    w.bits(0, 1)                   # main image: no color cache
+    w.bits(0, 1)                   # no entropy image
+    _emit_trees_and_pixels(w, residuals)
+    return bytes([0x2F]) + w.payload()
+
+
+def _rand_argb(rng, h, w):
+    a = rng.randint(0, 256, size=(h, w, 4)).astype(np.uint32)
+    return (a[..., 0] << 24) | (a[..., 1] << 16) | (a[..., 2] << 8) \
+        | a[..., 3]
+
+
+def test_predictor_transform_all_modes_roundtrip():
+    """Every predictor mode 0..13 over a 3x2 block grid, including the
+    rightmost-column TR wrap and all border rules: hand-built streams
+    (the encoder stays transform-free by design) decode back to the
+    exact source pixels."""
+    rng = np.random.RandomState(42)
+    size_bits = 2                  # 4x4 tiles
+    for grid in ([[0, 1], [2, 3], [4, 5]],
+                 [[6, 7], [8, 9], [10, 11]],
+                 [[12, 13], [11, 5], [13, 12]]):
+        modes = np.array(grid, dtype=np.uint32)     # (3, 2) blocks
+        img = _rand_argb(rng, 9, 7)                 # ceil(9/4)=3, ceil(7/4)=2
+        res = _forward_predictor(img, modes, size_bits)
+        dec = decode_vp8l(_predictor_stream(res, modes, size_bits))
+        got = ((dec[..., 3].astype(np.uint32) << 24)
+               | (dec[..., 0].astype(np.uint32) << 16)
+               | (dec[..., 1].astype(np.uint32) << 8)
+               | dec[..., 2].astype(np.uint32))
+        assert np.array_equal(got, img), grid
+
+
+def test_predictor_composes_with_subtract_green():
+    """Stream order [predictor, subtract-green] must invert in reverse
+    order: data = SG(P(img))."""
+    rng = np.random.RandomState(7)
+    size_bits = 3
+    modes = np.array([[11]], dtype=np.uint32)
+    img = _rand_argb(rng, 5, 6)
+    res = _forward_predictor(img, modes, size_bits)
+    g = (res >> 8) & 0xFF
+    rr = (((res >> 16) & 0xFF) - g) % 256
+    b = ((res & 0xFF) - g) % 256
+    sg = (res & np.uint32(0xFF00FF00)) | (rr << 16) | b
+    dec = decode_vp8l(_predictor_stream(sg.astype(np.uint32), modes,
+                                        size_bits,
+                                        subtract_green_after=True))
+    got = ((dec[..., 3].astype(np.uint32) << 24)
+           | (dec[..., 0].astype(np.uint32) << 16)
+           | (dec[..., 1].astype(np.uint32) << 8)
+           | dec[..., 2].astype(np.uint32))
+    assert np.array_equal(got, img)
+
+
+def test_predictor_mode_13_c_truncation_pinned():
+    """ClampAddSubtractHalf divides (avg - TL) by 2 with C truncation
+    toward zero; Python floor division would differ on negative odd
+    deltas.  Pin one hand-computed pixel: L=(255,0,0,0), T=(255,10,0,0),
+    TL=(255,12,0,0) -> avg=(255,5,0,0), d_r=5-12=-7, trunc(-7/2)=-3,
+    pred=(255,2,0,0); floor division would give r=1."""
+    img = np.zeros((2, 2), dtype=np.uint32)
+    img[0, 0] = 0xFF0C0000         # TL: r=12
+    img[0, 1] = 0xFF0A0000         # T:  r=10
+    img[1, 0] = 0xFF000000         # L:  r=0
+    img[1, 1] = 0xFF020000         # the predicted value exactly
+    modes = np.array([[13]], dtype=np.uint32)
+    res = _forward_predictor(img, modes, 3)
+    assert res[1, 1] == 0          # residual zero iff pred == pixel
+    dec = decode_vp8l(_predictor_stream(res, modes, 3))
+    assert int(dec[1, 1, 0]) == 2
+
+
 def test_webp_roundtrip_stats_matches_id_arithmetic(spark):
     from simpy__kafka__flink__kafka_spark.functions.multimodal import (
         webp_roundtrip_stats)
@@ -152,3 +463,50 @@ def test_webp_roundtrip_stats_matches_id_arithmetic(spark):
         assert (got[i].width, got[i].height) == (8, 4)
         assert got[i].sum_g == want_g
         assert got[i].lossless == 1
+
+
+def test_encode_vp8l_predicted_matches_independent_forward():
+    """The package fixture builder (encode_vp8l_predicted — shares
+    _predict with the decoder) must agree with this file's INDEPENDENT
+    spec-derived forward transform: decode both streams, require
+    identical pixels, and require the builder's residuals to roundtrip
+    exactly."""
+    from simpy__kafka__flink__kafka_spark.functions.vp8l import (
+        encode_vp8l_predicted)
+
+    rng = np.random.RandomState(23)
+    for grid in ([[0, 13]], [[11, 12]], [[5, 10]]):
+        modes = np.array(grid, dtype=np.uint32)
+        img4 = rng.randint(0, 256, size=(4, 8, 4)).astype(np.uint8)
+        img4[..., 3] = 255
+        dec = decode_vp8l(encode_vp8l_predicted(img4, modes,
+                                                size_bits=2))
+        assert np.array_equal(dec, img4), grid
+        # cross-check against the independent forward rendering
+        argb = ((img4[..., 3].astype(np.uint32) << 24)
+                | (img4[..., 0].astype(np.uint32) << 16)
+                | (img4[..., 1].astype(np.uint32) << 8)
+                | img4[..., 2].astype(np.uint32))
+        res = _forward_predictor(argb, modes, 2)
+        dec2 = decode_vp8l(_predictor_stream(res, modes, 2))
+        got2 = ((dec2[..., 3].astype(np.uint32) << 24)
+                | (dec2[..., 0].astype(np.uint32) << 16)
+                | (dec2[..., 1].astype(np.uint32) << 8)
+                | dec2[..., 2].astype(np.uint32))
+        assert np.array_equal(got2, argb), grid
+
+
+def test_webp_predictor_stats_matches_id_arithmetic(spark):
+    from simpy__kafka__flink__kafka_spark.functions.multimodal import (
+        webp_predictor_stats)
+
+    docs = spark.createDataFrame([(i,) for i in range(16)],
+                                 "doc_id long")
+    got = {r.doc_id: r for r in webp_predictor_stats(docs).collect()}
+    for i in range(16):
+        k = i % 16
+        r = got[i]
+        assert (r.width, r.height, r.lossless) == (8, 4, 1)
+        assert (r.mode_a, r.mode_b) == (k % 14, (k + 7) % 14)
+        assert r.sum_g == sum((k + x + y) % 16
+                              for x in range(8) for y in range(4))
