@@ -116,6 +116,13 @@ HEADLINE = [
     # the measured-top-5 ladder) reads as plumbing, not codec scaling.
     "webp_roundtrip_stats",
     "frontier_rank",
+    # round-12: the anomaly detector's READ side (z flags -> schedule
+    # backoff) and the executed predictor-transform / color-indexing
+    # VP8L decodes (both memoized on small doc_id periods — their wall
+    # time measures distinct patterns, like webp_roundtrip_stats)
+    "crawl_backoff_schedule",
+    "webp_predictor_stats",
+    "webp_palette_stats",
 ]
 
 

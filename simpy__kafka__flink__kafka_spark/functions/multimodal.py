@@ -1255,6 +1255,78 @@ def webp_predictor_stats(docs: DataFrame,
     return docs.select(id_col).mapInPandas(run, WEBP_PREDICTOR_SCHEMA)
 
 
+WEBP_PALETTE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_colors", T.IntegerType(), True),
+        T.StructField("sum_r", T.LongType(), True),
+        T.StructField("sum_g", T.LongType(), True),
+        T.StructField("sum_b", T.LongType(), True),
+        T.StructField("lossless", T.IntegerType(), True),
+    ]
+)
+
+
+def webp_palette_stats(docs: DataFrame,
+                       id_col: str = "doc_id") -> DataFrame:
+    """EXECUTED color-indexing decode path (round 12 —
+    functions/vp8l.py:encode_vp8l_indexed + decode_vp8l): per doc
+    keyed on k = id %% 24, build a palette of n colors (n cycles
+    20/16/5/4/3/2 on k %% 6, spanning every pixel-bundling width incl.
+    the unbundled path) with channels r=(7k+13i)%%256, g=(3k+5i)%%256,
+    b=(11k+17i)%%256, index an 8x4 grid as (x+y+k) %% n, encode the
+    color-indexing stream, decode it back, and emit per-channel sums +
+    a ``lossless`` flag — one Arrow batch, the webp_roundtrip posture.
+    The oracle reproduces the sums from the id arithmetic; any
+    regression in the palette delta-decode, the bundling widths, or
+    the index mapping shifts a sum or flips the flag."""
+    from functools import lru_cache
+
+    from .vp8l import decode_vp8l, encode_vp8l_indexed
+
+    sizes = (20, 16, 5, 4, 3, 2)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        xs, ys = np.meshgrid(np.arange(8), np.arange(4))
+
+        @lru_cache(maxsize=24)
+        def stats(k: int) -> tuple:
+            n = sizes[k % 6]
+            palette = [(0xFF000000 | (((7 * k + 13 * i) % 256) << 16)
+                        | (((3 * k + 5 * i) % 256) << 8)
+                        | ((11 * k + 17 * i) % 256)) for i in range(n)]
+            idx = (xs + ys + k) % n
+            dec = decode_vp8l(encode_vp8l_indexed(idx, palette))
+            want = np.zeros((4, 8, 4), dtype=np.uint8)
+            for i, c in enumerate(palette):
+                m = idx == i
+                want[m] = ((c >> 16) & 0xFF, (c >> 8) & 0xFF,
+                           c & 0xFF, (c >> 24) & 0xFF)
+            return (dec.shape[1], dec.shape[0], n,
+                    int(dec[..., 0].sum()), int(dec[..., 1].sum()),
+                    int(dec[..., 2].sum()),
+                    int(np.array_equal(dec, want)))
+
+        for pdf in batches:
+            out = pdf[id_col].map(lambda i: stats(int(i) % 24))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "width": out.map(lambda t: t[0]).astype("int32"),
+                    "height": out.map(lambda t: t[1]).astype("int32"),
+                    "n_colors": out.map(lambda t: t[2]).astype("int32"),
+                    "sum_r": out.map(lambda t: t[3]).astype("int64"),
+                    "sum_g": out.map(lambda t: t[4]).astype("int64"),
+                    "sum_b": out.map(lambda t: t[5]).astype("int64"),
+                    "lossless": out.map(lambda t: t[6]).astype("int32"),
+                }
+            )
+
+    return docs.select(id_col).mapInPandas(run, WEBP_PALETTE_SCHEMA)
+
+
 FLAC_ROUNDTRIP_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType(), False),

@@ -9,16 +9,18 @@ and entropy coding are real, the corpus never depends on external
 codec libraries).
 
 This NARROWS the documented WebP seam (multimodal.py previously walked
-only the VP8L header): pixel decode now executes for transform-free,
-subtract-green, and PREDICTOR-transformed streams (all 14 predictor
-modes, the border rules, and the rightmost-column TR wrap — round 12).
-Remaining seams, each a typed error so corpus filters see
-corruption-vs-unsupported distinctly:
-- the color and color-indexing transforms and the entropy image (meta
-  prefix groups);
-- the 2D near-distance map (LZ77 distance codes <= 120) — real
-  encoders emit these constantly, so full libwebp interop is NOT
-  claimed; direct distances (> 120 at the code level) decode exactly.
+only the VP8L header): pixel decode now executes for ALL FOUR spatial
+transforms — subtract-green, predictor (all 14 modes, border rules,
+the rightmost-column TR wrap), color (staged int8 ``(t*c)>>5``
+cross-channel deltas), color-indexing (delta-coded palette including
+<= 16-color pixel bundling) — and for the entropy image (per-tile meta
+prefix groups over a shared color cache).  ONE seam remains, a typed
+error so corpus filters see corruption-vs-unsupported distinctly: the
+2D near-distance map (LZ77 distance codes <= 120) — its 120-entry
+(dx, dy) offset table is spec data this container cannot re-derive or
+cross-check, and a wrong entry would be a silent mis-decode, so full
+libwebp interop is NOT claimed; direct distances (> 120 at the code
+level) decode exactly.
 
 Robustness: :func:`decode_vp8l` enforces a PIXEL BUDGET before any
 allocation or per-pixel loop — 28 attacker-controlled header bits
@@ -208,17 +210,29 @@ def _read_cache_bits(r: _LsbReader) -> int:
     return cache_bits
 
 
-def _decode_pixel_stream(r: _LsbReader, n_pixels: int,
-                         cache_bits: int) -> np.ndarray:
-    """One prefix-code group (5 trees) + the LZ77/color-cache pixel
-    loop: ``n_pixels`` uint32 ARGB values in scan order.  Shared by the
-    main image and entropy-coded transform sub-images."""
+def _decode_pixel_stream(r: _LsbReader, w: int, h: int, cache_bits: int,
+                         groups: tuple | None = None) -> np.ndarray:
+    """Prefix-code group(s) + the LZ77/color-cache pixel loop: w*h
+    uint32 ARGB values in scan order.  Shared by the main image and
+    entropy-coded transform sub-images.  ``groups`` carries the
+    decoded entropy image as ``(prefix_bits, meta_idx)`` — each pixel
+    then selects its tile's prefix-code group; the color cache stays
+    GLOBAL across groups (spec §5)."""
+    n_pixels = w * h
     cache_size = (1 << cache_bits) if cache_bits else 0
-    green = _read_tree(r, 256 + 24 + cache_size)
-    red = _read_tree(r, 256)
-    blue = _read_tree(r, 256)
-    alpha = _read_tree(r, 256)
-    dist_tree = _read_tree(r, 40)
+
+    def read_group() -> tuple:
+        return (_read_tree(r, 256 + 24 + cache_size),
+                _read_tree(r, 256), _read_tree(r, 256),
+                _read_tree(r, 256), _read_tree(r, 40))
+
+    if groups is None:
+        pb, meta_idx = 0, None
+        table = [read_group()]
+    else:
+        pb, meta_idx = groups
+        table = [read_group()
+                 for _ in range(int(meta_idx.max()) + 1)]
     cache = [0] * cache_size
     out = np.zeros(n_pixels, dtype=np.uint32)
     pos = 0
@@ -232,6 +246,12 @@ def _decode_pixel_stream(r: _LsbReader, n_pixels: int,
                 = argb
 
     while pos < n_pixels:
+        if meta_idx is None:
+            green, red, blue, alpha, dist_tree = table[0]
+        else:
+            y, x = divmod(pos, w)
+            green, red, blue, alpha, dist_tree = \
+                table[int(meta_idx[y >> pb, x >> pb])]
         s = green.read(r)
         if s < 256:
             rr = red.read(r)
@@ -265,7 +285,7 @@ def _decode_entropy_coded(r: _LsbReader, w: int, h: int) -> np.ndarray:
     transforms, no meta-prefix bit): the encoding of transform data
     such as the predictor mode sub-image.  Returns (h, w) uint32."""
     cache_bits = _read_cache_bits(r)
-    return _decode_pixel_stream(r, w * h, cache_bits).reshape(h, w)
+    return _decode_pixel_stream(r, w, h, cache_bits).reshape(h, w)
 
 
 def _avg2(a: int, b: int) -> int:
@@ -324,6 +344,96 @@ def _predict(mode: int, left: tuple, top: tuple, tl: tuple,
     raise ValueError(f"invalid VP8L predictor mode {mode}")
 
 
+def _s8(v: int) -> int:
+    """Interpret a byte as int8 (the color-transform convention)."""
+    return v - 256 if v >= 128 else v
+
+
+def _inverse_color_transform(argb: np.ndarray, size_bits: int,
+                             cte: np.ndarray) -> np.ndarray:
+    """Invert the color transform over a (h, w) uint32 image: per the
+    public spec §4.3, each tile's ColorTransformElement carries three
+    int8 factors — green_to_red in the BLUE channel, green_to_blue in
+    the GREEN channel, red_to_blue in the RED channel — and the decoder
+    adds ``delta(t, c) = (int8(t) * int8(c)) >> 5`` staged as: red +=
+    delta(g2r, green); blue += delta(g2b, green); blue += delta(r2b,
+    NEW red) — all channels mod 256."""
+    h, w = argb.shape
+    out = np.zeros_like(argb)
+    for y in range(h):
+        for x in range(w):
+            v = int(argb[y, x])
+            t = int(cte[y >> size_bits, x >> size_bits])
+            g2r = _s8(t & 0xFF)
+            g2b = _s8((t >> 8) & 0xFF)
+            r2b = _s8((t >> 16) & 0xFF)
+            g = _s8((v >> 8) & 0xFF)
+            red = ((v >> 16) & 0xFF) + ((g2r * g) >> 5)
+            red &= 0xFF
+            blue = (v & 0xFF) + ((g2b * g) >> 5)
+            blue = (blue + ((r2b * _s8(red)) >> 5)) & 0xFF
+            out[y, x] = (v & 0xFF00FF00) | (red << 16) | blue
+    return out
+
+
+def _palette_width_bits(n_colors: int) -> int:
+    """Pixel-bundling width: palettes of <= 16 colors pack several
+    indices into one green byte (spec §4.4)."""
+    if n_colors <= 2:
+        return 3
+    if n_colors <= 4:
+        return 2
+    if n_colors <= 16:
+        return 1
+    return 0
+
+
+def _inverse_color_indexing(packed: np.ndarray, width_bits: int,
+                            palette: np.ndarray, w: int) -> np.ndarray:
+    """Invert the color-indexing transform: unbundle the green-channel
+    indices ((8 >> width_bits)-bit fields, FIRST pixel in the
+    LEAST-significant bits) back to the full width ``w`` and map them
+    through the delta-decoded palette; an index past the palette maps
+    to transparent black (the spec's out-of-range rule)."""
+    h = packed.shape[0]
+    out = np.zeros((h, w), dtype=np.uint32)
+    n = len(palette)
+    if width_bits == 0:
+        for y in range(h):
+            for x in range(w):
+                i = (int(packed[y, x]) >> 8) & 0xFF
+                out[y, x] = int(palette[i]) if i < n else 0
+        return out
+    per = 1 << width_bits
+    bits = 8 >> width_bits
+    mask = (1 << bits) - 1
+    for y in range(h):
+        for xp in range(packed.shape[1]):
+            g = (int(packed[y, xp]) >> 8) & 0xFF
+            for k in range(per):
+                x = xp * per + k
+                if x >= w:
+                    break
+                i = (g >> (k * bits)) & mask
+                out[y, x] = int(palette[i]) if i < n else 0
+    return out
+
+
+def _delta_decode_palette(raw: np.ndarray) -> np.ndarray:
+    """Palette entries are subtraction-coded: entry i adds to entry i-1
+    per channel mod 256 (the first entry is stored raw)."""
+    pal = np.zeros(raw.shape[0], dtype=np.uint32)
+    prev = 0
+    for i, v in enumerate(int(x) for x in raw):
+        cur = 0
+        for shift in (24, 16, 8, 0):
+            cur |= ((((prev >> shift) & 0xFF) + ((v >> shift) & 0xFF))
+                    & 0xFF) << shift
+        pal[i] = cur
+        prev = cur
+    return pal
+
+
 def _inverse_predictor(argb: np.ndarray, size_bits: int,
                        modes: np.ndarray) -> np.ndarray:
     """Invert the predictor transform in place over a (h, w) uint32
@@ -370,10 +480,11 @@ def _inverse_predictor(argb: np.ndarray, size_bits: int,
 
 def decode_vp8l(content: bytes, max_pixels: int | None = None) -> np.ndarray:
     """Decode a VP8L stream (RIFF/WEBP container or a bare VP8L
-    payload) to an (h, w, 4) uint8 RGBA array.  Subtract-green and
-    predictor transforms decode; see the module docstring for the
-    remaining typed-error seams and the pixel-budget bomb guard
-    (``max_pixels`` overrides the payload-tied default)."""
+    payload) to an (h, w, 4) uint8 RGBA array.  All four spatial
+    transforms and the entropy image decode; the near-distance map is
+    the one remaining typed-error seam (module docstring), and the
+    pixel-budget bomb guard rejects crafted headers (``max_pixels``
+    overrides the payload-tied default)."""
     buf = bytes(content)
     if buf[:4] == b"RIFF" and buf[8:12] == b"WEBP":
         if buf[12:16] != b"VP8L":
@@ -398,26 +509,36 @@ def decode_vp8l(content: bytes, max_pixels: int | None = None) -> np.ndarray:
             f"{budget}-pixel budget for a {len(buf)}-byte payload — "
             "rejected as a decompression bomb")
     transforms: list[tuple] = []
+    cur_w = w                                     # color-indexing packs it
     while r.bits(1):
         ttype = r.bits(2)
         if ttype == 2:                            # subtract-green
             transforms.append(("subtract_green",))
-        elif ttype == 0:                          # predictor
+        elif ttype in (0, 1):                     # predictor / color
             size_bits = r.bits(3) + 2
-            bw = (w + (1 << size_bits) - 1) >> size_bits
+            bw = (cur_w + (1 << size_bits) - 1) >> size_bits
             bh = (h + (1 << size_bits) - 1) >> size_bits
-            modes = _decode_entropy_coded(r, bw, bh)
-            transforms.append(("predictor", size_bits, modes))
-        else:
-            raise NotImplementedError(
-                "VP8L color / color-indexing transforms are a "
-                "documented seam (subtract-green and predictor decode)")
+            tiles = _decode_entropy_coded(r, bw, bh)
+            transforms.append(("predictor" if ttype == 0 else "color",
+                               size_bits, tiles))
+        else:                                     # 3: color indexing
+            n_colors = r.bits(8) + 1
+            width_bits = _palette_width_bits(n_colors)
+            raw = _decode_entropy_coded(r, n_colors, 1)[0]
+            palette = _delta_decode_palette(raw)
+            transforms.append(("palette", width_bits, palette, cur_w))
+            if width_bits:
+                cur_w = (cur_w + (1 << width_bits) - 1) >> width_bits
     cache_bits = _read_cache_bits(r)
-    if r.bits(1):
-        raise NotImplementedError(
-            "VP8L entropy image (meta prefix groups) is a documented "
-            "seam")
-    argb = _decode_pixel_stream(r, w * h, cache_bits).reshape(h, w)
+    groups = None
+    if r.bits(1):                                 # entropy image
+        prefix_bits = r.bits(3) + 2
+        ew = (cur_w + (1 << prefix_bits) - 1) >> prefix_bits
+        eh = (h + (1 << prefix_bits) - 1) >> prefix_bits
+        meta = _decode_entropy_coded(r, ew, eh)
+        groups = (prefix_bits, (meta >> 8) & 0xFFFF)
+    argb = _decode_pixel_stream(r, cur_w, h, cache_bits,
+                                groups).reshape(h, cur_w)
     # inverse transforms apply in REVERSE order of their reading
     for t in reversed(transforms):
         if t[0] == "subtract_green":
@@ -425,8 +546,12 @@ def decode_vp8l(content: bytes, max_pixels: int | None = None) -> np.ndarray:
             rr = (((argb >> 16) & 0xFF) + g) & 0xFF
             b = ((argb & 0xFF) + g) & 0xFF
             argb = (argb & 0xFF00FF00) | (rr << 16) | b
-        else:
+        elif t[0] == "predictor":
             argb = _inverse_predictor(argb, t[1], t[2])
+        elif t[0] == "color":
+            argb = _inverse_color_transform(argb, t[1], t[2])
+        else:
+            argb = _inverse_color_indexing(argb, t[1], t[2], t[3])
     rgba = np.zeros((h, w, 4), dtype=np.uint8)
     rgba[..., 0] = (argb >> 16) & 0xFF
     rgba[..., 1] = (argb >> 8) & 0xFF
@@ -541,6 +666,69 @@ def encode_vp8l(rgba: np.ndarray, subtract_green: bool = False) -> bytes:
             put("r", int(a[y, x, 0]))
             put("b", int(a[y, x, 2]))
             put("a", int(a[y, x, 3]))
+    payload = bytes([0x2F]) + w.payload()
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    if len(payload) % 2:
+        chunk += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def encode_vp8l_indexed(idx: np.ndarray, palette: list[int]) -> bytes:
+    """Spec-shaped COLOR-INDEXING VP8L stream (fixture generator,
+    round 12): delta-code the palette into an entropy-coded (n, 1)
+    sub-image and bundle the (h, w) index grid into the green channel
+    at the palette-size width (``_palette_width_bits`` — first pixel
+    in the least-significant bits), so the registry row can EXECUTE
+    the palette decode path.  RIFF-wrapped like :func:`encode_vp8l`;
+    the public encoder stays transform-free."""
+    import struct
+
+    idx = np.asarray(idx)
+    h, wd = idx.shape
+    n = len(palette)
+    if not 1 <= n <= 256:
+        raise ValueError("palette must carry 1..256 colors")
+    if int(idx.min()) < 0 or int(idx.max()) >= n:
+        raise ValueError("index grid addresses past the palette")
+    width_bits = _palette_width_bits(n)
+    w = _LsbWriter()
+    w.bits(wd - 1, 14)
+    w.bits(h - 1, 14)
+    w.bits(1 if any(((p >> 24) & 0xFF) != 255 for p in palette) else 0, 1)
+    w.bits(0, 3)                                  # version
+    w.bits(1, 1)                                  # a transform follows
+    w.bits(3, 2)                                  # type 3: color indexing
+    w.bits(n - 1, 8)
+    deltas = []
+    prev = 0
+    for c in palette:
+        d = 0
+        for shift in (24, 16, 8, 0):
+            d |= ((((c >> shift) & 0xFF) - ((prev >> shift) & 0xFF))
+                  & 0xFF) << shift
+        deltas.append(d)
+        prev = c
+    w.bits(0, 1)                   # palette sub-image: no color cache
+    _write_literal_image(w, np.array([deltas], dtype=np.uint32))
+    w.bits(0, 1)                   # end of transforms
+    w.bits(0, 1)                   # main image: no color cache
+    w.bits(0, 1)                   # no entropy image
+    if width_bits == 0:
+        packed = (idx.astype(np.uint32)) << 8
+    else:
+        per = 1 << width_bits
+        bits = 8 >> width_bits
+        pw = (wd + per - 1) // per
+        packed = np.zeros((h, pw), dtype=np.uint32)
+        for y in range(h):
+            for xp in range(pw):
+                g = 0
+                for k in range(per):
+                    x = xp * per + k
+                    if x < wd:
+                        g |= int(idx[y, x]) << (k * bits)
+                packed[y, xp] = g << 8
+    _write_literal_image(w, packed)
     payload = bytes([0x2F]) + w.payload()
     chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
     if len(payload) % 2:

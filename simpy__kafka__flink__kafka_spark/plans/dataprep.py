@@ -3306,6 +3306,49 @@ FROM px GROUP BY 1
 """
 
 
+def _q_webp_palette_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTED color-indexing decode (round 12, functions/vp8l.py via
+    multimodal.py:webp_palette_stats): delta-coded palettes across
+    every pixel-bundling width decode back through the general
+    decoder; the oracle reproduces the channel sums from the id
+    arithmetic alone."""
+    from ..functions.multimodal import webp_palette_stats
+
+    return webp_palette_stats(_docs(spark, sf_dir))
+
+
+_WEBP_PALETTE_SQL = """
+WITH px AS (
+  SELECT d.doc_id, d.doc_id % 24 AS k, x.x, y.y
+  FROM documents d,
+       (SELECT unnest(generate_series(0, 7)) AS x) x,
+       (SELECT unnest(generate_series(0, 3)) AS y) y
+),
+c AS (
+  SELECT doc_id, k, x, y,
+         CASE k % 6 WHEN 0 THEN 20 WHEN 1 THEN 16 WHEN 2 THEN 5
+                    WHEN 3 THEN 4 WHEN 4 THEN 3 ELSE 2 END AS n
+  FROM px
+),
+i AS (SELECT doc_id, k, n, (x + y + k) % n AS i FROM c),
+s AS (
+  SELECT doc_id, k, n,
+         sum((7 * k + 13 * i) % 256) AS sr,
+         sum((3 * k + 5 * i) % 256) AS sg,
+         sum((11 * k + 17 * i) % 256) AS sb
+  FROM i GROUP BY 1, 2, 3
+)
+SELECT doc_id,
+       CAST(8 AS INTEGER) AS width, CAST(4 AS INTEGER) AS height,
+       CAST(n AS INTEGER) AS n_colors,
+       CAST(sr AS BIGINT) AS sum_r,
+       CAST(sg AS BIGINT) AS sum_g,
+       CAST(sb AS BIGINT) AS sum_b,
+       CAST(1 AS INTEGER) AS lossless
+FROM s
+"""
+
+
 def _q_webp_predictor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXECUTED predictor-transform decode (round 12, functions/vp8l.py
     via multimodal.py:webp_predictor_stats): forward-transformed VP8L
@@ -5048,6 +5091,10 @@ QUERIES: dict[str, Query] = {
         _q_webp_predictor_stats, _WEBP_PREDICTOR_SQL,
         "executed VP8L PREDICTOR-transform decode (all 14 modes, border "
         "rules, TR wrap, sub-image entropy decode): sums + lossless"),
+    "webp_palette_stats": Query(
+        _q_webp_palette_stats, _WEBP_PALETTE_SQL,
+        "executed VP8L COLOR-INDEXING decode (delta-coded palette, all "
+        "pixel-bundling widths): sums + lossless (oracled tail row)"),
     "frontier_rank": Query(
         _q_frontier_rank, _frontier_rank_sql(),
         "reputation-weighted frontier ordering: robots-gated sitemap "

@@ -104,24 +104,16 @@ def test_typed_seams_and_errors():
         decode_vp8l(b"\x00\x01\x02")
     with pytest.raises(ValueError, match="truncated"):
         decode_vp8l(full[:-2])
-    # color / color-indexing transforms -> documented seam (predictor
-    # and subtract-green now DECODE — round 12)
-    for ttype in (1, 3):
+    # every transform type now DECODES (round 12) — a transform bit
+    # followed by zero bytes must fail as a MALFORMED stream (empty
+    # prefix tree / truncation), never an untyped crash
+    for ttype in (0, 1, 2, 3):
         w = _LsbWriter()
         w.bits(0, 14); w.bits(0, 14); w.bits(0, 1); w.bits(0, 3)
         w.bits(1, 1)                       # a transform follows
         w.bits(ttype, 2)
-        with pytest.raises(NotImplementedError, match="transform"):
+        with pytest.raises((ValueError, NotImplementedError)):
             decode_vp8l(bytes([0x2F]) + w.payload() + bytes(4))
-    # entropy image bit -> documented seam
-    w = _LsbWriter()
-    _header(w, 1, 1)
-    b = bytearray(bytes([0x2F]) + w.payload() + bytes(4))
-    # header is 14+14+1+3+1+1+1 = 35 bits; entropy bit is bit 34 of the
-    # payload -> flip it
-    b[1 + (34 >> 3)] |= 1 << (34 & 7)
-    with pytest.raises(NotImplementedError, match="entropy"):
-        decode_vp8l(bytes(b))
     # near-distance map (code <= 120) -> documented seam
     w = _LsbWriter()
     _header(w, 5, 1)
@@ -510,3 +502,278 @@ def test_webp_predictor_stats_matches_id_arithmetic(spark):
         assert (r.mode_a, r.mode_b) == (k % 14, (k + 7) % 14)
         assert r.sum_g == sum((k + x + y) % 16
                               for x in range(8) for y in range(4))
+
+
+# --- color / color-indexing / entropy-image decode (round 12, wave 3) ----------
+
+def _s8(v: int) -> int:
+    return v - 256 if v >= 128 else v
+
+
+def _tiled_transform_stream(ttype: int, residuals: np.ndarray,
+                            tiles_argb: np.ndarray,
+                            size_bits: int) -> bytes:
+    h, wd = residuals.shape
+    w = _LsbWriter()
+    w.bits(wd - 1, 14)
+    w.bits(h - 1, 14)
+    w.bits(0, 1); w.bits(0, 3)
+    w.bits(1, 1)
+    w.bits(ttype, 2)
+    w.bits(size_bits - 2, 3)
+    w.bits(0, 1)                   # sub-image: no color cache
+    _emit_trees_and_pixels(w, tiles_argb)
+    w.bits(0, 1)                   # end of transforms
+    w.bits(0, 1)                   # main: no color cache
+    w.bits(0, 1)                   # no entropy image
+    _emit_trees_and_pixels(w, residuals)
+    return bytes([0x2F]) + w.payload()
+
+
+def _pack_rgba(dec: np.ndarray) -> np.ndarray:
+    return ((dec[..., 3].astype(np.uint32) << 24)
+            | (dec[..., 0].astype(np.uint32) << 16)
+            | (dec[..., 1].astype(np.uint32) << 8)
+            | dec[..., 2].astype(np.uint32))
+
+
+def _forward_color(img: np.ndarray, ctes: np.ndarray,
+                   size_bits: int) -> np.ndarray:
+    """Test-side FORWARD color transform from the spec text: staged
+    int8 (t*c)>>5 deltas SUBTRACTED — red first (from green), then
+    blue (from green and from the FINAL red)."""
+    h, wd = img.shape
+    res = np.zeros_like(img)
+    for y in range(h):
+        for x in range(wd):
+            v = int(img[y, x])
+            t = int(ctes[y >> size_bits, x >> size_bits])
+            g2r = _s8(t & 0xFF)
+            g2b = _s8((t >> 8) & 0xFF)
+            r2b = _s8((t >> 16) & 0xFF)
+            g = _s8((v >> 8) & 0xFF)
+            red = (v >> 16) & 0xFF
+            blue = v & 0xFF
+            red_res = (red - ((g2r * g) >> 5)) & 0xFF
+            blue_res = (blue - ((g2b * g) >> 5)
+                        - ((r2b * _s8(red)) >> 5)) & 0xFF
+            res[y, x] = (v & 0xFF00FF00) | (red_res << 16) | blue_res
+    return res
+
+
+def test_color_transform_roundtrip():
+    """Positive and negative int8 factors across a 1x2 tile grid; the
+    staged inverse (red from green, then blue from green AND the new
+    red) must restore the source exactly."""
+    rng = np.random.RandomState(31)
+    size_bits = 2
+    ctes = np.array(
+        [[0xFF000000 | (0x12 << 16) | (0xF4 << 8) | 0x83,   # mixed signs
+          0xFF000000 | (0x00 << 16) | (0x40 << 8) | 0x7F]],  # extremes
+        dtype=np.uint32)
+    img = _rand_argb(rng, 4, 8)
+    res = _forward_color(img, ctes, size_bits)
+    dec = decode_vp8l(_tiled_transform_stream(1, res, ctes, size_bits))
+    assert np.array_equal(_pack_rgba(dec), img)
+
+
+def test_color_transform_negative_shift_pinned():
+    """(int8 t * int8 c) >> 5 is an ARITHMETIC shift: t=-128 (0x80),
+    green=-1 (0xFF) -> product 128 -> delta 4; t=0x7F, green=0x7F
+    (127*127=16129) -> delta 504 mod 256.  Pin one hand-computed
+    pixel per case."""
+    size_bits = 3
+    # g2r = -128, green = 255 (=-1): delta = (-128 * -1) >> 5 = 4
+    ctes = np.array([[0xFF000000 | 0x80]], dtype=np.uint32)
+    img = np.array([[0xFF00FF00 | (10 << 16) | 0x07]], dtype=np.uint32)
+    res = _forward_color(img, ctes, size_bits)
+    assert ((int(res[0, 0]) >> 16) & 0xFF) == (10 - 4) & 0xFF
+    dec = decode_vp8l(_tiled_transform_stream(1, res, ctes, size_bits))
+    assert np.array_equal(_pack_rgba(dec), img)
+
+
+def test_color_then_subtract_green_composes():
+    """Stream order [color, subtract-green]: data = SG(CT(img)),
+    decoded by inverting SG first, then CT."""
+    rng = np.random.RandomState(8)
+    size_bits = 3
+    ctes = np.array([[0xFF000000 | (0x21 << 16) | (0x9C << 8) | 0x33]],
+                    dtype=np.uint32)
+    img = _rand_argb(rng, 3, 5)
+    res = _forward_color(img, ctes, size_bits)
+    g = (res >> 8) & 0xFF
+    rr = (((res >> 16) & 0xFF) - g) % 256
+    b = ((res & 0xFF) - g) % 256
+    sg = (res & np.uint32(0xFF00FF00)) | (rr << 16) | b
+    h, wd = img.shape
+    w = _LsbWriter()
+    w.bits(wd - 1, 14); w.bits(h - 1, 14); w.bits(0, 1); w.bits(0, 3)
+    w.bits(1, 1); w.bits(1, 2)     # color transform
+    w.bits(size_bits - 2, 3)
+    w.bits(0, 1)
+    _emit_trees_and_pixels(w, ctes)
+    w.bits(1, 1); w.bits(2, 2)     # subtract-green
+    w.bits(0, 1)                   # end of transforms
+    w.bits(0, 1); w.bits(0, 1)
+    _emit_trees_and_pixels(w, sg.astype(np.uint32))
+    dec = decode_vp8l(bytes([0x2F]) + w.payload())
+    assert np.array_equal(_pack_rgba(dec), img)
+
+
+def _palette_stream(wd: int, h: int, packed: np.ndarray,
+                    palette: list[int]) -> bytes:
+    """Color-indexing stream: 8-bit size-1, delta-coded palette as an
+    entropy-coded (n, 1) image, then the PACKED index image."""
+    w = _LsbWriter()
+    w.bits(wd - 1, 14)
+    w.bits(h - 1, 14)
+    w.bits(0, 1); w.bits(0, 3)
+    w.bits(1, 1)
+    w.bits(3, 2)                   # type 3: color indexing
+    w.bits(len(palette) - 1, 8)
+    deltas = []
+    prev = 0
+    for c in palette:
+        d = 0
+        for shift in (24, 16, 8, 0):
+            d |= ((((c >> shift) & 0xFF) - ((prev >> shift) & 0xFF))
+                  & 0xFF) << shift
+        deltas.append(d)
+        prev = c
+    w.bits(0, 1)                   # palette sub-image: no color cache
+    _emit_trees_and_pixels(w, np.array([deltas], dtype=np.uint32))
+    w.bits(0, 1)                   # end of transforms
+    w.bits(0, 1); w.bits(0, 1)
+    _emit_trees_and_pixels(w, packed)
+    return bytes([0x2F]) + w.payload()
+
+
+def test_color_indexing_all_bundle_widths():
+    """Palette sizes spanning every bundling width (no bundling, 4-bit,
+    2-bit, 1-bit fields; FIRST pixel in the least-significant bits),
+    delta-coded entries, and a non-multiple image width."""
+    rng = np.random.RandomState(17)
+    for n_colors, width_bits in ((20, 0), (16, 1), (5, 1), (4, 2),
+                                 (3, 2), (2, 3)):
+        palette = [0xFF000000 | int(v)
+                   for v in rng.randint(0, 1 << 24, size=n_colors)]
+        wd, h = 7, 3               # 7 is not a multiple of any bundle
+        idx = rng.randint(0, n_colors, size=(h, wd))
+        if width_bits == 0:
+            packed = np.zeros((h, wd), dtype=np.uint32)
+            for y in range(h):
+                for x in range(wd):
+                    packed[y, x] = int(idx[y, x]) << 8
+        else:
+            per = 1 << width_bits
+            bits = 8 >> width_bits
+            pw = (wd + per - 1) // per
+            packed = np.zeros((h, pw), dtype=np.uint32)
+            for y in range(h):
+                for xp in range(pw):
+                    g = 0
+                    for k in range(per):
+                        x = xp * per + k
+                        if x < wd:
+                            g |= int(idx[y, x]) << (k * bits)
+                    packed[y, xp] = g << 8
+        dec = decode_vp8l(_palette_stream(wd, h, packed, palette))
+        want = np.array([[palette[idx[y, x]] for x in range(wd)]
+                         for y in range(h)], dtype=np.uint32)
+        assert dec.shape == (h, wd, 4), (n_colors, width_bits)
+        assert np.array_equal(_pack_rgba(dec), want), (n_colors,
+                                                       width_bits)
+
+
+def test_color_indexing_out_of_range_index_is_zero():
+    palette = [0xFF112233, 0xFF445566]
+    # width_bits 3: 1-bit fields can only index 0/1 -> use 3 colors
+    # (2-bit fields) and an index value 3 past the palette
+    palette = [0xFF112233, 0xFF445566, 0xFF778899]
+    packed = np.array([[(3 | (1 << 2)) << 8]], dtype=np.uint32)
+    dec = decode_vp8l(_palette_stream(2, 1, packed, palette))
+    got = _pack_rgba(dec)
+    assert int(got[0, 0]) == 0            # index 3 >= len(palette)
+    assert int(got[0, 1]) == 0xFF445566
+
+
+def test_entropy_image_two_prefix_groups():
+    """An entropy image splitting an 8x2 main image into two 4-px-wide
+    tiles with DISTINCT prefix-code groups: pixels must decode under
+    their tile's trees, with the meta index read from (red<<8)|green."""
+    rng = np.random.RandomState(29)
+    prefix_bits = 2
+    img = _rand_argb(rng, 2, 8)
+    meta_idx = np.array([[0, 1]])
+    w = _LsbWriter()
+    w.bits(8 - 1, 14)
+    w.bits(2 - 1, 14)
+    w.bits(0, 1); w.bits(0, 3)
+    w.bits(0, 1)                   # no transforms
+    w.bits(0, 1)                   # no color cache
+    w.bits(1, 1)                   # entropy image present
+    w.bits(prefix_bits - 2, 3)
+    meta_argb = np.array(
+        [[((i >> 8) << 16) | ((i & 0xFF) << 8) for i in row]
+         for row in meta_idx], dtype=np.uint32)
+    w.bits(0, 1)                   # meta sub-image: no color cache
+    _emit_trees_and_pixels(w, meta_argb)
+    # one tree group per meta index, built over ITS tile's values only
+    groups = []
+    for g in range(2):
+        tile = img[:, g * 4:(g + 1) * 4]
+        vals = {
+            "g": [(int(v) >> 8) & 0xFF for v in tile.flat],
+            "r": [(int(v) >> 16) & 0xFF for v in tile.flat],
+            "b": [int(v) & 0xFF for v in tile.flat],
+            "a": [(int(v) >> 24) & 0xFF for v in tile.flat],
+        }
+        lengths = {k: _flat_lengths(sorted(set(v)))
+                   for k, v in vals.items()}
+        for key in ("g", "r", "b", "a"):
+            _write_tree(w, lengths[key])
+        _write_tree(w, {0: 1})
+        groups.append({k: _canonical(v) for k, v in lengths.items()})
+    for y in range(2):             # scan order, per-pixel group codes
+        for x in range(8):
+            codes = groups[0 if x < 4 else 1]
+            v = int(img[y, x])
+            for key, val in (("g", (v >> 8) & 0xFF),
+                             ("r", (v >> 16) & 0xFF),
+                             ("b", v & 0xFF),
+                             ("a", (v >> 24) & 0xFF)):
+                if len(codes[key]) > 1:
+                    w.code(*codes[key][val])
+    dec = decode_vp8l(bytes([0x2F]) + w.payload())
+    assert np.array_equal(_pack_rgba(dec), img)
+
+
+def test_entropy_image_cache_is_global_across_groups():
+    """The color cache is per-IMAGE, not per-prefix-group: a pixel in
+    group 1 must resolve a cache entry populated by group 0's literal."""
+    cache_bits = 4
+    argb = (255 << 24) | (7 << 16) | (10 << 8) | 9
+    idx = ((0x1E35A7BD * argb) & 0xFFFFFFFF) >> (32 - cache_bits)
+    w = _LsbWriter()
+    w.bits(8 - 1, 14)
+    w.bits(1 - 1, 14)
+    w.bits(0, 1); w.bits(0, 3)
+    w.bits(0, 1)                   # no transforms
+    w.bits(1, 1)                   # color cache present
+    w.bits(cache_bits, 4)
+    w.bits(1, 1)                   # entropy image present
+    w.bits(0, 3)                   # prefix_bits = 2 -> tiles of 4
+    meta_argb = np.array([[0, 1 << 8]], dtype=np.uint32)  # groups 0, 1
+    w.bits(0, 1)                   # meta sub-image: no color cache
+    _emit_trees_and_pixels(w, meta_argb)
+    # group 0: literal-only trees for the single pixel value
+    for lens in ({10: 1}, {7: 1}, {9: 1}, {255: 1}, {0: 1}):
+        _write_tree(w, lens)
+    # group 1: green tree holds ONLY the cache symbol for that entry
+    for lens in ({256 + 24 + idx: 1}, {7: 1}, {9: 1}, {255: 1}, {0: 1}):
+        _write_tree(w, lens)
+    # all trees single-symbol -> zero data bits for all 8 pixels
+    dec = decode_vp8l(bytes([0x2F]) + w.payload())
+    assert dec.shape == (1, 8, 4)
+    assert list(dec[0, :, 1]) == [10] * 8   # green everywhere
+    assert list(dec[0, :, 2]) == [9] * 8    # blue via the cache too
