@@ -139,13 +139,25 @@ def _lzw_encode(min_size: int, indices: bytes) -> bytes:
     return bytes(data)
 
 
-def decode_gif(content: bytes) -> np.ndarray:
-    """GIF decode -> (height, width, 3) uint8 (first frame)."""
+def decode_gif(content: bytes,
+               max_pixels: int | None = None) -> np.ndarray:
+    """GIF decode -> (height, width, 3) uint8 (first frame).
+
+    Bomb guard (round-12 review fix): BOTH the logical-screen dims and
+    each image DESCRIPTOR's dims are budget-checked against the shared
+    policy (functions/_budget.py) before any allocation or the LZW
+    loop — the descriptor dims drive `_lzw_decode`'s expansion target
+    and the index/frame allocations, and they are independent of the
+    screen dims the outer `decode_image` gate sees, so an ungated
+    descriptor was a budget bypass."""
+    from ._budget import check_pixels
+
     buf = bytes(content)
     if buf[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF")
     sw = int.from_bytes(buf[6:8], "little")
     sh = int.from_bytes(buf[8:10], "little")
+    check_pixels("GIF logical screen", sw, sh, len(buf), max_pixels)
     packed = buf[10]
     pos = 13
     gct = None
@@ -169,6 +181,7 @@ def decode_gif(content: bytes) -> np.ndarray:
         top = int.from_bytes(buf[pos + 3:pos + 5], "little")
         w = int.from_bytes(buf[pos + 5:pos + 7], "little")
         h = int.from_bytes(buf[pos + 7:pos + 9], "little")
+        check_pixels("GIF image descriptor", w, h, len(buf), max_pixels)
         ipacked = buf[pos + 9]
         pos += 10
         table = gct

@@ -226,12 +226,13 @@ def encode_png(pixels: np.ndarray) -> bytes:
 # past VP8L): header-declared pixels are attacker-controlled in every
 # container, and several vendored decoders allocate or loop on w*h
 # BEFORE touching pixel data.  decode_image gates ALL dispatches on the
-# cheap image_dims header walk against a payload-tied budget — the same
-# policy (and constants) as decode_vp8l's internal guard.  Legitimately
-# large photos (> ~4M px) need an explicit caller max_pixels; for a
-# pure-Python decode path that is the honest cost statement.
-DECODE_MAX_PIXELS = 1 << 22
-DECODE_PIXELS_PER_BYTE = 4096
+# cheap image_dims header walk against the ONE policy rendering in
+# functions/_budget.py (shared with decode_vp8l's internal guard and
+# decode_gif's per-descriptor guard).  Legitimately large photos
+# (> ~4M px) need an explicit caller max_pixels; for a pure-Python
+# decode path that is the honest cost statement.
+from ._budget import (DECODE_MAX_PIXELS, DECODE_PIXELS_PER_BYTE,  # noqa: F401
+                      check_pixels as _check_pixels)
 
 
 def decode_image(content: bytes, max_pixels: int | None = None) -> np.ndarray:
@@ -249,21 +250,15 @@ def decode_image(content: bytes, max_pixels: int | None = None) -> np.ndarray:
     except (ValueError, NotImplementedError):
         wd = ht = None  # unknown/corrupt container: the dispatch types it
     if wd is not None:
-        budget = (max_pixels if max_pixels is not None
-                  else min(DECODE_MAX_PIXELS,
-                           max(4096,
-                               DECODE_PIXELS_PER_BYTE * len(content))))
-        if wd * ht > budget:
-            raise ValueError(
-                f"image header declares {wd}x{ht} = {wd * ht} pixels "
-                f"against a {budget}-pixel budget for a "
-                f"{len(content)}-byte payload — rejected as a "
-                "decompression bomb")
+        _check_pixels("image header", wd, ht, len(content), max_pixels)
     buf = bytes(content[:8])
     if buf[:4] == b"RIFF" and bytes(content[8:16]) == b"WEBPVP8L":
         from .vp8l import decode_vp8l
 
-        return decode_vp8l(content)[..., :3]
+        # forward the override: the inner guard would otherwise keep
+        # its payload-tied default and reject a legit large image the
+        # caller explicitly budgeted for (round-12 review fix)
+        return decode_vp8l(content, max_pixels=max_pixels)[..., :3]
     if buf[:2] == b"P6":
         return decode_ppm(content)
     if buf == PNG_MAGIC:
@@ -275,7 +270,7 @@ def decode_image(content: bytes, max_pixels: int | None = None) -> np.ndarray:
     if buf[:4] == b"GIF8":
         from .gif import decode_gif
 
-        return decode_gif(content)
+        return decode_gif(content, max_pixels=max_pixels)
     if buf[:4] in (b"II*\x00", b"MM\x00*"):
         from .tiff import decode_tiff
 

@@ -193,12 +193,12 @@ def _lz77_value(code: int, r: _LsbReader) -> int:
     return ((2 + (code & 1)) << eb) + r.bits(eb) + 1
 
 
-# decompression-bomb guard (round 12): declared pixels may not exceed
-# payload_bytes * VP8L_PIXELS_PER_BYTE (the LZ77 maximum copy length —
-# one maximal copy per payload byte is already beyond any real stream)
-# nor VP8L_MAX_PIXELS; small legit files always clear the 4096-px floor.
-VP8L_MAX_PIXELS = 1 << 22
-VP8L_PIXELS_PER_BYTE = 4096
+# decompression-bomb guard (round 12): ONE policy rendering lives in
+# functions/_budget.py (shared with decode_image and decode_gif); the
+# VP8L_* names stay as aliases for existing importers.
+from ._budget import (DECODE_MAX_PIXELS as VP8L_MAX_PIXELS,
+                      DECODE_PIXELS_PER_BYTE as VP8L_PIXELS_PER_BYTE,
+                      check_pixels as _check_pixels)
 
 
 def _read_cache_bits(r: _LsbReader) -> int:
@@ -492,9 +492,6 @@ def decode_vp8l(content: bytes, max_pixels: int | None = None) -> np.ndarray:
         buf = buf[20:]
     if not buf or buf[0] != 0x2F:
         raise ValueError("bad VP8L signature byte")
-    budget = (max_pixels if max_pixels is not None
-              else min(VP8L_MAX_PIXELS,
-                       max(4096, VP8L_PIXELS_PER_BYTE * len(buf))))
     r = _LsbReader(buf[1:])
     w = r.bits(14) + 1
     h = r.bits(14) + 1
@@ -503,11 +500,7 @@ def decode_vp8l(content: bytes, max_pixels: int | None = None) -> np.ndarray:
         raise ValueError("unknown VP8L version")
     # the bomb guard: BEFORE any transform sub-image read, buffer
     # allocation, or per-pixel loop (ADVICE r11 / VERDICT r11 task 1)
-    if w * h > budget:
-        raise ValueError(
-            f"VP8L declares {w}x{h} = {w * h} pixels against a "
-            f"{budget}-pixel budget for a {len(buf)}-byte payload — "
-            "rejected as a decompression bomb")
+    _check_pixels("VP8L", w, h, len(buf), max_pixels)
     transforms: list[tuple] = []
     cur_w = w                                     # color-indexing packs it
     while r.bits(1):

@@ -150,6 +150,30 @@ def rolling_zscore_anomalies(events: DataFrame,
                                z_threshold=z_threshold, id_col=id_col)
 
 
+def derive_count_cap(window: int, z_threshold: int) -> int:
+    """The per-bucket saturation cap that keeps the division-free z
+    algebra int64-exact: ``min(2^20, isqrt((2^63-1) // max(10^4, z^2))
+    // window)`` (2^20 at the defaults).  Shared by
+    :func:`score_bucket_counts` and the SQL oracle rendering
+    (plans/relational.py:z_anomaly_select) — the saturation value is
+    part of the algebra's semantics, so it must not drift between the
+    engines."""
+    from math import isqrt
+
+    window = int(window)
+    z_threshold = int(z_threshold)
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    cap = min(1 << 20,
+              isqrt((2 ** 63 - 1) // max(10 ** 4, z_threshold ** 2))
+              // window)
+    if cap < 1:
+        raise ValueError(
+            f"window {window} (z {z_threshold}) leaves no int64-exact "
+            "headroom for the division-free z algebra")
+    return cap
+
+
 def score_bucket_counts(counts: DataFrame, window: int = 24,
                         min_history: int = 8, z_threshold: int = 3,
                         id_col: str = "user_id") -> DataFrame:
@@ -164,23 +188,15 @@ def score_bucket_counts(counts: DataFrame, window: int = 24,
     per-bucket counts saturated at ``cap`` and ``n <= window`` history
     rows, ``|nc| <= n*cap`` and ``dc <= n*q <= n^2*cap^2``, so both
     ``nc^2 * 10^4`` and ``z^2 * dc`` stay below 2^63 whenever
-    ``(window*cap)^2 * max(10^4, z^2) < 2^63`` — enforced here by
-    deriving ``cap = min(2^20, isqrt((2^63-1) // max(10^4, z^2)) //
-    window)`` and raising if that leaves no headroom, rather than
-    silently wrapping under non-ANSI Spark."""
-    from math import isqrt
-
+    ``(window*cap)^2 * max(10^4, z^2) < 2^63`` — enforced by
+    :func:`derive_count_cap`, ONE rendering shared with the DuckDB
+    oracle side (plans/relational.py:z_anomaly_select) so the two
+    engines can never saturate differently (round-12 review fix),
+    raising if the window leaves no headroom rather than silently
+    wrapping under non-ANSI Spark."""
     window = int(window)
     z_threshold = int(z_threshold)
-    if window < 1:
-        raise ValueError(f"window must be >= 1, got {window}")
-    cap = min(1 << 20,
-              isqrt((2 ** 63 - 1) // max(10 ** 4, z_threshold ** 2))
-              // window)
-    if cap < 1:
-        raise ValueError(
-            f"window {window} (z {z_threshold}) leaves no int64-exact "
-            "headroom for the division-free z algebra")
+    cap = derive_count_cap(window, z_threshold)
     counts = counts.select(F.col(id_col).alias("_id"), "bucket_ts", "x") \
         .withColumn("xc", F.least("x", F.lit(cap)))
     hist = (W.partitionBy("_id").orderBy("bucket_ts")

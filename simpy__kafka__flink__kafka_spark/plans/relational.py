@@ -547,14 +547,19 @@ def _q_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def z_anomaly_select(src: str, key: str, window: int = 24,
-                     min_history: int = 8, z_threshold: int = 3,
-                     cap: int = 1 << 20) -> str:
+                     min_history: int = 8, z_threshold: int = 3) -> str:
     """ONE SQL rendering of the division-free integer z algebra
     (operators/timeseries.py:score_bucket_counts) over pre-bucketed
     counts — ``src`` must provide ({key}, bucket_ts, x) rows.  Shared
     by the hourly_anomalies oracle and the crawl_backoff_schedule
     oracle (the one-rendering discipline: a z-algebra change may not
-    drift between the two)."""
+    drift between the two), and the saturation cap comes from the SAME
+    derivation the Spark engine uses (derive_count_cap — round-12
+    review fix: an independently-defaulted cap diverged for any
+    non-default window)."""
+    from ..operators.timeseries import derive_count_cap
+
+    cap = derive_count_cap(window, z_threshold)
     return f"""
 SELECT {key}, bucket_ts, x AS n_events, n AS n_hist,
        CAST(((xc * n - s) * (xc * n - s) * 10000)

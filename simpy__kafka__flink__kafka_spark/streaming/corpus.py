@@ -505,16 +505,16 @@ def schedule_accepted_batch(batch_urls: DataFrame, schedule_dir: str,
     whenever arrival order follows ids, which is what the parity test
     feeds.  Replays are idempotent via a sink-side doc_id anti-join
     (the pair-compaction posture).  Output rows: (id_col, host, slot,
-    wave, not_before_s).
+    wave, not_before_s, n_anomalies, not_before_backoff_s) — the last
+    two NULL when no detector feed is given, so the sink schema stays
+    stable across batches.
 
     When ``anomalies`` carries the rate-detector's scored buckets (the
     sink of streaming/windows.py:start_anomaly_detection — host-keyed,
-    with ``is_anomaly``), the batch additionally applies the SAME
-    backoff rendering as the batch operator
-    (functions/crawl.py:anomaly_backoff — one rendering, the
-    not_before_s discipline) and the sink rows gain (n_anomalies,
-    not_before_backoff_s): the crawl loop's schedule now READS the
-    anomaly signal (VERDICT r11 task 9)."""
+    with ``is_anomaly``), the batch applies the SAME backoff rendering
+    as the batch operator (functions/crawl.py:anomaly_backoff — one
+    rendering, the not_before_s discipline): the crawl loop's schedule
+    now READS the anomaly signal (VERDICT r11 task 9)."""
     from pyspark.errors import AnalysisException
 
     from ..functions.crawl import crawl_schedule
@@ -556,12 +556,24 @@ def schedule_accepted_batch(batch_urls: DataFrame, schedule_dir: str,
             "crawl_delay", F.lit(None).cast("double"))
     lifted = lifted.withColumn("not_before_s",
                                not_before_expr(default_delay_s))
-    cols = [id_col, "host", "slot", "wave", "not_before_s"]
+    cols = [id_col, "host", "slot", "wave", "not_before_s",
+            "n_anomalies", "not_before_backoff_s"]
     if anomalies is not None:
         from ..functions.crawl import anomaly_backoff
 
-        lifted = anomaly_backoff(lifted.select(*cols), anomalies)
-        cols += ["n_anomalies", "not_before_backoff_s"]
+        lifted = anomaly_backoff(lifted.select(*cols[:5]), anomalies)
+    else:
+        # the sink schema must be STABLE across batches: a live loop
+        # schedules its first batches before the detector sink exists,
+        # and a parquet directory mixing 5- and 7-column files makes
+        # spark.read.parquet drop whichever columns the sampled footer
+        # lacks (round-12 review fix) — no detector feed reads as NULL
+        # flags, not as a narrower schema
+        lifted = (lifted
+                  .withColumn("n_anomalies",
+                              F.lit(None).cast("long"))
+                  .withColumn("not_before_backoff_s",
+                              F.lit(None).cast("double")))
     lifted.select(*cols).write.mode("append").parquet(schedule_dir)
 
 

@@ -161,3 +161,36 @@ def test_score_bucket_counts_window_bound_validated(spark):
     out = score_bucket_counts(counts, window=1000, min_history=8)
     assert out.count() == 32
     assert out.where("is_anomaly = 1").count() == 0
+
+
+def test_z_cap_parity_for_non_default_window(spark):
+    """Round-12 review fix: the SQL rendering's saturation cap must
+    come from the SAME derivation as the Spark engine's — with
+    window=100 the derived cap (~303k) is below 2^20, and counts in
+    between would saturate differently under an independently-defaulted
+    SQL cap, flipping z2/is_anomaly between the engines."""
+    import duckdb
+    import pandas as pd
+
+    from simpy__kafka__flink__kafka_spark.operators.timeseries import (
+        derive_count_cap, score_bucket_counts)
+    from simpy__kafka__flink__kafka_spark.plans.relational import (
+        z_anomaly_select)
+
+    window = 100
+    cap = derive_count_cap(window, 3)
+    assert cap < 1 << 20
+    big = cap + 50_000                 # saturates at `cap`, not 2^20
+    rows = [("k", t * 1000, 1 if t < 30 else big) for t in range(40)]
+    sdf = spark.createDataFrame(rows,
+                                "user_id string, bucket_ts long, x long")
+    got = (score_bucket_counts(sdf, window=window, min_history=8)
+           .toPandas().sort_values("bucket_ts").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("c", pd.DataFrame(rows,
+                                   columns=["user_id", "bucket_ts", "x"]))
+    ora = (con.execute(z_anomaly_select("c", "user_id", window=window))
+           .df().sort_values("bucket_ts").reset_index(drop=True))
+    for col in ("n_events", "n_hist", "z2_scaled", "is_anomaly"):
+        assert list(got[col].astype("int64")) == \
+            list(ora[col].astype("int64")), col

@@ -340,3 +340,33 @@ def test_schedule_backoff_folds_to_batch_composition(spark, tmp_path):
     assert all(v[4] > 0 and v[5] == round(v[3] * 4, 6)
                for v in hb.values())
     assert all(v[4] == 0 and v[5] == v[3] for v in ha.values())
+
+
+def test_schedule_sink_schema_stable_without_anomalies(spark, tmp_path):
+    """Round-12 review fix: batches scheduled BEFORE the detector sink
+    exists must write the same 7-column schema (NULL flags), so a
+    warmed-up loop never produces a mixed-schema parquet directory."""
+    from simpy__kafka__flink__kafka_spark.streaming.corpus import (
+        schedule_accepted_batch)
+
+    sched_dir = str(tmp_path / "sched")
+    schedule_accepted_batch(
+        spark.createDataFrame([(1, "https://h.example/a")],
+                              "doc_id long, url string"), sched_dir)
+    sink = spark.read.parquet(sched_dir)
+    counts = spark.createDataFrame(
+        [("h.example", t * 3_600_000, 1 if t != 12 else 99)
+         for t in range(16)], "host string, bucket_ts long, x long")
+    from simpy__kafka__flink__kafka_spark.operators.timeseries import (
+        score_bucket_counts)
+
+    schedule_accepted_batch(
+        spark.createDataFrame([(2, "https://h.example/b")],
+                              "doc_id long, url string"), sched_dir,
+        anomalies=score_bucket_counts(counts, id_col="host"))
+    rows = {r.doc_id: r for r in spark.read.parquet(sched_dir).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1].n_anomalies is None          # pre-detector batch
+    assert rows[1].not_before_backoff_s is None
+    assert rows[2].n_anomalies == 1             # the bucket-12 burst
+    assert rows[2].not_before_backoff_s == rows[2].not_before_s * 4

@@ -186,3 +186,54 @@ def test_parsers_reject_empty_and_tiny():
         for payload in (b"", b"\x00", b"\xff", b"RIFF", b"ID3"):
             with pytest.raises(OK_ERRORS):
                 fn(payload)
+
+
+def test_gif_descriptor_dims_gated_independently_of_screen():
+    """Round-12 review fix: the LZW expansion target and the frame
+    allocations derive from the image DESCRIPTOR dims, which are
+    independent of the logical-screen dims the decode_image gate sees
+    — a 1x1-screen GIF declaring a 60000x60000 descriptor must fail
+    the budget inside decode_gif, fast."""
+    import time
+
+    from simpy__kafka__flink__kafka_spark.functions.gif import decode_gif
+    from simpy__kafka__flink__kafka_spark.functions.multimodal import (
+        decode_image)
+
+    bomb = bytearray()
+    bomb += b"GIF89a"
+    bomb += (1).to_bytes(2, "little") * 2          # 1x1 logical screen
+    bomb += bytes((0x80, 0, 0))                    # GCT flag, 2 entries
+    bomb += bytes(6)                               # the 2-color table
+    bomb += b"\x2c" + bytes(4)                     # descriptor at (0,0)
+    bomb += (60000).to_bytes(2, "little") * 2      # 60000x60000 (!)
+    bomb += bytes((0,))                            # no local table
+    bomb += bytes((2, 1, 0x4C, 0))                 # min_size, tiny LZW
+    bomb += b"\x3b"
+    for fn in (decode_gif, decode_image):
+        t0 = time.perf_counter()
+        with pytest.raises(ValueError, match="decompression bomb"):
+            fn(bytes(bomb))
+        assert time.perf_counter() - t0 < 0.2
+
+
+def test_decode_image_forwards_max_pixels_to_vp8l():
+    """Round-12 review fix: the documented max_pixels override must
+    reach decode_vp8l's inner guard — with a large explicit budget the
+    bomb header PASSES both guards and fails later as a truncated
+    stream, proving the override was forwarded (the inner payload-tied
+    default would have rejected it as a bomb)."""
+    import struct
+
+    from simpy__kafka__flink__kafka_spark.functions.multimodal import (
+        decode_image)
+
+    from tests.test_vp8l import _bomb_stream
+
+    payload = _bomb_stream()[:6]        # header only, trees cut off
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    riff = b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+    with pytest.raises(ValueError, match="decompression bomb"):
+        decode_image(riff)              # default budget still rejects
+    with pytest.raises(ValueError, match="truncated"):
+        decode_image(riff, max_pixels=1 << 30)

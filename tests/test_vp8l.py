@@ -257,24 +257,12 @@ def test_bit_conventions_cross_validated_against_zlib():
 
 # --- predictor transform (round 12) -------------------------------------------
 
-def _emit_trees_and_pixels(w: _LsbWriter, arr: np.ndarray) -> None:
-    """Literal-pixel data for one (h, w) uint32 ARGB image: flat
-    per-channel trees, every pixel a literal in g, r, b, a order."""
-    vals = {
-        "g": [(int(v) >> 8) & 0xFF for v in arr.flat],
-        "r": [(int(v) >> 16) & 0xFF for v in arr.flat],
-        "b": [int(v) & 0xFF for v in arr.flat],
-        "a": [(int(v) >> 24) & 0xFF for v in arr.flat],
-    }
-    lengths = {k: _flat_lengths(sorted(set(v))) for k, v in vals.items()}
-    for key in ("g", "r", "b", "a"):
-        _write_tree(w, lengths[key])
-    _write_tree(w, {0: 1})
-    codes = {k: _canonical(v) for k, v in lengths.items()}
-    for i in range(arr.size):
-        for key in ("g", "r", "b", "a"):
-            if len(lengths[key]) > 1:
-                w.code(*codes[key][vals[key][i]])
+# literal-pixel emission: the module helper IS the rendering under
+# test through the decode side, and this file already reuses the
+# module's writer/tree machinery, so a verbatim copy bought no
+# independence — only drift risk (round-12 review fix)
+from simpy__kafka__flink__kafka_spark.functions.vp8l import (  # noqa: E402
+    _write_literal_image as _emit_trees_and_pixels)
 
 
 def _spec_predict(m: int, L, T, TL, TR):
