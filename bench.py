@@ -123,6 +123,7 @@ HEADLINE = [
     "crawl_backoff_schedule",
     "webp_predictor_stats",
     "webp_palette_stats",
+    "webp_entropy_stats",
 ]
 
 

@@ -1322,6 +1322,72 @@ def webp_palette_stats(docs: DataFrame,
     return docs.select(id_col).mapInPandas(run, WEBP_PALETTE_SCHEMA)
 
 
+WEBP_ENTROPY_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_groups", T.IntegerType(), True),
+        T.StructField("sum_r", T.LongType(), True),
+        T.StructField("sum_g", T.LongType(), True),
+        T.StructField("sum_b", T.LongType(), True),
+        T.StructField("lossless", T.IntegerType(), True),
+    ]
+)
+
+
+def webp_entropy_stats(docs: DataFrame,
+                       id_col: str = "doc_id") -> DataFrame:
+    """EXECUTED entropy-image decode path (round 12 —
+    functions/vp8l.py:encode_vp8l_grouped + decode_vp8l): per doc
+    keyed on k = id %% 16, synthesize an 8x4 image (r=(k+5x+3y)%%16,
+    g=(k+2x+y)%%16, b=(k+x+7y)%%16, opaque alpha), encode it with TWO
+    per-tile prefix-code groups (prefix_bits=2: 4x4 tiles in a 1x2
+    grid, each group's trees built over its own tile), decode it back
+    through the general decoder's meta-prefix-group path, and emit
+    per-channel sums + a ``lossless`` flag — one Arrow batch.  The
+    oracle reproduces everything from the id arithmetic; a regression
+    in the meta-index read ((red<<8)|green), the per-pixel group
+    selection, or the multi-group tree reads flips the flag or shifts
+    a sum."""
+    from functools import lru_cache
+
+    from .vp8l import decode_vp8l, encode_vp8l_grouped
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        xs, ys = np.meshgrid(np.arange(8), np.arange(4))
+
+        @lru_cache(maxsize=16)
+        def stats(k: int) -> tuple:
+            img = np.zeros((4, 8, 4), dtype=np.uint8)
+            img[..., 0] = (k + 5 * xs + 3 * ys) % 16
+            img[..., 1] = (k + 2 * xs + ys) % 16
+            img[..., 2] = (k + xs + 7 * ys) % 16
+            img[..., 3] = 255
+            dec = decode_vp8l(encode_vp8l_grouped(img, prefix_bits=2))
+            return (dec.shape[1], dec.shape[0], 2,
+                    int(dec[..., 0].sum()), int(dec[..., 1].sum()),
+                    int(dec[..., 2].sum()),
+                    int(np.array_equal(dec, img)))
+
+        for pdf in batches:
+            out = pdf[id_col].map(lambda i: stats(int(i) % 16))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "width": out.map(lambda t: t[0]).astype("int32"),
+                    "height": out.map(lambda t: t[1]).astype("int32"),
+                    "n_groups": out.map(lambda t: t[2]).astype("int32"),
+                    "sum_r": out.map(lambda t: t[3]).astype("int64"),
+                    "sum_g": out.map(lambda t: t[4]).astype("int64"),
+                    "sum_b": out.map(lambda t: t[5]).astype("int64"),
+                    "lossless": out.map(lambda t: t[6]).astype("int32"),
+                }
+            )
+
+    return docs.select(id_col).mapInPandas(run, WEBP_ENTROPY_SCHEMA)
+
+
 FLAC_ROUNDTRIP_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType(), False),

@@ -729,6 +729,83 @@ def encode_vp8l_indexed(idx: np.ndarray, palette: list[int]) -> bytes:
     return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
 
 
+def encode_vp8l_grouped(rgba: np.ndarray, prefix_bits: int = 2) -> bytes:
+    """Spec-shaped stream with an ENTROPY IMAGE (fixture generator,
+    round 12): one prefix-code group per tile (meta index = row-major
+    tile number, stored as (red<<8)|green in the meta sub-image), each
+    group's literal trees built over its OWN tile's channel values —
+    so the registry row can EXECUTE the meta-prefix-group decode path.
+    No transforms, no color cache; RIFF-wrapped like
+    :func:`encode_vp8l`, which stays entropy-image-free."""
+    import struct
+
+    a = np.asarray(rgba, dtype=np.uint8)
+    if a.ndim != 3 or a.shape[2] != 4:
+        raise ValueError("encode_vp8l_grouped expects (h, w, 4) RGBA")
+    h, wd = a.shape[:2]
+    if not (0 < wd <= 1 << 14 and 0 < h <= 1 << 14):
+        raise ValueError("VP8L cannot represent these dimensions")
+    if not 2 <= prefix_bits <= 9:
+        raise ValueError("prefix_bits must be in 2..9")
+    bw = (wd + (1 << prefix_bits) - 1) >> prefix_bits
+    bh = (h + (1 << prefix_bits) - 1) >> prefix_bits
+    argb = ((a[..., 3].astype(np.uint32) << 24)
+            | (a[..., 0].astype(np.uint32) << 16)
+            | (a[..., 1].astype(np.uint32) << 8)
+            | a[..., 2].astype(np.uint32))
+    w = _LsbWriter()
+    w.bits(wd - 1, 14)
+    w.bits(h - 1, 14)
+    w.bits(1 if (a[..., 3] != 255).any() else 0, 1)
+    w.bits(0, 3)                                  # version
+    w.bits(0, 1)                                  # no transforms
+    w.bits(0, 1)                                  # no color cache
+    w.bits(1, 1)                                  # entropy image
+    w.bits(prefix_bits - 2, 3)
+    meta = np.zeros((bh, bw), dtype=np.uint32)
+    for ty in range(bh):
+        for tx in range(bw):
+            g = ty * bw + tx
+            meta[ty, tx] = ((g >> 8) << 16) | ((g & 0xFF) << 8)
+    w.bits(0, 1)                   # meta sub-image: no color cache
+    _write_literal_image(w, meta)
+    side = 1 << prefix_bits
+    groups = []
+    for g in range(bh * bw):
+        ty, tx = divmod(g, bw)
+        tile = argb[ty * side:min((ty + 1) * side, h),
+                    tx * side:min((tx + 1) * side, wd)]
+        vals = {
+            "g": [(int(v) >> 8) & 0xFF for v in tile.flat],
+            "r": [(int(v) >> 16) & 0xFF for v in tile.flat],
+            "b": [int(v) & 0xFF for v in tile.flat],
+            "a": [(int(v) >> 24) & 0xFF for v in tile.flat],
+        }
+        lengths = {k: _flat_lengths(sorted(set(v)))
+                   for k, v in vals.items()}
+        for key in ("g", "r", "b", "a"):
+            _write_tree(w, lengths[key])
+        _write_tree(w, {0: 1})
+        groups.append((lengths,
+                       {k: _canonical(v) for k, v in lengths.items()}))
+    for y in range(h):             # scan order, per-pixel group codes
+        for x in range(wd):
+            lengths, codes = groups[(y >> prefix_bits) * bw
+                                    + (x >> prefix_bits)]
+            v = int(argb[y, x])
+            for key, val in (("g", (v >> 8) & 0xFF),
+                             ("r", (v >> 16) & 0xFF),
+                             ("b", v & 0xFF),
+                             ("a", (v >> 24) & 0xFF)):
+                if len(lengths[key]) > 1:
+                    w.code(*codes[key][val])
+    payload = bytes([0x2F]) + w.payload()
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    if len(payload) % 2:
+        chunk += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
 def _write_literal_image(w: _LsbWriter, argb: np.ndarray) -> None:
     """One prefix-code group + every pixel as a literal (g, r, b, a
     order) for an (h, w) uint32 ARGB image — the data body shared by

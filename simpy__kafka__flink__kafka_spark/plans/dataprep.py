@@ -3349,6 +3349,41 @@ FROM s
 """
 
 
+def _q_webp_entropy_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTED entropy-image decode (round 12, functions/vp8l.py via
+    multimodal.py:webp_entropy_stats): two per-tile prefix-code groups
+    decode through the meta-prefix-group path; the oracle reproduces
+    the channel sums from the id arithmetic alone."""
+    from ..functions.multimodal import webp_entropy_stats
+
+    return webp_entropy_stats(_docs(spark, sf_dir))
+
+
+_WEBP_ENTROPY_SQL = """
+WITH px AS (
+  SELECT d.doc_id, d.doc_id % 16 AS k, x.x, y.y
+  FROM documents d,
+       (SELECT unnest(generate_series(0, 7)) AS x) x,
+       (SELECT unnest(generate_series(0, 3)) AS y) y
+),
+s AS (
+  SELECT doc_id,
+         sum((k + 5 * x + 3 * y) % 16) AS sr,
+         sum((k + 2 * x + y) % 16) AS sg,
+         sum((k + x + 7 * y) % 16) AS sb
+  FROM px GROUP BY 1
+)
+SELECT doc_id,
+       CAST(8 AS INTEGER) AS width, CAST(4 AS INTEGER) AS height,
+       CAST(2 AS INTEGER) AS n_groups,
+       CAST(sr AS BIGINT) AS sum_r,
+       CAST(sg AS BIGINT) AS sum_g,
+       CAST(sb AS BIGINT) AS sum_b,
+       CAST(1 AS INTEGER) AS lossless
+FROM s
+"""
+
+
 def _q_webp_predictor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXECUTED predictor-transform decode (round 12, functions/vp8l.py
     via multimodal.py:webp_predictor_stats): forward-transformed VP8L
@@ -5095,6 +5130,10 @@ QUERIES: dict[str, Query] = {
         _q_webp_palette_stats, _WEBP_PALETTE_SQL,
         "executed VP8L COLOR-INDEXING decode (delta-coded palette, all "
         "pixel-bundling widths): sums + lossless (oracled tail row)"),
+    "webp_entropy_stats": Query(
+        _q_webp_entropy_stats, _WEBP_ENTROPY_SQL,
+        "executed VP8L ENTROPY-IMAGE decode (per-tile prefix groups): "
+        "sums + lossless (oracled tail row)"),
     "frontier_rank": Query(
         _q_frontier_rank, _frontier_rank_sql(),
         "reputation-weighted frontier ordering: robots-gated sitemap "

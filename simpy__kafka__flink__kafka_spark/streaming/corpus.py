@@ -178,7 +178,8 @@ def incremental_ingest_batch(batch_df: DataFrame, prior_profile_dir: str,
                              schedule_dir: str | None = None,
                              delays: DataFrame | None = None,
                              per_wave: int = 4,
-                             default_delay_s: float = 1.0) -> None:
+                             default_delay_s: float = 1.0,
+                             anomalies_dir: str | None = None) -> None:
     """One micro-batch of :func:`start_incremental_ingest`: classify the
     batch's docs against the PRIOR snapshot's persisted profile PLUS the
     profiles of docs accepted in earlier batches, admit only ``fresh``
@@ -209,7 +210,14 @@ def incremental_ingest_batch(batch_df: DataFrame, prior_profile_dir: str,
     idempotent, whereas appending it LAST would open a crash window
     (docs+profile landed, schedule didn't) in which the replay
     classifies the docs ``exact_known`` and the schedule rows would be
-    PERMANENTLY lost."""
+    PERMANENTLY lost.
+
+    When ``anomalies_dir`` additionally names the rate-detector's sink
+    (streaming/windows.py:start_anomaly_detection — round 12), the
+    batch's schedule rows apply the anomaly BACKOFF from the sink's
+    CURRENT flags (functions/crawl.py:anomaly_backoff, the one
+    rendering); before the detector's first append the flags columns
+    are NULL (the sink schema is stable either way)."""
     from pyspark.errors import AnalysisException
     from pyspark.sql import Window as W
 
@@ -252,10 +260,20 @@ def incremental_ingest_batch(batch_df: DataFrame, prior_profile_dir: str,
             raise ValueError(
                 "schedule_dir requires 'url' in keep: the politeness "
                 "schedule is keyed on the accepted doc's URL host")
+        anomalies = None
+        if anomalies_dir is not None:
+            try:
+                anomalies = spark.read.parquet(anomalies_dir)
+            except AnalysisException as e:
+                cls = (e.getCondition()
+                       if hasattr(e, "getCondition") else None)
+                if (cls != "PATH_NOT_FOUND"
+                        and "Path does not exist" not in str(e)):
+                    raise
         schedule_accepted_batch(
             fresh.select("doc_id", "url"), schedule_dir,
             per_wave=per_wave, delays=delays,
-            default_delay_s=default_delay_s)
+            default_delay_s=default_delay_s, anomalies=anomalies)
     fresh.write.mode("append").parquet(f"{accepted_dir}/docs")
     snapshot_profile(fresh).write.mode("append").parquet(
         f"{accepted_dir}/profile")
@@ -701,7 +719,8 @@ def start_crawl_admission(docs_stream: DataFrame, prior_profile_dir: str,
                           schedule_dir: str | None = None,
                           delays_df: DataFrame | None = None,
                           per_wave: int = 4,
-                          default_delay_s: float = 1.0):
+                          default_delay_s: float = 1.0,
+                          anomalies_dir: str | None = None):
     """STREAMING crawl admission — the batch capstone's precedence
     (functions/crawl.py:admission_statuses) as one continuous front
     door, each stage in the stream-appropriate form:
@@ -748,7 +767,11 @@ def start_crawl_admission(docs_stream: DataFrame, prior_profile_dir: str,
     micro-batches (:func:`schedule_accepted_batch`), ``delays_df``
     carries per-host Crawl-delay seconds (per-slot pacing; hosts
     without one pace per-wave at ``default_delay_s``), and ``keep``
-    must include ``url``."""
+    must include ``url``.  ``anomalies_dir`` (round 12) names the
+    rate-detector's sink so each batch's schedule rows carry the
+    CURRENT per-host anomaly backoff — the detector and the front door
+    are separate streaming queries sharing the sink, the same
+    composition posture as the SCD2 tail."""
     from ..functions.quality import _NOINDEX_TOK_RE, robots_directives
 
     # sorted: Python set iteration order varies across processes (hash
@@ -776,7 +799,8 @@ def start_crawl_admission(docs_stream: DataFrame, prior_profile_dir: str,
                                  prior_profile_dir, accepted_dir,
                                  keep=keep, schedule_dir=schedule_dir,
                                  delays=delays_df, per_wave=per_wave,
-                                 default_delay_s=default_delay_s)
+                                 default_delay_s=default_delay_s,
+                                 anomalies_dir=anomalies_dir)
 
     return (
         indexable.writeStream.foreachBatch(step)

@@ -370,3 +370,70 @@ def test_schedule_sink_schema_stable_without_anomalies(spark, tmp_path):
     assert rows[1].not_before_backoff_s is None
     assert rows[2].n_anomalies == 1             # the bucket-12 burst
     assert rows[2].not_before_backoff_s == rows[2].not_before_s * 4
+
+
+def test_admission_schedule_reads_anomaly_sink_live(spark, tmp_path):
+    """The crawl loop's read side composed END-TO-END in streaming
+    (round 12): the rate detector's sink feeds the front door's
+    politeness tail, so a host whose fetch-rate buckets flagged backs
+    off 4x while calm hosts keep their cadence — and a pre-detector
+    run leaves NULL flags under the SAME sink schema."""
+    import datetime as dt
+
+    from simpy__kafka__flink__kafka_spark.functions.dedup import (
+        snapshot_profile)
+    from simpy__kafka__flink__kafka_spark.streaming.corpus import (
+        start_crawl_admission)
+    from simpy__kafka__flink__kafka_spark.streaming.windows import (
+        score_anomaly_batch)
+
+    # detector sink: s.example bursts (12 calm buckets then 99), t calm
+    counts = ([("s.example", t * 3_600_000, 1 if t != 12 else 99)
+               for t in range(16)]
+              + [("t.example", t * 3_600_000, 2) for t in range(16)])
+    anom = str(tmp_path / "anom")
+    score_anomaly_batch(
+        spark.createDataFrame(counts,
+                              "host string, bucket_ts long, x long"),
+        anom, id_col="host")
+    page = "<html><body><p>ok</p></body></html>"
+    hdr = "HTTP/1.1 200 OK\r\n"
+    fresh = ("a genuinely new page about %s with enough words to pass "
+             "the gates and some more trailing text")
+    rows = [(1, "https://s.example/a", fresh % "alpha"),
+            (2, "https://s.example/b", fresh % "beta"),
+            (3, "https://t.example/c", fresh % "gamma")]
+    prior = str(tmp_path / "pp")
+    snapshot_profile(spark.createDataFrame(
+        [(99, "totally unrelated prior content nothing matches")],
+        "doc_id long, text string")).write.parquet(prior)
+    ind = str(tmp_path / "in")
+    os.makedirs(ind, exist_ok=True)
+    spark.createDataFrame(
+        [(d, _ts(1000 + d), u, page, hdr, t) for d, u, t in rows],
+        "doc_id long, ingest_ts timestamp, url string, html string, "
+        "headers string, text string",
+    ).coalesce(1).write.mode("append").parquet(ind)
+    stream = (spark.readStream.schema(
+        "doc_id long, ingest_ts timestamp, url string, html string, "
+        "headers string, text string")
+        .parquet(ind).withWatermark("ingest_ts", "10 minutes"))
+    delays = spark.createDataFrame([("s.example", 7.0)],
+                                   "host string, crawl_delay double")
+    sched = str(tmp_path / "sched")
+    q = start_crawl_admission(stream, prior, str(tmp_path / "acc"),
+                              str(tmp_path / "ck"), keep=("url",),
+                              schedule_dir=sched, delays_df=delays,
+                              per_wave=4, default_delay_s=1.5,
+                              anomalies_dir=anom)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r.doc_id: r for r in spark.read.parquet(sched).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[2].n_anomalies >= 1               # the burst host
+    assert got[2].not_before_backoff_s == round(
+        got[2].not_before_s * 4, 6)
+    assert got[3].n_anomalies == 0               # calm host: no backoff
+    assert got[3].not_before_backoff_s == got[3].not_before_s

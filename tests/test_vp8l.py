@@ -765,3 +765,40 @@ def test_entropy_image_cache_is_global_across_groups():
     assert dec.shape == (1, 8, 4)
     assert list(dec[0, :, 1]) == [10] * 8   # green everywhere
     assert list(dec[0, :, 2]) == [9] * 8    # blue via the cache too
+
+
+def test_encode_vp8l_grouped_roundtrips_with_distinct_groups():
+    """The grouped fixture builder emits one prefix-code group per
+    tile; decode must reproduce the pixels, and the stream must be
+    SMALLER than forcing both tiles through one shared tree set would
+    allow when the tiles use disjoint value ranges (a weak proxy that
+    two tree sets really exist — the hand-built two-group test pins the
+    exact layout)."""
+    from simpy__kafka__flink__kafka_spark.functions.vp8l import (
+        encode_vp8l_grouped)
+
+    rng = np.random.RandomState(3)
+    img = np.zeros((4, 8, 4), dtype=np.uint8)
+    img[:, :4] = rng.randint(0, 4, size=(4, 4, 4))
+    img[:, 4:] = rng.randint(200, 256, size=(4, 4, 4))
+    img[..., 3] = 255
+    buf = encode_vp8l_grouped(img, prefix_bits=2)
+    assert np.array_equal(decode_vp8l(buf), img)
+    # a 3x2 tile grid (6 groups) also roundtrips
+    img2 = rng.randint(0, 256, size=(9, 7, 4)).astype(np.uint8)
+    assert np.array_equal(
+        decode_vp8l(encode_vp8l_grouped(img2, prefix_bits=2)), img2)
+
+
+def test_webp_entropy_stats_matches_id_arithmetic(spark):
+    from simpy__kafka__flink__kafka_spark.functions.multimodal import (
+        webp_entropy_stats)
+
+    docs = spark.createDataFrame([(i,) for i in range(16)],
+                                 "doc_id long")
+    got = {r.doc_id: r for r in webp_entropy_stats(docs).collect()}
+    for i in range(16):
+        r = got[i]
+        assert (r.width, r.height, r.n_groups, r.lossless) == (8, 4, 2, 1)
+        assert r.sum_b == sum((i + x + 7 * y) % 16
+                              for x in range(8) for y in range(4))
