@@ -802,3 +802,70 @@ def test_webp_entropy_stats_matches_id_arithmetic(spark):
         assert (r.width, r.height, r.n_groups, r.lossless) == (8, 4, 2, 1)
         assert r.sum_b == sum((i + x + 7 * y) % 16
                               for x in range(8) for y in range(4))
+
+
+def _compose_stream(img: np.ndarray, specs: list) -> bytes:
+    """Generic multi-transform stream: specs in READ order, data =
+    T_last(...T_first(img)...) (the decoder inverts in reverse read
+    order), each tiled transform carrying its sub-image."""
+    data = img
+    h, wd = img.shape
+    w = _LsbWriter()
+    w.bits(wd - 1, 14)
+    w.bits(h - 1, 14)
+    w.bits(0, 1); w.bits(0, 3)
+    for spec in specs:
+        w.bits(1, 1)
+        if spec[0] == "predictor":
+            w.bits(0, 2)
+            w.bits(spec[1] - 2, 3)
+            w.bits(0, 1)
+            _emit_trees_and_pixels(w, spec[2].astype(np.uint32) << 8)
+            data = _forward_predictor(data, spec[2], spec[1])
+        elif spec[0] == "color":
+            w.bits(1, 2)
+            w.bits(spec[1] - 2, 3)
+            w.bits(0, 1)
+            _emit_trees_and_pixels(w, spec[2])
+            data = _forward_color(data, spec[2], spec[1])
+        else:                      # subtract-green
+            w.bits(2, 2)
+            g = (data >> 8) & 0xFF
+            rr = (((data >> 16) & 0xFF) - g) % 256
+            b = ((data & 0xFF) - g) % 256
+            data = (data & np.uint32(0xFF00FF00)) | (rr << 16) | b
+    w.bits(0, 1)                   # end of transforms
+    w.bits(0, 1); w.bits(0, 1)
+    _emit_trees_and_pixels(w, data.astype(np.uint32))
+    return bytes([0x2F]) + w.payload()
+
+
+def test_transform_compositions_roundtrip_every_order():
+    """Every ordered subset of {predictor, color, subtract-green}
+    (15 compositions): the decoder must invert them in exact reverse
+    read order — a swapped inversion order corrupts pixels whenever
+    two transforms interact (color reads green; predictor reads all
+    channels)."""
+    import itertools
+
+    rng = np.random.RandomState(77)
+    sb = 2
+    for r in (1, 2, 3):
+        for combo in itertools.permutations(
+                ("predictor", "color", "sg"), r):
+            img = _rand_argb(rng, 5, 9)    # tiles: ceil(5/4) x ceil(9/4)
+            specs = []
+            for t in combo:
+                if t == "predictor":
+                    specs.append(("predictor", sb,
+                                  rng.randint(0, 14, size=(2, 3))
+                                  .astype(np.uint32)))
+                elif t == "color":
+                    ctes = (rng.randint(0, 1 << 24,
+                                        size=(2, 3)).astype(np.uint32)
+                            | np.uint32(0xFF000000))
+                    specs.append(("color", sb, ctes))
+                else:
+                    specs.append(("sg",))
+            dec = decode_vp8l(_compose_stream(img, specs))
+            assert np.array_equal(_pack_rgba(dec), img), combo
