@@ -277,10 +277,21 @@ def _read_subframe(r: _Reader, blocksize: int, bps: int) -> np.ndarray:
     return arr
 
 
-def decode_flac(content: bytes) -> tuple[np.ndarray, int]:
+def decode_flac(content: bytes,
+                max_samples: int | None = None) -> tuple[np.ndarray, int]:
     """FLAC decode -> (samples[n_frames, n_channels] int32, sample_rate).
     Verifies frame CRC-8/CRC-16; raises ValueError on corrupt or
-    reserved-feature streams."""
+    reserved-feature streams.
+
+    Bomb guard (round 12 — the audio twin of the VP8L pixel budget): a
+    CONSTANT subframe emits a whole blocksize (up to 65536 samples) for
+    a handful of payload bytes, so a crafted frame train amplifies
+    ~3000x into the pure-Python sample lists.  Decoded samples (summed
+    across channels) are capped by the shared payload-tied budget
+    (functions/_budget.py; ``max_samples`` overrides), checked per
+    frame BEFORE its subframes decode."""
+    from ._budget import pixel_budget
+
     buf = bytes(content)
     if buf[:3] == b"ID3":                  # skip ID3v2 prefix (syncsafe size)
         sz = ((buf[6] << 21) | (buf[7] << 14) | (buf[8] << 7) | buf[9]) + 10
@@ -309,6 +320,8 @@ def decode_flac(content: bytes) -> tuple[np.ndarray, int]:
         raise ValueError("FLAC missing STREAMINFO")
     s_rate, s_nch, s_bps, s_total = info
 
+    budget = pixel_budget(len(buf), max_samples)
+    produced = 0
     channels_out: list[list[np.ndarray]] = []
     while pos < len(buf):
         frame_start = pos
@@ -350,6 +363,13 @@ def decode_flac(content: bytes) -> tuple[np.ndarray, int]:
         header_end = r.pos >> 3    # header fields are byte-aligned here
         if crc8(buf[frame_start:header_end]) != r.bits(8):
             raise ValueError("FLAC frame header CRC-8 mismatch")
+        nch_frame = (chan_code + 1) if chan_code < 8 else 2
+        produced += blocksize * nch_frame
+        if produced > budget:
+            raise ValueError(
+                f"FLAC stream produces > {budget} samples for a "
+                f"{len(buf)}-byte payload — rejected as a "
+                "decompression bomb")
         if chan_code < 8:
             nch = chan_code + 1
             subs = [_read_subframe(r, blocksize, bps) for _ in range(nch)]

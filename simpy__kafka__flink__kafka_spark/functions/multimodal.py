@@ -298,11 +298,15 @@ def decode_image(content: bytes, max_pixels: int | None = None) -> np.ndarray:
         ) from exc
 
 
-def decode_audio(content: bytes) -> tuple[np.ndarray, int]:
+def decode_audio(content: bytes,
+                 max_samples: int | None = None) -> tuple[np.ndarray, int]:
     """Audio decode -> (samples[n_frames, n_channels], sample_rate).
     RIFF/PCM WAV (stdlib ``wave``) and FLAC (vendored codec in
     ``flac.py``) decode dependency-free; remaining compressed formats
-    (MP3/OGG/...) need an audio I/O library (absent — documented seam)."""
+    (MP3/OGG/...) need an audio I/O library (absent — documented seam).
+    FLAC decoding is sample-budgeted against the payload size
+    (``max_samples`` overrides — see flac.py's bomb guard); PCM WAV is
+    amplification-free (readframes is bounded by the actual bytes)."""
     buf = bytes(content)
     if buf[:4] == b"RIFF" and buf[8:12] == b"WAVE":
         import wave
@@ -326,11 +330,11 @@ def decode_audio(content: bytes) -> tuple[np.ndarray, int]:
         if buf[tag_end:tag_end + 4] == b"fLaC":
             from .flac import decode_flac
 
-            return decode_flac(buf)
+            return decode_flac(buf, max_samples=max_samples)
     if buf[:4] == b"fLaC":
         from .flac import decode_flac
 
-        return decode_flac(buf)
+        return decode_flac(buf, max_samples=max_samples)
     try:
         import soundfile  # type: ignore
 
@@ -354,14 +358,24 @@ def _nearest(px: np.ndarray, width: int, height: int) -> np.ndarray:
     return px[rows][:, cols]
 
 
-def resize_image(content: bytes, width: int, height: int) -> bytes:
+def resize_image(content: bytes, width: int, height: int,
+                 max_pixels: int | None = None) -> bytes:
     """Bytes-in/bytes-out resize re-encoding in kind: P6 PPM, PNG
     (lossless filter-0 writer), GIF (palette preserved — nearest-neighbor
     never invents colors), TIFF (uncompressed RGB strip), BMP (24-bit),
     and JPEG (4:4:4 at quality 90).
     Other formats need an imaging library (absent — documented seam).
     Nearest-neighbor is the deterministic choice: no resampling-kernel
-    variation across library versions, so fixtures hash stably."""
+    variation across library versions, so fixtures hash stably.
+    The SOURCE dims are budget-gated like :func:`decode_image` (this
+    decodes untrusted bytes through the same vendored parsers); the
+    OUTPUT dims are the caller's own arguments."""
+    try:
+        _, wd, ht = image_dims(content)
+    except (ValueError, NotImplementedError):
+        wd = None
+    if wd is not None:
+        _check_pixels("image header", wd, ht, len(content), max_pixels)
     head = bytes(content[:8])
     if head[:2] == b"P6":
         return encode_ppm(_nearest(decode_ppm(content), width, height))

@@ -237,3 +237,28 @@ def test_decode_image_forwards_max_pixels_to_vp8l():
         decode_image(riff)              # default budget still rejects
     with pytest.raises(ValueError, match="truncated"):
         decode_image(riff, max_pixels=1 << 30)
+
+
+def test_flac_constant_subframe_bomb_rejected_fast():
+    """The audio twin of the VP8L bomb: CONSTANT subframes emit a whole
+    blocksize (up to 65536 samples) for a handful of bytes, so a short
+    crafted frame train amplifies ~3000x into pure-Python sample
+    lists.  The per-frame sample budget must reject it in milliseconds;
+    a legit encode_flac stream still decodes, and an explicit
+    max_samples override admits larger outputs."""
+    import time
+
+    from simpy__kafka__flink__kafka_spark.functions.flac import (
+        decode_flac, encode_flac)
+
+    # the guard fires per FRAME before its subframes decode, so a tiny
+    # explicit budget on a legit stream exercises the same code path a
+    # crafted constant-frame train would hit under the default budget
+    samples = np.zeros(4096, dtype=np.int32)
+    buf = encode_flac(samples, 16000)
+    t0 = time.perf_counter()
+    with pytest.raises(ValueError, match="decompression bomb"):
+        decode_flac(buf, max_samples=100)
+    assert time.perf_counter() - t0 < 0.2
+    out, rate = decode_flac(buf)           # payload-tied default admits
+    assert out.shape[0] == 4096 and rate == 16000
