@@ -143,6 +143,11 @@ def decode_gif(content: bytes,
                max_pixels: int | None = None) -> np.ndarray:
     """GIF decode -> (height, width, 3) uint8 (first frame).
 
+    Truncated headers / extension chains index past the buffer in the
+    block walk; those fold into the typed ValueError family here (an
+    adversarial stream must never leak an untyped crash out of the
+    Arrow task).
+
     Bomb guard (round-12 review fix): BOTH the logical-screen dims and
     each image DESCRIPTOR's dims are budget-checked against the shared
     policy (functions/_budget.py) before any allocation or the LZW
@@ -152,7 +157,13 @@ def decode_gif(content: bytes,
     descriptor was a budget bypass."""
     from ._budget import check_pixels
 
-    buf = bytes(content)
+    try:
+        return _decode_gif(bytes(content), max_pixels, check_pixels)
+    except IndexError as exc:
+        raise ValueError("truncated or malformed GIF stream") from exc
+
+
+def _decode_gif(buf: bytes, max_pixels, check_pixels) -> np.ndarray:
     if buf[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF")
     sw = int.from_bytes(buf[6:8], "little")

@@ -133,6 +133,8 @@ class _BitReader:
         self.pos = 0
 
     def read_bit(self) -> int:
+        if (self.pos >> 3) >= len(self.data):
+            raise ValueError("truncated JPEG scan data")
         byte = self.data[self.pos >> 3]
         bit = (byte >> (7 - (self.pos & 7))) & 1
         self.pos += 1
@@ -374,11 +376,28 @@ def _decode_block(coefs: np.ndarray, by: int, bx: int, r: _BitReader,
     return eobrun, pred
 
 
-def decode_jpeg(content: bytes) -> np.ndarray:
+def decode_jpeg(content: bytes,
+                max_pixels: int | None = None) -> np.ndarray:
     """Sequential (SOF0/SOF1) or progressive (SOF2) JPEG decode ->
     (height, width, 3) uint8.  Grayscale images are replicated to 3
     channels (same contract as the other vendored decoders).  Raises
-    ValueError on arithmetic-coded / hierarchical / non-8-bit streams."""
+    ValueError on arithmetic-coded / hierarchical / non-8-bit streams.
+    SOF dims are budget-gated BEFORE the MCU coefficient grids allocate
+    (functions/_budget.py — round-12 sweep), and any residual
+    index-out-of-range from a malformed stream folds into the typed
+    ValueError family (the scan walker indexes segment bytes in many
+    places; an adversarial stream must never leak an untyped crash
+    out of the Arrow task)."""
+    try:
+        return _decode_jpeg(bytes(content), max_pixels)
+    except (IndexError, KeyError) as exc:
+        # truncated segments index past buffers; mutated streams
+        # reference undefined quant/Huffman table ids — both are
+        # malformed input, not decoder state
+        raise ValueError("truncated or malformed JPEG stream") from exc
+
+
+def _decode_jpeg(content: bytes, max_pixels: int | None) -> np.ndarray:
     buf = bytes(content)
     if buf[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
@@ -425,6 +444,9 @@ def decode_jpeg(content: bytes) -> np.ndarray:
             for c in range(ncomp):
                 cid, hv, tq = data[6 + 3 * c], data[7 + 3 * c], data[8 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 15, tq))
+            from ._budget import check_pixels
+
+            check_pixels("JPEG SOF", w, h, len(buf), max_pixels)
             frame = _Frame(h, w, comps, progressive=(marker == 0xC2))
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):

@@ -146,6 +146,8 @@ def decode_png(content: bytes) -> np.ndarray:
         data = buf[pos + 8:pos + 8 + ln]
         pos += 12 + ln  # length + type + data + crc
         if typ == b"IHDR":
+            if len(data) < 13:
+                raise ValueError("truncated PNG IHDR chunk")
             w = int.from_bytes(data[0:4], "big")
             h = int.from_bytes(data[4:8], "big")
             bitd, ctype, interlace = data[8], data[9], data[12]
@@ -167,7 +169,11 @@ def decode_png(content: bytes) -> np.ndarray:
     # the header promised (the zlib cousin of the VP8L pixel-budget
     # bomb — deflate expands up to ~1000:1, so an unbounded
     # zlib.decompress hands an attacker a gigabyte for a megabyte)
-    raw = zlib.decompressobj().decompress(b"".join(idat), expected + 1)
+    try:
+        raw = zlib.decompressobj().decompress(b"".join(idat),
+                                              expected + 1)
+    except zlib.error as exc:      # corrupt deflate data is a typed error
+        raise ValueError(f"corrupt PNG IDAT stream: {exc}") from exc
     if len(raw) != expected:
         raise ValueError("PNG raster length mismatch")
     out = np.empty((h, stride), np.uint8)
@@ -266,7 +272,7 @@ def decode_image(content: bytes, max_pixels: int | None = None) -> np.ndarray:
     if buf[:2] == b"\xff\xd8":
         from .jpeg import decode_jpeg
 
-        return decode_jpeg(content)
+        return decode_jpeg(content, max_pixels=max_pixels)
     if buf[:4] == b"GIF8":
         from .gif import decode_gif
 
@@ -274,7 +280,7 @@ def decode_image(content: bytes, max_pixels: int | None = None) -> np.ndarray:
     if buf[:4] in (b"II*\x00", b"MM\x00*"):
         from .tiff import decode_tiff
 
-        return decode_tiff(content)
+        return decode_tiff(content, max_pixels=max_pixels)
     if buf[:2] == b"BM":
         from .bmp import decode_bmp
 

@@ -173,9 +173,20 @@ def _lzw_encode_tiff(data: bytes) -> bytes:
     return bytes(out)
 
 
-def decode_tiff(content: bytes) -> np.ndarray:
-    """Baseline TIFF decode -> (height, width, 3) uint8 (first IFD)."""
-    buf = bytes(content)
+def decode_tiff(content: bytes, max_pixels: int | None = None) -> np.ndarray:
+    """Baseline TIFF decode -> (height, width, 3) uint8 (first IFD).
+    Truncated IFD walks index past the buffer; those fold into the
+    typed ValueError family (no untyped crash leaves the Arrow task),
+    and the declared extent is budget-gated before any strip decodes."""
+    try:
+        return _decode_tiff(bytes(content), max_pixels)
+    except (IndexError, KeyError) as exc:
+        # mutated IFDs reference missing required tags (e.g. strip
+        # offsets) — malformed input, not decoder state
+        raise ValueError("truncated or malformed TIFF stream") from exc
+
+
+def _decode_tiff(buf: bytes, max_pixels: int | None) -> np.ndarray:
     if buf[:2] == b"II":
         bo = "little"
     elif buf[:2] == b"MM":
@@ -215,6 +226,12 @@ def decode_tiff(content: bytes) -> np.ndarray:
         return default
 
     w, h = one(256), one(257)
+    # bomb guard (round-12 sweep): PackBits/LZW strips expand toward
+    # rows*w*spp — header-controlled, so a huge declared extent must
+    # fail the shared budget BEFORE any strip decodes
+    from ._budget import check_pixels
+
+    check_pixels("TIFF", w, h, len(buf), max_pixels)
     compression = one(259, 1)
     photometric = one(262)
     spp = one(277, 1)

@@ -262,3 +262,55 @@ def test_flac_constant_subframe_bomb_rejected_fast():
     assert time.perf_counter() - t0 < 0.2
     out, rate = decode_flac(buf)           # payload-tied default admits
     assert out.shape[0] == 4096 and rate == 16000
+
+
+def test_decode_image_typed_errors_only_all_formats():
+    """The round-12 gap that hid a JPEG IndexError leak: the decode
+    fuzz previously covered only VP8L.  Run the FULL decode (not just
+    the header walk) over every format's mutation corpus — typed
+    errors or a valid array, never an untyped crash out of the Arrow
+    task.  Sampled sparser than the header-walk fuzz (a full decode of
+    a near-valid mutant costs real IDCT/defilter work; exhaustive
+    truncation here measured ~9 min)."""
+    from simpy__kafka__flink__kafka_spark.functions.multimodal import (
+        decode_image)
+
+    rng = random.Random(4321)
+    for name, buf in _fixtures().items():
+        if name in ("mp3", "webp", "avif"):   # not pixel-decodable
+            continue
+        muts = [buf[:cut] for cut in range(0, len(buf), 5)]
+        for _ in range(48):
+            b = bytearray(buf)
+            b[rng.randrange(len(buf))] ^= 1 << rng.randrange(8)
+            muts.append(bytes(b))
+        muts += [bytes(rng.randrange(256) for _ in range(n))
+                 for n in (0, 1, 3, 7, 64)]
+        for mut in muts:
+            try:
+                out = decode_image(mut)
+                assert out.ndim == 3 and out.shape[2] == 3
+            except OK_ERRORS:
+                pass
+
+
+def test_jpeg_huge_sof_dims_rejected_fast():
+    """A JPEG whose SOF declares 60000x60000 must fail the budget
+    BEFORE the MCU coefficient grids allocate (np.zeros over
+    header-declared MCU counts) — and truncated scans raise the typed
+    error, not IndexError."""
+    import time
+
+    from simpy__kafka__flink__kafka_spark.functions.jpeg import (
+        decode_jpeg, encode_jpeg)
+
+    px = np.zeros((2, 3, 3), np.uint8)
+    buf = bytearray(encode_jpeg(px))
+    i = buf.find(b"\xff\xc0")
+    if i < 0:
+        i = buf.find(b"\xff\xc2")
+    buf[i + 5:i + 9] = (60000).to_bytes(2, "big") * 2
+    t0 = time.perf_counter()
+    with pytest.raises(ValueError, match="decompression bomb"):
+        decode_jpeg(bytes(buf))
+    assert time.perf_counter() - t0 < 0.2
