@@ -19,6 +19,21 @@ from __future__ import annotations
 DECODE_MAX_PIXELS = 1 << 22
 DECODE_PIXELS_PER_BYTE = 4096
 PIXEL_FLOOR = 4096
+# Audio gets its own absolute cap (round-12 review fix: the image cap
+# of 2^22 rejected any legit FLAC past ~47 s of stereo CD audio).
+# 2^25 samples ~ 6.3 min of 44.1 kHz stereo; a FLAC sample is one list
+# append + Rice read — far cheaper than a VP8L pixel's four tree walks
+# — so the worst-case CPU an adversarial payload can buy stays
+# comparable.  Legit longer audio passes an explicit max_samples.
+AUDIO_MAX_SAMPLES = 1 << 25
+
+
+def sample_budget(payload_len: int, max_samples: int | None = None) -> int:
+    """The audio-sample twin of :func:`pixel_budget`."""
+    if max_samples is not None:
+        return int(max_samples)
+    return min(AUDIO_MAX_SAMPLES,
+               max(PIXEL_FLOOR, DECODE_PIXELS_PER_BYTE * int(payload_len)))
 
 
 def pixel_budget(payload_len: int, max_pixels: int | None = None) -> int:

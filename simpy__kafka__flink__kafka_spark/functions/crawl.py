@@ -154,7 +154,9 @@ def crawl_schedule(urls: DataFrame, per_wave: int = 4,
 
 def anomaly_backoff(schedule: DataFrame, anomalies: DataFrame,
                     backoff: int = 4,
-                    host_col: str = "host") -> DataFrame:
+                    host_col: str = "host",
+                    max_age_buckets: int | None = None,
+                    grid_ms: int = 3_600_000) -> DataFrame:
     """Feed rate-anomaly signals into the politeness schedule — the
     READ side of the rolling z-score detector (VERDICT r11 task 9:
     reputation already feeds seed ORDER through frontier_rank; this
@@ -170,14 +172,33 @@ def anomaly_backoff(schedule: DataFrame, anomalies: DataFrame,
     ``is_anomaly``).  ``schedule`` is :func:`crawl_schedule` output (or
     the streaming schedule sink): (id, host, slot, wave, not_before_s).
 
+    ``max_age_buckets`` makes flags AGE OUT (round-12 review fix: the
+    detector's sink is append-only history, so counting every flagged
+    bucket ever would back a host off forever after one day-one burst):
+    only buckets within that many ``grid_ms`` buckets of the sink's
+    LATEST bucket count.  The horizon anchors on DATA time (the sink's
+    max bucket_ts), not wall clock, so replays stay deterministic.
+    None (the batch registry row's setting) counts all flags — that row
+    scores a single bounded events table, where "all" IS the trailing
+    window.
+
     Scale shape: flags collapse to HOST cardinality (one map-side
     combined aggregate over the detector's already-bucketed output —
     bucket rows are timeline-hours per host, never event volume), then
     ONE broadcast join onto the schedule: no new exchange over the URL
-    volume.  Output: schedule columns + (n_anomalies,
-    not_before_backoff_s)."""
+    volume; the age filter adds one scalar max-aggregate broadcast.
+    Output: schedule columns + (n_anomalies, not_before_backoff_s)."""
+    flagged = anomalies.where(F.col("is_anomaly") == 1)
+    if max_age_buckets is not None:
+        edge = anomalies.agg(F.max("bucket_ts").alias("_edge"))
+        flagged = (
+            flagged.crossJoin(F.broadcast(edge))
+            .where(F.col("bucket_ts")
+                   > F.col("_edge")
+                   - F.lit(int(max_age_buckets) * int(grid_ms)))
+            .drop("_edge"))
     flags = (
-        anomalies.where(F.col("is_anomaly") == 1)
+        flagged
         .groupBy(F.col(host_col).alias("host"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_anomalies"))
     )

@@ -288,9 +288,20 @@ def decode_flac(content: bytes,
     a handful of payload bytes, so a crafted frame train amplifies
     ~3000x into the pure-Python sample lists.  Decoded samples (summed
     across channels) are capped by the shared payload-tied budget
-    (functions/_budget.py; ``max_samples`` overrides), checked per
-    frame BEFORE its subframes decode."""
-    from ._budget import pixel_budget
+    (functions/_budget.py sample_budget — absolute cap 2^25, ~6 min of
+    stereo CD audio; ``max_samples`` overrides), checked per frame
+    BEFORE its subframes decode.  Truncated metadata/ID3 walks fold
+    into the typed ValueError family (no untyped crash leaves the
+    Arrow task)."""
+    try:
+        return _decode_flac(bytes(content), max_samples)
+    except IndexError as exc:
+        raise ValueError("truncated or malformed FLAC stream") from exc
+
+
+def _decode_flac(content: bytes,
+                 max_samples: int | None) -> tuple[np.ndarray, int]:
+    from ._budget import sample_budget
 
     buf = bytes(content)
     if buf[:3] == b"ID3":                  # skip ID3v2 prefix (syncsafe size)
@@ -320,7 +331,7 @@ def decode_flac(content: bytes,
         raise ValueError("FLAC missing STREAMINFO")
     s_rate, s_nch, s_bps, s_total = info
 
-    budget = pixel_budget(len(buf), max_samples)
+    budget = sample_budget(len(buf), max_samples)
     produced = 0
     channels_out: list[list[np.ndarray]] = []
     while pos < len(buf):

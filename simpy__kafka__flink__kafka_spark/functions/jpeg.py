@@ -390,7 +390,7 @@ def decode_jpeg(content: bytes,
     out of the Arrow task)."""
     try:
         return _decode_jpeg(bytes(content), max_pixels)
-    except (IndexError, KeyError) as exc:
+    except (IndexError, KeyError, ZeroDivisionError) as exc:
         # truncated segments index past buffers; mutated streams
         # reference undefined quant/Huffman table ids — both are
         # malformed input, not decoder state
@@ -443,7 +443,13 @@ def _decode_jpeg(content: bytes, max_pixels: int | None) -> np.ndarray:
             comps = []
             for c in range(ncomp):
                 cid, hv, tq = data[6 + 3 * c], data[7 + 3 * c], data[8 + 3 * c]
-                comps.append((cid, hv >> 4, hv & 15, tq))
+                hi, vi = hv >> 4, hv & 15
+                # T.81 B.2.2: sampling factors are 1..4; 0 would divide
+                # by zero in the upsample arithmetic (fuzz finding)
+                if not (1 <= hi <= 4 and 1 <= vi <= 4):
+                    raise ValueError(
+                        f"invalid JPEG sampling factors {hi}x{vi}")
+                comps.append((cid, hi, vi, tq))
             from ._budget import check_pixels
 
             check_pixels("JPEG SOF", w, h, len(buf), max_pixels)

@@ -315,12 +315,23 @@ def decode_audio(content: bytes,
     amplification-free (readframes is bounded by the actual bytes)."""
     buf = bytes(content)
     if buf[:4] == b"RIFF" and buf[8:12] == b"WAVE":
+        import struct
         import wave
 
-        with wave.open(io.BytesIO(buf)) as wv:
-            n, ch, width = wv.getnframes(), wv.getnchannels(), wv.getsampwidth()
-            rate = wv.getframerate()
-            data = wv.readframes(n)
+        # the stdlib parser leaks wave.Error / EOFError / RuntimeError
+        # on malformed containers (the _container_stats lesson): fold
+        # them into the typed family so a crawled truncated WAV never
+        # crashes the Arrow task untyped
+        try:
+            with wave.open(io.BytesIO(buf)) as wv:
+                n, ch, width = (wv.getnframes(), wv.getnchannels(),
+                                wv.getsampwidth())
+                rate = wv.getframerate()
+                data = wv.readframes(n)
+        except (wave.Error, EOFError, OSError, RuntimeError,
+                struct.error) as exc:
+            raise ValueError(f"malformed RIFF/WAVE container: {exc}") \
+                from exc
         if width == 3:
             raise ValueError(
                 "24-bit (3-byte) PCM WAV is not supported by the "
@@ -390,7 +401,8 @@ def resize_image(content: bytes, width: int, height: int,
     if head[:4] == b"GIF8":
         from .gif import decode_gif, encode_gif
 
-        return encode_gif(_nearest(decode_gif(content), width, height))
+        return encode_gif(_nearest(
+            decode_gif(content, max_pixels=max_pixels), width, height))
     if head[:2] == b"BM":
         from .bmp import decode_bmp, encode_bmp
 
@@ -398,11 +410,13 @@ def resize_image(content: bytes, width: int, height: int,
     if head[:4] in (b"II*\x00", b"MM\x00*"):
         from .tiff import decode_tiff, encode_tiff
 
-        return encode_tiff(_nearest(decode_tiff(content), width, height))
+        return encode_tiff(_nearest(
+            decode_tiff(content, max_pixels=max_pixels), width, height))
     if head[:2] == b"\xff\xd8":
         from .jpeg import decode_jpeg, encode_jpeg
 
-        return encode_jpeg(_nearest(decode_jpeg(content), width, height),
+        return encode_jpeg(_nearest(
+            decode_jpeg(content, max_pixels=max_pixels), width, height),
                            quality=90, subsampling="4:4:4")
     try:
         from PIL import Image  # type: ignore

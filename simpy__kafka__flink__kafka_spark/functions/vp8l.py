@@ -1,12 +1,14 @@
-"""VP8L (lossless WebP) pixel codec — the TRANSFORM-FREE subset: a
-general decoder for VP8L streams that carry no transforms and no
-entropy image (simple AND normal code-length-coded prefix trees, the
-max-symbol cap, repeat codes 16/17/18, LZ77 backward references with
-direct distances, the color cache), plus an encoder that synthesizes
-spec-shaped literal-pixel streams — the fixture generator for the
-roundtrip row (the encode_mp3_frames / flac_roundtrip posture: headers
-and entropy coding are real, the corpus never depends on external
-codec libraries).
+"""VP8L (lossless WebP) pixel codec: a general decoder (simple AND
+normal code-length-coded prefix trees, the max-symbol cap, repeat
+codes 16/17/18, LZ77 backward references with direct distances, the
+color cache, all four spatial transforms, the entropy image), plus
+fixture encoders that synthesize spec-shaped streams for each decode
+path — transform-free literals (:func:`encode_vp8l`), predictor
+(:func:`encode_vp8l_predicted`), color-indexing
+(:func:`encode_vp8l_indexed`), and per-tile prefix groups
+(:func:`encode_vp8l_grouped`) — the encode_mp3_frames /
+flac_roundtrip posture: headers and entropy coding are real, the
+corpus never depends on external codec libraries.
 
 This NARROWS the documented WebP seam (multimodal.py previously walked
 only the VP8L header): pixel decode now executes for ALL FOUR spatial
@@ -607,6 +609,31 @@ def _write_tree(w: _LsbWriter, lengths: dict[int, int]) -> None:
             w.code(*clc_codes[v])
 
 
+
+def _riff_wrap(w: _LsbWriter) -> bytes:
+    """ONE rendering of the RIFF/WEBP container wrap (round-12 review
+    fix: previously copied into each of the four encoders)."""
+    import struct
+
+    payload = bytes([0x2F]) + w.payload()
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    if len(payload) % 2:
+        chunk += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def _write_dims_header(w: _LsbWriter, wd: int, h: int,
+                       alpha_hint: bool) -> None:
+    """ONE rendering of the 14-bit dims / alpha-hint / version
+    preamble shared by every encoder."""
+    if not (0 < wd <= 1 << 14 and 0 < h <= 1 << 14):
+        raise ValueError("VP8L cannot represent these dimensions")
+    w.bits(wd - 1, 14)
+    w.bits(h - 1, 14)
+    w.bits(1 if alpha_hint else 0, 1)
+    w.bits(0, 3)                                  # version
+
+
 def encode_vp8l(rgba: np.ndarray, subtract_green: bool = False) -> bytes:
     """Encode an (h, w, 4) uint8 RGBA array as a spec-shaped VP8L
     stream: optional subtract-green transform, no color cache, no LZ77
@@ -614,19 +641,12 @@ def encode_vp8l(rgba: np.ndarray, subtract_green: bool = False) -> bytes:
     codes when a channel uses <= 2 values, normal code-length-coded
     trees with the max-symbol cap otherwise).  Wrapped in a RIFF/WEBP
     container."""
-    import struct
-
     a = np.asarray(rgba, dtype=np.uint8)
     if a.ndim != 3 or a.shape[2] != 4:
         raise ValueError("encode_vp8l expects (h, w, 4) RGBA")
     h, wd = a.shape[:2]
-    if not (0 < wd <= 1 << 14 and 0 < h <= 1 << 14):
-        raise ValueError("VP8L cannot represent these dimensions")
     w = _LsbWriter()
-    w.bits(wd - 1, 14)
-    w.bits(h - 1, 14)
-    w.bits(1 if (a[..., 3] != 255).any() else 0, 1)
-    w.bits(0, 3)                                  # version
+    _write_dims_header(w, wd, h, bool((a[..., 3] != 255).any()))
     if subtract_green:
         a = a.copy()
         a[..., 0] -= a[..., 1]                    # uint8 wraparound = mod 256
@@ -659,11 +679,7 @@ def encode_vp8l(rgba: np.ndarray, subtract_green: bool = False) -> bytes:
             put("r", int(a[y, x, 0]))
             put("b", int(a[y, x, 2]))
             put("a", int(a[y, x, 3]))
-    payload = bytes([0x2F]) + w.payload()
-    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
-    if len(payload) % 2:
-        chunk += b"\x00"
-    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+    return _riff_wrap(w)
 
 
 def encode_vp8l_indexed(idx: np.ndarray, palette: list[int]) -> bytes:
@@ -674,8 +690,6 @@ def encode_vp8l_indexed(idx: np.ndarray, palette: list[int]) -> bytes:
     in the least-significant bits), so the registry row can EXECUTE
     the palette decode path.  RIFF-wrapped like :func:`encode_vp8l`;
     the public encoder stays transform-free."""
-    import struct
-
     idx = np.asarray(idx)
     h, wd = idx.shape
     n = len(palette)
@@ -685,10 +699,8 @@ def encode_vp8l_indexed(idx: np.ndarray, palette: list[int]) -> bytes:
         raise ValueError("index grid addresses past the palette")
     width_bits = _palette_width_bits(n)
     w = _LsbWriter()
-    w.bits(wd - 1, 14)
-    w.bits(h - 1, 14)
-    w.bits(1 if any(((p >> 24) & 0xFF) != 255 for p in palette) else 0, 1)
-    w.bits(0, 3)                                  # version
+    _write_dims_header(
+        w, wd, h, any(((p >> 24) & 0xFF) != 255 for p in palette))
     w.bits(1, 1)                                  # a transform follows
     w.bits(3, 2)                                  # type 3: color indexing
     w.bits(n - 1, 8)
@@ -722,11 +734,7 @@ def encode_vp8l_indexed(idx: np.ndarray, palette: list[int]) -> bytes:
                         g |= int(idx[y, x]) << (k * bits)
                 packed[y, xp] = g << 8
     _write_literal_image(w, packed)
-    payload = bytes([0x2F]) + w.payload()
-    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
-    if len(payload) % 2:
-        chunk += b"\x00"
-    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+    return _riff_wrap(w)
 
 
 def encode_vp8l_grouped(rgba: np.ndarray, prefix_bits: int = 2) -> bytes:
@@ -737,14 +745,10 @@ def encode_vp8l_grouped(rgba: np.ndarray, prefix_bits: int = 2) -> bytes:
     so the registry row can EXECUTE the meta-prefix-group decode path.
     No transforms, no color cache; RIFF-wrapped like
     :func:`encode_vp8l`, which stays entropy-image-free."""
-    import struct
-
     a = np.asarray(rgba, dtype=np.uint8)
     if a.ndim != 3 or a.shape[2] != 4:
         raise ValueError("encode_vp8l_grouped expects (h, w, 4) RGBA")
     h, wd = a.shape[:2]
-    if not (0 < wd <= 1 << 14 and 0 < h <= 1 << 14):
-        raise ValueError("VP8L cannot represent these dimensions")
     if not 2 <= prefix_bits <= 9:
         raise ValueError("prefix_bits must be in 2..9")
     bw = (wd + (1 << prefix_bits) - 1) >> prefix_bits
@@ -754,10 +758,7 @@ def encode_vp8l_grouped(rgba: np.ndarray, prefix_bits: int = 2) -> bytes:
             | (a[..., 1].astype(np.uint32) << 8)
             | a[..., 2].astype(np.uint32))
     w = _LsbWriter()
-    w.bits(wd - 1, 14)
-    w.bits(h - 1, 14)
-    w.bits(1 if (a[..., 3] != 255).any() else 0, 1)
-    w.bits(0, 3)                                  # version
+    _write_dims_header(w, wd, h, bool((a[..., 3] != 255).any()))
     w.bits(0, 1)                                  # no transforms
     w.bits(0, 1)                                  # no color cache
     w.bits(1, 1)                                  # entropy image
@@ -799,11 +800,7 @@ def encode_vp8l_grouped(rgba: np.ndarray, prefix_bits: int = 2) -> bytes:
                              ("a", (v >> 24) & 0xFF)):
                 if len(lengths[key]) > 1:
                     w.code(*codes[key][val])
-    payload = bytes([0x2F]) + w.payload()
-    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
-    if len(payload) % 2:
-        chunk += b"\x00"
-    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+    return _riff_wrap(w)
 
 
 def _write_literal_image(w: _LsbWriter, argb: np.ndarray) -> None:
@@ -841,14 +838,10 @@ def encode_vp8l_predicted(rgba: np.ndarray, modes: np.ndarray,
     literal-pixel data.  ``modes`` is the
     (ceil(h/2^size_bits), ceil(w/2^size_bits)) tile-mode grid.  The
     public :func:`encode_vp8l` stays transform-free."""
-    import struct
-
     a = np.asarray(rgba, dtype=np.uint8)
     if a.ndim != 3 or a.shape[2] != 4:
         raise ValueError("encode_vp8l_predicted expects (h, w, 4) RGBA")
     h, wd = a.shape[:2]
-    if not (0 < wd <= 1 << 14 and 0 < h <= 1 << 14):
-        raise ValueError("VP8L cannot represent these dimensions")
     if not 2 <= size_bits <= 9:                   # 3-bit field holds -2
         raise ValueError("predictor size_bits must be in 2..9")
     bw = (wd + (1 << size_bits) - 1) >> size_bits
@@ -887,10 +880,7 @@ def encode_vp8l_predicted(rgba: np.ndarray, modes: np.ndarray,
             d = tuple((c - p) & 0xFF for c, p in zip(cv, pred))
             res[y, x] = (d[0] << 24) | (d[1] << 16) | (d[2] << 8) | d[3]
     w = _LsbWriter()
-    w.bits(wd - 1, 14)
-    w.bits(h - 1, 14)
-    w.bits(1 if (a[..., 3] != 255).any() else 0, 1)
-    w.bits(0, 3)                                  # version
+    _write_dims_header(w, wd, h, bool((a[..., 3] != 255).any()))
     w.bits(1, 1)                                  # a transform follows
     w.bits(0, 2)                                  # type 0: predictor
     w.bits(size_bits - 2, 3)
@@ -900,8 +890,4 @@ def encode_vp8l_predicted(rgba: np.ndarray, modes: np.ndarray,
     w.bits(0, 1)                                  # main: no color cache
     w.bits(0, 1)                                  # no entropy image
     _write_literal_image(w, res)
-    payload = bytes([0x2F]) + w.payload()
-    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
-    if len(payload) % 2:
-        chunk += b"\x00"
-    return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+    return _riff_wrap(w)

@@ -32,6 +32,32 @@ from pyspark.sql import functions as F
 from ..functions.text import normalized, quality_score, token_count
 
 
+def read_parquet_if_exists(spark, path: str) -> DataFrame | None:
+    """ONE rendering of the read-the-sink-if-it-exists idiom (round-12
+    review fix: the 6-line try/except block existed at seven call sites
+    across corpus.py and windows.py, and its tolerated-condition logic
+    needed widening — which would have meant seven edits).  Returns
+    None when the sink does not exist yet OR exists but holds no
+    committed parquet files (the empty-directory race between two
+    streaming queries sharing a sink: the writer has created the dir
+    but its first append is mid-flight, which reads as
+    UNABLE_TO_INFER_SCHEMA, not PATH_NOT_FOUND).  Any OTHER failure
+    (corrupt footer, permissions, transient FS error) re-raises — the
+    checkpoint retries the batch rather than silently proceeding
+    without the sink's history."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as e:
+        cls = e.getCondition() if hasattr(e, "getCondition") else None
+        if (cls in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA")
+                or "Path does not exist" in str(e)
+                or "Unable to infer schema" in str(e)):
+            return None
+        raise
+
+
 def file_docs_source(spark, path: str, watermark: str = "10 minutes",
                      schema: str = "doc_id long, text string, "
                                    "ingest_ts timestamp") -> DataFrame:
@@ -156,17 +182,12 @@ def compact_pair_batch(batch_df: DataFrame, out_dir: str) -> None:
     permissions, transient FS error) must fail the batch — the
     checkpoint will retry it — rather than silently appending duplicate
     pairs."""
-    from pyspark.errors import AnalysisException
-
     spark = batch_df.sparkSession
     fresh = batch_df.select("doc_a", "doc_b").distinct()
-    try:
-        existing = spark.read.parquet(out_dir).select("doc_a", "doc_b")
-        fresh = fresh.join(existing, ["doc_a", "doc_b"], "left_anti")
-    except AnalysisException as e:
-        cls = e.getCondition() if hasattr(e, "getCondition") else None
-        if cls != "PATH_NOT_FOUND" and "Path does not exist" not in str(e):
-            raise
+    existing = read_parquet_if_exists(spark, out_dir)
+    if existing is not None:
+        fresh = fresh.join(existing.select("doc_a", "doc_b"),
+                           ["doc_a", "doc_b"], "left_anti")
     fresh.write.mode("append").parquet(out_dir)
 
 
@@ -218,7 +239,6 @@ def incremental_ingest_batch(batch_df: DataFrame, prior_profile_dir: str,
     CURRENT flags (functions/crawl.py:anomaly_backoff, the one
     rendering); before the detector's first append the flags columns
     are NULL (the sink schema is stable either way)."""
-    from pyspark.errors import AnalysisException
     from pyspark.sql import Window as W
 
     from ..functions.dedup import dedup_against, snapshot_profile
@@ -226,13 +246,9 @@ def incremental_ingest_batch(batch_df: DataFrame, prior_profile_dir: str,
 
     spark = batch_df.sparkSession
     prior = spark.read.parquet(prior_profile_dir)
-    try:
-        seen = spark.read.parquet(f"{accepted_dir}/profile")
+    seen = read_parquet_if_exists(spark, f"{accepted_dir}/profile")
+    if seen is not None:
         prior = prior.unionByName(seen)
-    except AnalysisException as e:
-        cls = e.getCondition() if hasattr(e, "getCondition") else None
-        if cls != "PATH_NOT_FOUND" and "Path does not exist" not in str(e):
-            raise
     # keep-first within the batch so two copies arriving together don't
     # both classify fresh (the profile can't see batch-mates).  ``keep``
     # columns (e.g. url + snapshot id for the downstream SCD2 composer)
@@ -260,16 +276,8 @@ def incremental_ingest_batch(batch_df: DataFrame, prior_profile_dir: str,
             raise ValueError(
                 "schedule_dir requires 'url' in keep: the politeness "
                 "schedule is keyed on the accepted doc's URL host")
-        anomalies = None
-        if anomalies_dir is not None:
-            try:
-                anomalies = spark.read.parquet(anomalies_dir)
-            except AnalysisException as e:
-                cls = (e.getCondition()
-                       if hasattr(e, "getCondition") else None)
-                if (cls != "PATH_NOT_FOUND"
-                        and "Path does not exist" not in str(e)):
-                    raise
+        anomalies = (read_parquet_if_exists(spark, anomalies_dir)
+                     if anomalies_dir is not None else None)
         schedule_accepted_batch(
             fresh.select("doc_id", "url"), schedule_dir,
             per_wave=per_wave, delays=delays,
@@ -429,8 +437,6 @@ def scd2_update_batch(batch_df: DataFrame, history_dir: str,
     import os
     import shutil
 
-    from pyspark.errors import AnalysisException
-
     spark = batch_df.sparkSession
     import glob
 
@@ -458,13 +464,7 @@ def scd2_update_batch(batch_df: DataFrame, history_dir: str,
         # half-written FIRST batch (crash mid-write before any history
         # existed): leave it for the overwrite below, never read it.
         os.rename(tmp, history_dir)
-    try:
-        hist = spark.read.parquet(history_dir)
-    except AnalysisException as e:
-        cls = e.getCondition() if hasattr(e, "getCondition") else None
-        if cls != "PATH_NOT_FOUND" and "Path does not exist" not in str(e):
-            raise
-        hist = None
+    hist = read_parquet_if_exists(spark, history_dir)
     new_hist = scd2_apply(hist, batch_df, key_col=key_col,
                           snap_col=snap_col,
                           text_col=text_col).localCheckpoint()
@@ -510,7 +510,8 @@ def schedule_accepted_batch(batch_urls: DataFrame, schedule_dir: str,
                             default_delay_s: float = 1.0,
                             id_col: str = "doc_id",
                             url_col: str = "url",
-                            anomalies: DataFrame | None = None) -> None:
+                            anomalies: DataFrame | None = None,
+                            anomaly_max_age_buckets: int = 24) -> None:
     """Politeness-schedule one micro-batch of admitted URLs, CONTINUING
     each host's slot sequence across batches: the batch ranks locally
     (functions/crawl.py:crawl_schedule — the sharded rank), then lifts
@@ -533,15 +534,13 @@ def schedule_accepted_batch(batch_urls: DataFrame, schedule_dir: str,
     as the batch operator (functions/crawl.py:anomaly_backoff — one
     rendering, the not_before_s discipline): the crawl loop's schedule
     now READS the anomaly signal (VERDICT r11 task 9)."""
-    from pyspark.errors import AnalysisException
-
     from ..functions.crawl import crawl_schedule
 
     spark = batch_urls.sparkSession
     fresh = batch_urls.select(id_col, url_col)
     offs = None
-    try:
-        existing = spark.read.parquet(schedule_dir)
+    existing = read_parquet_if_exists(spark, schedule_dir)
+    if existing is not None:
         # anti-join BEFORE ranking: a replayed batch that partially
         # overlaps the sink (half-committed append, overlapping caller
         # batches) must rank only its surviving rows — ranking first
@@ -550,10 +549,6 @@ def schedule_accepted_batch(batch_urls: DataFrame, schedule_dir: str,
         fresh = fresh.join(existing.select(id_col), id_col, "left_anti")
         offs = existing.groupBy("host").agg(
             F.count(F.lit(1)).alias("_off"))
-    except AnalysisException as e:
-        cls = e.getCondition() if hasattr(e, "getCondition") else None
-        if cls != "PATH_NOT_FOUND" and "Path does not exist" not in str(e):
-            raise
     local = crawl_schedule(fresh, per_wave=per_wave, id_col=id_col,
                            url_col=url_col)
     if offs is not None:
@@ -579,7 +574,11 @@ def schedule_accepted_batch(batch_urls: DataFrame, schedule_dir: str,
     if anomalies is not None:
         from ..functions.crawl import anomaly_backoff
 
-        lifted = anomaly_backoff(lifted.select(*cols[:5]), anomalies)
+        # the detector sink is append-only HISTORY: flags age out after
+        # anomaly_max_age_buckets of data time, or one day-one burst
+        # would back the host off forever (round-12 review fix)
+        lifted = anomaly_backoff(lifted.select(*cols[:5]), anomalies,
+                                 max_age_buckets=anomaly_max_age_buckets)
     else:
         # the sink schema must be STABLE across batches: a live loop
         # schedules its first batches before the detector sink exists,
@@ -615,8 +614,6 @@ def seed_frontier_batch(batch_df: DataFrame, frontier_dir: str,
     bound is per-batch, not per-crawl.  Sink-side (domain, url)
     anti-join makes replays idempotent — the pair-compaction posture.
     Output rows: (domain, url, priority, lastmod, changefreq)."""
-    from pyspark.errors import AnalysisException
-
     from ..functions.crawl import parse_sitemap
 
     spark = batch_df.sparkSession
@@ -654,13 +651,10 @@ def seed_frontier_batch(batch_df: DataFrame, frontier_dir: str,
         ).where(F.col("allowed") == 1).select("gid")
         cand = (cand.withColumn("gid", gid)
                 .join(ok, "gid", "left_semi").drop("gid"))
-    try:
-        seen = spark.read.parquet(frontier_dir).select("domain", "url")
-        cand = cand.join(seen, ["domain", "url"], "left_anti")
-    except AnalysisException as e:
-        cls = e.getCondition() if hasattr(e, "getCondition") else None
-        if cls != "PATH_NOT_FOUND" and "Path does not exist" not in str(e):
-            raise
+    seen = read_parquet_if_exists(spark, frontier_dir)
+    if seen is not None:
+        cand = cand.join(seen.select("domain", "url"),
+                         ["domain", "url"], "left_anti")
     cand.write.mode("append").parquet(frontier_dir)
 
 

@@ -94,25 +94,20 @@ def score_anomaly_batch(batch_counts: DataFrame, out_dir: str,
     as the SCD2 merge.  Sink reads per batch are key-scoped
     (left-semi); production swaps the parquet sink for a keyed MERGE,
     the pair-compaction posture."""
-    from pyspark.errors import AnalysisException
-
     from ..operators.timeseries import score_bucket_counts
+    from .corpus import read_parquet_if_exists
 
     spark = batch_counts.sparkSession
     fresh = batch_counts.select(id_col, "bucket_ts", "x")
     hist = None
-    try:
-        sink = spark.read.parquet(out_dir)
+    sink = read_parquet_if_exists(spark, out_dir)
+    if sink is not None:
         fresh = fresh.join(sink.select(id_col, "bucket_ts"),
                            [id_col, "bucket_ts"], "left_anti")
         hist = (sink.join(fresh.select(id_col).distinct(), id_col,
                           "left_semi")
                 .select(id_col, "bucket_ts",
                         F.col("n_events").alias("x")))
-    except AnalysisException as e:
-        cls = e.getCondition() if hasattr(e, "getCondition") else None
-        if cls != "PATH_NOT_FOUND" and "Path does not exist" not in str(e):
-            raise
     # materialize: the classification below reads the sink this batch
     # appends to (the incremental-ingest posture)
     fresh = fresh.localCheckpoint()

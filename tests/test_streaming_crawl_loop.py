@@ -437,3 +437,64 @@ def test_admission_schedule_reads_anomaly_sink_live(spark, tmp_path):
         got[2].not_before_s * 4, 6)
     assert got[3].n_anomalies == 0               # calm host: no backoff
     assert got[3].not_before_backoff_s == got[3].not_before_s
+
+
+def test_anomaly_flags_age_out_of_the_backoff(spark, tmp_path):
+    """Round-12 review fix: the detector sink is append-only HISTORY —
+    a host that burst once on day one must NOT stay backed off forever.
+    Flags older than max_age_buckets of DATA time (vs the sink's latest
+    bucket) age out of the streaming schedule's backoff."""
+    from simpy__kafka__flink__kafka_spark.functions.crawl import (
+        anomaly_backoff, crawl_schedule)
+    from simpy__kafka__flink__kafka_spark.operators.timeseries import (
+        score_bucket_counts)
+    from simpy__kafka__flink__kafka_spark.streaming.corpus import (
+        schedule_accepted_batch)
+
+    # old.example bursts at bucket 12 then stays calm for 40 buckets;
+    # hot.example bursts at the LATEST bucket
+    counts = ([("old.example", t * 3_600_000,
+                1 if t != 12 else 99) for t in range(52)]
+              + [("hot.example", t * 3_600_000,
+                  1 if t != 51 else 99) for t in range(52)])
+    scored = score_bucket_counts(
+        spark.createDataFrame(counts,
+                              "host string, bucket_ts long, x long"),
+        id_col="host")
+    urls = spark.createDataFrame(
+        [(1, "https://old.example/a"), (2, "https://hot.example/b")],
+        "doc_id long, url string")
+    delays = spark.createDataFrame([("old.example", 1.0)],
+                                   "host string, crawl_delay double")
+    aged = {r.host: r for r in anomaly_backoff(
+        crawl_schedule(urls, delays=delays), scored,
+        max_age_buckets=24).collect()}
+    assert aged["hot.example"].n_anomalies >= 1
+    assert aged["old.example"].n_anomalies == 0      # aged out
+    # the streaming schedule applies the horizon by default
+    sched_dir = str(tmp_path / "sched")
+    schedule_accepted_batch(urls, sched_dir, anomalies=scored)
+    got = {r.host: r for r in spark.read.parquet(sched_dir).collect()}
+    assert got["old.example"].n_anomalies == 0
+    assert got["hot.example"].n_anomalies >= 1
+
+
+def test_read_parquet_if_exists_tolerates_empty_dir(spark, tmp_path):
+    """Round-12 review fix: two streaming queries share a sink — the
+    reader can observe the directory CREATED but with no committed
+    parquet yet (UNABLE_TO_INFER_SCHEMA), which must read as
+    'no sink yet', not kill the admission stream."""
+    import os
+
+    from simpy__kafka__flink__kafka_spark.streaming.corpus import (
+        read_parquet_if_exists)
+
+    missing = str(tmp_path / "nope")
+    assert read_parquet_if_exists(spark, missing) is None
+    empty = str(tmp_path / "mid-flight")
+    os.makedirs(empty)
+    assert read_parquet_if_exists(spark, empty) is None
+    spark.createDataFrame([(1,)], "x long").write.parquet(
+        str(tmp_path / "real"))
+    assert read_parquet_if_exists(
+        spark, str(tmp_path / "real")).count() == 1

@@ -314,3 +314,60 @@ def test_jpeg_huge_sof_dims_rejected_fast():
     with pytest.raises(ValueError, match="decompression bomb"):
         decode_jpeg(bytes(buf))
     assert time.perf_counter() - t0 < 0.2
+
+
+def test_decode_audio_typed_errors_only():
+    """decode_audio was the remaining unfuzzed decode surface: WAV's
+    stdlib parser leaked wave.Error and FLAC's metadata walk leaked
+    IndexError on truncations (round-12 review findings)."""
+    from simpy__kafka__flink__kafka_spark.functions.flac import encode_flac
+    from simpy__kafka__flink__kafka_spark.functions.multimodal import (
+        decode_audio, encode_wav)
+
+    rng = random.Random(31337)
+    samples = (np.arange(64, dtype=np.int16) * 100).reshape(-1, 1)
+    for buf in (bytes(encode_wav(samples, 8000)),
+                encode_flac(samples.ravel().astype(np.int32), 8000)):
+        for mut in _mutations(buf, rng):
+            try:
+                out, rate = decode_audio(mut)
+                assert rate > 0
+            except OK_ERRORS:
+                pass
+
+
+def test_audio_budget_admits_normal_songs_by_default():
+    """Round-12 review fix: the image-tuned 2^22 cap rejected any FLAC
+    past ~47 s of stereo CD audio; the audio cap (2^25) must admit a
+    3-minute 44.1 kHz stereo song (15.9M samples) from a realistic
+    multi-KB payload by default."""
+    from simpy__kafka__flink__kafka_spark.functions._budget import (
+        AUDIO_MAX_SAMPLES, sample_budget)
+
+    three_min_stereo = 180 * 44_100 * 2
+    assert three_min_stereo < AUDIO_MAX_SAMPLES
+    assert sample_budget(200_000) >= three_min_stereo   # ~200 KB payload
+    assert sample_budget(200_000, max_samples=10) == 10
+
+
+def test_resize_image_forwards_max_pixels_to_inner_decoders():
+    """The override must reach decode_gif's inner guards (the identical
+    forwarding bug decode_image had for VP8L): with a large explicit
+    budget the descriptor bomb passes BOTH gates and fails later as a
+    truncated LZW stream — proving the forward happened."""
+    from simpy__kafka__flink__kafka_spark.functions.multimodal import (
+        resize_image)
+
+    bomb = bytearray()
+    bomb += b"GIF89a"
+    bomb += (1).to_bytes(2, "little") * 2
+    bomb += bytes((0x80, 0, 0)) + bytes(6)
+    bomb += b"\x2c" + bytes(4)
+    bomb += (60000).to_bytes(2, "little") * 2
+    bomb += bytes((0,))
+    bomb += bytes((2, 1, 0x4C, 0))
+    bomb += b"\x3b"
+    with pytest.raises(ValueError, match="decompression bomb"):
+        resize_image(bytes(bomb), 2, 2)
+    with pytest.raises(ValueError, match="LZW|truncated"):
+        resize_image(bytes(bomb), 2, 2, max_pixels=1 << 32)
