@@ -124,6 +124,8 @@ HEADLINE = [
     "webp_predictor_stats",
     "webp_palette_stats",
     "webp_entropy_stats",
+    "vp8_roundtrip_stats",
+    "dsir_weights",
 ]
 
 

@@ -244,8 +244,10 @@ from ._budget import (DECODE_MAX_PIXELS, DECODE_PIXELS_PER_BYTE,  # noqa: F401
 def decode_image(content: bytes, max_pixels: int | None = None) -> np.ndarray:
     """Image decode -> (height, width, 3) uint8 array.  P6 PPM, 8-bit
     RGB/RGBA PNG, JPEG (sequential and progressive), GIF, TIFF, BMP,
-    and lossless WebP (VP8L — functions/vp8l.py; transform-free,
-    subtract-green, and predictor streams) decode via the vendored
+    lossless WebP (VP8L — functions/vp8l.py; all four transforms and
+    the entropy image), and key-frame lossy WebP (VP8 —
+    functions/vp8.py; intra path, engine-pinned probability tables —
+    see that module's interop posture) decode via the vendored
     dependency-free parsers; any other format needs an imaging library
     (absent from this environment — documented seam).  Declared
     dimensions are budget-checked BEFORE dispatch (``max_pixels``
@@ -265,6 +267,10 @@ def decode_image(content: bytes, max_pixels: int | None = None) -> np.ndarray:
         # its payload-tied default and reject a legit large image the
         # caller explicitly budgeted for (round-12 review fix)
         return decode_vp8l(content, max_pixels=max_pixels)[..., :3]
+    if buf[:4] == b"RIFF" and bytes(content[8:16]) == b"WEBPVP8 ":
+        from .vp8 import decode_vp8
+
+        return decode_vp8(content, max_pixels=max_pixels)
     if buf[:2] == b"P6":
         return decode_ppm(content)
     if buf == PNG_MAGIC:
@@ -297,10 +303,10 @@ def decode_image(content: bytes, max_pixels: int | None = None) -> np.ndarray:
             "this seam is fully wired.  WebP header-level stats "
             "(format + dimensions, all three container kinds) ARE "
             "available dependency-free via image_dims / "
-            "image_container_stats, and transform-free lossless WebP "
-            "(VP8L) pixels decode via functions/vp8l.py; only lossy-VP8 "
-            "/ transform-bearing-VP8L / AVIF pixel decode remains the "
-            "seam"
+            "image_container_stats; lossless WebP (VP8L, all "
+            "transforms) decodes via functions/vp8l.py and key-frame "
+            "lossy WebP via functions/vp8.py; only AVIF (AV1) pixel "
+            "decode remains the seam"
         ) from exc
 
 
@@ -1420,6 +1426,82 @@ def webp_entropy_stats(docs: DataFrame,
             )
 
     return docs.select(id_col).mapInPandas(run, WEBP_ENTROPY_SCHEMA)
+
+
+VP8_ROUNDTRIP_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_mb", T.IntegerType(), True),
+        T.StructField("qi", T.IntegerType(), True),
+        T.StructField("y_mode", T.IntegerType(), True),
+        T.StructField("uv_mode", T.IntegerType(), True),
+        T.StructField("bit_exact", T.IntegerType(), True),
+    ]
+)
+
+
+def vp8_roundtrip_stats(docs: DataFrame,
+                        id_col: str = "doc_id") -> DataFrame:
+    """EXECUTED lossy-WebP (VP8 key-frame) codec path (round 12 —
+    functions/vp8.py): per doc keyed on k = id %% 48, synthesize
+    textured YUV420 planes (y=(3k+5x+7y)%%256, u=(k+2x+3y)%%256,
+    v=(7k+x+y)%%256) at dims (16 + (k%%3)*9) x (16 + (k%%2)*5) — 1 to
+    6 macroblocks, crop rows/cols on the non-multiples — encode at
+    qi = (k%%8)*9 with FORCED prediction modes y_mode=k%%4,
+    uv_mode=(k%%16)//4 (so every intra mode runs with and without real
+    neighbours across the corpus), decode through the general
+    decoder, and emit ``bit_exact`` = (decode == the encoder's own
+    dequantize->inverse->predict reconstruction) — the lossy codec's
+    exactness contract (the lossless flag's analogue).  One Arrow
+    batch, memoized on the 48-pattern period.  The oracle reproduces
+    dims/n_mb/qi/modes from the id arithmetic and pins bit_exact=1;
+    ANY regression on either side of the codec (boolean coder, token
+    contexts, zigzag, quantizer schedule, Y2/WHT path, prediction
+    borders, crop) flips bit_exact and hash-mismatches."""
+    from functools import lru_cache
+
+    from .vp8 import decode_vp8_yuv, encode_vp8_yuv
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        @lru_cache(maxsize=48)
+        def stats(k: int) -> tuple:
+            w, h = 16 + (k % 3) * 9, 16 + (k % 2) * 5
+            cw, ch = (w + 1) // 2, (h + 1) // 2
+            xs, ys = np.meshgrid(np.arange(w), np.arange(h))
+            cxs, cys = np.meshgrid(np.arange(cw), np.arange(ch))
+            y = ((3 * k + 5 * xs + 7 * ys) % 256).astype(np.uint8)
+            u = ((k + 2 * cxs + 3 * cys) % 256).astype(np.uint8)
+            v = ((7 * k + cxs + cys) % 256).astype(np.uint8)
+            qi = (k % 8) * 9
+            ym, um = k % 4, (k % 16) // 4
+            mb_w, mb_h = (w + 15) // 16, (h + 15) // 16
+            buf, rec = encode_vp8_yuv(
+                y, u, v, qi=qi, return_recon=True,
+                y_modes=np.full((mb_h, mb_w), ym),
+                uv_modes=np.full((mb_h, mb_w), um))
+            dec = decode_vp8_yuv(buf)
+            exact = int(all(np.array_equal(a, b)
+                            for a, b in zip(dec, rec)))
+            return (w, h, mb_w * mb_h, qi, ym, um, exact)
+
+        for pdf in batches:
+            out = pdf[id_col].map(lambda i: stats(int(i) % 48))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "width": out.map(lambda t: t[0]).astype("int32"),
+                    "height": out.map(lambda t: t[1]).astype("int32"),
+                    "n_mb": out.map(lambda t: t[2]).astype("int32"),
+                    "qi": out.map(lambda t: t[3]).astype("int32"),
+                    "y_mode": out.map(lambda t: t[4]).astype("int32"),
+                    "uv_mode": out.map(lambda t: t[5]).astype("int32"),
+                    "bit_exact": out.map(lambda t: t[6]).astype("int32"),
+                }
+            )
+
+    return docs.select(id_col).mapInPandas(run, VP8_ROUNDTRIP_SCHEMA)
 
 
 FLAC_ROUNDTRIP_SCHEMA = T.StructType(

@@ -12,7 +12,7 @@ single-task global sort anywhere in the plan.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..operators.sequences import ranged_prefix_sum
@@ -353,4 +353,110 @@ def mixture_plan(docs: DataFrame, budget_tokens: int,
         .alias("target_share"),
         F.round(rate, 6).alias("sample_rate"),
         F.ceil(F.round(rate, 6)).cast("long").alias("epochs"),
+    )
+
+
+# DSIR importance resampling --------------------------------------------------
+
+DSIR_DIM = 256           # hashed n-gram feature buckets (paper uses 10^4;
+#                          the bucket count is a free parameter of the method)
+
+
+def _gram_bucket(g: Column, dim: int) -> Column:
+    """md5-hex fold of a gram into [0, dim) — the repo's established
+    cross-engine feature-hash (linear_quality_score's scheme)."""
+    return F.conv(F.substring(F.md5(g), 1, 6), 16, 10).cast("long") % dim
+
+
+def dsir_weights(docs: DataFrame, target: Column | None = None,
+                 id_col: str = "doc_id", text_col: str = "text",
+                 dim: int = DSIR_DIM) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling") —
+    the hashed n-gram variant: score every raw document by how much
+    more likely its features are under a TARGET domain's hashed
+    unigram+bigram distribution than under the raw corpus's own.
+
+    ``target`` is a boolean Column marking the in-domain exemplar docs
+    (the paper's "target" sample — e.g. a trusted wiki/books subset);
+    default marks documents containing the word 'stream' so the
+    operator is self-contained and oracle-checkable on the synthetic
+    corpus.  Per bucket b the add-one-smoothed log ratio is
+    ``lr_b = ln((p_b+1)/(Np+dim)) - ln((q_b+1)/(Nq+dim))`` (p = target
+    feature counts, q = raw feature counts, N* = total gram
+    instances); a document's importance weight is the sum of lr over
+    its gram multiset.  ``selected`` = (weight > 0): the doc is more
+    target-like than raw-average — the paper then resamples
+    proportionally; a deterministic threshold keeps the row
+    hash-checkable (rank-based top-k selection composes on top via
+    operators/sequences ranged ranking, exactly the frontier_rank
+    shape).
+
+    Scale shape: grams stay in-row (zip_with bigrams, zero-shuffle)
+    until ONE explode; the two distribution tables are dim-sized
+    aggregates (map-side combined, broadcast back); the only
+    full-width exchange is the final per-doc sum.  At 100 TB the
+    tokenized frame would be persisted once and both passes read it —
+    here the documents scan is re-read (filters/pruning pushed down).
+
+    Output: (id_col, n_grams, is_target, log_weight, selected).
+    """
+    from .text import words
+
+    ws = F.filter(words(text_col), lambda w: F.length(w) > 0)
+    n = F.size(ws)
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(F.slice(ws, 1, n - 1), F.slice(ws, 2, n - 1),
+                   lambda a, b: F.concat(a, F.lit(" "), b)),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = F.concat(ws, bigrams)
+    if target is None:
+        target = F.array_contains(ws, "stream")
+
+    base = docs.select(
+        F.col(id_col),
+        grams.alias("grams"),
+        target.cast("int").alias("is_target"),
+    )
+    exploded = base.select(
+        id_col, "is_target",
+        F.explode("grams").alias("g"),
+    ).select(id_col, "is_target", _gram_bucket(F.col("g"), dim)
+             .alias("bucket"))
+
+    dist = exploded.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("q_b"),
+        F.sum("is_target").cast("long").alias("p_b"),
+    )
+    # Np/Nq as a whole-table window over the DIM-SIZED dist frame — a
+    # single task bounded by the dim constant at any corpus scale, and
+    # it keeps the totals inside dist's lineage (a separate .agg would
+    # re-execute the corpus explode for a second scan).
+    whole = Window.partitionBy(F.lit(1))
+    lr = dist.select(
+        "bucket",
+        (F.log((F.col("p_b") + 1).cast("double"))
+         - F.log((F.sum("p_b").over(whole) + dim).cast("double"))
+         - F.log((F.col("q_b") + 1).cast("double"))
+         + F.log((F.sum("q_b").over(whole) + dim).cast("double"))
+         ).alias("lr"),
+    )
+    doc_w = (
+        exploded.join(F.broadcast(lr), "bucket")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_grams"),
+             F.sum("lr").alias("w"))
+    )
+    return (
+        base.select(id_col, "is_target")
+        .join(doc_w, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.col("is_target"),
+            F.round(F.coalesce("w", F.lit(0.0)), 6).alias("log_weight"),
+            (F.coalesce("w", F.lit(0.0)) > 0).cast("int")
+            .alias("selected"),
+        )
     )

@@ -3278,6 +3278,95 @@ FROM p LEFT JOIN fl USING (host)
 """
 
 
+def _q_vp8_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTED lossy-WebP (VP8 key-frame intra) codec per doc
+    (functions/vp8.py via multimodal.py:vp8_roundtrip_stats) — the
+    round-12 closing of the lossy-VP8 pixel seam.  The oracle
+    reproduces dims/n_mb/qi/forced-modes from the id arithmetic and
+    pins ``bit_exact`` = 1 (decode equals the encoder's own integer
+    reconstruction — the lossy analogue of the lossless flag)."""
+    from ..functions.multimodal import vp8_roundtrip_stats
+
+    return vp8_roundtrip_stats(_docs(spark, sf_dir))
+
+
+_VP8_ROUNDTRIP_SQL = """
+WITH kk AS (SELECT doc_id, doc_id % 48 AS k FROM documents)
+SELECT doc_id,
+       CAST(16 + (k % 3) * 9 AS INTEGER) AS width,
+       CAST(16 + (k % 2) * 5 AS INTEGER) AS height,
+       CAST(((16 + (k % 3) * 9 + 15) // 16)
+            * ((16 + (k % 2) * 5 + 15) // 16) AS INTEGER) AS n_mb,
+       CAST((k % 8) * 9 AS INTEGER) AS qi,
+       CAST(k % 4 AS INTEGER) AS y_mode,
+       CAST((k % 16) // 4 AS INTEGER) AS uv_mode,
+       CAST(1 AS INTEGER) AS bit_exact
+FROM kk
+"""
+
+
+def _q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR hashed n-gram importance weights (Xie et al. 2023) over the
+    documents corpus with the self-contained 'stream'-containment
+    target — functions/sampling.py:dsir_weights.  The oracle replays
+    the identical algebra: unigram+bigram md5-fold buckets, add-one
+    log ratios of target vs raw bucket distributions, per-doc sums
+    rounded to 6 dp, selected = (weight > 0)."""
+    from ..functions.sampling import dsir_weights
+
+    return dsir_weights(_docs(spark, sf_dir))
+
+
+def _dsir_sql() -> str:
+    from ..functions.sampling import DSIR_DIM
+
+    fold = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5(g), {i + 1}, 1)) - 1)"
+        f" * {16 ** (5 - i)}"
+        for i in range(6)
+    )
+    return f"""
+WITH {_WORDS_CTE},
+wf AS (SELECT doc_id,
+              list_filter(ws, x -> length(x) > 0) AS ws
+       FROM w),
+tok AS (SELECT doc_id, unnest(ws) AS term,
+               generate_subscripts(ws, 1) AS pos
+        FROM wf),
+grams AS (
+  SELECT doc_id, term AS g FROM tok
+  UNION ALL
+  SELECT a.doc_id, a.term || ' ' || b.term AS g
+  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+),
+tgt AS (SELECT doc_id,
+               CAST(list_contains(ws, 'stream') AS INT) AS is_target
+        FROM wf),
+ex AS (SELECT gr.doc_id, t.is_target, ({fold}) % {DSIR_DIM} AS bucket
+       FROM grams gr JOIN tgt t USING (doc_id)),
+dist AS (SELECT bucket, CAST(count(*) AS BIGINT) AS q_b,
+                CAST(sum(is_target) AS BIGINT) AS p_b
+         FROM ex GROUP BY 1),
+tot AS (SELECT CAST(sum(q_b) AS BIGINT) AS nq,
+               CAST(sum(p_b) AS BIGINT) AS np FROM dist),
+lr AS (SELECT bucket,
+              ln(CAST(p_b + 1 AS DOUBLE))
+              - ln(CAST(np + {DSIR_DIM} AS DOUBLE))
+              - ln(CAST(q_b + 1 AS DOUBLE))
+              + ln(CAST(nq + {DSIR_DIM} AS DOUBLE)) AS lr
+       FROM dist CROSS JOIN tot),
+dw AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+              sum(lr) AS w
+       FROM ex JOIN lr USING (bucket) GROUP BY 1)
+SELECT t.doc_id,
+       CAST(COALESCE(n_grams, 0) AS BIGINT) AS n_grams,
+       t.is_target,
+       round(COALESCE(w, 0.0), 6) AS log_weight,
+       CAST(COALESCE(w, 0.0) > 0 AS INT) AS selected
+FROM tgt t LEFT JOIN dw USING (doc_id)
+"""
+
+
 def _q_webp_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXECUTED VP8L encode+decode roundtrip per doc (functions/vp8l.py
     via multimodal.py:webp_roundtrip_stats) — pixel decode for
@@ -5134,6 +5223,16 @@ QUERIES: dict[str, Query] = {
         _q_webp_entropy_stats, _WEBP_ENTROPY_SQL,
         "executed VP8L ENTROPY-IMAGE decode (per-tile prefix groups): "
         "sums + lossless (oracled tail row)"),
+    "vp8_roundtrip_stats": Query(
+        _q_vp8_roundtrip_stats, _VP8_ROUNDTRIP_SQL,
+        "executed VP8 lossy key-frame codec (bool coder, token "
+        "contexts, Y2/WHT, intra prediction): decode == encoder recon "
+        "bit-exact per doc (oracled tail row)"),
+    "dsir_weights": Query(
+        _q_dsir_weights, _dsir_sql(),
+        "DSIR importance resampling (hashed unigram+bigram log-ratio "
+        "weights, target vs raw distribution): per-doc log weight + "
+        "threshold selection (oracled tail row)"),
     "frontier_rank": Query(
         _q_frontier_rank, _frontier_rank_sql(),
         "reputation-weighted frontier ordering: robots-gated sitemap "

@@ -24,6 +24,7 @@ def _fixtures() -> dict[str, bytes]:
     from simpy__kafka__flink__kafka_spark.functions.multimodal import (
         encode_avif_stub, encode_png, encode_ppm, encode_webp_stub)
     from simpy__kafka__flink__kafka_spark.functions.tiff import encode_tiff
+    from simpy__kafka__flink__kafka_spark.functions.vp8 import encode_vp8
     from simpy__kafka__flink__kafka_spark.functions.vp8l import encode_vp8l
 
     px = (np.arange(6 * 5 * 3, dtype=np.uint8).reshape(5, 6, 3))
@@ -38,6 +39,7 @@ def _fixtures() -> dict[str, bytes]:
         "webp": encode_webp_stub(6, 5, "lossless"),
         "avif": encode_avif_stub(6, 5),
         "vp8l": encode_vp8l(rgba),
+        "vp8": encode_vp8(px, qi=14),
         "mp3": encode_mp3_frames([9, 10, 9], id3_bytes=8),
     }
 
@@ -146,6 +148,12 @@ def test_crafted_max_output_headers_rejected_fast():
     bmp = bytearray(encode_bmp(px))
     bmp[18:26] = (60000).to_bytes(4, "little") * 2
     bombs.append(bytes(bmp))
+    # VP8 (lossy WebP): 14-bit dims maxed at 16383x16383 = 2^28 px
+    from simpy__kafka__flink__kafka_spark.functions.vp8 import (
+        _riff_wrap_vp8, encode_vp8)
+    vp8 = bytearray(encode_vp8(px, qi=10)[20:])
+    vp8[6:10] = (16383).to_bytes(2, "little") * 2
+    bombs.append(_riff_wrap_vp8(bytes(vp8)))
     for bomb in bombs:
         t0 = time.perf_counter()
         with pytest.raises(OK_ERRORS):

@@ -1,0 +1,285 @@
+"""VP8 lossy-WebP key-frame codec (functions/vp8.py): boolean-coder
+pair, integer transforms, full encode->decode bit-exactness against
+the encoder's own reconstruction loop, typed seams, and the
+decompression-bomb budget."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from simpy__kafka__flink__kafka_spark.functions.vp8 import (
+    _BoolDecoder, _BoolEncoder, _idct4x4, _iwht4x4, _fdct4x4, _fwht4x4,
+    _riff_wrap_vp8, DEFAULT_COEFF_PROBS, decode_vp8, decode_vp8_yuv,
+    encode_vp8, encode_vp8_yuv)
+
+
+# ----------------------------------------------------- boolean coder
+
+
+def test_bool_decoder_prob128_is_msb_first_bits():
+    """Hand-derived pin: at prob 128 the decoder's first bits are the
+    MSB-first bits of the stream (worked through the §7.2 arithmetic
+    by hand: value=0xB000, splits 128/127/127/127...)."""
+    d = _BoolDecoder(bytes([0xB0, 0x00]))
+    assert [d.read_bool(128) for _ in range(4)] == [1, 0, 1, 1]
+
+
+def test_bool_coder_roundtrip_property():
+    rng = np.random.RandomState(3)
+    for trial in range(25):
+        n = int(rng.randint(1, 400))
+        probs = rng.randint(1, 255, size=n)
+        bits = rng.randint(0, 2, size=n)
+        e = _BoolEncoder()
+        for b, p in zip(bits, probs):
+            e.put(int(b), int(p))
+        data = e.finish()
+        d = _BoolDecoder(data)
+        got = [d.read_bool(int(p)) for p in probs]
+        assert got == [int(b) for b in bits], trial
+
+
+def test_bool_coder_extreme_probs_and_carry():
+    # long runs of improbable bits force carry propagation through
+    # 0xFF bytes in the emitted buffer
+    for prob, bit in [(1, 1), (254, 0), (1, 0), (254, 1)]:
+        e = _BoolEncoder()
+        for _ in range(300):
+            e.put(bit, prob)
+        d = _BoolDecoder(e.finish())
+        assert all(d.read_bool(prob) == bit for _ in range(300))
+
+
+def test_literals_roundtrip():
+    e = _BoolEncoder()
+    e.literal(0x5A, 7)
+    e.signed_literal(-13, 6)
+    e.signed_literal(9, 4)
+    d = _BoolDecoder(e.finish())
+    assert d.literal(7) == 0x5A
+    assert d.signed_literal(6) == -13
+    assert d.signed_literal(4) == 9
+
+
+# ------------------------------------------------------- transforms
+
+
+def test_idct_dc_only_pinned():
+    """(d+4)>>3 DC shortcut, hand-computed incl. the arithmetic-shift
+    negative case: 8 -> all 1, -8 -> all -1."""
+    z = np.zeros((4, 4), dtype=np.int64)
+    d = z.copy()
+    d[0, 0] = 8
+    assert (_idct4x4(d) == 1).all()
+    d[0, 0] = -8
+    assert (_idct4x4(d) == -1).all()
+
+
+def test_iwht_dc_only_pinned():
+    """Hand-computed: D=64 -> every second-order output (64+...)>>3=8."""
+    d = np.zeros((4, 4), dtype=np.int64)
+    d[0, 0] = 64
+    assert (_iwht4x4(d) == 8).all()
+
+
+def test_forward_transforms_invert_integer_inverses():
+    """The matrix-derived forwards must reproduce arbitrary residuals
+    through the INTEGER inverses within rounding (the property the
+    encoder's recon loop relies on for quality, not correctness)."""
+    rng = np.random.RandomState(9)
+    for _ in range(50):
+        res = rng.randint(-255, 256, size=(4, 4)).astype(np.int64)
+        assert np.abs(_idct4x4(_fdct4x4(res).reshape(4, 4)) - res).max() <= 2
+        dcs = rng.randint(-2000, 2001, size=(4, 4)).astype(np.int64)
+        assert np.abs(_iwht4x4(_fwht4x4(dcs).reshape(4, 4)) - dcs).max() <= 2
+
+
+def test_default_coeff_probs_pinned_and_varied():
+    t = DEFAULT_COEFF_PROBS
+    assert t.shape == (4, 8, 3, 11)
+    assert int(t.min()) >= 16 and int(t.max()) <= 240
+    # context-distinguishing: the three ctx rows differ in every band
+    for ty in range(4):
+        for b in range(8):
+            assert len({tuple(t[ty, b, c]) for c in range(3)}) == 3
+    # checksum pin: a silent table change breaks old bitstreams
+    assert int(t.astype(np.int64).sum()) == 135056
+
+
+# ------------------------------------------------------- roundtrips
+
+
+def _textured(h, w, seed):
+    rng = np.random.RandomState(seed)
+    ch, cw = (h + 1) // 2, (w + 1) // 2
+    return (rng.randint(0, 256, (h, w)).astype(np.uint8),
+            rng.randint(0, 256, (ch, cw)).astype(np.uint8),
+            rng.randint(0, 256, (ch, cw)).astype(np.uint8))
+
+
+def test_decode_matches_encoder_recon_bit_exact():
+    """The headline property: decode == the encoder's own
+    dequantize->inverse->predict reconstruction, exactly, across
+    dims (crop cases), qi extremes, and partition counts."""
+    for seed, (h, w) in enumerate([(16, 16), (16, 32), (21, 33),
+                                   (1, 1), (15, 17), (48, 31)]):
+        y, u, v = _textured(h, w, seed)
+        for qi in (0, 37, 127):
+            buf, rec = encode_vp8_yuv(y, u, v, qi=qi, return_recon=True,
+                                      token_partitions=(1, 2, 4)[qi % 3])
+            dec = decode_vp8_yuv(buf)
+            for a, b in zip(dec, rec):
+                assert np.array_equal(a, b), (h, w, qi)
+
+
+def test_forced_modes_roundtrip_all_sixteen_combos():
+    """Every (y_mode, uv_mode) pair over a 2x2-MB frame, so each
+    prediction mode runs with and without real neighbours."""
+    y, u, v = _textured(32, 32, 77)
+    for ym in range(4):
+        for um in range(4):
+            ymodes = np.full((2, 2), ym)
+            uvmodes = np.full((2, 2), um)
+            buf, rec = encode_vp8_yuv(y, u, v, qi=12, return_recon=True,
+                                      y_modes=ymodes, uv_modes=uvmodes)
+            dec = decode_vp8_yuv(buf)
+            assert all(np.array_equal(a, b) for a, b in zip(dec, rec))
+
+
+def test_flat_image_skip_path_near_exact():
+    """A flat 128 image: every MB quantizes to all-zero -> the skip
+    flag carries the whole frame and recon is exact."""
+    y = np.full((32, 48), 128, np.uint8)
+    u = np.full((16, 24), 128, np.uint8)
+    v = np.full((16, 24), 128, np.uint8)
+    buf, rec = encode_vp8_yuv(y, u, v, qi=60, return_recon=True)
+    dy, du, dv = decode_vp8_yuv(buf)
+    assert np.array_equal(dy, y) and np.array_equal(du, u)
+    assert np.array_equal(dv, v)
+    assert len(buf) < 250  # all-skip frame is header-sized
+
+
+def test_quality_monotone_on_smooth_image():
+    yy, xx = np.mgrid[0:32, 0:48]
+    y = ((xx * 3 + yy * 2) % 256).astype(np.uint8)
+    u = np.full((16, 24), 100, np.uint8)
+    v = np.full((16, 24), 180, np.uint8)
+    errs = []
+    for qi in (0, 30, 90):
+        dy, _, _ = decode_vp8_yuv(encode_vp8_yuv(y, u, v, qi=qi))
+        errs.append(float(np.abs(dy.astype(int) - y.astype(int)).mean()))
+    assert errs[0] <= errs[1] <= errs[2]
+    assert errs[0] < 3.0
+
+
+def test_rgb_wrapper_roundtrip():
+    rgb = np.stack([np.tile(np.arange(48) * 5 % 256, (32, 1)),
+                    np.full((32, 48), 80),
+                    np.full((32, 48), 200)], -1).astype(np.uint8)
+    out = decode_vp8(encode_vp8(rgb, qi=4))
+    assert out.shape == rgb.shape
+    assert float(np.abs(out.astype(int) - rgb.astype(int)).mean()) < 4.0
+
+
+def test_decode_image_dispatches_vp8(tmp_path):
+    from simpy__kafka__flink__kafka_spark.functions.multimodal import (
+        decode_image, image_dims)
+    rgb = np.full((24, 40, 3), 90, np.uint8)
+    buf = encode_vp8(rgb, qi=8)
+    assert image_dims(buf) == ("webp", 40, 24)
+    out = decode_image(buf)
+    assert out.shape == (24, 40, 3)
+    assert int(np.abs(out.astype(int) - rgb.astype(int)).max()) <= 3
+
+
+# ------------------------------------------------- seams and budget
+
+
+def _frame_of(buf: bytes) -> bytearray:
+    return bytearray(buf[20:])
+
+
+def test_interframe_rejected():
+    buf = encode_vp8_yuv(*_textured(16, 16, 1), qi=10)
+    frame = _frame_of(buf)
+    frame[0] |= 1  # frame_type = interframe
+    with pytest.raises(ValueError, match="interframe"):
+        decode_vp8_yuv(_riff_wrap_vp8(bytes(frame)))
+
+
+def test_bad_sync_rejected():
+    buf = encode_vp8_yuv(*_textured(16, 16, 2), qi=10)
+    frame = _frame_of(buf)
+    frame[4] ^= 0xFF
+    with pytest.raises(ValueError, match="sync"):
+        decode_vp8_yuv(_riff_wrap_vp8(bytes(frame)))
+
+
+def test_non_vp8_container_rejected():
+    with pytest.raises(ValueError, match="RIFF WebP"):
+        decode_vp8_yuv(b"NOPE" + bytes(30))
+    with pytest.raises(ValueError, match="lossy"):
+        decode_vp8_yuv(b"RIFF" + bytes(4) + b"WEBPVP8L" + bytes(12))
+
+
+def test_truncation_fuzz_typed_errors_only():
+    """Every truncation point and 200 single-byte mutations either
+    decode or raise the typed ValueError — no IndexError/struct.error
+    crash class leaks (the wave-5 all-format fuzz posture)."""
+    buf = encode_vp8_yuv(*_textured(21, 18, 3), qi=25)
+    for cut in range(len(buf)):
+        try:
+            decode_vp8_yuv(buf[:cut])
+        except ValueError:
+            pass
+    rng = np.random.RandomState(8)
+    for _ in range(200):
+        mb = bytearray(buf)
+        mb[int(rng.randint(len(mb)))] ^= 1 << int(rng.randint(8))
+        try:
+            decode_vp8_yuv(bytes(mb))
+        except ValueError:
+            pass
+
+
+def test_decompression_bomb_rejected_fast():
+    """A crafted header declaring 16383x16383 (2^28 px) from a
+    ~30-byte payload must be rejected by the budget BEFORE any
+    allocation — the decode_vp8l bomb class, closed at birth here."""
+    import time
+    frame = bytearray(3)
+    tag = (1 << 4) | (4 << 5)
+    frame[0], frame[1], frame[2] = tag & 0xFF, (tag >> 8) & 0xFF, tag >> 16
+    frame += b"\x9d\x01\x2a" + struct.pack("<HH", 16383, 16383) + bytes(8)
+    bomb = _riff_wrap_vp8(bytes(frame))
+    t0 = time.monotonic()
+    with pytest.raises(ValueError, match="bomb"):
+        decode_vp8_yuv(bomb)
+    assert time.monotonic() - t0 < 0.1
+    # decode_image front door types it the same way
+    from simpy__kafka__flink__kafka_spark.functions.multimodal import (
+        decode_image)
+    with pytest.raises(ValueError, match="bomb"):
+        decode_image(bomb)
+
+
+def test_max_pixels_override_admits_large_frame():
+    y = np.full((64, 256), 200, np.uint8)
+    u = np.full((32, 128), 128, np.uint8)
+    v = np.full((32, 128), 128, np.uint8)
+    buf = encode_vp8_yuv(y, u, v, qi=50)
+    dy, _, _ = decode_vp8_yuv(buf, max_pixels=64 * 256)
+    assert dy.shape == (64, 256)
+
+
+def test_encoder_input_validation():
+    y, u, v = _textured(16, 16, 4)
+    with pytest.raises(ValueError, match="ceil-half"):
+        encode_vp8_yuv(y, u[:4], v, qi=10)
+    with pytest.raises(ValueError, match="token_partitions"):
+        encode_vp8_yuv(y, u, v, qi=10, token_partitions=3)
+    with pytest.raises(ValueError, match="qi"):
+        encode_vp8_yuv(y, u, v, qi=200)
