@@ -360,11 +360,10 @@ def _bucket_weight(bucket: Column) -> Column:
     the exact storage/plan shape of a trained one (production swaps in
     learned weights via the same broadcast column expression); integer
     weights keep the logit EXACT on both engines."""
-    return (
-        F.conv(F.substring(F.md5(F.concat(F.lit("w:"),
-                                          bucket.cast("string"))), 1, 6),
-               16, 10).cast("long") % 1001 - 500
-    )
+    from .text import md5_bucket
+
+    return md5_bucket(F.concat(F.lit("w:"), bucket.cast("string")),
+                      1001) - 500
 
 
 def linear_quality_score(df: DataFrame, id_col: str = "doc_id",
@@ -386,9 +385,9 @@ def linear_quality_score(df: DataFrame, id_col: str = "doc_id",
     from .text import words
 
     ws = words(text_col)
-    bucket = lambda w: (  # noqa: E731
-        F.conv(F.substring(F.md5(w), 1, 6), 16, 10).cast("long") % dim
-    )
+    from .text import md5_bucket
+
+    bucket = lambda w: md5_bucket(w, dim)  # noqa: E731
     logit = F.aggregate(
         ws, F.lit(0).cast("long"),
         lambda acc, w: acc + _bucket_weight(bucket(w)),

@@ -363,9 +363,11 @@ DSIR_DIM = 256           # hashed n-gram feature buckets (paper uses 10^4;
 
 
 def _gram_bucket(g: Column, dim: int) -> Column:
-    """md5-hex fold of a gram into [0, dim) — the repo's established
-    cross-engine feature-hash (linear_quality_score's scheme)."""
-    return F.conv(F.substring(F.md5(g), 1, 6), 16, 10).cast("long") % dim
+    """md5-hex fold of a gram into [0, dim) — the ONE shared rendering
+    (functions/text.py:md5_bucket)."""
+    from .text import md5_bucket
+
+    return md5_bucket(g, dim)
 
 
 def dsir_weights(docs: DataFrame, target: Column | None = None,
@@ -456,7 +458,11 @@ def dsir_weights(docs: DataFrame, target: Column | None = None,
             F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
             F.col("is_target"),
             F.round(F.coalesce("w", F.lit(0.0)), 6).alias("log_weight"),
-            (F.coalesce("w", F.lit(0.0)) > 0).cast("int")
+            # threshold the ROUNDED weight: the raw double sum's sign
+            # is engine/order-dependent in the last ulps near zero —
+            # exactly the drift the 6-dp rounding posture exists to
+            # absorb (round-12 review fix)
+            (F.round(F.coalesce("w", F.lit(0.0)), 6) > 0).cast("int")
             .alias("selected"),
         )
     )

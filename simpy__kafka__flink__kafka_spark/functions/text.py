@@ -38,6 +38,17 @@ def words(col: Column | str = "text") -> Column:
     return F.split(normalized(col), " ")
 
 
+def md5_bucket(col: Column, dim: int) -> Column:
+    """THE cross-engine feature hash: first-6-hex-digit md5 fold modulo
+    ``dim``.  One rendering shared by every hashing-trick consumer
+    (linear_quality_score's buckets and stand-in weights, DSIR's gram
+    buckets) — each oracled consumer's DuckDB twin replays the same
+    strpos hex fold, so all copies MUST stay byte-identical; hence one
+    helper (round-12 review fix: this expression existed inline three
+    times)."""
+    return F.conv(F.substring(F.md5(col), 1, 6), 16, 10).cast("long") % dim
+
+
 def token_count(col: Column | str = "text") -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return F.when(F.length(F.trim(c)) == 0, F.lit(0)).otherwise(

@@ -545,7 +545,7 @@ def _encode_block_tokens(be: _BoolEncoder, probs: np.ndarray, plane: int,
         ctx = 1 if a == 1 else 2
         i += 1
     if eob < 16:
-        p = probs[plane, COEF_BANDS[eob] if eob < 16 else 7, ctx]
+        p = probs[plane, COEF_BANDS[eob], ctx]
         for node, bit in start_paths[EOB_T]:
             be.put(bit, p[node >> 1])
     return nz
@@ -944,6 +944,15 @@ def encode_vp8_yuv(y: np.ndarray, u: np.ndarray, v: np.ndarray,
 
     part1 = hdr.finish()
     parts = [te.finish() for te in tes]
+    if len(part1) >= 1 << 19:
+        raise ValueError(
+            f"first partition {len(part1)} bytes overflows the frame "
+            "tag's 19-bit size field — split the frame before encoding")
+    for p in parts[:-1]:
+        if len(p) >= 1 << 24:
+            raise ValueError(
+                f"token partition {len(p)} bytes overflows its 24-bit "
+                "size field — raise token_partitions")
     tag = (0  # keyframe
            | (0 << 1)  # version
            | (1 << 4)  # show_frame

@@ -3362,7 +3362,7 @@ SELECT t.doc_id,
        CAST(COALESCE(n_grams, 0) AS BIGINT) AS n_grams,
        t.is_target,
        round(COALESCE(w, 0.0), 6) AS log_weight,
-       CAST(COALESCE(w, 0.0) > 0 AS INT) AS selected
+       CAST(round(COALESCE(w, 0.0), 6) > 0 AS INT) AS selected
 FROM tgt t LEFT JOIN dw USING (doc_id)
 """
 

@@ -283,3 +283,25 @@ def test_encoder_input_validation():
         encode_vp8_yuv(y, u, v, qi=10, token_partitions=3)
     with pytest.raises(ValueError, match="qi"):
         encode_vp8_yuv(y, u, v, qi=200)
+
+
+def test_partition_size_overflow_guard():
+    """The frame tag stores first_part_size in 19 bits; a frame big
+    enough to overflow it must raise, not emit a silently-corrupt
+    stream (review fix — the header is ~0.61 bytes/MB, so the guard
+    fires near ~860k macroblocks, far beyond the test budget; pin the
+    guard by monkey-patching the threshold down instead)."""
+    import simpy__kafka__flink__kafka_spark.functions.vp8 as vp8mod
+
+    class TinyHeader(vp8mod._BoolEncoder):
+        def finish(self):
+            return bytes(1 << 19)  # pretend the header outgrew the tag
+
+    orig = vp8mod._BoolEncoder
+    y, u, v = _textured(16, 16, 5)
+    try:
+        vp8mod._BoolEncoder = TinyHeader
+        with pytest.raises(ValueError, match="19-bit"):
+            encode_vp8_yuv(y, u, v, qi=10)
+    finally:
+        vp8mod._BoolEncoder = orig
