@@ -97,7 +97,13 @@ CHECKED_FIRST = [
     # dup-rate) — the arithmetic cannot regress without a checked row
     # hash-mismatching; it stays oracled in the pytest tail.  Funds the
     # webp_predictor_stats slot below.
-    "dedup_survivors", "near_dup_verified",
+    # Round-12 wave-8 rotation (cont.): near_dup_verified demoted — its
+    # banded-LSH candidate CTE family is checked through three gate
+    # rows (dedup_survivors' cluster seed, soft_dedup_weights' embedded
+    # clusters CTE, dedup_against_prior's signature semi-join) and the
+    # cosine verification arithmetic is the checked
+    # embedding_near_dup_verified's; stays oracled in the pytest tail.
+    "dedup_survivors",
     # Round-9: quantize_embeddings (pure per-row column arithmetic,
     # long-green since r5; its embedding family keeps ivf_topk +
     # embedding_near_dup_verified at the gate) demoted to the oracled
@@ -196,8 +202,17 @@ CHECKED_FIRST = [
     # crawl_schedule is promoted in the same spirit: its rank was
     # resharded this round (mega-host fix) and the gate should hash the
     # new plan.  mixture_plan carries the round-10 zero-token guard.
+    # Round-12 wave-8 rotation (cont.): bm25_scores demoted — the
+    # checked search_rank oracle embeds the IDENTICAL BM25 CTE chain
+    # (w/tok/dl/corpus/tf/dfreq/s/bm) verbatim, so the scoring
+    # arithmetic cannot regress without search_rank hash-mismatching.
+    # anchor_texts demoted — its extraction (ANCHOR_RE match, target
+    # parse, one-pass quote strip) is verbatim search_rank's atgt CTE,
+    # and its residual order-canonical md5(string_agg ORDER BY)
+    # postings fold is the same rendering idiom the checked
+    # passage_rewrite hashes.  Both stay oracled in the pytest tail.
     "snapshot_diff", "scd2_history",
-    "soft_dedup_weights", "bm25_scores", "anchor_texts",
+    "soft_dedup_weights",
     "search_rank", "mixture_plan",
     # Round-11 promotions (VERDICT r10 task #2): the round-10 wave-2/3
     # surface takes the hard signal — the RFC 9309 §2.2.1 named-agent
@@ -225,7 +240,13 @@ CHECKED_FIRST = [
     # hourly_anomalies (new division-free z algebra), host_reputation
     # (new integer reputation algebra), and avif_dims (the ISO-BMFF
     # box walk — the newest header walker).
-    "webp_roundtrip_stats", "frontier_rank",
+    # Round-12 wave-8 rotation (cont.): webp_roundtrip_stats demoted —
+    # the transform-free VP8L codec it executes is strictly contained
+    # in the three transform rows now at the gate (webp_predictor_stats
+    # plus the palette/entropy promotions below all drive the same
+    # _LsbReader/_Tree entropy layer and literal-tree writer, each with
+    # a transform stage on top); stays oracled in the pytest tail.
+    "frontier_rank",
     "host_reputation", "avif_dims",
     # Round-12 rotation (VERDICT r11 task 6/9): crawl_backoff_schedule
     # — the anomaly detector's READ side (z flags -> schedule backoff,
@@ -241,6 +262,15 @@ CHECKED_FIRST = [
     # webp_roundtrip_stats executes the transform-free codec; funded by
     # the exact_dedup demotion above.
     "crawl_backoff_schedule", "webp_predictor_stats",
+    # Round-12 wave-8 promotions — the standing discipline (the round's
+    # own newest code takes the hard signal without waiting a round):
+    # the executed color-indexing/bundling and entropy-image (meta
+    # prefix groups) VP8L decode rows, the RFC 6386 VP8 lossy key-frame
+    # codec roundtrip (wave 6 — the largest new surface this round),
+    # and the DSIR importance-resampling weights (wave 7).  Funded by
+    # the four strict-subsumption demotions documented above.
+    "webp_palette_stats", "webp_entropy_stats",
+    "vp8_roundtrip_stats", "dsir_weights",
 ]
 
 

@@ -2072,6 +2072,66 @@ WITH ed AS (
 {_pagerank_tail_sql(dangling=True)}"""
 
 
+def _q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact HITS hubs/authorities (operators/graph.py:hits)
+    over the same synthesized domain link graph the PageRank rows
+    rank — the complementary signal (a seed-list page is a hub even
+    with zero in-links).  Two unrolled iterations; every half-step
+    renormalizes to the integer budget via a one-row sum, so the
+    DuckDB unroll below hash-matches bit for bit (the pagerank
+    oracle-expressibility discipline applied to HITS)."""
+    from ..operators.graph import hits
+
+    edges = _domain_edges(_doc_domain_links(_docs(spark, sf_dir)))
+    return hits(edges, iterations=2)
+
+
+def _hits_sql() -> str:
+    from ..operators.graph import SCALE
+
+    steps = []
+    prev_h = "h0"
+    for k in (1, 2):
+        steps.append(f"""ar{k} AS (
+  SELECT e.dst AS node, sum(h.hub * e.weight) AS raw
+  FROM ed e JOIN {prev_h} h ON h.node = e.src GROUP BY 1
+),
+at{k} AS (SELECT sum(raw) AS tot FROM ar{k}),
+a{k} AS (
+  SELECT nodes.node,
+         (COALESCE(raw, 0) * {SCALE}) // greatest(tot, 1) AS auth
+  FROM nodes CROSS JOIN at{k} LEFT JOIN ar{k} USING (node)
+),
+hr{k} AS (
+  SELECT e.src AS node, sum(a.auth * e.weight) AS raw
+  FROM ed e JOIN a{k} a ON a.node = e.dst GROUP BY 1
+),
+ht{k} AS (SELECT sum(raw) AS tot FROM hr{k}),
+h{k} AS (
+  SELECT nodes.node,
+         (COALESCE(raw, 0) * {SCALE}) // greatest(tot, 1) AS hub
+  FROM nodes CROSS JOIN ht{k} LEFT JOIN hr{k} USING (node)
+)""")
+        prev_h = f"h{k}"
+    return f"""
+WITH ed AS (
+  SELECT src, dst, CAST(count(*) AS BIGINT) AS weight
+  FROM (SELECT doc_id % 17 AS src,
+               (doc_id % 17 + 1 + (doc_id // 17) % 5) % 17 AS dst
+        FROM documents)
+  GROUP BY 1, 2
+),
+nodes AS (SELECT DISTINCT node FROM
+          (SELECT src AS node FROM ed UNION ALL SELECT dst FROM ed)),
+nn AS (SELECT count(*) AS n FROM nodes),
+h0 AS (SELECT node, {SCALE} // n AS hub FROM nodes CROSS JOIN nn),
+{",".join(steps)}
+SELECT h2.node, CAST(hub AS BIGINT) AS hub_scaled,
+       CAST(auth AS BIGINT) AS auth_scaled
+FROM h2 JOIN a2 USING (node)
+"""
+
+
 def _compliant_pagerank_sql() -> str:
     from ..functions.quality import _NOFOLLOW_TOK_RE
 
@@ -5270,6 +5330,11 @@ QUERIES: dict[str, Query] = {
         _q_pagerank_dangling, _pagerank_dangling_sql(),
         "PageRank with uniform dangling-mass redistribution over a "
         "graph with genuinely dangling domains (integer-exact)"),
+    "hits_scores": Query(
+        _q_hits_scores, _hits_sql(),
+        "integer-exact 2-iteration HITS hubs/authorities over the "
+        "domain link graph (per-half-step one-row renormalization "
+        "keeps every value int64 and engine-order-independent)"),
     "robots_txt_gate": Query(
         _q_robots_txt_gate, _robots_txt_gate_sql(),
         "RFC 9309 robots.txt parsing + longest-match/allow-wins URL "
