@@ -99,69 +99,69 @@ def pagerank(edges: DataFrame, iterations: int = 3,
     return r.select("node", F.col("rank").cast("long").alias("rank_scaled"))
 
 
-def hits(edges: DataFrame, iterations: int = 2,
-         scale: int = SCALE) -> DataFrame:
-    """Fixed-iteration integer-exact HITS (Kleinberg hubs/authorities)
-    over a weighted edge list (src, dst, weight) — the complementary
-    ranking signal to :func:`pagerank`: a page that LINKS TO many
-    authorities is a hub even if nothing links to it, which is exactly
-    the shape of crawl seed lists and link directories.
+def salsa(edges: DataFrame, iterations: int = 2,
+          scale: int = SCALE) -> DataFrame:
+    """Fixed-iteration integer-exact SALSA (Lempel & Moran 2000) hub /
+    authority scores over a weighted edge list (src, dst, weight) — the
+    complementary ranking signal to :func:`pagerank`: a page that LINKS
+    TO many authorities is a hub even if nothing links to it, which is
+    exactly the shape of crawl seed lists and link directories.
 
-    Same oracle-expressibility discipline as :func:`pagerank`: classic
-    HITS L2-normalizes each half-step (float, engine-order-dependent);
-    here each half-step renormalizes to an integer budget instead —
-    ``x' = (x_raw * scale) div sum(x_raw)`` with the sum a ONE-ROW
-    aggregate broadcast into the update (the dangling-mass idiom), so
-    every value stays int64 and bit-identical across engines.  Raw
-    sums are bounded by scale * max_weighted_degree before the rescale;
-    with scale 10^12 that leaves ~6 · 10^6 of weighted-degree headroom
-    below int64 — asserted, not assumed.
+    SALSA replaces HITS's L2 normalization (float, engine-reduction-
+    order-dependent — not oracle-checkable) with row/column-stochastic
+    walk steps, which is precisely the :func:`pagerank` integer
+    discipline: the authority half-step splits each hub's FULL score
+    across its out-edges (``(hub * weight) div w_out``), the hub
+    half-step splits each authority's score across its in-edges
+    (``(auth * weight) div w_in``).  Normalization is built into the
+    split, so no value ever exceeds ``scale`` and every step is int64
+    integer division — bit-identical across engines.  (A renormalize-
+    after-summing HITS variant needs ``raw * scale`` intermediates that
+    overflow int64; the mass-conserving split is the structurally
+    correct integer form.)  Like pagerank's default, the mass of
+    dangling hubs (no out-edges) / dangling authorities (no in-edges)
+    leaks, so totals only sum to ~scale on graphs where every node has
+    both directions; per-value products are bounded by scale * weight
+    (the pagerank row's identical int64 exposure: weight < 9.2e6 at
+    scale 1e12 — pre-bucket edge weights above that).
 
-    Scale shape: per iteration TWO keyed joins (rank vector onto the
+    Scale shape: per iteration TWO keyed joins (score vector onto the
     edge list, keyed src then dst) and TWO keyed aggregations — the
-    same one-join-one-agg-per-direction plan distributed HITS always
-    is; the renormalization adds only broadcast-sized one-row sums.
-    Output: (node, hub_scaled, auth_scaled), each summing to ~scale
-    (nodes with no out-edges have hub 0; no in-edges, auth 0).
+    one-join-one-agg-per-direction plan distributed SALSA/HITS always
+    is; w_out/w_in are computed once outside the loop.
+    Output: (node, hub_scaled, auth_scaled).
 
     Reference parity note: like pagerank, a training-data extension —
     the reference trace pipeline has no graph-rank surface."""
-    if scale > 10 ** 15:
-        raise ValueError("scale too large for int64 headroom "
-                         "(raw half-step sums are scale * weighted "
-                         "degree)")
     nodes = (edges.select(F.col("src").alias("node"))
              .union(edges.select(F.col("dst").alias("node")))
              .distinct())
     nc = nodes.agg(F.count(F.lit(1)).alias("n"))
+    out_w = edges.groupBy("src").agg(F.sum("weight").alias("w_out"))
+    in_w = edges.groupBy("dst").agg(F.sum("weight").alias("w_in"))
+    e = edges.join(out_w, "src").join(in_w, "dst")
     h = (nodes.crossJoin(F.broadcast(nc))
          .select("node", F.expr(f"{scale} div n").alias("hub")))
     a = None
     for _ in range(iterations):
         a_raw = (
-            edges.join(h, edges["src"] == h["node"])
+            e.join(h, e["src"] == h["node"])
             .select(F.col("dst").alias("node"),
-                    F.expr("hub * weight").alias("c"))
+                    F.expr("(hub * weight) div w_out").alias("c"))
             .groupBy("node").agg(F.sum("c").alias("raw"))
         )
-        a_tot = a_raw.agg(F.sum("raw").alias("tot"))
         a = (nodes.join(a_raw, "node", "left")
-             .crossJoin(F.broadcast(a_tot))
              .select("node",
-                     F.expr(f"(coalesce(raw, 0) * {scale}) "
-                            "div greatest(tot, 1)").alias("auth")))
+                     F.expr("coalesce(raw, 0)").alias("auth")))
         h_raw = (
-            edges.join(a, edges["dst"] == a["node"])
+            e.join(a, e["dst"] == a["node"])
             .select(F.col("src").alias("node"),
-                    F.expr("auth * weight").alias("c"))
+                    F.expr("(auth * weight) div w_in").alias("c"))
             .groupBy("node").agg(F.sum("c").alias("raw"))
         )
-        h_tot = h_raw.agg(F.sum("raw").alias("tot"))
         h = (nodes.join(h_raw, "node", "left")
-             .crossJoin(F.broadcast(h_tot))
              .select("node",
-                     F.expr(f"(coalesce(raw, 0) * {scale}) "
-                            "div greatest(tot, 1)").alias("hub")))
+                     F.expr("coalesce(raw, 0)").alias("hub")))
     return (h.join(a, "node")
             .select("node", F.col("hub").cast("long").alias("hub_scaled"),
                     F.col("auth").cast("long").alias("auth_scaled")))

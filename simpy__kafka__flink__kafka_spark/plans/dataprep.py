@@ -2072,45 +2072,43 @@ WITH ed AS (
 {_pagerank_tail_sql(dangling=True)}"""
 
 
-def _q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Integer-exact HITS hubs/authorities (operators/graph.py:hits)
-    over the same synthesized domain link graph the PageRank rows
-    rank — the complementary signal (a seed-list page is a hub even
-    with zero in-links).  Two unrolled iterations; every half-step
-    renormalizes to the integer budget via a one-row sum, so the
-    DuckDB unroll below hash-matches bit for bit (the pagerank
-    oracle-expressibility discipline applied to HITS)."""
-    from ..operators.graph import hits
+def _q_salsa_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact SALSA hub/authority scores (operators/graph.py:
+    salsa) over the same synthesized domain link graph the PageRank
+    rows rank — the complementary signal (a seed-list page is a hub
+    even with zero in-links).  Two unrolled iterations; normalization
+    is built into the row/column-stochastic splits, so the DuckDB
+    unroll below hash-matches bit for bit (the pagerank
+    oracle-expressibility discipline applied to the HITS family)."""
+    from ..operators.graph import salsa
 
     edges = _domain_edges(_doc_domain_links(_docs(spark, sf_dir)))
-    return hits(edges, iterations=2)
+    return salsa(edges, iterations=2)
 
 
-def _hits_sql() -> str:
+def _salsa_sql() -> str:
     from ..operators.graph import SCALE
 
     steps = []
     prev_h = "h0"
     for k in (1, 2):
         steps.append(f"""ar{k} AS (
-  SELECT e.dst AS node, sum(h.hub * e.weight) AS raw
-  FROM ed e JOIN {prev_h} h ON h.node = e.src GROUP BY 1
+  SELECT e.dst AS node, sum((h.hub * e.weight) // o.w_out) AS raw
+  FROM ed e JOIN outw o USING (src) JOIN {prev_h} h ON h.node = e.src
+  GROUP BY 1
 ),
-at{k} AS (SELECT sum(raw) AS tot FROM ar{k}),
 a{k} AS (
-  SELECT nodes.node,
-         (COALESCE(raw, 0) * {SCALE}) // greatest(tot, 1) AS auth
-  FROM nodes CROSS JOIN at{k} LEFT JOIN ar{k} USING (node)
+  SELECT nodes.node, COALESCE(raw, 0) AS auth
+  FROM nodes LEFT JOIN ar{k} USING (node)
 ),
 hr{k} AS (
-  SELECT e.src AS node, sum(a.auth * e.weight) AS raw
-  FROM ed e JOIN a{k} a ON a.node = e.dst GROUP BY 1
+  SELECT e.src AS node, sum((a.auth * e.weight) // i.w_in) AS raw
+  FROM ed e JOIN inw i USING (dst) JOIN a{k} a ON a.node = e.dst
+  GROUP BY 1
 ),
-ht{k} AS (SELECT sum(raw) AS tot FROM hr{k}),
 h{k} AS (
-  SELECT nodes.node,
-         (COALESCE(raw, 0) * {SCALE}) // greatest(tot, 1) AS hub
-  FROM nodes CROSS JOIN ht{k} LEFT JOIN hr{k} USING (node)
+  SELECT nodes.node, COALESCE(raw, 0) AS hub
+  FROM nodes LEFT JOIN hr{k} USING (node)
 )""")
         prev_h = f"h{k}"
     return f"""
@@ -2124,6 +2122,8 @@ WITH ed AS (
 nodes AS (SELECT DISTINCT node FROM
           (SELECT src AS node FROM ed UNION ALL SELECT dst FROM ed)),
 nn AS (SELECT count(*) AS n FROM nodes),
+outw AS (SELECT src, sum(weight) AS w_out FROM ed GROUP BY 1),
+inw AS (SELECT dst, sum(weight) AS w_in FROM ed GROUP BY 1),
 h0 AS (SELECT node, {SCALE} // n AS hub FROM nodes CROSS JOIN nn),
 {",".join(steps)}
 SELECT h2.node, CAST(hub AS BIGINT) AS hub_scaled,
@@ -5330,11 +5330,11 @@ QUERIES: dict[str, Query] = {
         _q_pagerank_dangling, _pagerank_dangling_sql(),
         "PageRank with uniform dangling-mass redistribution over a "
         "graph with genuinely dangling domains (integer-exact)"),
-    "hits_scores": Query(
-        _q_hits_scores, _hits_sql(),
-        "integer-exact 2-iteration HITS hubs/authorities over the "
-        "domain link graph (per-half-step one-row renormalization "
-        "keeps every value int64 and engine-order-independent)"),
+    "salsa_scores": Query(
+        _q_salsa_scores, _salsa_sql(),
+        "integer-exact 2-iteration SALSA hub/authority scores over "
+        "the domain link graph (row/column-stochastic splits make the "
+        "HITS-family signal int64-exact and engine-order-independent)"),
     "robots_txt_gate": Query(
         _q_robots_txt_gate, _robots_txt_gate_sql(),
         "RFC 9309 robots.txt parsing + longest-match/allow-wins URL "

@@ -119,3 +119,50 @@ def test_pagerank_dangling_redistribution_conserves_mass(spark):
     assert sum(redist.values()) > 0.999 * SCALE
     # every node gains from the redistributed mass
     assert all(redist[n] > leak[n] for n in redist)
+
+
+def _salsa_scores(spark, edges, iterations=2):
+    from simpy__kafka__flink__kafka_spark.operators.graph import salsa
+
+    df = spark.createDataFrame(edges, "src long, dst long, weight long")
+    return {r["node"]: (r["hub_scaled"], r["auth_scaled"])
+            for r in salsa(df, iterations=iterations).collect()}
+
+
+def test_salsa_star_hub_vs_authority(spark):
+    # node 0 links to 1,2,3 and nothing links to 0: 0 is the only hub,
+    # 1-3 are pure authorities with equal shares.  One iteration keeps
+    # the hand-derivation exact: a(v) = (h0 * 1) div 3, and node 0
+    # collects all three authorities' mass back (w_in = 1 each).
+    got = _salsa_scores(spark, [(0, 1, 1), (0, 2, 1), (0, 3, 1)],
+                        iterations=1)
+    h0 = SCALE // 4
+    assert got[1] == got[2] == got[3] == (0, (h0 * 1) // 3)
+    assert got[0] == (3 * ((h0 // 3) * 1 // 1), 0)
+
+
+def test_salsa_weight_proportional_authority(spark):
+    # one hub splits weight 3:1 -> authority shares split 3:1 exactly
+    got = _salsa_scores(spark, [(0, 1, 3), (0, 2, 1)], iterations=1)
+    h0 = SCALE // 3
+    assert got[1][1] == (h0 * 3) // 4
+    assert got[2][1] == (h0 * 1) // 4
+    assert got[0][1] == 0
+
+
+def test_salsa_budget_conserved_when_no_danglers(spark):
+    # every node has in- and out-edges: the stochastic splits conserve
+    # the budget up to integer-division dust
+    got = _salsa_scores(spark, [(0, 1, 2), (1, 2, 5), (2, 0, 1),
+                                (2, 1, 4), (0, 2, 7)])
+    assert abs(sum(h for h, _ in got.values()) - SCALE) < 100
+    assert abs(sum(a for _, a in got.values()) - SCALE) < 100
+
+
+def test_salsa_registry_row_matches_oracle(spark, sf_dir):
+    from tests.oracle_utils import assert_match
+
+    from simpy__kafka__flink__kafka_spark.plans import registry
+
+    q = registry()["salsa_scores"]
+    assert_match(q.build(spark, sf_dir), q.oracle, sf_dir, "salsa_scores")
