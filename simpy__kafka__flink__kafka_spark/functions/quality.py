@@ -479,3 +479,62 @@ def bigram_lm_score(df: DataFrame, id_col: str = "doc_id",
         F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
         F.coalesce("lm_score", F.lit(0)).cast("long").alias("lm_score"),
     )
+
+
+def ccnet_buckets(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", k: int = 3,
+                  counts_df: DataFrame | None = None) -> DataFrame:
+    """CCNet-style per-language fluency bucketing (Wenzek et al. 2020):
+    within each predicted language, docs are split into ``k`` equal
+    quantile buckets by LM fluency — head (most fluent), middle, tail —
+    the selection signal CCNet/RedPajama pipelines keep or drop whole
+    buckets on.  Fluency is :func:`bigram_lm_score` (higher = head);
+    ``counts_df`` scores against a reference-corpus LM (the CCNet
+    posture), default trains on the bucketed corpus itself.
+
+    Scale shape: the per-language quantile rank is NOT a per-language
+    window — one mega-language (90% of a crawl is English) must never
+    become a single sorted task (the crawl_schedule / frontier_rank
+    lesson).  It composes the scale-safe ranged operators instead: a
+    global ranged row_number over (lang, -lm_score, doc_id) minus each
+    language's exclusive prefix count over lang order — identical
+    output to ``row_number() OVER (PARTITION BY lang ORDER BY lm_score
+    DESC, doc_id)``, which is exactly what the oracle runs.  The
+    bucket is the integer formula ``((rank - 1) * k) div n_lang``
+    (contiguous quantiles, sizes differing by at most one) rather than
+    SQL ntile, whose first-groups-get-the-remainder layout is harder
+    to reproduce scale-safely for no filtering benefit.
+
+    Output: (id_col, lang, lm_score, bucket_idx, bucket) — bucket is
+    head/middle/tail for k=3, ``b{i}`` otherwise."""
+    from ..cachepin import pin
+    from ..operators.sequences import ranged_prefix_sum, ranged_row_number
+    from .text import language_id, words
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    base = df.select(F.col(id_col).alias("doc_id"),
+                     F.col(text_col).alias("text"))
+    lang = base.select("doc_id", language_id(words("text")).alias("lang"))
+    lm = bigram_lm_score(base, counts_df=counts_df).select(
+        "doc_id", "lm_score")
+    # pinned: repartitionByRange's boundary sampling would otherwise
+    # re-execute the lang + LM subtree a second time (the frontier_rank
+    # precedent)
+    scored = pin(lang.join(lm, "doc_id")
+                 .withColumn("_neg", -F.col("lm_score")))
+    ranked = ranged_row_number(scored, ["lang", "_neg", "doc_id"],
+                               out_col="_gseq")
+    counts = scored.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("_n"))
+    offs = ranged_prefix_sum(counts, ["lang"], "_n", out_col="_loff",
+                             exclusive=True)
+    idx = F.expr(f"((_gseq - _loff - 1) * {k}) div _n").cast("int")
+    if k == 3:
+        label = (F.when(idx == 0, "head")
+                 .when(idx == 1, "middle").otherwise("tail"))
+    else:
+        label = F.concat(F.lit("b"), idx.cast("string"))
+    return (ranked.join(F.broadcast(offs), "lang")
+            .select(F.col("doc_id").alias(id_col), "lang", "lm_score",
+                    idx.alias("bucket_idx"), label.alias("bucket")))

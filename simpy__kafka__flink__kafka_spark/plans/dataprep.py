@@ -93,7 +93,10 @@ def _q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select("doc_id", best_lang.alias("lang_pred"))
 
 
-def _lang_id_sql() -> str:
+def _lang_pred_ctes() -> str:
+    """scores/langp CTE pair (expects the ``w`` words CTE above it) —
+    ONE rendering of the stopword-hit argmax fold, shared by the
+    language_id and ccnet_buckets oracles."""
     score_cols = []
     for lang in LANGS:
         lits = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
@@ -106,10 +109,16 @@ def _lang_id_sql() -> str:
     for lang in LANGS[1:]:
         expr_lang = f"CASE WHEN s_{lang} > {expr_score} THEN '{lang}' ELSE {expr_lang} END"
         expr_score = f"CASE WHEN s_{lang} > {expr_score} THEN s_{lang} ELSE {expr_score} END"
+    return (f"scores AS (SELECT doc_id, {', '.join(score_cols)} FROM w),\n"
+            f"langp AS (SELECT doc_id, {expr_lang} AS lang_pred "
+            "FROM scores)")
+
+
+def _lang_id_sql() -> str:
     return f"""
 WITH {_WORDS_CTE},
-scores AS (SELECT doc_id, {', '.join(score_cols)} FROM w)
-SELECT doc_id, {expr_lang} AS lang_pred FROM scores
+{_lang_pred_ctes()}
+SELECT doc_id, lang_pred FROM langp
 """
 
 
@@ -1892,17 +1901,14 @@ def _q_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm_score(_docs(spark, sf_dir))
 
 
-def _bigram_lm_sql() -> str:
+def _bigram_lm_ctes() -> str:
+    """bg/c2t/c1t/vt/sc/lmagg CTE chain (expects the ``w`` words CTE
+    above it) — ONE rendering of the integer bigram-LM algebra, shared
+    by the bigram_lm_score and ccnet_buckets oracles so the smoothing
+    formula can never silently diverge between rows."""
     from ..functions.quality import LM_SCALE
 
-    return rf"""
-WITH w AS (
-  SELECT doc_id,
-         string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')),
-                      ' ') AS ws
-  FROM documents
-),
-bg AS (
+    return rf"""bg AS (
   SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
   FROM w, LATERAL (SELECT unnest(generate_series(1,
                      greatest(len(ws) - 1, 0))) AS i) t
@@ -1923,13 +1929,56 @@ sc AS (
   LEFT JOIN c1t ON c1t.w1 = bg.w1
   CROSS JOIN vt
 ),
-agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-               CAST(sum(p) // count(*) AS BIGINT) AS lm_score
-        FROM sc GROUP BY 1)
+lmagg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                 CAST(sum(p) // count(*) AS BIGINT) AS lm_score
+          FROM sc GROUP BY 1)"""
+
+
+def _bigram_lm_sql() -> str:
+    return rf"""
+WITH {_WORDS_CTE},
+{_bigram_lm_ctes()}
 SELECT d.doc_id,
        CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams,
        CAST(COALESCE(lm_score, 0) AS BIGINT) AS lm_score
-FROM documents d LEFT JOIN agg USING (doc_id)
+FROM documents d LEFT JOIN lmagg USING (doc_id)
+"""
+
+
+def _q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style per-language head/middle/tail fluency bucketing
+    (functions/quality.py:ccnet_buckets): language-ID + integer
+    bigram-LM score + scale-safe ranged per-language quantile rank.
+    The oracle runs the per-language window form the ranged algebra is
+    provably identical to, over the SAME lang-fold and LM renderings
+    the language_id and bigram_lm_score oracles use."""
+    from ..functions.quality import ccnet_buckets
+
+    return ccnet_buckets(_docs(spark, sf_dir))
+
+
+def _ccnet_buckets_sql() -> str:
+    return rf"""
+WITH {_WORDS_CTE},
+{_lang_pred_ctes()},
+{_bigram_lm_ctes()},
+j AS (
+  SELECT l.doc_id, l.lang_pred AS lang,
+         CAST(COALESCE(a.lm_score, 0) AS BIGINT) AS lm_score
+  FROM langp l LEFT JOIN lmagg a USING (doc_id)
+),
+r AS (
+  SELECT doc_id, lang, lm_score,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY lm_score DESC, doc_id) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM j
+)
+SELECT doc_id, lang, lm_score,
+       CAST(((rn - 1) * 3) // n AS INTEGER) AS bucket_idx,
+       CASE ((rn - 1) * 3) // n WHEN 0 THEN 'head'
+            WHEN 1 THEN 'middle' ELSE 'tail' END AS bucket
+FROM r
 """
 
 
@@ -5317,6 +5366,11 @@ QUERIES: dict[str, Query] = {
         _q_bigram_lm_score, _bigram_lm_sql(),
         "bigram-LM fluency scoring (CCNet posture), integer-scaled "
         "add-one-smoothed probabilities — exact across engines"),
+    "ccnet_buckets": Query(
+        _q_ccnet_buckets, _ccnet_buckets_sql(),
+        "CCNet per-language head/middle/tail fluency buckets: lang-ID "
+        "+ bigram-LM score + scale-safe ranged quantile rank (no "
+        "mega-language single-task sort)"),
     "domain_pagerank": Query(
         _q_domain_pagerank, _domain_pagerank_sql(),
         "integer-exact 3-iteration PageRank over the synthesized domain "

@@ -253,3 +253,47 @@ def test_bigram_lm_external_counts(spark):
     # C1('a') = sum of c2 with prefix 'a' = 10
     assert got[1] == ((10 + 1) * LM_SCALE) // (10 + V)
     assert got[2] == ((0 + 1) * LM_SCALE) // (0 + V)
+
+
+def test_ccnet_buckets_quantile_layout(spark, sf_dir):
+    """Per-language bucket sizes differ by at most one and head ranks
+    strictly above tail in lm_score within each language."""
+    from simpy__kafka__flink__kafka_spark.functions.quality import ccnet_buckets
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = ccnet_buckets(docs).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r)
+    assert len(out) == docs.count()
+    for lang, rows in by_lang.items():
+        sizes = {}
+        for r in rows:
+            sizes[r["bucket_idx"]] = sizes.get(r["bucket_idx"], 0) + 1
+        assert max(sizes.values()) - min(sizes.values()) <= 1
+        head_min = min((r["lm_score"] for r in rows
+                        if r["bucket_idx"] == 0), default=None)
+        tail_max = max((r["lm_score"] for r in rows
+                        if r["bucket_idx"] == 2), default=None)
+        if head_min is not None and tail_max is not None:
+            assert head_min >= tail_max
+
+
+def test_ccnet_buckets_matches_oracle(spark, sf_dir):
+    from tests.oracle_utils import assert_match
+
+    from simpy__kafka__flink__kafka_spark.plans import registry
+
+    q = registry()["ccnet_buckets"]
+    assert_match(q.build(spark, sf_dir), q.oracle, sf_dir, "ccnet_buckets")
+
+
+def test_bigram_lm_oracle_unchanged_by_cte_factor(spark, sf_dir):
+    # the shared-rendering factor must not shift the bigram_lm_score row
+    from tests.oracle_utils import assert_match
+
+    from simpy__kafka__flink__kafka_spark.plans import registry
+
+    q = registry()["bigram_lm_score"]
+    assert_match(q.build(spark, sf_dir), q.oracle, sf_dir,
+                 "bigram_lm_score")
