@@ -630,3 +630,63 @@ def pq_topk_rerank(emb: DataFrame, n_queries: int = 5, k: int = 10,
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def semantic_dedup(emb: DataFrame, threshold: float = 0.92,
+                   n_centroids: int = N_CENTROIDS) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication by
+    clustering embeddings and dropping, within each cluster, every
+    vector that has a near-neighbor (cosine >= threshold) ranked
+    before it — where rank is (cell_sim ASC, vec_id), so the survivor
+    of each duplicate group is the one LEAST similar to its centroid
+    (the paper's keep-rule: it preserves the cluster's diversity
+    extremes rather than its redundant core).
+
+    Scale shape: the pair enumeration is the :func:`embedding_near_dup_ivf`
+    cell blocking — an equi-join on cell_id bounded by cell size, never
+    all-pairs — and the keep-rule needs only EXISTS(earlier near
+    neighbor): a semi-join-shaped aggregate, no transitive closure.
+    Centroid assignment is one broadcast-centroid scan.
+
+    Output: (vec_id, cell_id, cell_sim, kept int) — every input vector
+    keeps a row; ``kept = 0`` marks semantic duplicates to drop."""
+    from ..cachepin import pin
+
+    assign = ivf_assign(emb, n_centroids)
+    cells = pin(
+        emb.select("vec_id", "embedding")
+        .join(assign, "vec_id")
+        .withColumn("n2", dot(F.col("embedding"), F.col("embedding")))
+    )
+    a = cells.select(
+        "cell_id", F.col("vec_id").alias("vec_a"),
+        F.col("cell_sim").alias("sim_a"),
+        F.col("embedding").alias("emb_a"), F.col("n2").alias("n2_a"),
+    )
+    b = cells.select(
+        "cell_id", F.col("vec_id").alias("vec_b"),
+        F.col("cell_sim").alias("sim_b"),
+        F.col("embedding").alias("emb_b"), F.col("n2").alias("n2_b"),
+    )
+    cos = F.round(
+        dot(F.col("emb_a"), F.col("emb_b"))
+        / (F.sqrt(F.col("n2_a")) * F.sqrt(F.col("n2_b"))),
+        6,
+    )
+    earlier = (F.col("sim_a") < F.col("sim_b")) | (
+        (F.col("sim_a") == F.col("sim_b"))
+        & (F.col("vec_a") < F.col("vec_b")))
+    dups = (
+        a.join(b, "cell_id")
+        .where(earlier)
+        .where(cos >= threshold)
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+        .withColumn("_dup", F.lit(1))
+    )
+    return (
+        cells.join(dups, "vec_id", "left")
+        .select("vec_id", "cell_id", "cell_sim",
+                F.when(F.col("_dup").isNull(), 1).otherwise(0)
+                .cast("int").alias("kept"))
+    )

@@ -441,6 +441,37 @@ def _q_pq_topk_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_topk_rerank(_emb(spark, sf_dir))
 
 
+def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic deduplication (functions/similarity.py:
+    semantic_dedup): IVF-cell blocking + in-cell cosine pairs + the
+    keep-least-central rule.  The oracle mirrors the identical cell
+    blocking (embedding near-dup discipline), so the gate checks this
+    exact approximate semantic."""
+    return similarity.semantic_dedup(_emb(spark, sf_dir))
+
+
+def _semantic_dedup_sql(threshold: float = 0.92) -> str:
+    cos = _COS.format(a="a.ve", b="b.ve")
+    return f"""
+WITH assign AS ({_ivf_assign_sql()}),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+cells AS (SELECT a.vec_id, a.cell_id, a.cell_sim, e.ve
+          FROM assign a JOIN e USING (vec_id)),
+dup AS (
+  SELECT b.vec_id
+  FROM cells a JOIN cells b ON a.cell_id = b.cell_id
+   AND (a.cell_sim < b.cell_sim
+        OR (a.cell_sim = b.cell_sim AND a.vec_id < b.vec_id))
+  WHERE {cos} >= {threshold}
+  GROUP BY 1
+)
+SELECT c.vec_id, c.cell_id, c.cell_sim,
+       CAST(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS INTEGER)
+         AS kept
+FROM cells c LEFT JOIN dup d ON d.vec_id = c.vec_id
+"""
+
+
 def _ivf_topk_sql() -> str:
     qc = _COS.format(a="q.qe", b="ct.ce")
     cos = _COS.format(a="p.qe", b="c.ve")
@@ -5180,6 +5211,10 @@ QUERIES: dict[str, Query] = {
     "embedding_near_dup_verified": Query(
         _q_emb_near_dup_verified, _emb_near_dup_verified_sql(),
         "IVF-blocked embedding near-dup (scale composition)"),
+    "semantic_dedup": Query(
+        _q_semantic_dedup, _semantic_dedup_sql(),
+        "SemDeDup semantic dedup: IVF-cell blocking + in-cell cosine "
+        "pairs + keep-least-central survivor rule"),
     "ivf_topk_trained": Query(_q_ivf_topk_trained, None,
                               "IVF top-k over KMeans-trained centroids (rows-only)"),
     "pq_topk_rerank": Query(

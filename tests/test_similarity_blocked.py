@@ -19,3 +19,51 @@ def test_blocked_matches_fold(spark, sf_dir):
     assert set(fold) == set(blocked)
     for k in fold:
         assert abs(fold[k] - blocked[k]) < 2e-6, (k, fold[k], blocked[k])
+
+
+def test_semantic_dedup_keeps_least_central(spark):
+    """Two identical vectors in one cell: the one with LOWER centroid
+    similarity survives; a lone dissimilar vector is always kept."""
+    import pyspark.sql.functions as F
+
+    from simpy__kafka__flink__kafka_spark.functions.similarity import (
+        semantic_dedup)
+
+    # centroid universe: vec_id < N_CENTROIDS are centroids (ivf_assign
+    # convention); craft 2 clones near centroid 0 and one loner near
+    # centroid 1
+    rows = [
+        (0, [1.0, 0.0, 0.0]),          # centroid 0
+        (1, [0.0, 1.0, 0.0]),          # centroid 1
+        (2, [0.0, 0.0, 1.0]),          # centroid 2 (unused)
+        (3, [0.0, 0.0, 0.9]),
+        (10, [0.9, 0.1, 0.0]),         # clone A, closer to centroid 0
+        (11, [0.8, 0.2, 0.0]),         # clone B, less central
+        (12, [0.1, 0.9, 0.0]),         # loner in cell 1
+    ]
+    # make 10 and 11 near-identical in cosine: use same direction
+    rows[4] = (10, [0.9, 0.1, 0.0])
+    rows[5] = (11, [0.9000001, 0.1, 0.0])
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in semantic_dedup(emb, 0.99).collect()}
+    assert len(out) == len(rows)
+    # 10 and 11 share a cell and cos ~ 1.0 -> exactly one survives
+    assert out[10]["kept"] + out[11]["kept"] == 1
+    # survivor is the LESS central one (lower cell_sim; ties by id)
+    kept_id = 10 if out[10]["kept"] else 11
+    dropped_id = 21 - kept_id
+    assert (out[kept_id]["cell_sim"], kept_id) <= (
+        out[dropped_id]["cell_sim"], dropped_id)
+    assert out[12]["kept"] == 1
+
+
+def test_semantic_dedup_matches_oracle(spark, sf_dir):
+    from tests.oracle_utils import assert_match
+
+    from simpy__kafka__flink__kafka_spark.plans import registry
+
+    q = registry()["semantic_dedup"]
+    assert_match(q.build(spark, sf_dir), q.oracle, sf_dir,
+                 "semantic_dedup")
