@@ -849,6 +849,73 @@ def _q_audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", F.md5(F.col("text")).alias("sig")))
 
 
+_TONE_N, _TONE_RATE, _TONE_AMP = 2000, 8000, 12000
+
+
+def _synth_tone_wavs(docs: DataFrame) -> DataFrame:
+    """(doc_id, content) WAV fixture: a mono int16 SQUARE wave at bin
+    k = 1 + doc_id % 50 — s[n] = ±AMP as (k*n) mod N falls below N/2.
+    A square wave keeps every spectral-feature output closed-form (the
+    flac_roundtrip discipline): |s| = AMP everywhere so rms = AMP
+    exactly; the fundamental dominates every harmonic (2/pi vs 2/3pi)
+    so the rfft argmax is k; and zero crossings are the integer flip
+    count of the same mod arithmetic the oracle replays."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.multimodal import encode_wav
+
+    def run(batches):
+        n_arr = np.arange(_TONE_N, dtype=np.int64)
+        for pdf in batches:
+            def wav(doc_id: int) -> bytes:
+                k = 1 + doc_id % 50
+                hi = (k * n_arr) % _TONE_N < _TONE_N // 2
+                s = np.where(hi, _TONE_AMP, -_TONE_AMP).astype(np.int16)
+                return encode_wav(s.reshape(-1, 1), _TONE_RATE)
+
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "content": pdf["doc_id"].map(wav),
+            })
+
+    return docs.select("doc_id").mapInPandas(
+        run, "doc_id long, content binary")
+
+
+def _q_audio_spectral_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTED audio feature-extraction path (functions/multimodal.py:
+    audio_spectral_features): per-doc square-wave WAV synth -> stdlib
+    WAV decode -> numpy rfft peak + zero crossings + RMS, all
+    Arrow-batched.  The oracle reproduces every value from the fixture's
+    mod arithmetic — possible because the waveform is integer-exact and
+    its spectrum is known in closed form."""
+    from ..functions.multimodal import audio_spectral_features
+
+    return audio_spectral_features(_synth_tone_wavs(_docs(spark, sf_dir)))
+
+
+def _audio_spectral_sql() -> str:
+    n, rate, amp = _TONE_N, _TONE_RATE, _TONE_AMP
+    return f"""
+WITH p AS (SELECT doc_id, 1 + doc_id % 50 AS k FROM documents),
+z AS (
+  SELECT doc_id, k,
+         len(list_filter(generate_series(1, {n - 1}),
+             i -> ((k * i) % {n} < {n // 2})
+                  <> ((k * (i - 1)) % {n} < {n // 2}))) AS zc
+  FROM p
+)
+SELECT doc_id, CAST({n} AS BIGINT) AS n_samples,
+       CAST({rate} AS INTEGER) AS sample_rate,
+       CAST(k AS INTEGER) AS peak_bin,
+       CAST(k * {rate / n} AS DOUBLE) AS peak_hz,
+       CAST(zc AS BIGINT) AS zero_crossings,
+       CAST({amp}.0 AS DOUBLE) AS rms
+FROM z
+"""
+
+
 # sample = (ascii - 75) * 256 over md5 hex chars: sum of squares <= 16 *
 # (27*256)^2 is exact in a double, /16 is a power of two, and IEEE sqrt is
 # correctly rounded in both engines -> bit-identical rms
@@ -5175,6 +5242,11 @@ QUERIES: dict[str, Query] = {
         _q_image_ahash_oracle, _image_ahash_sql(),
         "REAL PPM decode + perceptual aHash vs a pure-arithmetic DuckDB "
         "twin (pixels, means, and packed hash recomputed from md5 chars)"),
+    "audio_spectral_stats": Query(
+        _q_audio_spectral_stats, _audio_spectral_sql(),
+        "executed audio feature extraction: WAV decode + rfft dominant "
+        "frequency, zero crossings, RMS over square-tone fixtures with "
+        "closed-form spectra"),
     "audio_decode_stats": Query(
         _q_audio_decode_stats, _AUDIO_DECODE_SQL,
         "live FLAC encode+decode round trip through Arrow mapInPandas"),

@@ -223,3 +223,50 @@ def test_resize_png_and_gif_reencode_in_kind():
     assert out_g[:4] == b"GIF8"
     exp_g = img[(np.arange(8) * 16 // 8)][:, (np.arange(6) * 12 // 6)]
     assert np.array_equal(decode_gif(out_g), exp_g)
+
+
+def test_audio_spectral_features_pure_numpy_reference(spark):
+    """A hand-built sine WAV: peak bin, crossings, rms match an
+    independent numpy computation on the SOURCE samples."""
+    import numpy as np
+
+    from simpy__kafka__flink__kafka_spark.functions.multimodal import (
+        audio_spectral_features, encode_wav)
+
+    rate, n, k = 4000, 1000, 7
+    t = np.arange(n)
+    s = np.round(9000 * np.sin(2 * np.pi * k * t / n + 0.3)).astype(np.int16)
+    media = spark.createDataFrame(
+        [(1, bytearray(encode_wav(s.reshape(-1, 1), rate)))],
+        "doc_id long, content binary")
+    row = audio_spectral_features(media).collect()[0]
+    ch = s.astype(np.float64)
+    assert row["n_samples"] == n and row["sample_rate"] == rate
+    assert row["peak_bin"] == int(np.argmax(np.abs(np.fft.rfft(ch)))) == k
+    assert row["peak_hz"] == k * rate / n
+    sg = np.sign(ch)
+    assert row["zero_crossings"] == int(np.count_nonzero(sg[1:] != sg[:-1]))
+    assert row["rms"] == round(float(np.sqrt(np.mean(ch ** 2))), 6)
+
+
+def test_audio_spectral_empty_decode_keeps_row(spark):
+    from simpy__kafka__flink__kafka_spark.functions.multimodal import (
+        audio_spectral_features, encode_wav)
+    import numpy as np
+
+    media = spark.createDataFrame(
+        [(5, bytearray(encode_wav(np.zeros((0, 1), np.int16), 8000)))],
+        "doc_id long, content binary")
+    row = audio_spectral_features(media).collect()[0]
+    assert row["n_samples"] == 0 and row["peak_bin"] == -1
+    assert row["zero_crossings"] == 0 and row["rms"] == 0.0
+
+
+def test_audio_spectral_stats_matches_oracle(spark, sf_dir):
+    from tests.oracle_utils import assert_match
+
+    from simpy__kafka__flink__kafka_spark.plans import registry
+
+    q = registry()["audio_spectral_stats"]
+    assert_match(q.build(spark, sf_dir), q.oracle, sf_dir,
+                 "audio_spectral_stats")
