@@ -1719,3 +1719,55 @@ def audio_spectral_features(media: DataFrame,
             )
 
     return media.mapInPandas(run, SPECTRAL_SCHEMA)
+
+
+def diff_hash(px: np.ndarray, grid: int = 8) -> int:
+    """dHash (difference hash) of a decoded image: nearest-resample to
+    (grid+1) x grid, integer grayscale ((r+g+b) // 3), one bit per
+    horizontal neighbor pair (right STRICTLY brighter than left),
+    row-major, MSB first — the gradient-based perceptual hash.  Its
+    bits depend only on the ORDER of adjacent cells, so it is exactly
+    invariant to global brightness shifts and positive contrast
+    scaling, and more robust than :func:`average_hash` to smooth
+    illumination gradients: a dHash bit flips only where the local
+    gradient is smaller than the illumination's per-cell step, whereas
+    any cell within the ramp's deviation of the global mean flips an
+    aHash bit.  Returned as a SIGNED 64-bit value like
+    :func:`average_hash`; hamming distance is bit_count(xor)."""
+    g = _nearest(px, grid + 1, grid)
+    if g.ndim == 3:
+        gray = g[..., :3].astype(np.int64).sum(axis=-1) // 3
+    else:
+        gray = g.astype(np.int64)
+    v = 0
+    for b in (gray[:, 1:] > gray[:, :-1]).reshape(-1):
+        v = (v << 1) | int(b)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def image_dhash(media: DataFrame, id_col: str = "doc_id",
+                content_col: str = "content", grid: int = 8) -> DataFrame:
+    """(id_col, dhash) — :func:`diff_hash` over every payload through
+    the Arrow ``mapInPandas`` decode path; feeds the same generic
+    banded hamming join :func:`image_near_dup_pairs` drives for aHash
+    signatures (pass the output as ``sig_df`` with the column renamed)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType(), False),
+        T.StructField("dhash", T.LongType(), False),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            yield pd.DataFrame({
+                id_col: pdf[id_col].astype("int64"),
+                "dhash": [diff_hash(decode_image(bytes(c)), grid)
+                          for c in pdf[content_col]],
+            })
+
+    return media.select(id_col, content_col).mapInPandas(run, schema)

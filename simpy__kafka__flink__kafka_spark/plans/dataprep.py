@@ -757,6 +757,78 @@ def _q_image_ahash_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DHASH_SHIFT = ("0123456789abcdef", "@ABCDEFGHIqrstuv")  # ascii + 16
+
+
+def _q_image_dhash_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dHash (gradient perceptual hash) through the REAL decode path,
+    hash-checked against a DuckDB oracle that recomputes every bit from
+    the md5-character arithmetic — the image_ahash_oracle discipline
+    applied to the difference hash.  The fixture's every-fifth doc is a
+    BRIGHTNESS-SHIFTED copy (every raster byte + 16 via translate —
+    grayscale shifts exactly, no clipping below 255), and the oracle
+    computes all hashes from the UNSHIFTED raster: the gate therefore
+    pins dHash's shift-invariance claim, not just the bit packing."""
+    from ..functions.multimodal import image_dhash
+
+    docs = _docs(spark, sf_dir)
+    group = (F.col("doc_id") % 25).cast("string")
+    base = F.concat(
+        *[F.md5(F.concat(F.lit(f"img{k}:"), group)) for k in range(6)]
+    )
+    shifted = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.translate(base, _DHASH_SHIFT[0], _DHASH_SHIFT[1]),
+    ).otherwise(base)
+    media = docs.select(
+        "doc_id",
+        F.concat(
+            F.encode(F.lit("P6\n8 8\n255\n"), "UTF-8"),
+            F.encode(shifted, "UTF-8"),
+        ).alias("content"),
+    )
+    return image_dhash(media).select(
+        "doc_id",
+        F.lpad(F.lower(F.hex("dhash")), 16, "0").alias("dhash_hex"),
+    )
+
+
+def _image_dhash_sql() -> str:
+    # oracle from the UNSHIFTED raster for every doc — shift-invariance
+    # is part of the checked claim (see _q_image_dhash_oracle)
+    base = " || ".join(
+        f"md5('img{k}:' || CAST(doc_id % 25 AS VARCHAR))" for k in range(6)
+    )
+    grays = ", ".join(
+        f"(ascii(substr(r, {3 * p + 1}, 1)) + ascii(substr(r, {3 * p + 2},"
+        f" 1)) + ascii(substr(r, {3 * p + 3}, 1))) // 3"
+        for p in range(64)
+    )
+    # nearest-resample of an 8-wide row to 9 columns: col c reads source
+    # column (c * 8) // 9 -> [0,0,1,2,3,4,5,6,7]
+    cols = [(c * 8) // 9 for c in range(9)]
+
+    def bit(k: int) -> str:
+        r, c = divmod(k, 8)
+        left = f"g[{r * 8 + cols[c] + 1}]"
+        right = f"g[{r * 8 + cols[c + 1] + 1}]"
+        return f"CASE WHEN {right} > {left} THEN {{w}} ELSE 0 END"
+
+    hex_digits = " || ".join(
+        "substr('0123456789abcdef', "
+        + " + ".join(
+            bit(4 * k + b).format(w=2 ** (3 - b)) for b in range(4)
+        )
+        + " + 1, 1)"
+        for k in range(16)
+    )
+    return f"""
+WITH rast AS (SELECT doc_id, {base} AS r FROM documents),
+gr AS (SELECT doc_id, [{grays}] AS g FROM rast)
+SELECT doc_id, {hex_digits} AS dhash_hex FROM gr
+"""
+
+
 def _image_ahash_sql() -> str:
     # the synthesized raster, byte-for-byte (ASCII codes of md5 chars)
     base = " || ".join(
@@ -5242,6 +5314,11 @@ QUERIES: dict[str, Query] = {
         _q_image_ahash_oracle, _image_ahash_sql(),
         "REAL PPM decode + perceptual aHash vs a pure-arithmetic DuckDB "
         "twin (pixels, means, and packed hash recomputed from md5 chars)"),
+    "image_dhash_oracle": Query(
+        _q_image_dhash_oracle, _image_dhash_sql(),
+        "REAL PPM decode + gradient dHash vs a pure-arithmetic DuckDB "
+        "twin; brightness-shifted fixture copies pin the hash's "
+        "shift-invariance at the gate"),
     "audio_spectral_stats": Query(
         _q_audio_spectral_stats, _audio_spectral_sql(),
         "executed audio feature extraction: WAV decode + rfft dominant "

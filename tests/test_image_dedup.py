@@ -125,3 +125,47 @@ def test_image_near_dup_oracled_and_sig_df_shared(spark, sf_dir):
     direct = image_near_dup_pairs(media, max_hamming=5).collect()
     shared = image_near_dup_pairs(media, max_hamming=5, sig_df=sig).collect()
     assert sorted(map(tuple, direct)) == sorted(map(tuple, shared))
+
+
+def test_diff_hash_brightness_and_contrast_invariant():
+    import numpy as np
+
+    from simpy__kafka__flink__kafka_spark.functions.multimodal import (
+        diff_hash)
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(10, 100, size=(16, 16, 3), dtype=np.int64)
+    h = diff_hash(px)
+    assert diff_hash(px + 30) == h           # global brightness shift
+    assert diff_hash(px * 2) == h            # positive contrast scale
+    # a genuine content change flips bits
+    other = px.copy()
+    other[:8, :8, :] = 255 - other[:8, :8, :]
+    assert diff_hash(other) != h
+
+
+def test_diff_hash_matches_independent_bit_derivation():
+    import numpy as np
+
+    from simpy__kafka__flink__kafka_spark.functions.multimodal import (
+        diff_hash)
+
+    # 8x8 grayscale ramp: independent hand derivation of the packed bits
+    gray = np.arange(64, dtype=np.int64).reshape(8, 8)
+    px = np.stack([gray, gray, gray], axis=-1)
+    # resample 8 -> 9 cols duplicates col 0: first pair equal (bit 0),
+    # all remaining 7 pairs strictly increasing (bit 1) in every row
+    expect_bits = "01111111" * 8
+    v = int(expect_bits, 2)
+    expect = v - (1 << 64) if v >= (1 << 63) else v
+    assert diff_hash(px) == expect
+
+
+def test_image_dhash_oracle_row(spark, sf_dir):
+    from tests.oracle_utils import assert_match
+
+    from simpy__kafka__flink__kafka_spark.plans import registry
+
+    q = registry()["image_dhash_oracle"]
+    assert_match(q.build(spark, sf_dir), q.oracle, sf_dir,
+                 "image_dhash_oracle")
