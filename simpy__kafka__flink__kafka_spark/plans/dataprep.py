@@ -24,6 +24,10 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
 # ---------------------------------------------------------------------------
 # shared oracle CTE fragments
 # ---------------------------------------------------------------------------
@@ -755,6 +759,64 @@ def _q_image_ahash_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.lpad(F.lower(F.hex("ahash")), 16, "0").alias("ahash_hex"),
     )
+
+
+# ip = knuth-hash of the low 16 user_id bits into the 32-bit space;
+# range r (r < 256) owns [r * 2^24, r * 2^24 + len(r) * 2^20) with
+# len(r) = 5 + (r * 7) % 11 in [5, 15] — disjoint (15 * 2^20 < 2^24),
+# covering 31-94% of each /8 block so both match and miss arms fire.
+_IP_MUL, _IP_SPACE = 2654435761, 1 << 32
+_RB_W = 1 << 20    # bucket width: ranges span 5-15 buckets (real fanout)
+
+
+def _q_ip_range_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GeoIP-style point-in-range enrichment (operators/rangejoin.py:
+    bucketed_range_lookup): synthetic 32-bit IPs from events joined to
+    256 disjoint synthetic CIDR-ish blocks carrying a country code.
+    The oracle runs the direct BETWEEN theta join — the bucketed
+    equi-join must produce the identical match set (replication is
+    lossless: a range replica exists in every bucket the interval
+    touches, and the residual filter removes the rest)."""
+    from ..operators.rangejoin import bucketed_range_lookup
+
+    points = _events(spark, sf_dir).select(
+        "event_id",
+        F.expr(f"((user_id % 65536) * {_IP_MUL}) % {_IP_SPACE}")
+        .alias("ip"))
+    ranges = _docs(spark, sf_dir).where(F.col("doc_id") < 256).select(
+        F.expr("doc_id * 16777216").alias("range_start"),
+        F.expr("doc_id * 16777216 + (5 + (doc_id * 7) % 11) * 1048576"
+               " - 1").alias("range_end"),
+        F.concat(F.lit("C"), (F.col("doc_id") % 19).cast("string"))
+        .alias("country"))
+    out = bucketed_range_lookup(points, F.broadcast(ranges),
+                                "ip", "range_start", "range_end", _RB_W)
+    return out.select(
+        "event_id", "ip", "range_start", "country",
+        F.when(F.col("country").isNull(), 0).otherwise(1)
+        .cast("int").alias("matched"))
+
+
+def _ip_range_lookup_sql() -> str:
+    return f"""
+WITH p AS (
+  SELECT event_id,
+         ((user_id % 65536) * {_IP_MUL}) % {_IP_SPACE} AS ip
+  FROM events
+),
+r AS (
+  SELECT doc_id * 16777216 AS range_start,
+         doc_id * 16777216 + (5 + (doc_id * 7) % 11) * 1048576 - 1
+           AS range_end,
+         'C' || CAST(doc_id % 19 AS VARCHAR) AS country
+  FROM documents WHERE doc_id < 256
+)
+SELECT p.event_id, p.ip, r.range_start, r.country,
+       CAST(CASE WHEN r.country IS NULL THEN 0 ELSE 1 END AS INTEGER)
+         AS matched
+FROM p LEFT JOIN r
+  ON p.ip >= r.range_start AND p.ip <= r.range_end
+"""
 
 
 _DHASH_SHIFT = ("0123456789abcdef", "@ABCDEFGHIqrstuv")  # ascii + 16
@@ -5319,6 +5381,11 @@ QUERIES: dict[str, Query] = {
         "REAL PPM decode + gradient dHash vs a pure-arithmetic DuckDB "
         "twin; brightness-shifted fixture copies pin the hash's "
         "shift-invariance at the gate"),
+    "ip_range_lookup": Query(
+        _q_ip_range_lookup, _ip_range_lookup_sql(),
+        "GeoIP-style point-in-range enrichment via interval-bucketed "
+        "equi-join (never a theta join); oracle runs the direct "
+        "BETWEEN form"),
     "audio_spectral_stats": Query(
         _q_audio_spectral_stats, _audio_spectral_sql(),
         "executed audio feature extraction: WAV decode + rfft dominant "
