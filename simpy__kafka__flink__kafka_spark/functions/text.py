@@ -1335,3 +1335,53 @@ def phrase_search(df: DataFrame, phrase: list[str],
         F.count(F.lit(1)).cast("long").alias("n_occurrences"),
         F.min("anchor").cast("long").alias("first_pos"),
     ).select(F.col("doc_id").alias(id_col), "n_occurrences", "first_pos")
+
+
+def nfc_normalize_text(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Unicode NFC text normalization — the canonicalization a
+    multilingual crawl needs BEFORE any fingerprint/dedup stage:
+    'é' typed as e + COMBINING ACUTE and as the precomposed code point
+    are the same text but different md5s, so un-normalized corpora
+    under-deduplicate.  Steps, in order: (1) Unicode NFC (canonical
+    composition — stdlib unicodedata, Arrow-batched; no JVM-side NFC
+    exists in Spark SQL), (2) ASCII control chars folded to spaces,
+    (3) trim + collapse ASCII whitespace runs.  Steps 2-3 use EXPLICIT
+    ASCII classes (not \\s, whose unicode scope differs between
+    Python's re and the oracle's RE2).
+
+    Output: (id_col, norm_text, n_chars long — code points after,
+    changed int — 1 when normalization altered the text)."""
+    import re
+    import unicodedata
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    ctrl = re.compile(r"[\x00-\x08\x0b-\x1f\x7f]")
+    wsrun = re.compile(r"[ \t\n\r\f\v]+")
+
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType(), False),
+        T.StructField("norm_text", T.StringType(), True),
+        T.StructField("n_chars", T.LongType(), True),
+        T.StructField("changed", T.IntegerType(), True),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            def norm(s: str) -> tuple[str, int, int]:
+                out = unicodedata.normalize("NFC", s)
+                out = wsrun.sub(" ", ctrl.sub(" ", out)).strip(" ")
+                return out, len(out), int(out != s)
+
+            o = pdf[text_col].map(norm)
+            yield pd.DataFrame({
+                id_col: pdf[id_col].astype("int64"),
+                "norm_text": o.map(lambda t: t[0]),
+                "n_chars": o.map(lambda t: t[1]).astype("int64"),
+                "changed": o.map(lambda t: t[2]).astype("int32"),
+            })
+
+    return df.select(id_col, text_col).mapInPandas(run, schema)

@@ -761,6 +761,55 @@ def _q_image_ahash_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# injected un-normalized tail: combining-acute 'Cafe' + a tab + a
+# trailing space — NFC composes the accent, the folds collapse the rest
+_NFC_TAIL = " Café \tfi "
+
+
+def _q_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization (functions/text.py:nfc_normalize_text)
+    over documents with an injected un-normalized tail on every third
+    doc (combining accent + tab + trailing space), so both the
+    changed=1 and changed=0 arms fire.  The oracle replays the same
+    pipeline through DuckDB's nfc_normalize — an INDEPENDENT NFC
+    implementation (utf8proc vs Python's unicodedata), so the gate
+    cross-validates the composition tables, not just the plumbing."""
+    from ..functions.text import nfc_normalize_text
+
+    docs = _docs(spark, sf_dir)
+    injected = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.substring("text", 1, 60), F.lit(_NFC_TAIL)))
+        .otherwise(F.col("text")).alias("text"))
+    return nfc_normalize_text(injected)
+
+
+def _unicode_normalize_sql() -> str:
+    tail = _NFC_TAIL.replace("\t", "' || chr(9) || '")
+    return rf"""
+WITH x AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN substr(text, 1, 60) || '{tail}'
+              ELSE text END AS t
+  FROM documents
+),
+n AS (
+  SELECT doc_id, t,
+         trim(regexp_replace(regexp_replace(nfc_normalize(t),
+              '[\x00-\x08\x0b-\x1f\x7f]', ' ', 'g'),
+              '[ \t\n\r\f\v]+', ' ', 'g')) AS norm_text
+  FROM x
+)
+SELECT doc_id, norm_text,
+       CAST(length(norm_text) AS BIGINT) AS n_chars,
+       CAST(CASE WHEN norm_text <> t THEN 1 ELSE 0 END AS INTEGER)
+         AS changed
+FROM n
+"""
+
+
 # ip = knuth-hash of the low 16 user_id bits into the 32-bit space;
 # range r (r < 256) owns [r * 2^24, r * 2^24 + len(r) * 2^20) with
 # len(r) = 5 + (r * 7) % 11 in [5, 15] — disjoint (15 * 2^20 < 2^24),
@@ -5386,6 +5435,11 @@ QUERIES: dict[str, Query] = {
         "GeoIP-style point-in-range enrichment via interval-bucketed "
         "equi-join (never a theta join); oracle runs the direct "
         "BETWEEN form"),
+    "unicode_normalize": Query(
+        _q_unicode_normalize, _unicode_normalize_sql(),
+        "Unicode NFC text normalization (combining-sequence "
+        "composition + control/whitespace folds) cross-validated "
+        "against DuckDB's independent utf8proc NFC"),
     "audio_spectral_stats": Query(
         _q_audio_spectral_stats, _audio_spectral_sql(),
         "executed audio feature extraction: WAV decode + rfft dominant "

@@ -501,3 +501,28 @@ def test_inverted_index_registry_row(spark, sf_dir):
     q = registry()["inverted_index"]
     assert_match(q.build(spark, sf_dir), q.oracle, sf_dir,
                  "inverted_index")
+
+
+def test_nfc_normalize_composes_and_folds(spark):
+    from simpy__kafka__flink__kafka_spark.functions.text import (
+        nfc_normalize_text)
+
+    decomposed = "Café  du\tparc\x07!"
+    df = spark.createDataFrame([(1, decomposed), (2, "clean text")],
+                               "doc_id long, text string")
+    out = {r["doc_id"]: r for r in nfc_normalize_text(df).collect()}
+    assert out[1]["norm_text"] == "Café du parc !"
+    assert out[1]["changed"] == 1
+    assert out[1]["n_chars"] == len("Café du parc !")
+    assert out[2]["norm_text"] == "clean text"
+    assert out[2]["changed"] == 0
+
+
+def test_unicode_normalize_matches_oracle(spark, sf_dir):
+    from tests.oracle_utils import assert_match
+
+    from simpy__kafka__flink__kafka_spark.plans import registry
+
+    q = registry()["unicode_normalize"]
+    assert_match(q.build(spark, sf_dir), q.oracle, sf_dir,
+                 "unicode_normalize")
