@@ -126,6 +126,18 @@ HEADLINE = [
     "webp_entropy_stats",
     "vp8_roundtrip_stats",
     "dsir_weights",
+    # round-12 wave 9: SALSA hub/authority ranking, CCNet fluency
+    # buckets (ranged quantile rank), SemDeDup (IVF-cell blocked),
+    # executed audio rfft features, the gradient dHash decode path,
+    # the interval-bucketed GeoIP-style range lookup, and Unicode NFC
+    # normalization (Arrow-batched unicodedata)
+    "salsa_scores",
+    "ccnet_buckets",
+    "semantic_dedup",
+    "audio_spectral_stats",
+    "image_dhash_oracle",
+    "ip_range_lookup",
+    "unicode_normalize",
 ]
 
 

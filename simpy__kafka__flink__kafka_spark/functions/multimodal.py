@@ -1596,6 +1596,10 @@ def average_hash(px: np.ndarray, grid: int = 8) -> int:
     as a SIGNED 64-bit value (two's complement) so it rides a Spark
     LongType column; hamming distance is bit_count(xor), unaffected by
     the signed reinterpretation."""
+    if grid * grid != 64:
+        # the two's-complement fold below reinterprets exactly 64 bits;
+        # any other grid would silently overflow the LongType column
+        raise ValueError("average_hash packs 64 bits: grid must be 8")
     g = _nearest(px, grid, grid)
     if g.ndim == 3:
         gray = g[..., :3].astype(np.int64).sum(axis=-1) // 3
@@ -1608,18 +1612,20 @@ def average_hash(px: np.ndarray, grid: int = 8) -> int:
     return v - (1 << 64) if v >= (1 << 63) else v
 
 
-def image_ahash(media: DataFrame, id_col: str = "doc_id",
-                content_col: str = "content", grid: int = 8) -> DataFrame:
-    """(id_col, ahash) — :func:`average_hash` over every payload through
-    the Arrow ``mapInPandas`` decode path (the image twin of the text
-    SimHash signature stage)."""
+def _image_hash_frame(media: DataFrame, hash_fn, out_col: str,
+                      id_col: str, content_col: str,
+                      grid: int) -> DataFrame:
+    """ONE decode->hash mapInPandas scaffold shared by every perceptual
+    image-hash frame (aHash, dHash) — the empty-batch skip, dtype casts,
+    and decode dispatch live here once, so the hash variants cannot
+    drift (the round-12 one-rendering discipline)."""
     from collections.abc import Iterator
 
     import pandas as pd
 
     schema = T.StructType([
         T.StructField(id_col, T.LongType(), False),
-        T.StructField("ahash", T.LongType(), False),
+        T.StructField(out_col, T.LongType(), False),
     ])
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1628,11 +1634,20 @@ def image_ahash(media: DataFrame, id_col: str = "doc_id",
                 continue
             yield pd.DataFrame({
                 id_col: pdf[id_col].astype("int64"),
-                "ahash": [average_hash(decode_image(bytes(c)), grid)
+                out_col: [hash_fn(decode_image(bytes(c)), grid)
                           for c in pdf[content_col]],
             })
 
     return media.select(id_col, content_col).mapInPandas(run, schema)
+
+
+def image_ahash(media: DataFrame, id_col: str = "doc_id",
+                content_col: str = "content", grid: int = 8) -> DataFrame:
+    """(id_col, ahash) — :func:`average_hash` over every payload through
+    the Arrow ``mapInPandas`` decode path (the image twin of the text
+    SimHash signature stage)."""
+    return _image_hash_frame(media, average_hash, "ahash",
+                             id_col, content_col, grid)
 
 
 def image_near_dup_pairs(media: DataFrame, max_hamming: int = 5,
@@ -1734,6 +1749,9 @@ def diff_hash(px: np.ndarray, grid: int = 8) -> int:
     any cell within the ramp's deviation of the global mean flips an
     aHash bit.  Returned as a SIGNED 64-bit value like
     :func:`average_hash`; hamming distance is bit_count(xor)."""
+    if grid * grid != 64:
+        # grid x grid bits feed the 64-bit two's-complement fold below
+        raise ValueError("diff_hash packs 64 bits: grid must be 8")
     g = _nearest(px, grid + 1, grid)
     if g.ndim == 3:
         gray = g[..., :3].astype(np.int64).sum(axis=-1) // 3
@@ -1748,26 +1766,8 @@ def diff_hash(px: np.ndarray, grid: int = 8) -> int:
 def image_dhash(media: DataFrame, id_col: str = "doc_id",
                 content_col: str = "content", grid: int = 8) -> DataFrame:
     """(id_col, dhash) — :func:`diff_hash` over every payload through
-    the Arrow ``mapInPandas`` decode path; feeds the same generic
-    banded hamming join :func:`image_near_dup_pairs` drives for aHash
-    signatures (pass the output as ``sig_df`` with the column renamed)."""
-    from collections.abc import Iterator
-
-    import pandas as pd
-
-    schema = T.StructType([
-        T.StructField(id_col, T.LongType(), False),
-        T.StructField("dhash", T.LongType(), False),
-    ])
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            yield pd.DataFrame({
-                id_col: pdf[id_col].astype("int64"),
-                "dhash": [diff_hash(decode_image(bytes(c)), grid)
-                          for c in pdf[content_col]],
-            })
-
-    return media.select(id_col, content_col).mapInPandas(run, schema)
+    the Arrow ``mapInPandas`` decode path; pairs come straight from the
+    generic banded join: ``hamming_near_dup_pairs(image_dhash(media),
+    bits=64, hash_col="dhash")``."""
+    return _image_hash_frame(media, diff_hash, "dhash",
+                             id_col, content_col, grid)

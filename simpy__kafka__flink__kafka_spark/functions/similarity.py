@@ -287,23 +287,42 @@ def embedding_near_dup_ivf(emb: DataFrame, threshold: float = 0.92,
     sides).  Long-lived drivers release plan caches between query
     generations via ``spark.catalog.clearCache()`` (the bench harness
     does)."""
-    assign = ivf_assign(emb, n_centroids).select("vec_id", "cell_id")
-    # Squared norm precomputed per VECTOR (not per pair): the pair stage then
-    # does one fold (the dot product) instead of three.  Cached because the
-    # assign+norm subtree feeds both sides of the in-cell self-join.
+    a, b, cos = _cell_pair_frames(_assigned_cells(emb, n_centroids))
+    return (
+        a.join(b, "cell_id")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cos.alias("cos_sim"))
+        .where(F.col("cos_sim") >= threshold)
+    )
+
+
+def _assigned_cells(emb: DataFrame, n_centroids: int) -> DataFrame:
+    """Pinned (vec_id, embedding, cell_id, cell_sim, n2) frame — the
+    IVF-blocked pair machinery's shared input.  Squared norm
+    precomputed per VECTOR (not per pair): the pair stage then does one
+    fold (the dot product) instead of three.  Pinned because the
+    assign+norm subtree feeds both sides of the in-cell self-join."""
     from ..cachepin import pin
 
-    cells = pin(
+    return pin(
         emb.select("vec_id", "embedding")
-        .join(assign, "vec_id")
+        .join(ivf_assign(emb, n_centroids), "vec_id")
         .withColumn("n2", dot(F.col("embedding"), F.col("embedding")))
     )
+
+
+def _cell_pair_frames(cells: DataFrame):
+    """The two sides of the in-cell self-join plus the rounded cosine
+    column — ONE rendering shared by embedding_near_dup_ivf and
+    semantic_dedup so the blocking invariants cannot drift."""
     a = cells.select(
         "cell_id", F.col("vec_id").alias("vec_a"),
+        F.col("cell_sim").alias("sim_a"),
         F.col("embedding").alias("emb_a"), F.col("n2").alias("n2_a"),
     )
     b = cells.select(
         "cell_id", F.col("vec_id").alias("vec_b"),
+        F.col("cell_sim").alias("sim_b"),
         F.col("embedding").alias("emb_b"), F.col("n2").alias("n2_b"),
     )
     cos = F.round(
@@ -311,12 +330,7 @@ def embedding_near_dup_ivf(emb: DataFrame, threshold: float = 0.92,
         / (F.sqrt(F.col("n2_a")) * F.sqrt(F.col("n2_b"))),
         6,
     )
-    return (
-        a.join(b, "cell_id")
-        .where(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", cos.alias("cos_sim"))
-        .where(F.col("cos_sim") >= threshold)
-    )
+    return a, b, cos
 
 
 def kmeans_centroids(emb: DataFrame, n_centroids: int = N_CENTROIDS,
@@ -650,29 +664,8 @@ def semantic_dedup(emb: DataFrame, threshold: float = 0.92,
 
     Output: (vec_id, cell_id, cell_sim, kept int) — every input vector
     keeps a row; ``kept = 0`` marks semantic duplicates to drop."""
-    from ..cachepin import pin
-
-    assign = ivf_assign(emb, n_centroids)
-    cells = pin(
-        emb.select("vec_id", "embedding")
-        .join(assign, "vec_id")
-        .withColumn("n2", dot(F.col("embedding"), F.col("embedding")))
-    )
-    a = cells.select(
-        "cell_id", F.col("vec_id").alias("vec_a"),
-        F.col("cell_sim").alias("sim_a"),
-        F.col("embedding").alias("emb_a"), F.col("n2").alias("n2_a"),
-    )
-    b = cells.select(
-        "cell_id", F.col("vec_id").alias("vec_b"),
-        F.col("cell_sim").alias("sim_b"),
-        F.col("embedding").alias("emb_b"), F.col("n2").alias("n2_b"),
-    )
-    cos = F.round(
-        dot(F.col("emb_a"), F.col("emb_b"))
-        / (F.sqrt(F.col("n2_a")) * F.sqrt(F.col("n2_b"))),
-        6,
-    )
+    cells = _assigned_cells(emb, n_centroids)
+    a, b, cos = _cell_pair_frames(cells)
     earlier = (F.col("sim_a") < F.col("sim_b")) | (
         (F.col("sim_a") == F.col("sim_b"))
         & (F.col("vec_a") < F.col("vec_b")))

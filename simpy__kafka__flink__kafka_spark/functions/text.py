@@ -1371,7 +1371,13 @@ def nfc_normalize_text(df: DataFrame, id_col: str = "doc_id",
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            def norm(s: str) -> tuple[str, int, int]:
+            def norm(s: str | None) -> tuple[str | None, int | None, int]:
+                if s is None:
+                    # null text keeps a null row with changed 0 — the
+                    # oracle's nfc_normalize(NULL) semantics; crawled
+                    # corpora carry null cells and an untyped TypeError
+                    # here would kill the whole Arrow task
+                    return None, None, 0
                 out = unicodedata.normalize("NFC", s)
                 out = wsrun.sub(" ", ctrl.sub(" ", out)).strip(" ")
                 return out, len(out), int(out != s)
@@ -1380,7 +1386,8 @@ def nfc_normalize_text(df: DataFrame, id_col: str = "doc_id",
             yield pd.DataFrame({
                 id_col: pdf[id_col].astype("int64"),
                 "norm_text": o.map(lambda t: t[0]),
-                "n_chars": o.map(lambda t: t[1]).astype("int64"),
+                # nullable Int64: null-text rows carry a null n_chars
+                "n_chars": o.map(lambda t: t[1]).astype("Int64"),
                 "changed": o.map(lambda t: t[2]).astype("int32"),
             })
 

@@ -133,6 +133,10 @@ def salsa(edges: DataFrame, iterations: int = 2,
 
     Reference parity note: like pagerank, a training-data extension —
     the reference trace pipeline has no graph-rank surface."""
+    if iterations < 1:
+        # auth is undefined before the first half-step (unlike
+        # pagerank, whose 0-iteration result is the uniform vector)
+        raise ValueError("salsa needs iterations >= 1")
     nodes = (edges.select(F.col("src").alias("node"))
              .union(edges.select(F.col("dst").alias("node")))
              .distinct())

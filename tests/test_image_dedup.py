@@ -169,3 +169,16 @@ def test_image_dhash_oracle_row(spark, sf_dir):
     q = registry()["image_dhash_oracle"]
     assert_match(q.build(spark, sf_dir), q.oracle, sf_dir,
                  "image_dhash_oracle")
+
+
+def test_hashes_reject_non_64bit_grid():
+    import numpy as np
+    import pytest
+
+    from simpy__kafka__flink__kafka_spark.functions.multimodal import (
+        average_hash, diff_hash)
+
+    px = np.zeros((8, 8, 3), np.int64)
+    for fn in (average_hash, diff_hash):
+        with pytest.raises(ValueError):
+            fn(px, grid=9)

@@ -67,3 +67,13 @@ def test_semantic_dedup_matches_oracle(spark, sf_dir):
     q = registry()["semantic_dedup"]
     assert_match(q.build(spark, sf_dir), q.oracle, sf_dir,
                  "semantic_dedup")
+
+
+def test_salsa_rejects_zero_iterations(spark):
+    import pytest
+
+    from simpy__kafka__flink__kafka_spark.operators.graph import salsa
+
+    df = spark.createDataFrame([(0, 1, 1)], "src long, dst long, weight long")
+    with pytest.raises(ValueError):
+        salsa(df, iterations=0)

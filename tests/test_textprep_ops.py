@@ -526,3 +526,15 @@ def test_unicode_normalize_matches_oracle(spark, sf_dir):
     q = registry()["unicode_normalize"]
     assert_match(q.build(spark, sf_dir), q.oracle, sf_dir,
                  "unicode_normalize")
+
+
+def test_nfc_normalize_null_text_keeps_row(spark):
+    from simpy__kafka__flink__kafka_spark.functions.text import (
+        nfc_normalize_text)
+
+    df = spark.createDataFrame([(1, None), (2, "ok")],
+                               "doc_id long, text string")
+    out = {r["doc_id"]: r for r in nfc_normalize_text(df).collect()}
+    assert out[1]["norm_text"] is None and out[1]["n_chars"] is None
+    assert out[1]["changed"] == 0
+    assert out[2]["norm_text"] == "ok"
