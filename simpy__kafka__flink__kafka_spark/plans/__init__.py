@@ -173,7 +173,10 @@ CHECKED_FIRST = [
     # round-8 additions: canonical-URL dedup, cross-snapshot
     # incremental dedup, integer-exact PageRank, and the end-to-end
     # oracled image near-dup pairs
-    "url_dedup", "dedup_against_prior",
+    # Round-12 wave-10 rotation: url_dedup demoted — the checked
+    # crawl_admission oracle embeds the IDENTICAL _url_synth_canon_ctes
+    # block and min-doc_id keeper rule verbatim as its first stage.
+    "dedup_against_prior",
     "image_near_dup",
     # Round-9 promotions (VERDICT r08 task #1): the full round-8 crawl
     # front door takes the driver's hard signal — canonicalization
@@ -190,7 +193,11 @@ CHECKED_FIRST = [
     # folded-directive noindex gate is stage 2 of the checked
     # crawl_admission capstone (same expression, same oracle CASE arm).
     # Both stay oracled in the pytest tail.
-    "bigram_lm_score",
+    # Round-12 wave-10 rotation: bigram_lm_score demoted — the promoted
+    # ccnet_buckets oracle embeds the IDENTICAL factored bigram-LM CTE
+    # chain (_bigram_lm_ctes) plus the lang fold and quantile rank on
+    # top, so the smoothing algebra cannot regress without the checked
+    # row hash-mismatching.
     "gap_fill_hourly", "crawl_admission", "compliant_pagerank",
     # Round-10 promotions (VERDICT r09 task #1 + the round-10 surface):
     # the RFC 9309 robots.txt FILE gate, the snapshot bookkeeping pair
@@ -225,8 +232,13 @@ CHECKED_FIRST = [
     # ALSO checked through watermark_sharded's ranged-offset family),
     # sitemap parsing + frontier seeding, the WebP/7-format header-dims
     # walk, and the MP3 frame/ID3 header walk.
+    # Round-12 wave-10 rotation: sitemap_parse demoted — its loc /
+    # priority extraction regexes and the TRY_CAST priority fallback
+    # are verbatim inside the checked frontier_rank oracle's seed CTE
+    # block (_seed_frontier_ctes); the lastmod/changefreq/sitemapindex
+    # arms stay oracled in the pytest tail.
     "robots_txt_gate_named", "crawl_schedule_paced",
-    "sitemap_parse", "mp3_stats",
+    "mp3_stats",
     # Round-11 wave-2 promotions — the hard signal moves onto the
     # round's own newest code immediately instead of waiting a round
     # (the standing verdict discipline), funded by strict-subsumption
@@ -246,8 +258,14 @@ CHECKED_FIRST = [
     # plus the palette/entropy promotions below all drive the same
     # _LsbReader/_Tree entropy layer and literal-tree writer, each with
     # a transform stage on top); stays oracled in the pytest tail.
+    # Round-12 wave-10 rotation: host_reputation demoted — the
+    # reputation algebra has exactly ONE rendering (_rep_per_cte /
+    # _rep_ppm_expr, the round-11 wave-3 factor) and the checked
+    # frontier_rank oracle embeds it; the host_reputation row keys the
+    # same rendering onto a different host universe and stays oracled
+    # in the pytest tail (the hourly_anomalies demotion precedent).
     "frontier_rank",
-    "host_reputation", "avif_dims",
+    "avif_dims",
     # Round-12 rotation (VERDICT r11 task 6/9): crawl_backoff_schedule
     # — the anomaly detector's READ side (z flags -> schedule backoff,
     # the round's newest composition) — takes the hard signal
@@ -271,6 +289,16 @@ CHECKED_FIRST = [
     # the four strict-subsumption demotions documented above.
     "webp_palette_stats", "webp_entropy_stats",
     "vp8_roundtrip_stats", "dsir_weights",
+    # Round-12 wave-10 promotions — the wave-9 additions take the hard
+    # signal immediately (standing discipline), funded by the four
+    # strict-subsumption demotions above: CCNet per-language fluency
+    # buckets (scale-safe ranged quantile rank), SemDeDup (IVF-cell
+    # blocked keep-least-central), integer-exact SALSA hub/authority
+    # scores, and the executed rfft audio-feature path.  The remaining
+    # wave-9 rows (image_dhash_oracle, ip_range_lookup,
+    # unicode_normalize) are the declared round-13 promotion slate.
+    "ccnet_buckets", "semantic_dedup",
+    "salsa_scores", "audio_spectral_stats",
 ]
 
 
