@@ -538,3 +538,58 @@ def ccnet_buckets(df: DataFrame, id_col: str = "doc_id",
     return (ranked.join(F.broadcast(offs), "lang")
             .select(F.col("doc_id").alias(id_col), "lang", "lm_score",
                     idx.alias("bucket_idx"), label.alias("bucket")))
+
+
+def quality_classifier_trained(df: DataFrame, id_col: str = "doc_id",
+                               text_col: str = "text",
+                               labels: DataFrame | None = None,
+                               num_features: int = 1024) -> DataFrame:
+    """fastText-style TRAINED quality classifier (the CCNet/LLaMA
+    corpus-filter posture: a linear model over hashed bag-of-words
+    scores P(high-quality) per doc).  Features are ``HashingTF`` over
+    the shared whitespace tokenization; the model is
+    ``pyspark.ml.classification.LogisticRegression`` (L-BFGS — zero
+    init, so the fit is deterministic on fixed data with no seed).
+
+    ``labels`` — (id_col, label double in {0,1}) — lets a deployment
+    train on curated positives (wiki) vs crawl negatives; default is
+    the WEAK-supervision stand-in this container can build: label 1
+    where the heuristic :func:`quality_score` >= 0.5 (the classifier
+    then generalizes the heuristic through lexical features — the
+    standard bootstrap when no curated corpus is mounted).
+
+    EAGER training (iterative L-BFGS passes — the kmeans_centroids
+    exemption; train offline and persist coefficients at scale) and
+    rows-only by policy: float sigmoid scores are not SQL-expressible.
+    Scoring itself is one broadcast of the coefficient vector.
+
+    Output: (id_col, label, prob_high double, pred int)."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import HashingTF
+    from pyspark.ml.functions import vector_to_array
+
+    from .text import words
+
+    base = df.select(F.col(id_col).alias("doc_id"),
+                     F.col(text_col).alias("text"))
+    if labels is None:
+        labels = base.select(
+            "doc_id",
+            (quality_score("text") >= 0.5).cast("double").alias("label"))
+    else:
+        labels = labels.select(F.col(id_col).alias("doc_id"),
+                               F.col("label").cast("double"))
+    toks = base.select("doc_id", words("text").alias("ws"))
+    tf = HashingTF(inputCol="ws", outputCol="features",
+                   numFeatures=num_features)
+    feats = tf.transform(toks).join(labels, "doc_id")
+    lr = LogisticRegression(featuresCol="features", labelCol="label",
+                            maxIter=10, regParam=0.01)
+    model = lr.fit(feats)
+    scored = model.transform(feats)
+    return scored.select(
+        F.col("doc_id").alias(id_col),
+        F.col("label").cast("int").alias("label"),
+        F.round(vector_to_array("probability")[1], 6).alias("prob_high"),
+        F.col("prediction").cast("int").alias("pred"),
+    )

@@ -599,6 +599,18 @@ def _q_ivf_topk_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk_trained(_emb(spark, sf_dir))
 
 
+def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained fastText-style quality classifier (functions/quality.py:
+    quality_classifier_trained): hashed bag-of-words + logistic
+    regression over weak heuristic labels.  EAGER (L-BFGS training —
+    the kmeans exemption) and rows-only: float sigmoid scores are not
+    SQL-expressible; separation + agreement pinned in
+    tests/test_quality_rules.py."""
+    from ..functions.quality import quality_classifier_trained
+
+    return quality_classifier_trained(_docs(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing (mapInPandas; deterministic fake extractor)
 # ---------------------------------------------------------------------------
@@ -5487,6 +5499,11 @@ QUERIES: dict[str, Query] = {
         "pairs + keep-least-central survivor rule"),
     "ivf_topk_trained": Query(_q_ivf_topk_trained, None,
                               "IVF top-k over KMeans-trained centroids (rows-only)"),
+    "quality_classifier_trained": Query(
+        _q_quality_classifier, None,
+        "trained fastText-style quality classifier (HashingTF + "
+        "logistic regression over weak labels; rows-only per the "
+        "iterative-training policy)"),
     "pq_topk_rerank": Query(
         _q_pq_topk_rerank, None,
         "product-quantization ADC shortlist + exact re-rank top-10 "

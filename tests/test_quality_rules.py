@@ -297,3 +297,38 @@ def test_bigram_lm_oracle_unchanged_by_cte_factor(spark, sf_dir):
     q = registry()["bigram_lm_score"]
     assert_match(q.build(spark, sf_dir), q.oracle, sf_dir,
                  "bigram_lm_score")
+
+
+def test_quality_classifier_learns_the_weak_signal(spark, sf_dir):
+    """The trained classifier must (a) keep a row per doc, (b) score
+    label-1 docs higher on average than label-0 docs (it learned the
+    signal), and (c) agree with its own training labels on a clear
+    majority (the heuristic is lexically learnable)."""
+    from simpy__kafka__flink__kafka_spark.functions.quality import (
+        quality_classifier_trained)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = quality_classifier_trained(docs).collect()
+    assert len(out) == docs.count()
+    hi = [r["prob_high"] for r in out if r["label"] == 1]
+    lo = [r["prob_high"] for r in out if r["label"] == 0]
+    assert hi and lo, "weak labels must produce both classes"
+    assert sum(hi) / len(hi) > sum(lo) / len(lo)
+    agree = sum(1 for r in out if r["pred"] == r["label"])
+    assert agree / len(out) >= 0.7
+
+
+def test_quality_classifier_custom_labels(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from simpy__kafka__flink__kafka_spark.functions.quality import (
+        quality_classifier_trained)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    labels = docs.select("doc_id",
+                         (F.col("doc_id") % 2).cast("double").alias("label"))
+    out = quality_classifier_trained(docs, labels=labels).collect()
+    # parity labels are lexically unlearnable -> scores hug the prior,
+    # but the contract holds: every doc scored, probs in [0, 1]
+    assert len(out) == docs.count()
+    assert all(0.0 <= r["prob_high"] <= 1.0 for r in out)
