@@ -568,7 +568,7 @@ def quality_classifier_trained(df: DataFrame, id_col: str = "doc_id",
     from pyspark.ml.feature import HashingTF
     from pyspark.ml.functions import vector_to_array
 
-    from .text import words
+    from .text import quality_score, words
 
     base = df.select(F.col(id_col).alias("doc_id"),
                      F.col(text_col).alias("text"))
