@@ -450,15 +450,41 @@ def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantic_dedup): IVF-cell blocking + in-cell cosine pairs + the
     keep-least-central rule.  The oracle mirrors the identical cell
     blocking (embedding near-dup discipline), so the gate checks this
-    exact approximate semantic."""
-    return similarity.semantic_dedup(_emb(spark, sf_dir))
+    exact approximate semantic.
+
+    The raw synthetic embeddings are near-orthogonal (max pairwise
+    cosine ~0.45 — the _q_emb_near_dup_verified finding), so the
+    unaugmented corpus would make the kept=0 arm VACUOUS at every SF
+    (all survivors, empty-but-green on the drop side).  The row
+    therefore runs on the same deterministic twin augmentation
+    (vec_id + 100000, every coordinate +0.01): each twin lands in its
+    original's cell at cosine ~1 and exactly one of the pair survives
+    the least-central rule — both arms fire, both engines identically."""
+    emb = _emb(spark, sf_dir).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double"))
+        .alias("embedding"))
+    twins = emb.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(0.01))
+        .alias("embedding"))
+    return similarity.semantic_dedup(emb.unionByName(twins))
 
 
 def _semantic_dedup_sql(threshold: float = 0.92) -> str:
     cos = _COS.format(a="a.ve", b="b.ve")
+    assign_sql = _ivf_assign_sql().replace("FROM embeddings", "FROM emb_aug")
     return f"""
-WITH assign AS ({_ivf_assign_sql()}),
-e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings),
+WITH emb_aug AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]), x -> x + 0.01)
+           AS embedding
+  FROM embeddings WHERE vec_id % 10 = 0
+),
+assign AS ({assign_sql}),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM emb_aug),
 cells AS (SELECT a.vec_id, a.cell_id, a.cell_sim, e.ve
           FROM assign a JOIN e USING (vec_id)),
 dup AS (

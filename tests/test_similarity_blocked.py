@@ -77,3 +77,14 @@ def test_salsa_rejects_zero_iterations(spark):
     df = spark.createDataFrame([(0, 1, 1)], "src long, dst long, weight long")
     with pytest.raises(ValueError):
         salsa(df, iterations=0)
+
+
+def test_semantic_dedup_row_fires_both_arms(spark, sf_dir):
+    """The gate row must produce BOTH kept=1 and kept=0 rows at every
+    SF (the empty-but-green guard, applied to the CASE arm): the twin
+    augmentation guarantees drop-side coverage."""
+    from simpy__kafka__flink__kafka_spark.plans import registry
+
+    out = registry()["semantic_dedup"].build(spark, sf_dir)
+    kept = {r["kept"] for r in out.select("kept").distinct().collect()}
+    assert kept == {0, 1}
