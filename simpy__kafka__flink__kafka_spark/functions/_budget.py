@@ -55,3 +55,22 @@ def check_pixels(what: str, w: int, h: int, payload_len: int,
             f"{what} declares {w}x{h} = {w * h} pixels against a "
             f"{budget}-pixel budget for a {payload_len}-byte payload "
             "— rejected as a decompression bomb")
+
+
+# Generic decompression output budget (gzip/deflate streams with no
+# trusted declared size — a gzip trailer's ISIZE is attacker bytes).
+# DEFLATE's maximum expansion is ~1032:1 (a stored-in-window run per
+# compressed byte), so a legitimate stream cannot exceed it; the
+# absolute cap bounds what one hostile archive can cost an executor.
+DECOMPRESS_MAX_BYTES = 1 << 26          # 64 MiB
+DECOMPRESS_BYTES_PER_BYTE = 1032
+BYTE_FLOOR = 1 << 16
+
+
+def byte_budget(payload_len: int, max_bytes: int | None = None) -> int:
+    """Output-byte budget for decompressing ``payload_len`` compressed
+    bytes; an explicit caller ``max_bytes`` overrides the policy."""
+    if max_bytes is not None:
+        return int(max_bytes)
+    return min(DECOMPRESS_MAX_BYTES,
+               max(BYTE_FLOOR, DECOMPRESS_BYTES_PER_BYTE * int(payload_len)))

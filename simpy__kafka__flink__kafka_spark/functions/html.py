@@ -209,3 +209,87 @@ def parse_warc_records(df: DataFrame, warc_col: str = "warc",
         .alias("payload_ok"),
         payload.alias("payload"),
     )
+
+
+def gunzip_members(content: bytes,
+                   max_bytes: int | None = None) -> tuple[bytes, int]:
+    """Decompress a MULTI-MEMBER gzip stream (the warc.gz convention:
+    every WARC record is its own gzip member, so readers can seek to a
+    member boundary and start there) into (concatenated bytes,
+    n_members).  BOUNDED: total output is budgeted against the
+    compressed payload size (functions/_budget.py:byte_budget — a gzip
+    trailer's ISIZE is attacker-controlled, so there is no trusted
+    declared size to bound to, unlike PNG's raster), and corrupt or
+    truncated members raise the typed ValueError family."""
+    import zlib
+
+    from ._budget import byte_budget
+
+    buf = bytes(content)
+    budget = byte_budget(len(buf), max_bytes)
+    out: list[bytes] = []
+    total = 0
+    members = 0
+    while buf:
+        d = zlib.decompressobj(wbits=31)      # gzip wrapper, CRC checked
+        try:
+            chunk = d.decompress(buf, budget - total + 1)
+        except zlib.error as exc:
+            raise ValueError(f"corrupt gzip member: {exc}") from exc
+        total += len(chunk)
+        if total > budget:
+            raise ValueError(
+                f"gzip stream expands past the {budget}-byte budget for "
+                f"a {len(buf)}-byte payload — rejected as a "
+                "decompression bomb")
+        if not d.eof:
+            raise ValueError("truncated gzip member")
+        out.append(chunk)
+        members += 1
+        buf = d.unused_data
+    return b"".join(out), members
+
+
+def parse_warc_gz(media: DataFrame, id_col: str = "doc_id",
+                  content_col: str = "content",
+                  max_bytes: int | None = None) -> DataFrame:
+    """The real CommonCrawl ingestion shape: a ``.warc.gz`` stream
+    (one gzip member per record) decompressed per document in Arrow
+    batches — bounded via :func:`gunzip_members` — then parsed by the
+    SAME :func:`parse_warc_records` expression pipeline the plain-text
+    WARC row uses (one parser rendering; this function only peels the
+    compression layer).  Output: parse_warc_records columns plus
+    ``n_members`` (gzip members seen — the record/member 1:1 contract
+    a warc.gz writer must keep)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType(), False),
+        T.StructField("warc", T.StringType(), True),
+        T.StructField("n_members", T.IntegerType(), True),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            def dec(b: bytes) -> tuple[str, int]:
+                raw, members = gunzip_members(bytes(b), max_bytes)
+                return raw.decode("utf-8", errors="replace"), members
+
+            o = pdf[content_col].map(dec)
+            yield pd.DataFrame({
+                id_col: pdf[id_col].astype("int64"),
+                "warc": o.map(lambda t: t[0]),
+                "n_members": o.map(lambda t: t[1]).astype("int32"),
+            })
+
+    from ..cachepin import pin
+
+    # pinned: the decompressed frame feeds both the record parse and
+    # the n_members join-back — unpinned, the gunzip mapInPandas would
+    # execute twice
+    text = pin(media.select(id_col, content_col).mapInPandas(run, schema))
+    return (parse_warc_records(text, warc_col="warc", id_col=id_col)
+            .join(text.select(id_col, "n_members"), id_col))

@@ -2068,18 +2068,13 @@ def _sentencified(text_col: str = "text"):
 _SENT_SQL = r"regexp_replace({c}, '((\S+ ){{11}}\S+) ', '\1. ', 'g')"
 
 
-def _q_warc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """WARC ingestion — the step BEFORE extraction in a CommonCrawl-shaped
-    pipeline: synthesize a two-record WARC stream per doc (a response
-    record carrying the synthesized HTML page + a metadata record), parse
-    it back with functions/html.py:parse_warc_records, and emit parsed
-    headers + a payload fingerprint.  Synthesis simplification: payloads
-    run to the next record marker (no trailing CRLF pair), so declared
-    Content-Length must equal the parsed payload length exactly —
-    payload_ok is a per-record parser self-check the gate hashes."""
-    from ..functions.html import parse_warc_records, synthesize_page
+def _synth_warc_col():
+    """The two-record WARC stream expression (response + metadata) —
+    ONE rendering shared by the plain warc_parse row and the warc.gz
+    fixture (which splits it MECHANICALLY at the record marker before
+    gzipping members, so the record semantics cannot drift)."""
+    from ..functions.html import synthesize_page
 
-    docs = _docs(spark, sf_dir)
     crlf = "\r\n"
     page = synthesize_page()
     meta = F.concat(F.lit("fetchTimeMs: "), F.col("doc_id").cast("string"))
@@ -2087,7 +2082,7 @@ def _q_warc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
                    (F.col("doc_id") % 17).cast("string"),
                    F.lit(".example.com/page/"),
                    F.col("doc_id").cast("string"))
-    warc = F.concat(
+    return F.concat(
         F.lit("WARC/1.0" + crlf + "WARC-Type: response" + crlf
               + "WARC-Target-URI: "), uri,
         F.lit(crlf + "Content-Length: "),
@@ -2098,11 +2093,73 @@ def _q_warc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(meta).cast("string"),
         F.lit(crlf + crlf), meta,
     )
-    src = docs.select("doc_id", warc.alias("warc"))
+
+
+_WARC_OUT_COLS = ["doc_id", "rec_idx", "warc_type", "target_uri",
+                  "content_length", "payload_ok"]
+
+
+def _q_warc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC ingestion — the step BEFORE extraction in a CommonCrawl-shaped
+    pipeline: synthesize a two-record WARC stream per doc (a response
+    record carrying the synthesized HTML page + a metadata record), parse
+    it back with functions/html.py:parse_warc_records, and emit parsed
+    headers + a payload fingerprint.  Synthesis simplification: payloads
+    run to the next record marker (no trailing CRLF pair), so declared
+    Content-Length must equal the parsed payload length exactly —
+    payload_ok is a per-record parser self-check the gate hashes."""
+    from ..functions.html import parse_warc_records
+
+    src = _docs(spark, sf_dir).select("doc_id",
+                                      _synth_warc_col().alias("warc"))
     return parse_warc_records(src).select(
-        "doc_id", "rec_idx", "warc_type", "target_uri", "content_length",
-        "payload_ok", F.md5("payload").alias("payload_md5"),
+        *_WARC_OUT_COLS, F.md5("payload").alias("payload_md5"),
     )
+
+
+def _q_warc_gz_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL CommonCrawl container: the same two-record WARC stream
+    compressed as one gzip member PER RECORD (the warc.gz convention),
+    decompressed bounded (functions/html.py:gunzip_members — gzip's
+    declared ISIZE is untrusted, so output is budgeted against payload
+    size) and parsed by the SAME parse_warc_records rendering the
+    plain row uses.  The fixture gzips in Arrow batches after splitting
+    the shared _synth_warc_col stream mechanically at the marker; the
+    oracle is the plain row's SQL plus the member/record 1:1 contract
+    (n_members = 2)."""
+    import gzip as _gzip
+
+    import pandas as pd
+
+    from ..functions.html import WARC_MARKER, parse_warc_gz
+
+    src = _docs(spark, sf_dir).select("doc_id",
+                                      _synth_warc_col().alias("warc"))
+
+    def pack(batches):
+        for pdf in batches:
+            def gz(text: str) -> bytes:
+                recs = [WARC_MARKER + r
+                        for r in text.split(WARC_MARKER) if r]
+                return b"".join(
+                    _gzip.compress(r.encode("utf-8"), compresslevel=6)
+                    for r in recs)
+
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "content": pdf["warc"].map(gz),
+            })
+
+    media = src.mapInPandas(pack, "doc_id long, content binary")
+    return parse_warc_gz(media).select(
+        *_WARC_OUT_COLS, F.md5("payload").alias("payload_md5"),
+        "n_members",
+    )
+
+
+def _warc_gz_sql() -> str:
+    return (f"SELECT w.*, CAST(2 AS INTEGER) AS n_members "
+            f"FROM ({_warc_parse_sql()}) w")
 
 
 def _warc_parse_sql() -> str:
@@ -5706,6 +5763,11 @@ QUERIES: dict[str, Query] = {
         _q_warc_parse, _warc_parse_sql(),
         "WARC record parsing over synthesized two-record streams "
         "(headers + Content-Length self-check + payload fingerprint)"),
+    "warc_gz_parse": Query(
+        _q_warc_gz_parse, _warc_gz_sql(),
+        "warc.gz ingestion (the CommonCrawl container): bounded "
+        "multi-member gunzip per doc + the shared WARC record parse; "
+        "member/record 1:1 contract pinned"),
     "c4_sentence_filter": Query(
         _q_c4_sentence_filter, _C4_FILTER_SQL,
         "C4 sentence cleanup: short sentences dropped, blocklisted or "

@@ -252,3 +252,53 @@ FROM pages p LEFT JOIN agg USING (doc_id) ORDER BY doc_id
         assert srow["n_blocks"] == orow[1], srow["doc_id"]
         assert srow["n_kept"] == orow[2], srow["doc_id"]
         assert srow["main_text"] == orow[3], srow["doc_id"]
+
+
+def test_gunzip_members_multi_and_bombs():
+    import gzip
+    import zlib
+
+    import pytest
+
+    from simpy__kafka__flink__kafka_spark.functions.html import (
+        gunzip_members)
+
+    a, b = b"first record", b"second record"
+    stream = gzip.compress(a) + gzip.compress(b)
+    out, n = gunzip_members(stream)
+    assert out == a + b and n == 2
+    # truncated member -> typed
+    with pytest.raises(ValueError, match="truncated"):
+        gunzip_members(stream[:-5])
+    # corrupt bytes -> typed
+    with pytest.raises(ValueError, match="corrupt"):
+        gunzip_members(b"\x1f\x8b\x08" + b"\x00" * 20)
+    # bomb: highly compressible payload past the budget -> typed
+    bomb = gzip.compress(b"\x00" * (1 << 22))
+    with pytest.raises(ValueError, match="bomb"):
+        gunzip_members(bomb, max_bytes=1 << 16)
+
+
+def test_warc_gz_matches_plain_warc(spark, sf_dir):
+    """Column-identical to warc_parse (plus n_members=2): the gz layer
+    must be transparent."""
+    from simpy__kafka__flink__kafka_spark.plans import registry
+
+    reg = registry()
+    plain = {tuple(sorted(r.asDict().items()))
+             for r in reg["warc_parse"].build(spark, sf_dir).collect()}
+    gz_rows = reg["warc_gz_parse"].build(spark, sf_dir).collect()
+    assert all(r["n_members"] == 2 for r in gz_rows)
+    gz = {tuple(sorted((k, v) for k, v in r.asDict().items()
+                       if k != "n_members"))
+          for r in gz_rows}
+    assert gz == plain
+
+
+def test_warc_gz_matches_oracle(spark, sf_dir):
+    from tests.oracle_utils import assert_match
+
+    from simpy__kafka__flink__kafka_spark.plans import registry
+
+    q = registry()["warc_gz_parse"]
+    assert_match(q.build(spark, sf_dir), q.oracle, sf_dir, "warc_gz_parse")
