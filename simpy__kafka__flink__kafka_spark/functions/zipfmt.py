@@ -1,0 +1,141 @@
+"""ZIP central-directory walk — header-only container stats for the
+archive formats a crawl actually serves (docx/xlsx/epub/jar/apk are all
+ZIP).  Vendored from the public PKWARE APPNOTE structures: the
+end-of-central-directory (EOCD) record is found by scanning back from
+the tail (its signature can be preceded by a comment of up to 64 KiB),
+then the central directory is walked entry by entry.  NOTHING is
+decompressed — like the MP3/AVIF walks this prices at microseconds per
+document and is safe on untrusted bytes: every length field is bounds-
+checked against the actual buffer before use and malformed input
+raises the typed ValueError family.
+
+The fixture rows are WRITTEN by stdlib ``zipfile`` and PARSED by this
+walk — cross-validation against an independent implementation, the
+DEFLATE-stream posture of vp8l's bit-convention check.
+
+Reference parity note: the reference has no archive surface; this is a
+training-data extension operator (crawled-asset triage before any
+expensive unpack).
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass
+
+_EOCD_SIG = b"PK\x05\x06"
+_CD_SIG = b"PK\x01\x02"
+_EOCD_FIXED = 22          # bytes before the trailing comment
+_CD_FIXED = 46            # fixed central-directory header size
+_MAX_COMMENT = 1 << 16
+
+_METHOD_NAMES = {0: "stored", 8: "deflate"}
+
+
+@dataclass(frozen=True)
+class ZipStats:
+    n_entries: int
+    n_stored: int
+    n_deflate: int
+    n_other_method: int
+    usize_total: int
+    csize_total: int
+    names: tuple[str, ...]
+
+
+def zip_central_stats(content: bytes) -> ZipStats:
+    """Parse the EOCD + central directory of a ZIP archive.
+
+    Raises the typed ValueError family on: no EOCD in the trailing
+    64 KiB + 22 bytes, multi-disk archives, a central directory that
+    runs outside the buffer, an entry signature mismatch, or an entry
+    count that cannot fit the directory's byte span (an entry-count
+    bomb: n_entries is attacker bytes, so it is validated against
+    cd_size BEFORE the walk loop trusts it)."""
+    buf = bytes(content)
+    scan_from = max(0, len(buf) - _EOCD_FIXED - _MAX_COMMENT)
+    pos = buf.rfind(_EOCD_SIG, scan_from)
+    if pos < 0 or pos + _EOCD_FIXED > len(buf):
+        raise ValueError("ZIP: no end-of-central-directory record")
+    (disk, cd_disk, n_disk, n_total, cd_size, cd_off, _comment_len
+     ) = struct.unpack("<HHHHIIH", buf[pos + 4: pos + _EOCD_FIXED])
+    if disk != 0 or cd_disk != 0 or n_disk != n_total:
+        raise ValueError("ZIP: multi-disk archives unsupported")
+    if cd_off + cd_size > len(buf):
+        raise ValueError("ZIP: central directory outside buffer")
+    # each entry costs >= _CD_FIXED bytes of directory: a declared
+    # count the directory span cannot hold is rejected before looping
+    if n_total * _CD_FIXED > cd_size:
+        raise ValueError(
+            f"ZIP: {n_total} entries cannot fit a {cd_size}-byte "
+            "central directory — rejected as an entry-count bomb")
+    p = cd_off
+    names: list[str] = []
+    n_stored = n_deflate = n_other = 0
+    usize_total = csize_total = 0
+    for _ in range(n_total):
+        if buf[p: p + 4] != _CD_SIG or p + _CD_FIXED > len(buf):
+            raise ValueError("ZIP: bad central-directory entry")
+        (method, csize, usize, name_len, extra_len, comment_len
+         ) = struct.unpack("<H II HHH", buf[p + 10: p + 12]
+                           + buf[p + 20: p + 28] + buf[p + 28: p + 34])
+        end = p + _CD_FIXED + name_len + extra_len + comment_len
+        if end > len(buf):
+            raise ValueError("ZIP: entry name/extra runs outside buffer")
+        names.append(buf[p + _CD_FIXED: p + _CD_FIXED + name_len]
+                     .decode("utf-8", errors="replace"))
+        if method == 0:
+            n_stored += 1
+        elif method == 8:
+            n_deflate += 1
+        else:
+            n_other += 1
+        usize_total += usize
+        csize_total += csize
+        p = end
+    return ZipStats(n_total, n_stored, n_deflate, n_other,
+                    usize_total, csize_total, tuple(names))
+
+
+def zip_container_stats(media, id_col: str = "doc_id",
+                        content_col: str = "content"):
+    """Arrow-batched :func:`zip_central_stats` over binary payloads.
+    Output: (id_col, n_entries, n_stored, n_deflate, usize_total,
+    csize_total, names_md5) — names_md5 is the order-canonical md5 of
+    '|'-joined entry names (archive order; the directory IS ordered)."""
+    import hashlib
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType(), False),
+        T.StructField("n_entries", T.IntegerType(), True),
+        T.StructField("n_stored", T.IntegerType(), True),
+        T.StructField("n_deflate", T.IntegerType(), True),
+        T.StructField("usize_total", T.LongType(), True),
+        T.StructField("csize_total", T.LongType(), True),
+        T.StructField("names_md5", T.StringType(), True),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            def stats(b: bytes) -> tuple:
+                s = zip_central_stats(bytes(b))
+                return (s.n_entries, s.n_stored, s.n_deflate,
+                        s.usize_total, s.csize_total,
+                        hashlib.md5("|".join(s.names).encode()).hexdigest())
+
+            o = pdf[content_col].map(stats)
+            yield pd.DataFrame({
+                id_col: pdf[id_col].astype("int64"),
+                "n_entries": o.map(lambda t: t[0]).astype("int32"),
+                "n_stored": o.map(lambda t: t[1]).astype("int32"),
+                "n_deflate": o.map(lambda t: t[2]).astype("int32"),
+                "usize_total": o.map(lambda t: t[3]).astype("int64"),
+                "csize_total": o.map(lambda t: t[4]).astype("int64"),
+                "names_md5": o.map(lambda t: t[5]),
+            })
+
+    return media.select(id_col, content_col).mapInPandas(run, schema)

@@ -2162,6 +2162,71 @@ def _warc_gz_sql() -> str:
             f"FROM ({_warc_parse_sql()}) w")
 
 
+def _q_zip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZIP central-directory walk (functions/zipfmt.py) over archives
+    WRITTEN by stdlib zipfile — parser and writer are independent
+    implementations, so the walk's offsets/signatures are
+    cross-validated, not self-consistent (the DEFLATE-vector posture).
+    Fixture: 1 + doc_id %% 4 entries, even index deflated / odd stored,
+    payload 'doc{id}-{i},' repeated 1 + (id+i) %% 5 times.  The oracle
+    reproduces counts, uncompressed total, and the order-canonical
+    names fingerprint from the same arithmetic; csize_total stays a
+    function output but OUT of the oracled projection (deflate output
+    is zlib-version-specific — not engine-portable)."""
+    import io
+    import zipfile
+
+    import pandas as pd
+
+    from ..functions.zipfmt import zip_container_stats
+
+    def pack(batches):
+        for pdf in batches:
+            def zf(doc_id: int) -> bytes:
+                buf = io.BytesIO()
+                with zipfile.ZipFile(buf, "w") as z:
+                    for i in range(1 + doc_id % 4):
+                        data = (f"doc{doc_id}-{i}," * (1 + (doc_id + i) % 5)
+                                ).encode()
+                        method = (zipfile.ZIP_DEFLATED if i % 2 == 0
+                                  else zipfile.ZIP_STORED)
+                        z.writestr(zipfile.ZipInfo(f"f{i}.txt"), data,
+                                   method)
+                return buf.getvalue()
+
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "content": pdf["doc_id"].map(zf),
+            })
+
+    media = _docs(spark, sf_dir).select("doc_id").mapInPandas(
+        pack, "doc_id long, content binary")
+    return zip_container_stats(media).select(
+        "doc_id", "n_entries", "n_stored", "n_deflate", "usize_total",
+        "names_md5")
+
+
+def _zip_stats_sql() -> str:
+    return r"""
+WITH e AS (
+  SELECT doc_id, i,
+         length('doc' || CAST(doc_id AS VARCHAR) || '-' ||
+                CAST(i AS VARCHAR) || ',') * (1 + (doc_id + i) % 5)
+           AS usz
+  FROM documents,
+       LATERAL (SELECT unnest(generate_series(0, doc_id % 4)) AS i) t
+)
+SELECT doc_id,
+       CAST(1 + doc_id % 4 AS INTEGER) AS n_entries,
+       CAST((1 + doc_id % 4) // 2 AS INTEGER) AS n_stored,
+       CAST((2 + doc_id % 4) // 2 AS INTEGER) AS n_deflate,
+       CAST(sum(usz) AS BIGINT) AS usize_total,
+       md5(string_agg('f' || CAST(i AS VARCHAR) || '.txt', '|'
+                      ORDER BY i)) AS names_md5
+FROM e GROUP BY doc_id
+"""
+
+
 def _warc_parse_sql() -> str:
     from ..functions.html import WARC_CLEN_RE, WARC_TYPE_RE, WARC_URI_RE
 
@@ -5768,6 +5833,11 @@ QUERIES: dict[str, Query] = {
         "warc.gz ingestion (the CommonCrawl container): bounded "
         "multi-member gunzip per doc + the shared WARC record parse; "
         "member/record 1:1 contract pinned"),
+    "zip_stats": Query(
+        _q_zip_stats, _zip_stats_sql(),
+        "ZIP central-directory walk (docx/epub/jar triage): EOCD + "
+        "entry headers, no decompression, cross-validated against "
+        "stdlib-zipfile-written archives"),
     "c4_sentence_filter": Query(
         _q_c4_sentence_filter, _C4_FILTER_SQL,
         "C4 sentence cleanup: short sentences dropped, blocklisted or "
