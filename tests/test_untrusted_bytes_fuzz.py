@@ -379,3 +379,43 @@ def test_resize_image_forwards_max_pixels_to_inner_decoders():
         resize_image(bytes(bomb), 2, 2)
     with pytest.raises(ValueError, match="LZW|truncated"):
         resize_image(bytes(bomb), 2, 2, max_pixels=1 << 32)
+
+
+def test_zip_walk_typed_errors_only():
+    import io
+    import zipfile
+
+    from simpy__kafka__flink__kafka_spark.functions.zipfmt import (
+        zip_central_stats)
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr(zipfile.ZipInfo("a.txt"), b"payload data",
+                   zipfile.ZIP_DEFLATED)
+        z.writestr(zipfile.ZipInfo("b"), b"x" * 20, zipfile.ZIP_STORED)
+    fixture = buf.getvalue()
+    rng = random.Random(4321)
+    for mut in _mutations(fixture, rng):
+        try:
+            s = zip_central_stats(mut)
+            assert 0 <= s.n_entries < 2**16
+            assert s.usize_total >= 0 and s.csize_total >= 0
+        except OK_ERRORS:
+            pass
+
+
+def test_gunzip_members_typed_errors_only():
+    import gzip
+
+    from simpy__kafka__flink__kafka_spark.functions.html import (
+        gunzip_members)
+
+    fixture = gzip.compress(b"WARC/1.0\r\nrecord one") + gzip.compress(
+        b"WARC/1.0\r\nrecord two")
+    rng = random.Random(987)
+    for mut in _mutations(fixture, rng):
+        try:
+            out, n = gunzip_members(mut, max_bytes=1 << 20)
+            assert n >= 0 and len(out) <= (1 << 20)
+        except OK_ERRORS:
+            pass
