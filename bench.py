@@ -138,6 +138,10 @@ HEADLINE = [
     "image_dhash_oracle",
     "ip_range_lookup",
     "unicode_normalize",
+    # round-12 wave 11: warc.gz ingestion (bounded multi-member gunzip
+    # + the shared WARC parse) and the ZIP central-directory walk
+    "warc_gz_parse",
+    "zip_stats",
 ]
 
 
