@@ -43,19 +43,15 @@ def main() -> None:
         _assigned_cells, dot, semantic_dedup)
     from simpy__kafka__flink__kafka_spark.session import get_spark
 
+    from simpy__kafka__flink__kafka_spark.functions.similarity import (
+        near_dup_twin_augment)
+
     spark = get_spark()
-    raw = spark.read.parquet(f"{args.sf}/embeddings.parquet").select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double"))
-        .alias("embedding"))
-    # the gate row's twin augmentation: the raw synthetic embeddings
-    # are near-orthogonal, so without twins both shapes would measure
-    # an empty duplicate set
-    twins = raw.where(F.col("vec_id") % 10 == 0).select(
-        (F.col("vec_id") + 100_000).alias("vec_id"),
-        F.transform("embedding", lambda x: x + F.lit(0.01))
-        .alias("embedding"))
-    emb = raw.unionByName(twins)
+    # the gate row's twin augmentation, via the ONE shared rendering:
+    # the raw synthetic embeddings are near-orthogonal, so without
+    # twins both shapes would measure an empty duplicate set
+    emb = near_dup_twin_augment(
+        spark.read.parquet(f"{args.sf}/embeddings.parquet"))
 
     def all_pairs_kept():
         from simpy__kafka__flink__kafka_spark.functions.similarity import N_CENTROIDS

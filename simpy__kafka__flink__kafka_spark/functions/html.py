@@ -220,33 +220,68 @@ def gunzip_members(content: bytes,
     compressed payload size (functions/_budget.py:byte_budget — a gzip
     trailer's ISIZE is attacker-controlled, so there is no trusted
     declared size to bound to, unlike PNG's raster), and corrupt or
-    truncated members raise the typed ValueError family."""
+    truncated members raise the typed ValueError family.
+
+    Input is consumed through a tracked offset over a memoryview in
+    fixed chunks — NOT by rebinding the buffer to ``unused_data``
+    (which copies the whole remaining stream per member: a stream of
+    ~250k empty ~23-byte members would cost O(S^2) memcpy while the
+    output budget never trips — a second bomb class the review
+    caught; with chunked feeding each member's leftover copy is at
+    most one chunk)."""
     import zlib
 
     from ._budget import byte_budget
 
     buf = bytes(content)
-    budget = byte_budget(len(buf), max_bytes)
+    payload_len = len(buf)
+    budget = byte_budget(payload_len, max_bytes)
+    mv = memoryview(buf)
+    # per-member geometric feed growth: a tiny member's leftover copy
+    # is a tiny slice (empty-member floods cost O(S) total), while a
+    # large member quickly reaches full-size feeds
+    first_chunk, max_chunk = 1 << 10, 256 << 10
     out: list[bytes] = []
     total = 0
     members = 0
-    while buf:
+    off = 0
+
+    def bomb() -> ValueError:
+        return ValueError(
+            f"gzip stream expands past the {budget}-byte budget for "
+            f"a {payload_len}-byte payload — rejected as a "
+            "decompression bomb")
+
+    while off < payload_len:
         d = zlib.decompressobj(wbits=31)      # gzip wrapper, CRC checked
-        try:
-            chunk = d.decompress(buf, budget - total + 1)
-        except zlib.error as exc:
-            raise ValueError(f"corrupt gzip member: {exc}") from exc
-        total += len(chunk)
-        if total > budget:
-            raise ValueError(
-                f"gzip stream expands past the {budget}-byte budget for "
-                f"a {len(buf)}-byte payload — rejected as a "
-                "decompression bomb")
-        if not d.eof:
-            raise ValueError("truncated gzip member")
-        out.append(chunk)
-        members += 1
-        buf = d.unused_data
+        chunk_size = first_chunk
+        while True:
+            feed = mv[off: off + chunk_size]
+            chunk_size = min(chunk_size * 4, max_chunk)
+            try:
+                data = d.decompress(feed, budget - total + 1)
+                total += len(data)
+                out.append(data)
+                if total > budget:
+                    raise bomb()
+                # max_length can leave input pending even within a chunk
+                while d.unconsumed_tail and not d.eof:
+                    data = d.decompress(d.unconsumed_tail,
+                                        budget - total + 1)
+                    total += len(data)
+                    out.append(data)
+                    if total > budget:
+                        raise bomb()
+            except zlib.error as exc:
+                raise ValueError(f"corrupt gzip member: {exc}") from exc
+            if d.eof:
+                # unused_data is bounded by one chunk — the small copy
+                off += len(feed) - len(d.unused_data)
+                members += 1
+                break
+            off += len(feed)
+            if off >= payload_len:
+                raise ValueError("truncated gzip member")
     return b"".join(out), members
 
 

@@ -582,11 +582,15 @@ def quality_classifier_trained(df: DataFrame, id_col: str = "doc_id",
     toks = base.select("doc_id", words("text").alias("ws"))
     tf = HashingTF(inputCol="ws", outputCol="features",
                    numFeatures=num_features)
-    feats = tf.transform(toks).join(labels, "doc_id")
+    feats = tf.transform(toks)
     lr = LogisticRegression(featuresCol="features", labelCol="label",
                             maxIter=10, regParam=0.01)
-    model = lr.fit(feats)
-    scored = model.transform(feats)
+    # train on the LABELED subset only; SCORE the whole corpus — with a
+    # partial curated labels frame, generalizing to the unlabeled docs
+    # is the entire point of the fastText-filter posture (an inner join
+    # before transform would silently drop them from the output)
+    model = lr.fit(feats.join(labels, "doc_id"))
+    scored = model.transform(feats).join(labels, "doc_id", "left")
     return scored.select(
         F.col("doc_id").alias(id_col),
         F.col("label").cast("int").alias("label"),

@@ -683,3 +683,27 @@ def semantic_dedup(emb: DataFrame, threshold: float = 0.92,
                 F.when(F.col("_dup").isNull(), 1).otherwise(0)
                 .cast("int").alias("kept"))
     )
+
+
+def near_dup_twin_augment(emb: DataFrame,
+                          id_offset: int = 10 ** 12) -> DataFrame:
+    """The deterministic perturbed-twin augmentation of the embedding
+    near-dup / semantic-dedup gate fixtures — ONE Spark rendering
+    (the oracles embed the matching SQL): every 10th vector gains a
+    twin at ``vec_id + id_offset`` with +0.01 on every coordinate.
+    The synthetic corpus is near-orthogonal (max pairwise cosine
+    ~0.45), so WITHOUT twins every near-dup row's duplicate arm is
+    vacuous at any SF.  The offset is 10^12 so a twin id can only
+    collide with a real vector in a trillion-row fixture (the review
+    found the former +100000 collides from sf10 up — and because the
+    oracle replays the identical collision, parity would have stayed
+    green while the one-twin-per-original semantic silently broke)."""
+    base = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double"))
+        .alias("embedding"))
+    twins = base.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + id_offset).alias("vec_id"),
+        F.transform("embedding", lambda x: x + F.lit(0.01))
+        .alias("embedding"))
+    return base.unionByName(twins)

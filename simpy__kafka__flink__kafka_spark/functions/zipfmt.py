@@ -54,8 +54,19 @@ def zip_central_stats(content: bytes) -> ZipStats:
     cd_size BEFORE the walk loop trusts it)."""
     buf = bytes(content)
     scan_from = max(0, len(buf) - _EOCD_FIXED - _MAX_COMMENT)
+    # the EOCD signature can also occur INSIDE a trailing archive
+    # comment (attacker bytes): accept a candidate only when its
+    # declared comment length reaches exactly the end of the buffer
+    # (stdlib zipfile's consistency rule), scanning earlier otherwise
     pos = buf.rfind(_EOCD_SIG, scan_from)
-    if pos < 0 or pos + _EOCD_FIXED > len(buf):
+    while pos >= 0:
+        if pos + _EOCD_FIXED <= len(buf):
+            (clen,) = struct.unpack(
+                "<H", buf[pos + _EOCD_FIXED - 2: pos + _EOCD_FIXED])
+            if pos + _EOCD_FIXED + clen == len(buf):
+                break
+        pos = buf.rfind(_EOCD_SIG, scan_from, pos)
+    if pos < 0:
         raise ValueError("ZIP: no end-of-central-directory record")
     (disk, cd_disk, n_disk, n_total, cd_size, cd_off, _comment_len
      ) = struct.unpack("<HHHHIIH", buf[pos + 4: pos + _EOCD_FIXED])
@@ -102,7 +113,10 @@ def zip_container_stats(media, id_col: str = "doc_id",
     """Arrow-batched :func:`zip_central_stats` over binary payloads.
     Output: (id_col, n_entries, n_stored, n_deflate, usize_total,
     csize_total, names_md5) — names_md5 is the order-canonical md5 of
-    '|'-joined entry names (archive order; the directory IS ordered)."""
+    LENGTH-PREFIXED entry names ('{len}:{name}' joined with '|'):
+    names are attacker bytes and may legally contain the separator, so
+    a bare join would let ['a|b','c'] fingerprint-collide with
+    ['a','b|c']."""
     import hashlib
     from collections.abc import Iterator
 
@@ -123,9 +137,10 @@ def zip_container_stats(media, id_col: str = "doc_id",
         for pdf in batches:
             def stats(b: bytes) -> tuple:
                 s = zip_central_stats(bytes(b))
+                canon = "|".join(f"{len(n)}:{n}" for n in s.names)
                 return (s.n_entries, s.n_stored, s.n_deflate,
                         s.usize_total, s.csize_total,
-                        hashlib.md5("|".join(s.names).encode()).hexdigest())
+                        hashlib.md5(canon.encode()).hexdigest())
 
             o = pdf[content_col].map(stats)
             yield pd.DataFrame({

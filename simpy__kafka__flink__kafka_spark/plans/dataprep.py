@@ -457,18 +457,13 @@ def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     unaugmented corpus would make the kept=0 arm VACUOUS at every SF
     (all survivors, empty-but-green on the drop side).  The row
     therefore runs on the same deterministic twin augmentation
-    (vec_id + 100000, every coordinate +0.01): each twin lands in its
-    original's cell at cosine ~1 and exactly one of the pair survives
-    the least-central rule — both arms fire, both engines identically."""
-    emb = _emb(spark, sf_dir).select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double"))
-        .alias("embedding"))
-    twins = emb.where(F.col("vec_id") % 10 == 0).select(
-        (F.col("vec_id") + 100_000).alias("vec_id"),
-        F.transform("embedding", lambda x: x + F.lit(0.01))
-        .alias("embedding"))
-    return similarity.semantic_dedup(emb.unionByName(twins))
+    (similarity.near_dup_twin_augment — ONE Spark rendering shared
+    with the near-dup row and the A/B experiment): each twin lands in
+    its original's cell at cosine ~1 and exactly one of the pair
+    survives the least-central rule — both arms fire, both engines
+    identically."""
+    return similarity.semantic_dedup(
+        similarity.near_dup_twin_augment(_emb(spark, sf_dir)))
 
 
 def _semantic_dedup_sql(threshold: float = 0.92) -> str:
@@ -478,7 +473,7 @@ def _semantic_dedup_sql(threshold: float = 0.92) -> str:
 WITH emb_aug AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
   UNION ALL
-  SELECT vec_id + 100000 AS vec_id,
+  SELECT vec_id + 1000000000000 AS vec_id,
          list_transform(CAST(embedding AS DOUBLE[]), x -> x + 0.01)
            AS embedding
   FROM embeddings WHERE vec_id % 10 = 0
@@ -553,19 +548,12 @@ def _q_emb_near_dup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     at sf0.01), so the raw corpus has NO near-dups at any sane threshold and
     a green gate row would be vacuous (0 rows on both engines — VERDICT r02).
     The gate query therefore augments the corpus with deterministic perturbed
-    twins (vec_id + 100000, every coordinate +0.01 in double) — the twins
-    land in their original's IVF cell and verify at cosine ~1, so the checked
-    row carries real pairs through the whole assign -> cell-join -> fold
-    pipeline.  The identical augmentation runs on the oracle side."""
-    emb = _emb(spark, sf_dir).select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
-    )
-    twins = emb.where(F.col("vec_id") % 10 == 0).select(
-        (F.col("vec_id") + 100_000).alias("vec_id"),
-        F.transform("embedding", lambda x: x + F.lit(0.01)).alias("embedding"),
-    )
-    aug = emb.unionByName(twins)
+    twins (similarity.near_dup_twin_augment — vec_id + 10^12, every
+    coordinate +0.01 in double) — the twins land in their original's IVF
+    cell and verify at cosine ~1, so the checked row carries real pairs
+    through the whole assign -> cell-join -> fold pipeline.  The identical
+    augmentation runs on the oracle side."""
+    aug = similarity.near_dup_twin_augment(_emb(spark, sf_dir))
     return similarity.embedding_near_dup_ivf(aug, threshold=0.92)
 
 
@@ -576,7 +564,7 @@ def _emb_near_dup_verified_sql() -> str:
 WITH emb_aug AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
   UNION ALL
-  SELECT vec_id + 100000 AS vec_id,
+  SELECT vec_id + 1000000000000 AS vec_id,
          list_transform(CAST(embedding AS DOUBLE[]), x -> x + 0.01) AS embedding
   FROM embeddings WHERE vec_id % 10 = 0
 ),
@@ -2221,8 +2209,10 @@ SELECT doc_id,
        CAST((1 + doc_id % 4) // 2 AS INTEGER) AS n_stored,
        CAST((2 + doc_id % 4) // 2 AS INTEGER) AS n_deflate,
        CAST(sum(usz) AS BIGINT) AS usize_total,
-       md5(string_agg('f' || CAST(i AS VARCHAR) || '.txt', '|'
-                      ORDER BY i)) AS names_md5
+       md5(string_agg(
+             CAST(length('f' || CAST(i AS VARCHAR) || '.txt') AS VARCHAR)
+             || ':' || 'f' || CAST(i AS VARCHAR) || '.txt', '|'
+             ORDER BY i)) AS names_md5
 FROM e GROUP BY doc_id
 """
 

@@ -302,3 +302,19 @@ def test_warc_gz_matches_oracle(spark, sf_dir):
 
     q = registry()["warc_gz_parse"]
     assert_match(q.build(spark, sf_dir), q.oracle, sf_dir, "warc_gz_parse")
+
+
+def test_gunzip_empty_member_flood_is_linear():
+    import gzip
+    import time
+
+    from simpy__kafka__flink__kafka_spark.functions.html import (
+        gunzip_members)
+
+    flood = gzip.compress(b"") * 100_000     # ~2.3 MB, zero output
+    t0 = time.monotonic()
+    out, n = gunzip_members(flood)
+    assert out == b"" and n == 100_000
+    # the pre-fix quadratic rebind cost minutes here; the chunked
+    # offset walk must stay well under a couple of seconds
+    assert time.monotonic() - t0 < 10

@@ -332,3 +332,23 @@ def test_quality_classifier_custom_labels(spark, sf_dir):
     # but the contract holds: every doc scored, probs in [0, 1]
     assert len(out) == docs.count()
     assert all(0.0 <= r["prob_high"] <= 1.0 for r in out)
+
+
+def test_quality_classifier_scores_unlabeled_docs(spark, sf_dir):
+    """A PARTIAL curated labels frame must still score the whole
+    corpus (train on the subset, generalize to the rest)."""
+    import pyspark.sql.functions as F
+
+    from simpy__kafka__flink__kafka_spark.functions.quality import (
+        quality_classifier_trained)
+    from simpy__kafka__flink__kafka_spark.functions.text import quality_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    labeled = docs.where(F.col("doc_id") % 3 == 0).select(
+        "doc_id",
+        (quality_score("text") >= 0.5).cast("double").alias("label"))
+    out = quality_classifier_trained(docs, labels=labeled).collect()
+    assert len(out) == docs.count()
+    unlabeled = [r for r in out if r["label"] is None]
+    assert unlabeled and all(0.0 <= r["prob_high"] <= 1.0
+                             for r in unlabeled)

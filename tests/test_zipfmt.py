@@ -71,3 +71,31 @@ def test_zip_stats_matches_oracle(spark, sf_dir):
 
     q = registry()["zip_stats"]
     assert_match(q.build(spark, sf_dir), q.oracle, sf_dir, "zip_stats")
+
+
+def test_eocd_signature_inside_comment_skipped():
+    raw = _zip([("x", b"data", zipfile.ZIP_STORED)],
+               comment=b"sneaky PK\x05\x06 bytes inside a comment pad")
+    s = zip_central_stats(raw)
+    assert s.n_entries == 1 and s.names == ("x",)
+
+
+def test_names_fingerprint_separator_collision_resistant(spark):
+    import io
+
+    from simpy__kafka__flink__kafka_spark.functions.zipfmt import (
+        zip_container_stats)
+
+    def zbytes(names):
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as z:
+            for n in names:
+                z.writestr(zipfile.ZipInfo(n), b"d", zipfile.ZIP_STORED)
+        return bytearray(buf.getvalue())
+
+    media = spark.createDataFrame(
+        [(1, zbytes(["a|b", "c"])), (2, zbytes(["a", "b|c"]))],
+        "doc_id long, content binary")
+    rows = {r["doc_id"]: r["names_md5"]
+            for r in zip_container_stats(media).collect()}
+    assert rows[1] != rows[2]
