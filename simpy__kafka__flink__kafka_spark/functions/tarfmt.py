@@ -1,0 +1,149 @@
+"""ustar (POSIX tar) header walk + WebDataset sample manifest — the
+container of sharded multimodal training data: a WebDataset shard is a
+plain tar whose member files group into samples by their path minus
+the last extension ("000/123.jpg" + "000/123.json" -> sample
+"000/123").  Triage needs the manifest WITHOUT unpacking: entry names,
+sizes, per-sample completeness.
+
+Vendored from the public POSIX.1-1988/ustar layout: 512-byte header
+blocks (name 100, mode 8, uid 8, gid 8, size 12 octal, mtime 12,
+chksum 8, typeflag 1, linkname 100, magic 6, ...), data rounded up to
+whole blocks, terminated by two zero blocks.  Header checksums are
+VERIFIED (sum of header bytes with the chksum field read as spaces) —
+a corrupt block is a typed error, not a mis-walk.  Like the ZIP walk,
+fixtures are WRITTEN by stdlib ``tarfile`` and parsed here —
+independent-implementation cross-validation.  Nothing is decompressed
+or extracted; the walk skips over data by arithmetic, so cost is
+microseconds per shard and the only bomb surface (a size field larger
+than the buffer) is bounds-checked before the skip.
+
+Reference parity note: no reference counterpart — a training-data
+extension operator (WebDataset is the de-facto sharded multimodal
+format).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+_BLOCK = 512
+
+
+@dataclass(frozen=True)
+class TarEntry:
+    name: str
+    size: int
+    typeflag: str
+
+
+def _octal(field: bytes, what: str) -> int:
+    s = field.split(b"\0", 1)[0].strip()
+    if not s:
+        return 0
+    try:
+        return int(s, 8)
+    except ValueError as exc:
+        raise ValueError(f"tar: bad octal in {what}: {field!r}") from exc
+
+
+def tar_entries(content: bytes) -> list[TarEntry]:
+    """Walk every ustar member header.  Typed errors on: a header
+    block that is neither zero nor checksum-valid, a declared size
+    that runs outside the buffer, or a truncated archive (no room for
+    the next header)."""
+    buf = bytes(content)
+    out: list[TarEntry] = []
+    off = 0
+    while True:
+        if off + _BLOCK > len(buf):
+            raise ValueError("tar: truncated archive (no end blocks)")
+        block = buf[off: off + _BLOCK]
+        if block == b"\0" * _BLOCK:
+            return out                       # end-of-archive marker
+        declared = _octal(block[148:156], "chksum")
+        actual = sum(block[:148]) + 8 * 0x20 + sum(block[156:])
+        if declared != actual:
+            raise ValueError(
+                f"tar: header checksum mismatch at offset {off}")
+        name = block[0:100].split(b"\0", 1)[0].decode(
+            "utf-8", errors="replace")
+        prefix = block[345:500].split(b"\0", 1)[0].decode(
+            "utf-8", errors="replace")
+        if prefix:
+            name = prefix + "/" + name
+        size = _octal(block[124:136], "size")
+        data_end = off + _BLOCK + size
+        if size < 0 or data_end > len(buf):
+            raise ValueError(
+                f"tar: entry '{name}' declares {size} bytes past the "
+                "end of the buffer")
+        typeflag = chr(block[156]) if block[156] else "0"
+        out.append(TarEntry(name, size, typeflag))
+        off = off + _BLOCK + ((size + _BLOCK - 1) // _BLOCK) * _BLOCK
+
+
+def _sample_key(name: str) -> str:
+    """WebDataset grouping rule: the path minus its LAST extension
+    (no dot in the basename -> the name itself is the key)."""
+    slash = name.rfind("/")
+    dot = name.rfind(".")
+    return name[:dot] if dot > slash else name
+
+
+def webdataset_manifest(media, id_col: str = "doc_id",
+                        content_col: str = "content"):
+    """Arrow-batched shard manifest: walk each tar shard's headers and
+    group regular-file members into WebDataset samples.  Output:
+    (id_col, n_entries, n_samples, size_total, complete_samples —
+    samples whose member count equals the shard's modal member count
+    (a shard is healthy when every sample carries the same modalities;
+    stragglers are crawl/packing faults) — and names_md5, the
+    length-prefixed order-canonical fingerprint)."""
+    import hashlib
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType(), False),
+        T.StructField("n_entries", T.IntegerType(), True),
+        T.StructField("n_samples", T.IntegerType(), True),
+        T.StructField("size_total", T.LongType(), True),
+        T.StructField("complete_samples", T.IntegerType(), True),
+        T.StructField("names_md5", T.StringType(), True),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            def stats(b: bytes) -> tuple:
+                ents = [e for e in tar_entries(bytes(b))
+                        if e.typeflag in ("0", "\0")]
+                keys: dict[str, int] = {}
+                for e in ents:
+                    k = _sample_key(e.name)
+                    keys[k] = keys.get(k, 0) + 1
+                counts = sorted(keys.values())
+                # tie on frequency -> the LARGER member count is modal
+                # (deterministic; a half-and-half shard reads as the
+                # richer samples being canonical)
+                modal = (max(set(counts),
+                             key=lambda c: (counts.count(c), c))
+                         if counts else 0)
+                complete = sum(1 for c in keys.values() if c == modal)
+                canon = "|".join(f"{len(e.name)}:{e.name}" for e in ents)
+                return (len(ents), len(keys),
+                        sum(e.size for e in ents), complete,
+                        hashlib.md5(canon.encode()).hexdigest())
+
+            o = pdf[content_col].map(stats)
+            yield pd.DataFrame({
+                id_col: pdf[id_col].astype("int64"),
+                "n_entries": o.map(lambda t: t[0]).astype("int32"),
+                "n_samples": o.map(lambda t: t[1]).astype("int32"),
+                "size_total": o.map(lambda t: t[2]).astype("int64"),
+                "complete_samples": o.map(lambda t: t[3]).astype("int32"),
+                "names_md5": o.map(lambda t: t[4]),
+            })
+
+    return media.select(id_col, content_col).mapInPandas(run, schema)

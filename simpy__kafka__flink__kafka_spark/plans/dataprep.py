@@ -2150,6 +2150,92 @@ def _warc_gz_sql() -> str:
             f"FROM ({_warc_parse_sql()}) w")
 
 
+def _q_webdataset_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset shard manifest (functions/tarfmt.py): ustar walk +
+    sample grouping over shards WRITTEN by stdlib tarfile (independent
+    writer — the zip_stats cross-validation posture).  Fixture: 1 +
+    doc_id %% 3 samples of (.img, .json) pairs, plus a LONE straggler
+    file on doc_id %% 12 == 4 so the completeness check has a negative
+    arm at every SF.  The oracle reproduces counts, sizes, and the
+    length-prefixed names fingerprint from the same arithmetic."""
+    import io
+    import tarfile
+
+    import pandas as pd
+
+    from ..functions.tarfmt import webdataset_manifest
+
+    def pack(batches):
+        for pdf in batches:
+            def shard(doc_id: int) -> bytes:
+                buf = io.BytesIO()
+                with tarfile.open(fileobj=buf, mode="w",
+                                  format=tarfile.USTAR_FORMAT) as t:
+                    def add(name: str, data: bytes) -> None:
+                        ti = tarfile.TarInfo(name)
+                        ti.size = len(data)
+                        t.addfile(ti, io.BytesIO(data))
+
+                    stem0 = f"{doc_id:08d}"
+                    for j in range(1 + doc_id % 3):
+                        add(f"{stem0}/{j}.img",
+                            b"x" * (10 + (doc_id + j) % 7))
+                        add(f"{stem0}/{j}.json",
+                            f'{{"id":{doc_id},"j":{j}}}'.encode())
+                    if doc_id % 12 == 4:
+                        add(f"{stem0}/x.txt", b"lone")
+                return buf.getvalue()
+
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "content": pdf["doc_id"].map(shard),
+            })
+
+    media = _docs(spark, sf_dir).select("doc_id").mapInPandas(
+        pack, "doc_id long, content binary")
+    return webdataset_manifest(media)
+
+
+def _webdataset_sql() -> str:
+    stem = "lpad(CAST(doc_id AS VARCHAR), 8, '0')"
+    return rf"""
+WITH base AS (
+  SELECT doc_id, 1 + doc_id % 3 AS s,
+         CASE WHEN doc_id % 12 = 4 THEN 1 ELSE 0 END AS strag
+  FROM documents
+),
+f AS (
+  SELECT doc_id, s, strag, j,
+         {stem} || '/' || CAST(j AS VARCHAR) || '.img' AS nimg,
+         {stem} || '/' || CAST(j AS VARCHAR) || '.json' AS njs,
+         10 + (doc_id + j) % 7 AS img_len,
+         length('{{"id":' || CAST(doc_id AS VARCHAR) || ',"j":' ||
+                CAST(j AS VARCHAR) || '}}') AS js_len
+  FROM base,
+       LATERAL (SELECT unnest(generate_series(0, s - 1)) AS j) t
+),
+agg AS (
+  SELECT doc_id, any_value(s) AS s, any_value(strag) AS strag,
+         CAST(sum(img_len + js_len) AS BIGINT) AS sz,
+         string_agg(
+           CAST(length(nimg) AS VARCHAR) || ':' || nimg || '|' ||
+           CAST(length(njs) AS VARCHAR) || ':' || njs,
+           '|' ORDER BY j) AS canon
+  FROM f GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(2 * s + strag AS INTEGER) AS n_entries,
+       CAST(s + strag AS INTEGER) AS n_samples,
+       CAST(sz + strag * 4 AS BIGINT) AS size_total,
+       CAST(s AS INTEGER) AS complete_samples,
+       md5(canon || CASE WHEN strag = 1
+             THEN '|' || CAST(length({stem} || '/x.txt') AS VARCHAR)
+                  || ':' || {stem} || '/x.txt'
+             ELSE '' END) AS names_md5
+FROM agg
+"""
+
+
 def _q_zip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ZIP central-directory walk (functions/zipfmt.py) over archives
     WRITTEN by stdlib zipfile — parser and writer are independent
@@ -5828,6 +5914,11 @@ QUERIES: dict[str, Query] = {
         "ZIP central-directory walk (docx/epub/jar triage): EOCD + "
         "entry headers, no decompression, cross-validated against "
         "stdlib-zipfile-written archives"),
+    "webdataset_manifest": Query(
+        _q_webdataset_manifest, _webdataset_sql(),
+        "WebDataset shard manifest: ustar header walk (checksums "
+        "verified) + sample grouping + completeness, cross-validated "
+        "against stdlib-tarfile-written shards"),
     "c4_sentence_filter": Query(
         _q_c4_sentence_filter, _C4_FILTER_SQL,
         "C4 sentence cleanup: short sentences dropped, blocklisted or "

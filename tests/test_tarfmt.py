@@ -1,0 +1,81 @@
+"""ustar walk + WebDataset manifest (functions/tarfmt.py):
+cross-validation against stdlib tarfile, malformed typing, grouping
+semantics, and the registry row's DuckDB parity."""
+
+from __future__ import annotations
+
+import io
+import tarfile
+
+import pytest
+
+from simpy__kafka__flink__kafka_spark.functions.tarfmt import (
+    _sample_key, tar_entries)
+
+
+def _tar(entries):
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w",
+                      format=tarfile.USTAR_FORMAT) as t:
+        for name, data in entries:
+            ti = tarfile.TarInfo(name)
+            ti.size = len(data)
+            t.addfile(ti, io.BytesIO(data))
+    return buf.getvalue()
+
+
+def test_walk_matches_tarfile_writer():
+    raw = _tar([("000/1.img", b"x" * 700), ("000/1.json", b'{"a":1}'),
+                ("deep/dir/2.bin", b"")])
+    ents = tar_entries(raw)
+    assert [(e.name, e.size) for e in ents] == [
+        ("000/1.img", 700), ("000/1.json", 7), ("deep/dir/2.bin", 0)]
+    with tarfile.open(fileobj=io.BytesIO(raw)) as t:
+        assert [i.name for i in t.getmembers()] == [e.name for e in ents]
+
+
+def test_sample_key_rule():
+    assert _sample_key("000/123.jpg") == "000/123"
+    assert _sample_key("000/123.cls.txt") == "000/123.cls"
+    assert _sample_key("a.b/noext") == "a.b/noext"   # dot only in dir
+    assert _sample_key("plain") == "plain"
+
+
+def test_malformed_tar_typed():
+    raw = bytearray(_tar([("x", b"data")]))
+    raw[10] ^= 0xFF            # corrupt header -> checksum mismatch
+    with pytest.raises(ValueError, match="checksum"):
+        tar_entries(bytes(raw))
+    with pytest.raises(ValueError, match="truncated"):
+        tar_entries(_tar([("x", b"data")])[:600])
+    # size field pointing past the buffer
+    raw2 = bytearray(_tar([("x", b"data")]))
+    raw2[124:136] = b"77777777777\x00"   # huge octal size
+    # checksum now wrong too -> still a typed error either way
+    with pytest.raises(ValueError):
+        tar_entries(bytes(raw2))
+
+
+def test_manifest_grouping_and_completeness(spark):
+    from simpy__kafka__flink__kafka_spark.functions.tarfmt import (
+        webdataset_manifest)
+
+    raw = _tar([("s/0.img", b"a" * 5), ("s/0.json", b"{}"),
+                ("s/1.img", b"b" * 3), ("s/1.json", b"{}"),
+                ("s/lone.txt", b"z")])
+    media = spark.createDataFrame([(7, bytearray(raw))],
+                                  "doc_id long, content binary")
+    r = webdataset_manifest(media).collect()[0]
+    assert r["n_entries"] == 5 and r["n_samples"] == 3
+    assert r["complete_samples"] == 2      # modal member count is 2
+    assert r["size_total"] == 5 + 2 + 3 + 2 + 1
+
+
+def test_webdataset_manifest_matches_oracle(spark, sf_dir):
+    from tests.oracle_utils import assert_match
+
+    from simpy__kafka__flink__kafka_spark.plans import registry
+
+    q = registry()["webdataset_manifest"]
+    assert_match(q.build(spark, sf_dir), q.oracle, sf_dir,
+                 "webdataset_manifest")

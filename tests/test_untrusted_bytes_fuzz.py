@@ -419,3 +419,26 @@ def test_gunzip_members_typed_errors_only():
             assert n >= 0 and len(out) <= (1 << 20)
         except OK_ERRORS:
             pass
+
+
+def test_tar_walk_typed_errors_only():
+    import io
+    import tarfile
+
+    from simpy__kafka__flink__kafka_spark.functions.tarfmt import (
+        tar_entries)
+
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w",
+                      format=tarfile.USTAR_FORMAT) as t:
+        ti = tarfile.TarInfo("s/0.img")
+        ti.size = 4
+        t.addfile(ti, io.BytesIO(b"data"))
+    fixture = buf.getvalue()
+    rng = random.Random(555)
+    for mut in _mutations(fixture, rng):
+        try:
+            ents = tar_entries(mut)
+            assert all(e.size >= 0 for e in ents)
+        except OK_ERRORS:
+            pass
