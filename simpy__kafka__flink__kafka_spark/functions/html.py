@@ -175,18 +175,23 @@ WARC_CLEN_RE = r"Content-Length: ([0-9]+)"
 
 
 def parse_warc_records(df: DataFrame, warc_col: str = "warc",
-                       id_col: str = "doc_id") -> DataFrame:
+                       id_col: str = "doc_id",
+                       carry_cols: tuple[str, ...] = ()) -> DataFrame:
     """Explode a WARC stream (concatenated ``WARC/1.0`` records) into one
     row per record with parsed headers and the payload: record index in
     stream order, WARC-Type, WARC-Target-URI, declared Content-Length,
     whether the payload length matches the declaration, and the payload
-    itself.  Zero-shuffle (split + posexplode + regexp per row).
+    itself.  Zero-shuffle (split + posexplode + regexp per row) —
+    streaming-safe, which is why per-stream metadata rides through
+    ``carry_cols`` (replicated onto every record row) instead of a
+    join-back that a streaming plan could not execute.
     Output: (id_col, rec_idx, warc_type, target_uri, content_length,
-    payload_ok: int, payload).
+    payload_ok: int, payload, *carry_cols).
     """
     recs = F.split(F.col(warc_col), WARC_SPLIT_RE, -1)
     exploded = df.select(
-        F.col(id_col), F.posexplode(recs).alias("rec_idx", "_rec")
+        F.col(id_col), *[F.col(c) for c in carry_cols],
+        F.posexplode(recs).alias("rec_idx", "_rec")
     ).where(F.length("_rec") > 0)
     # payload starts after the first blank line (header/payload divider)
     div = F.instr(F.col("_rec"), "\r\n\r\n")
@@ -208,6 +213,7 @@ def parse_warc_records(df: DataFrame, warc_col: str = "warc",
         F.coalesce((F.length(payload) == clen).cast("int"), F.lit(0))
         .alias("payload_ok"),
         payload.alias("payload"),
+        *[F.col(c) for c in carry_cols],
     )
 
 
@@ -287,7 +293,8 @@ def gunzip_members(content: bytes,
 
 def parse_warc_gz(media: DataFrame, id_col: str = "doc_id",
                   content_col: str = "content",
-                  max_bytes: int | None = None) -> DataFrame:
+                  max_bytes: int | None = None,
+                  carry_cols: tuple[str, ...] = ()) -> DataFrame:
     """The real CommonCrawl ingestion shape: a ``.warc.gz`` stream
     (one gzip member per record) decompressed per document in Arrow
     batches — bounded via :func:`gunzip_members` — then parsed by the
@@ -295,17 +302,26 @@ def parse_warc_gz(media: DataFrame, id_col: str = "doc_id",
     WARC row uses (one parser rendering; this function only peels the
     compression layer).  Output: parse_warc_records columns plus
     ``n_members`` (gzip members seen — the record/member 1:1 contract
-    a warc.gz writer must keep)."""
+    a warc.gz writer must keep) and any ``carry_cols`` from the input
+    (replicated per record — stream metadata like ingest_ts).
+
+    STREAMING-SAFE: one mapInPandas + zero-shuffle expressions, no
+    pin, no join — n_members rides the decode frame and fans out with
+    the records via the parser's carry path, so the same function
+    serves ``readStream.format("binaryFile")`` shards unchanged
+    (streaming/corpus.py:warc_gz_source)."""
     from collections.abc import Iterator
 
     import pandas as pd
     from pyspark.sql import types as T
 
-    schema = T.StructType([
-        T.StructField(id_col, T.LongType(), False),
-        T.StructField("warc", T.StringType(), True),
-        T.StructField("n_members", T.IntegerType(), True),
-    ])
+    carry = tuple(carry_cols)
+    schema = T.StructType(
+        [T.StructField(id_col, T.LongType(), False),
+         T.StructField("warc", T.StringType(), True),
+         T.StructField("n_members", T.IntegerType(), True)]
+        + [media.schema[c] for c in carry]
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -314,17 +330,16 @@ def parse_warc_gz(media: DataFrame, id_col: str = "doc_id",
                 return raw.decode("utf-8", errors="replace"), members
 
             o = pdf[content_col].map(dec)
-            yield pd.DataFrame({
+            cols = {
                 id_col: pdf[id_col].astype("int64"),
                 "warc": o.map(lambda t: t[0]),
                 "n_members": o.map(lambda t: t[1]).astype("int32"),
-            })
+            }
+            for c in carry:
+                cols[c] = pdf[c]
+            yield pd.DataFrame(cols)
 
-    from ..cachepin import pin
-
-    # pinned: the decompressed frame feeds both the record parse and
-    # the n_members join-back — unpinned, the gunzip mapInPandas would
-    # execute twice
-    text = pin(media.select(id_col, content_col).mapInPandas(run, schema))
-    return (parse_warc_records(text, warc_col="warc", id_col=id_col)
-            .join(text.select(id_col, "n_members"), id_col))
+    text = media.select(id_col, content_col, *carry).mapInPandas(
+        run, schema)
+    return parse_warc_records(text, warc_col="warc", id_col=id_col,
+                              carry_cols=("n_members",) + carry)

@@ -802,3 +802,38 @@ def start_crawl_admission(docs_stream: DataFrame, prior_profile_dir: str,
         .outputMode("append")
         .start()
     )
+
+
+def warc_gz_source(spark, path: str, watermark: str = "10 minutes",
+                   max_bytes: int | None = None) -> DataFrame:
+    """Streaming ingestion of ``.warc.gz`` shards — the container a
+    real crawl DELIVERS (CommonCrawl layout: one gzip member per WARC
+    record).  Each file landing under ``path`` arrives through Spark's
+    ``binaryFile`` stream source as (path, modificationTime, length,
+    content); the shard id is the trailing integer of the file name
+    (the writer contract, e.g. ``crawl-00042.warc.gz`` -> 42), and
+    functions/html.py:parse_warc_gz peels members + records with the
+    SAME bounded gunzip and parser renderings as the batch row —
+    streaming-safe because that path is one mapInPandas plus
+    zero-shuffle expressions (no pin, no join).
+
+    Output: one row per WARC record with the batch columns plus
+    ``shard_id``/``ingest_ts`` (file modification time, watermarked —
+    the event-time handle downstream corpus stages expect)."""
+    from ..functions.html import parse_warc_gz
+
+    # binaryFile's schema is FIXED by the source; the stream API still
+    # requires it stated explicitly
+    raw = (spark.readStream.format("binaryFile")
+           .schema("path string, modificationTime timestamp, "
+                   "length long, content binary")
+           .option("pathGlobFilter", "*.warc.gz").load(path))
+    media = raw.select(
+        F.regexp_extract(F.col("path"), r"(\d+)\.warc\.gz$", 1)
+        .cast("long").alias("shard_id"),
+        F.col("modificationTime").alias("ingest_ts"),
+        "content")
+    recs = parse_warc_gz(media, id_col="shard_id",
+                         max_bytes=max_bytes,
+                         carry_cols=("ingest_ts",))
+    return recs.withWatermark("ingest_ts", watermark)

@@ -458,3 +458,57 @@ def test_streaming_crawl_admission_with_robots_txt(spark, tmp_path):
     got = {r.doc_id for r in spark.read.parquet(f"{acc}/docs").collect()}
     # doc 2 blocked by a.example's robots.txt; doc 3's host has no rules
     assert got == {1, 3}
+
+
+def test_warc_gz_stream_matches_batch_parse(spark, tmp_path):
+    """Two arrival waves of .warc.gz shards through the binaryFile
+    stream source parse to EXACTLY the batch parse_warc_gz rows (the
+    gz peel + parser are the same renderings on both paths)."""
+    import gzip
+
+    from simpy__kafka__flink__kafka_spark.functions.html import (
+        WARC_MARKER, parse_warc_gz)
+    from simpy__kafka__flink__kafka_spark.streaming.corpus import (
+        warc_gz_source)
+
+    crlf = "\r\n"
+
+    def shard_bytes(sid: int) -> bytes:
+        recs = []
+        for j in range(2):
+            payload = f"payload {sid}-{j} text"
+            recs.append(
+                WARC_MARKER + "WARC-Type: response" + crlf
+                + f"WARC-Target-URI: https://s{sid}.example.com/{j}" + crlf
+                + f"Content-Length: {len(payload)}" + crlf + crlf
+                + payload)
+        return b"".join(gzip.compress(r.encode()) for r in recs)
+
+    ind = str(tmp_path / "shards")
+    os.makedirs(ind, exist_ok=True)
+    # wave 1: shards 1-2; wave 2: shard 3
+    for wave in ([1, 2], [3]):
+        for sid in wave:
+            with open(f"{ind}/crawl-{sid:05d}.warc.gz", "wb") as f:
+                f.write(shard_bytes(sid))
+        time.sleep(0.05)
+
+    name = f"wg_{uuid.uuid4().hex[:8]}"
+    q = (warc_gz_source(spark, ind)
+         .writeStream.format("memory").queryName(name)
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql(f"select * from {name}").drop("ingest_ts").collect()
+
+    media = spark.createDataFrame(
+        [(sid, bytearray(shard_bytes(sid))) for sid in (1, 2, 3)],
+        "shard_id long, content binary")
+    want = parse_warc_gz(media, id_col="shard_id").collect()
+    key = lambda r: (r["shard_id"], r["rec_idx"])  # noqa: E731
+    assert sorted((tuple(sorted(r.asDict().items())) for r in got)) == \
+        sorted((tuple(sorted(r.asDict().items())) for r in want))
+    assert len(want) == 6 and all(r["n_members"] == 2 for r in want)
+    assert all(r["payload_ok"] == 1 for r in want)
