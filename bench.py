@@ -142,6 +142,8 @@ HEADLINE = [
     # + the shared WARC parse) and the ZIP central-directory walk
     "warc_gz_parse",
     "zip_stats",
+    # round-12 wave 12: the WebDataset shard manifest (ustar walk)
+    "webdataset_manifest",
 ]
 
 
