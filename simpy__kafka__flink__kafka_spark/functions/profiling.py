@@ -86,3 +86,59 @@ def profile_table(df: DataFrame, numeric_cols: list[str] | None = None,
             )
         )
     return prof.select(F.explode(F.array(*entries)).alias("p")).select("p.*")
+
+
+def corpus_datasheet(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text",
+                     source_col: str = "source") -> DataFrame:
+    """Per-source corpus datasheet (the Datasheets-for-Datasets /
+    data-card posture): ONE row per source with the release-audit
+    numbers a dataset consumer asks first — volume, token mass,
+    duplication, dominant language, quality.  All integer or
+    integer-scaled after the shared round(.,6) quality expression, so
+    the row is hash-oracle-checkable.
+
+    Columns: n_docs, n_tokens, n_unique_fp (distinct content
+    fingerprints — dedup-normal-form md5), dup_ppm (1e6 *
+    (n_docs - n_unique_fp) / n_docs, integer), top_lang (modal
+    language_id prediction, ties to the alphabetically-first lang —
+    deterministic), quality_micros_avg (mean heuristic quality scaled
+    1e6, floor).
+
+    Scale shape: one zero-shuffle per-doc projection (tokens, quality,
+    fingerprint, lang — the ingest-scan riders), then ONE exchange
+    keyed on (source, lang) for the modal-language count and ONE
+    source-keyed aggregate; sources are dimension-cardinality so the
+    final frames are broadcast-sized."""
+    from .text import language_id, normalized, quality_score, token_count
+    from .text import words as _words
+
+    per = docs.select(
+        F.col(source_col).alias("source"),
+        token_count(text_col).cast("long").alias("n_tok"),
+        F.md5(normalized(text_col)).alias("fp"),
+        language_id(_words(text_col)).alias("lang"),
+        F.floor(quality_score(text_col) * 1_000_000).cast("long")
+        .alias("q_micros"),
+    )
+    agg = per.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        F.countDistinct("fp").cast("long").alias("n_unique_fp"),
+        F.expr("sum(q_micros) div count(1)").cast("long")
+        .alias("quality_micros_avg"),
+    )
+    lang_counts = per.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("_lc"))
+    from pyspark.sql import Window as W
+
+    wl = W.partitionBy("source").orderBy(F.col("_lc").desc(),
+                                         F.col("lang"))
+    top = (lang_counts.withColumn("_r", F.row_number().over(wl))
+           .where(F.col("_r") == 1)
+           .select("source", F.col("lang").alias("top_lang")))
+    return (agg.join(top, "source")
+            .select("source", "n_docs", "n_tokens", "n_unique_fp",
+                    F.expr("(1000000 * (n_docs - n_unique_fp)) "
+                           "div n_docs").cast("long").alias("dup_ppm"),
+                    "top_lang", "quality_micros_avg"))

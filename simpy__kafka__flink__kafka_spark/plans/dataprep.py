@@ -2150,6 +2150,51 @@ def _warc_gz_sql() -> str:
             f"FROM ({_warc_parse_sql()}) w")
 
 
+def _q_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus datasheet (functions/profiling.py:
+    corpus_datasheet) — the data-card audit row.  The oracle composes
+    ONLY shared renderings: the words CTE, the quality m CTE (+ the
+    fingerprint projection), the lang-fold CTEs, and the per-source
+    folds."""
+    from ..functions.profiling import corpus_datasheet
+
+    return corpus_datasheet(_docs(spark, sf_dir))
+
+
+def _corpus_datasheet_sql() -> str:
+    return rf"""
+WITH {_WORDS_CTE},
+{_quality_m_cte(extra=_FP_EXTRA)},
+{_lang_pred_ctes()},
+src AS (SELECT doc_id, source FROM documents),
+lc AS (
+  SELECT d.source, l.lang_pred AS lang, count(*) AS c
+  FROM langp l JOIN src d USING (doc_id) GROUP BY 1, 2
+),
+top AS (
+  SELECT source, lang AS top_lang FROM (
+    SELECT source, lang,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY c DESC, lang) AS r
+    FROM lc) WHERE r = 1
+),
+agg AS (
+  SELECT d.source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(m.n_tok) AS BIGINT) AS n_tokens,
+         CAST(count(DISTINCT m.fp) AS BIGINT) AS n_unique_fp,
+         CAST(sum(CAST(floor({_QUALITY_EXPR} * 1000000) AS BIGINT))
+              // count(*) AS BIGINT) AS quality_micros_avg
+  FROM m JOIN src d USING (doc_id) GROUP BY 1
+)
+SELECT a.source, a.n_docs, a.n_tokens, a.n_unique_fp,
+       CAST((1000000 * (a.n_docs - a.n_unique_fp)) // a.n_docs
+            AS BIGINT) AS dup_ppm,
+       t.top_lang, a.quality_micros_avg
+FROM agg a JOIN top t USING (source)
+"""
+
+
 def _q_webdataset_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WebDataset shard manifest (functions/tarfmt.py): ustar walk +
     sample grouping over shards WRITTEN by stdlib tarfile (independent
@@ -5919,6 +5964,11 @@ QUERIES: dict[str, Query] = {
         "WebDataset shard manifest: ustar header walk (checksums "
         "verified) + sample grouping + completeness, cross-validated "
         "against stdlib-tarfile-written shards"),
+    "corpus_datasheet": Query(
+        _q_corpus_datasheet, _corpus_datasheet_sql(),
+        "per-source data-card audit: volume, token mass, dup rate, "
+        "modal language, mean quality — all shared renderings, one "
+        "source-keyed exchange"),
     "c4_sentence_filter": Query(
         _q_c4_sentence_filter, _C4_FILTER_SQL,
         "C4 sentence cleanup: short sentences dropped, blocklisted or "

@@ -538,3 +538,33 @@ def test_nfc_normalize_null_text_keeps_row(spark):
     assert out[1]["norm_text"] is None and out[1]["n_chars"] is None
     assert out[1]["changed"] == 0
     assert out[2]["norm_text"] == "ok"
+
+
+def test_corpus_datasheet_matches_oracle(spark, sf_dir):
+    from tests.oracle_utils import assert_match
+
+    from simpy__kafka__flink__kafka_spark.plans import registry
+
+    q = registry()["corpus_datasheet"]
+    assert_match(q.build(spark, sf_dir), q.oracle, sf_dir,
+                 "corpus_datasheet")
+
+
+def test_corpus_datasheet_semantics(spark):
+    from simpy__kafka__flink__kafka_spark.functions.profiling import (
+        corpus_datasheet)
+
+    rows = [
+        (1, "the and is of to in good long document text here", "a"),
+        (2, "the and is of to in good long document text here", "a"),
+        (3, "el la los las es un una en por para otra frase", "a"),
+        (4, "unique english words the of and appear here now", "b"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, "
+                                       "source string")
+    out = {r["source"]: r for r in corpus_datasheet(docs).collect()}
+    # source a: docs 1,2 verbatim dups -> 2 unique fps among 3 docs
+    assert out["a"]["n_docs"] == 3 and out["a"]["n_unique_fp"] == 2
+    assert out["a"]["dup_ppm"] == 1_000_000 // 3
+    assert out["a"]["top_lang"] == "en"     # 2 en docs vs 1 es
+    assert out["b"]["dup_ppm"] == 0
