@@ -144,6 +144,10 @@ HEADLINE = [
     "zip_stats",
     # round-12 wave 12: the WebDataset shard manifest (ustar walk)
     "webdataset_manifest",
+    # round-12 wave 13: the per-source data-card capstone and the EXIF
+    # orientation/provenance walk over real JPEG streams
+    "corpus_datasheet",
+    "jpeg_exif_stats",
 ]
 
 

@@ -880,3 +880,175 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90,
         out += writer.out
     out += b"\xff\xd9"
     return bytes(out)
+
+
+# --- EXIF metadata walk ------------------------------------------------------
+
+EXIF_TAG_MAKE = 271
+EXIF_TAG_MODEL = 272
+EXIF_TAG_ORIENTATION = 274
+EXIF_TAG_DATETIME = 306
+EXIF_TAG_EXIF_IFD = 34665
+EXIF_TAG_DT_ORIGINAL = 36867
+
+
+def jpeg_exif(content: bytes) -> dict:
+    """EXIF metadata of a JPEG: scan the marker stream for the APP1
+    segment starting ``Exif\\0\\0``, then walk the embedded TIFF IFD0
+    (and the Exif sub-IFD when pointed to) via the SHARED tiff.py IFD
+    rendering (walk_ifd / tiff_byte_order — one IFD walk in the repo).
+    Orientation is the tag image-training pipelines MUST apply before
+    any pixel op (a rotated-by-metadata image hashes/augments wrong
+    otherwise).
+
+    Returns {has_exif, orientation, make, model, datetime,
+    datetime_original} — has_exif 0 with null fields when no APP1/Exif
+    segment exists (the keep-empty contract); malformed EXIF raises
+    the typed ValueError family like every header walk."""
+    from .tiff import ifd_ints, tiff_byte_order, walk_ifd
+
+    buf = bytes(content)
+    if buf[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    none = {"has_exif": 0, "orientation": None, "make": None,
+            "model": None, "datetime": None, "datetime_original": None}
+    pos = 2
+    tiff = None
+    while pos + 4 <= len(buf):
+        if buf[pos] != 0xFF:
+            raise ValueError("JPEG marker sync lost in EXIF scan")
+        marker = buf[pos + 1]
+        if marker in (0xD8, 0xD9) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker == 0xDA:          # SOS: entropy data follows, stop
+            break
+        seg_len = int.from_bytes(buf[pos + 2: pos + 4], "big")
+        if seg_len < 2 or pos + 2 + seg_len > len(buf):
+            raise ValueError("JPEG segment length outside buffer")
+        if marker == 0xE1 and buf[pos + 4: pos + 10] == b"Exif\x00\x00":
+            tiff = buf[pos + 10: pos + 2 + seg_len]
+            break
+        pos += 2 + seg_len
+    if tiff is None:
+        return none
+
+    def ascii_of(entry) -> str | None:
+        if entry is None:
+            return None
+        typ, _cnt, raw = entry
+        if typ != 2:
+            return None
+        return raw.split(b"\0", 1)[0].decode("ascii", errors="replace")
+
+    bo = tiff_byte_order(tiff)
+    ifd0 = walk_ifd(tiff, bo, int.from_bytes(tiff[4:8], bo))
+    orientation = None
+    if EXIF_TAG_ORIENTATION in ifd0:
+        typ, _c, raw = ifd0[EXIF_TAG_ORIENTATION]
+        vals = ifd_ints(typ, raw, bo)
+        orientation = vals[0] if vals else None
+    dt_orig = None
+    if EXIF_TAG_EXIF_IFD in ifd0:
+        typ, _c, raw = ifd0[EXIF_TAG_EXIF_IFD]
+        ptrs = ifd_ints(typ, raw, bo)
+        if ptrs:
+            sub = walk_ifd(tiff, bo, ptrs[0])
+            dt_orig = ascii_of(sub.get(EXIF_TAG_DT_ORIGINAL))
+    return {
+        "has_exif": 1,
+        "orientation": orientation,
+        "make": ascii_of(ifd0.get(EXIF_TAG_MAKE)),
+        "model": ascii_of(ifd0.get(EXIF_TAG_MODEL)),
+        "datetime": ascii_of(ifd0.get(EXIF_TAG_DATETIME)),
+        "datetime_original": dt_orig,
+    }
+
+
+def build_exif_app1(orientation: int, make: str, model: str,
+                    datetime: str, datetime_original: str) -> bytes:
+    """Hand-built APP1/Exif segment (little-endian TIFF, IFD0 with
+    orientation/make/model/datetime + an Exif sub-IFD carrying
+    DateTimeOriginal) — the FIXTURE writer for the EXIF walk; built
+    from the spec layout independently of the reader's offsets, so a
+    reader bug cannot be mirrored by construction order."""
+    def entry(tag: int, typ: int, cnt: int, val: bytes) -> bytes:
+        return (tag.to_bytes(2, "little") + typ.to_bytes(2, "little")
+                + cnt.to_bytes(4, "little") + val.ljust(4, b"\0")[:4])
+
+    strings = {}
+    blob = b""
+    # IFD0: 5 entries + next-IFD pointer; sub-IFD follows; then strings
+    ifd0_off = 8
+    ifd0_size = 2 + 5 * 12 + 4
+    sub_off = ifd0_off + ifd0_size
+    sub_size = 2 + 1 * 12 + 4
+    str_off = sub_off + sub_size
+    for key, s in (("make", make), ("model", model),
+                   ("datetime", datetime), ("dto", datetime_original)):
+        b = s.encode("ascii") + b"\0"
+        if len(b) <= 4:
+            # TIFF rule: values of <= 4 bytes live INLINE in the entry
+            strings[key] = (None, b)
+        else:
+            strings[key] = (str_off + len(blob), b)
+            blob += b
+
+    def s_entry(tag: int, key: str) -> bytes:
+        off, b = strings[key]
+        val = b if off is None else off.to_bytes(4, "little")
+        return entry(tag, 2, len(b), val)
+
+    ifd0 = (5).to_bytes(2, "little")
+    ifd0 += s_entry(EXIF_TAG_MAKE, "make")
+    ifd0 += s_entry(EXIF_TAG_MODEL, "model")
+    ifd0 += entry(EXIF_TAG_ORIENTATION, 3, 1,
+                  orientation.to_bytes(2, "little"))
+    ifd0 += s_entry(EXIF_TAG_DATETIME, "datetime")
+    ifd0 += entry(EXIF_TAG_EXIF_IFD, 4, 1, sub_off.to_bytes(4, "little"))
+    ifd0 += (0).to_bytes(4, "little")
+    sub = (1).to_bytes(2, "little")
+    sub += s_entry(EXIF_TAG_DT_ORIGINAL, "dto")
+    sub += (0).to_bytes(4, "little")
+    tiff = (b"II" + (42).to_bytes(2, "little")
+            + ifd0_off.to_bytes(4, "little") + ifd0 + sub + blob)
+    payload = b"Exif\x00\x00" + tiff
+    return b"\xff\xe1" + (len(payload) + 2).to_bytes(2, "big") + payload
+
+
+def jpeg_exif_stats(media, id_col: str = "doc_id",
+                    content_col: str = "content"):
+    """Arrow-batched :func:`jpeg_exif` over binary payloads — the
+    orientation/provenance triage an image-training pipeline runs
+    before any decode.  Output: (id_col, has_exif, orientation, make,
+    model, datetime, datetime_original)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType(), False),
+        T.StructField("has_exif", T.IntegerType(), True),
+        T.StructField("orientation", T.IntegerType(), True),
+        T.StructField("make", T.StringType(), True),
+        T.StructField("model", T.StringType(), True),
+        T.StructField("datetime", T.StringType(), True),
+        T.StructField("datetime_original", T.StringType(), True),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            o = pdf[content_col].map(lambda b: jpeg_exif(bytes(b)))
+            yield pd.DataFrame({
+                id_col: pdf[id_col].astype("int64"),
+                "has_exif": o.map(lambda d: d["has_exif"]).astype("int32"),
+                "orientation": o.map(lambda d: d["orientation"])
+                .astype("Int32"),
+                "make": o.map(lambda d: d["make"]),
+                "model": o.map(lambda d: d["model"]),
+                "datetime": o.map(lambda d: d["datetime"]),
+                "datetime_original": o.map(lambda d: d["datetime_original"]),
+            })
+
+    return media.select(id_col, content_col).mapInPandas(run, schema)

@@ -186,7 +186,9 @@ def decode_tiff(content: bytes, max_pixels: int | None = None) -> np.ndarray:
         raise ValueError("truncated or malformed TIFF stream") from exc
 
 
-def _decode_tiff(buf: bytes, max_pixels: int | None) -> np.ndarray:
+def tiff_byte_order(buf: bytes) -> str:
+    """'little'/'big' from a TIFF header (II*\\0 / MM\\0*), typed error
+    otherwise — shared by the pixel decoder and the EXIF walk."""
     if buf[:2] == b"II":
         bo = "little"
     elif buf[:2] == b"MM":
@@ -195,9 +197,22 @@ def _decode_tiff(buf: bytes, max_pixels: int | None) -> np.ndarray:
         raise ValueError("not a TIFF")
     if int.from_bytes(buf[2:4], bo) != 42:
         raise ValueError("not a TIFF (bad magic number)")
-    ifd = int.from_bytes(buf[4:8], bo)
+    return bo
+
+
+def walk_ifd(buf: bytes, bo: str,
+             ifd: int) -> dict[int, tuple[int, int, bytes]]:
+    """ONE IFD's entries as tag -> (type, count, raw value bytes) —
+    the single IFD-walk rendering, shared by the TIFF pixel decoder
+    and the JPEG/EXIF metadata walk (functions/jpeg.py).  Offsets and
+    sizes are bounds-checked; out-of-buffer value pointers raise the
+    typed family."""
+    if ifd < 0 or ifd + 2 > len(buf):
+        raise ValueError("TIFF IFD offset outside buffer")
     n_entries = int.from_bytes(buf[ifd:ifd + 2], bo)
-    tags: dict[int, list[int]] = {}
+    if ifd + 2 + 12 * n_entries > len(buf):
+        raise ValueError("truncated TIFF IFD")
+    tags: dict[int, tuple[int, int, bytes]] = {}
     for e in range(n_entries):
         off = ifd + 2 + 12 * e
         tag = int.from_bytes(buf[off:off + 2], bo)
@@ -208,15 +223,30 @@ def _decode_tiff(buf: bytes, max_pixels: int | None) -> np.ndarray:
             raw = buf[off + 8:off + 8 + size]
         else:
             ptr = int.from_bytes(buf[off + 8:off + 12], bo)
+            if ptr + size > len(buf):
+                raise ValueError(
+                    f"TIFF tag {tag} value runs outside buffer")
             raw = buf[ptr:ptr + size]
-        step = _TYPE_SIZES.get(typ, 1)
-        if typ == 5:                       # RATIONAL: keep numerator
-            vals = [int.from_bytes(raw[i:i + 4], bo)
-                    for i in range(0, size, 8)]
-        else:
-            vals = [int.from_bytes(raw[i:i + step], bo)
-                    for i in range(0, size, step)]
-        tags[tag] = vals
+        tags[tag] = (typ, cnt, raw)
+    return tags
+
+
+def ifd_ints(typ: int, raw: bytes, bo: str) -> list[int]:
+    """Integer view of one IFD value (RATIONAL keeps the numerator) —
+    the decoder's historical conversion, factored."""
+    step = _TYPE_SIZES.get(typ, 1)
+    if typ == 5:                           # RATIONAL: keep numerator
+        return [int.from_bytes(raw[i:i + 4], bo)
+                for i in range(0, len(raw), 8)]
+    return [int.from_bytes(raw[i:i + step], bo)
+            for i in range(0, len(raw), step)]
+
+
+def _decode_tiff(buf: bytes, max_pixels: int | None) -> np.ndarray:
+    bo = tiff_byte_order(buf)
+    ifd = int.from_bytes(buf[4:8], bo)
+    tags = {tag: ifd_ints(typ, raw, bo)
+            for tag, (typ, cnt, raw) in walk_ifd(buf, bo, ifd).items()}
 
     def one(tag: int, default: int | None = None) -> int:
         if tag in tags:

@@ -2150,6 +2150,71 @@ def _warc_gz_sql() -> str:
             f"FROM ({_warc_parse_sql()}) w")
 
 
+def _q_jpeg_exif_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF metadata walk (functions/jpeg.py:jpeg_exif via the SHARED
+    tiff.py IFD rendering) over real JPEG streams: a fixed encoded
+    image with a hand-built APP1/Exif segment injected after SOI —
+    fixture offsets laid out independently of the reader (a mirrored
+    bug cannot hide), every third doc carries NO EXIF so the
+    has_exif=0 arm fires at every SF.  The oracle reproduces every
+    field from doc_id arithmetic."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.jpeg import build_exif_app1, encode_jpeg
+
+    def pack(batches):
+        base = None
+        for pdf in batches:
+            if base is None:
+                px = (np.arange(8 * 8 * 3, dtype=np.uint8)
+                      .reshape(8, 8, 3))
+                base = encode_jpeg(px, quality=80)
+
+            def jpg(doc_id: int) -> bytes:
+                if doc_id % 3 == 2:
+                    return base
+                app1 = build_exif_app1(
+                    1 + doc_id % 8,
+                    f"Cam{doc_id % 5}",
+                    f"M{doc_id % 3}",
+                    f"2026:08:{1 + doc_id % 28:02d} 12:00:00",
+                    f"2026:07:{1 + doc_id % 28:02d} 09:30:00")
+                return base[:2] + app1 + base[2:]
+
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "content": pdf["doc_id"].map(jpg),
+            })
+
+    from ..functions.jpeg import jpeg_exif_stats
+
+    media = _docs(spark, sf_dir).select("doc_id").mapInPandas(
+        pack, "doc_id long, content binary")
+    return jpeg_exif_stats(media)
+
+
+def _jpeg_exif_sql() -> str:
+    day = "lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')"
+    return f"""
+SELECT doc_id,
+       CAST(CASE WHEN doc_id % 3 = 2 THEN 0 ELSE 1 END AS INTEGER)
+         AS has_exif,
+       CASE WHEN doc_id % 3 = 2 THEN NULL
+            ELSE CAST(1 + doc_id % 8 AS INTEGER) END AS orientation,
+       CASE WHEN doc_id % 3 = 2 THEN NULL
+            ELSE 'Cam' || CAST(doc_id % 5 AS VARCHAR) END AS make,
+       CASE WHEN doc_id % 3 = 2 THEN NULL
+            ELSE 'M' || CAST(doc_id % 3 AS VARCHAR) END AS model,
+       CASE WHEN doc_id % 3 = 2 THEN NULL
+            ELSE '2026:08:' || {day} || ' 12:00:00' END AS datetime,
+       CASE WHEN doc_id % 3 = 2 THEN NULL
+            ELSE '2026:07:' || {day} || ' 09:30:00' END
+         AS datetime_original
+FROM documents
+"""
+
+
 def _q_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus datasheet (functions/profiling.py:
     corpus_datasheet) — the data-card audit row.  The oracle composes
@@ -5969,6 +6034,11 @@ QUERIES: dict[str, Query] = {
         "per-source data-card audit: volume, token mass, dup rate, "
         "modal language, mean quality — all shared renderings, one "
         "source-keyed exchange"),
+    "jpeg_exif_stats": Query(
+        _q_jpeg_exif_stats, _jpeg_exif_sql(),
+        "EXIF walk over real JPEG streams (APP1 -> shared TIFF IFD "
+        "rendering): orientation/provenance triage, both arms at "
+        "every SF"),
     "c4_sentence_filter": Query(
         _q_c4_sentence_filter, _C4_FILTER_SQL,
         "C4 sentence cleanup: short sentences dropped, blocklisted or "

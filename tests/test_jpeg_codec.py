@@ -176,3 +176,58 @@ def test_dqt_payload_is_zigzag_ordered():
     i = raw.find(b"\xff\xdb")
     payload = raw[i + 5:i + 5 + 64]
     assert list(payload[:6]) == [16, 11, 12, 14, 12, 10]
+
+
+def test_exif_roundtrip_and_absence():
+    from simpy__kafka__flink__kafka_spark.functions.jpeg import (
+        build_exif_app1, jpeg_exif)
+
+    app1 = build_exif_app1(6, "CamCo", "X100", "2026:08:16 12:00:00",
+                           "2026:08:15 09:30:00")
+    jpg = b"\xff\xd8" + app1 + b"\xff\xd9"
+    got = jpeg_exif(jpg)
+    assert got == {"has_exif": 1, "orientation": 6, "make": "CamCo",
+                   "model": "X100", "datetime": "2026:08:16 12:00:00",
+                   "datetime_original": "2026:08:15 09:30:00"}
+    assert jpeg_exif(b"\xff\xd8\xff\xd9")["has_exif"] == 0
+
+
+def test_exif_big_endian_and_past_other_segments():
+    # MM byte order + APP0 before APP1: the scan must skip unrelated
+    # segments and honor the declared byte order
+    from simpy__kafka__flink__kafka_spark.functions.jpeg import (
+        EXIF_TAG_ORIENTATION, jpeg_exif)
+
+    ifd = (1).to_bytes(2, "big") + (
+        EXIF_TAG_ORIENTATION.to_bytes(2, "big") + (3).to_bytes(2, "big")
+        + (1).to_bytes(4, "big") + (8).to_bytes(2, "big") + b"\0\0"
+    ) + (0).to_bytes(4, "big")
+    tiff = b"MM" + (42).to_bytes(2, "big") + (8).to_bytes(4, "big") + ifd
+    payload = b"Exif\x00\x00" + tiff
+    app1 = b"\xff\xe1" + (len(payload) + 2).to_bytes(2, "big") + payload
+    app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + b"\0" * 9
+    jpg = b"\xff\xd8" + app0 + app1 + b"\xff\xd9"
+    assert jpeg_exif(jpg)["orientation"] == 8
+
+
+def test_exif_malformed_typed():
+    import pytest
+
+    from simpy__kafka__flink__kafka_spark.functions.jpeg import jpeg_exif
+
+    with pytest.raises(ValueError):
+        jpeg_exif(b"not a jpeg")
+    # APP1 declaring a length past the buffer
+    bad = b"\xff\xd8\xff\xe1" + (5000).to_bytes(2, "big") + b"Exif\x00\x00"
+    with pytest.raises(ValueError):
+        jpeg_exif(bad)
+
+
+def test_jpeg_exif_stats_matches_oracle(spark, sf_dir):
+    from tests.oracle_utils import assert_match
+
+    from simpy__kafka__flink__kafka_spark.plans import registry
+
+    q = registry()["jpeg_exif_stats"]
+    assert_match(q.build(spark, sf_dir), q.oracle, sf_dir,
+                 "jpeg_exif_stats")

@@ -442,3 +442,19 @@ def test_tar_walk_typed_errors_only():
             assert all(e.size >= 0 for e in ents)
         except OK_ERRORS:
             pass
+
+
+def test_jpeg_exif_typed_errors_only():
+    from simpy__kafka__flink__kafka_spark.functions.jpeg import (
+        build_exif_app1, jpeg_exif)
+
+    app1 = build_exif_app1(3, "CamFuzz", "MX", "2026:01:01 00:00:00",
+                           "2026:01:02 00:00:00")
+    fixture = b"\xff\xd8" + app1 + b"\xff\xd9"
+    rng = random.Random(777)
+    for mut in _mutations(fixture, rng):
+        try:
+            d = jpeg_exif(mut)
+            assert d["has_exif"] in (0, 1)
+        except OK_ERRORS:
+            pass
