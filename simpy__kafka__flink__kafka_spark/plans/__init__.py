@@ -110,7 +110,14 @@ CHECKED_FIRST = [
     # pytest-checked tail.
     "ivf_topk", "embedding_near_dup_verified",
     "pack_token_shards", "tfidf_top_terms",
-    "corpus_prep_full", "multimodal_features",
+    # Round-12 wave-13 rotation: multimodal_features demoted — its
+    # md5 FAKE-extractor arithmetic was the weakest member of the
+    # codec-in-Arrow family whose real decode paths are now checked
+    # through a dozen gate rows (image_near_dup, the webp/vp8/avif/mp3
+    # walks, audio_spectral_stats); the promoted jpeg_exif_stats is
+    # the same mapInPandas family with a REAL metadata walk through
+    # the shared TIFF IFD rendering.  Stays oracled in the tail.
+    "corpus_prep_full",
     # round-6 additions promoted round 7 (contamination_overlap demoted
     # round 10, see above).  Round-11: rare_bigram_rate demoted — same
     # bigram explode+count machinery as the checked bigram_lm_score
@@ -121,7 +128,12 @@ CHECKED_FIRST = [
     # rows; funds the hourly_anomalies slot below.
     # round-7 web front door + hashed linear scorer + CMS sketch, promoted
     # round 8 (all oracled, array-free schemas — driver-hashable)
-    "warc_parse", "html_extract_main", "web_prep_full",
+    # Round-12 wave-13 rotation: warc_parse demoted for warc_gz_parse —
+    # textbook strict subsumption: the gz row's oracle IS the plain
+    # row's SQL plus the member/record contract, and its Spark path
+    # executes the IDENTICAL parser rendering plus the bounded
+    # multi-member gunzip (the real CommonCrawl container).
+    "warc_gz_parse", "html_extract_main", "web_prep_full",
     "linear_quality_score", "ngram_cms_counts",
     # round-3 training-data additions (contamination scan), plus
     # repetition_ratio promoted in round 4 (VERDICT r03 task #6).
@@ -299,6 +311,10 @@ CHECKED_FIRST = [
     # unicode_normalize) are the declared round-13 promotion slate.
     "ccnet_buckets", "semantic_dedup",
     "salsa_scores", "audio_spectral_stats",
+    # Round-12 wave-13 promotion (funded by the multimodal_features
+    # demotion above): the EXIF orientation/provenance walk over real
+    # JPEG streams through the shared TIFF IFD rendering.
+    "jpeg_exif_stats",
 ]
 
 
