@@ -148,6 +148,8 @@ HEADLINE = [
     # orientation/provenance walk over real JPEG streams
     "corpus_datasheet",
     "jpeg_exif_stats",
+    # round-12 wave 14: the PDF header/xref triage walk
+    "pdf_stats",
 ]
 
 

@@ -2150,6 +2150,51 @@ def _warc_gz_sql() -> str:
             f"FROM ({_warc_parse_sql()}) w")
 
 
+def _q_pdf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF header/xref/trailer walk (functions/pdffmt.py) over
+    minimal classic-xref PDFs with REAL computed offsets (the fixture
+    writer lays out objects and derives the xref from actual byte
+    positions — string templates would not exercise the offset
+    arithmetic).  Pages 1 + doc_id %% 4; every fifth doc carries an
+    /Encrypt marker in its trailer so the encryption-triage arm fires
+    at every SF."""
+    import pandas as pd
+
+    from ..functions.pdffmt import build_pdf, pdf_container_stats
+
+    def pack(batches):
+        for pdf in batches:
+            def doc(doc_id: int) -> bytes:
+                raw = build_pdf(1 + doc_id % 4)
+                if doc_id % 5 == 0:
+                    raw = raw.replace(
+                        b"/Root 1 0 R", b"/Root 1 0 R /Encrypt 9 0 R")
+                return raw
+
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "content": pdf["doc_id"].map(doc),
+            })
+
+    media = _docs(spark, sf_dir).select("doc_id").mapInPandas(
+        pack, "doc_id long, content binary")
+    return pdf_container_stats(media)
+
+
+def _pdf_stats_sql() -> str:
+    return """
+SELECT doc_id,
+       '1.4' AS version,
+       CAST(4 + doc_id % 4 AS INTEGER) AS n_objects,
+       CAST(1 + doc_id % 4 AS INTEGER) AS n_pages,
+       CAST(5 + doc_id % 4 AS INTEGER) AS size_declared,
+       CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS INTEGER)
+         AS has_encrypt,
+       CAST(1 AS INTEGER) AS xref_ok
+FROM documents
+"""
+
+
 def _q_jpeg_exif_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXIF metadata walk (functions/jpeg.py:jpeg_exif via the SHARED
     tiff.py IFD rendering) over real JPEG streams: a fixed encoded
@@ -6039,6 +6084,11 @@ QUERIES: dict[str, Query] = {
         "EXIF walk over real JPEG streams (APP1 -> shared TIFF IFD "
         "rendering): orientation/provenance triage, both arms at "
         "every SF"),
+    "pdf_stats": Query(
+        _q_pdf_stats, _pdf_stats_sql(),
+        "PDF header/xref/trailer walk (classic tables): object/page "
+        "counts, declared size, encryption triage — offsets verified "
+        "against the declared object headers"),
     "c4_sentence_filter": Query(
         _q_c4_sentence_filter, _C4_FILTER_SQL,
         "C4 sentence cleanup: short sentences dropped, blocklisted or "

@@ -1,0 +1,57 @@
+"""PDF header/xref walk (functions/pdffmt.py): fixture roundtrip,
+malformed typing, seams, and the registry row's DuckDB parity."""
+
+from __future__ import annotations
+
+import pytest
+
+from simpy__kafka__flink__kafka_spark.functions.pdffmt import (
+    build_pdf, pdf_stats)
+
+
+def test_walk_counts_objects_and_pages():
+    for k in (1, 2, 4):
+        s = pdf_stats(build_pdf(k))
+        assert (s.n_pages, s.n_objects, s.size_declared, s.xref_ok) == \
+            (k, k + 3, k + 4, 1)
+        assert s.version == "1.4" and s.has_encrypt == 0
+
+
+def test_encrypt_flag_and_broken_offsets():
+    raw = build_pdf(2).replace(b"/Root 1 0 R",
+                               b"/Root 1 0 R /Encrypt 9 0 R")
+    assert pdf_stats(raw).has_encrypt == 1
+    # corrupt ONE xref offset: the walk flags xref_ok=0 instead of
+    # mis-walking (the entry no longer lands on its object header)
+    bad = bytearray(build_pdf(2))
+    x = bytes(bad).find(b"xref")
+    first_entry = bytes(bad).find(b" n \n", x) - 16
+    bad[first_entry: first_entry + 10] = b"0000000003"
+    s = pdf_stats(bytes(bad))
+    assert s.xref_ok == 0
+
+
+def test_malformed_pdf_typed():
+    with pytest.raises(ValueError, match="missing %PDF"):
+        pdf_stats(b"hello world")
+    with pytest.raises(ValueError, match="startxref"):
+        pdf_stats(b"%PDF-1.4\nno tail here")
+    raw = build_pdf(1)
+    # startxref pointing at a digit -> the 1.5+ xref-stream seam
+    hacked = raw[:raw.rfind(b"startxref")] + b"startxref\n9\n%%EOF"
+    with pytest.raises((ValueError, NotImplementedError)):
+        pdf_stats(hacked)
+    # entry-count bomb: declare a huge subsection
+    bomb = raw.replace(b"0 %d\n" % (1 + 1 + 3),
+                       b"0 60000\n")
+    with pytest.raises(ValueError):
+        pdf_stats(bomb)
+
+
+def test_pdf_stats_matches_oracle(spark, sf_dir):
+    from tests.oracle_utils import assert_match
+
+    from simpy__kafka__flink__kafka_spark.plans import registry
+
+    q = registry()["pdf_stats"]
+    assert_match(q.build(spark, sf_dir), q.oracle, sf_dir, "pdf_stats")

@@ -458,3 +458,17 @@ def test_jpeg_exif_typed_errors_only():
             assert d["has_exif"] in (0, 1)
         except OK_ERRORS:
             pass
+
+
+def test_pdf_walk_typed_errors_only():
+    from simpy__kafka__flink__kafka_spark.functions.pdffmt import (
+        build_pdf, pdf_stats)
+
+    fixture = build_pdf(2)
+    rng = random.Random(31337)
+    for mut in _mutations(fixture, rng):
+        try:
+            s = pdf_stats(mut)
+            assert s.n_objects >= 0 and s.n_pages >= 0
+        except OK_ERRORS:
+            pass
