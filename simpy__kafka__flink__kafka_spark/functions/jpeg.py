@@ -948,6 +948,11 @@ def jpeg_exif(content: bytes) -> dict:
         typ, _c, raw = ifd0[EXIF_TAG_ORIENTATION]
         vals = ifd_ints(typ, raw, bo)
         orientation = vals[0] if vals else None
+        # EXIF defines orientations 1..8; an attacker LONG/RATIONAL
+        # value past int32 crashed the Arrow Int32 cast untyped
+        # (review find) — out-of-range reads as absent
+        if orientation is not None and not 1 <= orientation <= 8:
+            orientation = None
     dt_orig = None
     if EXIF_TAG_EXIF_IFD in ifd0:
         typ, _c, raw = ifd0[EXIF_TAG_EXIF_IFD]

@@ -30,6 +30,12 @@ _STARTXREF_RE = re.compile(rb"startxref\s+(\d+)\s+%%EOF\s*$")
 _SUBSEC_RE = re.compile(rb"(\d+)\s+(\d+)\s*\n")
 _ENTRY_RE = re.compile(rb"^(\d{10}) (\d{5}) ([nf])[ \r]?\n?$")
 _SIZE_RE = re.compile(rb"/Size\s+(\d+)")
+_OBJ_HEAD_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b")
+# how far into an object the /Type key is searched: dictionaries put
+# their keys first, so a small window bounds per-entry work — a
+# crafted no-endobj object must NOT make every entry scan to EOF
+# (review find: that walk was O(entries * filesize))
+_OBJ_SCAN_WINDOW = 2048
 _ROOT_RE = re.compile(rb"/Root\s+(\d+)\s+\d+\s+R")
 _ENCRYPT_RE = re.compile(rb"/Encrypt\b")
 _TYPE_PAGE_RE = re.compile(rb"/Type\s*/Page\b")
@@ -96,17 +102,18 @@ def pdf_stats(content: bytes) -> PdfStats:
             if kind != b"n" or first + i == 0:
                 continue
             obj_num = first + i
-            # no ^ anchor: Pattern.match(buf, off) anchors at off
-            # itself, while ^ would re-anchor at the string start and
-            # never match for off > 0
-            head = re.compile(
-                rb"%d\s+\d+\s+obj\b" % obj_num)
-            if off >= len(buf) or not head.match(buf, off):
+            # ONE module-level pattern matched at off (Pattern.match
+            # anchors at off; a ^ would re-anchor at the string start
+            # and never fire) — a per-entry compiled pattern thrashed
+            # the re cache past 512 objects (review find)
+            hm = _OBJ_HEAD_RE.match(buf, off) if off < len(buf) else None
+            if hm is None or int(hm.group(1)) != obj_num:
                 xref_ok = 0
                 continue
             n_objects += 1
-            endobj = buf.find(b"endobj", off)
-            body = buf[off: endobj if endobj >= 0 else len(buf)]
+            window_end = min(off + _OBJ_SCAN_WINDOW, len(buf))
+            endobj = buf.find(b"endobj", off, window_end)
+            body = buf[off: endobj if endobj >= 0 else window_end]
             # \b excludes '/Type /Pages' (the tree node) by itself
             if _TYPE_PAGE_RE.search(body):
                 n_pages += 1
@@ -117,7 +124,15 @@ def pdf_stats(content: bytes) -> PdfStats:
     szm = _SIZE_RE.search(tdict)
     if not szm or not _ROOT_RE.search(tdict):
         raise ValueError("PDF: trailer missing /Size or /Root")
-    return PdfStats(version, n_objects, n_pages, int(szm.group(1)),
+    size_declared = int(szm.group(1))
+    # /Size is attacker bytes: a value past int32 would silently WRAP
+    # through the stats frame's int32 column (review find), and no
+    # real xref table can hold 2^31 20-byte entries anyway
+    if size_declared > 2 ** 31 - 1:
+        raise ValueError(
+            f"PDF: trailer /Size {size_declared} is not a plausible "
+            "object count")
+    return PdfStats(version, n_objects, n_pages, size_declared,
                     int(bool(_ENCRYPT_RE.search(tdict))), xref_ok)
 
 

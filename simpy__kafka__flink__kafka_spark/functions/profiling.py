@@ -113,14 +113,20 @@ def corpus_datasheet(docs: DataFrame, id_col: str = "doc_id",
     from .text import language_id, normalized, quality_score, token_count
     from .text import words as _words
 
-    per = docs.select(
+    from ..cachepin import pin
+
+    # pinned: the per-doc projection (tokenize + md5 + the large lang
+    # expression + quality) feeds BOTH the source aggregate and the
+    # modal-language aggregate, which shuffle on different keys — no
+    # exchange reuse, so unpinned it would execute twice (review find)
+    per = pin(docs.select(
         F.col(source_col).alias("source"),
         token_count(text_col).cast("long").alias("n_tok"),
         F.md5(normalized(text_col)).alias("fp"),
         language_id(_words(text_col)).alias("lang"),
         F.floor(quality_score(text_col) * 1_000_000).cast("long")
         .alias("q_micros"),
-    )
+    ))
     agg = per.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_tok").cast("long").alias("n_tokens"),

@@ -2331,7 +2331,7 @@ def _q_webdataset_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
                         ti.size = len(data)
                         t.addfile(ti, io.BytesIO(data))
 
-                    stem0 = f"{doc_id:08d}"
+                    stem0 = f"{doc_id:012d}"
                     for j in range(1 + doc_id % 3):
                         add(f"{stem0}/{j}.img",
                             b"x" * (10 + (doc_id + j) % 7))
@@ -2352,7 +2352,11 @@ def _q_webdataset_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _webdataset_sql() -> str:
-    stem = "lpad(CAST(doc_id AS VARCHAR), 8, '0')"
+    # width 12, NOT 8: DuckDB's lpad TRUNCATES a string longer than
+    # the target width while Python's {:012d} never does — width 12
+    # stays above any realistic doc_id (the neighboring oracles'
+    # convention; review find)
+    stem = "lpad(CAST(doc_id AS VARCHAR), 12, '0')"
     return rf"""
 WITH base AS (
   SELECT doc_id, 1 + doc_id % 3 AS s,

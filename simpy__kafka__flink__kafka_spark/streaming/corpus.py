@@ -829,10 +829,16 @@ def warc_gz_source(spark, path: str, watermark: str = "10 minutes",
                    "length long, content binary")
            .option("pathGlobFilter", "*.warc.gz").load(path))
     media = raw.select(
+        # try_cast, not cast: a glob-matching file violating the
+        # trailing-integer writer contract ('backfill.warc.gz')
+        # extracts '' and an ANSI cast would poison-pill the query on
+        # every restart; such files are SKIPPED by contract instead
+        # (review find)
         F.regexp_extract(F.col("path"), r"(\d+)\.warc\.gz$", 1)
-        .cast("long").alias("shard_id"),
+        .try_cast("long").alias("shard_id"),
         F.col("modificationTime").alias("ingest_ts"),
         "content")
+    media = media.where(F.col("shard_id").isNotNull())
     recs = parse_warc_gz(media, id_col="shard_id",
                          max_bytes=max_bytes,
                          carry_cols=("ingest_ts",))

@@ -231,3 +231,24 @@ def test_jpeg_exif_stats_matches_oracle(spark, sf_dir):
     q = registry()["jpeg_exif_stats"]
     assert_match(q.build(spark, sf_dir), q.oracle, sf_dir,
                  "jpeg_exif_stats")
+
+
+def test_exif_out_of_range_orientation_reads_absent(spark):
+    from simpy__kafka__flink__kafka_spark.functions.jpeg import (
+        EXIF_TAG_ORIENTATION, jpeg_exif, jpeg_exif_stats)
+
+    # orientation as LONG with a value past int32
+    ifd = (1).to_bytes(2, "little") + (
+        EXIF_TAG_ORIENTATION.to_bytes(2, "little")
+        + (4).to_bytes(2, "little") + (1).to_bytes(4, "little")
+        + (2**31 + 7 & 0xFFFFFFFF).to_bytes(4, "little")
+    ) + (0).to_bytes(4, "little")
+    tiff = b"II" + (42).to_bytes(2, "little") + (8).to_bytes(4, "little") + ifd
+    payload = b"Exif\x00\x00" + tiff
+    app1 = b"\xff\xe1" + (len(payload) + 2).to_bytes(2, "big") + payload
+    jpg = b"\xff\xd8" + app1 + b"\xff\xd9"
+    assert jpeg_exif(jpg)["orientation"] is None
+    media = spark.createDataFrame([(1, bytearray(jpg))],
+                                  "doc_id long, content binary")
+    row = jpeg_exif_stats(media).collect()[0]
+    assert row["has_exif"] == 1 and row["orientation"] is None

@@ -55,3 +55,42 @@ def test_pdf_stats_matches_oracle(spark, sf_dir):
 
     q = registry()["pdf_stats"]
     assert_match(q.build(spark, sf_dir), q.oracle, sf_dir, "pdf_stats")
+
+
+def test_no_endobj_flood_is_bounded():
+    """Objects with no endobj must not make every entry scan to EOF
+    (the review's quadratic find): runtime stays near-linear."""
+    import time
+
+    def crafted(n_objects: int) -> bytes:
+        out = bytearray(b"%PDF-1.4\n")
+        offsets = []
+        for i in range(n_objects):
+            offsets.append(len(out))
+            out += b"%d 0 obj\n<< /Len 1 >>\n" % (i + 1)   # NO endobj
+        xref_off = len(out)
+        out += b"xref\n0 %d\n0000000000 65535 f \n" % (n_objects + 1)
+        for off in offsets:
+            out += b"%010d 00000 n \n" % off
+        out += (b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n"
+                b"%d\n%%%%EOF" % (n_objects + 1, xref_off))
+        return bytes(out)
+
+    from simpy__kafka__flink__kafka_spark.functions.pdffmt import (
+        pdf_stats)
+
+    t0 = time.monotonic()
+    s = pdf_stats(crafted(8000))
+    assert s.n_objects == 8000
+    assert time.monotonic() - t0 < 2.0
+
+
+def test_size_overflow_typed():
+    import pytest
+
+    from simpy__kafka__flink__kafka_spark.functions.pdffmt import (
+        build_pdf, pdf_stats)
+
+    raw = build_pdf(1).replace(b"/Size 5", b"/Size 99999999999")
+    with pytest.raises(ValueError, match="plausible"):
+        pdf_stats(raw)

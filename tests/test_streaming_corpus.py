@@ -512,3 +512,31 @@ def test_warc_gz_stream_matches_batch_parse(spark, tmp_path):
         sorted((tuple(sorted(r.asDict().items())) for r in want))
     assert len(want) == 6 and all(r["n_members"] == 2 for r in want)
     assert all(r["payload_ok"] == 1 for r in want)
+
+
+def test_warc_gz_stream_skips_contractless_names(spark, tmp_path):
+    """A glob-matching file with no trailing integer must be skipped,
+    not poison-pill the query."""
+    import gzip
+
+    from simpy__kafka__flink__kafka_spark.functions.html import WARC_MARKER
+    from simpy__kafka__flink__kafka_spark.streaming.corpus import (
+        warc_gz_source)
+
+    ind = str(tmp_path / "shards2")
+    os.makedirs(ind, exist_ok=True)
+    rec = (WARC_MARKER + "WARC-Type: response\r\nContent-Length: 2"
+           + "\r\n\r\nok")
+    for name in ("crawl-00001.warc.gz", "backfill.warc.gz"):
+        with open(f"{ind}/{name}", "wb") as f:
+            f.write(gzip.compress(rec.encode()))
+    name = f"wg2_{uuid.uuid4().hex[:8]}"
+    q = (warc_gz_source(spark, ind)
+         .writeStream.format("memory").queryName(name)
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql(f"select shard_id from {name}").collect()
+    assert {r["shard_id"] for r in rows} == {1}
