@@ -150,6 +150,8 @@ HEADLINE = [
     "jpeg_exif_stats",
     # round-12 wave 14: the PDF header/xref triage walk
     "pdf_stats",
+    # round-12 wave 16: the ID3v2 provenance walk (the audio EXIF)
+    "id3_stats",
 ]
 
 

@@ -165,3 +165,137 @@ def encode_mp3_frames(bitrate_indexes: list[int], sr_idx: int = 0,
         ))
         out += hdr + bytes(frame_len - 4)
     return bytes(out)
+
+
+# --- ID3v2 frame walk --------------------------------------------------------
+# The audio analogue of the JPEG EXIF walk: provenance metadata a
+# corpus pipeline triages on (title/artist dedup keys, year filters)
+# without touching any audio frame.  Public id3.org layout: 10-byte
+# tag header, then frames of [id 4][size 4][flags 2][data]; v2.3 sizes
+# are plain big-endian, v2.4 syncsafe; text-frame data leads with an
+# encoding byte (0 latin-1, 1 utf-16 BOM, 3 utf-8).
+
+_TEXT_FRAMES = {"TIT2": "title", "TPE1": "artist",
+                "TALB": "album", "TYER": "year", "TDRC": "year"}
+
+
+def id3_frames(content: bytes) -> dict:
+    """Walk a leading ID3v2.3/2.4 tag.  Returns {has_id3, version,
+    n_frames, title, artist, album, year} — absent tag gives has_id3 0
+    with null fields (the keep-empty contract); malformed tags raise
+    the typed ValueError family.  Frame sizes are bounds-checked
+    against the DECLARED tag extent before any slice, so a crafted
+    size cannot walk past the tag or the buffer."""
+    buf = bytes(content)
+    out = {"has_id3": 0, "version": None, "n_frames": 0,
+           "title": None, "artist": None, "album": None, "year": None}
+    if buf[:3] != b"ID3" or len(buf) < 10:
+        return out
+    major = buf[3]
+    if major not in (3, 4):
+        raise ValueError(f"unsupported ID3v2.{major} tag")
+    if any(b & 0x80 for b in buf[6:10]):
+        raise ValueError("ID3v2 size bytes must be syncsafe")
+    tag_end = 10 + ((buf[6] << 21) | (buf[7] << 14) | (buf[8] << 7)
+                    | buf[9])
+    if tag_end > len(buf):
+        raise ValueError("ID3v2 tag declares more bytes than buffer")
+    out["has_id3"], out["version"] = 1, f"2.{major}"
+    pos = 10
+    n = 0
+    while pos + 10 <= tag_end:
+        fid = buf[pos: pos + 4]
+        if fid == b"\0\0\0\0":
+            break                            # padding
+        if not all(0x30 <= c <= 0x5A for c in fid):
+            raise ValueError(f"ID3v2: bad frame id {fid!r}")
+        raw_sz = buf[pos + 4: pos + 8]
+        if major == 4:
+            if any(b & 0x80 for b in raw_sz):
+                raise ValueError("ID3v2.4 frame size must be syncsafe")
+            size = ((raw_sz[0] << 21) | (raw_sz[1] << 14)
+                    | (raw_sz[2] << 7) | raw_sz[3])
+        else:
+            size = int.from_bytes(raw_sz, "big")
+        data_end = pos + 10 + size
+        if data_end > tag_end:
+            raise ValueError(
+                f"ID3v2 frame {fid.decode(errors='replace')} size "
+                f"{size} runs past the tag")
+        n += 1
+        key = _TEXT_FRAMES.get(fid.decode("ascii", errors="replace"))
+        if key is not None and size >= 1:
+            enc = buf[pos + 10]
+            data = buf[pos + 11: data_end]
+            try:
+                if enc == 0:
+                    text = data.decode("latin-1")
+                elif enc == 1:
+                    text = data.decode("utf-16")
+                elif enc == 3:
+                    text = data.decode("utf-8")
+                else:
+                    raise ValueError(
+                        f"ID3v2 text encoding {enc} unsupported")
+            except UnicodeDecodeError as exc:
+                raise ValueError(f"ID3v2 text frame undecodable: {exc}"
+                                 ) from exc
+            out[key] = text.rstrip("\0")
+        pos = data_end
+    out["n_frames"] = n
+    return out
+
+
+def build_id3v2(title: str, artist: str, album: str, year: str) -> bytes:
+    """ID3v2.3 fixture writer (latin-1 text frames, plain big-endian
+    sizes, 16 bytes of padding) — laid out from the spec independently
+    of the reader's offsets."""
+    def frame(fid: str, text: str) -> bytes:
+        data = b"\0" + text.encode("latin-1")
+        return (fid.encode() + len(data).to_bytes(4, "big") + b"\0\0"
+                + data)
+
+    body = (frame("TIT2", title) + frame("TPE1", artist)
+            + frame("TALB", album) + frame("TYER", year) + b"\0" * 16)
+    sz = len(body)
+    ss = bytes([(sz >> 21) & 0x7F, (sz >> 14) & 0x7F,
+                (sz >> 7) & 0x7F, sz & 0x7F])
+    return b"ID3" + bytes([3, 0, 0]) + ss + body
+
+
+def id3_stats(media, id_col: str = "doc_id",
+              content_col: str = "content"):
+    """Arrow-batched :func:`id3_frames` over binary payloads.
+    Output: (id_col, has_id3, version, n_frames, title, artist,
+    album, year)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType(), False),
+        T.StructField("has_id3", T.IntegerType(), True),
+        T.StructField("version", T.StringType(), True),
+        T.StructField("n_frames", T.IntegerType(), True),
+        T.StructField("title", T.StringType(), True),
+        T.StructField("artist", T.StringType(), True),
+        T.StructField("album", T.StringType(), True),
+        T.StructField("year", T.StringType(), True),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            o = pdf[content_col].map(lambda b: id3_frames(bytes(b)))
+            yield pd.DataFrame({
+                id_col: pdf[id_col].astype("int64"),
+                "has_id3": o.map(lambda d: d["has_id3"]).astype("int32"),
+                "version": o.map(lambda d: d["version"]),
+                "n_frames": o.map(lambda d: d["n_frames"]).astype("int32"),
+                "title": o.map(lambda d: d["title"]),
+                "artist": o.map(lambda d: d["artist"]),
+                "album": o.map(lambda d: d["album"]),
+                "year": o.map(lambda d: d["year"]),
+            })
+
+    return media.select(id_col, content_col).mapInPandas(run, schema)

@@ -2150,6 +2150,58 @@ def _warc_gz_sql() -> str:
             f"FROM ({_warc_parse_sql()}) w")
 
 
+def _q_id3_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ID3v2 frame walk (functions/mp3.py:id3_frames) — the audio
+    provenance analogue of jpeg_exif_stats — over real tagged MP3
+    streams (hand-laid-out ID3v2.3 tag + the existing synthetic frame
+    train).  Every fourth doc carries NO tag so the has_id3=0 arm
+    fires at every SF; the oracle reproduces every field from doc_id
+    arithmetic."""
+    import pandas as pd
+
+    from ..functions.mp3 import build_id3v2, encode_mp3_frames, id3_stats
+
+    def pack(batches):
+        frames = encode_mp3_frames([9, 10])
+        for pdf in batches:
+            def mp3(doc_id: int) -> bytes:
+                if doc_id % 4 == 3:
+                    return frames
+                tag = build_id3v2(
+                    f"Track {doc_id % 12}", f"Artist {doc_id % 7}",
+                    f"Album {doc_id % 5}", str(2000 + doc_id % 27))
+                return tag + frames
+
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "content": pdf["doc_id"].map(mp3),
+            })
+
+    media = _docs(spark, sf_dir).select("doc_id").mapInPandas(
+        pack, "doc_id long, content binary")
+    return id3_stats(media)
+
+
+def _id3_stats_sql() -> str:
+    return """
+SELECT doc_id,
+       CAST(CASE WHEN doc_id % 4 = 3 THEN 0 ELSE 1 END AS INTEGER)
+         AS has_id3,
+       CASE WHEN doc_id % 4 = 3 THEN NULL ELSE '2.3' END AS version,
+       CAST(CASE WHEN doc_id % 4 = 3 THEN 0 ELSE 4 END AS INTEGER)
+         AS n_frames,
+       CASE WHEN doc_id % 4 = 3 THEN NULL
+            ELSE 'Track ' || CAST(doc_id % 12 AS VARCHAR) END AS title,
+       CASE WHEN doc_id % 4 = 3 THEN NULL
+            ELSE 'Artist ' || CAST(doc_id % 7 AS VARCHAR) END AS artist,
+       CASE WHEN doc_id % 4 = 3 THEN NULL
+            ELSE 'Album ' || CAST(doc_id % 5 AS VARCHAR) END AS album,
+       CASE WHEN doc_id % 4 = 3 THEN NULL
+            ELSE CAST(2000 + doc_id % 27 AS VARCHAR) END AS year
+FROM documents
+"""
+
+
 def _q_pdf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PDF header/xref/trailer walk (functions/pdffmt.py) over
     minimal classic-xref PDFs with REAL computed offsets (the fixture
@@ -6093,6 +6145,11 @@ QUERIES: dict[str, Query] = {
         "PDF header/xref/trailer walk (classic tables): object/page "
         "counts, declared size, encryption triage — offsets verified "
         "against the declared object headers"),
+    "id3_stats": Query(
+        _q_id3_stats, _id3_stats_sql(),
+        "ID3v2 frame walk over tagged MP3 streams: title/artist/album/"
+        "year provenance (the audio EXIF), bounds-checked frame sizes, "
+        "both arms at every SF"),
     "c4_sentence_filter": Query(
         _q_c4_sentence_filter, _C4_FILTER_SQL,
         "C4 sentence cleanup: short sentences dropped, blocklisted or "

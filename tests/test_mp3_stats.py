@@ -152,3 +152,47 @@ def test_mp3_synth_stats_matches_id_arithmetic(spark):
         else:
             assert (r.min_kbps, r.max_kbps, r.vbr) == (128, 128, 0)
         assert r.truncated == (1 if i % 4 == 1 else 0)
+
+
+def test_id3_frames_roundtrip_and_truncation_typed():
+    import pytest
+
+    from simpy__kafka__flink__kafka_spark.functions.mp3 import (
+        build_id3v2, id3_frames)
+
+    tag = build_id3v2("T", "A", "Al", "1999")
+    got = id3_frames(tag)
+    assert (got["title"], got["artist"], got["album"], got["year"]) == \
+        ("T", "A", "Al", "1999")
+    assert got["n_frames"] == 4 and got["version"] == "2.3"
+    # tag declaring more bytes than the buffer holds -> typed
+    with pytest.raises(ValueError, match="declares more"):
+        id3_frames(tag[:20])
+    # a frame whose size runs past the tag -> typed
+    bad = bytearray(tag)
+    bad[14:18] = (10_000).to_bytes(4, "big")
+    with pytest.raises(ValueError, match="runs past"):
+        id3_frames(bytes(bad))
+
+
+def test_id3_v24_syncsafe_and_utf8():
+    from simpy__kafka__flink__kafka_spark.functions.mp3 import id3_frames
+
+    text = b"\x03caf\xc3\xa9 title"          # utf-8 encoding byte 3
+    frame = b"TIT2" + bytes([0, 0, 0, len(text)]) + b"\0\0" + text
+    body = frame
+    sz = len(body)
+    hdr = b"ID3" + bytes([4, 0, 0]) + bytes(
+        [(sz >> 21) & 0x7F, (sz >> 14) & 0x7F, (sz >> 7) & 0x7F,
+         sz & 0x7F])
+    got = id3_frames(hdr + body)
+    assert got["version"] == "2.4" and got["title"] == "café title"
+
+
+def test_id3_stats_matches_oracle(spark, sf_dir):
+    from tests.oracle_utils import assert_match
+
+    from simpy__kafka__flink__kafka_spark.plans import registry
+
+    q = registry()["id3_stats"]
+    assert_match(q.build(spark, sf_dir), q.oracle, sf_dir, "id3_stats")

@@ -472,3 +472,17 @@ def test_pdf_walk_typed_errors_only():
             assert s.n_objects >= 0 and s.n_pages >= 0
         except OK_ERRORS:
             pass
+
+
+def test_id3_walk_typed_errors_only():
+    from simpy__kafka__flink__kafka_spark.functions.mp3 import (
+        build_id3v2, id3_frames)
+
+    fixture = build_id3v2("Fuzz Title", "Fuzz Artist", "Al", "2026")
+    rng = random.Random(909)
+    for mut in _mutations(fixture, rng):
+        try:
+            d = id3_frames(mut)
+            assert d["has_id3"] in (0, 1) and d["n_frames"] >= 0
+        except OK_ERRORS:
+            pass
