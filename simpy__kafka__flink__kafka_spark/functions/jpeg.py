@@ -918,7 +918,9 @@ def jpeg_exif(content: bytes) -> dict:
         if buf[pos] != 0xFF:
             raise ValueError("JPEG marker sync lost in EXIF scan")
         marker = buf[pos + 1]
-        if marker in (0xD8, 0xD9) or 0xD0 <= marker <= 0xD7:
+        if marker == 0xD9:          # EOI: image complete — crawled JPEGs
+            break                   # commonly carry trailing bytes after it
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
             pos += 2
             continue
         if marker == 0xDA:          # SOS: entropy data follows, stop

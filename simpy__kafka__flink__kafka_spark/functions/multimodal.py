@@ -1290,6 +1290,76 @@ def webp_predictor_stats(docs: DataFrame,
     return docs.select(id_col).mapInPandas(run, WEBP_PREDICTOR_SCHEMA)
 
 
+WEBP_LZ77_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("sum_r", T.LongType(), True),
+        T.StructField("sum_g", T.LongType(), True),
+        T.StructField("sum_b", T.LongType(), True),
+        T.StructField("compressed", T.IntegerType(), True),
+        T.StructField("lossless", T.IntegerType(), True),
+    ]
+)
+
+
+def webp_lz77_stats(docs: DataFrame,
+                    id_col: str = "doc_id") -> DataFrame:
+    """EXECUTED near-distance LZ77 decode path (round 13 —
+    functions/vp8l.py:encode_vp8l_lz77 + the vendored VP8L_DIST_MAP):
+    synthesize an 8x6 RGBA image per doc keyed on k = id %% 16 whose
+    rows tile with period 2 — r=(k+3x+2*(y%%2))%%16,
+    g=(k+x+y%%2)%%16, b=(k+5x)%%16, opaque alpha — so the greedy
+    near-distance encoder emits (0,2)-plane backward references (and
+    (1,0) runs inside rows), decode back through the general decoder,
+    and emit channel sums + a ``compressed`` flag (the LZ77 stream is
+    strictly smaller than the literal encoding — proof the copies
+    fired) + the ``lossless`` roundtrip flag.  One Arrow batch, the
+    webp_predictor_stats posture; the oracle reproduces everything
+    from the id arithmetic, so a wrong distance-map entry, a missing
+    clamp, or a copy-length bug flips a sum or the flag and
+    hash-mismatches."""
+    from functools import lru_cache
+
+    from .vp8l import decode_vp8l, encode_vp8l, encode_vp8l_lz77
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        xs, ys = np.meshgrid(np.arange(8), np.arange(6))
+
+        @lru_cache(maxsize=16)
+        def stats(k: int) -> tuple:
+            img = np.zeros((6, 8, 4), dtype=np.uint8)
+            img[..., 0] = (k + 3 * xs + 2 * (ys % 2)) % 16
+            img[..., 1] = (k + xs + ys % 2) % 16
+            img[..., 2] = (k + 5 * xs) % 16
+            img[..., 3] = 255
+            enc = encode_vp8l_lz77(img)
+            dec = decode_vp8l(enc)
+            return (dec.shape[1], dec.shape[0],
+                    int(dec[..., 0].sum()), int(dec[..., 1].sum()),
+                    int(dec[..., 2].sum()),
+                    int(len(enc) < len(encode_vp8l(img))),
+                    int(np.array_equal(dec, img)))
+
+        for pdf in batches:
+            out = pdf[id_col].map(lambda i: stats(int(i) % 16))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "width": out.map(lambda t: t[0]).astype("int32"),
+                    "height": out.map(lambda t: t[1]).astype("int32"),
+                    "sum_r": out.map(lambda t: t[2]).astype("int64"),
+                    "sum_g": out.map(lambda t: t[3]).astype("int64"),
+                    "sum_b": out.map(lambda t: t[4]).astype("int64"),
+                    "compressed": out.map(lambda t: t[5]).astype("int32"),
+                    "lossless": out.map(lambda t: t[6]).astype("int32"),
+                }
+            )
+
+    return docs.select(id_col).mapInPandas(run, WEBP_LZ77_SCHEMA)
+
+
 WEBP_PALETTE_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType(), False),

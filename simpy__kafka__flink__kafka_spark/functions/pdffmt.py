@@ -49,6 +49,7 @@ class PdfStats:
     size_declared: int
     has_encrypt: int
     xref_ok: int
+    scan_ok: int
 
 
 def pdf_stats(content: bytes) -> PdfStats:
@@ -81,6 +82,7 @@ def pdf_stats(content: bytes) -> PdfStats:
     n_objects = 0
     n_pages = 0
     xref_ok = 1
+    scan_ok = 1
     while True:
         sm = _SUBSEC_RE.match(buf, pos)
         if not sm:
@@ -113,6 +115,13 @@ def pdf_stats(content: bytes) -> PdfStats:
             n_objects += 1
             window_end = min(off + _OBJ_SCAN_WINDOW, len(buf))
             endobj = buf.find(b"endobj", off, window_end)
+            if endobj < 0:
+                # object bigger than the bounded scan window: /Type
+                # may sit past the cut, so the page count is a LOWER
+                # bound — visible via scan_ok=0, never silently wrong
+                # (ADVICE r12; the window stays bounded so a crafted
+                # endobj-free file cannot force O(n^2) rescans)
+                scan_ok = 0
             body = buf[off: endobj if endobj >= 0 else window_end]
             # \b excludes '/Type /Pages' (the tree node) by itself
             if _TYPE_PAGE_RE.search(body):
@@ -133,7 +142,8 @@ def pdf_stats(content: bytes) -> PdfStats:
             f"PDF: trailer /Size {size_declared} is not a plausible "
             "object count")
     return PdfStats(version, n_objects, n_pages, size_declared,
-                    int(bool(_ENCRYPT_RE.search(tdict))), xref_ok)
+                    int(bool(_ENCRYPT_RE.search(tdict))), xref_ok,
+                    scan_ok)
 
 
 def build_pdf(n_pages: int, version: str = "1.4") -> bytes:
@@ -172,7 +182,8 @@ def pdf_container_stats(media, id_col: str = "doc_id",
                         content_col: str = "content"):
     """Arrow-batched :func:`pdf_stats` over binary payloads.
     Output: (id_col, version, n_objects, n_pages, size_declared,
-    has_encrypt, xref_ok)."""
+    has_encrypt, xref_ok, scan_ok) — scan_ok 0 when any object body
+    outran the bounded scan window (page count is a lower bound)."""
     from collections.abc import Iterator
 
     import pandas as pd
@@ -186,6 +197,7 @@ def pdf_container_stats(media, id_col: str = "doc_id",
         T.StructField("size_declared", T.IntegerType(), True),
         T.StructField("has_encrypt", T.IntegerType(), True),
         T.StructField("xref_ok", T.IntegerType(), True),
+        T.StructField("scan_ok", T.IntegerType(), True),
     ])
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -201,6 +213,7 @@ def pdf_container_stats(media, id_col: str = "doc_id",
                 "has_encrypt": o.map(lambda s: s.has_encrypt)
                 .astype("int32"),
                 "xref_ok": o.map(lambda s: s.xref_ok).astype("int32"),
+                "scan_ok": o.map(lambda s: s.scan_ok).astype("int32"),
             })
 
     return media.select(id_col, content_col).mapInPandas(run, schema)

@@ -46,19 +46,65 @@ def _octal(field: bytes, what: str) -> int:
         raise ValueError(f"tar: bad octal in {what}: {field!r}") from exc
 
 
+# pax/GNU extension headers are metadata ABOUT the next member, not
+# members — their payloads are read (to apply name/size overrides),
+# so they get a byte budget a crafted shard cannot blow through
+_EXT_HEADER_MAX = 1 << 20
+
+
+def _pax_records(data: bytes, what: str) -> dict[str, str]:
+    """Parse pax '<len> <key>=<value>\\n' records (POSIX.1-2001
+    §pax).  len counts the WHOLE record including itself, the space,
+    the '=', and the trailing newline; malformed records are typed."""
+    recs: dict[str, str] = {}
+    pos = 0
+    while pos < len(data):
+        sp = data.find(b" ", pos)
+        if sp < 0:
+            raise ValueError(f"tar: malformed pax record in {what}")
+        try:
+            rec_len = int(data[pos:sp])
+        except ValueError as exc:
+            raise ValueError(
+                f"tar: non-numeric pax record length in {what}") from exc
+        end = pos + rec_len
+        if rec_len <= 0 or end > len(data) or data[end - 1:end] != b"\n":
+            raise ValueError(f"tar: pax record length lies in {what}")
+        body = data[sp + 1: end - 1]
+        eq = body.find(b"=")
+        if eq < 0:
+            raise ValueError(f"tar: pax record missing '=' in {what}")
+        recs[body[:eq].decode("utf-8", errors="replace")] = (
+            body[eq + 1:].decode("utf-8", errors="replace"))
+        pos = end
+    return recs
+
+
 def tar_entries(content: bytes) -> list[TarEntry]:
-    """Walk every ustar member header.  Typed errors on: a header
-    block that is neither zero nor checksum-valid, a declared size
-    that runs outside the buffer, or a truncated archive (no room for
-    the next header)."""
+    """Walk every ustar member header.  GNU long-name ('L') and pax
+    extended ('x') headers are INTERPRETED — their path/size override
+    the following member (WebDataset shards with >100/155-char paths
+    group correctly instead of keying on the truncated ustar name,
+    ADVICE r12) — and consumed (metadata, not members).  A global pax
+    header ('g') carrying path/size is a typed error (it would
+    silently rewrite every subsequent member); other 'g' records are
+    ignored.  Typed errors on: a header block that is neither zero
+    nor checksum-valid, a declared size that runs outside the buffer,
+    an extension payload past the metadata budget, or a truncated
+    archive (no room for the next header)."""
     buf = bytes(content)
     out: list[TarEntry] = []
     off = 0
+    next_name: str | None = None
+    next_size: int | None = None
     while True:
         if off + _BLOCK > len(buf):
             raise ValueError("tar: truncated archive (no end blocks)")
         block = buf[off: off + _BLOCK]
         if block == b"\0" * _BLOCK:
+            if next_name is not None or next_size is not None:
+                raise ValueError(
+                    "tar: dangling long-name/pax override at archive end")
             return out                       # end-of-archive marker
         declared = _octal(block[148:156], "chksum")
         actual = sum(block[:148]) + 8 * 0x20 + sum(block[156:])
@@ -78,7 +124,45 @@ def tar_entries(content: bytes) -> list[TarEntry]:
                 f"tar: entry '{name}' declares {size} bytes past the "
                 "end of the buffer")
         typeflag = chr(block[156]) if block[156] else "0"
-        out.append(TarEntry(name, size, typeflag))
+        if typeflag in ("L", "x", "g", "K"):
+            if size > _EXT_HEADER_MAX:
+                raise ValueError(
+                    f"tar: {size}-byte extension header past the "
+                    f"{_EXT_HEADER_MAX}-byte metadata budget")
+            data = buf[off + _BLOCK: data_end]
+            if typeflag == "L":              # GNU longname, NUL-padded
+                next_name = data.split(b"\0", 1)[0].decode(
+                    "utf-8", errors="replace")
+            elif typeflag == "x":
+                recs = _pax_records(data, "pax extended header")
+                if "path" in recs:
+                    next_name = recs["path"]
+                if "size" in recs:
+                    try:
+                        next_size = int(recs["size"])
+                    except ValueError as exc:
+                        raise ValueError(
+                            "tar: non-numeric pax size record") from exc
+            elif typeflag == "g":
+                recs = _pax_records(data, "pax global header")
+                if "path" in recs or "size" in recs:
+                    raise ValueError(
+                        "tar: global pax header overriding path/size "
+                        "unsupported (would rewrite every member)")
+            # 'K' (GNU long linkname) applies to linkname only, which
+            # the manifest never reads — consumed without effect
+        else:
+            if next_name is not None:
+                name = next_name
+            if next_size is not None:
+                size = next_size
+                data_end = off + _BLOCK + size
+                if size < 0 or data_end > len(buf):
+                    raise ValueError(
+                        f"tar: pax size override for '{name}' runs "
+                        "past the end of the buffer")
+            next_name = next_size = None
+            out.append(TarEntry(name, size, typeflag))
         off = off + _BLOCK + ((size + _BLOCK - 1) // _BLOCK) * _BLOCK
 
 

@@ -23,17 +23,24 @@ Honesty of the parity claim (the vp8l.py posture, stated precisely):
   chain, above/left nonzero contexts, Y2/WHT second-order DC
   transform, and the exact integer inverse DCT/WHT (20091/35468
   multipliers, (x+4)>>3 and (x+3)>>3 roundings).
-* ENGINE-PINNED tables where RFC 6386 carries large constant blobs
-  this module does not claim byte-parity with: the default token
-  probabilities (``DEFAULT_COEFF_PROBS`` — a deterministic seeded
-  schedule, varied across (type, band, ctx) so a context-selection
-  bug flips the roundtrip, pinned by checksum test) and the
-  quantizer lookup (``_dc_q``/``_ac_q`` — a documented monotone
-  schedule with the RFC's structural relations y2dc=2*dc,
-  y2ac=31*ac/20 min 8, uvdc capped).  Decoding libvpx-encoded
-  bitstreams is therefore the documented interop seam; everything
-  encoded by :func:`encode_vp8` decodes bit-exactly and the full
-  structural machinery is exercised either way.
+* VENDORED RFC TABLES (round 13): the §14.1 quantizer lookups are
+  now the real ``DC_QLOOKUP``/``AC_QLOOKUP`` 128-entry tables (with
+  the structural relations y2dc=2*dc, y2ac=31*ac/20 min 8, uvdc
+  capped at 132), pinned in tests by the spec's invariants and
+  anchor values.
+* ONE ENGINE-PINNED table remains: the default token probabilities
+  (``DEFAULT_COEFF_PROBS`` — RFC 6386 §13.5's 4x8x3x11 blob is 1056
+  opaque values with no re-derivable structure to cross-check a
+  vendored copy against in this offline container, and a silently
+  wrong copy would CLAIM interop while mis-decoding, which is worse
+  than the typed seam; the module instead uses a deterministic
+  seeded schedule, varied across (type, band, ctx) so a
+  context-selection bug flips the roundtrip, pinned by checksum
+  test).  Decoding libvpx-encoded bitstreams therefore remains the
+  documented interop seam — everything encoded by
+  :func:`encode_vp8` decodes bit-exactly and the full structural
+  machinery is exercised either way; a future environment with
+  libvpx present can close the seam by replacing ONE table.
 
 Typed seams (ValueError, never a crash class): interframes, B_PRED
 macroblocks, segmentation-enabled streams, loop-filtered streams
@@ -126,16 +133,59 @@ DEFAULT_COEFF_PROBS = _pinned_coeff_probs()
 COEF_UPDATE_PROB = 255
 
 
+# RFC 6386 §14.1 quantizer lookup tables (vendored round 13 —
+# replacing the engine-pinned schedules): dc_qlookup / ac_qlookup,
+# 128 entries each, indexed by the clamped quantizer index.  Pinned
+# in tests by the spec's structural invariants (nondecreasing, both
+# start at 4, dc plateaus at the doubled entries 10/17/20/21/22/23/
+# 25/37/46/76, endpoints dc[127]=177 and ac[127]=284) plus anchor
+# values.
+DC_QLOOKUP = (
+    4,   5,   6,   7,   8,   9,   10,  10,
+    11,  12,  13,  14,  15,  16,  17,  17,
+    18,  19,  20,  20,  21,  21,  22,  22,
+    23,  23,  24,  25,  25,  26,  27,  28,
+    29,  30,  31,  32,  33,  34,  35,  36,
+    37,  37,  38,  39,  40,  41,  42,  43,
+    44,  45,  46,  46,  47,  48,  49,  50,
+    51,  52,  53,  54,  55,  56,  57,  58,
+    59,  60,  61,  62,  63,  64,  65,  66,
+    67,  68,  69,  70,  71,  72,  73,  74,
+    75,  76,  76,  77,  78,  79,  80,  81,
+    82,  83,  84,  85,  86,  87,  88,  89,
+    91,  93,  95,  96,  98,  100, 101, 102,
+    104, 106, 108, 110, 112, 114, 116, 118,
+    122, 124, 126, 128, 130, 134, 138, 142,
+    146, 150, 154, 158, 162, 167, 172, 177,
+)
+AC_QLOOKUP = (
+    4,   5,   6,   7,   8,   9,   10,  11,
+    12,  13,  14,  15,  16,  17,  18,  19,
+    20,  21,  22,  23,  24,  25,  26,  27,
+    28,  29,  30,  31,  32,  33,  34,  35,
+    36,  37,  38,  39,  40,  41,  42,  43,
+    44,  45,  46,  47,  48,  49,  50,  51,
+    52,  53,  54,  55,  56,  57,  58,  60,
+    62,  64,  66,  68,  70,  72,  74,  76,
+    78,  80,  82,  84,  86,  88,  90,  92,
+    94,  96,  98,  100, 102, 104, 106, 108,
+    110, 112, 114, 116, 119, 122, 125, 128,
+    131, 134, 137, 140, 143, 146, 149, 152,
+    155, 158, 161, 164, 167, 170, 173, 177,
+    181, 185, 189, 193, 197, 201, 205, 209,
+    213, 217, 221, 225, 229, 234, 239, 245,
+    249, 254, 259, 264, 269, 274, 279, 284,
+)
+
+
 def _dc_q(qi: int) -> int:
-    """Engine-pinned luma DC quantizer schedule (documented, monotone;
-    NOT the RFC 6386 §14.1 lookup — see module docstring)."""
-    qi = max(0, min(127, qi))
-    return 4 + qi + (qi * qi) // 64
+    """RFC 6386 §14.1 luma DC quantizer (vendored lookup)."""
+    return DC_QLOOKUP[max(0, min(127, qi))]
 
 
 def _ac_q(qi: int) -> int:
-    qi = max(0, min(127, qi))
-    return 4 + 2 * qi + (qi * qi) // 48
+    """RFC 6386 §14.1 AC quantizer (vendored lookup)."""
+    return AC_QLOOKUP[max(0, min(127, qi))]
 
 
 def _quantizers(y_ac_qi: int, y_dc_d: int, y2_dc_d: int, y2_ac_d: int,

@@ -10,19 +10,22 @@ path — transform-free literals (:func:`encode_vp8l`), predictor
 flac_roundtrip posture: headers and entropy coding are real, the
 corpus never depends on external codec libraries.
 
-This NARROWS the documented WebP seam (multimodal.py previously walked
+This CLOSES the documented WebP seam (multimodal.py previously walked
 only the VP8L header): pixel decode now executes for ALL FOUR spatial
 transforms — subtract-green, predictor (all 14 modes, border rules,
 the rightmost-column TR wrap), color (staged int8 ``(t*c)>>5``
 cross-channel deltas), color-indexing (delta-coded palette including
-<= 16-color pixel bundling) — and for the entropy image (per-tile meta
-prefix groups over a shared color cache).  ONE seam remains, a typed
-error so corpus filters see corruption-vs-unsupported distinctly: the
-2D near-distance map (LZ77 distance codes <= 120) — its 120-entry
-(dx, dy) offset table is spec data this container cannot re-derive or
-cross-check, and a wrong entry would be a silent mis-decode, so full
-libwebp interop is NOT claimed; direct distances (> 120 at the code
-level) decode exactly.
+<= 16-color pixel bundling) — for the entropy image (per-tile meta
+prefix groups over a shared color cache), and (round 13) for the 2D
+NEAR-DISTANCE map: LZ77 distance prefix values 1..120 resolve through
+the vendored 120-entry (dx, dy) spec table (:data:`VP8L_DIST_MAP`,
+``dist = dx + dy*width`` clamped up to 1), values > 120 are direct
+distances.  The table is pinned two independent ways in tests: it is
+re-derivable from the spec's ordering rule (all offsets in the 8-row
+window sorted by squared distance / larger dy / +dx first) and spot
+anchor codes are asserted against the spec's plane-code LUT
+nibble layout.  :func:`encode_vp8l_lz77` is the fixture writer whose
+backward references use ONLY near-distance codes.
 
 Robustness: :func:`decode_vp8l` enforces a PIXEL BUDGET before any
 allocation or per-pixel loop — 28 attacker-controlled header bits
@@ -57,6 +60,38 @@ import numpy as np
 CLC_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13,
              14, 15)
 _HASH_MUL = 0x1E35A7BD
+
+# The 2D near-distance map (WebP Lossless Bitstream Specification /
+# RFC 9649 §"Decoding of Distances"): LZ77 distance prefix VALUES
+# 1..120 name a (dx, dy) pixel offset in the 8-row neighborhood
+# window; dist = dx + dy*width, clamped up to 1.  Values > 120 are
+# direct distances (value - 120).  The published table is exactly the
+# 120 offsets {y in 0..7, x in -7..8, y=0 => x >= 1} ordered by
+# squared euclidean distance, then larger dy first, then +dx before
+# -dx — test_vp8l.py re-derives it from that rule and pins spec
+# anchor codes, so a typo here cannot survive.
+VP8L_DIST_MAP = (
+    (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0),
+    (1, 2), (-1, 2), (2, 1), (-2, 1), (2, 2), (-2, 2),
+    (0, 3), (3, 0), (1, 3), (-1, 3), (3, 1), (-3, 1),
+    (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
+    (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3),
+    (2, 4), (-2, 4), (4, 2), (-4, 2), (0, 5), (3, 4),
+    (-3, 4), (4, 3), (-4, 3), (5, 0), (1, 5), (-1, 5),
+    (5, 1), (-5, 1), (2, 5), (-2, 5), (5, 2), (-5, 2),
+    (4, 4), (-4, 4), (3, 5), (-3, 5), (5, 3), (-5, 3),
+    (0, 6), (6, 0), (1, 6), (-1, 6), (6, 1), (-6, 1),
+    (2, 6), (-2, 6), (6, 2), (-6, 2), (4, 5), (-4, 5),
+    (5, 4), (-5, 4), (3, 6), (-3, 6), (6, 3), (-6, 3),
+    (0, 7), (7, 0), (1, 7), (-1, 7), (5, 5), (-5, 5),
+    (7, 1), (-7, 1), (4, 6), (-4, 6), (6, 4), (-6, 4),
+    (2, 7), (-2, 7), (7, 2), (-7, 2), (3, 7), (-3, 7),
+    (7, 3), (-7, 3), (5, 6), (-5, 6), (6, 5), (-6, 5),
+    (8, 0), (4, 7), (-4, 7), (7, 4), (-7, 4), (8, 1),
+    (8, 2), (6, 6), (-6, 6), (8, 3), (5, 7), (-5, 7),
+    (7, 5), (-7, 5), (8, 4), (6, 7), (-6, 7), (7, 6),
+    (-7, 6), (8, 5), (7, 7), (-7, 7), (8, 6), (8, 7),
+)
 
 
 class _LsbReader:
@@ -195,6 +230,20 @@ def _lz77_value(code: int, r: _LsbReader) -> int:
     return ((2 + (code & 1)) << eb) + r.bits(eb) + 1
 
 
+def _lz77_code(value: int) -> tuple[int, int, int]:
+    """Inverse of :func:`_lz77_value`: the (prefix code, extra-bits
+    value, extra-bit count) that encodes ``value`` — derived from the
+    spec formula, round-trip-pinned in tests over the whole range."""
+    if value < 1:
+        raise ValueError("LZ77 prefix values start at 1")
+    if value <= 4:
+        return value - 1, 0, 0
+    t = value - 1
+    eb = t.bit_length() - 2
+    parity = (t >> eb) & 1
+    return 2 * eb + 2 + parity, t - ((2 + parity) << eb), eb
+
+
 # decompression-bomb guard (round 12): ONE policy rendering lives in
 # functions/_budget.py (shared with decode_image and decode_gif); the
 # VP8L_* names stay as aliases for existing importers.
@@ -264,10 +313,14 @@ def _decode_pixel_stream(r: _LsbReader, w: int, h: int, cache_bits: int,
             length = _lz77_value(s - 256, r)
             dcode = _lz77_value(dist_tree.read(r), r)
             if dcode <= 120:
-                raise NotImplementedError(
-                    "VP8L 2D near-distance map (codes <= 120) is a "
-                    "documented seam")
-            dist = dcode - 120
+                # vendored spec table (round 13 — the last VP8L seam):
+                # a 2D offset in the 8-row window, clamped up to 1
+                dx, dy = VP8L_DIST_MAP[dcode - 1]
+                dist = dx + dy * w
+                if dist < 1:
+                    dist = 1
+            else:
+                dist = dcode - 120
             if dist > pos:
                 raise ValueError("VP8L backward reference before start")
             for _ in range(length):
@@ -679,6 +732,101 @@ def encode_vp8l(rgba: np.ndarray, subtract_green: bool = False) -> bytes:
             put("r", int(a[y, x, 0]))
             put("b", int(a[y, x, 2]))
             put("a", int(a[y, x, 3]))
+    return _riff_wrap(w)
+
+
+def encode_vp8l_lz77(rgba: np.ndarray, min_match: int = 3) -> bytes:
+    """Near-distance LZ77 VP8L fixture encoder (round 13 — the seam
+    closer's writer side): greedy LZ77 over the raster pixel stream
+    where the candidate distances are EXACTLY the 120 spec plane
+    offsets (:data:`VP8L_DIST_MAP`), so every backward reference in
+    the stream carries a near-distance code (1..120) and decoding
+    exercises the vendored table — never direct distances.  Literals
+    ride flat per-channel trees like :func:`encode_vp8l`; overlapping
+    copies (dist < length, the run-length idiom) are legal and
+    emitted.  RIFF-wrapped."""
+    a = np.asarray(rgba, dtype=np.uint8)
+    if a.ndim != 3 or a.shape[2] != 4:
+        raise ValueError("encode_vp8l_lz77 expects (h, w, 4) RGBA")
+    h, wd = a.shape[:2]
+    n = h * wd
+    argb = ((a[..., 3].astype(np.uint32) << 24)
+            | (a[..., 0].astype(np.uint32) << 16)
+            | (a[..., 1].astype(np.uint32) << 8)
+            | a[..., 2].astype(np.uint32)).reshape(-1)
+    # usable plane codes: positive in-image distances only (clamped
+    # codes exist for decoders, not honest encoders)
+    dists = [(code, dx + dy * wd)
+             for code, (dx, dy) in enumerate(VP8L_DIST_MAP, start=1)
+             if dx + dy * wd >= 1]
+    max_len = 4096                   # ceiling of the 24-code length alphabet
+
+    tokens: list[tuple] = []         # ("lit", argb) | ("copy", len, pcode)
+    pos = 0
+    while pos < n:
+        best_len, best_code = 0, 0
+        for pcode, dist in dists:
+            if dist > pos:
+                continue
+            length = 0
+            limit = min(max_len, n - pos)
+            while (length < limit
+                   and argb[pos + length - dist] == argb[pos + length]):
+                length += 1
+            if length > best_len:
+                best_len, best_code = length, pcode
+        if best_len >= min_match:
+            tokens.append(("copy", best_len, best_code))
+            pos += best_len
+        else:
+            tokens.append(("lit", int(argb[pos])))
+            pos += 1
+
+    g_syms, r_syms, b_syms, a_syms, d_syms = set(), set(), set(), set(), set()
+    for t in tokens:
+        if t[0] == "lit":
+            v = t[1]
+            g_syms.add((v >> 8) & 0xFF)
+            r_syms.add((v >> 16) & 0xFF)
+            b_syms.add(v & 0xFF)
+            a_syms.add(v >> 24)
+        else:
+            g_syms.add(256 + _lz77_code(t[1])[0])
+            d_syms.add(_lz77_code(t[2])[0])
+
+    w = _LsbWriter()
+    _write_dims_header(w, wd, h, bool((a[..., 3] != 255).any()))
+    w.bits(0, 1)                                  # no transforms
+    w.bits(0, 1)                                  # no color cache
+    w.bits(0, 1)                                  # no entropy image
+    lengths = {k: _flat_lengths(sorted(s)) for k, s in
+               (("g", g_syms), ("r", r_syms or {0}), ("b", b_syms or {0}),
+                ("a", a_syms or {0}), ("d", d_syms or {0}))}
+    for key in ("g", "r", "b", "a", "d"):
+        _write_tree(w, lengths[key])
+    codes = {k: _canonical(v) for k, v in lengths.items()}
+
+    def put(key: str, val: int) -> None:
+        if len(lengths[key]) > 1:
+            w.code(*codes[key][val])
+
+    for t in tokens:
+        if t[0] == "lit":
+            v = t[1]
+            put("g", (v >> 8) & 0xFF)
+            put("r", (v >> 16) & 0xFF)
+            put("b", v & 0xFF)
+            put("a", v >> 24)
+        else:
+            _len, pcode = t[1], t[2]
+            lc, lx, leb = _lz77_code(_len)
+            put("g", 256 + lc)
+            if leb:
+                w.bits(lx, leb)
+            dc, dx_, deb = _lz77_code(pcode)
+            put("d", dc)
+            if deb:
+                w.bits(dx_, deb)
     return _riff_wrap(w)
 
 

@@ -72,6 +72,13 @@ def zip_central_stats(content: bytes) -> ZipStats:
      ) = struct.unpack("<HHHHIIH", buf[pos + 4: pos + _EOCD_FIXED])
     if disk != 0 or cd_disk != 0 or n_disk != n_total:
         raise ValueError("ZIP: multi-disk archives unsupported")
+    # ZIP64 is a documented seam (like the PDF 1.5 xref-stream seam):
+    # an archive with >4 GiB members or >65535 entries carries 0xFFFF /
+    # 0xFFFFFFFF sentinels here with the real values in a ZIP64 EOCD
+    # record — summing the sentinels would be silently wrong stats.
+    if (n_total == 0xFFFF or cd_size == 0xFFFFFFFF
+            or cd_off == 0xFFFFFFFF):
+        raise ValueError("ZIP: ZIP64 EOCD sentinel — ZIP64 unsupported")
     if cd_off + cd_size > len(buf):
         raise ValueError("ZIP: central directory outside buffer")
     # each entry costs >= _CD_FIXED bytes of directory: a declared
@@ -95,6 +102,10 @@ def zip_central_stats(content: bytes) -> ZipStats:
             raise ValueError("ZIP: entry name/extra runs outside buffer")
         names.append(buf[p + _CD_FIXED: p + _CD_FIXED + name_len]
                      .decode("utf-8", errors="replace"))
+        if csize == 0xFFFFFFFF or usize == 0xFFFFFFFF:
+            raise ValueError(
+                "ZIP: ZIP64 size sentinel in central-directory entry "
+                "— ZIP64 unsupported")
         if method == 0:
             n_stored += 1
         elif method == 8:

@@ -2242,7 +2242,8 @@ SELECT doc_id,
        CAST(5 + doc_id % 4 AS INTEGER) AS size_declared,
        CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS INTEGER)
          AS has_encrypt,
-       CAST(1 AS INTEGER) AS xref_ok
+       CAST(1 AS INTEGER) AS xref_ok,
+       CAST(1 AS INTEGER) AS scan_ok
 FROM documents
 """
 
@@ -4347,6 +4348,41 @@ FROM s
 """
 
 
+def _q_webp_lz77_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTED near-distance LZ77 decode (round 13 —
+    functions/vp8l.py:VP8L_DIST_MAP, the last VP8L seam closed, via
+    multimodal.py:webp_lz77_stats): row-tiled VP8L streams whose
+    backward references carry ONLY near-distance plane codes."""
+    from ..functions.multimodal import webp_lz77_stats
+
+    return webp_lz77_stats(_docs(spark, sf_dir))
+
+
+_WEBP_LZ77_SQL = """
+WITH px AS (
+  SELECT d.doc_id, d.doc_id % 16 AS k, x.x, y.y
+  FROM documents d,
+       (SELECT unnest(generate_series(0, 7)) AS x) x,
+       (SELECT unnest(generate_series(0, 5)) AS y) y
+),
+s AS (
+  SELECT doc_id, k,
+         sum((k + 3 * x + 2 * (y % 2)) % 16) AS sr,
+         sum((k + x + y % 2) % 16) AS sg,
+         sum((k + 5 * x) % 16) AS sb
+  FROM px GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(8 AS INTEGER) AS width, CAST(6 AS INTEGER) AS height,
+       CAST(sr AS BIGINT) AS sum_r,
+       CAST(sg AS BIGINT) AS sum_g,
+       CAST(sb AS BIGINT) AS sum_b,
+       CAST(1 AS INTEGER) AS compressed,
+       CAST(1 AS INTEGER) AS lossless
+FROM s
+"""
+
+
 def _q_host_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-host crawl-quality profile (functions/crawl.py:
     host_reputation): hosts synthesized from doc_id %% 11, duplicate
@@ -6089,6 +6125,11 @@ QUERIES: dict[str, Query] = {
         _q_webp_entropy_stats, _WEBP_ENTROPY_SQL,
         "executed VP8L ENTROPY-IMAGE decode (per-tile prefix groups): "
         "sums + lossless (oracled tail row)"),
+    "webp_lz77_stats": Query(
+        _q_webp_lz77_stats, _WEBP_LZ77_SQL,
+        "executed VP8L NEAR-DISTANCE LZ77 decode (vendored 120-entry "
+        "spec plane map — the last VP8L seam, closed round 13): "
+        "sums + compressed + lossless"),
     "vp8_roundtrip_stats": Query(
         _q_vp8_roundtrip_stats, _VP8_ROUNDTRIP_SQL,
         "executed VP8 lossy key-frame codec (bool coder, token "

@@ -305,3 +305,39 @@ def test_partition_size_overflow_guard():
             encode_vp8_yuv(y, u, v, qi=10)
     finally:
         vp8mod._BoolEncoder = orig
+
+
+def test_rfc_quantizer_lookup_invariants_and_anchors():
+    """RFC 6386 §14.1 tables (vendored round 13): nondecreasing, the
+    documented endpoints and plateaus, the structural y2/uv relations,
+    and anchor values cross-checkable against the published spec."""
+    from simpy__kafka__flink__kafka_spark.functions.vp8 import (
+        AC_QLOOKUP, DC_QLOOKUP, _quantizers)
+
+    assert len(DC_QLOOKUP) == 128 and len(AC_QLOOKUP) == 128
+    assert all(b >= a for a, b in zip(DC_QLOOKUP, DC_QLOOKUP[1:]))
+    assert all(b >= a for a, b in zip(AC_QLOOKUP, AC_QLOOKUP[1:]))
+    assert DC_QLOOKUP[0] == AC_QLOOKUP[0] == 4
+    assert DC_QLOOKUP[127] == 177 and AC_QLOOKUP[127] == 284
+    # dc plateaus (the doubled entries unique to the spec table)
+    for i, v in [(6, 10), (7, 10), (14, 17), (15, 17), (18, 20),
+                 (19, 20), (40, 37), (41, 37), (50, 46), (51, 46),
+                 (81, 76), (82, 76), (96, 91), (112, 122)]:
+        assert DC_QLOOKUP[i] == v, (i, DC_QLOOKUP[i], v)
+    # ac is strictly +1 linear through index 54 (value 58), then the
+    # spec's widening step schedule: +2, +3, +4, +5
+    assert list(AC_QLOOKUP[:55]) == list(range(4, 59))
+    assert list(AC_QLOOKUP[55:84]) == list(range(60, 118, 2))
+    assert list(AC_QLOOKUP[84:88]) == [119, 122, 125, 128]
+    for i, v in [(84, 119), (88, 131), (100, 167), (103, 177),
+                 (104, 181), (111, 209), (116, 229), (117, 234),
+                 (119, 245), (120, 249), (127, 284)]:
+        assert AC_QLOOKUP[i] == v, (i, AC_QLOOKUP[i], v)
+    # structural relations (RFC 6386 §14.1 scaling rules)
+    q = _quantizers(20, 0, 0, 0, 0, 0)
+    assert q["y2dc"] == 2 * DC_QLOOKUP[20]
+    assert q["y2ac"] == max(8, AC_QLOOKUP[20] * 31 // 20)
+    q_hi = _quantizers(127, 8, 0, 0, 8, 0)
+    assert q_hi["uvdc"] == min(132, DC_QLOOKUP[127])
+    q_lo = _quantizers(0, 0, 0, 0, 0, 0)
+    assert q_lo["y2ac"] == 8          # the floor fires at tiny indices

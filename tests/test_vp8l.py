@@ -77,6 +77,135 @@ def test_lz77_backward_copy_direct_distance():
     assert list(dec[0, :, 0]) == [7] * 5 and list(dec[0, :, 3]) == [255] * 5
 
 
+def test_near_distance_map_spec_rule_and_anchors():
+    """The vendored 120-entry table equals the spec's ordering rule
+    (all (x, y) in the 8-row window, y=0 => x>=1, sorted by squared
+    distance, then larger y, then +x before -x) AND matches spec
+    anchor codes read off the plane-code LUT's nibble layout (code-1
+    at lut[y*16 + (8-x)]) — two independent derivations."""
+    from simpy__kafka__flink__kafka_spark.functions.vp8l import (
+        VP8L_DIST_MAP)
+
+    derived = sorted(
+        [(x, y) for y in range(8) for x in range(-7, 9)
+         if not (y == 0 and x < 1)],
+        key=lambda p: (p[0] * p[0] + p[1] * p[1], -p[1], p[0] < 0))
+    assert list(VP8L_DIST_MAP) == derived
+    assert len(set(VP8L_DIST_MAP)) == 120
+    anchors = {1: (0, 1), 2: (1, 0), 3: (1, 1), 4: (-1, 1), 6: (2, 0),
+               9: (2, 1), 14: (3, 0), 17: (3, 1), 23: (0, 4),
+               24: (4, 0), 25: (1, 4), 27: (4, 1), 29: (3, 3),
+               35: (0, 5), 40: (5, 0), 97: (8, 0), 102: (8, 1),
+               120: (8, 7)}
+    for code, xy in anchors.items():
+        assert VP8L_DIST_MAP[code - 1] == xy, code
+
+
+def test_lz77_backward_copy_near_distance():
+    """Same pixel stream as the direct-distance test, but the (len 3,
+    dist 1) reference rides NEAR-DISTANCE plane code 2 = (1, 0):
+    distance prefix code 1, zero extra bits."""
+    from simpy__kafka__flink__kafka_spark.functions.vp8l import (
+        decode_vp8l)
+
+    w = _LsbWriter()
+    _header(w, 5, 1)
+    greens = {10: 1, 20: 2, 258: 2}
+    _write_tree(w, greens)
+    for chan_val in (7, 9, 255):
+        _write_tree(w, {chan_val: 1})
+    _write_tree(w, {1: 1})         # distance code 1 -> value 2 = (1,0)
+    g = _canonical(greens)
+    w.code(*g[10]); w.code(*g[20]); w.code(*g[258])
+    dec = decode_vp8l(bytes([0x2F]) + w.payload())
+    assert list(dec[0, :, 1]) == [10, 20, 20, 20, 20]
+
+
+def test_near_distance_row_above_copy():
+    """Plane code 1 = (0, 1): dist = width — copies the row above."""
+    from simpy__kafka__flink__kafka_spark.functions.vp8l import (
+        decode_vp8l)
+
+    w = _LsbWriter()
+    _header(w, 3, 2)
+    greens = {5: 2, 6: 2, 7: 2, 256: 2}    # 256 = length code 0 (len 1)
+    _write_tree(w, greens)
+    for chan_val in (1, 2, 255):
+        _write_tree(w, {chan_val: 1})
+    _write_tree(w, {0: 1})         # distance code 0 -> value 1 = (0,1)
+    g = _canonical(greens)
+    for v in (5, 6, 7):
+        w.code(*g[v])
+    for _ in range(3):             # three len-1 copies of the row above
+        w.code(*g[256])
+    dec = decode_vp8l(bytes([0x2F]) + w.payload())
+    assert list(dec[0, :, 1]) == [5, 6, 7]
+    assert list(dec[1, :, 1]) == [5, 6, 7]
+
+
+def test_near_distance_clamps_to_one():
+    """Spec rule: dist = dx + dy*width, and anything < 1 clamps to 1.
+    Plane code 4 = (-1, 1) on a 1-wide image gives dist 0 -> 1, so the
+    copy repeats the previous pixel."""
+    from simpy__kafka__flink__kafka_spark.functions.vp8l import (
+        decode_vp8l)
+
+    w = _LsbWriter()
+    _header(w, 1, 3)
+    greens = {9: 1, 257: 1}                # 257 = length code 1 (len 2)
+    _write_tree(w, greens)
+    for chan_val in (1, 2, 255):
+        _write_tree(w, {chan_val: 1})
+    _write_tree(w, {3: 1})         # distance code 3 -> value 4 = (-1,1)
+    g = _canonical(greens)
+    w.code(*g[9]); w.code(*g[257])
+    dec = decode_vp8l(bytes([0x2F]) + w.payload())
+    assert list(dec[:, 0, 1]) == [9, 9, 9]
+
+
+def test_lz77_code_inverse_roundtrip():
+    from simpy__kafka__flink__kafka_spark.functions.vp8l import (
+        _lz77_code, _lz77_value)
+
+    class _R:
+        def __init__(self, v):
+            self.v = v
+
+        def bits(self, n):
+            return self.v
+
+    for value in range(1, 5000):
+        c, extra, eb = _lz77_code(value)
+        assert (0 <= extra < (1 << eb)) if eb else extra == 0
+        assert _lz77_value(c, _R(extra)) == value
+    with pytest.raises(ValueError):
+        _lz77_code(0)
+
+
+def test_lz77_encoder_roundtrip_and_compression():
+    """encode_vp8l_lz77 emits ONLY near-distance references; tiled and
+    constant images roundtrip bit-exactly and compress far below the
+    literal encoder (evidence the copies actually fire)."""
+    from simpy__kafka__flink__kafka_spark.functions.vp8l import (
+        encode_vp8l, encode_vp8l_lz77)
+
+    rng = np.random.RandomState(23)
+    for h, wd in [(9, 8), (4, 16), (7, 5), (1, 30), (6, 1), (3, 3)]:
+        base = rng.randint(0, 6, size=(3, wd, 4)).astype(np.uint8)
+        img = np.tile(base, (max(1, (h + 2) // 3), 1, 1))[:h]
+        img[..., 3] = 255
+        enc = encode_vp8l_lz77(img)
+        assert np.array_equal(decode_vp8l(enc), img), (h, wd)
+    flat = np.full((16, 16, 4), 77, dtype=np.uint8)
+    assert np.array_equal(decode_vp8l(encode_vp8l_lz77(flat)), flat)
+    tiled = np.tile(rng.randint(0, 256, size=(1, 4, 4)).astype(np.uint8),
+                    (12, 3, 1))
+    assert len(encode_vp8l_lz77(tiled)) < len(encode_vp8l(tiled)) * 0.7
+    # fully random images still roundtrip (mostly literals)
+    noisy = rng.randint(0, 256, size=(5, 7, 4)).astype(np.uint8)
+    assert np.array_equal(decode_vp8l(encode_vp8l_lz77(noisy)), noisy)
+
+
 def test_color_cache_hit():
     """Literal pixel, then a cache reference resolving to it."""
     cache_bits = 4
@@ -114,18 +243,20 @@ def test_typed_seams_and_errors():
         w.bits(ttype, 2)
         with pytest.raises((ValueError, NotImplementedError)):
             decode_vp8l(bytes([0x2F]) + w.payload() + bytes(4))
-    # near-distance map (code <= 120) -> documented seam
+    # near-distance plane code whose offset lies before the start of
+    # the image (round 13: the seam is CLOSED — out-of-range is now a
+    # plain bounds error, same family as direct distances)
     w = _LsbWriter()
     _header(w, 5, 1)
     greens = {10: 1, 20: 2, 258: 2}
     _write_tree(w, greens)
     for chan_val in (7, 9, 255):
         _write_tree(w, {chan_val: 1})
-    _write_tree(w, {2: 1})                 # distance code 2 -> value 3
+    _write_tree(w, {2: 1})        # distance code 2 -> value 3 = (1,1)
     g = _canonical(greens)
     w.code(*g[10]); w.code(*g[20]); w.code(*g[258])
-    with pytest.raises(NotImplementedError, match="near-distance"):
-        decode_vp8l(bytes([0x2F]) + w.payload())
+    with pytest.raises(ValueError, match="before start"):
+        decode_vp8l(bytes([0x2F]) + w.payload())  # dist 1+5=6 > pos 2
 
 
 def test_flat_lengths_kraft_exact():
