@@ -173,7 +173,12 @@ def encode_mp3_frames(bitrate_indexes: list[int], sr_idx: int = 0,
 # without touching any audio frame.  Public id3.org layout: 10-byte
 # tag header, then frames of [id 4][size 4][flags 2][data]; v2.3 sizes
 # are plain big-endian, v2.4 syncsafe; text-frame data leads with an
-# encoding byte (0 latin-1, 1 utf-16 BOM, 3 utf-8).
+# encoding byte (0 latin-1, 1 utf-16 — BOM per spec but real taggers
+# omit it, LE assumed then — 2 utf-16be, 3 utf-8).  The tag-header
+# extended-header flag is honored (skipped by declared size, both the
+# v2.3 excludes-itself and v2.4 syncsafe-includes-itself layouts);
+# the unsynchronisation flag is a typed refusal (walking without
+# undoing it would mis-read every size).
 
 _TEXT_FRAMES = {"TIT2": "title", "TPE1": "artist",
                 "TALB": "album", "TYER": "year", "TDRC": "year"}
@@ -201,7 +206,34 @@ def id3_frames(content: bytes) -> dict:
     if tag_end > len(buf):
         raise ValueError("ID3v2 tag declares more bytes than buffer")
     out["has_id3"], out["version"] = 1, f"2.{major}"
+    flags = buf[5]
+    if flags & 0x80:
+        # unsynchronisation rewrites 0xFF 0x00 byte pairs throughout
+        # the tag — walking without undoing it would mis-read sizes,
+        # so refuse rather than silently mis-parse (typed seam)
+        raise ValueError("ID3v2 unsynchronisation unsupported")
     pos = 10
+    if flags & 0x40:
+        # extended header (ADVICE r12 / VERDICT task 4): skip by its
+        # declared size — v2.3 stores a plain big-endian size that
+        # EXCLUDES the 4 size bytes; v2.4 a syncsafe size that
+        # INCLUDES the whole extended header
+        if pos + 4 > tag_end:
+            raise ValueError("ID3v2 extended header past tag extent")
+        raw = buf[pos: pos + 4]
+        if major == 4:
+            if any(b & 0x80 for b in raw):
+                raise ValueError(
+                    "ID3v2.4 extended-header size must be syncsafe")
+            ext_len = ((raw[0] << 21) | (raw[1] << 14) | (raw[2] << 7)
+                       | raw[3])
+            if ext_len < 6:
+                raise ValueError("ID3v2.4 extended header too small")
+        else:
+            ext_len = 4 + int.from_bytes(raw, "big")
+        if pos + ext_len > tag_end:
+            raise ValueError("ID3v2 extended header past tag extent")
+        pos += ext_len
     n = 0
     while pos + 10 <= tag_end:
         fid = buf[pos: pos + 4]
@@ -231,7 +263,17 @@ def id3_frames(content: bytes) -> dict:
                 if enc == 0:
                     text = data.decode("latin-1")
                 elif enc == 1:
-                    text = data.decode("utf-16")
+                    # spec says BOM-led UTF-16, but real taggers emit
+                    # BOM-less frames too (ADVICE r12 / task 4) — and
+                    # Python's bare 'utf-16' would silently assume LE;
+                    # make the fallback explicit
+                    if data[:2] in (b"\xff\xfe", b"\xfe\xff"):
+                        text = data.decode("utf-16")
+                    else:
+                        text = data.decode("utf-16-le")
+                elif enc == 2:
+                    # v2.4 UTF-16BE without BOM (encoding byte 2)
+                    text = data.decode("utf-16-be")
                 elif enc == 3:
                     text = data.decode("utf-8")
                 else:

@@ -189,6 +189,80 @@ def test_id3_v24_syncsafe_and_utf8():
     assert got["version"] == "2.4" and got["title"] == "café title"
 
 
+def _v23_tag(body: bytes, flags: int = 0) -> bytes:
+    sz = len(body)
+    return b"ID3" + bytes([3, 0, flags]) + bytes(
+        [(sz >> 21) & 0x7F, (sz >> 14) & 0x7F, (sz >> 7) & 0x7F,
+         sz & 0x7F]) + body
+
+
+def _v24_tag(body: bytes, flags: int = 0) -> bytes:
+    sz = len(body)
+    return b"ID3" + bytes([4, 0, flags]) + bytes(
+        [(sz >> 21) & 0x7F, (sz >> 14) & 0x7F, (sz >> 7) & 0x7F,
+         sz & 0x7F]) + body
+
+
+def test_id3_utf16be_and_bomless_utf16():
+    """Task-4 seam close: encoding byte 2 (UTF-16BE, v2.4) and
+    BOM-less encoding byte 1 (real taggers omit the BOM; LE assumed)
+    both decode instead of raising."""
+    from simpy__kafka__flink__kafka_spark.functions.mp3 import id3_frames
+
+    be = "café".encode("utf-16-be")
+    frame_be = b"TIT2" + bytes([0, 0, 0, len(be) + 1]) + b"\0\0" \
+        + bytes([2]) + be
+    got = id3_frames(_v24_tag(frame_be))
+    assert got["title"] == "café"
+
+    le = "naïve".encode("utf-16-le")              # no BOM
+    frame_le = b"TPE1" + (len(le) + 1).to_bytes(4, "big") + b"\0\0" \
+        + bytes([1]) + le
+    got = id3_frames(_v23_tag(frame_le))
+    assert got["artist"] == "naïve"
+
+    bom = "söng".encode("utf-16")                 # stdlib adds LE BOM
+    frame_bom = b"TALB" + (len(bom) + 1).to_bytes(4, "big") + b"\0\0" \
+        + bytes([1]) + bom
+    assert id3_frames(_v23_tag(frame_bom))["album"] == "söng"
+    # big-endian BOM too
+    bom_be = b"\xfe\xff" + "zürich".encode("utf-16-be")
+    frame2 = b"TALB" + (len(bom_be) + 1).to_bytes(4, "big") + b"\0\0" \
+        + bytes([1]) + bom_be
+    assert id3_frames(_v23_tag(frame2))["album"] == "zürich"
+
+
+def test_id3_extended_header_skipped_both_layouts():
+    from simpy__kafka__flink__kafka_spark.functions.mp3 import id3_frames
+
+    frame = b"TIT2" + (2).to_bytes(4, "big") + b"\0\0" + b"\0X"
+    # v2.3: ext size EXCLUDES its own 4 bytes (6 bytes of payload)
+    ext23 = (6).to_bytes(4, "big") + bytes(6)
+    got = id3_frames(_v23_tag(ext23 + frame, flags=0x40))
+    assert got["title"] == "X" and got["n_frames"] == 1
+
+    # v2.4: syncsafe size INCLUDES the whole extended header
+    frame4 = b"TIT2" + bytes([0, 0, 0, 2]) + b"\0\0" + b"\0Y"
+    ext24 = bytes([0, 0, 0, 8]) + bytes(4)        # 8 bytes total
+    got = id3_frames(_v24_tag(ext24 + frame4, flags=0x40))
+    assert got["title"] == "Y" and got["n_frames"] == 1
+
+    import pytest
+    # ext header running past the tag -> typed
+    with pytest.raises(ValueError, match="extended header"):
+        id3_frames(_v23_tag((100).to_bytes(4, "big") + bytes(4),
+                            flags=0x40))
+
+
+def test_id3_unsync_flag_typed():
+    import pytest
+
+    from simpy__kafka__flink__kafka_spark.functions.mp3 import id3_frames
+
+    with pytest.raises(ValueError, match="unsynchronisation"):
+        id3_frames(_v23_tag(bytes(10), flags=0x80))
+
+
 def test_id3_stats_matches_oracle(spark, sf_dir):
     from tests.oracle_utils import assert_match
 
