@@ -340,6 +340,27 @@ def main() -> None:
     if factor > 1:
         payload["scale"] = _run_scale(spark, reg, sf_dir, times, factor)
     print(json.dumps(payload))
+    # Persist the FULL per-query payload to a repo file as well
+    # (VERDICT r12 task 3): the driver's tail capture beheads the full
+    # line above (r12 recovered only 27/61 shared times for the
+    # round-over-round diff), so the judge diffs BENCH_DETAIL_r{N}.json
+    # instead of doing regex archaeology.  Round number from the
+    # newest VERDICT/BENCH artifact present, +1.
+    try:
+        import re as _re
+
+        here = os.path.dirname(os.path.abspath(__file__))
+        rounds = [int(m.group(1))
+                  for f in os.listdir(here)
+                  for m in [_re.match(r"BENCH_r(\d+)\.json$", f)] if m]
+        rnd = (max(rounds) + 1) if rounds else 0
+        detail_path = os.path.join(here, f"BENCH_DETAIL_r{rnd:02d}.json")
+        with open(detail_path, "w") as fh:
+            json.dump(payload, fh, indent=1, sort_keys=True)
+        print(f"full per-query detail -> {detail_path}",
+              file=sys.stderr)
+    except OSError as exc:            # read-only checkout: non-fatal
+        print(f"bench detail not persisted: {exc}", file=sys.stderr)
     # The LAST printed line must stay compact: the driver's tail capture
     # is ~2.2 KB and BENCH_r11's single full-payload line outgrew it
     # (`parsed: null` — VERDICT r11 task 2).  Full per-query detail is
