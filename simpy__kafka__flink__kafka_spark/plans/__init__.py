@@ -41,6 +41,46 @@ CHECKED_FIRST = [
     # checked parse_props_lenient, and counter_ids_sharded's ranged
     # row-number algebra is now at the gate TWICE (watermark_sharded's
     # ranged-offset family plus the newly sharded crawl_schedule).
+    # Round-13 rotation (VERDICT r12 task 2 — the declared promotion
+    # slate, executed with this round's own new/changed code taking
+    # precedence per the slate's "if round 13 adds nothing stronger"
+    # caveat; round 13 DID add stronger rows).  Six strict-subsumption
+    # demotions fund six promotions:
+    #  - chain_stats demoted: its linked/reach CTEs (the degree join
+    #    and the bounded recursive BFS walk — the hard arithmetic) are
+    #    verbatim the checked critical_path's deg/walk CTEs (which add
+    #    path weights on top); the residual count/max folds are the
+    #    plain-aggregate family checked through a dozen rows.
+    #  - tfidf_top_terms demoted: its w/tok/tf/df statistics chain is
+    #    checked through search_rank's embedded BM25 CTEs (the
+    #    bm25_scores/vocab_coverage precedent), and the promoted
+    #    corpus_datasheet carries the words CTE too; the residual
+    #    per-doc top-3 window is a checked idiom (search_rank top-k,
+    #    ccnet_buckets quantile rank).
+    #  - snapshot_diff demoted: the normalized change-fingerprint
+    #    rendering is verbatim inside the checked scd2_history (same
+    #    url universe, same fp CTE) and dedup_against_prior's profile
+    #    semi-join; the residual full-outer add/remove CASE is the
+    #    COALESCE-key idiom of the checked gap-fill family.
+    #  - html_extract_main demoted: web_prep_full's oracle embeds
+    #    _html_extract_sql VERBATIM as its first CTE (the
+    #    warc_parse -> warc_gz_parse textbook pattern).
+    #  - ivf_topk demoted: _ivf_assign_sql is embedded verbatim in the
+    #    checked semantic_dedup (the ivf_assign precedent), the cosine
+    #    arithmetic is the checked embedding_near_dup_verified's, and
+    #    the probed top-k window is the checked window-rank idiom; the
+    #    row stays oracled in the pytest tail.
+    #  - repetition_ratio demoted: its shingle rendering is the
+    #    _SHINGLES_CTE the checked dedup_survivors chain embeds
+    #    verbatim; the residual distinct-count ratio is a plain fold.
+    # Promotions: webp_lz77_stats (round-13 vendored near-distance
+    # map — newest codec code takes the hard signal), id3_stats /
+    # webdataset_manifest / zip_stats / pdf_stats (all four walks
+    # CHANGED this round: ext-header+UTF-16 encodings, pax/GNU long
+    # names, ZIP64 guards, scan_ok — changed code takes the hard
+    # signal), corpus_datasheet (slate capstone).  The remaining
+    # slate rows (image_dhash_oracle, ip_range_lookup,
+    # unicode_normalize) are re-declared as the round-14 slate.
     "link_traces", "link_edges",
     "watermark_sharded", "parse_props_lenient",
     # trace analytics over the linked DAG (fanout_histogram — a simple
@@ -51,7 +91,7 @@ CHECKED_FIRST = [
     # weights on top) in favor of critical_path — the max-plus
     # latency-weighted root->leaf walk the reference's 链路统计
     # requirement implies (requirements-v2.md:177).
-    "chain_stats", "critical_path", "latency_percentiles",
+    "critical_path", "latency_percentiles",
     # training-data pipeline operators.  Round-3 slot swap (VERDICT r02 #3):
     # minhash_signatures / ngram_jaccard_pairs / simhash are each subsumed by
     # a checked composite (minhash_lsh_pairs / near_dup_verified /
@@ -108,8 +148,8 @@ CHECKED_FIRST = [
     # long-green since r5; its embedding family keeps ivf_topk +
     # embedding_near_dup_verified at the gate) demoted to the oracled
     # pytest-checked tail.
-    "ivf_topk", "embedding_near_dup_verified",
-    "pack_token_shards", "tfidf_top_terms",
+    "embedding_near_dup_verified",
+    "pack_token_shards",
     # Round-12 wave-13 rotation: multimodal_features demoted — its
     # md5 FAKE-extractor arithmetic was the weakest member of the
     # codec-in-Arrow family whose real decode paths are now checked
@@ -117,7 +157,7 @@ CHECKED_FIRST = [
     # walks, audio_spectral_stats); the promoted jpeg_exif_stats is
     # the same mapInPandas family with a REAL metadata walk through
     # the shared TIFF IFD rendering.  Stays oracled in the tail.
-    "corpus_prep_full",
+    "corpus_prep_full", "corpus_datasheet",
     # round-6 additions promoted round 7 (contamination_overlap demoted
     # round 10, see above).  Round-11: rare_bigram_rate demoted — same
     # bigram explode+count machinery as the checked bigram_lm_score
@@ -133,7 +173,7 @@ CHECKED_FIRST = [
     # row's SQL plus the member/record contract, and its Spark path
     # executes the IDENTICAL parser rendering plus the bounded
     # multi-member gunzip (the real CommonCrawl container).
-    "warc_gz_parse", "html_extract_main", "web_prep_full",
+    "warc_gz_parse", "web_prep_full",
     "linear_quality_score", "ngram_cms_counts",
     # round-3 training-data additions (contamination scan), plus
     # repetition_ratio promoted in round 4 (VERDICT r03 task #6).
@@ -146,7 +186,6 @@ CHECKED_FIRST = [
     # contamination_overlap demoted — same fuzzy-decontamination family
     # as the checked contamination_check.
     "contamination_check",
-    "repetition_ratio",
     # round-4 corpus additions: C4-style cross-doc passage dedup and
     # fixed-window chunking (pii_scrub / salted_split / source_stats stay in
     # the oracled pytest-checked tail); round-5 adds the span-REMOVAL twin
@@ -230,7 +269,7 @@ CHECKED_FIRST = [
     # and its residual order-canonical md5(string_agg ORDER BY)
     # postings fold is the same rendering idiom the checked
     # passage_rewrite hashes.  Both stay oracled in the pytest tail.
-    "snapshot_diff", "scd2_history",
+    "scd2_history",
     "soft_dedup_weights",
     "search_rank", "mixture_plan",
     # Round-11 promotions (VERDICT r10 task #2): the round-10 wave-2/3
@@ -250,7 +289,7 @@ CHECKED_FIRST = [
     # block (_seed_frontier_ctes); the lastmod/changefreq/sitemapindex
     # arms stay oracled in the pytest tail.
     "robots_txt_gate_named", "crawl_schedule_paced",
-    "mp3_stats",
+    "mp3_stats", "id3_stats",
     # Round-11 wave-2 promotions — the hard signal moves onto the
     # round's own newest code immediately instead of waiting a round
     # (the standing verdict discipline), funded by strict-subsumption
@@ -300,6 +339,7 @@ CHECKED_FIRST = [
     # and the DSIR importance-resampling weights (wave 7).  Funded by
     # the four strict-subsumption demotions documented above.
     "webp_palette_stats", "webp_entropy_stats",
+    "webp_lz77_stats",
     "vp8_roundtrip_stats", "dsir_weights",
     # Round-12 wave-10 promotions — the wave-9 additions take the hard
     # signal immediately (standing discipline), funded by the four
@@ -315,6 +355,9 @@ CHECKED_FIRST = [
     # demotion above): the EXIF orientation/provenance walk over real
     # JPEG streams through the shared TIFF IFD rendering.
     "jpeg_exif_stats",
+    # Round-13 container-walk promotions (all three walks changed this
+    # round — see the rotation note above).
+    "webdataset_manifest", "zip_stats", "pdf_stats",
 ]
 
 
