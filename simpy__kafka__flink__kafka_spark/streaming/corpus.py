@@ -804,6 +804,111 @@ def start_crawl_admission(docs_stream: DataFrame, prior_profile_dir: str,
     )
 
 
+# --- Streaming web-corpus preparation (round 13 — VERDICT r12 task 6) -------
+
+def web_prep_batch(batch_df: DataFrame, out_dir: str,
+                   domain_cap: int = 20) -> None:
+    """One micro-batch of :func:`start_web_prep` — the incremental fold
+    of the batch web capstone (plans/dataprep.py:_q_web_prep_full),
+    running the SAME stage functions: HTML main-content extraction ->
+    C4 sentence cleanup -> Gopher quality gate -> exact dedup on the
+    cleaned text against BOTH batch-mates and the sink's fingerprint
+    profile (the incremental_ingest_batch posture) -> per-domain cap
+    CONTINUED across batches (each domain's accepted count so far
+    offsets the batch's rank).  Input columns: (doc_id, html, domain).
+
+    Sink layout under ``out_dir``: ``docs`` (doc_id, domain, n_words,
+    fp — the accepted corpus) and ``profile`` (fp — the seen
+    fingerprints).  Write order is docs FIRST then profile, the
+    incremental_ingest torn-window analysis: a crash between the two
+    appends re-admits the batch's docs on replay (a duplicate-docs
+    anomaly the downstream exact-dedup sweep removes) instead of the
+    reverse order's silent permanent loss.  Arrival in doc_id order
+    reproduces the batch capstone bit-for-bit (keep-first and the cap
+    both rank by doc_id); out-of-order arrival degrades only WHICH
+    duplicate/overflow doc is kept, never the counts."""
+    from pyspark.sql import Window as W
+
+    from ..functions.html import extract_main_content
+    from ..functions.quality import c4_sentence_filter, gopher_quality
+
+    spark = batch_df.sparkSession
+    pages = batch_df.select("doc_id", "html", "domain")
+    ex = extract_main_content(pages).select("doc_id", "main_text")
+    c4 = (c4_sentence_filter(ex, text_col="main_text")
+          .where(F.col("doc_kept") == 1)
+          .select("doc_id", "clean_text"))
+    kept = (gopher_quality(c4, text_col="clean_text",
+                           keep_cols=("clean_text",))
+            .where(F.col("passes") == 1)
+            .select("doc_id", "n_words", F.md5("clean_text").alias("fp")))
+    # batch-internal keep-first on the fingerprint (batch-mates are
+    # invisible to the sink profile), then drop fingerprints the sink
+    # has already accepted
+    sole = (kept.withColumn("_rn", F.row_number().over(
+                W.partitionBy("fp").orderBy("doc_id")))
+            .where(F.col("_rn") == 1).drop("_rn"))
+    seen = read_parquet_if_exists(spark, f"{out_dir}/profile")
+    if seen is not None:
+        sole = sole.join(seen, "fp", "left_anti")
+    fresh = sole.join(pages.select("doc_id", "domain"), "doc_id")
+    # per-domain cap continued across batches: prior accepted counts
+    # offset this batch's per-domain rank
+    docs_sink = read_parquet_if_exists(spark, f"{out_dir}/docs")
+    if docs_sink is not None:
+        tally = docs_sink.groupBy("domain").agg(
+            F.count(F.lit(1)).alias("_prior"))
+        fresh = fresh.join(F.broadcast(tally), "domain", "left")
+    else:
+        fresh = fresh.withColumn("_prior", F.lit(None).cast("long"))
+    wdom = W.partitionBy("domain").orderBy("doc_id")
+    accepted = (
+        fresh.withColumn(
+            "_dr", F.row_number().over(wdom) + F.coalesce("_prior",
+                                                          F.lit(0)))
+        .where(F.col("_dr") <= domain_cap)
+        .select("doc_id", "domain", "n_words", "fp")
+        # eager materialization: the writes below APPEND to the paths
+        # this plan READS (profile + docs tally) — without it the
+        # second write's re-evaluation re-lists the sinks and sees the
+        # first write's own output (the incremental_ingest lesson)
+        .localCheckpoint()
+    )
+    accepted.write.mode("append").parquet(f"{out_dir}/docs")
+    accepted.select("fp").write.mode("append").parquet(
+        f"{out_dir}/profile")
+
+
+def start_web_prep(docs_stream: DataFrame, out_dir: str,
+                   checkpoint_dir: str, domain_cap: int = 20):
+    """Streaming twin of the web capstone: a standing query over a
+    page stream (columns doc_id/html/domain — e.g. warc_gz_source
+    records with a derived domain) folding each micro-batch through
+    :func:`web_prep_batch`.  The cross-batch state (seen fingerprints,
+    per-domain tallies) lives on the SINK side, bounded by accepted
+    volume — no unbounded streaming state; checkpoint-restart safe
+    (the foreachBatch replay contract + the torn-window ordering in
+    web_prep_batch).  Returns the started StreamingQuery."""
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        web_prep_batch(batch_df, out_dir, domain_cap=domain_cap)
+
+    return (
+        docs_stream.writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )
+
+
+def web_prep_totals(spark, out_dir: str) -> DataFrame:
+    """Per-domain corpus stats over the accepted sink — the batch
+    capstone's output shape (domain, n_docs, total_words)."""
+    docs = spark.read.parquet(f"{out_dir}/docs")
+    return docs.groupBy("domain").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("total_words"))
+
+
 def warc_gz_source(spark, path: str, watermark: str = "10 minutes",
                    max_bytes: int | None = None) -> DataFrame:
     """Streaming ingestion of ``.warc.gz`` shards — the container a

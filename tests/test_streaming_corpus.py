@@ -540,3 +540,69 @@ def test_warc_gz_stream_skips_contractless_names(spark, tmp_path):
         q.stop()
     rows = spark.sql(f"select shard_id from {name}").collect()
     assert {r["shard_id"] for r in rows} == {1}
+
+
+def test_web_prep_streaming_batch_parity_with_restart(spark, tmp_path,
+                                                      sf_dir):
+    """Round-13 (VERDICT r12 task 6): the streaming web-prep fold over
+    doc_id-ordered waves — including a MID-STREAM RESTART from the
+    checkpoint — reproduces the batch web capstone's per-domain stats
+    exactly.  Cross-batch fingerprint dedup and the per-domain cap
+    continuation both fire (sf docs overflow the 20-doc cap)."""
+    from pyspark.sql import functions as F
+
+    from simpy__kafka__flink__kafka_spark.functions.html import (
+        synthesize_page)
+    from simpy__kafka__flink__kafka_spark.plans import registry
+    from simpy__kafka__flink__kafka_spark.plans.dataprep import (
+        _docs, _sentencified)
+    from simpy__kafka__flink__kafka_spark.streaming.corpus import (
+        start_web_prep, web_prep_totals)
+
+    expect = {r["domain"]: (r["n_docs"], r["total_words"])
+              for r in registry()["web_prep_full"]
+              .build(spark, sf_dir).collect()}
+    spark.catalog.clearCache()
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", _sentencified().alias("text"))
+    pages = docs.select(
+        "doc_id", synthesize_page().alias("html"),
+        F.concat(F.lit("site-"), (F.col("doc_id") % 17).cast("string"),
+                 F.lit(".example.com")).alias("domain")).cache()
+    n = pages.count()
+    cuts = (n // 3, 2 * n // 3)
+
+    ind = str(tmp_path / "wp_in")
+    out = str(tmp_path / "wp_out")
+    ckpt = str(tmp_path / "wp_ckpt")
+    os.makedirs(ind, exist_ok=True)
+
+    def wave(lo, hi):
+        (pages.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+         .coalesce(1).write.mode("append").parquet(ind))
+
+    def stream():
+        return (spark.readStream
+                .schema("doc_id long, html string, domain string")
+                .option("maxFilesPerTrigger", "1").parquet(ind))
+
+    wave(0, cuts[0])
+    wave(cuts[0], cuts[1])
+    q = start_web_prep(stream(), out, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()                       # the restart point
+
+    wave(cuts[1], n + 10)
+    q2 = start_web_prep(stream(), out, ckpt)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    pages.unpersist()
+
+    got = {r["domain"]: (r["n_docs"], r["total_words"])
+           for r in web_prep_totals(spark, out).collect()}
+    assert got == expect
