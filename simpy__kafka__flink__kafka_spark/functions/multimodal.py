@@ -70,7 +70,8 @@ def attach_binary(docs: DataFrame) -> DataFrame:
 # --- vendored dependency-free codecs ----------------------------------------
 # P6 PPM (netpbm binary RGB) and RIFF/PCM WAV decode with no third-party
 # library: PPM via a ~30-line header parser + numpy frombuffer, WAV via the
-# stdlib ``wave`` module.  8-bit RGB/RGBA PNG decodes via stdlib zlib +
+# stdlib ``wave`` module.  PNG (8-bit gray/gray+alpha/RGB/RGBA plus
+# 1/2/4/8-bit palette, chunk CRCs verified) decodes via stdlib zlib +
 # scanline defiltering below; baseline-sequential JPEG via the vendored
 # Huffman+IDCT codec in ``jpeg.py`` (sequential AND progressive); FLAC via
 # the lossless codec in ``flac.py``.  Remaining formats (GIF, MP3, ...)
@@ -122,16 +123,22 @@ PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 def decode_png(content: bytes) -> np.ndarray:
     """Dependency-free PNG decode -> (height, width, 3) uint8 array, using
-    only stdlib ``zlib`` for the IDAT inflate plus numpy/python scanline
-    defiltering (all 5 filter types: None/Sub/Up/Average/Paeth).
+    only stdlib ``zlib`` for the IDAT inflate (and its crc32 for chunk
+    verification) plus numpy/python scanline defiltering (all 5 filter
+    types: None/Sub/Up/Average/Paeth).
 
-    Supported: 8-bit truecolor (type 2) and truecolor+alpha (type 6),
-    non-interlaced — what virtually every PNG writer emits.  Alpha is
-    dropped (same contract as PIL's ``convert("RGB")`` on opaque images).
-    Palette/grayscale/16-bit/interlaced raise ValueError.  Sub/Avg/Paeth
-    rows defilter in per-byte python (sequential dependency); fine for
-    the fixture/test sizes this vendored path serves — a production
-    deployment swaps PIL in at the same seam.
+    Supported (round 13 widened to the full crawled-web spread):
+    truecolor (type 2) and truecolor+alpha (type 6) at bit depth 8,
+    grayscale (type 0) and gray+alpha (type 4) at depth 8, and PALETTE
+    (type 3) at depths 1/2/4/8 — the icon/logo shape that dominates
+    small web images — all non-interlaced.  Every chunk's CRC is
+    VERIFIED (a corrupt chunk is a typed error, not a silent
+    mis-decode).  Alpha is dropped (same contract as PIL's
+    ``convert("RGB")`` on opaque images); gray replicates to RGB.
+    16-bit and interlaced (Adam7) raise ValueError — documented seams.
+    Sub/Avg/Paeth rows defilter in per-byte python (sequential
+    dependency); fine for the fixture/test sizes this vendored path
+    serves — a production deployment swaps PIL in at the same seam.
     """
     import zlib
 
@@ -139,11 +146,19 @@ def decode_png(content: bytes) -> np.ndarray:
     if buf[:8] != PNG_MAGIC:
         raise ValueError("not a PNG")
     pos, idat = 8, []
-    w = h = ctype = None
+    w = h = ctype = bitd = None
+    plte = None
     while pos + 8 <= len(buf):
         ln = int.from_bytes(buf[pos:pos + 4], "big")
         typ = buf[pos + 4:pos + 8]
+        if pos + 12 + ln > len(buf):
+            raise ValueError("PNG chunk runs past the buffer")
         data = buf[pos + 8:pos + 8 + ln]
+        declared_crc = int.from_bytes(buf[pos + 8 + ln:pos + 12 + ln],
+                                      "big")
+        if zlib.crc32(typ + data) != declared_crc:
+            raise ValueError(
+                f"PNG chunk {typ.decode(errors='replace')} CRC mismatch")
         pos += 12 + ln  # length + type + data + crc
         if typ == b"IHDR":
             if len(data) < 13:
@@ -151,19 +166,29 @@ def decode_png(content: bytes) -> np.ndarray:
             w = int.from_bytes(data[0:4], "big")
             h = int.from_bytes(data[4:8], "big")
             bitd, ctype, interlace = data[8], data[9], data[12]
-            if bitd != 8 or ctype not in (2, 6) or interlace:
+            ok = ((ctype in (2, 6, 0, 4) and bitd == 8)
+                  or (ctype == 3 and bitd in (1, 2, 4, 8)))
+            if not ok or interlace:
                 raise ValueError(
-                    f"unsupported PNG (bit depth {bitd}, color type {ctype},"
-                    f" interlace {interlace}); only 8-bit RGB/RGBA"
-                )
+                    f"unsupported PNG (bit depth {bitd}, color type "
+                    f"{ctype}, interlace {interlace})")
+        elif typ == b"PLTE":
+            if ln % 3:
+                raise ValueError("PNG PLTE length not a multiple of 3")
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
         elif typ == b"IDAT":
             idat.append(data)
         elif typ == b"IEND":
             break
     if w is None:
         raise ValueError("PNG missing IHDR")
-    ch = 3 if ctype == 2 else 4
-    stride = w * ch
+    if ctype == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE chunk")
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+    # filter arithmetic works on BYTES: bpp is the per-pixel byte
+    # offset (1 for sub-byte depths), stride the packed row length
+    ch = max(1, (nch * bitd) // 8)
+    stride = (w * nch * bitd + 7) // 8
     expected = h * (stride + 1)
     # bounded inflate: a crafted IDAT must not expand past the raster
     # the header promised (the zlib cousin of the VP8L pixel-budget
@@ -205,7 +230,24 @@ def decode_png(content: bytes) -> np.ndarray:
             raise ValueError(f"bad PNG filter type {f}")
         out[y] = line.astype(np.uint8)
         prev = line
-    return out.reshape(h, w, ch)[:, :, :3]
+    if bitd < 8:
+        # unpack MSB-first bit groups to one index/sample per pixel
+        bits = np.unpackbits(out, axis=1)[:, :w * bitd]
+        weights = (1 << np.arange(bitd - 1, -1, -1)).astype(np.uint8)
+        samples = (bits.reshape(h, w, bitd) * weights).sum(
+            axis=2).astype(np.uint8)
+    else:
+        samples = out.reshape(h, w, nch)
+    if ctype == 3:
+        idx = samples if bitd < 8 else samples[:, :, 0]
+        if int(idx.max(initial=0)) >= len(plte):
+            raise ValueError("PNG palette index out of range")
+        return plte[idx]
+    if ctype == 0:
+        return np.repeat(samples[:, :, :1], 3, axis=2)
+    if ctype == 4:
+        return np.repeat(samples[:, :, :1], 3, axis=2)
+    return samples[:, :, :3]
 
 
 def encode_png(pixels: np.ndarray) -> bytes:
@@ -228,6 +270,52 @@ def encode_png(pixels: np.ndarray) -> bytes:
             + chunk(b"IEND", b""))
 
 
+def encode_png_indexed(idx: np.ndarray, palette: np.ndarray,
+                       bit_depth: int = 8) -> bytes:
+    """Palette-PNG fixture writer (round 13): an (h, w) index grid at
+    bit depth 1/2/4/8 (indices packed MSB-first within each row byte —
+    the spec's packing, laid out here independently of the reader's
+    unpack) plus an (n, 3) PLTE.  Rows use filter type 0; the
+    filter-path coverage rides the truecolor tests."""
+    import struct
+    import zlib
+
+    idx = np.asarray(idx)
+    pal = np.asarray(palette, np.uint8)
+    h, w = idx.shape
+    if bit_depth not in (1, 2, 4, 8):
+        raise ValueError("palette PNG bit depth must be 1/2/4/8")
+    if int(idx.max(initial=0)) >= min(len(pal), 1 << bit_depth):
+        raise ValueError("index grid addresses past the palette/depth")
+    raw = bytearray()
+    for y in range(h):
+        raw += b"\x00"
+        if bit_depth == 8:
+            raw += idx[y].astype(np.uint8).tobytes()
+        else:
+            acc = bits = 0
+            row = bytearray()
+            for v in idx[y]:
+                acc = (acc << bit_depth) | int(v)
+                bits += bit_depth
+                if bits == 8:
+                    row.append(acc)
+                    acc = bits = 0
+            if bits:
+                row.append(acc << (8 - bits))      # pad the last byte
+            raw += bytes(row)
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (len(data).to_bytes(4, "big") + typ + data
+                + zlib.crc32(typ + data).to_bytes(4, "big"))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, bit_depth, 3, 0, 0, 0)
+    return (PNG_MAGIC + chunk(b"IHDR", ihdr)
+            + chunk(b"PLTE", pal.tobytes())
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+
 # Bomb guard for the untrusted decode path (VERDICT r11 task 1, widened
 # past VP8L): header-declared pixels are attacker-controlled in every
 # container, and several vendored decoders allocate or loop on w*h
@@ -242,8 +330,9 @@ from ._budget import (DECODE_MAX_PIXELS, DECODE_PIXELS_PER_BYTE,  # noqa: F401
 
 
 def decode_image(content: bytes, max_pixels: int | None = None) -> np.ndarray:
-    """Image decode -> (height, width, 3) uint8 array.  P6 PPM, 8-bit
-    RGB/RGBA PNG, JPEG (sequential and progressive), GIF, TIFF, BMP,
+    """Image decode -> (height, width, 3) uint8 array.  P6 PPM, PNG
+    (8-bit gray/gray+alpha/RGB/RGBA and 1/2/4/8-bit palette,
+    CRC-verified), JPEG (sequential and progressive), GIF, TIFF, BMP,
     lossless WebP (VP8L — functions/vp8l.py; all four transforms and
     the entropy image), and key-frame lossy WebP (VP8 —
     functions/vp8.py; intra path, engine-pinned probability tables —
@@ -316,6 +405,15 @@ def decode_audio(content: bytes,
     RIFF/PCM WAV (stdlib ``wave``) and FLAC (vendored codec in
     ``flac.py``) decode dependency-free; remaining compressed formats
     (MP3/OGG/...) need an audio I/O library (absent — documented seam).
+    MP3 Layer III PCM decode is OUT OF SCOPE for the vendored path by
+    the same deliberate rule as VP8's default coefficient
+    probabilities (vp8.py docstring): its 34 Huffman code tables and
+    per-samplerate scalefactor-band tables are large opaque spec
+    blobs with no offline re-derivable structure to cross-check a
+    from-memory copy against, and a silently wrong table would CLAIM
+    decode while emitting wrong PCM — strictly worse than the typed
+    seam.  The frame/ID3 walks (mp3.py) cover triage; spectral
+    features run on the decoded formats (WAV/FLAC).
     FLAC decoding is sample-budgeted against the payload size
     (``max_samples`` overrides — see flac.py's bomb guard); PCM WAV is
     amplification-free (readframes is bounded by the actual bytes)."""
@@ -1358,6 +1456,69 @@ def webp_lz77_stats(docs: DataFrame,
             )
 
     return docs.select(id_col).mapInPandas(run, WEBP_LZ77_SCHEMA)
+
+
+PNG_PALETTE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_colors", T.IntegerType(), True),
+        T.StructField("bit_depth", T.IntegerType(), True),
+        T.StructField("sum_r", T.LongType(), True),
+        T.StructField("sum_g", T.LongType(), True),
+        T.StructField("sum_b", T.LongType(), True),
+    ]
+)
+
+
+def png_palette_stats(docs: DataFrame,
+                      id_col: str = "doc_id") -> DataFrame:
+    """EXECUTED palette-PNG decode path (round 13 — encode_png_indexed
+    + decode_png through PLTE mapping, sub-byte MSB-first unpacking,
+    and chunk CRC verification): per doc keyed on k = id %% 24, a
+    palette of n colors (n cycles 2/4/16/200 on k %% 4, spanning bit
+    depths 1/2/4/8) with channels r=(7k+13i)%%256, g=(3k+5i)%%256,
+    b=(11k+i)%%256 and an 8x6 index grid (k+x+2y) %% n; decode back
+    and emit dims + channel sums.  One Arrow batch, the
+    webp_palette_stats posture; the oracle reproduces every sum from
+    the id arithmetic, so a wrong palette map, bit-unpack order, or
+    CRC walk flips a sum and hash-mismatches."""
+    from functools import lru_cache
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        xs, ys = np.meshgrid(np.arange(8), np.arange(6))
+
+        @lru_cache(maxsize=24)
+        def stats(k: int) -> tuple:
+            n = (2, 4, 16, 200)[k % 4]
+            depth = {2: 1, 4: 2, 16: 4, 200: 8}[n]
+            i = np.arange(n)
+            pal = np.stack([(7 * k + 13 * i) % 256,
+                            (3 * k + 5 * i) % 256,
+                            (11 * k + i) % 256], axis=1).astype(np.uint8)
+            idx = (k + xs + 2 * ys) % n
+            dec = decode_png(encode_png_indexed(idx, pal, depth))
+            return (dec.shape[1], dec.shape[0], n, depth,
+                    int(dec[..., 0].sum()), int(dec[..., 1].sum()),
+                    int(dec[..., 2].sum()))
+
+        for pdf in batches:
+            out = pdf[id_col].map(lambda i: stats(int(i) % 24))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "width": out.map(lambda t: t[0]).astype("int32"),
+                    "height": out.map(lambda t: t[1]).astype("int32"),
+                    "n_colors": out.map(lambda t: t[2]).astype("int32"),
+                    "bit_depth": out.map(lambda t: t[3]).astype("int32"),
+                    "sum_r": out.map(lambda t: t[4]).astype("int64"),
+                    "sum_g": out.map(lambda t: t[5]).astype("int64"),
+                    "sum_b": out.map(lambda t: t[6]).astype("int64"),
+                }
+            )
+
+    return docs.select(id_col).mapInPandas(run, PNG_PALETTE_SCHEMA)
 
 
 WEBP_PALETTE_SCHEMA = T.StructType(

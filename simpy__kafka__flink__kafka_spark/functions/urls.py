@@ -101,3 +101,63 @@ def url_dedup(df: DataFrame, url_col: str = "url",
             F.min(id_col).cast("long").alias("keeper_doc_id"),
         )
     )
+
+
+# --- SURT keys + CDX index lines (round 13) ----------------------------------
+# The web-archive companion surface to the warc.gz front door: a CDX(J)
+# index line is "urlkey timestamp {json}" where urlkey is the SURT
+# (Sort-friendly URI Reordering Transform) of the capture URL — host
+# labels reversed and comma-joined so one host's captures sort
+# contiguously.  Public layout: the Internet Archive SURT convention /
+# the CommonCrawl cdx-00000..gz index shards.  Both stay pure row
+# expressions (zero-shuffle, zero Python).
+
+def surt_key(url: Column | str) -> Column:
+    """CommonCrawl-style urlkey: canonicalize (module rules), drop a
+    leading ``www.``, reverse the host labels comma-joined, then
+    ``)`` + the lowercased path?query (``/`` when the canonical path
+    is empty).  ``https://www.Example.org/A/b?b=2&a=1&utm_x=9`` ->
+    ``org,example)/a/b?a=1&b=2``."""
+    canon = canonicalize_url(url)
+    hostport = F.regexp_extract(canon, HOSTPORT_RE, 1)
+    # a surviving non-default port trails the REVERSED host in SURT
+    # ('org,example:8443)...'), so split it off before label reversal
+    host = F.regexp_replace(hostport, r":\d+$", "")
+    port = F.regexp_extract(hostport, r"(:\d+)$", 1)
+    host = F.regexp_replace(host, r"^www\.", "")
+    rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    tail = F.lower(F.regexp_extract(canon, REST_RE, 1))
+    return F.concat(
+        rev, port, F.lit(")"),
+        F.when(tail == "", F.lit("/")).otherwise(tail))
+
+
+CDX_LINE_RE = r"^(\S+) (\d{14}) (\{.*\})$"
+CDX_JSON_SCHEMA = ("url string, status string, mime string, "
+                   "length string, offset string, filename string")
+
+
+def cdx_parse(df: DataFrame, line_col: str = "line") -> DataFrame:
+    """Parse CDXJ index lines — ``urlkey timestamp {json}`` — into
+    typed columns (urlkey, ts, url, status, mime, length, offset,
+    filename).  Numeric JSON fields arrive as strings in real CDX
+    shards and are try_cast (a malformed capture row yields NULLs,
+    never a poison-pill); a line that does not match the three-part
+    shape yields a NULL urlkey the caller filters on.  Zero-shuffle
+    row expressions + from_json."""
+    line = F.col(line_col)
+    j = F.from_json(F.regexp_extract(line, CDX_LINE_RE, 3),
+                    CDX_JSON_SCHEMA)
+    urlkey = F.regexp_extract(line, CDX_LINE_RE, 1)
+    return df.select(
+        *[c for c in df.columns if c != line_col],
+        F.when(urlkey != "", urlkey).alias("urlkey"),
+        F.regexp_extract(line, CDX_LINE_RE, 2).try_cast("long")
+        .alias("ts"),
+        j["url"].alias("url"),
+        j["status"].try_cast("int").alias("status"),
+        j["mime"].alias("mime"),
+        j["length"].try_cast("long").alias("length"),
+        j["offset"].try_cast("long").alias("offset"),
+        j["filename"].alias("filename"),
+    )

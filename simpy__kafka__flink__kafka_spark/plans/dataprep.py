@@ -4383,6 +4383,92 @@ FROM s
 """
 
 
+def _q_cdx_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDXJ index lines (functions/urls.py:surt_key + cdx_parse — the
+    web-archive companion to the warc.gz front door): per doc, build a
+    messy capture URL (uppercase host, www, tracking param, unsorted
+    query), derive its SURT urlkey ON THE SPARK SIDE via surt_key
+    (canonicalize -> www-strip -> label-reverse -> lowercased tail),
+    format the 'urlkey ts {json}' line, and parse it back through
+    cdx_parse.  The oracle reproduces every parsed column from doc_id
+    arithmetic — a canonicalization, SURT, or parse regression
+    hash-mismatches."""
+    from ..functions.urls import cdx_parse, surt_key
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    url = F.concat(
+        F.lit("https://www.Site-"), (F.col("doc_id") % 17).cast("string"),
+        F.lit(".example.com/Page/"), F.col("doc_id").cast("string"),
+        F.lit("?b=2&a=1&utm_x=9"))
+    status = (F.when(F.col("doc_id") % 3 == 1, 301)
+              .when(F.col("doc_id") % 3 == 2, 404).otherwise(200))
+    line = F.format_string(
+        '%s %d {"url":"%s","status":"%d","mime":"text/html",'
+        '"length":"%d","offset":"%d","filename":"crawl-%05d.warc.gz"}',
+        surt_key(url), F.lit(20250000000000) + F.col("doc_id"), url,
+        status, F.col("doc_id") % 997 + 1000,
+        (F.col("doc_id") % 100) * 1731, F.col("doc_id") % 5)
+    return cdx_parse(docs.select("doc_id", line.alias("line")))
+
+
+_CDX_PARSE_SQL = """
+SELECT doc_id,
+       'com,example,site-' || CAST(doc_id % 17 AS VARCHAR)
+         || ')/page/' || CAST(doc_id AS VARCHAR) || '?a=1&b=2' AS urlkey,
+       CAST(20250000000000 + doc_id AS BIGINT) AS ts,
+       'https://www.Site-' || CAST(doc_id % 17 AS VARCHAR)
+         || '.example.com/Page/' || CAST(doc_id AS VARCHAR)
+         || '?b=2&a=1&utm_x=9' AS url,
+       CAST(CASE doc_id % 3 WHEN 1 THEN 301 WHEN 2 THEN 404
+            ELSE 200 END AS INTEGER) AS status,
+       'text/html' AS mime,
+       CAST(doc_id % 997 + 1000 AS BIGINT) AS length,
+       CAST((doc_id % 100) * 1731 AS BIGINT) AS offset,
+       'crawl-' || lpad(CAST(doc_id % 5 AS VARCHAR), 5, '0')
+         || '.warc.gz' AS filename
+FROM documents
+"""
+
+
+def _q_png_palette_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTED palette-PNG decode (round 13 —
+    functions/multimodal.py:png_palette_stats): PLTE mapping, MSB-first
+    sub-byte unpack across depths 1/2/4/8, chunk CRC verification."""
+    from ..functions.multimodal import png_palette_stats
+
+    return png_palette_stats(_docs(spark, sf_dir))
+
+
+_PNG_PALETTE_SQL = """
+WITH px AS (
+  SELECT d.doc_id, d.doc_id % 24 AS k,
+         CASE d.doc_id % 24 % 4 WHEN 0 THEN 2 WHEN 1 THEN 4
+              WHEN 2 THEN 16 ELSE 200 END AS n,
+         x.x, y.y
+  FROM documents d,
+       (SELECT unnest(generate_series(0, 7)) AS x) x,
+       (SELECT unnest(generate_series(0, 5)) AS y) y
+),
+m AS (SELECT doc_id, k, n, (k + x + 2 * y) % n AS i FROM px),
+s AS (
+  SELECT doc_id, k, n,
+         sum((7 * k + 13 * i) % 256) AS sr,
+         sum((3 * k + 5 * i) % 256) AS sg,
+         sum((11 * k + i) % 256) AS sb
+  FROM m GROUP BY 1, 2, 3
+)
+SELECT doc_id,
+       CAST(8 AS INTEGER) AS width, CAST(6 AS INTEGER) AS height,
+       CAST(n AS INTEGER) AS n_colors,
+       CAST(CASE n WHEN 2 THEN 1 WHEN 4 THEN 2 WHEN 16 THEN 4
+            ELSE 8 END AS INTEGER) AS bit_depth,
+       CAST(sr AS BIGINT) AS sum_r,
+       CAST(sg AS BIGINT) AS sum_g,
+       CAST(sb AS BIGINT) AS sum_b
+FROM s
+"""
+
+
 def _q_host_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-host crawl-quality profile (functions/crawl.py:
     host_reputation): hosts synthesized from doc_id %% 11, duplicate
@@ -6125,6 +6211,14 @@ QUERIES: dict[str, Query] = {
         _q_webp_entropy_stats, _WEBP_ENTROPY_SQL,
         "executed VP8L ENTROPY-IMAGE decode (per-tile prefix groups): "
         "sums + lossless (oracled tail row)"),
+    "cdx_parse": Query(
+        _q_cdx_parse, _CDX_PARSE_SQL,
+        "CDXJ web-archive index lines: SURT urlkey derivation "
+        "(canonicalize -> www-strip -> label-reverse) + typed parse"),
+    "png_palette_stats": Query(
+        _q_png_palette_stats, _PNG_PALETTE_SQL,
+        "executed palette-PNG decode (PLTE map, 1/2/4/8-bit MSB-first "
+        "unpack, chunk CRCs verified): dims + channel sums"),
     "webp_lz77_stats": Query(
         _q_webp_lz77_stats, _WEBP_LZ77_SQL,
         "executed VP8L NEAR-DISTANCE LZ77 decode (vendored 120-entry "

@@ -135,3 +135,44 @@ def test_snapshot_diff_classes(spark):
     got = {r.url: r.change for r in snapshot_diff(old, new).collect()}
     assert got == {"u1": "unchanged", "u2": "changed",
                    "u3": "removed", "u4": "added"}
+
+
+def test_surt_key_rules(spark):
+    """www-strip, label reversal, default-port strip via canonicalize,
+    tracking-param removal, query sort, lowercased tail, empty path."""
+    from pyspark.sql import functions as F
+
+    from simpy__kafka__flink__kafka_spark.functions.urls import surt_key
+
+    cases = [
+        ("https://www.Example.org/A/b?b=2&a=1&utm_x=9",
+         "org,example)/a/b?a=1&b=2"),
+        ("http://Sub.Host.example.COM:80/x", "com,example,host,sub)/x"),
+        ("https://example.org", "org,example)/"),
+        ("https://example.org:8443/y", "org,example:8443)/y"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r[0] for r in df.select(surt_key("url")).collect()]
+    assert got == [w for _, w in cases]
+
+
+def test_cdx_parse_typed_and_malformed(spark):
+    from simpy__kafka__flink__kafka_spark.functions.urls import cdx_parse
+
+    lines = [
+        (1, 'org,ex)/p 20250101000000 {"url":"https://ex.org/p",'
+            '"status":"200","mime":"text/html","length":"123",'
+            '"offset":"456","filename":"c-00001.warc.gz"}'),
+        (2, "not a cdx line"),
+        (3, 'org,ex)/q 20250101000001 {"url":"u","status":"30x",'
+            '"length":"oops"}'),
+    ]
+    df = spark.createDataFrame(lines, "doc_id long, line string")
+    rows = {r["doc_id"]: r for r in cdx_parse(df).collect()}
+    good = rows[1]
+    assert (good["urlkey"], good["ts"], good["status"], good["length"],
+            good["offset"]) == ("org,ex)/p", 20250101000000, 200, 123, 456)
+    assert rows[2]["urlkey"] is None          # malformed shape -> NULL key
+    bad = rows[3]                              # bad numerics -> NULL fields
+    assert bad["urlkey"] == "org,ex)/q"
+    assert bad["status"] is None and bad["length"] is None

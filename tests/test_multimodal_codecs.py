@@ -134,11 +134,82 @@ def test_png_unsupported_variants_raise_value_error():
         return (st.pack(">I", len(data)) + typ + data
                 + st.pack(">I", zlib.crc32(typ + data)))
 
-    # palette color type (3) is out of scope for the vendored decoder
+    # 16-bit depth and Adam7 interlace remain documented seams
+    for ihdr in (st.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0),
+                 st.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)):
+        bad = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+               + chunk(b"IEND", b""))
+        with pytest.raises(ValueError, match="unsupported PNG"):
+            decode_png(bad)
+    # palette without PLTE is malformed, not unsupported
     ihdr = st.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
     bad = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"IEND", b"")
-    with pytest.raises(ValueError, match="unsupported PNG"):
+    with pytest.raises(ValueError, match="missing PLTE"):
         decode_png(bad)
+
+
+def test_png_palette_all_depths_and_crc():
+    """Round-13 widening: palette PNGs at depths 1/2/4/8 decode through
+    the PLTE map (indices packed MSB-first by an independent writer);
+    chunk CRCs are verified."""
+    from simpy__kafka__flink__kafka_spark.functions.multimodal import (
+        decode_png, encode_png, encode_png_indexed)
+
+    rng = np.random.default_rng(31)
+    for depth in (1, 2, 4, 8):
+        n = 1 << min(depth, 3)
+        pal = rng.integers(0, 256, size=(n, 3), dtype=np.uint8)
+        idx = rng.integers(0, n, size=(6, 7))
+        got = decode_png(encode_png_indexed(idx, pal, depth))
+        assert np.array_equal(got, pal[idx]), depth
+    # odd widths exercise the partial last byte
+    pal = np.array([[9, 8, 7], [1, 2, 3]], np.uint8)
+    idx = np.array([[0, 1, 1], [1, 0, 0]])
+    assert np.array_equal(decode_png(encode_png_indexed(idx, pal, 1)),
+                          pal[idx])
+    # CRC corruption is a typed error, not a silent mis-decode
+    px = rng.integers(0, 256, size=(3, 3, 3), dtype=np.uint8)
+    buf = bytearray(encode_png(px))
+    buf[40] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        decode_png(bytes(buf))
+
+
+def test_png_grayscale_and_gray_alpha():
+    """Type 0 replicates gray to RGB; type 4 drops alpha — hand-built
+    streams with Up/Sub filters so the 1- and 2-byte-per-pixel filter
+    offsets are exercised."""
+    import struct as st
+    import zlib
+
+    from simpy__kafka__flink__kafka_spark.functions.multimodal import (
+        decode_png)
+
+    def chunk(typ, data):
+        return (st.pack(">I", len(data)) + typ + data
+                + st.pack(">I", zlib.crc32(typ + data)))
+
+    def png(ctype, w, h, filtered_rows):
+        ihdr = st.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+        raw = b"".join(bytes([f]) + bytes(r) for f, r in filtered_rows)
+        return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(raw))
+                + chunk(b"IEND", b""))
+
+    # gray 3x2: row0 unfiltered [10,20,30]; row1 Up-filtered (+5 each)
+    out = decode_png(png(0, 3, 2, [(0, [10, 20, 30]), (2, [5, 5, 5])]))
+    assert out.shape == (2, 3, 3)
+    assert list(out[0, :, 0]) == [10, 20, 30]
+    assert list(out[1, :, 1]) == [15, 25, 35]     # replicated channel
+    assert np.array_equal(out[:, :, 0], out[:, :, 2])
+
+    # gray+alpha 2x2 with a Sub-filtered row (bpp=2 offsets):
+    # row1 raw bytes (7, 0, 250, 0) -> gray pixels 7, (7+250)&255 = 1
+    out = decode_png(png(4, 2, 2, [(0, [50, 255, 60, 255]),
+                                   (1, [7, 0, 250, 0])]))
+    assert out.shape == (2, 2, 3)
+    assert list(out[1, :, 0]) == [7, 1]
+    assert np.array_equal(out[:, :, 0], out[:, :, 1])
 
 
 def test_resize_ppm_nearest_neighbor():
