@@ -4383,6 +4383,64 @@ FROM s
 """
 
 
+def _q_ogg_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OGG page walk (functions/ogg.py — RFC 3533 layout, page CRCs
+    verified with the spec's unreflected 0x04C11DB7 CRC): per doc,
+    build a vorbis/opus stream (codec on doc_id %% 2) with
+    1 + doc_id %% 3 audio pages of arithmetic sizes, then walk it.
+    One body per fourth doc exceeds 255 bytes so the multi-segment
+    lacing path fires at every SF.  The oracle reproduces pages,
+    granules, and byte totals from the same arithmetic."""
+    import pandas as pd
+
+    from ..functions.ogg import build_ogg, ogg_container_stats
+
+    def pack(batches):
+        for pdf in batches:
+            def doc(doc_id: int) -> bytes:
+                m = 1 + doc_id % 3
+                big = 300 if doc_id % 4 == 0 else 0
+                bodies = [b"x" * (50 + (doc_id + j) % 37 + big)
+                          for j in range(m)]
+                codec = "vorbis" if doc_id % 2 == 0 else "opus"
+                return build_ogg(codec, 1 + doc_id % 2,
+                                 48000 if doc_id % 2 else 44100, bodies)
+
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "content": pdf["doc_id"].map(doc),
+            })
+
+    media = _docs(spark, sf_dir).select("doc_id").mapInPandas(
+        pack, "doc_id long, content binary")
+    return ogg_container_stats(media)
+
+
+_OGG_AUDIO_SQL = """
+WITH m AS (
+  SELECT doc_id, 1 + doc_id % 3 AS np,
+         CASE WHEN doc_id % 4 = 0 THEN 300 ELSE 0 END AS big,
+         CASE WHEN doc_id % 2 = 0 THEN 23 ELSE 19 END AS ident_len
+  FROM documents
+),
+b AS (
+  SELECT m.doc_id,
+         sum(50 + (m.doc_id + t.j) % 37 + m.big) AS body_sum
+  FROM m, range(3) t(j) WHERE t.j < m.np GROUP BY 1
+)
+SELECT m.doc_id,
+       CAST(1 + m.np AS INTEGER) AS n_pages,
+       CAST(1 AS INTEGER) AS n_streams,
+       CASE WHEN m.doc_id % 2 = 0 THEN 'vorbis' ELSE 'opus' END AS codec,
+       CAST(1 + m.doc_id % 2 AS INTEGER) AS channels,
+       CAST(CASE WHEN m.doc_id % 2 = 0 THEN 44100 ELSE 48000 END
+            AS INTEGER) AS sample_rate,
+       CAST(960 * m.np AS BIGINT) AS last_granule,
+       CAST(m.ident_len + b.body_sum AS BIGINT) AS body_bytes
+FROM m JOIN b USING (doc_id)
+"""
+
+
 def _q_cdx_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDXJ index lines (functions/urls.py:surt_key + cdx_parse — the
     web-archive companion to the warc.gz front door): per doc, build a
@@ -6211,6 +6269,10 @@ QUERIES: dict[str, Query] = {
         _q_webp_entropy_stats, _WEBP_ENTROPY_SQL,
         "executed VP8L ENTROPY-IMAGE decode (per-tile prefix groups): "
         "sums + lossless (oracled tail row)"),
+    "ogg_audio_stats": Query(
+        _q_ogg_audio_stats, _OGG_AUDIO_SQL,
+        "OGG (RFC 3533) page walk with verified page CRCs: "
+        "vorbis/opus identity, granule duration, byte accounting"),
     "cdx_parse": Query(
         _q_cdx_parse, _CDX_PARSE_SQL,
         "CDXJ web-archive index lines: SURT urlkey derivation "

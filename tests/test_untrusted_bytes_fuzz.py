@@ -486,3 +486,36 @@ def test_id3_walk_typed_errors_only():
             assert d["has_id3"] in (0, 1) and d["n_frames"] >= 0
         except OK_ERRORS:
             pass
+
+
+def test_ogg_walk_typed_errors_only():
+    from simpy__kafka__flink__kafka_spark.functions.ogg import (
+        build_ogg, ogg_stats)
+
+    fixture = build_ogg("vorbis", 2, 44100, [b"a" * 60, b"b" * 300])
+    rng = random.Random(7621)
+    for mut in _mutations(fixture, rng):
+        try:
+            s = ogg_stats(mut)
+            assert s.n_pages >= 1 and s.body_bytes >= 0
+        except OK_ERRORS:
+            pass
+
+
+def test_png_palette_walk_typed_errors_only():
+    import numpy as np
+
+    from simpy__kafka__flink__kafka_spark.functions.multimodal import (
+        decode_png, encode_png_indexed)
+
+    rng_np = np.random.default_rng(5)
+    pal = rng_np.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    idx = rng_np.integers(0, 16, size=(6, 7))
+    fixture = encode_png_indexed(idx, pal, 4)
+    rng = random.Random(977)
+    for mut in _mutations(fixture, rng):
+        try:
+            out = decode_png(mut)
+            assert out.shape[2] == 3
+        except OK_ERRORS:
+            pass
