@@ -146,6 +146,209 @@ def pdf_stats(content: bytes) -> PdfStats:
                     scan_ok)
 
 
+# --- text extraction (round 13) ----------------------------------------------
+# The step the header triage exists to feed: pull the text-show
+# strings out of page content streams.  Scope, stated precisely:
+# classic-xref files; per-page /Contents N 0 R (direct /Length only);
+# raw or /FlateDecode streams (bounded inflate); BT..ET text blocks
+# with literal ``(..)`` strings (all spec escapes: \n \r \t \b \f
+# \( \) \\ \ooo octal, nested parens, line continuations) and hex
+# ``<..>`` strings, shown by Tj / ' / " / TJ; T* ' " Td TD start new
+# lines.  Bytes decode latin-1 — font encodings / CID+ToUnicode maps
+# are the documented seam (simple WinAnsi-ish text extracts
+# faithfully; exotic subset fonts extract as their raw codes), the
+# same honesty posture as the codec modules.
+
+_CONTENTS_RE = re.compile(rb"/Contents\s+(\d+)\s+\d+\s+R")
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?![\s\d]*R)")
+_FLATE_RE = re.compile(rb"/Filter\s*(?:\[\s*)?/FlateDecode\b")
+_STREAM_MAX = 1 << 22          # per-stream inflate budget (4 MiB)
+
+
+def _pdf_objects(buf: bytes) -> dict[int, int]:
+    """{obj_num: verified offset} from the classic xref table —
+    the pdf_stats walk's parse, shared bounds checks."""
+    t = _STARTXREF_RE.search(buf[-256:])
+    if not t:
+        raise ValueError("PDF: no startxref/%%EOF tail")
+    xref_off = int(t.group(1))
+    if xref_off >= len(buf) or buf[xref_off:xref_off + 4] != b"xref":
+        raise ValueError("PDF: startxref does not point at an xref table")
+    pos = xref_off + 4
+    while pos < len(buf) and buf[pos:pos + 1] in b"\r\n ":
+        pos += 1
+    out: dict[int, int] = {}
+    while True:
+        sm = _SUBSEC_RE.match(buf, pos)
+        if not sm:
+            break
+        first, count = int(sm.group(1)), int(sm.group(2))
+        pos = sm.end()
+        if pos + 20 * count > len(buf):
+            raise ValueError("PDF: xref subsection past end of buffer")
+        for i in range(count):
+            em = _ENTRY_RE.match(buf[pos:pos + 20].rstrip(b"\0"))
+            pos += 20
+            if not em:
+                raise ValueError("PDF: malformed xref entry")
+            if em.group(3) == b"n" and first + i != 0:
+                off = int(em.group(1))
+                hm = _OBJ_HEAD_RE.match(buf, off) if off < len(buf) \
+                    else None
+                if hm is not None and int(hm.group(1)) == first + i:
+                    out[first + i] = off
+    return out
+
+
+def _content_bytes(buf: bytes, off: int) -> bytes:
+    """One content object's stream payload, bounded and inflated."""
+    import zlib
+
+    dict_end = buf.find(b"stream", off)
+    if dict_end < 0:
+        raise ValueError("PDF: content object has no stream keyword")
+    head = buf[off:dict_end]
+    lm = _LENGTH_RE.search(head)
+    if not lm:
+        raise NotImplementedError(
+            "PDF: indirect or missing /Length unsupported (seam)")
+    length = int(lm.group(1))
+    s = dict_end + 6
+    if buf[s:s + 2] == b"\r\n":
+        s += 2
+    elif buf[s:s + 1] in (b"\n", b"\r"):
+        s += 1
+    if length > _STREAM_MAX or s + length > len(buf):
+        raise ValueError("PDF: stream length outside buffer/budget")
+    data = buf[s:s + length]
+    if _FLATE_RE.search(head):
+        try:
+            data = zlib.decompressobj().decompress(data, _STREAM_MAX + 1)
+        except zlib.error as exc:
+            raise ValueError(f"PDF: corrupt Flate stream: {exc}") from exc
+        if len(data) > _STREAM_MAX:
+            raise ValueError("PDF: stream inflates past budget")
+    return data
+
+
+_ESC = {ord("n"): b"\n", ord("r"): b"\r", ord("t"): b"\t",
+        ord("b"): b"\b", ord("f"): b"\f", ord("("): b"(",
+        ord(")"): b")", ord("\\"): b"\\"}
+
+
+def _scan_strings(data: bytes):
+    """Yield ('str', bytes) for every literal/hex string and
+    ('op', name) for every operator token, in content order."""
+    pos = 0
+    n = len(data)
+    while pos < n:
+        c = data[pos]
+        if c == 0x28:                          # ( literal string
+            pos += 1
+            depth = 1
+            out = bytearray()
+            while pos < n and depth:
+                b = data[pos]
+                if b == 0x5C and pos + 1 < n:  # backslash escape
+                    nb = data[pos + 1]
+                    if 0x30 <= nb <= 0x37:     # octal \ooo (1-3 digits)
+                        oct_s = 0
+                        k = 0
+                        while (k < 3 and pos + 1 + k < n
+                               and 0x30 <= data[pos + 1 + k] <= 0x37):
+                            oct_s = oct_s * 8 + (data[pos + 1 + k] - 0x30)
+                            k += 1
+                        out.append(oct_s & 0xFF)
+                        pos += 1 + k
+                    elif nb in (0x0A, 0x0D):   # line continuation
+                        pos += 2
+                        if (nb == 0x0D and pos < n
+                                and data[pos] == 0x0A):
+                            pos += 1
+                    else:
+                        out += _ESC.get(nb, bytes([nb]))
+                        pos += 2
+                    continue
+                if b == 0x28:
+                    depth += 1
+                elif b == 0x29:
+                    depth -= 1
+                    if not depth:
+                        pos += 1
+                        break
+                out.append(b)
+                pos += 1
+            else:
+                if depth:
+                    raise ValueError("PDF: unterminated literal string")
+            yield "str", bytes(out)
+        elif c == 0x3C and data[pos + 1:pos + 2] != b"<":   # <hex>
+            end = data.find(b">", pos)
+            if end < 0:
+                raise ValueError("PDF: unterminated hex string")
+            hx = bytes(ch for ch in data[pos + 1:end]
+                       if not chr(ch).isspace())
+            if len(hx) % 2:
+                hx += b"0"                     # spec: odd length pads 0
+            try:
+                yield "str", bytes.fromhex(hx.decode("ascii"))
+            except (ValueError, UnicodeDecodeError) as exc:
+                raise ValueError("PDF: bad hex string") from exc
+            pos = end + 1
+        elif (0x41 <= c <= 0x5A or 0x61 <= c <= 0x7A
+              or c in (0x27, 0x22, 0x2A)):     # operator (incl ' " *)
+            end = pos
+            while end < n and (0x41 <= data[end] <= 0x5A
+                               or 0x61 <= data[end] <= 0x7A
+                               or data[end] in (0x27, 0x22, 0x2A)):
+                end += 1
+            yield "op", data[pos:end].decode("latin-1")
+            pos = end
+        else:
+            pos += 1
+
+
+def pdf_extract_text(content: bytes) -> str:
+    """Text of every page's content stream, in page order (see the
+    scope note above).  Tj/'/"/TJ append their string operands;
+    T*/'/"/Td/TD break lines; pages join with a blank line."""
+    buf = bytes(content)
+    if not _HEADER_RE.match(buf):
+        raise ValueError("not a PDF (missing %PDF- header)")
+    objs = _pdf_objects(buf)
+    pages: list[int] = []
+    for num in sorted(objs):
+        off = objs[num]
+        window_end = min(off + _OBJ_SCAN_WINDOW, len(buf))
+        endobj = buf.find(b"endobj", off, window_end)
+        window = buf[off: endobj if endobj >= 0 else window_end]
+        if _TYPE_PAGE_RE.search(window):
+            cm = _CONTENTS_RE.search(window)
+            if cm:
+                pages.append(int(cm.group(1)))
+    out_pages: list[str] = []
+    for cnum in pages:
+        if cnum not in objs:
+            raise ValueError(f"PDF: /Contents {cnum} not in xref")
+        data = _content_bytes(buf, objs[cnum])
+        lines: list[list[bytes]] = [[]]
+        pending: list[bytes] = []
+        for kind, val in _scan_strings(data):
+            if kind == "str":
+                pending.append(val)
+                continue
+            if val in ("Td", "TD", "T*", "'", '"') and lines[-1]:
+                lines.append([])
+            if val in ("Tj", "TJ", "'", '"'):
+                lines[-1].extend(pending)
+            pending = []
+        text = "\n".join(
+            b"".join(parts).decode("latin-1")
+            for parts in lines if parts)
+        out_pages.append(text)
+    return "\n\n".join(p for p in out_pages if p)
+
+
 def build_pdf(n_pages: int, version: str = "1.4") -> bytes:
     """Minimal classic-xref PDF fixture writer: catalog + pages node +
     ``n_pages`` page objects + one shared content stream, with REAL
@@ -171,6 +374,56 @@ def build_pdf(n_pages: int, version: str = "1.4") -> bytes:
     out += b"xref\n"
     out += b"0 %d\n" % (len(objs) + 1)
     out += b"0000000000 65535 f \n"
+    for off in offsets:
+        out += b"%010d 00000 n \n" % off
+    out += (b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF"
+            % (len(objs) + 1, xref_off))
+    return bytes(out)
+
+
+def build_pdf_text(pages_text: list[str], version: str = "1.4",
+                   flate: bool = True) -> bytes:
+    """Classic-xref fixture writer with REAL per-page text content
+    streams: each page's text becomes ``BT .. (line) Tj T* .. ET``
+    (lines split on newline; ``( ) \\`` escaped the spec way),
+    Flate-compressed by default.  Offsets computed honestly like
+    :func:`build_pdf`; the writer's escaping is independent of the
+    reader's unescaping, so a mirrored bug cannot hide."""
+    import zlib
+
+    n_pages = len(pages_text)
+    objs: list[bytes] = []
+    kids = " ".join(f"{3 + i} 0 R" for i in range(n_pages))
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objs.append((f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>"
+                 ).encode())
+    for i in range(n_pages):
+        objs.append(b"<< /Type /Page /Parent 2 0 R /MediaBox "
+                    b"[0 0 612 792] /Contents %d 0 R >>"
+                    % (3 + n_pages + i))
+    for text in pages_text:
+        shows = []
+        for j, line in enumerate(text.split("\n")):
+            esc = (line.replace("\\", "\\\\").replace("(", "\\(")
+                   .replace(")", "\\)"))
+            shows.append(("T* " if j else "")
+                         + "(" + esc + ") Tj")
+        body = ("BT /F1 12 Tf 14 TL 72 720 Td "
+                + " ".join(shows) + " ET").encode("latin-1")
+        if flate:
+            body = zlib.compress(body)
+            head = b"<< /Length %d /Filter /FlateDecode >>" % len(body)
+        else:
+            head = b"<< /Length %d >>" % len(body)
+        objs.append(head + b"\nstream\n" + body + b"\nendstream")
+
+    out = bytearray(f"%PDF-{version}\n".encode())
+    offsets = []
+    for i, body in enumerate(objs):
+        offsets.append(len(out))
+        out += b"%d 0 obj\n" % (i + 1) + body + b"\nendobj\n"
+    xref_off = len(out)
+    out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1)
     for off in offsets:
         out += b"%010d 00000 n \n" % off
     out += (b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF"

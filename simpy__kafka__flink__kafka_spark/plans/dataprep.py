@@ -4383,6 +4383,77 @@ FROM s
 """
 
 
+def _q_pdf_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF text extraction (functions/pdffmt.py:pdf_extract_text —
+    xref-walked /Contents streams, bounded Flate inflate, BT..ET
+    literal/hex strings with all spec escapes): two-page fixtures
+    whose page-1 text carries parens, backslashes, and a newline (the
+    T* line-break path), page 2 plain — writer escaping independent
+    of reader unescaping.  Every third doc's streams are
+    UNCOMPRESSED so both filter arms fire at every SF.  The oracle
+    reproduces the extracted text verbatim from doc_id arithmetic."""
+    import pandas as pd
+
+    from ..functions.pdffmt import build_pdf_text
+
+    def pack(batches):
+        for pdf in batches:
+            def doc(doc_id: int) -> bytes:
+                p1 = (f"Doc {doc_id} (section {doc_id % 7})\n"
+                      f"path C:\\data\\{doc_id % 5}")
+                p2 = f"tail page for {doc_id % 11}"
+                return build_pdf_text([p1, p2],
+                                      flate=(doc_id % 3 != 0))
+
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "content": pdf["doc_id"].map(doc),
+            })
+
+    media = _docs(spark, sf_dir).select("doc_id").mapInPandas(
+        pack, "doc_id long, content binary")
+
+    from collections.abc import Iterator
+
+    from pyspark.sql import types as T
+
+    from ..functions.pdffmt import pdf_extract_text
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("n_chars", T.IntegerType(), True),
+        T.StructField("text", T.StringType(), True),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as pd
+
+        for pdf in batches:
+            txt = pdf["content"].map(
+                lambda b: pdf_extract_text(bytes(b)))
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "n_chars": txt.map(len).astype("int32"),
+                "text": txt,
+            })
+
+    return media.mapInPandas(run, schema)
+
+
+_PDF_TEXT_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         'Doc ' || CAST(doc_id AS VARCHAR) || ' (section '
+           || CAST(doc_id % 7 AS VARCHAR) || ')' || chr(10)
+           || 'path C:\data\' || CAST(doc_id % 5 AS VARCHAR)
+           || chr(10) || chr(10)
+           || 'tail page for ' || CAST(doc_id % 11 AS VARCHAR) AS text
+  FROM documents
+)
+SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars, text FROM t
+"""
+
+
 def _q_ogg_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OGG page walk (functions/ogg.py — RFC 3533 layout, page CRCs
     verified with the spec's unreflected 0x04C11DB7 CRC): per doc,
@@ -6269,6 +6340,10 @@ QUERIES: dict[str, Query] = {
         _q_webp_entropy_stats, _WEBP_ENTROPY_SQL,
         "executed VP8L ENTROPY-IMAGE decode (per-tile prefix groups): "
         "sums + lossless (oracled tail row)"),
+    "pdf_text_extract": Query(
+        _q_pdf_text_extract, _PDF_TEXT_SQL,
+        "PDF page-text extraction: xref-walked /Contents, bounded "
+        "Flate inflate, BT..ET string operators with all escapes"),
     "ogg_audio_stats": Query(
         _q_ogg_audio_stats, _OGG_AUDIO_SQL,
         "OGG (RFC 3533) page walk with verified page CRCs: "

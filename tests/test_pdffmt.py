@@ -94,3 +94,71 @@ def test_size_overflow_typed():
     raw = build_pdf(1).replace(b"/Size 5", b"/Size 99999999999")
     with pytest.raises(ValueError, match="plausible"):
         pdf_stats(raw)
+
+
+def test_pdf_text_extraction_roundtrip_and_escapes():
+    from simpy__kafka__flink__kafka_spark.functions.pdffmt import (
+        _scan_strings, build_pdf, build_pdf_text, pdf_extract_text)
+
+    pdf = build_pdf_text(
+        ["Hello (world)\nsecond \\ line", "page two"])
+    assert pdf_extract_text(pdf) == \
+        "Hello (world)\nsecond \\ line\n\npage two"
+    # uncompressed stream arm
+    assert pdf_extract_text(build_pdf_text(["plain"], flate=False)) \
+        == "plain"
+    # the stats fixture's empty shared content stream -> empty text
+    assert pdf_extract_text(build_pdf(2)) == ""
+    # hex strings, TJ arrays, quote operators, octal + nested parens
+    toks = list(_scan_strings(
+        b"BT [<48656c6c6f> -200 (World)] TJ (x) ' ET"))
+    assert ("str", b"Hello") in toks and ("op", "TJ") in toks
+    toks2 = list(_scan_strings(rb"(\110i \(nested (deep)\) \101) Tj"))
+    assert toks2[0] == ("str", b"Hi (nested (deep)) A")
+    # odd-length hex pads a trailing 0 per spec
+    toks3 = list(_scan_strings(b"<414> Tj"))
+    assert toks3[0] == ("str", b"\x41\x40")
+
+
+def test_pdf_text_typed_errors():
+    import zlib
+
+    import pytest
+
+    from simpy__kafka__flink__kafka_spark.functions.pdffmt import (
+        build_pdf_text, pdf_extract_text)
+
+    good = build_pdf_text(["content here"])
+    # corrupt the flate payload -> typed
+    bad = bytearray(good)
+    s = bytes(bad).find(b"stream\n") + 7
+    bad[s + 2] ^= 0xFF
+    with pytest.raises(ValueError):
+        pdf_extract_text(bytes(bad))
+    with pytest.raises(ValueError, match="missing %PDF"):
+        pdf_extract_text(b"nope")
+    # unterminated literal string in an uncompressed stream
+    raw = build_pdf_text(["abc"], flate=False).replace(b"(abc)", b"(abc ")
+    # (the xref offsets shifted zero bytes: same length replacement? no
+    #  -- '(abc ' is same 5 bytes as '(abc)' so offsets hold)
+    with pytest.raises(ValueError, match="unterminated"):
+        pdf_extract_text(raw)
+
+
+def test_pdf_text_fuzz_typed_errors_only():
+    import random
+
+    from simpy__kafka__flink__kafka_spark.functions.pdffmt import (
+        build_pdf_text, pdf_extract_text)
+
+    fixture = build_pdf_text(["fuzz page (one)\nline"], flate=True)
+    rng = random.Random(5150)
+    for _ in range(300):
+        mut = bytearray(fixture)
+        for _ in range(rng.randint(1, 4)):
+            mut[rng.randrange(len(mut))] = rng.randrange(256)
+        try:
+            out = pdf_extract_text(bytes(mut))
+            assert isinstance(out, str)
+        except (ValueError, NotImplementedError):
+            pass
