@@ -129,13 +129,14 @@ def decode_png(content: bytes) -> np.ndarray:
 
     Supported (round 13 widened to the full crawled-web spread):
     truecolor (type 2) and truecolor+alpha (type 6) at bit depth 8,
-    grayscale (type 0) and gray+alpha (type 4) at depth 8, and PALETTE
+    grayscale (type 0) and gray+alpha (type 4) at depth 8, PALETTE
     (type 3) at depths 1/2/4/8 — the icon/logo shape that dominates
-    small web images — all non-interlaced.  Every chunk's CRC is
-    VERIFIED (a corrupt chunk is a typed error, not a silent
-    mis-decode).  Alpha is dropped (same contract as PIL's
-    ``convert("RGB")`` on opaque images); gray replicates to RGB.
-    16-bit and interlaced (Adam7) raise ValueError — documented seams.
+    small web images — and Adam7 INTERLACED streams of all the above
+    (seven independently-filtered sub-images scattered on the spec's
+    8x8 grid).  Every chunk's CRC is VERIFIED (a corrupt chunk is a
+    typed error, not a silent mis-decode).  Alpha is dropped (same
+    contract as PIL's ``convert("RGB")`` on opaque images); gray
+    replicates to RGB.  16-bit raises ValueError — documented seam.
     Sub/Avg/Paeth rows defilter in per-byte python (sequential
     dependency); fine for the fixture/test sizes this vendored path
     serves — a production deployment swaps PIL in at the same seam.
@@ -147,6 +148,7 @@ def decode_png(content: bytes) -> np.ndarray:
         raise ValueError("not a PNG")
     pos, idat = 8, []
     w = h = ctype = bitd = None
+    interlace = 0
     plte = None
     while pos + 8 <= len(buf):
         ln = int.from_bytes(buf[pos:pos + 4], "big")
@@ -168,7 +170,7 @@ def decode_png(content: bytes) -> np.ndarray:
             bitd, ctype, interlace = data[8], data[9], data[12]
             ok = ((ctype in (2, 6, 0, 4) and bitd == 8)
                   or (ctype == 3 and bitd in (1, 2, 4, 8)))
-            if not ok or interlace:
+            if not ok or interlace > 1:
                 raise ValueError(
                     f"unsupported PNG (bit depth {bitd}, color type "
                     f"{ctype}, interlace {interlace})")
@@ -188,8 +190,63 @@ def decode_png(content: bytes) -> np.ndarray:
     # filter arithmetic works on BYTES: bpp is the per-pixel byte
     # offset (1 for sub-byte depths), stride the packed row length
     ch = max(1, (nch * bitd) // 8)
-    stride = (w * nch * bitd + 7) // 8
-    expected = h * (stride + 1)
+
+    def defilter(raw: bytes, off: int, pw: int, ph: int) -> np.ndarray:
+        """One (sub-)image's scanlines -> (ph, pw[, nch]) samples."""
+        stride = (pw * nch * bitd + 7) // 8
+        out = np.empty((ph, stride), np.uint8)
+        prev = np.zeros(stride, np.int32)
+        for y in range(ph):
+            f = raw[off + y * (stride + 1)]
+            line = np.frombuffer(
+                raw, np.uint8, stride, off + y * (stride + 1) + 1
+            ).astype(np.int32)
+            if f == 1:  # Sub
+                for x in range(ch, stride):
+                    line[x] = (line[x] + line[x - ch]) & 0xFF
+            elif f == 2:  # Up
+                line = (line + prev) & 0xFF
+            elif f == 3:  # Average
+                for x in range(stride):
+                    left = line[x - ch] if x >= ch else 0
+                    line[x] = (line[x] + ((left + prev[x]) >> 1)) & 0xFF
+            elif f == 4:  # Paeth
+                for x in range(stride):
+                    a = line[x - ch] if x >= ch else 0
+                    b = prev[x]
+                    c = prev[x - ch] if x >= ch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pr = (a if (pa <= pb and pa <= pc)
+                          else (b if pb <= pc else c))
+                    line[x] = (line[x] + pr) & 0xFF
+            elif f != 0:
+                raise ValueError(f"bad PNG filter type {f}")
+            out[y] = line.astype(np.uint8)
+            prev = line
+        if bitd < 8:
+            # unpack MSB-first bit groups to one index/sample per pixel
+            bits = np.unpackbits(out, axis=1)[:, :pw * bitd]
+            weights = (1 << np.arange(bitd - 1, -1, -1)).astype(np.uint8)
+            return (bits.reshape(ph, pw, bitd) * weights).sum(
+                axis=2).astype(np.uint8)
+        return out.reshape(ph, pw, nch)
+
+    if interlace:
+        # Adam7 (PNG spec §8.2): seven sub-images on an 8x8 grid,
+        # each independently filtered.  The (x0, y0, xstep, ystep)
+        # table is pinned in tests by the partition property: the
+        # seven lattices tile the 8x8 grid exactly once.
+        passes = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8),
+                  (2, 0, 4, 4), (0, 2, 2, 4), (1, 0, 2, 2),
+                  (0, 1, 1, 2)]
+        dims = [(-(-(w - x0) // xs) if w > x0 else 0,
+                 -(-(h - y0) // ys) if h > y0 else 0)
+                for x0, y0, xs, ys in passes]
+        expected = sum(ph * ((pw * nch * bitd + 7) // 8 + 1)
+                       for pw, ph in dims if pw and ph)
+    else:
+        expected = h * ((w * nch * bitd + 7) // 8 + 1)
     # bounded inflate: a crafted IDAT must not expand past the raster
     # the header promised (the zlib cousin of the VP8L pixel-budget
     # bomb — deflate expands up to ~1000:1, so an unbounded
@@ -201,43 +258,21 @@ def decode_png(content: bytes) -> np.ndarray:
         raise ValueError(f"corrupt PNG IDAT stream: {exc}") from exc
     if len(raw) != expected:
         raise ValueError("PNG raster length mismatch")
-    out = np.empty((h, stride), np.uint8)
-    prev = np.zeros(stride, np.int32)
-    for y in range(h):
-        f = raw[y * (stride + 1)]
-        line = np.frombuffer(
-            raw, np.uint8, stride, y * (stride + 1) + 1
-        ).astype(np.int32)
-        if f == 1:  # Sub
-            for x in range(ch, stride):
-                line[x] = (line[x] + line[x - ch]) & 0xFF
-        elif f == 2:  # Up
-            line = (line + prev) & 0xFF
-        elif f == 3:  # Average
-            for x in range(stride):
-                left = line[x - ch] if x >= ch else 0
-                line[x] = (line[x] + ((left + prev[x]) >> 1)) & 0xFF
-        elif f == 4:  # Paeth
-            for x in range(stride):
-                a = line[x - ch] if x >= ch else 0
-                b = prev[x]
-                c = prev[x - ch] if x >= ch else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                line[x] = (line[x] + pr) & 0xFF
-        elif f != 0:
-            raise ValueError(f"bad PNG filter type {f}")
-        out[y] = line.astype(np.uint8)
-        prev = line
-    if bitd < 8:
-        # unpack MSB-first bit groups to one index/sample per pixel
-        bits = np.unpackbits(out, axis=1)[:, :w * bitd]
-        weights = (1 << np.arange(bitd - 1, -1, -1)).astype(np.uint8)
-        samples = (bits.reshape(h, w, bitd) * weights).sum(
-            axis=2).astype(np.uint8)
+    if interlace:
+        samples = np.zeros((h, w, 1 if bitd < 8 else nch), np.uint8)
+        off = 0
+        for (x0, y0, xs, ys), (pw, ph) in zip(passes, dims):
+            if not pw or not ph:
+                continue
+            ps = defilter(raw, off, pw, ph)
+            if ps.ndim == 2:
+                ps = ps[:, :, None]
+            samples[y0::ys, x0::xs] = ps
+            off += ph * ((pw * nch * bitd + 7) // 8 + 1)
+        if bitd < 8:
+            samples = samples[:, :, 0]
     else:
-        samples = out.reshape(h, w, nch)
+        samples = defilter(raw, 0, w, h)
     if ctype == 3:
         idx = samples if bitd < 8 else samples[:, :, 0]
         if int(idx.max(initial=0)) >= len(plte):

@@ -134,9 +134,9 @@ def test_png_unsupported_variants_raise_value_error():
         return (st.pack(">I", len(data)) + typ + data
                 + st.pack(">I", zlib.crc32(typ + data)))
 
-    # 16-bit depth and Adam7 interlace remain documented seams
+    # 16-bit depth remains the documented seam (Adam7 decodes now)
     for ihdr in (st.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0),
-                 st.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)):
+                 st.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 2)):
         bad = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
                + chunk(b"IEND", b""))
         with pytest.raises(ValueError, match="unsupported PNG"):
@@ -341,3 +341,72 @@ def test_audio_spectral_stats_matches_oracle(spark, sf_dir):
     q = registry()["audio_spectral_stats"]
     assert_match(q.build(spark, sf_dir), q.oracle, sf_dir,
                  "audio_spectral_stats")
+
+
+def test_png_adam7_interlace_all_types():
+    """Round-13: Adam7 streams decode — the test writer slices the
+    seven passes independently of the decoder's scatter and emits
+    each sub-image with its own filter bytes."""
+    import struct as st
+    import zlib
+
+    from simpy__kafka__flink__kafka_spark.functions.multimodal import (
+        decode_png)
+
+    PASSES = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+              (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    # the spec table's defining property: the seven lattices tile the
+    # 8x8 grid exactly once (a wrong offset/step double-covers or
+    # leaves holes — the mirror-proof check)
+    cover = np.zeros((8, 8), int)
+    for x0, y0, xs, ys in PASSES:
+        cover[y0::ys, x0::xs] += 1
+    assert (cover == 1).all()
+
+    def chunk(typ, data):
+        return (st.pack(">I", len(data)) + typ + data
+                + st.pack(">I", zlib.crc32(typ + data)))
+
+    def adam7_png(px, ctype, bitd=8, plte=None):
+        h, w = px.shape[:2]
+        nch = {0: 1, 2: 3, 3: 1}[ctype]
+        raw = bytearray()
+        for x0, y0, xs, ys in PASSES:
+            sub = px[y0::ys, x0::xs]
+            if sub.size == 0:
+                continue
+            for row in sub:
+                raw.append(0)                        # filter None
+                if bitd == 8:
+                    raw += np.asarray(row, np.uint8).tobytes()
+                else:
+                    acc = bits = 0
+                    for v in np.atleast_1d(row).reshape(-1):
+                        acc = (acc << bitd) | int(v)
+                        bits += bitd
+                        if bits == 8:
+                            raw.append(acc)
+                            acc = bits = 0
+                    if bits:
+                        raw.append(acc << (8 - bits))
+        ihdr = st.pack(">IIBBBBB", w, h, bitd, ctype, 0, 0, 1)
+        out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        if plte is not None:
+            out += chunk(b"PLTE", plte.tobytes())
+        return (out + chunk(b"IDAT", zlib.compress(bytes(raw)))
+                + chunk(b"IEND", b""))
+
+    rng = np.random.default_rng(41)
+    # truecolor, several sizes incl. dims < 8 (empty passes)
+    for h, w in [(16, 16), (9, 13), (5, 3), (1, 1), (2, 10)]:
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert np.array_equal(decode_png(adam7_png(px, 2)), px), (h, w)
+    # grayscale
+    g = rng.integers(0, 256, size=(11, 7), dtype=np.uint8)
+    out = decode_png(adam7_png(g, 0))
+    assert np.array_equal(out[:, :, 0], g)
+    # palette at depth 4
+    pal = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, size=(10, 9)).astype(np.uint8)
+    out = decode_png(adam7_png(idx, 3, bitd=4, plte=pal))
+    assert np.array_equal(out, pal[idx])
