@@ -350,10 +350,17 @@ def main() -> None:
         import re as _re
 
         here = os.path.dirname(os.path.abspath(__file__))
+        # current round = newest recorded round + 1, over BOTH artifact
+        # families (they land together at end-of-round).  Inference is
+        # only stale if bench re-runs AFTER the driver records this
+        # round's artifacts — the payload's wall-clock stamp makes
+        # that detectable when diffing (review find).
         rounds = [int(m.group(1))
                   for f in os.listdir(here)
-                  for m in [_re.match(r"BENCH_r(\d+)\.json$", f)] if m]
+                  for m in [_re.match(
+                      r"(?:BENCH|CORRECTNESS)_r(\d+)\.json$", f)] if m]
         rnd = (max(rounds) + 1) if rounds else 0
+        payload["bench_unix"] = int(time.time())
         detail_path = os.path.join(here, f"BENCH_DETAIL_r{rnd:02d}.json")
         with open(detail_path, "w") as fh:
             json.dump(payload, fh, indent=1, sort_keys=True)

@@ -22,7 +22,6 @@ from __future__ import annotations
 import argparse
 import json
 import sys
-import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
@@ -34,7 +33,7 @@ from simpy__kafka__flink__kafka_spark.functions.quality import (  # noqa: E402
 from simpy__kafka__flink__kafka_spark.functions.text import words  # noqa: E402
 from simpy__kafka__flink__kafka_spark.session import get_spark  # noqa: E402
 
-from scale_run import shifted_docs  # noqa: E402
+from experiments.scale_run import materialize, shifted_docs  # noqa: E402
 
 
 def bigram_counts(docs) -> "DataFrame":
@@ -51,12 +50,6 @@ def bigram_counts(docs) -> "DataFrame":
             .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2")))
 
 
-def materialize(df) -> float:
-    t0 = time.perf_counter()
-    df.write.format("noop").mode("overwrite").save()
-    return time.perf_counter() - t0
-
-
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
@@ -70,7 +63,12 @@ def main() -> None:
     # the fixed reference LM: bigram counts over a bounded sample of
     # the BASE corpus — its size does not grow with the corpus
     base = spark.read.parquet(f"{args.sf}/documents.parquet")
-    sample = base.where(F.col("doc_id") % 101 < 17).limit(args.sample_docs)
+    # orderBy before limit: a bare limit is nondeterministic across
+    # recomputations (clearCache() drops the pin below), which would
+    # quietly train each measurement point's "fixed" LM on different
+    # docs (review find)
+    sample = (base.where(F.col("doc_id") % 101 < 17)
+              .orderBy("doc_id").limit(args.sample_docs))
     ref_counts = bigram_counts(sample).cache()
     ref_counts.count()
 

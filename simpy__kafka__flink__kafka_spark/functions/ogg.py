@@ -26,17 +26,23 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-_CRC_TABLE: list[int] = []
+_CRC_TABLE: tuple[int, ...] = ()
 
 
-def _crc_table() -> list[int]:
+def _crc_table() -> tuple[int, ...]:
+    global _CRC_TABLE
     if not _CRC_TABLE:
+        # build locally, assign ONCE: two threads racing the first
+        # call must each produce the full table, never interleave
+        # appends into a shared list (review find)
+        tab = []
         for i in range(256):
             r = i << 24
             for _ in range(8):
                 r = ((r << 1) ^ 0x04C11DB7 if r & 0x80000000
                      else r << 1) & 0xFFFFFFFF
-            _CRC_TABLE.append(r)
+            tab.append(r)
+        _CRC_TABLE = tuple(tab)
     return _CRC_TABLE
 
 

@@ -52,19 +52,14 @@ class PdfStats:
     scan_ok: int
 
 
-def pdf_stats(content: bytes) -> PdfStats:
-    """Walk one classic-xref PDF.  ``n_objects`` counts in-use ('n')
-    xref entries whose offset actually lands on the declared object
-    header (a mismatch makes ``xref_ok`` 0 rather than mis-walking);
-    ``n_pages`` counts in-use objects whose dictionary says
-    ``/Type /Page``."""
-    buf = bytes(content)
-    m = _HEADER_RE.match(buf)
-    if not m:
-        raise ValueError("not a PDF (missing %PDF- header)")
-    version = m.group(1).decode()
-    tail = buf[-256:]
-    t = _STARTXREF_RE.search(tail)
+def _walk_xref(buf: bytes) -> tuple[list[tuple[int, int, bool]], int]:
+    """ONE classic-xref walk shared by :func:`pdf_stats` and the text
+    extractor (round-13 review: the two had drifted into near-copies).
+    Returns ``[(obj_num, offset, header_verified)]`` for every in-use
+    entry, in table order, plus the position just past the table
+    (where ``trailer`` follows).  Typed errors: missing tail, the PDF
+    1.5+ xref-STREAM seam, the entry-count bomb, malformed entries."""
+    t = _STARTXREF_RE.search(buf[-256:])
     if not t:
         raise ValueError("PDF: no startxref/%%EOF tail")
     xref_off = int(t.group(1))
@@ -79,10 +74,7 @@ def pdf_stats(content: bytes) -> PdfStats:
     pos = xref_off + 4
     while pos < len(buf) and buf[pos: pos + 1] in b"\r\n ":
         pos += 1
-    n_objects = 0
-    n_pages = 0
-    xref_ok = 1
-    scan_ok = 1
+    out: list[tuple[int, int, bool]] = []
     while True:
         sm = _SUBSEC_RE.match(buf, pos)
         if not sm:
@@ -103,29 +95,58 @@ def pdf_stats(content: bytes) -> PdfStats:
             off, _gen, kind = int(em.group(1)), em.group(2), em.group(3)
             if kind != b"n" or first + i == 0:
                 continue
-            obj_num = first + i
             # ONE module-level pattern matched at off (Pattern.match
             # anchors at off; a ^ would re-anchor at the string start
             # and never fire) — a per-entry compiled pattern thrashed
             # the re cache past 512 objects (review find)
             hm = _OBJ_HEAD_RE.match(buf, off) if off < len(buf) else None
-            if hm is None or int(hm.group(1)) != obj_num:
-                xref_ok = 0
-                continue
-            n_objects += 1
-            window_end = min(off + _OBJ_SCAN_WINDOW, len(buf))
-            endobj = buf.find(b"endobj", off, window_end)
-            if endobj < 0:
-                # object bigger than the bounded scan window: /Type
-                # may sit past the cut, so the page count is a LOWER
-                # bound — visible via scan_ok=0, never silently wrong
-                # (ADVICE r12; the window stays bounded so a crafted
-                # endobj-free file cannot force O(n^2) rescans)
-                scan_ok = 0
-            body = buf[off: endobj if endobj >= 0 else window_end]
-            # \b excludes '/Type /Pages' (the tree node) by itself
-            if _TYPE_PAGE_RE.search(body):
-                n_pages += 1
+            verified = hm is not None and int(hm.group(1)) == first + i
+            out.append((first + i, off, verified))
+    return out, pos
+
+
+def _obj_window(buf: bytes, off: int) -> bytes | None:
+    """The object's body up to its ``endobj``, bounded by the scan
+    window; None when endobj is not found within the window (the
+    caller decides how to surface the truncation)."""
+    window_end = min(off + _OBJ_SCAN_WINDOW, len(buf))
+    endobj = buf.find(b"endobj", off, window_end)
+    return buf[off:endobj] if endobj >= 0 else None
+
+
+def pdf_stats(content: bytes) -> PdfStats:
+    """Walk one classic-xref PDF.  ``n_objects`` counts in-use ('n')
+    xref entries whose offset actually lands on the declared object
+    header (a mismatch makes ``xref_ok`` 0 rather than mis-walking);
+    ``n_pages`` counts in-use objects whose dictionary says
+    ``/Type /Page``."""
+    buf = bytes(content)
+    m = _HEADER_RE.match(buf)
+    if not m:
+        raise ValueError("not a PDF (missing %PDF- header)")
+    version = m.group(1).decode()
+    entries, pos = _walk_xref(buf)
+    n_objects = 0
+    n_pages = 0
+    xref_ok = 1
+    scan_ok = 1
+    for _obj_num, off, verified in entries:
+        if not verified:
+            xref_ok = 0
+            continue
+        n_objects += 1
+        body = _obj_window(buf, off)
+        if body is None:
+            # object bigger than the bounded scan window: /Type may
+            # sit past the cut, so the page count is a LOWER bound —
+            # visible via scan_ok=0, never silently wrong (ADVICE
+            # r12; the window stays bounded so a crafted endobj-free
+            # file cannot force O(n^2) rescans)
+            scan_ok = 0
+            body = buf[off: off + _OBJ_SCAN_WINDOW]
+        # \b excludes '/Type /Pages' (the tree node) by itself
+        if _TYPE_PAGE_RE.search(body):
+            n_pages += 1
     trailer_at = buf.find(b"trailer", pos - 1)
     if trailer_at < 0:
         raise ValueError("PDF: missing trailer")
@@ -160,51 +181,38 @@ def pdf_stats(content: bytes) -> PdfStats:
 # same honesty posture as the codec modules.
 
 _CONTENTS_RE = re.compile(rb"/Contents\s+(\d+)\s+\d+\s+R")
+_TYPE_PAGES_RE = re.compile(rb"/Type\s*/Pages\b")
+_KIDS_RE = re.compile(rb"/Kids\s*\[([^\]]*)\]")
+_REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
+
+
+def _kids_of(w: bytes) -> list[int]:
+    m = _KIDS_RE.search(w)
+    return ([int(r.group(1)) for r in _REF_RE.finditer(m.group(1))]
+            if m else [])
 _LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?![\s\d]*R)")
 _FLATE_RE = re.compile(rb"/Filter\s*(?:\[\s*)?/FlateDecode\b")
 _STREAM_MAX = 1 << 22          # per-stream inflate budget (4 MiB)
 
 
 def _pdf_objects(buf: bytes) -> dict[int, int]:
-    """{obj_num: verified offset} from the classic xref table —
-    the pdf_stats walk's parse, shared bounds checks."""
-    t = _STARTXREF_RE.search(buf[-256:])
-    if not t:
-        raise ValueError("PDF: no startxref/%%EOF tail")
-    xref_off = int(t.group(1))
-    if xref_off >= len(buf) or buf[xref_off:xref_off + 4] != b"xref":
-        raise ValueError("PDF: startxref does not point at an xref table")
-    pos = xref_off + 4
-    while pos < len(buf) and buf[pos:pos + 1] in b"\r\n ":
-        pos += 1
-    out: dict[int, int] = {}
-    while True:
-        sm = _SUBSEC_RE.match(buf, pos)
-        if not sm:
-            break
-        first, count = int(sm.group(1)), int(sm.group(2))
-        pos = sm.end()
-        if pos + 20 * count > len(buf):
-            raise ValueError("PDF: xref subsection past end of buffer")
-        for i in range(count):
-            em = _ENTRY_RE.match(buf[pos:pos + 20].rstrip(b"\0"))
-            pos += 20
-            if not em:
-                raise ValueError("PDF: malformed xref entry")
-            if em.group(3) == b"n" and first + i != 0:
-                off = int(em.group(1))
-                hm = _OBJ_HEAD_RE.match(buf, off) if off < len(buf) \
-                    else None
-                if hm is not None and int(hm.group(1)) == first + i:
-                    out[first + i] = off
-    return out
+    """{obj_num: verified offset} via the shared :func:`_walk_xref`."""
+    return {num: off for num, off, verified in _walk_xref(buf)[0]
+            if verified}
 
 
 def _content_bytes(buf: bytes, off: int) -> bytes:
     """One content object's stream payload, bounded and inflated."""
     import zlib
 
-    dict_end = buf.find(b"stream", off)
+    # bound the stream-keyword search by THIS object's endobj: an
+    # unbounded find would silently borrow the NEXT object's stream
+    # and /Length when the referenced object has none (review find —
+    # extracting another object's bytes as page text)
+    hard_end = min(len(buf), off + _STREAM_MAX + 4096)
+    obj_end = buf.find(b"endobj", off, hard_end)
+    dict_end = buf.find(b"stream", off,
+                        obj_end if obj_end >= 0 else hard_end)
     if dict_end < 0:
         raise ValueError("PDF: content object has no stream keyword")
     head = buf[off:dict_end]
@@ -282,7 +290,13 @@ def _scan_strings(data: bytes):
                 if depth:
                     raise ValueError("PDF: unterminated literal string")
             yield "str", bytes(out)
-        elif c == 0x3C and data[pos + 1:pos + 2] != b"<":   # <hex>
+        elif data[pos:pos + 2] == b"<<":   # dict open — NOT a hex
+            pos += 2                       # string (review find: the
+            # second '<' of '<<' opened a bogus hex scan in streams
+            # carrying dict operands, e.g. BDC marked content)
+        elif c == 0x3E and data[pos + 1:pos + 2] == b">":   # dict close
+            pos += 2
+        elif c == 0x3C:                    # <hex>
             end = data.find(b">", pos)
             if end < 0:
                 raise ValueError("PDF: unterminated hex string")
@@ -316,16 +330,45 @@ def pdf_extract_text(content: bytes) -> str:
     if not _HEADER_RE.match(buf):
         raise ValueError("not a PDF (missing %PDF- header)")
     objs = _pdf_objects(buf)
+
+    def window(num: int) -> bytes:
+        w = _obj_window(buf, objs[num])
+        if w is None:
+            w = buf[objs[num]: objs[num] + _OBJ_SCAN_WINDOW]
+        return w
+
+    # DOCUMENT page order comes from the /Pages tree's /Kids arrays
+    # (review find: object-number order reorders pages of
+    # incrementally-edited files); fall back to object-number order
+    # when no walkable tree exists.
+    page_objs: list[int] = []
+    pages_nodes = [num for num in sorted(objs)
+                   if _TYPE_PAGES_RE.search(window(num))]
+    kid_lists = {num: _kids_of(window(num)) for num in pages_nodes}
+    all_kids = {k for kids in kid_lists.values() for k in kids}
+    roots = [num for num in pages_nodes if num not in all_kids]
+
+    def walk(num: int, depth: int) -> None:
+        if depth > 32:
+            raise ValueError("PDF: /Pages tree deeper than 32")
+        w = window(num)
+        if _TYPE_PAGES_RE.search(w):
+            for kid in _kids_of(w):
+                if kid in objs:
+                    walk(kid, depth + 1)
+        elif _TYPE_PAGE_RE.search(w):
+            page_objs.append(num)
+
+    for r in roots:
+        walk(r, 0)
+    if not roots:
+        page_objs = [num for num in sorted(objs)
+                     if _TYPE_PAGE_RE.search(window(num))]
     pages: list[int] = []
-    for num in sorted(objs):
-        off = objs[num]
-        window_end = min(off + _OBJ_SCAN_WINDOW, len(buf))
-        endobj = buf.find(b"endobj", off, window_end)
-        window = buf[off: endobj if endobj >= 0 else window_end]
-        if _TYPE_PAGE_RE.search(window):
-            cm = _CONTENTS_RE.search(window)
-            if cm:
-                pages.append(int(cm.group(1)))
+    for num in page_objs:
+        cm = _CONTENTS_RE.search(window(num))
+        if cm:
+            pages.append(int(cm.group(1)))
     out_pages: list[str] = []
     for cnum in pages:
         if cnum not in objs:

@@ -76,9 +76,13 @@ def zip_central_stats(content: bytes) -> ZipStats:
     # an archive with >4 GiB members or >65535 entries carries 0xFFFF /
     # 0xFFFFFFFF sentinels here with the real values in a ZIP64 EOCD
     # record — summing the sentinels would be silently wrong stats.
-    if (n_total == 0xFFFF or cd_size == 0xFFFFFFFF
-            or cd_off == 0xFFFFFFFF):
-        raise ValueError("ZIP: ZIP64 EOCD sentinel — ZIP64 unsupported")
+    # Per APPNOTE the sentinels are only meaningful when the ZIP64
+    # EOCD LOCATOR precedes the EOCD (review fix: an archive with
+    # exactly 65,535 entries is legal without ZIP64), so that record
+    # is the refusal trigger; a sentinel cd_off/cd_size without it
+    # falls through to the bounds checks as plain corruption.
+    if buf.rfind(b"PK\x06\x07", max(0, pos - 20), pos) >= 0:
+        raise ValueError("ZIP: ZIP64 EOCD locator — ZIP64 unsupported")
     if cd_off + cd_size > len(buf):
         raise ValueError("ZIP: central directory outside buffer")
     # each entry costs >= _CD_FIXED bytes of directory: a declared

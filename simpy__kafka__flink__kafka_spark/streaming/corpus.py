@@ -818,8 +818,10 @@ def web_prep_batch(batch_df: DataFrame, out_dir: str,
     offsets the batch's rank).  Input columns: (doc_id, html, domain).
 
     Sink layout under ``out_dir``: ``docs`` (doc_id, domain, n_words,
-    fp — the accepted corpus) and ``profile`` (fp — the seen
-    fingerprints).  Write order is docs FIRST then profile, the
+    fp — the accepted corpus) and ``profile`` (fp — EVERY post-dedup
+    fingerprint, including cap-dropped docs': the batch capstone
+    dedups before capping, so a cap casualty still consumes its fp
+    slot).  Write order is docs FIRST then profile, the
     incremental_ingest torn-window analysis: a crash between the two
     appends re-admits the batch's docs on replay (a duplicate-docs
     anomaly the downstream exact-dedup sweep removes) instead of the
@@ -851,6 +853,16 @@ def web_prep_batch(batch_df: DataFrame, out_dir: str,
     seen = read_parquet_if_exists(spark, f"{out_dir}/profile")
     if seen is not None:
         sole = sole.join(seen, "fp", "left_anti")
+    # eager materialization BEFORE any append below: the profile/tally
+    # reads above must not re-list the sinks mid-plan and see this
+    # batch's own writes (the incremental_ingest lesson).  sole is
+    # checkpointed (not just accepted): its fingerprints go to the
+    # profile even for cap-DROPPED docs — the batch capstone dedups
+    # BEFORE capping, so a cap casualty still consumes its fp slot
+    # and a later same-text doc in another domain must classify
+    # duplicate, not fresh (review find: profiling only accepted fps
+    # broke that parity).
+    sole = sole.localCheckpoint()
     fresh = sole.join(pages.select("doc_id", "domain"), "doc_id")
     # per-domain cap continued across batches: prior accepted counts
     # offset this batch's per-domain rank
@@ -868,14 +880,10 @@ def web_prep_batch(batch_df: DataFrame, out_dir: str,
                                                           F.lit(0)))
         .where(F.col("_dr") <= domain_cap)
         .select("doc_id", "domain", "n_words", "fp")
-        # eager materialization: the writes below APPEND to the paths
-        # this plan READS (profile + docs tally) — without it the
-        # second write's re-evaluation re-lists the sinks and sees the
-        # first write's own output (the incremental_ingest lesson)
         .localCheckpoint()
     )
     accepted.write.mode("append").parquet(f"{out_dir}/docs")
-    accepted.select("fp").write.mode("append").parquet(
+    sole.select("fp").write.mode("append").parquet(
         f"{out_dir}/profile")
 
 

@@ -57,16 +57,24 @@ def test_zip64_entry_size_sentinel_typed():
         zip_central_stats(bytes(raw))
 
 
-def test_zip64_eocd_sentinel_typed():
+def test_zip64_eocd_locator_typed():
     from simpy__kafka__flink__kafka_spark.functions.zipfmt import (
         zip_central_stats)
 
     raw = bytearray(_zip([("a.txt", b"hello")]))
     e = raw.rfind(b"PK\x05\x06")
     assert e > 0
-    # EOCD cd_off sentinel (offset 16 from signature) -> ZIP64 EOCD
-    raw[e + 16: e + 20] = struct.pack("<I", 0xFFFFFFFF)
+    # splice a ZIP64 EOCD locator (20 bytes) directly before the EOCD
+    # — the APPNOTE trigger for ZIP64 semantics (review fix: the
+    # sentinel VALUES alone are legal, e.g. exactly 65,535 entries)
+    locator = b"PK\x06\x07" + struct.pack("<IQI", 0, 0, 1)
+    spliced = bytes(raw[:e]) + locator + bytes(raw[e:])
     with pytest.raises(ValueError, match="ZIP64"):
+        zip_central_stats(spliced)
+    # a sentinel cd_off WITHOUT the locator is plain corruption, not
+    # a silent mis-walk — still typed, different family
+    raw[e + 16: e + 20] = struct.pack("<I", 0xFFFFFFFF)
+    with pytest.raises(ValueError):
         zip_central_stats(bytes(raw))
 
 

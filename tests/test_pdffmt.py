@@ -162,3 +162,71 @@ def test_pdf_text_fuzz_typed_errors_only():
             assert isinstance(out, str)
         except (ValueError, NotImplementedError):
             pass
+
+
+def test_pdf_text_dict_operands_and_kids_order():
+    """Round-13 review fixes: '<<..>>' dict operands in content
+    streams (BDC marked content) no longer open a bogus hex-string
+    scan, and page order follows the /Pages tree's /Kids array, not
+    object numbering."""
+    import zlib
+
+    from simpy__kafka__flink__kafka_spark.functions.pdffmt import (
+        _scan_strings, pdf_extract_text)
+
+    toks = list(_scan_strings(
+        b"/P <</MCID 0>> BDC BT (Hi) Tj ET EMC"))
+    assert ("str", b"Hi") in toks
+
+    # hand-laid file whose /Kids order is [5, 3]: page 1 is the
+    # HIGHER-numbered object
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [5 0 R 3 0 R] /Count 2 >>",
+        3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+        5: b"<< /Type /Page /Parent 2 0 R /Contents 6 0 R >>",
+    }
+    for num, text in ((4, b"BT (second) Tj ET"), (6, b"BT (first) Tj ET")):
+        objs[num] = (b"<< /Length %d >>\nstream\n" % len(text)
+                     + text + b"\nendstream")
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = {}
+    for num in sorted(objs):
+        offsets[num] = len(out)
+        out += b"%d 0 obj\n" % num + objs[num] + b"\nendobj\n"
+    xref_off = len(out)
+    out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1)
+    for num in sorted(objs):
+        out += b"%010d 00000 n \n" % offsets[num]
+    out += (b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n"
+            b"%%%%EOF" % (len(objs) + 1, xref_off))
+    assert pdf_extract_text(bytes(out)) == "first\n\nsecond"
+
+
+def test_pdf_contents_without_stream_typed():
+    from simpy__kafka__flink__kafka_spark.functions.pdffmt import (
+        pdf_extract_text)
+
+    import pytest
+
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+        4: b"<< /NotAStream true >>",      # no stream keyword
+        5: (b"<< /Length 17 >>\nstream\nBT (stolen) Tj ET\nendstream"),
+    }
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = {}
+    for num in sorted(objs):
+        offsets[num] = len(out)
+        out += b"%d 0 obj\n" % num + objs[num] + b"\nendobj\n"
+    xref_off = len(out)
+    out += b"xref\n0 %d\n0000000000 65535 f \n" % (len(objs) + 1)
+    for num in sorted(objs):
+        out += b"%010d 00000 n \n" % offsets[num]
+    out += (b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n"
+            b"%%%%EOF" % (len(objs) + 1, xref_off))
+    # pre-fix this silently extracted object 5's "stolen" text
+    with pytest.raises(ValueError, match="no stream"):
+        pdf_extract_text(bytes(out))

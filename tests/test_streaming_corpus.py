@@ -606,3 +606,47 @@ def test_web_prep_streaming_batch_parity_with_restart(spark, tmp_path,
     got = {r["domain"]: (r["n_docs"], r["total_words"])
            for r in web_prep_totals(spark, out).collect()}
     assert got == expect
+
+
+def test_web_prep_cap_dropped_fp_still_blocks_later_duplicate(
+        spark, tmp_path):
+    """Review find (round 13): the batch capstone dedups BEFORE the
+    domain cap, so a doc dropped by the cap still consumes its
+    fingerprint slot — a later same-text doc in ANOTHER domain must
+    classify duplicate, not fresh.  Crafted: domain X overflows its
+    cap in batch 1 (cap casualty carries text T); batch 2 brings T
+    under domain Y."""
+    from pyspark.sql import functions as F
+
+    from simpy__kafka__flink__kafka_spark.functions.html import (
+        synthesize_page)
+    from simpy__kafka__flink__kafka_spark.streaming.corpus import (
+        web_prep_batch, web_prep_totals)
+
+    def page_rows(specs):
+        # specs: (doc_id, domain, seed) — seed keys the text; same
+        # seed => same clean text => same fingerprint
+        base = ("quality content about the number NNN with enough "
+                "words to clear every gopher rule easily. " * 4)
+        rows = [(i, d, base.replace("NNN", str(seed)))
+                for i, d, seed in specs]
+        df = spark.createDataFrame(
+            rows, "doc_id long, domain string, text string")
+        return df.select("doc_id", "domain",
+                         synthesize_page().alias("html"))
+
+    out = str(tmp_path / "wp2_out")
+    # batch 1: domain X gets cap+1 distinct docs; the cap casualty
+    # (highest doc_id) carries seed 999
+    specs1 = [(i, "x.example.com", i) for i in range(3)] + \
+             [(3, "x.example.com", 999)]
+    web_prep_batch(page_rows(specs1), out, domain_cap=3)
+    # batch 2: same text (seed 999) under a fresh domain
+    web_prep_batch(page_rows([(10, "y.example.com", 999)]), out,
+                   domain_cap=3)
+    totals = {r["domain"]: r["n_docs"]
+              for r in web_prep_totals(spark, out).collect()}
+    assert totals.get("x.example.com") == 3
+    # the batch capstone would drop doc 10 at the dedup stage — so
+    # must the fold: domain Y admits nothing
+    assert "y.example.com" not in totals
