@@ -152,6 +152,16 @@ HEADLINE = [
     "pdf_stats",
     # round-12 wave 16: the ID3v2 provenance walk (the audio EXIF)
     "id3_stats",
+    # round-13: the near-distance VP8L decode (the last VP8L seam,
+    # memoized on a 16-pattern doc_id period like its siblings), the
+    # palette-PNG decode (24-pattern period), CDX/SURT index parsing
+    # (pure codegen — zero Python), the OGG page walk, and PDF page
+    # text extraction
+    "webp_lz77_stats",
+    "png_palette_stats",
+    "cdx_parse",
+    "ogg_audio_stats",
+    "pdf_text_extract",
 ]
 
 
