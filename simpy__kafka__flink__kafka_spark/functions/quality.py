@@ -597,3 +597,168 @@ def quality_classifier_trained(df: DataFrame, id_col: str = "doc_id",
         F.round(vector_to_array("probability")[1], 6).alias("prob_high"),
         F.col("prediction").cast("int").alias("pred"),
     )
+
+
+# --- Gopher repetition-signal battery (round 13) -----------------------------
+
+# Published thresholds (Rae et al. 2021, Table A1 "repetition removal"):
+# a doc FAILS when any fraction exceeds its bound.  Kept as integer
+# ppm so the pass flag is decided by integer comparison on both
+# engines.
+GOPHER_REP_THRESHOLDS_PPM = {
+    "dup_line_ppm": 300_000,
+    "dup_para_ppm": 300_000,
+    "dup_line_char_ppm": 200_000,
+    "dup_para_char_ppm": 200_000,
+    "top2_char_ppm": 200_000,
+    "top3_char_ppm": 180_000,
+    "top4_char_ppm": 160_000,
+    "dup5_char_ppm": 150_000,
+    "dup10_char_ppm": 100_000,
+}
+
+
+def gopher_repetition(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Gopher repetition-removal signals (Rae et al. 2021, A1.2) —
+    the published battery the one-number ``repetition_stats`` row
+    summarizes — with every fraction scaled to INTEGER ppm (floor)
+    so both engines decide every threshold identically:
+
+    - ``dup_line_ppm`` / ``dup_para_ppm``: fraction of non-empty
+      lines (split on ``\\n``) / paragraphs (``\\n\\n``) that are
+      repeats of an earlier identical one;
+    - ``dup_line_char_ppm`` / ``dup_para_char_ppm``: fraction of
+      line/paragraph characters inside those repeats;
+    - ``top{2,3,4}_char_ppm``: characters of the single most frequent
+      word n-gram (count x joined length, ties to the
+      lexicographically smallest gram) over normalized-text chars —
+      counted only when the gram occurs at least twice (a gram seen
+      once is not repetition; without the floor every short doc
+      trivially fails);
+    - ``dup{5,10}_char_ppm``: characters of words covered by ANY
+      n-gram occurring twice or more — position-coverage union, the
+      Dolma/RedPajama reading of Gopher's "characters contained in
+      duplicated n-grams" — over normalized-text chars;
+    - ``passes_repetition``: 1 iff every signal is within the
+      published bound (:data:`GOPHER_REP_THRESHOLDS_PPM`).
+
+    Scale shape: every aggregation is per-doc keyed (map-side
+    combinable, no cross-doc joins); the gram stages explode at most
+    ``4 + 5 + 10`` tokens per word, the same order as the dedup
+    shingle stages.  Docs with no words/lines keep a row with zero
+    signals and ``passes_repetition`` 1 (the keep-empty contract).
+    Output: (id_col, n_lines, all nine ppm columns,
+    passes_repetition)."""
+    from pyspark.sql import Window as W
+
+    base = df.select(F.col(id_col).alias("doc_id"),
+                     F.col(text_col).alias("text"))
+    norm_len = F.length(normalized("text"))
+
+    def seg_stats(sep: str, prefix: str) -> DataFrame:
+        seg = base.select(
+            "doc_id",
+            F.explode(F.filter(F.split("text", sep),
+                               lambda x: F.length(x) > 0)).alias("s"))
+        g = seg.groupBy("doc_id", "s").agg(
+            F.count(F.lit(1)).alias("cnt"))
+        return g.groupBy("doc_id").agg(
+            F.sum("cnt").cast("long").alias(f"{prefix}_n"),
+            F.sum(F.col("cnt") - 1).cast("long").alias(f"{prefix}_dup"),
+            F.sum(F.col("cnt") * F.length("s")).cast("long")
+            .alias(f"{prefix}_chars"),
+            F.sum((F.col("cnt") - 1) * F.length("s")).cast("long")
+            .alias(f"{prefix}_dup_chars"))
+
+    line_stats = seg_stats(r"\n", "line")
+    para_stats = seg_stats(r"\n\n", "para")
+
+    ws = words("text")
+    n_words = F.greatest(F.size(ws), F.lit(0))
+
+    def grams(n: int):
+        cnt = n_words - (n - 1)
+        # sequence(1, 0) DESCENDS [1, 0] rather than being empty —
+        # guard short docs explicitly
+        seq = F.when(cnt >= 1, F.sequence(F.lit(1), cnt)) \
+            .otherwise(F.array().cast("array<int>"))
+        return base.select(
+            "doc_id",
+            F.posexplode(F.transform(
+                seq, lambda i: F.array_join(F.slice(ws, i, n), " "))
+            ).alias("p0", "g")).select(
+                "doc_id", (F.col("p0") + 1).alias("p"), "g")
+
+    def top_chars(n: int, out: str) -> DataFrame:
+        g = grams(n).groupBy("doc_id", "g").agg(
+            F.count(F.lit(1)).alias("cnt"))
+        # a gram seen ONCE is not repetition: without this floor every
+        # short document trivially fails the top-gram bounds
+        g = g.where(F.col("cnt") >= 2)
+        w_top = W.partitionBy("doc_id").orderBy(
+            (F.col("cnt") * F.length("g")).desc(), F.col("g"))
+        return (g.withColumn("_rk", F.row_number().over(w_top))
+                .where(F.col("_rk") == 1)
+                .select("doc_id", (F.col("cnt") * F.length("g"))
+                        .cast("long").alias(out)))
+
+    def dup_cover_chars(n: int, out: str) -> DataFrame:
+        g = grams(n)
+        dup = (g.withColumn(
+            "_c", F.count(F.lit(1)).over(
+                W.partitionBy("doc_id", "g")))
+            .where(F.col("_c") >= 2))
+        pos = dup.select(
+            "doc_id",
+            F.explode(F.sequence(F.col("p"),
+                                 F.col("p") + (n - 1))).alias("wp")
+        ).distinct()
+        wl = base.select(
+            "doc_id",
+            F.posexplode(ws).alias("wp0", "w")).select(
+                "doc_id", (F.col("wp0") + 1).alias("wp"),
+                F.length("w").alias("wlen"))
+        return (pos.join(wl, ["doc_id", "wp"])
+                .groupBy("doc_id")
+                .agg(F.sum("wlen").cast("long").alias(out)))
+
+    out = base.select("doc_id", norm_len.alias("_nchars"))
+    for sdf in (line_stats, para_stats,
+                top_chars(2, "_top2"), top_chars(3, "_top3"),
+                top_chars(4, "_top4"),
+                dup_cover_chars(5, "_dup5"),
+                dup_cover_chars(10, "_dup10")):
+        out = out.join(sdf, "doc_id", "left")
+
+    # ONE integer-ppm rendering: floor(1e6 * num / den), 0 on empty.
+    # The numerator is truncated to an exact multiple of den first, so
+    # the division is exact (no float-rounding parity risk); all
+    # magnitudes stay far under 2^53.
+    def ppm_of(num: Column, den: Column) -> Column:
+        n2 = F.coalesce(num, F.lit(0)).cast("long") * 1_000_000
+        d2 = F.coalesce(den, F.lit(0)).cast("long")
+        return (F.when(d2 > 0, (n2 - n2 % d2) / d2)
+                .otherwise(F.lit(0)).cast("long"))
+
+    cols = {
+        "dup_line_ppm": ppm_of(F.col("line_dup"), F.col("line_n")),
+        "dup_para_ppm": ppm_of(F.col("para_dup"), F.col("para_n")),
+        "dup_line_char_ppm": ppm_of(F.col("line_dup_chars"),
+                                    F.col("line_chars")),
+        "dup_para_char_ppm": ppm_of(F.col("para_dup_chars"),
+                                    F.col("para_chars")),
+        "top2_char_ppm": ppm_of(F.col("_top2"), F.col("_nchars")),
+        "top3_char_ppm": ppm_of(F.col("_top3"), F.col("_nchars")),
+        "top4_char_ppm": ppm_of(F.col("_top4"), F.col("_nchars")),
+        "dup5_char_ppm": ppm_of(F.col("_dup5"), F.col("_nchars")),
+        "dup10_char_ppm": ppm_of(F.col("_dup10"), F.col("_nchars")),
+    }
+    passes = F.lit(True)
+    for name, expr in cols.items():
+        passes = passes & (expr <= GOPHER_REP_THRESHOLDS_PPM[name])
+    return out.select(
+        F.col("doc_id").alias(id_col),
+        F.coalesce("line_n", F.lit(0)).cast("long").alias("n_lines"),
+        *[expr.alias(name) for name, expr in cols.items()],
+        passes.cast("int").alias("passes_repetition"))

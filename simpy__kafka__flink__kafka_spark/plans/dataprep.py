@@ -4383,6 +4383,163 @@ FROM s
 """
 
 
+def _q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition-removal battery (functions/quality.py:
+    gopher_repetition — Rae et al. 2021 A1.2) over synthesized
+    line-structured docs: six lines in two paragraphs, with
+    deterministic repetition arms — doc_id %% 5 == 0 duplicates a
+    line twice, %% 7 == 0 duplicates the whole first paragraph,
+    %% 4 == 0 appends a period-3 spam tail (fires the top-gram and
+    dup-5/10-gram coverage signals).  The oracle RE-IMPLEMENTS every
+    signal in DuckDB list/window SQL over the identical synthesized
+    text — a genuine two-implementation check, not closed-form
+    reproduction."""
+    from ..functions.quality import gopher_repetition
+
+    d = F.col("doc_id")
+    a = (d % 9).cast("string")
+
+    def line(j: int):
+        jj = (F.when((d % 5 == 0) & F.lit(j in (3, 4)), F.lit("2"))
+              .otherwise(F.lit(str(j))))
+        return F.concat(F.lit("item "), a,
+                        F.lit(" alpha beta gamma "), jj)
+
+    p1 = F.concat_ws("\n", line(0), line(1), line(2))
+    p2 = F.when(d % 7 == 0, p1).otherwise(
+        F.concat_ws("\n", line(3), line(4), line(5)))
+    spam = " ".join(["spam ham jam"] * 8)
+    text = F.concat(
+        p1, F.lit("\n\n"), p2,
+        F.when(d % 4 == 0, F.lit("\n" + spam)).otherwise(F.lit("")))
+    docs = _docs(spark, sf_dir).select("doc_id", text.alias("text"))
+    return gopher_repetition(docs)
+
+
+def _gopher_repetition_sql() -> str:
+    from ..functions.quality import GOPHER_REP_THRESHOLDS_PPM as TH
+
+    spam = " ".join(["spam ham jam"] * 8)
+    lines = ", ".join(
+        "'item ' || CAST(doc_id % 9 AS VARCHAR) || ' alpha beta gamma '"
+        " || " + (f"(CASE WHEN doc_id % 5 = 0 THEN '2' ELSE '{j}' END)"
+                  if j in (3, 4) else f"'{j}'") + f" AS l{j}"
+        for j in range(6))
+    passes = " AND ".join(
+        f"COALESCE({name}0, 0) <= {bound}"
+        for name, bound in TH.items())
+    ppm_cols = ",\n       ".join(
+        f"CAST(COALESCE({name}0, 0) AS BIGINT) AS {name}"
+        for name in TH)
+    return rf"""
+WITH ls AS (SELECT doc_id, {lines} FROM documents),
+t AS (
+  SELECT doc_id,
+         (l0 || chr(10) || l1 || chr(10) || l2) || chr(10) || chr(10)
+         || (CASE WHEN doc_id % 7 = 0
+                  THEN l0 || chr(10) || l1 || chr(10) || l2
+                  ELSE l3 || chr(10) || l4 || chr(10) || l5 END)
+         || (CASE WHEN doc_id % 4 = 0 THEN chr(10) || '{spam}'
+                  ELSE '' END) AS text
+  FROM ls
+),
+nrm AS (SELECT doc_id,
+               length(lower(regexp_replace(trim(text), '\s+', ' ',
+                                           'g'))) AS nchars
+        FROM t),
+seg AS (
+  SELECT doc_id, 'line' AS k,
+         unnest(list_filter(string_split(text, chr(10)),
+                            x -> length(x) > 0)) AS s
+  FROM t
+  UNION ALL
+  SELECT doc_id, 'para' AS k,
+         unnest(list_filter(string_split(text, chr(10) || chr(10)),
+                            x -> length(x) > 0)) AS s
+  FROM t
+),
+sg AS (SELECT doc_id, k, s, count(*) AS c FROM seg GROUP BY 1, 2, 3),
+sa AS (
+  SELECT doc_id, k, sum(c) AS n, sum(c - 1) AS dup,
+         sum(c * length(s)) AS chars,
+         sum((c - 1) * length(s)) AS dup_chars
+  FROM sg GROUP BY 1, 2
+),
+w AS (SELECT doc_id,
+             string_split(lower(regexp_replace(trim(text), '\s+', ' ',
+                                               'g')), ' ') AS ws
+      FROM t),
+g0 AS (
+  SELECT doc_id, n,
+         unnest(generate_series(1, greatest(len(ws) - n + 1, 0))) AS p,
+         ws
+  FROM w, (SELECT unnest([2, 3, 4, 5, 10]) AS n) ns
+),
+g AS (SELECT doc_id, n, p,
+             array_to_string(ws[p:p+n-1], ' ') AS gram
+      FROM g0),
+gc AS (SELECT doc_id, n, gram, count(*) AS c FROM g GROUP BY 1, 2, 3),
+top AS (
+  SELECT doc_id, n, topchars FROM (
+    SELECT doc_id, n, c * length(gram) AS topchars,
+           row_number() OVER (PARTITION BY doc_id, n
+                              ORDER BY c * length(gram) DESC, gram)
+             AS rk
+    FROM gc WHERE c >= 2) WHERE rk = 1
+),
+cover AS (
+  SELECT doc_id, n, unnest(generate_series(p, p + n - 1)) AS wp
+  FROM (SELECT g.doc_id, g.n, g.p, g.gram FROM g
+        JOIN gc USING (doc_id, n, gram)
+        WHERE gc.c >= 2 AND g.n IN (5, 10)) q
+),
+coveru AS (SELECT DISTINCT doc_id, n, wp FROM cover),
+wl0 AS (SELECT doc_id, unnest(generate_series(1, len(ws))) AS wp, ws
+        FROM w),
+wl AS (SELECT doc_id, wp, length(ws[wp]) AS wlen FROM wl0),
+cv AS (
+  SELECT c.doc_id, c.n, sum(wl.wlen) AS cchars
+  FROM coveru c JOIN wl ON wl.doc_id = c.doc_id AND wl.wp = c.wp
+  GROUP BY 1, 2
+),
+m AS (
+  SELECT t.doc_id,
+         COALESCE(la.n, 0) AS line_n,
+         1000000 * la.dup // NULLIF(la.n, 0) AS dup_line_ppm0,
+         1000000 * pa.dup // NULLIF(pa.n, 0) AS dup_para_ppm0,
+         1000000 * la.dup_chars // NULLIF(la.chars, 0)
+           AS dup_line_char_ppm0,
+         1000000 * pa.dup_chars // NULLIF(pa.chars, 0)
+           AS dup_para_char_ppm0,
+         1000000 * t2.topchars // NULLIF(nrm.nchars, 0)
+           AS top2_char_ppm0,
+         1000000 * t3.topchars // NULLIF(nrm.nchars, 0)
+           AS top3_char_ppm0,
+         1000000 * t4.topchars // NULLIF(nrm.nchars, 0)
+           AS top4_char_ppm0,
+         1000000 * c5.cchars // NULLIF(nrm.nchars, 0)
+           AS dup5_char_ppm0,
+         1000000 * c10.cchars // NULLIF(nrm.nchars, 0)
+           AS dup10_char_ppm0
+  FROM t
+  JOIN nrm USING (doc_id)
+  LEFT JOIN (SELECT * FROM sa WHERE k = 'line') la USING (doc_id)
+  LEFT JOIN (SELECT * FROM sa WHERE k = 'para') pa USING (doc_id)
+  LEFT JOIN (SELECT * FROM top WHERE n = 2) t2 USING (doc_id)
+  LEFT JOIN (SELECT * FROM top WHERE n = 3) t3 USING (doc_id)
+  LEFT JOIN (SELECT * FROM top WHERE n = 4) t4 USING (doc_id)
+  LEFT JOIN (SELECT * FROM cv WHERE n = 5) c5 USING (doc_id)
+  LEFT JOIN (SELECT * FROM cv WHERE n = 10) c10 USING (doc_id)
+)
+SELECT doc_id,
+       CAST(line_n AS BIGINT) AS n_lines,
+       {ppm_cols},
+       CAST(CASE WHEN {passes} THEN 1 ELSE 0 END AS INTEGER)
+         AS passes_repetition
+FROM m
+"""
+
+
 def _q_pdf_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PDF text extraction (functions/pdffmt.py:pdf_extract_text —
     xref-walked /Contents streams, bounded Flate inflate, BT..ET
@@ -6340,6 +6497,11 @@ QUERIES: dict[str, Query] = {
         _q_webp_entropy_stats, _WEBP_ENTROPY_SQL,
         "executed VP8L ENTROPY-IMAGE decode (per-tile prefix groups): "
         "sums + lossless (oracled tail row)"),
+    "gopher_repetition": Query(
+        _q_gopher_repetition, _gopher_repetition_sql(),
+        "Gopher A1.2 repetition-removal battery: dup line/paragraph "
+        "fractions, top-2/3/4-gram chars, dup-5/10-gram coverage, all "
+        "integer-ppm; oracle is an independent DuckDB re-implementation"),
     "pdf_text_extract": Query(
         _q_pdf_text_extract, _PDF_TEXT_SQL,
         "PDF page-text extraction: xref-walked /Contents, bounded "

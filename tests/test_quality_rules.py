@@ -352,3 +352,52 @@ def test_quality_classifier_scores_unlabeled_docs(spark, sf_dir):
     unlabeled = [r for r in out if r["label"] is None]
     assert unlabeled and all(0.0 <= r["prob_high"] <= 1.0
                              for r in unlabeled)
+
+
+def test_gopher_repetition_hand_computed(spark):
+    """Hand-worked vectors for the A1.2 battery: a clean doc, a
+    duplicate-line doc, and a spam-gram doc — each signal checked
+    against paper arithmetic."""
+    from simpy__kafka__flink__kafka_spark.functions.quality import (
+        gopher_repetition)
+
+    clean = "alpha beta gamma\ndelta epsilon zeta\n\neta theta iota"
+    dupl = "same line here\nsame line here\n\nother text now"
+    spam = ("intro words first\n\n" + " ".join(["spam ham jam"] * 4))
+    df = spark.createDataFrame(
+        [(1, clean), (2, dupl), (3, spam)], "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in gopher_repetition(df).collect()}
+
+    c = rows[1]
+    assert c["n_lines"] == 3 and c["dup_line_ppm"] == 0
+    assert c["passes_repetition"] == 1
+
+    d = rows[2]
+    # 3 non-empty lines, one a repeat -> floor(1e6 * 1/3)
+    assert d["n_lines"] == 3 and d["dup_line_ppm"] == 333333
+    # line chars: 2*14 + 14? 'same line here' is 14 chars, repeated;
+    # 'other text now' 14 chars -> dup chars 14 of 42
+    assert d["dup_line_char_ppm"] == 333333
+    assert d["dup_para_ppm"] == 0
+    # threshold 0.30 exceeded -> fails
+    assert d["passes_repetition"] == 0
+
+    s = rows[3]
+    # 'spam ham jam' x4 = 12 words, period 3: every 5-gram starting at
+    # words 4..12 repeats (e.g. positions 4 and 7) — the whole spam
+    # tail is covered; normalized text = 'intro words first spam ...'
+    assert s["dup5_char_ppm"] > 150_000          # fails the 0.15 bound
+    assert s["passes_repetition"] == 0
+    # top-2-gram: 'spam ham' (or peer) appears 4x, len 8 -> 32 chars
+    norm_len = len("intro words first " + " ".join(["spam ham jam"] * 4))
+    assert s["top2_char_ppm"] == 1_000_000 * 32 // norm_len
+
+
+def test_gopher_repetition_matches_oracle(spark, sf_dir):
+    from tests.oracle_utils import assert_match
+
+    from simpy__kafka__flink__kafka_spark.plans import registry
+
+    q = registry()["gopher_repetition"]
+    assert_match(q.build(spark, sf_dir), q.oracle, sf_dir,
+                 "gopher_repetition")
