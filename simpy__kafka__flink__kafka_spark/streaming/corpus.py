@@ -908,6 +908,31 @@ def start_web_prep(docs_stream: DataFrame, out_dir: str,
     )
 
 
+def start_warc_web_prep(spark, warc_dir: str, out_dir: str,
+                        checkpoint_dir: str, domain_cap: int = 20):
+    """The full container-to-corpus STANDING STREAM (round 13 — the
+    composition VERDICT r12 task 6 named): ``.warc.gz`` shards landing
+    under ``warc_dir`` -> :func:`warc_gz_source` (bounded multi-member
+    gunzip + the shared WARC parse) -> response records become pages
+    (doc_id = shard_id * 1e6 + rec_idx, so shard order IS doc order
+    and the fold reproduces the batch pipeline; domain = the
+    Target-URI host, lowercased) -> the :func:`web_prep_batch` fold
+    (extraction, C4, Gopher, cross-batch dedup, per-domain caps).
+    Returns the started StreamingQuery; results via
+    :func:`web_prep_totals`."""
+    from ..functions.urls import HOSTPORT_RE
+
+    recs = warc_gz_source(spark, warc_dir)
+    pages = recs.where(F.col("warc_type") == "response").select(
+        (F.col("shard_id") * 1_000_000 + F.col("rec_idx"))
+        .alias("doc_id"),
+        F.col("payload").alias("html"),
+        F.lower(F.regexp_extract("target_uri", HOSTPORT_RE, 1))
+        .alias("domain"))
+    return start_web_prep(pages, out_dir, checkpoint_dir,
+                          domain_cap=domain_cap)
+
+
 def web_prep_totals(spark, out_dir: str) -> DataFrame:
     """Per-domain corpus stats over the accepted sink — the batch
     capstone's output shape (domain, n_docs, total_words)."""

@@ -650,3 +650,82 @@ def test_web_prep_cap_dropped_fp_still_blocks_later_duplicate(
     # the batch capstone would drop doc 10 at the dedup stage — so
     # must the fold: domain Y admits nothing
     assert "y.example.com" not in totals
+
+
+def test_warc_to_web_prep_standing_stream(spark, tmp_path):
+    """The full container-to-corpus composition: warc.gz shards ->
+    response records -> extraction/quality/dedup/cap fold — two
+    arrival waves with a CHECKPOINT RESTART between them, compared
+    against one batch fold over the same pages.  Shard order is doc
+    order, so the results must be identical."""
+    import gzip
+
+    from pyspark.sql import functions as F
+
+    from simpy__kafka__flink__kafka_spark.functions.html import (
+        WARC_MARKER, synthesize_page)
+    from simpy__kafka__flink__kafka_spark.streaming.corpus import (
+        start_warc_web_prep, web_prep_batch, web_prep_totals)
+
+    # synthesize page HTML strings through the SAME expression the
+    # batch capstone uses (collected here to embed in warc payloads)
+    base = ("corpus quality text about the number NNN with plenty of "
+            "words to clear every gopher rule comfortably. " * 4)
+    texts = [(i, base.replace("NNN", str(i if i % 3 else 99)))
+             for i in range(8)]
+    tdf = spark.createDataFrame(texts, "doc_id long, text string")
+    html = {r["doc_id"]: r["h"] for r in
+            tdf.select("doc_id", synthesize_page().alias("h")).collect()}
+
+    crlf = "\r\n"
+
+    def shard_bytes(sid: int, docs: list[int]) -> bytes:
+        recs = []
+        for j, d in enumerate(docs):
+            payload = html[d]
+            host = f"site-{d % 2}.example.com"
+            recs.append(
+                WARC_MARKER + "WARC-Type: response" + crlf
+                + f"WARC-Target-URI: https://{host}/p/{d}" + crlf
+                + f"Content-Length: {len(payload)}" + crlf + crlf
+                + payload)
+        return b"".join(gzip.compress(r.encode()) for r in recs)
+
+    ind = str(tmp_path / "wwp_shards")
+    out = str(tmp_path / "wwp_out")
+    ckpt = str(tmp_path / "wwp_ckpt")
+    os.makedirs(ind, exist_ok=True)
+
+    # wave 1: shards 1-2 (docs 0..3); restart; wave 2: shard 3 (4..7)
+    with open(f"{ind}/crawl-00001.warc.gz", "wb") as f:
+        f.write(shard_bytes(1, [0, 1]))
+    with open(f"{ind}/crawl-00002.warc.gz", "wb") as f:
+        f.write(shard_bytes(2, [2, 3]))
+    q = start_warc_web_prep(spark, ind, out, ckpt, domain_cap=2)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    with open(f"{ind}/crawl-00003.warc.gz", "wb") as f:
+        f.write(shard_bytes(3, [4, 5, 6, 7]))
+    q2 = start_warc_web_prep(spark, ind, out, ckpt, domain_cap=2)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    got = {r["domain"]: (r["n_docs"], r["total_words"])
+           for r in web_prep_totals(spark, out).collect()}
+
+    # batch expectation: ONE fold over all pages in doc order
+    pages = spark.createDataFrame(
+        [(sid * 1_000_000 + j, html[d], f"site-{d % 2}.example.com")
+         for sid, docs in ((1, [0, 1]), (2, [2, 3]), (3, [4, 5, 6, 7]))
+         for j, d in enumerate(docs)],
+        "doc_id long, html string, domain string")
+    out2 = str(tmp_path / "wwp_batch")
+    web_prep_batch(pages, out2, domain_cap=2)
+    want = {r["domain"]: (r["n_docs"], r["total_words"])
+            for r in web_prep_totals(spark, out2).collect()}
+    assert got == want
+    # duplicates (docs 0,3,6 share text NNN=99) and the cap both fired
+    assert sum(n for n, _ in got.values()) < 8
