@@ -4383,6 +4383,50 @@ FROM s
 """
 
 
+def _q_webdataset_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset shard WRITER roundtrip (functions/tarfmt.py:
+    pack_webdataset_shards + build_ustar, round 13): pack the corpus
+    into 16-doc tar shards ({id}.txt + {id}.json per sample), then
+    walk the PACKED BYTES back through webdataset_manifest — writer
+    and reader are independent layouts of the same public spec, and
+    stdlib tarfile reads the writer's output in pytest (the
+    three-way cross-validation).  The oracle reproduces every
+    manifest column from documents arithmetic, including the
+    order-canonical names fingerprint."""
+    from ..functions.tarfmt import (pack_webdataset_shards,
+                                    webdataset_manifest)
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    packed = pack_webdataset_shards(docs, samples_per_shard=16)
+    return webdataset_manifest(packed, id_col="shard_id").orderBy(
+        "shard_id")
+
+
+_WEBDATASET_PACK_SQL = """
+WITH d AS (
+  SELECT doc_id, doc_id // 16 AS shard_id,
+         strlen(text) AS tlen,
+         7 + length(CAST(doc_id AS VARCHAR)) AS jlen,
+         lpad(CAST(doc_id AS VARCHAR), 12, '0') AS nm
+  FROM documents
+),
+c AS (
+  SELECT shard_id,
+         '16:' || nm || '.txt|17:' || nm || '.json' AS pair,
+         doc_id, tlen, jlen
+  FROM d
+)
+SELECT shard_id,
+       CAST(2 * count(*) AS INTEGER) AS n_entries,
+       CAST(count(*) AS INTEGER) AS n_samples,
+       CAST(sum(tlen + jlen) AS BIGINT) AS size_total,
+       CAST(count(*) AS INTEGER) AS complete_samples,
+       md5(string_agg(pair, '|' ORDER BY doc_id)) AS names_md5
+FROM c
+GROUP BY shard_id
+"""
+
+
 def _q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher repetition-removal battery (functions/quality.py:
     gopher_repetition — Rae et al. 2021 A1.2) over synthesized
@@ -6497,6 +6541,11 @@ QUERIES: dict[str, Query] = {
         _q_webp_entropy_stats, _WEBP_ENTROPY_SQL,
         "executed VP8L ENTROPY-IMAGE decode (per-tile prefix groups): "
         "sums + lossless (oracled tail row)"),
+    "webdataset_pack": Query(
+        _q_webdataset_pack, _WEBDATASET_PACK_SQL,
+        "WebDataset shard WRITER roundtrip: corpus -> deterministic "
+        "ustar shards -> manifest walk; oracle rebuilds every column "
+        "including the names fingerprint"),
     "gopher_repetition": Query(
         _q_gopher_repetition, _gopher_repetition_sql(),
         "Gopher A1.2 repetition-removal battery: dup line/paragraph "
