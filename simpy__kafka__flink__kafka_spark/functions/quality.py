@@ -677,58 +677,66 @@ def gopher_repetition(df: DataFrame, id_col: str = "doc_id",
     ws = words("text")
     n_words = F.greatest(F.size(ws), F.lit(0))
 
-    def grams(n: int):
+    # ONE pass over the corpus builds every n's grams (round-13 review:
+    # five independent explode pipelines re-scanned the source per n):
+    # each n contributes an array of (n, p, gram) structs, concatenated
+    # and exploded once.
+    def gram_structs(n: int):
         cnt = n_words - (n - 1)
         # sequence(1, 0) DESCENDS [1, 0] rather than being empty —
         # guard short docs explicitly
         seq = F.when(cnt >= 1, F.sequence(F.lit(1), cnt)) \
             .otherwise(F.array().cast("array<int>"))
-        return base.select(
-            "doc_id",
-            F.posexplode(F.transform(
-                seq, lambda i: F.array_join(F.slice(ws, i, n), " "))
-            ).alias("p0", "g")).select(
-                "doc_id", (F.col("p0") + 1).alias("p"), "g")
+        return F.transform(seq, lambda i: F.struct(
+            F.lit(n).alias("n"), i.alias("p"),
+            F.array_join(F.slice(ws, i, n), " ").alias("g")))
 
-    def top_chars(n: int, out: str) -> DataFrame:
-        g = grams(n).groupBy("doc_id", "g").agg(
-            F.count(F.lit(1)).alias("cnt"))
-        # a gram seen ONCE is not repetition: without this floor every
-        # short document trivially fails the top-gram bounds
-        g = g.where(F.col("cnt") >= 2)
-        w_top = W.partitionBy("doc_id").orderBy(
-            (F.col("cnt") * F.length("g")).desc(), F.col("g"))
-        return (g.withColumn("_rk", F.row_number().over(w_top))
-                .where(F.col("_rk") == 1)
-                .select("doc_id", (F.col("cnt") * F.length("g"))
-                        .cast("long").alias(out)))
-
-    def dup_cover_chars(n: int, out: str) -> DataFrame:
-        g = grams(n)
-        dup = (g.withColumn(
-            "_c", F.count(F.lit(1)).over(
-                W.partitionBy("doc_id", "g")))
-            .where(F.col("_c") >= 2))
-        pos = dup.select(
-            "doc_id",
-            F.explode(F.sequence(F.col("p"),
-                                 F.col("p") + (n - 1))).alias("wp")
-        ).distinct()
-        wl = base.select(
-            "doc_id",
-            F.posexplode(ws).alias("wp0", "w")).select(
-                "doc_id", (F.col("wp0") + 1).alias("wp"),
-                F.length("w").alias("wlen"))
-        return (pos.join(wl, ["doc_id", "wp"])
-                .groupBy("doc_id")
-                .agg(F.sum("wlen").cast("long").alias(out)))
+    g_all = base.select(
+        "doc_id",
+        F.explode(F.concat(*[gram_structs(n)
+                             for n in (2, 3, 4, 5, 10)])).alias("t")
+    ).select("doc_id", "t.n", "t.p", "t.g")
+    gc = g_all.groupBy("doc_id", "n", "g").agg(
+        F.count(F.lit(1)).alias("cnt"))
+    # a gram seen ONCE is not repetition: without this floor every
+    # short document trivially fails the top-gram bounds
+    w_top = W.partitionBy("doc_id", "n").orderBy(
+        (F.col("cnt") * F.length("g")).desc(), F.col("g"))
+    tops = (gc.where((F.col("cnt") >= 2) & F.col("n").isin(2, 3, 4))
+            .withColumn("_rk", F.row_number().over(w_top))
+            .where(F.col("_rk") == 1)
+            .withColumn("_tc", (F.col("cnt") * F.length("g"))
+                        .cast("long"))
+            .groupBy("doc_id").agg(
+                F.max(F.when(F.col("n") == 2, F.col("_tc")))
+                .alias("_top2"),
+                F.max(F.when(F.col("n") == 3, F.col("_tc")))
+                .alias("_top3"),
+                F.max(F.when(F.col("n") == 4, F.col("_tc")))
+                .alias("_top4")))
+    # dup coverage: word positions covered by ANY >=2x gram, unioned
+    # per (doc, n) — one shared word-length frame serves both n values
+    dup_pos = (g_all.where(F.col("n").isin(5, 10))
+               .join(gc.where(F.col("cnt") >= 2)
+                     .select("doc_id", "n", "g"), ["doc_id", "n", "g"])
+               .select("doc_id", "n",
+                       F.explode(F.sequence(
+                           F.col("p"), F.col("p") + F.col("n") - 1))
+                       .alias("wp"))
+               .distinct())
+    wl = base.select(
+        "doc_id", F.posexplode(ws).alias("wp0", "w")).select(
+            "doc_id", (F.col("wp0") + 1).alias("wp"),
+            F.length("w").alias("wlen"))
+    covers = (dup_pos.join(wl, ["doc_id", "wp"])
+              .groupBy("doc_id").agg(
+                  F.sum(F.when(F.col("n") == 5, F.col("wlen")))
+                  .cast("long").alias("_dup5"),
+                  F.sum(F.when(F.col("n") == 10, F.col("wlen")))
+                  .cast("long").alias("_dup10")))
 
     out = base.select("doc_id", norm_len.alias("_nchars"))
-    for sdf in (line_stats, para_stats,
-                top_chars(2, "_top2"), top_chars(3, "_top3"),
-                top_chars(4, "_top4"),
-                dup_cover_chars(5, "_dup5"),
-                dup_cover_chars(10, "_dup10")):
+    for sdf in (line_stats, para_stats, tops, covers):
         out = out.join(sdf, "doc_id", "left")
 
     # ONE integer-ppm rendering: floor(1e6 * num / den), 0 on empty.

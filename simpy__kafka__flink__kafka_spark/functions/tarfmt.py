@@ -253,6 +253,13 @@ def build_ustar(entries: list[tuple[str, bytes]]) -> bytes:
         if len(nb) > 100:
             raise ValueError(
                 f"ustar writer: name longer than 100 bytes: {name!r}")
+        if len(data) >= 8 ** 11:
+            # the 12-byte octal size field tops out below 8 GiB; a
+            # longer octal would GROW the bytearray header past 512
+            # and silently corrupt the archive (review find)
+            raise ValueError(
+                "ustar writer: member size exceeds the 11-digit octal "
+                "size field (8 GiB)")
         hdr = bytearray(_BLOCK)
         hdr[0:len(nb)] = nb
         hdr[100:108] = b"0000644\0"              # mode
@@ -315,7 +322,10 @@ def pack_webdataset_shards(docs, samples_per_shard: int = 16,
             "content": [build_ustar(entries)],
         })
 
-    shard = (F.col(id_col) / samples_per_shard).cast("long")
+    # exact integer division (the repo convention): float '/' would
+    # truncate toward zero for negative ids (oracle floors) and lose
+    # precision past 2^53 (review find)
+    shard = F.expr(f"{id_col} div {int(samples_per_shard)}")
     return (docs.select(F.col(id_col), F.col(text_col),
                         shard.alias("_shard"))
             .groupBy("_shard").applyInPandas(pack, schema))

@@ -4407,12 +4407,20 @@ WITH d AS (
   SELECT doc_id, doc_id // 16 AS shard_id,
          strlen(text) AS tlen,
          7 + length(CAST(doc_id AS VARCHAR)) AS jlen,
-         lpad(CAST(doc_id AS VARCHAR), 12, '0') AS nm
+         -- DuckDB lpad TRUNCATES past the width where python's
+         -- %012d only pads (the documented lpad trap) — pad only
+         -- when the id is short, and derive the length prefixes
+         -- from the actual name
+         CASE WHEN length(CAST(doc_id AS VARCHAR)) >= 12
+              THEN CAST(doc_id AS VARCHAR)
+              ELSE lpad(CAST(doc_id AS VARCHAR), 12, '0') END AS nm
   FROM documents
 ),
 c AS (
   SELECT shard_id,
-         '16:' || nm || '.txt|17:' || nm || '.json' AS pair,
+         CAST(length(nm) + 4 AS VARCHAR) || ':' || nm || '.txt|'
+           || CAST(length(nm) + 5 AS VARCHAR) || ':' || nm
+           || '.json' AS pair,
          doc_id, tlen, jlen
   FROM d
 )

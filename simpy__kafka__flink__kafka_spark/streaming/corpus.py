@@ -923,12 +923,18 @@ def start_warc_web_prep(spark, warc_dir: str, out_dir: str,
     from ..functions.urls import HOSTPORT_RE
 
     recs = warc_gz_source(spark, warc_dir)
+    # the cap key is the HOST alone: HOSTPORT_RE group 1 keeps
+    # userinfo and port, and 'example.com:443' vs 'example.com'
+    # splitting into separate cap keys would let a crawl evade the
+    # per-domain cap per URI variant (review find)
+    hostport = F.regexp_extract("target_uri", HOSTPORT_RE, 1)
+    host = F.lower(F.regexp_replace(
+        F.regexp_replace(hostport, "^[^@/]*@", ""), r":\d+$", ""))
     pages = recs.where(F.col("warc_type") == "response").select(
         (F.col("shard_id") * 1_000_000 + F.col("rec_idx"))
         .alias("doc_id"),
         F.col("payload").alias("html"),
-        F.lower(F.regexp_extract("target_uri", HOSTPORT_RE, 1))
-        .alias("domain"))
+        host.alias("domain"))
     return start_web_prep(pages, out_dir, checkpoint_dir,
                           domain_cap=domain_cap)
 

@@ -132,3 +132,31 @@ def test_webdataset_pack_matches_oracle(spark, sf_dir):
     q = registry()["webdataset_pack"]
     assert_match(q.build(spark, sf_dir), q.oracle, sf_dir,
                  "webdataset_pack")
+
+
+def test_pack_shard_assignment_floors_and_writer_guards(spark):
+    """Review fixes: shard assignment is exact integer division —
+    Spark ``div`` and DuckDB ``//`` BOTH truncate toward zero (the
+    round-8 verified note; re-verified: DuckDB -1 // 16 = 0), so the
+    engines agree on negative ids and big ids never pass through a
+    double — and the writer refuses sizes past the 11-digit octal
+    field instead of corrupting the header."""
+    from simpy__kafka__flink__kafka_spark.functions.tarfmt import (
+        build_ustar, pack_webdataset_shards)
+
+    docs = spark.createDataFrame(
+        [(-1, "neg"), (0, "zero"), (15, "a"), (16, "b")],
+        "doc_id long, text string")
+    got = {r["shard_id"]: r["n_samples"]
+           for r in pack_webdataset_shards(
+               docs, samples_per_shard=16).collect()}
+    assert got == {0: 3, 1: 1}       # -1 div 16 truncates to 0
+
+    import pytest
+
+    class Huge(bytes):
+        def __len__(self):
+            return 8 ** 11           # 8 GiB without allocating it
+
+    with pytest.raises(ValueError, match="octal"):
+        build_ustar([("big.bin", Huge())])
