@@ -162,6 +162,11 @@ HEADLINE = [
     "cdx_parse",
     "ogg_audio_stats",
     "pdf_text_extract",
+    # round-13 late waves: the Gopher A1.2 repetition battery (one
+    # gram explode over five orders) and the WebDataset shard WRITER
+    # roundtrip (pack -> manifest walk)
+    "gopher_repetition",
+    "webdataset_pack",
 ]
 
 
