@@ -2037,3 +2037,157 @@ def image_dhash(media: DataFrame, id_col: str = "doc_id",
     bits=64, hash_col="dhash")``."""
     return _image_hash_frame(media, diff_hash, "dhash",
                              id_col, content_col, grid)
+
+
+# --- MP4 / ISO-BMFF movie triage (round 13) ----------------------------------
+# The VIDEO analogue of mp3_stats/ogg_stats: duration, track count,
+# and codec identity off the moov box tree alone — no sample data is
+# touched, so the walk prices at microseconds per file.  Public ISO
+# 14496-12 layout via the SHARED _bmff_boxes iterator (one box walk
+# in the repo — the avif_dims rendering): moov/mvhd carries
+# timescale+duration (version 0 and 1 layouts both parsed),
+# moov/trak/mdia/hdlr the handler type ('vide'/'soun'), and
+# moov/trak/mdia/minf/stbl/stsd the sample-entry fourcc.
+
+def mp4_stats(content: bytes) -> dict:
+    """Walk one MP4/MOV file's moov tree.  Returns {major_brand,
+    timescale, duration_ms, n_traks, video_codec, audio_codec} —
+    codec fields None when no such track exists; files without ftyp
+    or moov raise the typed ValueError family (same posture as every
+    header walk)."""
+    import struct
+
+    buf = bytes(content)
+    top = list(_bmff_boxes(buf, 0, len(buf)))
+    if not top or top[0][0] != b"ftyp":
+        raise ValueError("not an MP4 (missing leading ftyp box)")
+    brand = buf[top[0][1]:top[0][1] + 4].decode("latin-1")
+    moov = next(((lo, hi) for t, lo, hi in top if t == b"moov"), None)
+    if moov is None:
+        raise ValueError("MP4: no moov box (streaming-fragmented or "
+                         "truncated file)")
+
+    def find(scope, btype, skip=0):
+        for t, lo, hi in _bmff_boxes(buf, scope[0], scope[1]):
+            if t == btype:
+                return (lo + skip, hi)
+        return None
+
+    mvhd = find(moov, b"mvhd")
+    if mvhd is None:
+        raise ValueError("MP4: moov has no mvhd box")
+    version = buf[mvhd[0]]
+    if version == 1:
+        if mvhd[0] + 32 > mvhd[1]:
+            raise ValueError("MP4: mvhd v1 box too small")
+        timescale = struct.unpack(">I", buf[mvhd[0] + 20:
+                                            mvhd[0] + 24])[0]
+        duration = struct.unpack(">Q", buf[mvhd[0] + 24:
+                                           mvhd[0] + 32])[0]
+    else:
+        if mvhd[0] + 20 > mvhd[1]:
+            raise ValueError("MP4: mvhd v0 box too small")
+        timescale = struct.unpack(">I", buf[mvhd[0] + 12:
+                                            mvhd[0] + 16])[0]
+        duration = struct.unpack(">I", buf[mvhd[0] + 16:
+                                           mvhd[0] + 20])[0]
+    if timescale == 0:
+        raise ValueError("MP4: mvhd timescale is zero")
+    n_traks = 0
+    video_codec = audio_codec = None
+    for t, lo, hi in _bmff_boxes(buf, moov[0], moov[1]):
+        if t != b"trak":
+            continue
+        n_traks += 1
+        mdia = find((lo, hi), b"mdia")
+        if mdia is None:
+            continue
+        hdlr = find(mdia, b"hdlr")
+        handler = (buf[hdlr[0] + 8:hdlr[0] + 12].decode("latin-1")
+                   if hdlr is not None and hdlr[0] + 12 <= hdlr[1]
+                   else "")
+        minf = find(mdia, b"minf")
+        stbl = find(minf, b"stbl") if minf else None
+        stsd = find(stbl, b"stsd") if stbl else None
+        fourcc = None
+        if stsd is not None and stsd[0] + 16 <= stsd[1]:
+            n_entries = struct.unpack(
+                ">I", buf[stsd[0] + 4:stsd[0] + 8])[0]
+            if n_entries >= 1:
+                fourcc = buf[stsd[0] + 12:stsd[0] + 16].decode("latin-1")
+        if handler == "vide" and video_codec is None:
+            video_codec = fourcc
+        elif handler == "soun" and audio_codec is None:
+            audio_codec = fourcc
+    return {"major_brand": brand, "timescale": timescale,
+            "duration_ms": duration * 1000 // timescale,
+            "n_traks": n_traks, "video_codec": video_codec,
+            "audio_codec": audio_codec}
+
+
+def build_mp4(duration_units: int, timescale: int = 1000,
+              tracks: tuple = (("vide", "avc1"), ("soun", "mp4a")),
+              mvhd_version: int = 0) -> bytes:
+    """Minimal MP4 fixture writer — boxes nested with real computed
+    sizes, laid out from the spec independently of the reader."""
+    import struct
+
+    def box(btype: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + btype + body
+
+    if mvhd_version == 1:
+        mvhd = box(b"mvhd", bytes([1, 0, 0, 0]) + bytes(16)
+                   + struct.pack(">I", timescale)
+                   + struct.pack(">Q", duration_units) + bytes(80))
+    else:
+        mvhd = box(b"mvhd", bytes(4) + bytes(8)
+                   + struct.pack(">I", timescale)
+                   + struct.pack(">I", duration_units) + bytes(80))
+    traks = b""
+    for handler, fourcc in tracks:
+        entry = struct.pack(">I", 16) + fourcc.encode() + bytes(8)
+        stsd = box(b"stsd", bytes(4) + struct.pack(">I", 1) + entry)
+        stbl = box(b"stbl", stsd)
+        minf = box(b"minf", stbl)
+        hdlr = box(b"hdlr", bytes(4) + bytes(4) + handler.encode()
+                   + bytes(13))
+        mdia = box(b"mdia", hdlr + minf)
+        traks += box(b"trak", mdia)
+    moov = box(b"moov", mvhd + traks)
+    ftyp = box(b"ftyp", b"isom" + bytes(4) + b"isomiso2mp41")
+    return ftyp + moov
+
+
+def mp4_container_stats(media, id_col: str = "doc_id",
+                        content_col: str = "content"):
+    """Arrow-batched :func:`mp4_stats` over binary payloads.  Output:
+    (id_col, major_brand, timescale, duration_ms, n_traks,
+    video_codec, audio_codec)."""
+    from collections.abc import Iterator
+
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType(), False),
+        T.StructField("major_brand", T.StringType(), True),
+        T.StructField("timescale", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("n_traks", T.IntegerType(), True),
+        T.StructField("video_codec", T.StringType(), True),
+        T.StructField("audio_codec", T.StringType(), True),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            o = pdf[content_col].map(lambda b: mp4_stats(bytes(b)))
+            yield pd.DataFrame({
+                id_col: pdf[id_col].astype("int64"),
+                "major_brand": o.map(lambda s: s["major_brand"]),
+                "timescale": o.map(lambda s: s["timescale"])
+                .astype("int32"),
+                "duration_ms": o.map(lambda s: s["duration_ms"])
+                .astype("int64"),
+                "n_traks": o.map(lambda s: s["n_traks"]).astype("int32"),
+                "video_codec": o.map(lambda s: s["video_codec"]),
+                "audio_codec": o.map(lambda s: s["audio_codec"]),
+            })
+
+    return media.select(id_col, content_col).mapInPandas(run, schema)

@@ -4663,6 +4663,54 @@ SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars, text FROM t
 """
 
 
+def _q_mp4_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP4 movie triage (functions/multimodal.py:mp4_stats via the
+    SHARED _bmff_boxes walk — the video analogue of mp3_stats):
+    per-doc fixtures alternate mvhd v0/v1 layouts, track sets cycle
+    video+audio / video-only / audio-only, and duration/timescale
+    derive from doc_id arithmetic.  The oracle reproduces every
+    column."""
+    import pandas as pd
+
+    from ..functions.multimodal import build_mp4, mp4_container_stats
+
+    def pack(batches):
+        for pdf in batches:
+            def doc(doc_id: int) -> bytes:
+                ts = 1000 if doc_id % 2 == 0 else 48_000
+                dur = (doc_id % 300 + 1) * ts      # 1..300 s exactly
+                tracks = ((("vide", "avc1"), ("soun", "mp4a")),
+                          (("vide", "hvc1"),),
+                          (("soun", "Opus"),))[doc_id % 3]
+                return build_mp4(dur, ts, tracks=tracks,
+                                 mvhd_version=doc_id % 2)
+
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "content": pdf["doc_id"].map(doc),
+            })
+
+    media = _docs(spark, sf_dir).select("doc_id").mapInPandas(
+        pack, "doc_id long, content binary")
+    return mp4_container_stats(media)
+
+
+_MP4_STATS_SQL = """
+SELECT doc_id,
+       'isom' AS major_brand,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 1000 ELSE 48000 END
+            AS INTEGER) AS timescale,
+       CAST((doc_id % 300 + 1) * 1000 AS BIGINT) AS duration_ms,
+       CAST(CASE doc_id % 3 WHEN 0 THEN 2 ELSE 1 END AS INTEGER)
+         AS n_traks,
+       CASE doc_id % 3 WHEN 0 THEN 'avc1' WHEN 1 THEN 'hvc1'
+            ELSE NULL END AS video_codec,
+       CASE doc_id % 3 WHEN 0 THEN 'mp4a' WHEN 2 THEN 'Opus'
+            ELSE NULL END AS audio_codec
+FROM documents
+"""
+
+
 def _q_ogg_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OGG page walk (functions/ogg.py — RFC 3533 layout, page CRCs
     verified with the spec's unreflected 0x04C11DB7 CRC): per doc,
@@ -6563,6 +6611,10 @@ QUERIES: dict[str, Query] = {
         _q_pdf_text_extract, _PDF_TEXT_SQL,
         "PDF page-text extraction: xref-walked /Contents, bounded "
         "Flate inflate, BT..ET string operators with all escapes"),
+    "mp4_stats": Query(
+        _q_mp4_stats, _MP4_STATS_SQL,
+        "MP4/ISO-BMFF movie triage via the shared box walk: "
+        "mvhd v0/v1 duration, track handlers, stsd codec fourccs"),
     "ogg_audio_stats": Query(
         _q_ogg_audio_stats, _OGG_AUDIO_SQL,
         "OGG (RFC 3533) page walk with verified page CRCs: "

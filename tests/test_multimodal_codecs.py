@@ -410,3 +410,52 @@ def test_png_adam7_interlace_all_types():
     idx = rng.integers(0, 16, size=(10, 9)).astype(np.uint8)
     out = decode_png(adam7_png(idx, 3, bitd=4, plte=pal))
     assert np.array_equal(out, pal[idx])
+
+
+def test_mp4_stats_walk_and_typed_errors():
+    """MP4 triage via the shared ISO-BMFF walk: mvhd v0 and v1
+    layouts, handler->codec mapping, typed errors, mutation fuzz."""
+    import random
+
+    from simpy__kafka__flink__kafka_spark.functions.multimodal import (
+        build_mp4, mp4_stats)
+
+    s = mp4_stats(build_mp4(90_000, 1000))
+    assert s == {"major_brand": "isom", "timescale": 1000,
+                 "duration_ms": 90_000, "n_traks": 2,
+                 "video_codec": "avc1", "audio_codec": "mp4a"}
+    s1 = mp4_stats(build_mp4(48_000 * 3600, 48_000, mvhd_version=1,
+                             tracks=(("soun", "Opus"),)))
+    assert (s1["duration_ms"], s1["audio_codec"],
+            s1["video_codec"]) == (3_600_000, "Opus", None)
+
+    with pytest.raises(ValueError, match="ftyp"):
+        mp4_stats(b"\x00\x00\x00\x08mdat")
+    with pytest.raises(ValueError, match="moov"):
+        mp4_stats(build_mp4(10)[:28])      # ftyp alone survives the cut
+    zero_ts = build_mp4(10, 1000)
+    bad = bytearray(zero_ts)
+    i = bad.find(b"mvhd") + 4 + 12
+    bad[i:i + 4] = b"\x00\x00\x00\x00"
+    with pytest.raises(ValueError, match="timescale"):
+        mp4_stats(bytes(bad))
+    fixture = build_mp4(12_345, 1000)
+    rng = random.Random(4242)
+    for _ in range(300):
+        mut = bytearray(fixture)
+        for _ in range(rng.randint(1, 4)):
+            mut[rng.randrange(len(mut))] = rng.randrange(256)
+        try:
+            out = mp4_stats(bytes(mut))
+            assert out["timescale"] > 0
+        except (ValueError, NotImplementedError):
+            pass
+
+
+def test_mp4_stats_matches_oracle(spark, sf_dir):
+    from tests.oracle_utils import assert_match
+
+    from simpy__kafka__flink__kafka_spark.plans import registry
+
+    q = registry()["mp4_stats"]
+    assert_match(q.build(spark, sf_dir), q.oracle, sf_dir, "mp4_stats")
