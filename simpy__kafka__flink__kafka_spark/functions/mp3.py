@@ -172,16 +172,22 @@ def encode_mp3_frames(bitrate_indexes: list[int], sr_idx: int = 0,
 # corpus pipeline triages on (title/artist dedup keys, year filters)
 # without touching any audio frame.  Public id3.org layout: 10-byte
 # tag header, then frames of [id 4][size 4][flags 2][data]; v2.3 sizes
-# are plain big-endian, v2.4 syncsafe; text-frame data leads with an
-# encoding byte (0 latin-1, 1 utf-16 — BOM per spec but real taggers
-# omit it, LE assumed then — 2 utf-16be, 3 utf-8).  The tag-header
+# are plain big-endian, v2.4 syncsafe; v2.2 (round 13) uses 6-byte
+# frame headers — [id 3][size 3] — with the three-char id aliases
+# (TT2/TP1/TAL/TYE) and bit 6 meaning COMPRESSION (typed refusal);
+# text-frame data leads with an encoding byte (0 latin-1, 1 utf-16 —
+# BOM per spec but real taggers omit it, LE assumed then —
+# 2 utf-16be, 3 utf-8).  The tag-header
 # extended-header flag is honored (skipped by declared size, both the
 # v2.3 excludes-itself and v2.4 syncsafe-includes-itself layouts);
 # the unsynchronisation flag is a typed refusal (walking without
 # undoing it would mis-read every size).
 
 _TEXT_FRAMES = {"TIT2": "title", "TPE1": "artist",
-                "TALB": "album", "TYER": "year", "TDRC": "year"}
+                "TALB": "album", "TYER": "year", "TDRC": "year",
+                # ID3v2.2 three-char ids (round 13 — the 2.2 walk)
+                "TT2": "title", "TP1": "artist",
+                "TAL": "album", "TYE": "year"}
 
 
 def id3_frames(content: bytes) -> dict:
@@ -197,7 +203,7 @@ def id3_frames(content: bytes) -> dict:
     if buf[:3] != b"ID3" or len(buf) < 10:
         return out
     major = buf[3]
-    if major not in (3, 4):
+    if major not in (2, 3, 4):
         raise ValueError(f"unsupported ID3v2.{major} tag")
     if any(b & 0x80 for b in buf[6:10]):
         raise ValueError("ID3v2 size bytes must be syncsafe")
@@ -212,8 +218,11 @@ def id3_frames(content: bytes) -> dict:
         # the tag — walking without undoing it would mis-read sizes,
         # so refuse rather than silently mis-parse (typed seam)
         raise ValueError("ID3v2 unsynchronisation unsupported")
+    if major == 2 and flags & 0x40:
+        # in v2.2 bit 6 means COMPRESSION (no extended header exists)
+        raise ValueError("ID3v2.2 compression unsupported")
     pos = 10
-    if flags & 0x40:
+    if major != 2 and flags & 0x40:
         # extended header (ADVICE r12 / VERDICT task 4): skip by its
         # declared size — v2.3 stores a plain big-endian size that
         # EXCLUDES the 4 size bytes; v2.4 a syncsafe size that
@@ -235,13 +244,18 @@ def id3_frames(content: bytes) -> dict:
             raise ValueError("ID3v2 extended header past tag extent")
         pos += ext_len
     n = 0
-    while pos + 10 <= tag_end:
-        fid = buf[pos: pos + 4]
-        if fid == b"\0\0\0\0":
+    # v2.2 frames are [id 3][size 3] with no flags; v2.3/2.4 are
+    # [id 4][size 4][flags 2]
+    id_len = 3 if major == 2 else 4
+    hdr_len = 6 if major == 2 else 10
+    while pos + hdr_len <= tag_end:
+        fid = buf[pos: pos + id_len]
+        if fid == b"\0" * id_len:
             break                            # padding
         if not all(0x30 <= c <= 0x5A for c in fid):
             raise ValueError(f"ID3v2: bad frame id {fid!r}")
-        raw_sz = buf[pos + 4: pos + 8]
+        raw_sz = buf[pos + id_len:
+                     pos + hdr_len - (0 if major == 2 else 2)]
         if major == 4:
             if any(b & 0x80 for b in raw_sz):
                 raise ValueError("ID3v2.4 frame size must be syncsafe")
@@ -249,7 +263,7 @@ def id3_frames(content: bytes) -> dict:
                     | (raw_sz[2] << 7) | raw_sz[3])
         else:
             size = int.from_bytes(raw_sz, "big")
-        data_end = pos + 10 + size
+        data_end = pos + hdr_len + size
         if data_end > tag_end:
             raise ValueError(
                 f"ID3v2 frame {fid.decode(errors='replace')} size "
@@ -257,8 +271,8 @@ def id3_frames(content: bytes) -> dict:
         n += 1
         key = _TEXT_FRAMES.get(fid.decode("ascii", errors="replace"))
         if key is not None and size >= 1:
-            enc = buf[pos + 10]
-            data = buf[pos + 11: data_end]
+            enc = buf[pos + hdr_len]
+            data = buf[pos + hdr_len + 1: data_end]
             try:
                 if enc == 0:
                     text = data.decode("latin-1")

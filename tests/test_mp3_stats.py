@@ -270,3 +270,39 @@ def test_id3_stats_matches_oracle(spark, sf_dir):
 
     q = registry()["id3_stats"]
     assert_match(q.build(spark, sf_dir), q.oracle, sf_dir, "id3_stats")
+
+
+def test_id3_v22_three_char_frames():
+    """Round-13: ID3v2.2 (6-byte frame headers, 3-char ids, 3-byte
+    sizes) parses; compression flag (bit 6 means compression in 2.2,
+    not extended header) stays typed."""
+    from simpy__kafka__flink__kafka_spark.functions.mp3 import id3_frames
+
+    def frame22(fid: str, text: str) -> bytes:
+        data = b"\0" + text.encode("latin-1")
+        return fid.encode() + len(data).to_bytes(3, "big") + data
+
+    body = (frame22("TT2", "Old Song") + frame22("TP1", "Old Band")
+            + frame22("TAL", "Old Album") + frame22("TYE", "1997")
+            + b"\0" * 6)
+    sz = len(body)
+    tag = b"ID3" + bytes([2, 0, 0]) + bytes(
+        [(sz >> 21) & 0x7F, (sz >> 14) & 0x7F, (sz >> 7) & 0x7F,
+         sz & 0x7F]) + body
+    got = id3_frames(tag)
+    assert (got["version"], got["n_frames"]) == ("2.2", 4)
+    assert (got["title"], got["artist"], got["album"], got["year"]) == \
+        ("Old Song", "Old Band", "Old Album", "1997")
+    # UCS-2 BOM text (encoding 1 in 2.2)
+    ucs = "söng".encode("utf-16")
+    f = b"TT2" + (len(ucs) + 1).to_bytes(3, "big") + bytes([1]) + ucs
+    sz2 = len(f)
+    tag2 = b"ID3" + bytes([2, 0, 0]) + bytes(
+        [(sz2 >> 21) & 0x7F, (sz2 >> 14) & 0x7F, (sz2 >> 7) & 0x7F,
+         sz2 & 0x7F]) + f
+    assert id3_frames(tag2)["title"] == "söng"
+
+    import pytest
+    bad = b"ID3" + bytes([2, 0, 0x40]) + bytes(4)
+    with pytest.raises(ValueError, match="compression"):
+        id3_frames(bad)
