@@ -191,7 +191,7 @@ _TEXT_FRAMES = {"TIT2": "title", "TPE1": "artist",
 
 
 def id3_frames(content: bytes) -> dict:
-    """Walk a leading ID3v2.3/2.4 tag.  Returns {has_id3, version,
+    """Walk a leading ID3v2.2/2.3/2.4 tag.  Returns {has_id3, version,
     n_frames, title, artist, album, year} — absent tag gives has_id3 0
     with null fields (the keep-empty contract); malformed tags raise
     the typed ValueError family.  Frame sizes are bounds-checked

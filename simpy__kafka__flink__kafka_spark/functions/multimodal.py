@@ -2067,15 +2067,20 @@ def mp4_stats(content: bytes) -> dict:
         raise ValueError("MP4: no moov box (streaming-fragmented or "
                          "truncated file)")
 
-    def find(scope, btype, skip=0):
+    def find(scope, btype):
         for t, lo, hi in _bmff_boxes(buf, scope[0], scope[1]):
             if t == btype:
-                return (lo + skip, hi)
+                return (lo, hi)
         return None
 
     mvhd = find(moov, b"mvhd")
     if mvhd is None:
         raise ValueError("MP4: moov has no mvhd box")
+    if mvhd[0] >= mvhd[1]:
+        # an empty mvhd at end-of-buffer would otherwise IndexError
+        # (untyped), and mid-file would read the NEXT box's bytes as
+        # the version (review find)
+        raise ValueError("MP4: empty mvhd box")
     version = buf[mvhd[0]]
     if version == 1:
         if mvhd[0] + 32 > mvhd[1]:
@@ -2093,6 +2098,11 @@ def mp4_stats(content: bytes) -> dict:
                                            mvhd[0] + 20])[0]
     if timescale == 0:
         raise ValueError("MP4: mvhd timescale is zero")
+    # duration is attacker bytes up to 2^64-1 (the all-ones value is
+    # the spec's 'indefinite' sentinel): duration_ms must fit int64
+    # after the *1000 scaling or the Arrow cast overflows untyped
+    if duration >= (1 << 62) // 1000:
+        raise ValueError("MP4: implausible mvhd duration")
     n_traks = 0
     video_codec = audio_codec = None
     for t, lo, hi in _bmff_boxes(buf, moov[0], moov[1]):
@@ -2168,7 +2178,7 @@ def mp4_container_stats(media, id_col: str = "doc_id",
     schema = T.StructType([
         T.StructField(id_col, T.LongType(), False),
         T.StructField("major_brand", T.StringType(), True),
-        T.StructField("timescale", T.IntegerType(), True),
+        T.StructField("timescale", T.LongType(), True),
         T.StructField("duration_ms", T.LongType(), True),
         T.StructField("n_traks", T.IntegerType(), True),
         T.StructField("video_codec", T.StringType(), True),
@@ -2182,7 +2192,7 @@ def mp4_container_stats(media, id_col: str = "doc_id",
                 id_col: pdf[id_col].astype("int64"),
                 "major_brand": o.map(lambda s: s["major_brand"]),
                 "timescale": o.map(lambda s: s["timescale"])
-                .astype("int32"),
+                .astype("int64"),
                 "duration_ms": o.map(lambda s: s["duration_ms"])
                 .astype("int64"),
                 "n_traks": o.map(lambda s: s["n_traks"]).astype("int32"),

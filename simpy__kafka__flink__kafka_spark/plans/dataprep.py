@@ -4699,7 +4699,7 @@ _MP4_STATS_SQL = """
 SELECT doc_id,
        'isom' AS major_brand,
        CAST(CASE WHEN doc_id % 2 = 0 THEN 1000 ELSE 48000 END
-            AS INTEGER) AS timescale,
+            AS BIGINT) AS timescale,
        CAST((doc_id % 300 + 1) * 1000 AS BIGINT) AS duration_ms,
        CAST(CASE doc_id % 3 WHEN 0 THEN 2 ELSE 1 END AS INTEGER)
          AS n_traks,

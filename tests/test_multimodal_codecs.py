@@ -459,3 +459,32 @@ def test_mp4_stats_matches_oracle(spark, sf_dir):
 
     q = registry()["mp4_stats"]
     assert_match(q.build(spark, sf_dir), q.oracle, sf_dir, "mp4_stats")
+
+
+def test_mp4_review_guards():
+    """Review fixes: empty mvhd is typed (was IndexError), uint32
+    timescale survives (int64 column), implausible v1 durations are
+    typed before the Arrow cast could overflow."""
+    import struct
+
+    from simpy__kafka__flink__kafka_spark.functions.multimodal import (
+        build_mp4, mp4_stats)
+
+    def box(btype, body):
+        return struct.pack(">I", 8 + len(body)) + btype + body
+
+    ftyp = box(b"ftyp", b"isom" + bytes(4))
+    with pytest.raises(ValueError, match="empty mvhd"):
+        mp4_stats(ftyp + box(b"moov", box(b"mvhd", b"")))
+
+    big_ts = 2_147_483_653                   # > int32
+    mvhd = box(b"mvhd", bytes(12) + struct.pack(">I", big_ts)
+               + struct.pack(">I", big_ts) + bytes(80))
+    s = mp4_stats(ftyp + box(b"moov", mvhd))
+    assert s["timescale"] == big_ts and s["duration_ms"] == 1000
+
+    huge = box(b"mvhd", bytes([1, 0, 0, 0]) + bytes(16)
+               + struct.pack(">I", 1000)
+               + struct.pack(">Q", (1 << 64) - 1) + bytes(80))
+    with pytest.raises(ValueError, match="implausible"):
+        mp4_stats(ftyp + box(b"moov", huge))
