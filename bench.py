@@ -167,6 +167,8 @@ HEADLINE = [
     # roundtrip (pack -> manifest walk)
     "gopher_repetition",
     "webdataset_pack",
+    # round-13 final wave: MP4 movie triage (shared ISO-BMFF walk)
+    "mp4_stats",
 ]
 
 
