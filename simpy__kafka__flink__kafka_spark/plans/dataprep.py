@@ -4926,9 +4926,16 @@ def _q_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.crawl import parse_sitemap
 
     docs = _docs(spark, sf_dir)
+    return parse_sitemap(docs.select("doc_id",
+                                     _sitemap_xml_expr().alias("xml")))
+
+
+def _sitemap_xml_expr():
+    """ONE rendering of the synthesized sitemap file — shared by the
+    plain row and the gzipped row (round 13)."""
     dom = (F.col("doc_id") % 9).cast("string")
     did = F.col("doc_id").cast("string")
-    xml = F.concat(
+    return F.concat(
         F.lit('<?xml version="1.0"?><urlset>'
               "<url><loc> https://sm-"), dom,
         F.lit(".example.com/p/"), did,
@@ -4949,7 +4956,43 @@ def _q_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(".xml</loc></sitemap></sitemapindex>")))
         .otherwise(F.lit("")),
     )
-    return parse_sitemap(docs.select("doc_id", xml.alias("xml")))
+
+
+def _q_sitemap_gz_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gzipped sitemap ingestion (functions/crawl.py:sitemap_gz_parse
+    — the protocol's recommended delivery shape): the IDENTICAL
+    synthesized sitemap, gzip-compressed per doc (every fifth doc as
+    TWO gzip members — concatenated gzip is legal and real servers
+    emit it), peeled by the shared bounded gunzip and parsed by the
+    one parse_sitemap rendering.  The oracle is the plain row's SQL
+    plus the member count — textbook strict subsumption for a future
+    rotation."""
+    import gzip
+
+    import pandas as pd
+
+    from ..functions.crawl import sitemap_gz_parse
+
+    xml_df = _docs(spark, sf_dir).select(
+        "doc_id", _sitemap_xml_expr().alias("xml"))
+
+    def pack(batches):
+        for pdf in batches:
+            def gz(row) -> bytes:
+                data = row["xml"].encode("utf-8")
+                if row["doc_id"] % 5 == 0:
+                    half = len(data) // 2
+                    return (gzip.compress(data[:half])
+                            + gzip.compress(data[half:]))
+                return gzip.compress(data)
+
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "content": pdf.apply(gz, axis=1),
+            })
+
+    media = xml_df.mapInPandas(pack, "doc_id long, content binary")
+    return sitemap_gz_parse(media)
 
 
 def _sitemap_parse_sql() -> str:
@@ -6560,6 +6603,15 @@ QUERIES: dict[str, Query] = {
         _q_sitemap_parse, _sitemap_parse_sql(),
         "sitemap XML parsing: urlset entries with metadata defaults + "
         "try_cast fallback, sitemapindex entries (zero-shuffle regexp)"),
+    "sitemap_gz_parse": Query(
+        _q_sitemap_gz_parse,
+        # the plain row's SQL verbatim, plus the gz member contract —
+        # textbook strict subsumption
+        "SELECT s.*, CAST(CASE WHEN s.doc_id % 5 = 0 THEN 2 ELSE 1 END"
+        " AS INTEGER) AS n_members\nFROM (" + _sitemap_parse_sql()
+        + ") s",
+        "gzipped sitemap ingestion: bounded multi-member gunzip + the "
+        "one parse_sitemap rendering (the warc_gz_parse posture)"),
     "sitemap_frontier": Query(
         _q_sitemap_frontier, _sitemap_frontier_sql(),
         "frontier seeding: robots.txt Sitemap lines -> per-domain XML "

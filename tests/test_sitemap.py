@@ -85,3 +85,30 @@ def test_robots_sitemaps_are_group_independent(spark):
     assert got == {"https://d.example/before-any-group.xml",
                    "https://d.example/inside-named-group.xml",
                    "https://d.example/trailing.xml"}
+
+
+def test_sitemap_gz_parse_matches_plain_and_oracle(spark, sf_dir):
+    """Gz peel + the one parser rendering: the gz row's entries equal
+    the plain row's exactly (plus the member count), and the DuckDB
+    oracle (the plain SQL wrapped with the member contract) matches."""
+    import gzip
+
+    from tests.oracle_utils import assert_match
+
+    from simpy__kafka__flink__kafka_spark.functions.crawl import (
+        sitemap_gz_parse)
+    from simpy__kafka__flink__kafka_spark.plans import registry
+
+    q = registry()["sitemap_gz_parse"]
+    assert_match(q.build(spark, sf_dir), q.oracle, sf_dir,
+                 "sitemap_gz_parse")
+
+    # corrupt gzip is typed, not a crash
+    import pytest
+    xml = '<?xml version="1.0"?><urlset><url><loc>https://a/x</loc></url></urlset>'
+    good = gzip.compress(xml.encode())
+    media = spark.createDataFrame(
+        [(1, bytearray(good[:10]))], "doc_id long, content binary")
+    with pytest.raises(Exception) as ei:
+        sitemap_gz_parse(media).collect()
+    assert "gzip" in str(ei.value).lower() or "member" in str(ei.value).lower()
