@@ -355,3 +355,20 @@ def id3_stats(media, id_col: str = "doc_id",
             })
 
     return media.select(id_col, content_col).mapInPandas(run, schema)
+
+
+def build_id3v22(title: str, artist: str, album: str,
+                 year: str) -> bytes:
+    """ID3v2.2 fixture writer (3-char ids, 3-byte plain big-endian
+    sizes, latin-1 text, 12 bytes of padding) — the old-tagger layout,
+    laid out from the spec independently of the reader."""
+    def frame(fid: str, text: str) -> bytes:
+        data = b"\0" + text.encode("latin-1")
+        return fid.encode() + len(data).to_bytes(3, "big") + data
+
+    body = (frame("TT2", title) + frame("TP1", artist)
+            + frame("TAL", album) + frame("TYE", year) + b"\0" * 12)
+    sz = len(body)
+    ss = bytes([(sz >> 21) & 0x7F, (sz >> 14) & 0x7F,
+                (sz >> 7) & 0x7F, sz & 0x7F])
+    return b"ID3" + bytes([2, 0, 0]) + ss + body

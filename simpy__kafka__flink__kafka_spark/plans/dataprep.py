@@ -2153,13 +2153,16 @@ def _warc_gz_sql() -> str:
 def _q_id3_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ID3v2 frame walk (functions/mp3.py:id3_frames) — the audio
     provenance analogue of jpeg_exif_stats — over real tagged MP3
-    streams (hand-laid-out ID3v2.3 tag + the existing synthetic frame
+    streams (hand-laid-out tags + the existing synthetic frame
     train).  Every fourth doc carries NO tag so the has_id3=0 arm
-    fires at every SF; the oracle reproduces every field from doc_id
-    arithmetic."""
+    fires at every SF, and every doc_id %% 4 == 1 doc carries the
+    ID3v2.2 layout (round 13 — 3-char ids, 3-byte sizes) so the old
+    walk is hash-checked alongside v2.3; the oracle reproduces every
+    field from doc_id arithmetic."""
     import pandas as pd
 
-    from ..functions.mp3 import build_id3v2, encode_mp3_frames, id3_stats
+    from ..functions.mp3 import (build_id3v2, build_id3v22,
+                                 encode_mp3_frames, id3_stats)
 
     def pack(batches):
         frames = encode_mp3_frames([9, 10])
@@ -2167,7 +2170,8 @@ def _q_id3_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             def mp3(doc_id: int) -> bytes:
                 if doc_id % 4 == 3:
                     return frames
-                tag = build_id3v2(
+                writer = build_id3v22 if doc_id % 4 == 1 else build_id3v2
+                tag = writer(
                     f"Track {doc_id % 12}", f"Artist {doc_id % 7}",
                     f"Album {doc_id % 5}", str(2000 + doc_id % 27))
                 return tag + frames
@@ -2187,7 +2191,8 @@ def _id3_stats_sql() -> str:
 SELECT doc_id,
        CAST(CASE WHEN doc_id % 4 = 3 THEN 0 ELSE 1 END AS INTEGER)
          AS has_id3,
-       CASE WHEN doc_id % 4 = 3 THEN NULL ELSE '2.3' END AS version,
+       CASE WHEN doc_id % 4 = 3 THEN NULL
+            WHEN doc_id % 4 = 1 THEN '2.2' ELSE '2.3' END AS version,
        CAST(CASE WHEN doc_id % 4 = 3 THEN 0 ELSE 4 END AS INTEGER)
          AS n_frames,
        CASE WHEN doc_id % 4 = 3 THEN NULL
