@@ -850,6 +850,20 @@ def _container_stats(b: bytes) -> tuple:
             raise ValueError("FLAC STREAMINFO declares sample rate 0")
         return ("flac", total, rate, total * 1000 // rate,
                 None, None, 0, 0)
+    if buf[:4] == b"OggS":
+        # OGG (round 13): page-walked granule duration — granules
+        # count PCM samples at the id header's rate for both vorbis
+        # and opus-at-48k (opus granules are ALWAYS 48 kHz; the id
+        # header's input rate is informational, so use 48000 for the
+        # division when the codec is opus)
+        from .ogg import ogg_stats
+
+        s = ogg_stats(buf)
+        rate = 48000 if s.codec == "opus" else (s.sample_rate or 0)
+        if rate <= 0:
+            raise ValueError("OGG stream with no identifiable rate")
+        return ("ogg", s.last_granule, s.sample_rate or rate,
+                s.last_granule * 1000 // rate, None, None, 0, 0)
     # empty buffers, lone sync bytes, and ID3-only files (off beyond the
     # payload) must all land on the typed error, never an IndexError
     if (off + 2 <= len(buf) and buf[off] == 0xFF

@@ -306,3 +306,27 @@ def test_id3_v22_three_char_frames():
     bad = b"ID3" + bytes([2, 0, 0x40]) + bytes(4)
     with pytest.raises(ValueError, match="compression"):
         id3_frames(bad)
+
+
+def test_audio_container_dispatch_handles_ogg(spark):
+    """Round 13: OggS payloads dispatch through the page walk —
+    duration from the last granule (opus granules are always 48 kHz
+    regardless of the id header's input rate)."""
+    from simpy__kafka__flink__kafka_spark.functions.multimodal import (
+        audio_container_stats)
+    from simpy__kafka__flink__kafka_spark.functions.ogg import build_ogg
+
+    rows = [
+        (1, bytearray(build_ogg("vorbis", 2, 44100,
+                                [b"a" * 50, b"b" * 60]))),
+        (2, bytearray(build_ogg("opus", 1, 16000, [b"z" * 40]))),
+    ]
+    media = spark.createDataFrame(rows, "doc_id long, content binary")
+    got = {r.doc_id: r for r in audio_container_stats(media).collect()}
+    assert got[1].format == "ogg"
+    assert got[1].sample_rate == 44100
+    assert got[1].duration_ms == 1920 * 1000 // 44100
+    assert got[2].format == "ogg"
+    # opus: granule clock is 48 kHz even though input rate says 16 kHz
+    assert got[2].sample_rate == 16000
+    assert got[2].duration_ms == 960 * 1000 // 48000
