@@ -683,6 +683,56 @@ def start_sitemap_seeding(sitemap_stream: DataFrame, frontier_dir: str,
     )
 
 
+def sitemap_gz_source(spark, path: str,
+                      watermark: str = "10 minutes") -> DataFrame:
+    """Streaming ingestion of gzipped sitemap files (round 13 — the
+    protocol's recommended delivery shape, the warc_gz_source
+    posture): files named ``{host}.sitemap*.xml.gz`` landing under
+    ``path`` arrive through the binaryFile source; the host comes
+    from the file name (the writer contract — a fetcher names the
+    file after the site it pulled it from; non-conforming names are
+    SKIPPED, the warc shard-id rule), the payload is peeled by the
+    bounded multi-member gunzip, and the output is the
+    (domain, xml, ingest_ts) stream :func:`start_sitemap_seeding`
+    consumes."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ..functions.html import gunzip_members
+
+    raw = (spark.readStream.format("binaryFile")
+           .schema("path string, modificationTime timestamp, "
+                   "length long, content binary")
+           .option("pathGlobFilter", "*.xml.gz").load(path))
+    media = raw.select(
+        F.regexp_extract(F.col("path"),
+                         r"([^/]+)\.sitemap[^/]*\.xml\.gz$", 1)
+        .alias("domain"),
+        F.col("modificationTime").alias("ingest_ts"),
+        "content").where(F.col("domain") != "")
+
+    schema = T.StructType([
+        T.StructField("domain", T.StringType(), True),
+        T.StructField("ingest_ts", T.TimestampType(), True),
+        T.StructField("xml", T.StringType(), True),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "domain": pdf["domain"],
+                "ingest_ts": pdf["ingest_ts"],
+                "xml": pdf["content"].map(
+                    lambda b: gunzip_members(bytes(b))[0]
+                    .decode("utf-8", errors="replace")),
+            })
+
+    return media.mapInPandas(run, schema).withWatermark(
+        "ingest_ts", watermark)
+
+
 def url_frontier_dedup(urls: DataFrame,
                        keep: tuple[str, ...] = ()) -> DataFrame:
     """Streaming URL-frontier dedup: canonicalize

@@ -498,3 +498,43 @@ def test_read_parquet_if_exists_tolerates_empty_dir(spark, tmp_path):
         str(tmp_path / "real"))
     assert read_parquet_if_exists(
         spark, str(tmp_path / "real")).count() == 1
+
+
+def test_sitemap_gz_source_feeds_seeding(spark, tmp_path):
+    """Round 13: gzipped sitemap FILES (the protocol's delivery
+    shape) stream through sitemap_gz_source — host from the file
+    name, bounded gunzip, non-conforming names skipped — into the
+    same seeding fold, producing the same frontier rows as the plain
+    stream."""
+    import gzip
+
+    from simpy__kafka__flink__kafka_spark.streaming.corpus import (
+        sitemap_gz_source, start_sitemap_seeding)
+
+    ind = str(tmp_path / "smgz_in")
+    frontier = str(tmp_path / "smgz_frontier")
+    ckpt = str(tmp_path / "smgz_ckpt")
+    os.makedirs(ind, exist_ok=True)
+    with open(f"{ind}/a.example.sitemap.xml.gz", "wb") as f:
+        f.write(gzip.compress(URLSET_A.encode()))
+    # a concatenated two-member file (legal gzip, real servers emit it)
+    half = len(INDEX_B) // 2
+    with open(f"{ind}/b.example.sitemap-1.xml.gz", "wb") as f:
+        f.write(gzip.compress(INDEX_B[:half].encode())
+                + gzip.compress(INDEX_B[half:].encode()))
+    with open(f"{ind}/not-a-sitemap.xml.gz", "wb") as f:
+        f.write(gzip.compress(b"<urlset></urlset>"))  # skipped: no contract name
+
+    fetch = spark.createDataFrame(
+        [("https://b.example/sitemaps/child.xml", CHILD_B)],
+        "sitemap_url string, xml string")
+    q = start_sitemap_seeding(sitemap_gz_source(spark, ind), frontier,
+                              ckpt, fetch_df=fetch,
+                              robots_rules_df=_rules(spark))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r.url for r in spark.read.parquet(frontier).collect()}
+    assert got == {"https://a.example/page1", "https://a.example/page2",
+                   "https://b.example/doc1"}
