@@ -243,6 +243,9 @@ _ESC = {ord("n"): b"\n", ord("r"): b"\r", ord("t"): b"\t",
         ord("b"): b"\b", ord("f"): b"\f", ord("("): b"(",
         ord(")"): b")", ord("\\"): b"\\"}
 
+# PDF name tokens end at whitespace or a delimiter (ISO 32000 §7.2.2-3)
+_NAME_STOP = frozenset(b"\x00\t\n\x0c\r ()<>[]{}/%")
+
 
 def _scan_strings(data: bytes):
     """Yield ('str', bytes) for every literal/hex string and
@@ -309,6 +312,12 @@ def _scan_strings(data: bytes):
             except (ValueError, UnicodeDecodeError) as exc:
                 raise ValueError("PDF: bad hex string") from exc
             pos = end + 1
+        elif c == 0x2F:                    # /Name — consume the whole
+            pos += 1                       # token so a name like /TD or
+            # /Tj (dict key, BDC property operand) can never be
+            # tokenized as an operator and inject spurious breaks/shows
+            while pos < n and data[pos] not in _NAME_STOP:
+                pos += 1
         elif (0x41 <= c <= 0x5A or 0x61 <= c <= 0x7A
               or c in (0x27, 0x22, 0x2A)):     # operator (incl ' " *)
             end = pos

@@ -310,6 +310,14 @@ def pack_webdataset_shards(docs, samples_per_shard: int = 16,
         total = 0
         for _, row in pdf.iterrows():
             did = int(row[id_col])
+            if did < 0:
+                # ids must be non-negative: '%012d' signs-then-pads
+                # while SQL lpad zero-pads before the minus, and 'div'
+                # truncates toward zero vs floor — neither rendering is
+                # defined for negatives, so refuse loudly
+                raise ValueError(
+                    f"pack_webdataset_shards requires {id_col} >= 0, "
+                    f"got {did}")
             txt = (row[text_col] or "").encode("utf-8")
             meta = f'{{"id":{did}}}'.encode()
             entries.append((f"{did:012d}.txt", txt))

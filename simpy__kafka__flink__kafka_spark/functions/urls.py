@@ -120,6 +120,10 @@ def surt_key(url: Column | str) -> Column:
     ``org,example)/a/b?a=1&b=2``."""
     canon = canonicalize_url(url)
     hostport = F.regexp_extract(canon, HOSTPORT_RE, 1)
+    # userinfo never participates in the urlkey (SURT drops it, and
+    # the web-prep host derivation strips it) — remove 'user:pass@'
+    # before any label work so credentials can't be reversed into it
+    hostport = F.regexp_replace(hostport, r"^[^@/]*@", "")
     # a surviving non-default port trails the REVERSED host in SURT
     # ('org,example:8443)...'), so split it off before label reversal
     host = F.regexp_replace(hostport, r":\d+$", "")
