@@ -81,6 +81,46 @@ CHECKED_FIRST = [
     # signal), corpus_datasheet (slate capstone).  The remaining
     # slate rows (image_dhash_oracle, ip_range_lookup,
     # unicode_normalize) are re-declared as the round-14 slate.
+    # Round-14 rotation (VERDICT r13 task 1): the round-13 closing-wave
+    # surfaces take the hard signal.  Six promotions (gopher_repetition,
+    # mp4_stats, pdf_text_extract, ogg_audio_stats, cdx_parse,
+    # sitemap_gz_parse) funded by six strict-subsumption demotions:
+    #  - avif_dims demoted: the promoted mp4_stats drives the SHARED
+    #    _bmff_boxes walk (size==1 largesize, size==0 tail, overrun
+    #    typing — the hard machinery) strictly deeper (nested
+    #    moov/trak/mdia containers, versioned FullBoxes, sample
+    #    tables); avif's residual meta->iprp->ipco find stays oracled
+    #    in the pytest tail.
+    #  - pdf_stats demoted: the promoted pdf_text_extract executes the
+    #    IDENTICAL header/xref/object walk (shared _pdf_objects /
+    #    _obj_window / _stream_data renderings) plus FlateDecode and
+    #    the content-stream tokenizer on top — the warc_parse ->
+    #    warc_gz_parse deepest-row pattern; the residual stats columns
+    #    (has_encrypt, scan_ok) stay oracled in the tail.
+    #  - crawl_schedule_paced demoted: its sched/slot/wave ranged-rank
+    #    + pacing rendering is embedded VERBATIM in the checked
+    #    crawl_backoff_schedule (the r12 promotion note said so), and
+    #    its robots group-merge block is _robots_group_ctes — the same
+    #    rendering the checked robots_txt_gate_named drives through
+    #    the superset named-agent selector; the residual crawl-delay
+    #    list_max fold stays oracled in the tail.
+    #  - contamination_check demoted: its shingle CTE is the
+    #    _ngram_cte rendering the checked dedup_survivors chain embeds
+    #    (the repetition_ratio demotion precedent), and the residual
+    #    benchmark semi-join + group count is the checked
+    #    dedup_against_prior's semi-join family; the fuzzy twin
+    #    contamination_overlap stays oracled in the tail.
+    #  - latency_percentiles demoted: an absent-in-reference bonus row
+    #    gate-green since r1 whose ranked-quantile algebra is checked
+    #    corpus-wide through ccnet_buckets' ranged quantile rank and
+    #    whose plain group-agg family is checked through a dozen rows;
+    #    stays oracled in the tail (the pricing_summary precedent).
+    #  - passage_rewrite demoted: keep-first-by-fingerprint-window is
+    #    checked through web_prep_full's exact-dedup stage, and the
+    #    span-removal text rebuild is the checked
+    #    exact_substring_profile_rewrite's rewrite stage (which fused
+    #    and replaced the standalone rewrite rows in r8); stays
+    #    oracled in the tail.
     "link_traces", "link_edges",
     "watermark_sharded", "parse_props_lenient",
     # trace analytics over the linked DAG (fanout_histogram — a simple
@@ -91,7 +131,10 @@ CHECKED_FIRST = [
     # weights on top) in favor of critical_path — the max-plus
     # latency-weighted root->leaf walk the reference's 链路统计
     # requirement implies (requirements-v2.md:177).
-    "critical_path", "latency_percentiles",
+    # (latency_percentiles demoted r14 — see the rotation note above;
+    # gopher_repetition, the 9-signal published repetition battery and
+    # the hardest new aggregate algebra of r13, takes the slot)
+    "critical_path", "gopher_repetition",
     # training-data pipeline operators.  Round-3 slot swap (VERDICT r02 #3):
     # minhash_signatures / ngram_jaccard_pairs / simhash are each subsumed by
     # a checked composite (minhash_lsh_pairs / near_dup_verified /
@@ -185,7 +228,9 @@ CHECKED_FIRST = [
     # stages (the OOV fold stays oracled in the tail);
     # contamination_overlap demoted — same fuzzy-decontamination family
     # as the checked contamination_check.
-    "contamination_check",
+    # (contamination_check demoted r14 — rotation note above; the CDX/
+    # SURT web-archive index row takes the slot)
+    "cdx_parse",
     # round-4 corpus additions: C4-style cross-doc passage dedup and
     # fixed-window chunking (pii_scrub / salted_split / source_stats stay in
     # the oracled pytest-checked tail); round-5 adds the span-REMOVAL twin
@@ -206,7 +251,10 @@ CHECKED_FIRST = [
     # header walk was tail-only; the codec-in-Arrow-batches posture now
     # takes the hard signal through mp3_stats + webp_dims below, and
     # the WAV/FLAC row stays oracled in the pytest tail.
-    "passage_rewrite", "exact_substring_profile_rewrite",
+    # (passage_rewrite demoted r14 — rotation note above; the gzipped-
+    # sitemap ingestion row, whose oracle is the plain sitemap row's
+    # SQL plus the member contract, takes the slot)
+    "sitemap_gz_parse", "exact_substring_profile_rewrite",
     # relational surface (bonus operators beyond the reference; demoted
     # twins — customers_without_orders, parts_with_cheap_supply,
     # above_avg_orders in r2, brand_set_ops + pivot_status in r3,
@@ -288,7 +336,10 @@ CHECKED_FIRST = [
     # are verbatim inside the checked frontier_rank oracle's seed CTE
     # block (_seed_frontier_ctes); the lastmod/changefreq/sitemapindex
     # arms stay oracled in the pytest tail.
-    "robots_txt_gate_named", "crawl_schedule_paced",
+    # (crawl_schedule_paced demoted r14 — rotation note above; the OGG
+    # page-walk row, the newest audio container front door, takes the
+    # slot next to its mp3/id3 family)
+    "robots_txt_gate_named", "ogg_audio_stats",
     "mp3_stats", "id3_stats",
     # Round-11 wave-2 promotions — the hard signal moves onto the
     # round's own newest code immediately instead of waiting a round
@@ -315,8 +366,11 @@ CHECKED_FIRST = [
     # frontier_rank oracle embeds it; the host_reputation row keys the
     # same rendering onto a different host universe and stays oracled
     # in the pytest tail (the hourly_anomalies demotion precedent).
+    # (avif_dims demoted r14 — rotation note above; mp4_stats, which
+    # drives the shared ISO-BMFF box walk strictly deeper, takes the
+    # slot)
     "frontier_rank",
-    "avif_dims",
+    "mp4_stats",
     # Round-12 rotation (VERDICT r11 task 6/9): crawl_backoff_schedule
     # — the anomaly detector's READ side (z flags -> schedule backoff,
     # the round's newest composition) — takes the hard signal
@@ -357,7 +411,10 @@ CHECKED_FIRST = [
     "jpeg_exif_stats",
     # Round-13 container-walk promotions (all three walks changed this
     # round — see the rotation note above).
-    "webdataset_manifest", "zip_stats", "pdf_stats",
+    # (pdf_stats demoted r14 — rotation note above; the content-stream
+    # text extractor, which executes the identical xref/object walk
+    # plus FlateDecode and the tokenizer on top, takes the slot)
+    "webdataset_manifest", "zip_stats", "pdf_text_extract",
 ]
 
 
