@@ -646,12 +646,22 @@ def gopher_repetition(df: DataFrame, id_col: str = "doc_id",
     Scale shape: every aggregation is per-doc keyed (map-side
     combinable, no cross-doc joins); the gram stages explode at most
     ``4 + 5 + 10`` tokens per word, the same order as the dedup
-    shingle stages.  Docs with no words/lines keep a row with zero
-    signals and ``passes_repetition`` 1 (the keep-empty contract).
-    Output: (id_col, n_lines, all nine ppm columns,
+    shingle stages.  Every counting exchange is keyed on
+    ``(xxhash64(text), length(text))`` instead of the text itself
+    (round-14, VERDICT r13 task 2): the battery only ever consumes a
+    segment/gram's IDENTITY and LENGTH, so full strings never leave
+    the map stage — at sf0.1 the gram shuffle drops from ~21
+    gram-strings per word to 12 bytes per gram.  The top-gram
+    lexicographic tie-break the published battery describes is
+    value-invariant (tied grams have equal ``cnt * length``, and only
+    that product reaches the output), so the top stage is a plain
+    ``max`` — no string join-back is needed.  A same-doc same-length
+    xxhash64 collision would merge two grams; at < 2^-40 per document
+    this is the standard sketch-grade exemption (the md5-fingerprint
+    dedup rows make the same trade).  Docs with no words/lines keep a
+    row with zero signals and ``passes_repetition`` 1 (the keep-empty
+    contract).  Output: (id_col, n_lines, all nine ppm columns,
     passes_repetition)."""
-    from pyspark.sql import Window as W
-
     base = df.select(F.col(id_col).alias("doc_id"),
                      F.col(text_col).alias("text"))
     norm_len = F.length(normalized("text"))
@@ -661,14 +671,17 @@ def gopher_repetition(df: DataFrame, id_col: str = "doc_id",
             "doc_id",
             F.explode(F.filter(F.split("text", sep),
                                lambda x: F.length(x) > 0)).alias("s"))
-        g = seg.groupBy("doc_id", "s").agg(
-            F.count(F.lit(1)).alias("cnt"))
+        # identity+length only — the segment string stays map-side
+        g = (seg.select("doc_id", F.xxhash64("s").alias("h"),
+                        F.length("s").alias("slen"))
+             .groupBy("doc_id", "h", "slen")
+             .agg(F.count(F.lit(1)).alias("cnt")))
         return g.groupBy("doc_id").agg(
             F.sum("cnt").cast("long").alias(f"{prefix}_n"),
             F.sum(F.col("cnt") - 1).cast("long").alias(f"{prefix}_dup"),
-            F.sum(F.col("cnt") * F.length("s")).cast("long")
+            F.sum(F.col("cnt") * F.col("slen")).cast("long")
             .alias(f"{prefix}_chars"),
-            F.sum((F.col("cnt") - 1) * F.length("s")).cast("long")
+            F.sum((F.col("cnt") - 1) * F.col("slen")).cast("long")
             .alias(f"{prefix}_dup_chars"))
 
     line_stats = seg_stats(r"\n", "line")
@@ -691,34 +704,33 @@ def gopher_repetition(df: DataFrame, id_col: str = "doc_id",
             F.lit(n).alias("n"), i.alias("p"),
             F.array_join(F.slice(ws, i, n), " ").alias("g")))
 
+    # the gram string exists only inside this map-side projection:
+    # downstream stages consume its (hash, length) identity
     g_all = base.select(
         "doc_id",
         F.explode(F.concat(*[gram_structs(n)
                              for n in (2, 3, 4, 5, 10)])).alias("t")
-    ).select("doc_id", "t.n", "t.p", "t.g")
-    gc = g_all.groupBy("doc_id", "n", "g").agg(
+    ).select("doc_id", "t.n", "t.p",
+             F.xxhash64("t.g").alias("h"), F.length("t.g").alias("glen"))
+    gc = g_all.groupBy("doc_id", "n", "h", "glen").agg(
         F.count(F.lit(1)).alias("cnt"))
     # a gram seen ONCE is not repetition: without this floor every
-    # short document trivially fails the top-gram bounds
-    w_top = W.partitionBy("doc_id", "n").orderBy(
-        (F.col("cnt") * F.length("g")).desc(), F.col("g"))
+    # short document trivially fails the top-gram bounds.  The
+    # published tie-break (lexicographically smallest gram among those
+    # with max cnt*length) never changes the VALUE cnt*length, so a
+    # plain max replaces the former row_number window.
+    tc = (F.col("cnt") * F.col("glen")).cast("long")
     tops = (gc.where((F.col("cnt") >= 2) & F.col("n").isin(2, 3, 4))
-            .withColumn("_rk", F.row_number().over(w_top))
-            .where(F.col("_rk") == 1)
-            .withColumn("_tc", (F.col("cnt") * F.length("g"))
-                        .cast("long"))
             .groupBy("doc_id").agg(
-                F.max(F.when(F.col("n") == 2, F.col("_tc")))
-                .alias("_top2"),
-                F.max(F.when(F.col("n") == 3, F.col("_tc")))
-                .alias("_top3"),
-                F.max(F.when(F.col("n") == 4, F.col("_tc")))
-                .alias("_top4")))
+                F.max(F.when(F.col("n") == 2, tc)).alias("_top2"),
+                F.max(F.when(F.col("n") == 3, tc)).alias("_top3"),
+                F.max(F.when(F.col("n") == 4, tc)).alias("_top4")))
     # dup coverage: word positions covered by ANY >=2x gram, unioned
     # per (doc, n) — one shared word-length frame serves both n values
     dup_pos = (g_all.where(F.col("n").isin(5, 10))
                .join(gc.where(F.col("cnt") >= 2)
-                     .select("doc_id", "n", "g"), ["doc_id", "n", "g"])
+                     .select("doc_id", "n", "h", "glen"),
+                     ["doc_id", "n", "h", "glen"])
                .select("doc_id", "n",
                        F.explode(F.sequence(
                            F.col("p"), F.col("p") + F.col("n") - 1))
