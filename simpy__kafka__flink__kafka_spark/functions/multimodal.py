@@ -989,6 +989,10 @@ def _bmff_boxes(buf: bytes, start: int, end: int):
         (size,), btype = struct.unpack(">I", buf[i:i + 4]), buf[i + 4:i + 8]
         hdr = 8
         if size == 1:
+            if i + 16 > end:
+                raise ValueError(
+                    f"malformed ISO-BMFF box {btype!r}: largesize header "
+                    "truncated")
             (size,) = struct.unpack(">Q", buf[i + 8:i + 16])
             hdr = 16
         elif size == 0:
@@ -2063,12 +2067,107 @@ def image_dhash(media: DataFrame, id_col: str = "doc_id",
 # moov/trak/mdia/hdlr the handler type ('vide'/'soun'), and
 # moov/trak/mdia/minf/stbl/stsd the sample-entry fourcc.
 
+def _mp4_sample_tables(buf: bytes, mdia, find) -> dict | None:
+    """Per-track index triage (round 14 — VERDICT r13 task 5): mdhd
+    media timescale + stts exact duration + stsz sample count/bytes +
+    stco/co64 chunk count.  The video analogue of mp3's exact
+    header-walk duration — still zero sample DATA touched; only the
+    index tables are read.  Returns {duration_ms, n_samples, bytes,
+    bitrate_bps, n_chunks} or None when the track carries no stbl
+    index; malformed tables raise the typed ValueError family."""
+    import struct
+
+    mdhd = find(mdia, b"mdhd")
+    minf = find(mdia, b"minf")
+    stbl = find(minf, b"stbl") if minf else None
+    if mdhd is None or stbl is None:
+        return None
+    if mdhd[0] >= mdhd[1]:
+        raise ValueError("MP4: empty mdhd box")
+    if buf[mdhd[0]] == 1:
+        if mdhd[0] + 28 > mdhd[1]:
+            raise ValueError("MP4: mdhd v1 box too small")
+        med_ts = struct.unpack(">I", buf[mdhd[0] + 20:mdhd[0] + 24])[0]
+    else:
+        if mdhd[0] + 16 > mdhd[1]:
+            raise ValueError("MP4: mdhd v0 box too small")
+        med_ts = struct.unpack(">I", buf[mdhd[0] + 12:mdhd[0] + 16])[0]
+    if med_ts == 0:
+        raise ValueError("MP4: mdhd timescale is zero")
+
+    def entry_count(scope, btype, entry_bytes, skip=8):
+        """FullBox entry_count, validated against the box size so an
+        attacker count can never drive a loop past the table."""
+        n = struct.unpack(">I", buf[scope[0] + 4:scope[0] + 8])[0]
+        if scope[0] + skip + n * entry_bytes > scope[1]:
+            raise ValueError(
+                f"MP4: {btype.decode()} declares {n} entries past its "
+                "box end")
+        return n
+
+    stts = find(stbl, b"stts")
+    stsz = find(stbl, b"stsz")
+    if stts is None or stsz is None:
+        return None
+    if stts[0] + 8 > stts[1] or stsz[0] + 12 > stsz[1]:
+        raise ValueError("MP4: sample-table header truncated")
+
+    n_tt = entry_count(stts, b"stts", 8)
+    dur_units = 0
+    for k in range(n_tt):
+        cnt, delta = struct.unpack(
+            ">II", buf[stts[0] + 8 + 8 * k:stts[0] + 16 + 8 * k])
+        dur_units += cnt * delta
+        if dur_units >= (1 << 62) // 1000:
+            raise ValueError("MP4: implausible stts duration")
+
+    fixed = struct.unpack(">I", buf[stsz[0] + 4:stsz[0] + 8])[0]
+    n_samples = struct.unpack(">I", buf[stsz[0] + 8:stsz[0] + 12])[0]
+    if fixed:
+        total_bytes = fixed * n_samples
+    else:
+        if stsz[0] + 12 + 4 * n_samples > stsz[1]:
+            raise ValueError(
+                f"MP4: stsz declares {n_samples} entries past its box "
+                "end")
+        total_bytes = sum(
+            struct.unpack(">I", buf[stsz[0] + 12 + 4 * k:
+                                    stsz[0] + 16 + 4 * k])[0]
+            for k in range(n_samples))
+    if total_bytes >= 1 << 59:
+        raise ValueError("MP4: implausible stsz byte total")
+
+    stco = find(stbl, b"stco")
+    co64 = find(stbl, b"co64")
+    n_chunks = None
+    if stco is not None and stco[0] + 8 <= stco[1]:
+        n_chunks = entry_count(stco, b"stco", 4)
+    elif co64 is not None and co64[0] + 8 <= co64[1]:
+        n_chunks = entry_count(co64, b"co64", 8)
+
+    duration_ms = dur_units * 1000 // med_ts
+    return {
+        "duration_ms": duration_ms,
+        "n_samples": n_samples,
+        "bytes": total_bytes,
+        "bitrate_bps": (total_bytes * 8000 // duration_ms
+                        if duration_ms > 0 else None),
+        "n_chunks": n_chunks,
+    }
+
+
 def mp4_stats(content: bytes) -> dict:
     """Walk one MP4/MOV file's moov tree.  Returns {major_brand,
-    timescale, duration_ms, n_traks, video_codec, audio_codec} —
-    codec fields None when no such track exists; files without ftyp
-    or moov raise the typed ValueError family (same posture as every
-    header walk)."""
+    timescale, duration_ms, n_traks, video_codec, audio_codec} plus,
+    for the first video and first audio track carrying a sample
+    index, the stts/stsz/stco-derived {video,audio}_{duration_ms,
+    n_samples, bytes, bitrate_bps} (None when the track has no index
+    — e.g. fragmented movies).  Edit lists (edts/elst) are tolerated:
+    the media duration reported here is the INDEX duration (sum of
+    stts deltas over the mdhd timescale), not the edited presentation
+    duration.  Codec fields None when no such track exists; files
+    without ftyp or moov raise the typed ValueError family (same
+    posture as every header walk)."""
     import struct
 
     buf = bytes(content)
@@ -2119,6 +2218,7 @@ def mp4_stats(content: bytes) -> dict:
         raise ValueError("MP4: implausible mvhd duration")
     n_traks = 0
     video_codec = audio_codec = None
+    tables = {"vide": None, "soun": None}
     for t, lo, hi in _bmff_boxes(buf, moov[0], moov[1]):
         if t != b"trak":
             continue
@@ -2141,19 +2241,35 @@ def mp4_stats(content: bytes) -> dict:
                 fourcc = buf[stsd[0] + 12:stsd[0] + 16].decode("latin-1")
         if handler == "vide" and video_codec is None:
             video_codec = fourcc
+            tables["vide"] = _mp4_sample_tables(buf, mdia, find)
         elif handler == "soun" and audio_codec is None:
             audio_codec = fourcc
-    return {"major_brand": brand, "timescale": timescale,
-            "duration_ms": duration * 1000 // timescale,
-            "n_traks": n_traks, "video_codec": video_codec,
-            "audio_codec": audio_codec}
+            tables["soun"] = _mp4_sample_tables(buf, mdia, find)
+    out = {"major_brand": brand, "timescale": timescale,
+           "duration_ms": duration * 1000 // timescale,
+           "n_traks": n_traks, "video_codec": video_codec,
+           "audio_codec": audio_codec}
+    for handler, prefix in (("vide", "video"), ("soun", "audio")):
+        tab = tables[handler]
+        for key in ("duration_ms", "n_samples", "bytes", "bitrate_bps"):
+            out[f"{prefix}_{key}"] = tab[key] if tab else None
+    return out
 
 
 def build_mp4(duration_units: int, timescale: int = 1000,
               tracks: tuple = (("vide", "avc1"), ("soun", "mp4a")),
-              mvhd_version: int = 0) -> bytes:
+              mvhd_version: int = 0,
+              sample_specs: dict | None = None,
+              with_edit_list: bool = False) -> bytes:
     """Minimal MP4 fixture writer — boxes nested with real computed
-    sizes, laid out from the spec independently of the reader."""
+    sizes, laid out from the spec independently of the reader.
+    ``sample_specs`` optionally maps a handler ('vide'/'soun') to
+    {'timescale': int, 'stts': [(count, delta), ...],
+    'sizes': int | list[int], 'n_chunks': int} — emitting real
+    mdhd/stts/stsz/stco tables (an int 'sizes' writes the fixed-size
+    stsz layout, a list writes per-sample entries).  ``with_edit_list``
+    inserts an edts/elst box into every track so readers prove they
+    tolerate edited movies."""
     import struct
 
     def box(btype: bytes, body: bytes) -> bytes:
@@ -2171,12 +2287,49 @@ def build_mp4(duration_units: int, timescale: int = 1000,
     for handler, fourcc in tracks:
         entry = struct.pack(">I", 16) + fourcc.encode() + bytes(8)
         stsd = box(b"stsd", bytes(4) + struct.pack(">I", 1) + entry)
-        stbl = box(b"stbl", stsd)
+        stbl_body = stsd
+        mdhd = b""
+        spec = (sample_specs or {}).get(handler)
+        if spec:
+            mdhd = box(b"mdhd", bytes(4) + bytes(8)
+                       + struct.pack(">I", spec["timescale"])
+                       + struct.pack(">I", sum(
+                           c * d for c, d in spec["stts"]))
+                       + bytes(4))
+            stts = box(b"stts", bytes(4)
+                       + struct.pack(">I", len(spec["stts"]))
+                       + b"".join(struct.pack(">II", c, d)
+                                  for c, d in spec["stts"]))
+            sizes = spec["sizes"]
+            n_samples = sum(c for c, _ in spec["stts"])
+            if isinstance(sizes, int):
+                stsz = box(b"stsz", bytes(4)
+                           + struct.pack(">II", sizes, n_samples))
+            else:
+                assert len(sizes) == n_samples
+                stsz = box(b"stsz", bytes(4)
+                           + struct.pack(">II", 0, n_samples)
+                           + b"".join(struct.pack(">I", s)
+                                      for s in sizes))
+            stco = box(b"stco", bytes(4)
+                       + struct.pack(">I", spec["n_chunks"])
+                       + b"".join(struct.pack(">I", 4096 * (k + 1))
+                                  for k in range(spec["n_chunks"])))
+            stbl_body += stts + stsz + stco
+        stbl = box(b"stbl", stbl_body)
         minf = box(b"minf", stbl)
         hdlr = box(b"hdlr", bytes(4) + bytes(4) + handler.encode()
                    + bytes(13))
-        mdia = box(b"mdia", hdlr + minf)
-        traks += box(b"trak", mdia)
+        edts = b""
+        if with_edit_list:
+            # one v0 elst entry: full duration from media time 0
+            edts = box(b"edts", box(b"elst", bytes(4)
+                                    + struct.pack(">I", 1)
+                                    + struct.pack(">IiH H",
+                                                  duration_units, 0,
+                                                  1, 0)))
+        mdia = box(b"mdia", mdhd + hdlr + minf)
+        traks += box(b"trak", edts + mdia)
     moov = box(b"moov", mvhd + traks)
     ftyp = box(b"ftyp", b"isom" + bytes(4) + b"isomiso2mp41")
     return ftyp + moov
@@ -2186,9 +2339,15 @@ def mp4_container_stats(media, id_col: str = "doc_id",
                         content_col: str = "content"):
     """Arrow-batched :func:`mp4_stats` over binary payloads.  Output:
     (id_col, major_brand, timescale, duration_ms, n_traks,
-    video_codec, audio_codec)."""
+    video_codec, audio_codec, then the per-track index columns
+    {video,audio}_{duration_ms, n_samples, bytes, bitrate_bps} —
+    nullable Int64, NULL when the track is absent or carries no
+    sample index)."""
     from collections.abc import Iterator
 
+    idx_cols = [f"{p}_{k}" for p in ("video", "audio")
+                for k in ("duration_ms", "n_samples", "bytes",
+                          "bitrate_bps")]
     schema = T.StructType([
         T.StructField(id_col, T.LongType(), False),
         T.StructField("major_brand", T.StringType(), True),
@@ -2197,6 +2356,7 @@ def mp4_container_stats(media, id_col: str = "doc_id",
         T.StructField("n_traks", T.IntegerType(), True),
         T.StructField("video_codec", T.StringType(), True),
         T.StructField("audio_codec", T.StringType(), True),
+        *[T.StructField(c, T.LongType(), True) for c in idx_cols],
     ])
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -2212,6 +2372,8 @@ def mp4_container_stats(media, id_col: str = "doc_id",
                 "n_traks": o.map(lambda s: s["n_traks"]).astype("int32"),
                 "video_codec": o.map(lambda s: s["video_codec"]),
                 "audio_codec": o.map(lambda s: s["audio_codec"]),
+                **{c: o.map(lambda s, c=c: s[c]).astype("Int64")
+                   for c in idx_cols},
             })
 
     return media.select(id_col, content_col).mapInPandas(run, schema)

@@ -4673,8 +4673,14 @@ def _q_mp4_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     SHARED _bmff_boxes walk — the video analogue of mp3_stats):
     per-doc fixtures alternate mvhd v0/v1 layouts, track sets cycle
     video+audio / video-only / audio-only, and duration/timescale
-    derive from doc_id arithmetic.  The oracle reproduces every
-    column."""
+    derive from doc_id arithmetic.  Round 14 extends the triage
+    through the sample index (mdhd/stts/stsz/stco): every track
+    carries real tables — the video track alternates fixed-size and
+    per-sample stsz layouts, the audio track exercises multi-entry
+    stts — and every third movie carries an edts/elst edit list the
+    walk must tolerate.  The oracle reproduces every column,
+    including the index-derived exact durations, sample counts, and
+    bitrates."""
     import pandas as pd
 
     from ..functions.multimodal import build_mp4, mp4_container_stats
@@ -4687,8 +4693,29 @@ def _q_mp4_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 tracks = ((("vide", "avc1"), ("soun", "mp4a")),
                           (("vide", "hvc1"),),
                           (("soun", "Opus"),))[doc_id % 3]
+                nv = doc_id % 240 + 2
+                na1, na2 = doc_id % 500 + 2, doc_id % 7 + 1
+                specs = {
+                    "vide": {
+                        "timescale": 30_000,
+                        "stts": [(nv, 1001)],
+                        "sizes": (500 + doc_id % 100
+                                  if doc_id % 2 == 0 else
+                                  [100 + (doc_id + i) % 9
+                                   for i in range(nv)]),
+                        "n_chunks": 1 + doc_id % 5,
+                    },
+                    "soun": {
+                        "timescale": 48_000,
+                        "stts": [(na1, 1024), (na2, 960)],
+                        "sizes": 200 + doc_id % 50,
+                        "n_chunks": 2,
+                    },
+                }
                 return build_mp4(dur, ts, tracks=tracks,
-                                 mvhd_version=doc_id % 2)
+                                 mvhd_version=doc_id % 2,
+                                 sample_specs=specs,
+                                 with_edit_list=doc_id % 3 == 0)
 
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"],
@@ -4701,6 +4728,28 @@ def _q_mp4_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _MP4_STATS_SQL = """
+WITH sp AS (
+  SELECT doc_id,
+         doc_id % 240 + 2 AS nv,
+         doc_id % 500 + 2 AS na1,
+         doc_id % 7 + 1 AS na2,
+         doc_id % 3 IN (0, 1) AS has_v,
+         doc_id % 3 IN (0, 2) AS has_a
+  FROM documents
+),
+d AS (
+  SELECT doc_id, has_v, has_a,
+         (nv * 1001 * 1000) // 30000 AS vdur,
+         CAST(nv AS BIGINT) AS vn,
+         CASE WHEN doc_id % 2 = 0 THEN (500 + doc_id % 100) * nv
+              ELSE list_sum(list_transform(range(0, nv),
+                            i -> 100 + (doc_id + i) % 9))
+         END AS vbytes,
+         ((na1 * 1024 + na2 * 960) * 1000) // 48000 AS adur,
+         CAST(na1 + na2 AS BIGINT) AS an,
+         (200 + doc_id % 50) * (na1 + na2) AS abytes
+  FROM sp
+)
 SELECT doc_id,
        'isom' AS major_brand,
        CAST(CASE WHEN doc_id % 2 = 0 THEN 1000 ELSE 48000 END
@@ -4711,8 +4760,20 @@ SELECT doc_id,
        CASE doc_id % 3 WHEN 0 THEN 'avc1' WHEN 1 THEN 'hvc1'
             ELSE NULL END AS video_codec,
        CASE doc_id % 3 WHEN 0 THEN 'mp4a' WHEN 2 THEN 'Opus'
-            ELSE NULL END AS audio_codec
-FROM documents
+            ELSE NULL END AS audio_codec,
+       CAST(CASE WHEN has_v THEN vdur END AS BIGINT)
+         AS video_duration_ms,
+       CAST(CASE WHEN has_v THEN vn END AS BIGINT) AS video_n_samples,
+       CAST(CASE WHEN has_v THEN vbytes END AS BIGINT) AS video_bytes,
+       CAST(CASE WHEN has_v THEN (vbytes * 8000) // vdur END AS BIGINT)
+         AS video_bitrate_bps,
+       CAST(CASE WHEN has_a THEN adur END AS BIGINT)
+         AS audio_duration_ms,
+       CAST(CASE WHEN has_a THEN an END AS BIGINT) AS audio_n_samples,
+       CAST(CASE WHEN has_a THEN abytes END AS BIGINT) AS audio_bytes,
+       CAST(CASE WHEN has_a THEN (abytes * 8000) // adur END AS BIGINT)
+         AS audio_bitrate_bps
+FROM d
 """
 
 

@@ -423,7 +423,11 @@ def test_mp4_stats_walk_and_typed_errors():
     s = mp4_stats(build_mp4(90_000, 1000))
     assert s == {"major_brand": "isom", "timescale": 1000,
                  "duration_ms": 90_000, "n_traks": 2,
-                 "video_codec": "avc1", "audio_codec": "mp4a"}
+                 "video_codec": "avc1", "audio_codec": "mp4a",
+                 # no sample_specs -> no index tables -> NULL triage
+                 **{f"{p}_{k}": None for p in ("video", "audio")
+                    for k in ("duration_ms", "n_samples", "bytes",
+                              "bitrate_bps")}}
     s1 = mp4_stats(build_mp4(48_000 * 3600, 48_000, mvhd_version=1,
                              tracks=(("soun", "Opus"),)))
     assert (s1["duration_ms"], s1["audio_codec"],
@@ -450,6 +454,61 @@ def test_mp4_stats_walk_and_typed_errors():
             assert out["timescale"] > 0
         except (ValueError, NotImplementedError):
             pass
+
+
+def test_mp4_sample_tables():
+    """Round-14 index triage: exact per-track duration from stts over
+    the mdhd timescale, sample count and byte totals from stsz (both
+    fixed-size and per-sample layouts), bitrate from the two, and
+    edit-list tolerance — no sample data read."""
+    import struct
+
+    from simpy__kafka__flink__kafka_spark.functions.multimodal import (
+        build_mp4, mp4_stats)
+
+    specs = {
+        "vide": {"timescale": 30_000, "stts": [(60, 1001)],
+                 "sizes": [1000 + i for i in range(60)], "n_chunks": 3},
+        "soun": {"timescale": 48_000, "stts": [(93, 1024), (2, 960)],
+                 "sizes": 250, "n_chunks": 2},
+    }
+    s = mp4_stats(build_mp4(2_000, 1000, sample_specs=specs,
+                            with_edit_list=True))
+    assert s["video_duration_ms"] == 60 * 1001 * 1000 // 30_000
+    assert s["video_n_samples"] == 60
+    assert s["video_bytes"] == sum(1000 + i for i in range(60))
+    assert s["video_bitrate_bps"] == (s["video_bytes"] * 8000
+                                      // s["video_duration_ms"])
+    au = 93 * 1024 + 2 * 960
+    assert s["audio_duration_ms"] == au * 1000 // 48_000
+    assert s["audio_n_samples"] == 95
+    assert s["audio_bytes"] == 250 * 95
+    assert s["audio_bitrate_bps"] == (250 * 95 * 8000
+                                      // s["audio_duration_ms"])
+
+    # fixed-size stsz layout
+    specs2 = {"vide": {"timescale": 90_000, "stts": [(10, 3000)],
+                       "sizes": 512, "n_chunks": 1}}
+    s2 = mp4_stats(build_mp4(1_000, 1000, tracks=(("vide", "av01"),),
+                             sample_specs=specs2))
+    assert (s2["video_bytes"], s2["video_n_samples"],
+            s2["video_duration_ms"]) == (5120, 10, 333)
+    assert s2["audio_n_samples"] is None
+
+    # typed errors: an entry count past the box end must never drive
+    # the loop, and a zero mdhd timescale is typed
+    good = build_mp4(1_000, 1000, tracks=(("vide", "avc1"),),
+                     sample_specs=specs2)
+    bad = bytearray(good)
+    i = bad.find(b"stts") + 8
+    bad[i:i + 4] = struct.pack(">I", 1 << 24)
+    with pytest.raises(ValueError, match="entries past its box end"):
+        mp4_stats(bytes(bad))
+    bad2 = bytearray(good)
+    j = bad2.find(b"mdhd") + 4 + 12
+    bad2[j:j + 4] = bytes(4)
+    with pytest.raises(ValueError, match="mdhd timescale"):
+        mp4_stats(bytes(bad2))
 
 
 def test_mp4_stats_matches_oracle(spark, sf_dir):
