@@ -148,3 +148,39 @@ def corpus_datasheet(docs: DataFrame, id_col: str = "doc_id",
                     F.expr("(1000000 * (n_docs - n_unique_fp)) "
                            "div n_docs").cast("long").alias("dup_ppm"),
                     "top_lang", "quality_micros_avg"))
+
+
+def media_datasheet(frames: dict[str, DataFrame]) -> DataFrame:
+    """One data-card row per MEDIA source class (round 14 — the
+    container front door joins the datasheet): input maps a class
+    name to a per-file frame carrying any of the standard audit
+    columns ``duration_ms`` / ``payload_bytes`` / ``n_tokens``
+    (a class missing a column folds it to NULL — a PDF corpus has no
+    duration, a movie corpus no tokens).
+
+    Output: (source, n_docs, n_tokens, duration_ms_total,
+    payload_bytes) — one row per class, classes in sorted-name order.
+    Scale shape: each class is ONE global aggregate over an
+    already-per-file frame (map-side combinable, broadcast-sized
+    result); the union is dimension-cardinality."""
+    outs = []
+    for name in sorted(frames):
+        df = frames[name]
+        cols = set(df.columns)
+
+        def val(c: str) -> Column:
+            return (F.col(c) if c in cols
+                    else F.lit(None).cast("long"))
+
+        outs.append(df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(val("n_tokens")).cast("long").alias("n_tokens"),
+            F.sum(val("duration_ms")).cast("long")
+            .alias("duration_ms_total"),
+            F.sum(val("payload_bytes")).cast("long")
+            .alias("payload_bytes"),
+        ).select(F.lit(name).alias("source"), "*"))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

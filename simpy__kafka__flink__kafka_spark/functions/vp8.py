@@ -28,19 +28,29 @@ Honesty of the parity claim (the vp8l.py posture, stated precisely):
   the structural relations y2dc=2*dc, y2ac=31*ac/20 min 8, uvdc
   capped at 132), pinned in tests by the spec's invariants and
   anchor values.
-* ONE ENGINE-PINNED table remains: the default token probabilities
-  (``DEFAULT_COEFF_PROBS`` — RFC 6386 §13.5's 4x8x3x11 blob is 1056
-  opaque values with no re-derivable structure to cross-check a
-  vendored copy against in this offline container, and a silently
-  wrong copy would CLAIM interop while mis-decoding, which is worse
-  than the typed seam; the module instead uses a deterministic
-  seeded schedule, varied across (type, band, ctx) so a
-  context-selection bug flips the roundtrip, pinned by checksum
-  test).  Decoding libvpx-encoded bitstreams therefore remains the
-  documented interop seam — everything encoded by
-  :func:`encode_vp8` decodes bit-exactly and the full structural
-  machinery is exercised either way; a future environment with
-  libvpx present can close the seam by replacing ONE table.
+* ONE ENGINE-PINNED table remains, and the seam is now FORMALLY
+  CLOSED as a typed refusal (round 14, VERDICT r13 task 4): the
+  default token probabilities (``DEFAULT_COEFF_PROBS`` — RFC 6386
+  §13.5's 4x8x3x11 blob is 1056 opaque values with no re-derivable
+  structure to cross-check a vendored copy against in this offline
+  container, and a silently wrong copy would CLAIM interop while
+  mis-decoding, which is worse than a loud refusal; the module
+  instead uses a deterministic seeded schedule, varied across
+  (type, band, ctx) so a context-selection bug flips the roundtrip,
+  pinned by checksum test).  The closure mechanism: this engine's
+  encoder/decoder boolean-coder shift mirror consumes every
+  partition EXACTLY, so the decoder refuses any stream whose
+  partitions show consumption drift — which a stream encoded
+  against the real §13.5 defaults (libvpx) exhibits with
+  overwhelming probability for any non-trivial token mass.  A
+  foreign lossy WebP therefore gets the typed
+  ``vp8-default-coeff-probs`` seam error, never silent garbage
+  pixels; the residual false-accept (every partition of a foreign
+  stream landing exactly on its boundary with zero overreads) is
+  sketch-grade.  Everything encoded by :func:`encode_vp8` decodes
+  bit-exactly and the full structural machinery is exercised either
+  way; a future environment with libvpx present can finish the
+  interop story by replacing ONE table and dropping the refusal.
 
 Typed seams (ValueError, never a crash class): interframes, B_PRED
 macroblocks, segmentation-enabled streams, loop-filtered streams
@@ -213,14 +223,18 @@ class _BoolDecoder:
     """RFC 6386 §7.2 boolean decoder.  Reads past the partition end
     feed zeros (the spec's own tolerance) — termination is guaranteed
     structurally (every token loop is bounded by block/coefficient
-    counts, which are bounded by the budget-gated dims)."""
+    counts, which are bounded by the budget-gated dims).
+    ``zero_feeds`` and ``unconsumed()`` expose the consumption drift
+    the foreign-stream detector checks at decode end."""
 
-    __slots__ = ("_d", "_pos", "_end", "_value", "_range", "_shift")
+    __slots__ = ("_d", "_pos", "_end", "_value", "_range", "_shift",
+                 "zero_feeds")
 
     def __init__(self, data: bytes, pos: int = 0, end: int | None = None):
         self._d = data
         self._pos = pos
         self._end = len(data) if end is None else min(end, len(data))
+        self.zero_feeds = 0
         self._value = (self._next() << 8) | self._next()
         self._range = 255
         self._shift = 0
@@ -230,7 +244,11 @@ class _BoolDecoder:
             b = self._d[self._pos]
             self._pos += 1
             return b
+        self.zero_feeds += 1
         return 0
+
+    def unconsumed(self) -> int:
+        return self._end - self._pos
 
     def read_bool(self, prob: int) -> int:
         split = 1 + (((self._range - 1) * prob) >> 8)
@@ -756,6 +774,28 @@ def decode_vp8_yuv(content: bytes, max_pixels: int | None = None
                     uvres[pl].append(_idct4x4(co.reshape(4, 4)))
             _recon_mb(ry, ru, rv, mx, my, ymode, uvmode, yres,
                       uvres["u"], uvres["v"])
+    # Foreign-stream detector (round 14 — the §13.5 seam made LOUD):
+    # this engine's encoder/decoder shift mirror consumes every
+    # partition EXACTLY (0 bytes unconsumed, 0 zero-feeds — pinned by
+    # test over the fixture space, including unused 2-byte partitions
+    # when n_parts > mb_h).  A stream encoded against the real RFC
+    # 6386 §13.5 default coefficient probabilities (libvpx) decodes
+    # here with wrong probabilities, so its renorm-byte cadence drifts
+    # off the partition boundary with overwhelming probability for any
+    # non-trivial token mass.  Refusing on drift turns the former
+    # silent mis-decode into the typed seam error; the residual
+    # false-accept (a foreign stream landing exactly on every
+    # boundary) is sketch-grade and documented in the module header.
+    for part in (bd, *tds):
+        if part.unconsumed() != 0 or part.zero_feeds != 0:
+            raise ValueError(
+                "VP8 partition consumption drift "
+                f"({part.unconsumed()} bytes unconsumed, "
+                f"{part.zero_feeds} reads past the end): stream was "
+                "likely encoded against the RFC 6386 §13.5/§13.4 "
+                "default coefficient probabilities, which this engine "
+                "does not vendor (documented seam: "
+                "vp8-default-coeff-probs)")
     cw, ch = (w + 1) // 2, (h + 1) // 2
     return ry[:h, :w], ru[:ch, :cw], rv[:ch, :cw]
 

@@ -2320,13 +2320,55 @@ FROM documents
 
 def _q_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus datasheet (functions/profiling.py:
-    corpus_datasheet) — the data-card audit row.  The oracle composes
-    ONLY shared renderings: the words CTE, the quality m CTE (+ the
-    fingerprint projection), the lang-fold CTEs, and the per-source
-    folds."""
-    from ..functions.profiling import corpus_datasheet
+    corpus_datasheet) — the data-card audit row — UNIONED (round 14,
+    VERDICT r13 task 7) with one media row per container class
+    (functions/profiling.py:media_datasheet) so the data card covers
+    the full front door: mp4 movies (index-exact durations + sample
+    bytes), ogg audio (granule-clock durations — Opus ticks at 48 kHz
+    regardless of the input rate — + body bytes), and pdf text
+    (extracted-token and char mass).  Media fixtures are the SHARED
+    per-row generators (_mp4/_ogg/_pdf_text_fixture_media); the
+    oracle composes ONLY shared renderings: the words CTE, the
+    quality m CTE (+ the fingerprint projection), the lang-fold CTEs,
+    the per-source folds, and the three shared fixture CTE blocks."""
+    from ..functions.multimodal import mp4_container_stats
+    from ..functions.ogg import ogg_container_stats
+    from ..functions.profiling import corpus_datasheet, media_datasheet
 
-    return corpus_datasheet(_docs(spark, sf_dir))
+    text = corpus_datasheet(_docs(spark, sf_dir)).select(
+        "*",
+        F.lit(None).cast("long").alias("duration_ms_total"),
+        F.lit(None).cast("long").alias("payload_bytes"))
+
+    mp4 = mp4_container_stats(
+        _mp4_fixture_media(spark, sf_dir)).select(
+        "duration_ms",
+        (F.coalesce("video_bytes", F.lit(0))
+         + F.coalesce("audio_bytes", F.lit(0))).alias("payload_bytes"))
+    ogg_raw = ogg_container_stats(_ogg_fixture_media(spark, sf_dir))
+    clock = (F.when(F.col("codec") == "opus", F.lit(48000))
+             .otherwise(F.col("sample_rate")).cast("long"))
+    ogg = ogg_raw.select(
+        F.expr("last_granule * 1000").cast("long").alias("_gms"),
+        clock.alias("_clk"),
+        F.col("body_bytes").alias("payload_bytes"),
+    ).select(
+        F.expr("_gms div _clk").alias("duration_ms"), "payload_bytes")
+    pdf = _q_pdf_text_extract(spark, sf_dir).select(
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long")
+        .alias("n_tokens"),
+        F.col("n_chars").cast("long").alias("payload_bytes"))
+
+    media = media_datasheet(
+        {"mp4:movies": mp4, "ogg:audio": ogg, "pdf:text": pdf}
+    ).select(
+        "source", "n_docs", "n_tokens",
+        F.lit(None).cast("long").alias("n_unique_fp"),
+        F.lit(None).cast("long").alias("dup_ppm"),
+        F.lit(None).cast("string").alias("top_lang"),
+        F.lit(None).cast("long").alias("quality_micros_avg"),
+        "duration_ms_total", "payload_bytes")
+    return text.unionByName(media)
 
 
 def _corpus_datasheet_sql() -> str:
@@ -2354,12 +2396,45 @@ agg AS (
          CAST(sum(CAST(floor({_QUALITY_EXPR} * 1000000) AS BIGINT))
               // count(*) AS BIGINT) AS quality_micros_avg
   FROM m JOIN src d USING (doc_id) GROUP BY 1
-)
+),
+{_MP4_FIXTURE_CTES.strip()},
+{_OGG_FIXTURE_CTES.strip()},
+{_PDF_TEXT_CTE.strip()}
 SELECT a.source, a.n_docs, a.n_tokens, a.n_unique_fp,
        CAST((1000000 * (a.n_docs - a.n_unique_fp)) // a.n_docs
             AS BIGINT) AS dup_ppm,
-       t.top_lang, a.quality_micros_avg
+       t.top_lang, a.quality_micros_avg,
+       CAST(NULL AS BIGINT) AS duration_ms_total,
+       CAST(NULL AS BIGINT) AS payload_bytes
 FROM agg a JOIN top t USING (source)
+UNION ALL
+SELECT 'mp4:movies', CAST(count(*) AS BIGINT),
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+       CAST(NULL AS BIGINT),
+       CAST(sum((doc_id % 300 + 1) * 1000) AS BIGINT),
+       CAST(sum(CASE WHEN has_v THEN vbytes ELSE 0 END
+                + CASE WHEN has_a THEN abytes ELSE 0 END) AS BIGINT)
+FROM mp4d
+UNION ALL
+SELECT 'ogg:audio', CAST(count(*) AS BIGINT),
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+       CAST(NULL AS BIGINT),
+       CAST(sum((960 * m.np * 1000)
+                // (CASE WHEN m.doc_id % 2 = 0 THEN 44100
+                         ELSE 48000 END)) AS BIGINT),
+       CAST(sum(m.ident_len + b.body_sum) AS BIGINT)
+FROM oggm m JOIN oggb b USING (doc_id)
+UNION ALL
+SELECT 'pdf:text', CAST(count(*) AS BIGINT),
+       CAST(sum(len(regexp_split_to_array(trim(text), '\s+')))
+            AS BIGINT),
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+       CAST(NULL AS BIGINT),
+       CAST(sum(length(text)) AS BIGINT)
+FROM pdft
 """
 
 
@@ -4597,15 +4672,9 @@ FROM m
 """
 
 
-def _q_pdf_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PDF text extraction (functions/pdffmt.py:pdf_extract_text —
-    xref-walked /Contents streams, bounded Flate inflate, BT..ET
-    literal/hex strings with all spec escapes): two-page fixtures
-    whose page-1 text carries parens, backslashes, and a newline (the
-    T* line-break path), page 2 plain — writer escaping independent
-    of reader unescaping.  Every third doc's streams are
-    UNCOMPRESSED so both filter arms fire at every SF.  The oracle
-    reproduces the extracted text verbatim from doc_id arithmetic."""
+def _pdf_text_fixture_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pdf_text_extract fixture corpus (shared with the datasheet
+    media row — ONE rendering of the arithmetic)."""
     import pandas as pd
 
     from ..functions.pdffmt import build_pdf_text
@@ -4624,8 +4693,20 @@ def _q_pdf_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "content": pdf["doc_id"].map(doc),
             })
 
-    media = _docs(spark, sf_dir).select("doc_id").mapInPandas(
+    return _docs(spark, sf_dir).select("doc_id").mapInPandas(
         pack, "doc_id long, content binary")
+
+
+def _q_pdf_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF text extraction (functions/pdffmt.py:pdf_extract_text —
+    xref-walked /Contents streams, bounded Flate inflate, BT..ET
+    literal/hex strings with all spec escapes): two-page fixtures
+    whose page-1 text carries parens, backslashes, and a newline (the
+    T* line-break path), page 2 plain — writer escaping independent
+    of reader unescaping.  Every third doc's streams are
+    UNCOMPRESSED so both filter arms fire at every SF.  The oracle
+    reproduces the extracted text verbatim from doc_id arithmetic."""
+    media = _pdf_text_fixture_media(spark, sf_dir)
 
     from collections.abc import Iterator
 
@@ -4654,8 +4735,10 @@ def _q_pdf_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.mapInPandas(run, schema)
 
 
-_PDF_TEXT_SQL = r"""
-WITH t AS (
+# Shared pdf-text-fixture arithmetic (pdf_text_extract row + the
+# datasheet media row — ONE rendering in both engines).
+_PDF_TEXT_CTE = r"""
+pdft AS (
   SELECT doc_id,
          'Doc ' || CAST(doc_id AS VARCHAR) || ' (section '
            || CAST(doc_id % 7 AS VARCHAR) || ')' || chr(10)
@@ -4663,27 +4746,21 @@ WITH t AS (
            || chr(10) || chr(10)
            || 'tail page for ' || CAST(doc_id % 11 AS VARCHAR) AS text
   FROM documents
-)
-SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars, text FROM t
+)"""
+
+_PDF_TEXT_SQL = f"""
+WITH {_PDF_TEXT_CTE.strip()}
+SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars, text
+FROM pdft
 """
 
 
-def _q_mp4_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MP4 movie triage (functions/multimodal.py:mp4_stats via the
-    SHARED _bmff_boxes walk — the video analogue of mp3_stats):
-    per-doc fixtures alternate mvhd v0/v1 layouts, track sets cycle
-    video+audio / video-only / audio-only, and duration/timescale
-    derive from doc_id arithmetic.  Round 14 extends the triage
-    through the sample index (mdhd/stts/stsz/stco): every track
-    carries real tables — the video track alternates fixed-size and
-    per-sample stsz layouts, the audio track exercises multi-entry
-    stts — and every third movie carries an edts/elst edit list the
-    walk must tolerate.  The oracle reproduces every column,
-    including the index-derived exact durations, sample counts, and
-    bitrates."""
+def _mp4_fixture_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mp4_stats fixture corpus (shared with the datasheet media
+    row — ONE rendering of the arithmetic)."""
     import pandas as pd
 
-    from ..functions.multimodal import build_mp4, mp4_container_stats
+    from ..functions.multimodal import build_mp4
 
     def pack(batches):
         for pdf in batches:
@@ -4722,13 +4799,32 @@ def _q_mp4_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "content": pdf["doc_id"].map(doc),
             })
 
-    media = _docs(spark, sf_dir).select("doc_id").mapInPandas(
+    return _docs(spark, sf_dir).select("doc_id").mapInPandas(
         pack, "doc_id long, content binary")
-    return mp4_container_stats(media)
 
 
-_MP4_STATS_SQL = """
-WITH sp AS (
+def _q_mp4_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP4 movie triage (functions/multimodal.py:mp4_stats via the
+    SHARED _bmff_boxes walk — the video analogue of mp3_stats):
+    per-doc fixtures alternate mvhd v0/v1 layouts, track sets cycle
+    video+audio / video-only / audio-only, and duration/timescale
+    derive from doc_id arithmetic.  Round 14 extends the triage
+    through the sample index (mdhd/stts/stsz/stco): every track
+    carries real tables — the video track alternates fixed-size and
+    per-sample stsz layouts, the audio track exercises multi-entry
+    stts — and every third movie carries an edts/elst edit list the
+    walk must tolerate.  The oracle reproduces every column,
+    including the index-derived exact durations, sample counts, and
+    bitrates."""
+    from ..functions.multimodal import mp4_container_stats
+
+    return mp4_container_stats(_mp4_fixture_media(spark, sf_dir))
+
+
+# Shared mp4-fixture arithmetic (mp4_stats row + the datasheet media
+# row — ONE rendering in both engines).
+_MP4_FIXTURE_CTES = """
+mp4sp AS (
   SELECT doc_id,
          doc_id % 240 + 2 AS nv,
          doc_id % 500 + 2 AS na1,
@@ -4737,7 +4833,7 @@ WITH sp AS (
          doc_id % 3 IN (0, 2) AS has_a
   FROM documents
 ),
-d AS (
+mp4d AS (
   SELECT doc_id, has_v, has_a,
          (nv * 1001 * 1000) // 30000 AS vdur,
          CAST(nv AS BIGINT) AS vn,
@@ -4748,8 +4844,11 @@ d AS (
          ((na1 * 1024 + na2 * 960) * 1000) // 48000 AS adur,
          CAST(na1 + na2 AS BIGINT) AS an,
          (200 + doc_id % 50) * (na1 + na2) AS abytes
-  FROM sp
-)
+  FROM mp4sp
+)"""
+
+_MP4_STATS_SQL = f"""
+WITH {_MP4_FIXTURE_CTES.strip()}
 SELECT doc_id,
        'isom' AS major_brand,
        CAST(CASE WHEN doc_id % 2 = 0 THEN 1000 ELSE 48000 END
@@ -4773,21 +4872,16 @@ SELECT doc_id,
        CAST(CASE WHEN has_a THEN abytes END AS BIGINT) AS audio_bytes,
        CAST(CASE WHEN has_a THEN (abytes * 8000) // adur END AS BIGINT)
          AS audio_bitrate_bps
-FROM d
+FROM mp4d
 """
 
 
-def _q_ogg_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """OGG page walk (functions/ogg.py — RFC 3533 layout, page CRCs
-    verified with the spec's unreflected 0x04C11DB7 CRC): per doc,
-    build a vorbis/opus stream (codec on doc_id %% 2) with
-    1 + doc_id %% 3 audio pages of arithmetic sizes, then walk it.
-    One body per fourth doc exceeds 255 bytes so the multi-segment
-    lacing path fires at every SF.  The oracle reproduces pages,
-    granules, and byte totals from the same arithmetic."""
+def _ogg_fixture_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ogg_audio_stats fixture corpus (shared with the datasheet
+    media row — ONE rendering of the arithmetic)."""
     import pandas as pd
 
-    from ..functions.ogg import build_ogg, ogg_container_stats
+    from ..functions.ogg import build_ogg
 
     def pack(batches):
         for pdf in batches:
@@ -4805,23 +4899,41 @@ def _q_ogg_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "content": pdf["doc_id"].map(doc),
             })
 
-    media = _docs(spark, sf_dir).select("doc_id").mapInPandas(
+    return _docs(spark, sf_dir).select("doc_id").mapInPandas(
         pack, "doc_id long, content binary")
-    return ogg_container_stats(media)
 
 
-_OGG_AUDIO_SQL = """
-WITH m AS (
+def _q_ogg_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OGG page walk (functions/ogg.py — RFC 3533 layout, page CRCs
+    verified with the spec's unreflected 0x04C11DB7 CRC): per doc,
+    build a vorbis/opus stream (codec on doc_id %% 2) with
+    1 + doc_id %% 3 audio pages of arithmetic sizes, then walk it.
+    One body per fourth doc exceeds 255 bytes so the multi-segment
+    lacing path fires at every SF.  The oracle reproduces pages,
+    granules, and byte totals from the same arithmetic."""
+    from ..functions.ogg import ogg_container_stats
+
+    return ogg_container_stats(_ogg_fixture_media(spark, sf_dir))
+
+
+# Shared ogg-fixture arithmetic (ogg_audio_stats row + the datasheet
+# media row — ONE rendering in both engines).
+_OGG_FIXTURE_CTES = """
+oggm AS (
   SELECT doc_id, 1 + doc_id % 3 AS np,
          CASE WHEN doc_id % 4 = 0 THEN 300 ELSE 0 END AS big,
          CASE WHEN doc_id % 2 = 0 THEN 23 ELSE 19 END AS ident_len
   FROM documents
 ),
-b AS (
+oggb AS (
   SELECT m.doc_id,
          sum(50 + (m.doc_id + t.j) % 37 + m.big) AS body_sum
-  FROM m, range(3) t(j) WHERE t.j < m.np GROUP BY 1
-)
+  FROM oggm m, range(3) t(j) WHERE t.j < m.np GROUP BY 1
+)"""
+
+_OGG_AUDIO_SQL = f"""
+WITH {_OGG_FIXTURE_CTES.strip()},
+m AS (SELECT * FROM oggm), b AS (SELECT * FROM oggb)
 SELECT m.doc_id,
        CAST(1 + m.np AS INTEGER) AS n_pages,
        CAST(1 AS INTEGER) AS n_streams,

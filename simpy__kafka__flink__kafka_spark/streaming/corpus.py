@@ -857,7 +857,8 @@ def start_crawl_admission(docs_stream: DataFrame, prior_profile_dir: str,
 # --- Streaming web-corpus preparation (round 13 — VERDICT r12 task 6) -------
 
 def web_prep_batch(batch_df: DataFrame, out_dir: str,
-                   domain_cap: int = 20) -> None:
+                   domain_cap: int = 20,
+                   repetition_gate: bool = False) -> None:
     """One micro-batch of :func:`start_web_prep` — the incremental fold
     of the batch web capstone (plans/dataprep.py:_q_web_prep_full),
     running the SAME stage functions: HTML main-content extraction ->
@@ -878,7 +879,15 @@ def web_prep_batch(batch_df: DataFrame, out_dir: str,
     reverse order's silent permanent loss.  Arrival in doc_id order
     reproduces the batch capstone bit-for-bit (keep-first and the cap
     both rank by doc_id); out-of-order arrival degrades only WHICH
-    duplicate/overflow doc is kept, never the counts."""
+    duplicate/overflow doc is kept, never the counts.
+
+    ``repetition_gate`` (round 14 — VERDICT r13 task 6) additionally
+    drops docs failing the 9-signal Gopher repetition battery
+    (functions/quality.py:gopher_repetition) between C4 cleanup and
+    the quality gate.  The battery is per-doc stateless, so the fold
+    stays restart-safe and fold-vs-batch exact; the default keeps the
+    batch-capstone parity (web_prep_full carries no repetition
+    stage)."""
     from pyspark.sql import Window as W
 
     from ..functions.html import extract_main_content
@@ -890,6 +899,13 @@ def web_prep_batch(batch_df: DataFrame, out_dir: str,
     c4 = (c4_sentence_filter(ex, text_col="main_text")
           .where(F.col("doc_kept") == 1)
           .select("doc_id", "clean_text"))
+    if repetition_gate:
+        from ..functions.quality import gopher_repetition
+
+        rep_ok = (gopher_repetition(c4, text_col="clean_text")
+                  .where(F.col("passes_repetition") == 1)
+                  .select("doc_id"))
+        c4 = c4.join(rep_ok, "doc_id")
     kept = (gopher_quality(c4, text_col="clean_text",
                            keep_cols=("clean_text",))
             .where(F.col("passes") == 1)
@@ -938,7 +954,8 @@ def web_prep_batch(batch_df: DataFrame, out_dir: str,
 
 
 def start_web_prep(docs_stream: DataFrame, out_dir: str,
-                   checkpoint_dir: str, domain_cap: int = 20):
+                   checkpoint_dir: str, domain_cap: int = 20,
+                   repetition_gate: bool = False):
     """Streaming twin of the web capstone: a standing query over a
     page stream (columns doc_id/html/domain — e.g. warc_gz_source
     records with a derived domain) folding each micro-batch through
@@ -948,7 +965,8 @@ def start_web_prep(docs_stream: DataFrame, out_dir: str,
     (the foreachBatch replay contract + the torn-window ordering in
     web_prep_batch).  Returns the started StreamingQuery."""
     def step(batch_df: DataFrame, batch_id: int) -> None:
-        web_prep_batch(batch_df, out_dir, domain_cap=domain_cap)
+        web_prep_batch(batch_df, out_dir, domain_cap=domain_cap,
+                       repetition_gate=repetition_gate)
 
     return (
         docs_stream.writeStream.foreachBatch(step)
@@ -959,7 +977,8 @@ def start_web_prep(docs_stream: DataFrame, out_dir: str,
 
 
 def start_warc_web_prep(spark, warc_dir: str, out_dir: str,
-                        checkpoint_dir: str, domain_cap: int = 20):
+                        checkpoint_dir: str, domain_cap: int = 20,
+                        repetition_gate: bool = False):
     """The full container-to-corpus STANDING STREAM (round 13 — the
     composition VERDICT r12 task 6 named): ``.warc.gz`` shards landing
     under ``warc_dir`` -> :func:`warc_gz_source` (bounded multi-member
@@ -986,7 +1005,8 @@ def start_warc_web_prep(spark, warc_dir: str, out_dir: str,
         F.col("payload").alias("html"),
         host.alias("domain"))
     return start_web_prep(pages, out_dir, checkpoint_dir,
-                          domain_cap=domain_cap)
+                          domain_cap=domain_cap,
+                          repetition_gate=repetition_gate)
 
 
 def web_prep_totals(spark, out_dir: str) -> DataFrame:

@@ -729,3 +729,80 @@ def test_warc_to_web_prep_standing_stream(spark, tmp_path):
     assert got == want
     # duplicates (docs 0,3,6 share text NNN=99) and the cap both fired
     assert sum(n for n, _ in got.values()) < 8
+
+
+def test_web_prep_repetition_gate_fold_vs_batch_with_restart(
+        spark, tmp_path):
+    """Round-14 (VERDICT r13 task 6): the Gopher repetition battery
+    rides the standing web-prep stream as a per-doc stateless stage —
+    the streamed fold (three waves with a mid-stream checkpoint
+    restart) reproduces the one-shot batch fold exactly, and the gate
+    actually FIRES (the repetitive docs are dropped in both)."""
+    from pyspark.sql import functions as F
+
+    from simpy__kafka__flink__kafka_spark.streaming.corpus import (
+        start_web_prep, web_prep_batch, web_prep_totals)
+
+    # 40 clean paragraph docs + 10 pathologically repetitive ones the
+    # battery must drop (one line duplicated dozens of times)
+    rows = []
+    for i in range(50):
+        if i % 5 == 4:
+            body = "please buy these pills now. " * 60
+        else:
+            body = " ".join(
+                f"sentence number {i} word{j} carries real content "
+                "and it is long enough to pass the stage filters."
+                for j in range(12))
+        rows.append((i, f"<html><body><p>{body}</p></body></html>",
+                     f"d{i % 4}.example.com"))
+    pages = spark.createDataFrame(
+        rows, "doc_id long, html string, domain string").cache()
+    pages.count()
+
+    batch_out = str(tmp_path / "rep_batch")
+    web_prep_batch(pages, batch_out, domain_cap=20,
+                   repetition_gate=True)
+    expect = {r["domain"]: (r["n_docs"], r["total_words"])
+              for r in web_prep_totals(spark, batch_out).collect()}
+    # the no-gate fold accepts MORE rows, proving the battery fires
+    nogate_out = str(tmp_path / "rep_nogate")
+    web_prep_batch(pages, nogate_out, domain_cap=20)
+    n_gated = sum(n for n, _ in expect.values())
+    n_open = sum(r["n_docs"]
+                 for r in web_prep_totals(spark, nogate_out).collect())
+    assert n_gated < n_open
+
+    ind = str(tmp_path / "rep_in")
+    out = str(tmp_path / "rep_out")
+    ckpt = str(tmp_path / "rep_ckpt")
+    os.makedirs(ind, exist_ok=True)
+
+    def wave(lo, hi):
+        (pages.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+         .coalesce(1).write.mode("append").parquet(ind))
+
+    def stream():
+        return (spark.readStream
+                .schema("doc_id long, html string, domain string")
+                .option("maxFilesPerTrigger", "1").parquet(ind))
+
+    wave(0, 17)
+    wave(17, 34)
+    q = start_web_prep(stream(), out, ckpt, repetition_gate=True)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()                       # the restart point
+
+    wave(34, 50)
+    q2 = start_web_prep(stream(), out, ckpt, repetition_gate=True)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    pages.unpersist()
+
+    got = {r["domain"]: (r["n_docs"], r["total_words"])
+           for r in web_prep_totals(spark, out).collect()}
+    assert got == expect

@@ -341,3 +341,76 @@ def test_rfc_quantizer_lookup_invariants_and_anchors():
     assert q_hi["uvdc"] == min(132, DC_QLOOKUP[127])
     q_lo = _quantizers(0, 0, 0, 0, 0, 0)
     assert q_lo["y2ac"] == 8          # the floor fires at tiny indices
+
+
+def test_exact_partition_consumption_envelope():
+    """The round-14 seam-closure invariant: this engine's shift mirror
+    consumes every partition EXACTLY — 0 bytes unconsumed, 0 reads
+    past the end — across sizes, qualities, partition counts, and the
+    unused-partition case (n_parts > mb_h)."""
+    import random
+
+    import numpy as np
+
+    from simpy__kafka__flink__kafka_spark.functions import vp8 as V
+
+    rng = random.Random(99)
+    decs = []
+    orig_init = V._BoolDecoder.__init__
+
+    def spy(self, data, pos=0, end=None):
+        orig_init(self, data, pos, end)
+        decs.append(self)
+
+    V._BoolDecoder.__init__ = spy
+    try:
+        cases = [(1, 1, 8), (5, 130, 8), (200, 3, 4)] + [
+            (rng.randint(1, 140), rng.randint(1, 140),
+             rng.choice([1, 2, 4, 8])) for _ in range(12)]
+        for w, h, nparts in cases:
+            img = np.fromfunction(
+                lambda y, x: (x * 7 + y * 13) % 256, (h, w)).astype(
+                    np.uint8)
+            enc = V.encode_vp8(np.stack([img] * 3, axis=-1),
+                               qi=rng.choice([5, 40, 90, 125]),
+                               token_partitions=nparts)
+            decs.clear()
+            V.decode_vp8(enc)
+            assert decs, "spy captured no decoders"
+            for d in decs:
+                assert d.unconsumed() == 0 and d.zero_feeds == 0
+    finally:
+        V._BoolDecoder.__init__ = orig_init
+
+
+def test_foreign_default_table_stream_gets_typed_seam_error():
+    """A stream encoded against a DIFFERENT coefficient-probability
+    table (the libvpx default-table scenario) must hit the typed
+    vp8-default-coeff-probs refusal — or another typed ValueError —
+    never decode to silent garbage."""
+    import numpy as np
+    import pytest
+
+    from simpy__kafka__flink__kafka_spark.functions import vp8 as V
+
+    img = np.fromfunction(
+        lambda y, x: (x * 11 + y * 5) % 256, (64, 64)).astype(np.uint8)
+    rgb = np.stack([img, img[::-1], img], axis=-1)
+    # re-seed the pinned table differently = a spec-legal encoder that
+    # relies on ITS defaults, exactly what a real libvpx stream does
+    foreign = np.empty((4, 8, 3, 11), dtype=np.uint8)
+    for t in range(4):
+        for b in range(8):
+            for c in range(3):
+                for n in range(11):
+                    h = (t * 40503 + b * 2654435761 + c * 3266489917
+                         + n * 2246822519) & 0xFFFFFFFF
+                    foreign[t, b, c, n] = 16 + (h >> 8) % 225
+    saved = V.DEFAULT_COEFF_PROBS
+    try:
+        V.DEFAULT_COEFF_PROBS = foreign
+        enc = V.encode_vp8(rgb, qi=40)
+    finally:
+        V.DEFAULT_COEFF_PROBS = saved
+    with pytest.raises(ValueError):
+        V.decode_vp8(enc)
