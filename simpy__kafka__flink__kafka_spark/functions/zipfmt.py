@@ -25,11 +25,74 @@ from dataclasses import dataclass
 
 _EOCD_SIG = b"PK\x05\x06"
 _CD_SIG = b"PK\x01\x02"
+_Z64_LOC_SIG = b"PK\x06\x07"
+_Z64_EOCD_SIG = b"PK\x06\x06"
 _EOCD_FIXED = 22          # bytes before the trailing comment
 _CD_FIXED = 46            # fixed central-directory header size
+_Z64_LOC_FIXED = 20       # ZIP64 EOCD locator size
+_Z64_EOCD_FIXED = 56      # ZIP64 EOCD record fixed portion
 _MAX_COMMENT = 1 << 16
 
 _METHOD_NAMES = {0: "stored", 8: "deflate"}
+
+
+def _zip64_eocd(buf: bytes, loc: int, eocd: int) -> tuple[int, int, int]:
+    """Resolve (n_total, cd_size, cd_off) through the ZIP64 EOCD
+    locator at ``loc`` (APPNOTE 4.3.15) and the ZIP64 EOCD record it
+    points at (4.3.14).  Typed errors on truncation, multi-disk, a
+    record offset outside the buffer, or an implausible record size."""
+    if loc + _Z64_LOC_FIXED > eocd:
+        raise ValueError("ZIP: ZIP64 EOCD locator truncated")
+    z_disk, z_off, z_disks = struct.unpack(
+        "<IQI", buf[loc + 4: loc + _Z64_LOC_FIXED])
+    if z_disk != 0 or z_disks not in (0, 1):
+        raise ValueError("ZIP: multi-disk ZIP64 archives unsupported")
+    if z_off + _Z64_EOCD_FIXED > len(buf) \
+            or buf[z_off: z_off + 4] != _Z64_EOCD_SIG:
+        raise ValueError("ZIP: ZIP64 EOCD record missing at the "
+                         "locator's offset")
+    (rec_size, _vmade, _vneed, disk, cd_disk, n_disk, n_total,
+     cd_size, cd_off) = struct.unpack(
+        "<QHHIIQQQQ", buf[z_off + 4: z_off + _Z64_EOCD_FIXED])
+    # rec_size counts bytes AFTER the 12-byte (sig+size) prefix
+    if rec_size < _Z64_EOCD_FIXED - 12 or z_off + 12 + rec_size > len(buf):
+        raise ValueError("ZIP: ZIP64 EOCD record size outside buffer")
+    if disk != 0 or cd_disk != 0 or n_disk != n_total:
+        raise ValueError("ZIP: multi-disk ZIP64 archives unsupported")
+    return n_total, cd_size, cd_off
+
+
+def _zip64_extra(extra: bytes, usize: int, csize: int) -> tuple[int, int]:
+    """Resolve saturated central-directory sizes through the 0x0001
+    ZIP64 extra block (APPNOTE 4.5.3): fields appear in fixed order —
+    usize, csize, local-header offset, disk start — but ONLY for the
+    fields whose 32-bit column is 0xFFFFFFFF.  Typed error when a
+    needed field is absent or the extra blocks are malformed."""
+    p = 0
+    while p + 4 <= len(extra):
+        (xid, size) = struct.unpack("<HH", extra[p: p + 4])
+        body = extra[p + 4: p + 4 + size]
+        if p + 4 + size > len(extra):
+            raise ValueError("ZIP: extra block overruns the extra field")
+        if xid == 0x0001:
+            q = 0
+            if usize == 0xFFFFFFFF:
+                if q + 8 > len(body):
+                    raise ValueError(
+                        "ZIP: ZIP64 extra lacks the uncompressed size "
+                        "its sentinel requires")
+                (usize,) = struct.unpack("<Q", body[q: q + 8])
+                q += 8
+            if csize == 0xFFFFFFFF:
+                if q + 8 > len(body):
+                    raise ValueError(
+                        "ZIP: ZIP64 extra lacks the compressed size "
+                        "its sentinel requires")
+                (csize,) = struct.unpack("<Q", body[q: q + 8])
+                q += 8
+            return usize, csize
+        p += 4 + size
+    raise ValueError("ZIP: size sentinel without a ZIP64 extra block")
 
 
 @dataclass(frozen=True)
@@ -72,17 +135,17 @@ def zip_central_stats(content: bytes) -> ZipStats:
      ) = struct.unpack("<HHHHIIH", buf[pos + 4: pos + _EOCD_FIXED])
     if disk != 0 or cd_disk != 0 or n_disk != n_total:
         raise ValueError("ZIP: multi-disk archives unsupported")
-    # ZIP64 is a documented seam (like the PDF 1.5 xref-stream seam):
-    # an archive with >4 GiB members or >65535 entries carries 0xFFFF /
-    # 0xFFFFFFFF sentinels here with the real values in a ZIP64 EOCD
-    # record — summing the sentinels would be silently wrong stats.
-    # Per APPNOTE the sentinels are only meaningful when the ZIP64
-    # EOCD LOCATOR precedes the EOCD (review fix: an archive with
-    # exactly 65,535 entries is legal without ZIP64), so that record
-    # is the refusal trigger; a sentinel cd_off/cd_size without it
-    # falls through to the bounds checks as plain corruption.
-    if buf.rfind(b"PK\x06\x07", max(0, pos - 20), pos) >= 0:
-        raise ValueError("ZIP: ZIP64 EOCD locator — ZIP64 unsupported")
+    # ZIP64 (round 14 — the former typed seam, now implemented): an
+    # archive with >4 GiB members or >65535 entries carries 0xFFFF /
+    # 0xFFFFFFFF sentinels in the EOCD with the real values in a ZIP64
+    # EOCD record, located via the ZIP64 EOCD LOCATOR that immediately
+    # precedes the EOCD.  Per APPNOTE the locator is the trigger (an
+    # archive with exactly 65,535 entries is legal without ZIP64); a
+    # sentinel cd_off/cd_size without it falls through to the bounds
+    # checks as plain corruption.
+    loc = buf.rfind(_Z64_LOC_SIG, max(0, pos - 20), pos)
+    if loc >= 0:
+        n_total, cd_size, cd_off = _zip64_eocd(buf, loc, pos)
     if cd_off + cd_size > len(buf):
         raise ValueError("ZIP: central directory outside buffer")
     # each entry costs >= _CD_FIXED bytes of directory: a declared
@@ -107,9 +170,9 @@ def zip_central_stats(content: bytes) -> ZipStats:
         names.append(buf[p + _CD_FIXED: p + _CD_FIXED + name_len]
                      .decode("utf-8", errors="replace"))
         if csize == 0xFFFFFFFF or usize == 0xFFFFFFFF:
-            raise ValueError(
-                "ZIP: ZIP64 size sentinel in central-directory entry "
-                "— ZIP64 unsupported")
+            extra = buf[p + _CD_FIXED + name_len:
+                        p + _CD_FIXED + name_len + extra_len]
+            usize, csize = _zip64_extra(extra, usize, csize)
         if method == 0:
             n_stored += 1
         elif method == 8:

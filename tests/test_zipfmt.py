@@ -99,3 +99,67 @@ def test_names_fingerprint_separator_collision_resistant(spark):
     rows = {r["doc_id"]: r["names_md5"]
             for r in zip_container_stats(media).collect()}
     assert rows[1] != rows[2]
+
+
+def test_zip64_real_walk_matches_stdlib_writer():
+    """Round-14: ZIP64 is implemented, no longer a typed seam.  The
+    fixture is written by stdlib zipfile with its ZIP64 thresholds
+    patched low, so REAL ZIP64 structures (per-entry 0x0001 extras,
+    ZIP64 EOCD record + locator) appear on a small archive — the
+    independent-writer cross-validation posture."""
+    import io
+    import zipfile
+    from unittest import mock
+
+    from simpy__kafka__flink__kafka_spark.functions.zipfmt import (
+        zip_central_stats)
+
+    payloads = [("big.bin", b"x" * 500), ("small.txt", b"hi"),
+                ("dir/other.bin", b"y" * 321)]
+    buf = io.BytesIO()
+    with mock.patch.object(zipfile, "ZIP64_LIMIT", 100), \
+            mock.patch.object(zipfile, "ZIP_FILECOUNT_LIMIT", 2):
+        with zipfile.ZipFile(buf, "w",
+                             compression=zipfile.ZIP_STORED) as zf:
+            for name, data in payloads:
+                zf.writestr(name, data)
+    raw = buf.getvalue()
+    # the patched writer must actually have emitted ZIP64 records
+    assert raw.find(b"PK\x06\x06") >= 0 and raw.find(b"PK\x06\x07") >= 0
+
+    s = zip_central_stats(raw)
+    assert s.n_entries == 3
+    assert s.names == tuple(n for n, _ in payloads)
+    assert s.usize_total == sum(len(d) for _, d in payloads)
+    assert s.n_stored == 3
+    # stdlib agrees with our walk on per-entry sizes
+    with zipfile.ZipFile(io.BytesIO(raw)) as zf:
+        assert s.csize_total == sum(i.compress_size for i in zf.infolist())
+
+
+def test_zip64_sentinel_resolved_through_extra():
+    """A hand-built central entry whose usize/csize are saturated and
+    resolved through the 0x0001 extra — the >4 GiB member layout —
+    walks to the declared 64-bit values (no 4 GiB fixture needed:
+    only the directory is parsed, never the payload)."""
+    import struct
+
+    from simpy__kafka__flink__kafka_spark.functions.zipfmt import (
+        zip_central_stats)
+
+    big_u, big_c = 5 << 30, (4 << 30) + 7
+    name = b"huge.bin"
+    extra = struct.pack("<HHQQ", 0x0001, 16, big_u, big_c)
+    cd = (b"PK\x01\x02"
+          # vmade vneed flags method mtime mdate crc csize usize
+          + struct.pack("<HHHHHHIII", 45, 45, 0, 0, 0, 0, 0,
+                        0xFFFFFFFF, 0xFFFFFFFF)
+          # nlen xlen clen disk iattr eattr local_off
+          + struct.pack("<HHHHHII", len(name), len(extra), 0, 0, 0,
+                        0, 0)
+          + name + extra)
+    eocd = (b"PK\x05\x06" + struct.pack("<HHHHIIH", 0, 0, 1, 1,
+                                        len(cd), 0, 0))
+    s = zip_central_stats(cd + eocd)
+    assert (s.usize_total, s.csize_total) == (big_u, big_c)
+    assert s.n_entries == 1 and s.names == ("huge.bin",)
