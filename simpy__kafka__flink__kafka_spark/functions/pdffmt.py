@@ -10,10 +10,14 @@ the xref offsets — so the walk prices at microseconds per document.
 Bomb posture: the xref subsection counts are attacker bytes, so the
 declared entry count is validated against the bytes the table actually
 spans BEFORE the loop trusts it (the ZIP entry-count-bomb rule), and
-every offset is bounds-checked.  Classic-xref files only: an
-``/XRefStm`` or a compressed cross-reference STREAM (PDF 1.5+) raises
-the typed unsupported error — honest seam, same posture as the codec
-modules' documented seams.
+every offset is bounds-checked.  Both cross-reference layouts are
+walked: classic 20-byte tables AND (round 14 — the former typed seam)
+PDF 1.5+ cross-reference STREAMS, including /Prev chains (newest
+entry wins, bounded depth) and type-2 entries resolved through
+/ObjStm object streams (bounded inflate, header-count validated).
+Streams themselves can never live inside an ObjStm (ISO 32000
+7.5.7), so content extraction stays buffer-offset based with a typed
+error on a violating file.
 
 Reference parity note: no reference counterpart — a training-data
 extension operator (document-corpus triage before any text
@@ -39,6 +43,13 @@ _OBJ_SCAN_WINDOW = 2048
 _ROOT_RE = re.compile(rb"/Root\s+(\d+)\s+\d+\s+R")
 _ENCRYPT_RE = re.compile(rb"/Encrypt\b")
 _TYPE_PAGE_RE = re.compile(rb"/Type\s*/Page\b")
+_TYPE_XREF_RE = re.compile(rb"/Type\s*/XRef\b")
+_W_RE = re.compile(rb"/W\s*\[\s*(\d+)\s+(\d+)\s+(\d+)\s*\]")
+_INDEX_RE = re.compile(rb"/Index\s*\[([^\]]*)\]")
+_PREV_RE = re.compile(rb"/Prev\s+(\d+)")
+_OBJSTM_N_RE = re.compile(rb"/N\s+(\d+)")
+_OBJSTM_FIRST_RE = re.compile(rb"/First\s+(\d+)")
+_INT_RE = re.compile(rb"\d+")
 
 
 @dataclass(frozen=True)
@@ -108,34 +119,40 @@ def _walk_xref(buf: bytes) -> tuple[list[tuple[int, int, bool]], int]:
 def _obj_window(buf: bytes, off: int) -> bytes | None:
     """The object's body up to its ``endobj``, bounded by the scan
     window; None when endobj is not found within the window (the
-    caller decides how to surface the truncation)."""
+    caller decides how to surface the truncation).  Stream objects
+    truncate at their ``stream`` keyword: every consumer scans the
+    object's DICTIONARY, and an uncompressed payload (e.g. a raw
+    ObjStm carrying '/Type /Page' text) must never leak into the
+    dict scan (round-14 find — it duplicated pages)."""
     window_end = min(off + _OBJ_SCAN_WINDOW, len(buf))
     endobj = buf.find(b"endobj", off, window_end)
-    return buf[off:endobj] if endobj >= 0 else None
+    if endobj < 0:
+        stream_at = buf.find(b"stream", off, window_end)
+        return buf[off:stream_at] if stream_at >= 0 else None
+    w = buf[off:endobj]
+    cut = w.find(b"stream")
+    return w[:cut] if cut >= 0 else w
 
 
 def pdf_stats(content: bytes) -> PdfStats:
-    """Walk one classic-xref PDF.  ``n_objects`` counts in-use ('n')
-    xref entries whose offset actually lands on the declared object
-    header (a mismatch makes ``xref_ok`` 0 rather than mis-walking);
-    ``n_pages`` counts in-use objects whose dictionary says
-    ``/Type /Page``."""
+    """Walk one PDF (classic xref table OR 1.5+ xref stream).
+    ``n_objects`` counts in-use entries that actually resolve — an
+    offset landing on the declared object header, or an ObjStm slot
+    that exists (a mismatch makes ``xref_ok`` 0 rather than
+    mis-walking); ``n_pages`` counts resolved objects whose dictionary
+    says ``/Type /Page``."""
     buf = bytes(content)
     m = _HEADER_RE.match(buf)
     if not m:
         raise ValueError("not a PDF (missing %PDF- header)")
     version = m.group(1).decode()
-    entries, pos = _walk_xref(buf)
+    doc = _document_objects(buf)
     n_objects = 0
     n_pages = 0
-    xref_ok = 1
+    xref_ok = doc.xref_ok
     scan_ok = 1
-    for _obj_num, off, verified in entries:
-        if not verified:
-            xref_ok = 0
-            continue
+    for num, body in doc.windows.items():
         n_objects += 1
-        body = _obj_window(buf, off)
         if body is None:
             # object bigger than the bounded scan window: /Type may
             # sit past the cut, so the page count is a LOWER bound —
@@ -143,14 +160,12 @@ def pdf_stats(content: bytes) -> PdfStats:
             # r12; the window stays bounded so a crafted endobj-free
             # file cannot force O(n^2) rescans)
             scan_ok = 0
+            off = doc.offsets[num]
             body = buf[off: off + _OBJ_SCAN_WINDOW]
         # \b excludes '/Type /Pages' (the tree node) by itself
         if _TYPE_PAGE_RE.search(body):
             n_pages += 1
-    trailer_at = buf.find(b"trailer", pos - 1)
-    if trailer_at < 0:
-        raise ValueError("PDF: missing trailer")
-    tdict = buf[trailer_at: trailer_at + 512]
+    tdict = doc.tdict
     szm = _SIZE_RE.search(tdict)
     if not szm or not _ROOT_RE.search(tdict):
         raise ValueError("PDF: trailer missing /Size or /Root")
@@ -195,10 +210,185 @@ _FLATE_RE = re.compile(rb"/Filter\s*(?:\[\s*)?/FlateDecode\b")
 _STREAM_MAX = 1 << 22          # per-stream inflate budget (4 MiB)
 
 
+def _parse_xref_stream(buf: bytes, off: int, depth: int = 0
+                       ) -> tuple[dict[int, tuple[int, int, int]], bytes]:
+    """Parse one PDF 1.5+ cross-reference STREAM object at ``off``
+    (plus its /Prev chain, newest entry winning) into
+    ``{obj_num: (type, field2, field3)}`` and return the NEWEST
+    stream's dictionary window.  Bomb posture: /W widths are bounded,
+    the row count is validated against the decoded byte length, and
+    the /Prev chain depth is capped."""
+    if depth > 16:
+        raise ValueError("PDF: /Prev xref chain deeper than 16")
+    hard_end = min(len(buf), off + _STREAM_MAX + 4096)
+    dict_end = buf.find(b"stream", off, hard_end)
+    if dict_end < 0:
+        raise ValueError("PDF: xref stream object has no stream keyword")
+    head = buf[off:dict_end]
+    if not _TYPE_XREF_RE.search(head):
+        raise ValueError("PDF: startxref object is not /Type /XRef")
+    wm = _W_RE.search(head)
+    szm = _SIZE_RE.search(head)
+    if not wm or not szm:
+        raise ValueError("PDF: xref stream missing /W or /Size")
+    w = [int(wm.group(k)) for k in (1, 2, 3)]
+    if any(x > 8 for x in w) or sum(w) == 0:
+        raise ValueError(f"PDF: implausible xref stream /W {w}")
+    size = int(szm.group(1))
+    im = _INDEX_RE.search(head)
+    if im:
+        nums = [int(x.group()) for x in _INT_RE.finditer(im.group(1))]
+        if len(nums) % 2:
+            raise ValueError("PDF: odd-length xref stream /Index")
+        index = list(zip(nums[::2], nums[1::2]))
+    else:
+        index = [(0, size)]
+    data = _content_bytes(buf, off)
+    width = sum(w)
+    n_rows = sum(c for _, c in index)
+    if n_rows * width > len(data):
+        raise ValueError(
+            f"PDF: xref stream /Index declares {n_rows} rows past the "
+            "decoded data — rejected as an entry-count bomb")
+
+    def field(row: bytes, k: int) -> int:
+        a = sum(w[:k])
+        return int.from_bytes(row[a:a + w[k]], "big") if w[k] else 0
+
+    rows: dict[int, tuple[int, int, int]] = {}
+    r = 0
+    for first, count in index:
+        for i in range(count):
+            row = data[(r + i) * width:(r + i + 1) * width]
+            # a zero-width type column defaults the type to 1 (spec)
+            t = field(row, 0) if w[0] else 1
+            rows[first + i] = (t, field(row, 1), field(row, 2))
+        r += count
+    pm = _PREV_RE.search(head)
+    if pm:
+        prev_off = int(pm.group(1))
+        if prev_off >= len(buf):
+            raise ValueError("PDF: /Prev offset outside buffer")
+        older, _ = _parse_xref_stream(buf, prev_off, depth + 1)
+        older.update(rows)             # newest wins
+        rows = older
+    return rows, head
+
+
+_OBJSTM_MAX_N = 1 << 16
+
+
+def _objstm_objects(buf: bytes, off: int) -> dict[int, bytes]:
+    """Extract ``{obj_num: body bytes}`` from the /ObjStm object
+    stream at buffer offset ``off`` (ISO 32000 7.5.7): /N pairs of
+    'num offset' in the header portion, objects back-to-back from
+    /First.  Bounded: /N is capped, offsets validated against the
+    decoded length."""
+    hard_end = min(len(buf), off + _STREAM_MAX + 4096)
+    dict_end = buf.find(b"stream", off, hard_end)
+    head = buf[off:dict_end] if dict_end >= 0 else b""
+    nm = _OBJSTM_N_RE.search(head)
+    fm = _OBJSTM_FIRST_RE.search(head)
+    if not nm or not fm:
+        raise ValueError("PDF: ObjStm missing /N or /First")
+    n, first = int(nm.group(1)), int(fm.group(1))
+    if n > _OBJSTM_MAX_N:
+        raise ValueError(f"PDF: ObjStm /N {n} is not plausible")
+    data = _content_bytes(buf, off)
+    if first > len(data):
+        raise ValueError("PDF: ObjStm /First past the decoded data")
+    nums = [int(x.group()) for x in _INT_RE.finditer(data[:first])]
+    if len(nums) < 2 * n:
+        raise ValueError("PDF: ObjStm header shorter than /N pairs")
+    out: dict[int, bytes] = {}
+    for k in range(n):
+        num, rel = nums[2 * k], nums[2 * k + 1]
+        if first + rel > len(data):
+            raise ValueError("PDF: ObjStm object offset past the data")
+        end = (first + nums[2 * k + 3]
+               if k + 1 < n and first + nums[2 * k + 3] <= len(data)
+               else len(data))
+        out[num] = data[first + rel:end]
+    return out
+
+
+@dataclass(frozen=True)
+class _DocMap:
+    windows: dict     # obj_num -> body bytes | None (endobj past window)
+    offsets: dict     # obj_num -> buffer offset (buffer-resident only)
+    tdict: bytes      # trailer dict (classic) / xref stream dict (1.5+)
+    xref_ok: int
+
+
+def _document_objects(buf: bytes) -> _DocMap:
+    """ONE object-resolution walk shared by :func:`pdf_stats` and the
+    text extractor, covering BOTH cross-reference layouts.  Classic
+    tables resolve through :func:`_walk_xref`; 1.5+ xref streams
+    through :func:`_parse_xref_stream`, with type-2 entries pulled out
+    of their /ObjStm containers.  Unverifiable entries (offset header
+    mismatch, missing ObjStm slot) clear ``xref_ok`` and are skipped,
+    never mis-walked."""
+    t = _STARTXREF_RE.search(buf[-256:])
+    if not t:
+        raise ValueError("PDF: no startxref/%%EOF tail")
+    xref_off = int(t.group(1))
+    if xref_off >= len(buf):
+        raise ValueError("PDF: startxref offset outside buffer")
+    if buf[xref_off: xref_off + 4] == b"xref":
+        entries, pos = _walk_xref(buf)
+        windows: dict[int, bytes | None] = {}
+        offsets: dict[int, int] = {}
+        xref_ok = 1
+        for num, off, verified in entries:
+            if not verified:
+                xref_ok = 0
+                continue
+            offsets[num] = off
+            windows[num] = _obj_window(buf, off)
+        trailer_at = buf.find(b"trailer", pos - 1)
+        if trailer_at < 0:
+            raise ValueError("PDF: missing trailer")
+        return _DocMap(windows, offsets,
+                       buf[trailer_at: trailer_at + 512], xref_ok)
+    if not buf[xref_off: xref_off + 1].isdigit():
+        raise ValueError("PDF: startxref does not point at an xref "
+                         "table or stream object")
+    rows, tdict = _parse_xref_stream(buf, xref_off)
+    windows = {}
+    offsets = {}
+    xref_ok = 1
+    stms: dict[int, int] = {}
+    for num, (typ, a, b) in sorted(rows.items()):
+        if typ != 1 or num == 0:
+            continue
+        hm = _OBJ_HEAD_RE.match(buf, a) if a < len(buf) else None
+        if hm is None or int(hm.group(1)) != num:
+            xref_ok = 0
+            continue
+        offsets[num] = a
+        windows[num] = _obj_window(buf, a)
+    objstm_cache: dict[int, dict[int, bytes]] = {}
+    for num, (typ, a, b) in sorted(rows.items()):
+        if typ != 2:
+            continue
+        if a not in objstm_cache:
+            if a not in offsets:
+                xref_ok = 0
+                continue
+            objstm_cache[a] = _objstm_objects(buf, offsets[a])
+        body = objstm_cache[a].get(num)
+        if body is None:
+            xref_ok = 0
+            continue
+        windows[num] = body
+    return _DocMap(windows, offsets, tdict, xref_ok)
+
+
 def _pdf_objects(buf: bytes) -> dict[int, int]:
-    """{obj_num: verified offset} via the shared :func:`_walk_xref`."""
-    return {num: off for num, off, verified in _walk_xref(buf)[0]
-            if verified}
+    """{obj_num: verified buffer offset} via the shared
+    :func:`_document_objects` (both xref layouts; ObjStm-resident
+    objects have no buffer offset and are absent here)."""
+    return dict(_document_objects(buf).offsets)
 
 
 def _content_bytes(buf: bytes, off: int) -> bytes:
@@ -338,12 +528,14 @@ def pdf_extract_text(content: bytes) -> str:
     buf = bytes(content)
     if not _HEADER_RE.match(buf):
         raise ValueError("not a PDF (missing %PDF- header)")
-    objs = _pdf_objects(buf)
+    doc = _document_objects(buf)
+    objs = doc.windows
 
     def window(num: int) -> bytes:
-        w = _obj_window(buf, objs[num])
+        w = objs[num]
         if w is None:
-            w = buf[objs[num]: objs[num] + _OBJ_SCAN_WINDOW]
+            off = doc.offsets[num]
+            w = buf[off: off + _OBJ_SCAN_WINDOW]
         return w
 
     # DOCUMENT page order comes from the /Pages tree's /Kids arrays
@@ -382,7 +574,13 @@ def pdf_extract_text(content: bytes) -> str:
     for cnum in pages:
         if cnum not in objs:
             raise ValueError(f"PDF: /Contents {cnum} not in xref")
-        data = _content_bytes(buf, objs[cnum])
+        if cnum not in doc.offsets:
+            # streams can never live inside an ObjStm (ISO 32000
+            # 7.5.7) — a file claiming so is malformed, not a seam
+            raise ValueError(
+                f"PDF: /Contents {cnum} resolves inside an ObjStm, "
+                "which cannot hold streams")
+        data = _content_bytes(buf, doc.offsets[cnum])
         lines: list[list[bytes]] = [[]]
         pending: list[bytes] = []
         for kind, val in _scan_strings(data):
@@ -480,6 +678,117 @@ def build_pdf_text(pages_text: list[str], version: str = "1.4",
         out += b"%010d 00000 n \n" % off
     out += (b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF"
             % (len(objs) + 1, xref_off))
+    return bytes(out)
+
+
+def build_pdf_xref_stream(pages_text: list[str], version: str = "1.5",
+                          flate: bool = True,
+                          objstm: bool = True) -> bytes:
+    """PDF 1.5 fixture writer: the document's catalog/pages/page
+    dictionaries live inside a /ObjStm object stream (``objstm=True``
+    — the real-world 1.5 layout) referenced by type-2 entries of a
+    cross-reference STREAM (/W [1 4 2], real computed offsets,
+    Flate-compressed when ``flate``); content streams stay
+    buffer-resident type-1 entries as the spec requires.  Laid out
+    from ISO 32000 independently of the reader (the build_pdf_text
+    posture)."""
+    import zlib
+
+    n = len(pages_text)
+    cat_num, pages_num = 1, 2
+    page_nums = [3 + i for i in range(n)]
+    cont_nums = [3 + n + i for i in range(n)]
+    stm_num = 3 + 2 * n
+    xref_num = 4 + 2 * n
+
+    kids = " ".join(f"{k} 0 R" for k in page_nums)
+    inner = [
+        (cat_num, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (pages_num,
+         f"<< /Type /Pages /Kids [{kids}] /Count {n} >>".encode()),
+    ] + [
+        (pg, (b"<< /Type /Page /Parent 2 0 R /MediaBox "
+              b"[0 0 612 792] /Contents %d 0 R >>" % ct))
+        for pg, ct in zip(page_nums, cont_nums)
+    ]
+
+    def content_stream(text: str) -> bytes:
+        shows = []
+        for j, line in enumerate(text.split("\n")):
+            esc = (line.replace("\\", "\\\\").replace("(", "\\(")
+                   .replace(")", "\\)"))
+            shows.append(("T* " if j else "") + "(" + esc + ") Tj")
+        body = ("BT /F1 12 Tf 14 TL 72 720 Td "
+                + " ".join(shows) + " ET").encode("latin-1")
+        if flate:
+            body = zlib.compress(body)
+            head = b"<< /Length %d /Filter /FlateDecode >>" % len(body)
+        else:
+            head = b"<< /Length %d >>" % len(body)
+        return head + b"\nstream\n" + body + b"\nendstream"
+
+    out = bytearray(f"%PDF-{version}\n".encode())
+    offsets: dict[int, int] = {}
+
+    def emit(num: int, body: bytes) -> None:
+        offsets[num] = len(out)
+        out.extend(b"%d 0 obj\n" % num + body + b"\nendobj\n")
+
+    objstm_index: dict[int, int] = {}
+    if objstm:
+        seg = bytearray()
+        pairs = []
+        for idx, (num, body) in enumerate(inner):
+            pairs.append((num, len(seg)))
+            seg.extend(body + b" ")
+            objstm_index[num] = idx
+        header = " ".join(f"{num} {rel}" for num, rel in pairs).encode()
+        payload = header + b" " + bytes(seg)
+        first = len(header) + 1
+        if flate:
+            payload = zlib.compress(payload)
+            fdecl = b" /Filter /FlateDecode"
+        else:
+            fdecl = b""
+        emit(stm_num,
+             b"<< /Type /ObjStm /N %d /First %d /Length %d%s >>"
+             b"\nstream\n" % (len(inner), first, len(payload), fdecl)
+             + payload + b"\nendstream")
+    else:
+        for num, body in inner:
+            emit(num, body)
+    for ct, text in zip(cont_nums, pages_text):
+        emit(ct, content_stream(text))
+
+    size = xref_num + 1
+    rows = bytearray()
+    for num in range(size):
+        if num == 0 or (num == stm_num and not objstm):
+            # obj 0 is the spec's free head; without an ObjStm its
+            # reserved number stays a free entry (numbering hole)
+            rows.extend(b"\x00" + (0).to_bytes(4, "big")
+                        + (65535).to_bytes(2, "big"))
+        elif num in objstm_index:
+            rows.extend(b"\x02" + stm_num.to_bytes(4, "big")
+                        + objstm_index[num].to_bytes(2, "big"))
+        elif num == xref_num:
+            rows.extend(b"\x01" + len(out).to_bytes(4, "big")
+                        + (0).to_bytes(2, "big"))
+        else:
+            rows.extend(b"\x01" + offsets[num].to_bytes(4, "big")
+                        + (0).to_bytes(2, "big"))
+    payload = bytes(rows)
+    if flate:
+        payload = zlib.compress(payload)
+        fdecl = b" /Filter /FlateDecode"
+    else:
+        fdecl = b""
+    xref_off = len(out)
+    emit(xref_num,
+         b"<< /Type /XRef /Size %d /W [1 4 2] /Root 1 0 R "
+         b"/Length %d%s >>\nstream\n" % (size, len(payload), fdecl)
+         + payload + b"\nendstream")
+    out.extend(b"startxref\n%d\n%%%%EOF" % xref_off)
     return bytes(out)
 
 

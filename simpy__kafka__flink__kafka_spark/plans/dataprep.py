@@ -4674,10 +4674,15 @@ FROM m
 
 def _pdf_text_fixture_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The pdf_text_extract fixture corpus (shared with the datasheet
-    media row — ONE rendering of the arithmetic)."""
+    media row — ONE rendering of the arithmetic).  Every fourth doc
+    is laid out as a PDF 1.5 cross-reference STREAM with its page
+    tree inside an /ObjStm (round 14 — the former typed seam, now a
+    walked layout), so the 1.5 path executes at the gate at every SF;
+    the extracted text is layout-invariant, so the oracle is
+    unchanged."""
     import pandas as pd
 
-    from ..functions.pdffmt import build_pdf_text
+    from ..functions.pdffmt import build_pdf_text, build_pdf_xref_stream
 
     def pack(batches):
         for pdf in batches:
@@ -4685,6 +4690,9 @@ def _pdf_text_fixture_media(spark: SparkSession, sf_dir: str) -> DataFrame:
                 p1 = (f"Doc {doc_id} (section {doc_id % 7})\n"
                       f"path C:\\data\\{doc_id % 5}")
                 p2 = f"tail page for {doc_id % 11}"
+                if doc_id % 4 == 1:
+                    return build_pdf_xref_stream(
+                        [p1, p2], flate=(doc_id % 3 != 0))
                 return build_pdf_text([p1, p2],
                                       flate=(doc_id % 3 != 0))
 

@@ -230,3 +230,110 @@ def test_pdf_contents_without_stream_typed():
     # pre-fix this silently extracted object 5's "stolen" text
     with pytest.raises(ValueError, match="no stream"):
         pdf_extract_text(bytes(out))
+
+
+def test_xref_stream_layouts_roundtrip():
+    """Round-14: PDF 1.5 cross-reference streams are implemented —
+    all four (flate x objstm) fixture layouts extract the same text
+    the classic-xref writer's file does, and pdf_stats resolves every
+    entry (xref_ok=1, pages counted through ObjStm-resident dicts)."""
+    from simpy__kafka__flink__kafka_spark.functions.pdffmt import (
+        build_pdf_text, build_pdf_xref_stream, pdf_extract_text,
+        pdf_stats)
+
+    texts = ["alpha (one)\nbeta \\ two", "gamma three"]
+    want = pdf_extract_text(build_pdf_text(texts))
+    for flate in (True, False):
+        for objstm in (True, False):
+            raw = build_pdf_xref_stream(texts, flate=flate,
+                                        objstm=objstm)
+            assert pdf_extract_text(raw) == want
+            s = pdf_stats(raw)
+            assert (s.n_pages, s.xref_ok, s.scan_ok) == (2, 1, 1)
+            assert s.version == "1.5"
+
+
+def test_xref_stream_prev_chain_newest_wins():
+    """An incremental update: a second xref stream with /Prev pointing
+    at the first, overriding one object.  The newest entry must win
+    and the chain must be depth-bounded."""
+    import zlib
+
+    from simpy__kafka__flink__kafka_spark.functions.pdffmt import (
+        build_pdf_xref_stream, pdf_extract_text)
+
+    base = bytearray(build_pdf_xref_stream(["old text"], objstm=False))
+    # locate the ORIGINAL xref stream offset from the tail
+    import re
+    m = re.search(rb"startxref\s+(\d+)\s+%%EOF\s*$", bytes(base[-256:]))
+    old_xref = int(m.group(1))
+    base = base[:base.rfind(b"startxref")]
+
+    # append a replacement content stream for object 4 (the content
+    # object of a 1-page objstm=False layout: 1 cat, 2 pages, 3 page,
+    # 4 content, 6 xref per the writer's numbering)
+    new_off = len(base)
+    body = b"BT (new text) Tj ET"
+    base += (b"4 0 obj\n<< /Length %d >>\nstream\n" % len(body)
+             + body + b"\nendstream\nendobj\n")
+    rows = zlib.compress(b"\x01" + new_off.to_bytes(4, "big") + b"\x00\x00")
+    xref2_off = len(base)
+    base += (b"9 0 obj\n<< /Type /XRef /Size 10 /W [1 4 2] "
+             b"/Index [4 1] /Root 1 0 R /Prev %d /Length %d "
+             b"/Filter /FlateDecode >>\nstream\n" % (old_xref, len(rows))
+             + rows + b"\nendstream\nendobj\n")
+    base += b"startxref\n%d\n%%%%EOF" % xref2_off
+    assert pdf_extract_text(bytes(base)) == "new text"
+
+
+def test_xref_stream_typed_errors():
+    import re
+    import struct
+
+    import pytest
+
+    from simpy__kafka__flink__kafka_spark.functions.pdffmt import (
+        build_pdf_xref_stream, pdf_stats)
+
+    good = build_pdf_xref_stream(["x"], flate=False)
+
+    # /W widths are attacker bytes
+    bad = good.replace(b"/W [1 4 2]", b"/W [9 4 2]")
+    with pytest.raises(ValueError, match="implausible xref stream /W"):
+        pdf_stats(bad)
+
+    # /Index row bomb: more rows than the decoded data holds
+    bad2 = re.sub(rb"/Size (\d+)", b"/Size 99999", good, count=1)
+    bad2 = bad2.replace(b"/W [1 4 2] /Root",
+                        b"/W [1 4 2] /Index [0 99999] /Root")
+    with pytest.raises(ValueError, match="entry-count bomb"):
+        pdf_stats(bad2)
+
+    # startxref pointing at a non-XRef object
+    m = re.search(rb"startxref\s+(\d+)", good)
+    hacked = good[:m.start(1)] + b"9" + good[m.end(1):]
+    with pytest.raises(ValueError):
+        pdf_stats(hacked)
+
+
+def test_xref_stream_mutation_fuzz_typed_only():
+    """Random byte mutations over the 1.5 fixture must only ever
+    produce typed errors or a successful walk — never an untyped
+    crash (the container-walk fuzz posture)."""
+    import random
+
+    from simpy__kafka__flink__kafka_spark.functions.pdffmt import (
+        build_pdf_xref_stream, pdf_extract_text, pdf_stats)
+
+    fixture = build_pdf_xref_stream(["page one text", "page two"],
+                                    flate=True)
+    rng = random.Random(1414)
+    for _ in range(300):
+        mut = bytearray(fixture)
+        for _ in range(rng.randint(1, 4)):
+            mut[rng.randrange(len(mut))] = rng.randrange(256)
+        for fn in (pdf_stats, pdf_extract_text):
+            try:
+                fn(bytes(mut))
+            except (ValueError, NotImplementedError):
+                pass
