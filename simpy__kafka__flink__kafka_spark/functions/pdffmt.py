@@ -47,6 +47,7 @@ _TYPE_XREF_RE = re.compile(rb"/Type\s*/XRef\b")
 _W_RE = re.compile(rb"/W\s*\[\s*(\d+)\s+(\d+)\s+(\d+)\s*\]")
 _INDEX_RE = re.compile(rb"/Index\s*\[([^\]]*)\]")
 _PREV_RE = re.compile(rb"/Prev\s+(\d+)")
+_XREFSTM_RE = re.compile(rb"/XRefStm\s+(\d+)")
 _OBJSTM_N_RE = re.compile(rb"/N\s+(\d+)")
 _OBJSTM_FIRST_RE = re.compile(rb"/First\s+(\d+)")
 _INT_RE = re.compile(rb"\d+")
@@ -348,40 +349,65 @@ def _document_objects(buf: bytes) -> _DocMap:
         trailer_at = buf.find(b"trailer", pos - 1)
         if trailer_at < 0:
             raise ValueError("PDF: missing trailer")
-        return _DocMap(windows, offsets,
-                       buf[trailer_at: trailer_at + 512], xref_ok)
+        tdict = buf[trailer_at: trailer_at + 512]
+        # hybrid-reference file (Acrobat's 1.4-compat layout): the
+        # classic trailer's /XRefStm points at a cross-reference
+        # STREAM carrying the objects hidden from old readers
+        # (typically ObjStm-resident) — merge them in, classic
+        # entries winning
+        xm = _XREFSTM_RE.search(tdict)
+        if xm:
+            stm_off = int(xm.group(1))
+            if stm_off >= len(buf):
+                raise ValueError("PDF: /XRefStm offset outside buffer")
+            rows, _ = _parse_xref_stream(buf, stm_off)
+            rows = {num: rab for num, rab in rows.items()
+                    if num not in windows}
+            if not _resolve_rows(buf, rows, windows, offsets):
+                xref_ok = 0
+        return _DocMap(windows, offsets, tdict, xref_ok)
     if not buf[xref_off: xref_off + 1].isdigit():
         raise ValueError("PDF: startxref does not point at an xref "
                          "table or stream object")
     rows, tdict = _parse_xref_stream(buf, xref_off)
     windows = {}
     offsets = {}
-    xref_ok = 1
-    stms: dict[int, int] = {}
-    for num, (typ, a, b) in sorted(rows.items()):
+    xref_ok = 1 if _resolve_rows(buf, rows, windows, offsets) else 0
+    return _DocMap(windows, offsets, tdict, xref_ok)
+
+
+def _resolve_rows(buf: bytes, rows: dict, windows: dict,
+                  offsets: dict) -> bool:
+    """Materialize xref-stream ``rows`` into windows/offsets: type-1
+    entries verify the object header at their offset, type-2 entries
+    pull bodies out of their (cached) /ObjStm containers.  Returns
+    False when any in-use entry failed to resolve (the caller's
+    xref_ok)."""
+    ok = True
+    for num, (typ, a, _b) in sorted(rows.items()):
         if typ != 1 or num == 0:
             continue
         hm = _OBJ_HEAD_RE.match(buf, a) if a < len(buf) else None
         if hm is None or int(hm.group(1)) != num:
-            xref_ok = 0
+            ok = False
             continue
         offsets[num] = a
         windows[num] = _obj_window(buf, a)
     objstm_cache: dict[int, dict[int, bytes]] = {}
-    for num, (typ, a, b) in sorted(rows.items()):
+    for num, (typ, a, _b) in sorted(rows.items()):
         if typ != 2:
             continue
         if a not in objstm_cache:
             if a not in offsets:
-                xref_ok = 0
+                ok = False
                 continue
             objstm_cache[a] = _objstm_objects(buf, offsets[a])
         body = objstm_cache[a].get(num)
         if body is None:
-            xref_ok = 0
+            ok = False
             continue
         windows[num] = body
-    return _DocMap(windows, offsets, tdict, xref_ok)
+    return ok
 
 
 def _pdf_objects(buf: bytes) -> dict[int, int]:
@@ -683,7 +709,8 @@ def build_pdf_text(pages_text: list[str], version: str = "1.4",
 
 def build_pdf_xref_stream(pages_text: list[str], version: str = "1.5",
                           flate: bool = True,
-                          objstm: bool = True) -> bytes:
+                          objstm: bool = True,
+                          hybrid: bool = False) -> bytes:
     """PDF 1.5 fixture writer: the document's catalog/pages/page
     dictionaries live inside a /ObjStm object stream (``objstm=True``
     — the real-world 1.5 layout) referenced by type-2 entries of a
@@ -788,6 +815,18 @@ def build_pdf_xref_stream(pages_text: list[str], version: str = "1.5",
          b"<< /Type /XRef /Size %d /W [1 4 2] /Root 1 0 R "
          b"/Length %d%s >>\nstream\n" % (size, len(payload), fdecl)
          + payload + b"\nendstream")
+    if hybrid:
+        # classic table over the buffer-resident objects only, its
+        # trailer pointing at the xref STREAM via /XRefStm
+        table_at = len(out)
+        resident = sorted(offsets)
+        out.extend(b"xref\n0 1\n0000000000 65535 f \n")
+        for num in resident:
+            out.extend(b"%d 1\n%010d 00000 n \n" % (num, offsets[num]))
+        out.extend(b"trailer\n<< /Size %d /Root 1 0 R /XRefStm %d >>"
+                   b"\nstartxref\n%d\n%%%%EOF"
+                   % (size, xref_off, table_at))
+        return bytes(out)
     out.extend(b"startxref\n%d\n%%%%EOF" % xref_off)
     return bytes(out)
 

@@ -337,3 +337,19 @@ def test_xref_stream_mutation_fuzz_typed_only():
                 fn(bytes(mut))
             except (ValueError, NotImplementedError):
                 pass
+
+
+def test_hybrid_reference_file_resolves_through_xrefstm():
+    """Acrobat's 1.4-compat HYBRID layout: startxref points at a
+    classic table listing only buffer-resident objects, and the page
+    tree hides in an ObjStm reachable only through the trailer's
+    /XRefStm.  The walk must merge both (classic entries winning)."""
+    from simpy__kafka__flink__kafka_spark.functions.pdffmt import (
+        build_pdf_xref_stream, pdf_extract_text, pdf_stats)
+
+    raw = build_pdf_xref_stream(["hybrid page one", "and two"],
+                                hybrid=True)
+    assert b"/XRefStm" in raw and b"trailer" in raw
+    assert pdf_extract_text(raw) == "hybrid page one\n\nand two"
+    s = pdf_stats(raw)
+    assert (s.n_pages, s.xref_ok, s.scan_ok) == (2, 1, 1)
