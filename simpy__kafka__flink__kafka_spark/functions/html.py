@@ -219,6 +219,17 @@ def parse_warc_records(df: DataFrame, warc_col: str = "warc",
 
 def gunzip_members(content: bytes,
                    max_bytes: int | None = None) -> tuple[bytes, int]:
+    """Concatenated bytes + member count via
+    :func:`gunzip_member_spans` (the original surface; the span
+    variant exists for CDX indexing, which needs each member's
+    compressed byte range)."""
+    spans = gunzip_member_spans(content, max_bytes)
+    return b"".join(m for _, _, m in spans), len(spans)
+
+
+def gunzip_member_spans(content: bytes,
+                        max_bytes: int | None = None
+                        ) -> list[tuple[int, int, bytes]]:
     """Decompress a MULTI-MEMBER gzip stream (the warc.gz convention:
     every WARC record is its own gzip member, so readers can seek to a
     member boundary and start there) into (concatenated bytes,
@@ -234,7 +245,12 @@ def gunzip_members(content: bytes,
     ~250k empty ~23-byte members would cost O(S^2) memcpy while the
     output budget never trips — a second bomb class the review
     caught; with chunked feeding each member's leftover copy is at
-    most one chunk)."""
+    most one chunk).
+
+    Returns ``[(member_offset, compressed_length, member_bytes)]`` —
+    the byte spans are what a CDX index records so a reader can
+    range-request one record's member and start decompressing at its
+    boundary."""
     import zlib
 
     from ._budget import byte_budget
@@ -247,9 +263,10 @@ def gunzip_members(content: bytes,
     # is a tiny slice (empty-member floods cost O(S) total), while a
     # large member quickly reaches full-size feeds
     first_chunk, max_chunk = 1 << 10, 256 << 10
-    out: list[bytes] = []
+    spans: list[tuple[int, int, bytes]] = []
+    member_chunks: list[bytes] = []
+    member_start = 0
     total = 0
-    members = 0
     off = 0
 
     def bomb() -> ValueError:
@@ -261,13 +278,15 @@ def gunzip_members(content: bytes,
     while off < payload_len:
         d = zlib.decompressobj(wbits=31)      # gzip wrapper, CRC checked
         chunk_size = first_chunk
+        member_start = off
+        member_chunks = []
         while True:
             feed = mv[off: off + chunk_size]
             chunk_size = min(chunk_size * 4, max_chunk)
             try:
                 data = d.decompress(feed, budget - total + 1)
                 total += len(data)
-                out.append(data)
+                member_chunks.append(data)
                 if total > budget:
                     raise bomb()
                 # max_length can leave input pending even within a chunk
@@ -275,7 +294,7 @@ def gunzip_members(content: bytes,
                     data = d.decompress(d.unconsumed_tail,
                                         budget - total + 1)
                     total += len(data)
-                    out.append(data)
+                    member_chunks.append(data)
                     if total > budget:
                         raise bomb()
             except zlib.error as exc:
@@ -283,12 +302,13 @@ def gunzip_members(content: bytes,
             if d.eof:
                 # unused_data is bounded by one chunk — the small copy
                 off += len(feed) - len(d.unused_data)
-                members += 1
+                spans.append((member_start, off - member_start,
+                              b"".join(member_chunks)))
                 break
             off += len(feed)
             if off >= payload_len:
                 raise ValueError("truncated gzip member")
-    return b"".join(out), members
+    return spans
 
 
 def parse_warc_gz(media: DataFrame, id_col: str = "doc_id",
@@ -343,3 +363,70 @@ def parse_warc_gz(media: DataFrame, id_col: str = "doc_id",
         run, schema)
     return parse_warc_records(text, warc_col="warc", id_col=id_col,
                               carry_cols=("n_members",) + carry)
+
+
+def warc_cdx_entries(media: DataFrame, id_col: str = "doc_id",
+                     content_col: str = "content",
+                     max_bytes: int | None = None) -> DataFrame:
+    """Per-record CDX capture entries for a ``.warc.gz`` shard (round
+    14 — the web-archive INDEXING step: warc.gz in, the columns a
+    CDXJ line records out).  One Arrow pass per document:
+    :func:`gunzip_member_spans` yields each gzip member's compressed
+    byte range (the warc.gz 1:1 record/member convention), the member
+    text is parsed with the SAME header patterns the Spark-side
+    parser renders, and — because compressed offsets/lengths cannot
+    be reproduced by any SQL oracle — every span is machine-verified
+    in-pass: the raw ``buf[offset : offset+length]`` slice is
+    re-gunzipped standalone and must reproduce the member bit-exactly
+    (``slice_ok``), which is precisely the range-request contract a
+    CDX consumer relies on.
+
+    Output: (id_col, rec_idx, warc_type, target_uri, member_offset,
+    member_length, payload_md5, slice_ok)."""
+    import hashlib
+    import re as _re
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    type_re = _re.compile(WARC_TYPE_RE.encode())
+    uri_re = _re.compile(WARC_URI_RE.encode())
+
+    schema = T.StructType([
+        T.StructField(id_col, T.LongType(), False),
+        T.StructField("rec_idx", T.LongType(), True),
+        T.StructField("warc_type", T.StringType(), True),
+        T.StructField("target_uri", T.StringType(), True),
+        T.StructField("member_offset", T.LongType(), True),
+        T.StructField("member_length", T.LongType(), True),
+        T.StructField("payload_md5", T.StringType(), True),
+        T.StructField("slice_ok", T.IntegerType(), True),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[tuple] = []
+            for did, blob in zip(pdf[id_col], pdf[content_col]):
+                buf = bytes(blob)
+                for i, (off, ln, member) in enumerate(
+                        gunzip_member_spans(buf, max_bytes)):
+                    resliced, n = gunzip_members(buf[off:off + ln],
+                                                 max_bytes)
+                    ok = int(n == 1 and resliced == member)
+                    tm = type_re.search(member)
+                    um = uri_re.search(member)
+                    div = member.find(b"\r\n\r\n")
+                    payload = member[div + 4:] if div >= 0 else b""
+                    rows.append((
+                        int(did), i,
+                        tm.group(1).decode("utf-8", "replace")
+                        if tm else "",
+                        um.group(1).decode("utf-8", "replace")
+                        if um else "",
+                        off, ln,
+                        hashlib.md5(payload).hexdigest(), ok))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in schema.fields])
+
+    return media.select(id_col, content_col).mapInPandas(run, schema)

@@ -2105,21 +2105,16 @@ def _q_warc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_warc_gz_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The REAL CommonCrawl container: the same two-record WARC stream
-    compressed as one gzip member PER RECORD (the warc.gz convention),
-    decompressed bounded (functions/html.py:gunzip_members — gzip's
-    declared ISIZE is untrusted, so output is budgeted against payload
-    size) and parsed by the SAME parse_warc_records rendering the
-    plain row uses.  The fixture gzips in Arrow batches after splitting
-    the shared _synth_warc_col stream mechanically at the marker; the
-    oracle is the plain row's SQL plus the member/record 1:1 contract
-    (n_members = 2)."""
+def _warc_gz_fixture_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The warc.gz fixture corpus (shared by warc_gz_parse and the
+    cdx_index row — ONE rendering of the member layout): the
+    _synth_warc_col stream split mechanically at the marker and
+    gzipped one member per record, the warc.gz convention."""
     import gzip as _gzip
 
     import pandas as pd
 
-    from ..functions.html import WARC_MARKER, parse_warc_gz
+    from ..functions.html import WARC_MARKER
 
     src = _docs(spark, sf_dir).select("doc_id",
                                       _synth_warc_col().alias("warc"))
@@ -2138,7 +2133,22 @@ def _q_warc_gz_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "content": pdf["warc"].map(gz),
             })
 
-    media = src.mapInPandas(pack, "doc_id long, content binary")
+    return src.mapInPandas(pack, "doc_id long, content binary")
+
+
+def _q_warc_gz_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL CommonCrawl container: the same two-record WARC stream
+    compressed as one gzip member PER RECORD (the warc.gz convention),
+    decompressed bounded (functions/html.py:gunzip_members — gzip's
+    declared ISIZE is untrusted, so output is budgeted against payload
+    size) and parsed by the SAME parse_warc_records rendering the
+    plain row uses.  The fixture gzips in Arrow batches after splitting
+    the shared _synth_warc_col stream mechanically at the marker; the
+    oracle is the plain row's SQL plus the member/record 1:1 contract
+    (n_members = 2)."""
+    from ..functions.html import parse_warc_gz
+
+    media = _warc_gz_fixture_media(spark, sf_dir)
     return parse_warc_gz(media).select(
         *_WARC_OUT_COLS, F.md5("payload").alias("payload_md5"),
         "n_members",
@@ -2148,6 +2158,61 @@ def _q_warc_gz_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _warc_gz_sql() -> str:
     return (f"SELECT w.*, CAST(2 AS INTEGER) AS n_members "
             f"FROM ({_warc_parse_sql()}) w")
+
+
+def _q_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The web-archive INDEXING composition (round 14): warc.gz shards
+    -> per-member compressed byte spans + record headers
+    (functions/html.py:warc_cdx_entries, each span machine-verified by
+    re-gunzipping the raw slice — the CDX range-request contract) ->
+    real CDXJ lines (SURT urlkey via the one surt_key rendering,
+    member offset/length/filename in the JSON) -> parsed back through
+    cdx_parse.  Offsets and compressed lengths cannot be reproduced by
+    SQL, so the DECLARED columns are the oracle-stable ones (urlkey,
+    ts, url, filename, the response payload md5) plus slice_ok, which
+    the in-pass verification pins to 1; the full line including
+    offset/length is still built and parsed en route."""
+    from ..functions.html import warc_cdx_entries
+    from ..functions.urls import cdx_parse, surt_key
+
+    ent = (warc_cdx_entries(_warc_gz_fixture_media(spark, sf_dir))
+           .where(F.col("warc_type") == "response"))
+    fname = F.format_string("shard-%05d.warc.gz",
+                            (F.col("doc_id") % 100).cast("int"))
+    ts = F.lit(20250000000000) + F.col("doc_id")
+    line = F.format_string(
+        '%s %d {"url":"%s","status":"200","mime":"text/html",'
+        '"length":"%d","offset":"%d","filename":"%s"}',
+        surt_key("target_uri"), ts, F.col("target_uri"),
+        F.col("member_length"), F.col("member_offset"), fname)
+    parsed = cdx_parse(ent.select(
+        "doc_id", "payload_md5", "slice_ok", line.alias("line")))
+    return parsed.select(
+        "doc_id", "urlkey", "ts", "url", "filename",
+        "payload_md5", F.col("slice_ok").cast("int").alias("slice_ok"))
+
+
+def _cdx_index_sql() -> str:
+    return """
+WITH """ + _synth_page_cte() + """,
+p AS (
+  SELECT doc_id,
+         'https://site-' || CAST(doc_id % 17 AS VARCHAR)
+           || '.example.com/page/' || CAST(doc_id AS VARCHAR) AS url,
+         'com,example,site-' || CAST(doc_id % 17 AS VARCHAR)
+           || ')/page/' || CAST(doc_id AS VARCHAR) AS urlkey
+  FROM documents
+),
+h AS (SELECT doc_id, md5(html) AS payload_md5 FROM page)
+SELECT p.doc_id, p.urlkey,
+       CAST(20250000000000 + p.doc_id AS BIGINT) AS ts,
+       p.url,
+       'shard-' || lpad(CAST(p.doc_id % 100 AS VARCHAR), 5, '0')
+         || '.warc.gz' AS filename,
+       h.payload_md5,
+       CAST(1 AS INTEGER) AS slice_ok
+FROM p JOIN h USING (doc_id)
+"""
 
 
 def _q_id3_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6861,6 +6926,11 @@ QUERIES: dict[str, Query] = {
         _q_cdx_parse, _CDX_PARSE_SQL,
         "CDXJ web-archive index lines: SURT urlkey derivation "
         "(canonicalize -> www-strip -> label-reverse) + typed parse"),
+    "cdx_index": Query(
+        _q_cdx_index, _cdx_index_sql(),
+        "warc.gz -> CDXJ indexing: gzip member byte spans (each "
+        "slice re-gunzipped and verified — the range-request "
+        "contract) + SURT urlkey -> lines -> parsed back"),
     "png_palette_stats": Query(
         _q_png_palette_stats, _PNG_PALETTE_SQL,
         "executed palette-PNG decode (PLTE map, 1/2/4/8-bit MSB-first "
