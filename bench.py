@@ -169,6 +169,8 @@ HEADLINE = [
     "webdataset_pack",
     # round-13 final wave: MP4 movie triage (shared ISO-BMFF walk)
     "mp4_stats",
+    # round-14: warc.gz -> CDXJ indexing with verified member spans
+    "cdx_index",
 ]
 
 

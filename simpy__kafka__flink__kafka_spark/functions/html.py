@@ -264,8 +264,6 @@ def gunzip_member_spans(content: bytes,
     # large member quickly reaches full-size feeds
     first_chunk, max_chunk = 1 << 10, 256 << 10
     spans: list[tuple[int, int, bytes]] = []
-    member_chunks: list[bytes] = []
-    member_start = 0
     total = 0
     off = 0
 

@@ -2161,7 +2161,7 @@ def mp4_stats(content: bytes) -> dict:
     timescale, duration_ms, n_traks, video_codec, audio_codec} plus,
     for the first video and first audio track carrying a sample
     index, the stts/stsz/stco-derived {video,audio}_{duration_ms,
-    n_samples, bytes, bitrate_bps} (None when the track has no index
+    n_samples, bytes, bitrate_bps, n_chunks} (None when the track has no index
     — e.g. fragmented movies).  Edit lists (edts/elst) are tolerated:
     the media duration reported here is the INDEX duration (sum of
     stts deltas over the mdhd timescale), not the edited presentation
@@ -2251,7 +2251,8 @@ def mp4_stats(content: bytes) -> dict:
            "audio_codec": audio_codec}
     for handler, prefix in (("vide", "video"), ("soun", "audio")):
         tab = tables[handler]
-        for key in ("duration_ms", "n_samples", "bytes", "bitrate_bps"):
+        for key in ("duration_ms", "n_samples", "bytes", "bitrate_bps",
+                    "n_chunks"):
             out[f"{prefix}_{key}"] = tab[key] if tab else None
     return out
 
@@ -2342,12 +2343,13 @@ def mp4_container_stats(media, id_col: str = "doc_id",
     video_codec, audio_codec, then the per-track index columns
     {video,audio}_{duration_ms, n_samples, bytes, bitrate_bps} —
     nullable Int64, NULL when the track is absent or carries no
-    sample index)."""
+    sample index; n_chunks additionally NULL when the track has no
+    stco/co64)."""
     from collections.abc import Iterator
 
     idx_cols = [f"{p}_{k}" for p in ("video", "audio")
                 for k in ("duration_ms", "n_samples", "bytes",
-                          "bitrate_bps")]
+                          "bitrate_bps", "n_chunks")]
     schema = T.StructType([
         T.StructField(id_col, T.LongType(), False),
         T.StructField("major_brand", T.StringType(), True),

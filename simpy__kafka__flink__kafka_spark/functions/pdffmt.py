@@ -51,6 +51,10 @@ _XREFSTM_RE = re.compile(rb"/XRefStm\s+(\d+)")
 _OBJSTM_N_RE = re.compile(rb"/N\s+(\d+)")
 _OBJSTM_FIRST_RE = re.compile(rb"/First\s+(\d+)")
 _INT_RE = re.compile(rb"\d+")
+# the stream KEYWORD follows the dict's '>>' and is followed by EOL
+# (ISO 32000 7.3.8.1) — a bare substring match would truncate on
+# 'stream' INSIDE a dict string like (livestream) (review find)
+_STREAM_KW_RE = re.compile(rb">>\s*stream(?:\r\n|\n)")
 
 
 @dataclass(frozen=True)
@@ -64,25 +68,15 @@ class PdfStats:
     scan_ok: int
 
 
-def _walk_xref(buf: bytes) -> tuple[list[tuple[int, int, bool]], int]:
-    """ONE classic-xref walk shared by :func:`pdf_stats` and the text
-    extractor (round-13 review: the two had drifted into near-copies).
-    Returns ``[(obj_num, offset, header_verified)]`` for every in-use
-    entry, in table order, plus the position just past the table
-    (where ``trailer`` follows).  Typed errors: missing tail, the PDF
-    1.5+ xref-STREAM seam, the entry-count bomb, malformed entries."""
-    t = _STARTXREF_RE.search(buf[-256:])
-    if not t:
-        raise ValueError("PDF: no startxref/%%EOF tail")
-    xref_off = int(t.group(1))
-    if xref_off >= len(buf):
-        raise ValueError("PDF: startxref offset outside buffer")
-    if buf[xref_off: xref_off + 4] != b"xref":
-        if buf[xref_off: xref_off + 1].isdigit():
-            raise NotImplementedError(
-                "PDF 1.5+ cross-reference STREAM unsupported (classic "
-                "xref tables only — documented seam)")
-        raise ValueError("PDF: startxref does not point at an xref table")
+def _walk_xref(buf: bytes, xref_off: int
+               ) -> tuple[list[tuple[int, int, bool]], int]:
+    """ONE classic-xref walk (round-13 review: pdf_stats and the text
+    extractor had drifted into near-copies; both now reach it through
+    :func:`_document_objects`, which resolves ``xref_off`` from the
+    tail and dispatches on layout).  Returns ``[(obj_num, offset,
+    header_verified)]`` for every in-use entry, in table order, plus
+    the position just past the table (where ``trailer`` follows).
+    Typed errors: the entry-count bomb, malformed entries."""
     pos = xref_off + 4
     while pos < len(buf) and buf[pos: pos + 1] in b"\r\n ":
         pos += 1
@@ -128,11 +122,11 @@ def _obj_window(buf: bytes, off: int) -> bytes | None:
     window_end = min(off + _OBJ_SCAN_WINDOW, len(buf))
     endobj = buf.find(b"endobj", off, window_end)
     if endobj < 0:
-        stream_at = buf.find(b"stream", off, window_end)
-        return buf[off:stream_at] if stream_at >= 0 else None
+        m = _STREAM_KW_RE.search(buf, off, window_end)
+        return buf[off:m.start() + 2] if m else None
     w = buf[off:endobj]
-    cut = w.find(b"stream")
-    return w[:cut] if cut >= 0 else w
+    m = _STREAM_KW_RE.search(w)
+    return w[:m.start() + 2] if m else w
 
 
 def pdf_stats(content: bytes) -> PdfStats:
@@ -222,10 +216,10 @@ def _parse_xref_stream(buf: bytes, off: int, depth: int = 0
     if depth > 16:
         raise ValueError("PDF: /Prev xref chain deeper than 16")
     hard_end = min(len(buf), off + _STREAM_MAX + 4096)
-    dict_end = buf.find(b"stream", off, hard_end)
-    if dict_end < 0:
+    m = _STREAM_KW_RE.search(buf, off, hard_end)
+    if not m:
         raise ValueError("PDF: xref stream object has no stream keyword")
-    head = buf[off:dict_end]
+    head = buf[off:m.start() + 2]
     if not _TYPE_XREF_RE.search(head):
         raise ValueError("PDF: startxref object is not /Type /XRef")
     wm = _W_RE.search(head)
@@ -286,8 +280,8 @@ def _objstm_objects(buf: bytes, off: int) -> dict[int, bytes]:
     /First.  Bounded: /N is capped, offsets validated against the
     decoded length."""
     hard_end = min(len(buf), off + _STREAM_MAX + 4096)
-    dict_end = buf.find(b"stream", off, hard_end)
-    head = buf[off:dict_end] if dict_end >= 0 else b""
+    m = _STREAM_KW_RE.search(buf, off, hard_end)
+    head = buf[off:m.start() + 2] if m else b""
     nm = _OBJSTM_N_RE.search(head)
     fm = _OBJSTM_FIRST_RE.search(head)
     if not nm or not fm:
@@ -336,7 +330,7 @@ def _document_objects(buf: bytes) -> _DocMap:
     if xref_off >= len(buf):
         raise ValueError("PDF: startxref offset outside buffer")
     if buf[xref_off: xref_off + 4] == b"xref":
-        entries, pos = _walk_xref(buf)
+        entries, pos = _walk_xref(buf, xref_off)
         windows: dict[int, bytes | None] = {}
         offsets: dict[int, int] = {}
         xref_ok = 1
@@ -410,13 +404,6 @@ def _resolve_rows(buf: bytes, rows: dict, windows: dict,
     return ok
 
 
-def _pdf_objects(buf: bytes) -> dict[int, int]:
-    """{obj_num: verified buffer offset} via the shared
-    :func:`_document_objects` (both xref layouts; ObjStm-resident
-    objects have no buffer offset and are absent here)."""
-    return dict(_document_objects(buf).offsets)
-
-
 def _content_bytes(buf: bytes, off: int) -> bytes:
     """One content object's stream payload, bounded and inflated."""
     import zlib
@@ -427,21 +414,17 @@ def _content_bytes(buf: bytes, off: int) -> bytes:
     # extracting another object's bytes as page text)
     hard_end = min(len(buf), off + _STREAM_MAX + 4096)
     obj_end = buf.find(b"endobj", off, hard_end)
-    dict_end = buf.find(b"stream", off,
-                        obj_end if obj_end >= 0 else hard_end)
-    if dict_end < 0:
+    m = _STREAM_KW_RE.search(buf, off,
+                             obj_end if obj_end >= 0 else hard_end)
+    if not m:
         raise ValueError("PDF: content object has no stream keyword")
-    head = buf[off:dict_end]
+    head = buf[off:m.start() + 2]
     lm = _LENGTH_RE.search(head)
     if not lm:
         raise NotImplementedError(
             "PDF: indirect or missing /Length unsupported (seam)")
     length = int(lm.group(1))
-    s = dict_end + 6
-    if buf[s:s + 2] == b"\r\n":
-        s += 2
-    elif buf[s:s + 1] in (b"\n", b"\r"):
-        s += 1
+    s = m.end()                      # the keyword's EOL is in the match
     if length > _STREAM_MAX or s + length > len(buf):
         raise ValueError("PDF: stream length outside buffer/budget")
     data = buf[s:s + length]

@@ -163,6 +163,9 @@ def media_datasheet(frames: dict[str, DataFrame]) -> DataFrame:
     Scale shape: each class is ONE global aggregate over an
     already-per-file frame (map-side combinable, broadcast-sized
     result); the union is dimension-cardinality."""
+    if not frames:
+        raise ValueError("media_datasheet requires at least one "
+                         "class frame")
     outs = []
     for name in sorted(frames):
         df = frames[name]

@@ -90,6 +90,13 @@ def _zip64_extra(extra: bytes, usize: int, csize: int) -> tuple[int, int]:
                         "its sentinel requires")
                 (csize,) = struct.unpack("<Q", body[q: q + 8])
                 q += 8
+            # the u64 fields are attacker bytes: an implausible size
+            # would overflow the Arrow int64 cast untyped (the mp4
+            # walk's 1<<59 rule) — no real archive member approaches
+            # 2^47 bytes
+            if usize >= 1 << 47 or csize >= 1 << 47:
+                raise ValueError(
+                    f"ZIP: implausible ZIP64 sizes ({usize}, {csize})")
             return usize, csize
         p += 4 + size
     raise ValueError("ZIP: size sentinel without a ZIP64 extra block")

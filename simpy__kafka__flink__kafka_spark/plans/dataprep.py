@@ -4939,12 +4939,15 @@ SELECT doc_id,
        CAST(CASE WHEN has_v THEN vbytes END AS BIGINT) AS video_bytes,
        CAST(CASE WHEN has_v THEN (vbytes * 8000) // vdur END AS BIGINT)
          AS video_bitrate_bps,
+       CAST(CASE WHEN has_v THEN 1 + doc_id % 5 END AS BIGINT)
+         AS video_n_chunks,
        CAST(CASE WHEN has_a THEN adur END AS BIGINT)
          AS audio_duration_ms,
        CAST(CASE WHEN has_a THEN an END AS BIGINT) AS audio_n_samples,
        CAST(CASE WHEN has_a THEN abytes END AS BIGINT) AS audio_bytes,
        CAST(CASE WHEN has_a THEN (abytes * 8000) // adur END AS BIGINT)
-         AS audio_bitrate_bps
+         AS audio_bitrate_bps,
+       CAST(CASE WHEN has_a THEN 2 END AS BIGINT) AS audio_n_chunks
 FROM mp4d
 """
 

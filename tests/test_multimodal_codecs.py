@@ -427,7 +427,7 @@ def test_mp4_stats_walk_and_typed_errors():
                  # no sample_specs -> no index tables -> NULL triage
                  **{f"{p}_{k}": None for p in ("video", "audio")
                     for k in ("duration_ms", "n_samples", "bytes",
-                              "bitrate_bps")}}
+                              "bitrate_bps", "n_chunks")}}
     s1 = mp4_stats(build_mp4(48_000 * 3600, 48_000, mvhd_version=1,
                              tracks=(("soun", "Opus"),)))
     assert (s1["duration_ms"], s1["audio_codec"],
