@@ -169,8 +169,11 @@ HEADLINE = [
     "webdataset_pack",
     # round-13 final wave: MP4 movie triage (shared ISO-BMFF walk)
     "mp4_stats",
-    # round-14: warc.gz -> CDXJ indexing with verified member spans
+    # round-14: warc.gz -> CDXJ indexing with verified member spans,
+    # and the WET conversion-record companion (extract -> render ->
+    # reparse through the one WARC parser rendering)
     "cdx_index",
+    "wet_conversion",
 ]
 
 

@@ -2215,6 +2215,55 @@ FROM p JOIN h USING (doc_id)
 """
 
 
+def _q_wet_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WET companion format (round 14 — completing the
+    CommonCrawl web-archive triple: WARC parse, CDX index, WET
+    conversion): warc.gz responses -> jusText-lite main-content
+    extraction -> 'WARC-Type: conversion' records rendered with real
+    Content-Length -> parsed BACK through the one
+    parse_warc_records rendering.  The oracle chains the shared page
+    + extraction CTEs and reproduces every parsed column; lengths are
+    character counts on both sides (the fixture corpus is ASCII —
+    documented, like the md5-over-utf8 convention)."""
+    from ..functions.html import (extract_main_content, parse_warc_gz,
+                                  parse_warc_records)
+
+    recs = (parse_warc_gz(_warc_gz_fixture_media(spark, sf_dir))
+            .where(F.col("warc_type") == "response"))
+    ex = extract_main_content(
+        recs.select("doc_id", F.col("payload").alias("html")))
+    # responses are 1:1 per doc; the uri join-back is doc-keyed and
+    # tiny relative to the extraction (the fixture has one response
+    # per document)
+    wet_src = ex.join(recs.select("doc_id", "target_uri"), "doc_id")
+    wet = wet_src.select(
+        "doc_id",
+        F.format_string(
+            "WARC/1.0\r\nWARC-Type: conversion\r\n"
+            "WARC-Target-URI: %s\r\nContent-Length: %d\r\n\r\n%s",
+            F.col("target_uri"), F.length("main_text"),
+            F.col("main_text")).alias("warc"))
+    out = parse_warc_records(wet)
+    return out.select(
+        "doc_id", "warc_type", "target_uri", "content_length",
+        "payload_ok", F.md5("payload").alias("payload_md5"))
+
+
+def _wet_conversion_sql() -> str:
+    return ("""
+WITH x AS (""" + _html_extract_sql() + """)
+SELECT doc_id,
+       'conversion' AS warc_type,
+       'https://site-' || CAST(doc_id % 17 AS VARCHAR)
+         || '.example.com/page/' || CAST(doc_id AS VARCHAR)
+         AS target_uri,
+       CAST(length(main_text) AS BIGINT) AS content_length,
+       CAST(1 AS INTEGER) AS payload_ok,
+       md5(main_text) AS payload_md5
+FROM x
+""")
+
+
 def _q_id3_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ID3v2 frame walk (functions/mp3.py:id3_frames) — the audio
     provenance analogue of jpeg_exif_stats — over real tagged MP3
@@ -6929,6 +6978,10 @@ QUERIES: dict[str, Query] = {
         _q_cdx_parse, _CDX_PARSE_SQL,
         "CDXJ web-archive index lines: SURT urlkey derivation "
         "(canonicalize -> www-strip -> label-reverse) + typed parse"),
+    "wet_conversion": Query(
+        _q_wet_conversion, _wet_conversion_sql(),
+        "WET companion: warc.gz responses -> jusText-lite extraction "
+        "-> conversion records -> parsed back (one parser rendering)"),
     "cdx_index": Query(
         _q_cdx_index, _cdx_index_sql(),
         "warc.gz -> CDXJ indexing: gzip member byte spans (each "
