@@ -135,22 +135,22 @@ def test_webdataset_pack_matches_oracle(spark, sf_dir):
 
 
 def test_pack_shard_assignment_floors_and_writer_guards(spark):
-    """Review fixes: shard assignment is exact integer division —
-    Spark ``div`` and DuckDB ``//`` BOTH truncate toward zero (the
-    round-8 verified note; re-verified: DuckDB -1 // 16 = 0), so the
-    engines agree on negative ids and big ids never pass through a
-    double — and the writer refuses sizes past the 11-digit octal
-    field instead of corrupting the header."""
+    """Review fixes: shard assignment is exact integer division (big
+    ids never pass through a double), negative ids are a TYPED
+    refusal (round-14 ADVICE: the %012d-vs-lpad and div-vs-floor
+    renderings are undefined for negatives), and the writer refuses
+    sizes past the 11-digit octal field instead of corrupting the
+    header."""
     from simpy__kafka__flink__kafka_spark.functions.tarfmt import (
         build_ustar, pack_webdataset_shards)
 
     docs = spark.createDataFrame(
-        [(-1, "neg"), (0, "zero"), (15, "a"), (16, "b")],
+        [(0, "zero"), (15, "a"), (16, "b")],
         "doc_id long, text string")
     got = {r["shard_id"]: r["n_samples"]
            for r in pack_webdataset_shards(
                docs, samples_per_shard=16).collect()}
-    assert got == {0: 3, 1: 1}       # -1 div 16 truncates to 0
+    assert got == {0: 2, 1: 1}
 
     import pytest
 
