@@ -365,7 +365,8 @@ def parse_warc_gz(media: DataFrame, id_col: str = "doc_id",
 
 def warc_cdx_entries(media: DataFrame, id_col: str = "doc_id",
                      content_col: str = "content",
-                     max_bytes: int | None = None) -> DataFrame:
+                     max_bytes: int | None = None,
+                     carry_cols: tuple[str, ...] = ()) -> DataFrame:
     """Per-record CDX capture entries for a ``.warc.gz`` shard (round
     14 — the web-archive INDEXING step: warc.gz in, the columns a
     CDXJ line records out).  One Arrow pass per document:
@@ -380,7 +381,10 @@ def warc_cdx_entries(media: DataFrame, id_col: str = "doc_id",
     CDX consumer relies on.
 
     Output: (id_col, rec_idx, warc_type, target_uri, member_offset,
-    member_length, payload_md5, slice_ok)."""
+    member_length, payload_md5, slice_ok, *carry_cols) — carry_cols
+    are replicated onto every record row (the parse_warc_records
+    convention: stream metadata rides the frame, never a join-back a
+    streaming plan could not execute)."""
     import hashlib
     import re as _re
     from collections.abc import Iterator
@@ -391,6 +395,7 @@ def warc_cdx_entries(media: DataFrame, id_col: str = "doc_id",
     type_re = _re.compile(WARC_TYPE_RE.encode())
     uri_re = _re.compile(WARC_URI_RE.encode())
 
+    carry = tuple(carry_cols)
     schema = T.StructType([
         T.StructField(id_col, T.LongType(), False),
         T.StructField("rec_idx", T.LongType(), True),
@@ -400,13 +405,16 @@ def warc_cdx_entries(media: DataFrame, id_col: str = "doc_id",
         T.StructField("member_length", T.LongType(), True),
         T.StructField("payload_md5", T.StringType(), True),
         T.StructField("slice_ok", T.IntegerType(), True),
+        *[media.schema[c] for c in carry],
     ])
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows: list[tuple] = []
-            for did, blob in zip(pdf[id_col], pdf[content_col]):
-                buf = bytes(blob)
+            for row in pdf.itertuples(index=False):
+                did = getattr(row, id_col)
+                buf = bytes(getattr(row, content_col))
+                extra = tuple(getattr(row, c) for c in carry)
                 for i, (off, ln, member) in enumerate(
                         gunzip_member_spans(buf, max_bytes)):
                     resliced, n = gunzip_members(buf[off:off + ln],
@@ -423,8 +431,9 @@ def warc_cdx_entries(media: DataFrame, id_col: str = "doc_id",
                         um.group(1).decode("utf-8", "replace")
                         if um else "",
                         off, ln,
-                        hashlib.md5(payload).hexdigest(), ok))
+                        hashlib.md5(payload).hexdigest(), ok) + extra)
             yield pd.DataFrame(
                 rows, columns=[f.name for f in schema.fields])
 
-    return media.select(id_col, content_col).mapInPandas(run, schema)
+    return media.select(id_col, content_col,
+                        *carry).mapInPandas(run, schema)

@@ -1057,3 +1057,48 @@ def warc_gz_source(spark, path: str, watermark: str = "10 minutes",
                          max_bytes=max_bytes,
                          carry_cols=("ingest_ts",))
     return recs.withWatermark("ingest_ts", watermark)
+
+
+def start_cdx_indexing(spark, warc_dir: str, index_dir: str,
+                       checkpoint_dir: str,
+                       watermark: str = "10 minutes",
+                       max_bytes: int | None = None):
+    """The STANDING web-archive indexing stream (round 14 — the
+    streaming twin of the cdx_index row): ``.warc.gz`` shards landing
+    under ``warc_dir`` -> verified gzip member spans + record headers
+    (functions/html.py:warc_cdx_entries, every span re-gunzipped from
+    its raw slice — the CDX range-request contract) -> SURT urlkeys —
+    appended to a parquet index under ``index_dir``.  The whole plan
+    is one mapInPandas plus zero-shuffle expressions (no pin, no
+    join, no state), so a plain ``writeStream.format("parquet")``
+    suffices — no foreachBatch, exactly-once via the checkpoint +
+    file-sink log.  Shard id and filename follow the warc_gz_source
+    writer contract (trailing integer; non-conforming names
+    skipped).  Returns the started StreamingQuery."""
+    from ..functions.html import warc_cdx_entries
+    from ..functions.urls import surt_key
+
+    raw = (spark.readStream.format("binaryFile")
+           .schema("path string, modificationTime timestamp, "
+                   "length long, content binary")
+           .option("pathGlobFilter", "*.warc.gz").load(warc_dir))
+    media = raw.select(
+        F.regexp_extract(F.col("path"), r"(\d+)\.warc\.gz$", 1)
+        .try_cast("long").alias("shard_id"),
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("filename"),
+        F.col("modificationTime").alias("ingest_ts"),
+        "content").where(F.col("shard_id").isNotNull())
+    ent = warc_cdx_entries(media, id_col="shard_id",
+                           max_bytes=max_bytes,
+                           carry_cols=("filename", "ingest_ts"))
+    idx = ent.withWatermark("ingest_ts", watermark).select(
+        "shard_id", "rec_idx",
+        F.when(F.col("target_uri") != "",
+               surt_key("target_uri")).alias("urlkey"),
+        "warc_type", "target_uri", "member_offset", "member_length",
+        "payload_md5", "slice_ok", "filename", "ingest_ts")
+    return (idx.writeStream.format("parquet")
+            .option("path", index_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+            .start())

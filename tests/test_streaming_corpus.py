@@ -806,3 +806,72 @@ def test_web_prep_repetition_gate_fold_vs_batch_with_restart(
     got = {r["domain"]: (r["n_docs"], r["total_words"])
            for r in web_prep_totals(spark, out).collect()}
     assert got == expect
+
+
+def test_cdx_indexing_standing_stream_with_restart(spark, tmp_path):
+    """Round-14: the standing warc.gz -> CDX index stream matches the
+    batch warc_cdx_entries walk over the same shards — including a
+    mid-stream restart from the checkpoint and a contractless file
+    name that must be skipped — with urlkeys SURT-derived and every
+    member span slice-verified."""
+    import gzip
+
+    from pyspark.sql import functions as F
+
+    from simpy__kafka__flink__kafka_spark.functions.html import (
+        warc_cdx_entries)
+    from simpy__kafka__flink__kafka_spark.streaming.corpus import (
+        start_cdx_indexing)
+
+    def rec(typ, uri, payload):
+        head = (f"WARC/1.0\r\nWARC-Type: {typ}\r\n"
+                + (f"WARC-Target-URI: {uri}\r\n" if uri else "")
+                + f"Content-Length: {len(payload)}\r\n\r\n")
+        return gzip.compress((head + payload).encode())
+
+    def shard(k):
+        return (rec("response", f"https://www.Host-{k}.example.org/p/{k}"
+                    f"?b=2&a=1", f"body {k}")
+                + rec("metadata", None, f"fetchTimeMs: {k}"))
+
+    ind = str(tmp_path / "cdx_in")
+    out = str(tmp_path / "cdx_out")
+    ckpt = str(tmp_path / "cdx_ckpt")
+    os.makedirs(ind, exist_ok=True)
+    for k in (0, 1):
+        with open(f"{ind}/crawl-{k:05d}.warc.gz", "wb") as fh:
+            fh.write(shard(k))
+    with open(f"{ind}/backfill.warc.gz", "wb") as fh:
+        fh.write(shard(9))            # contractless name -> skipped
+
+    q = start_cdx_indexing(spark, ind, out, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()                      # the restart point
+    with open(f"{ind}/crawl-00002.warc.gz", "wb") as fh:
+        fh.write(shard(2))
+    q2 = start_cdx_indexing(spark, ind, out, ckpt)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    got = spark.read.parquet(out)
+    assert got.count() == 6           # 3 shards x 2 records
+    assert got.where(F.col("slice_ok") != 1).count() == 0
+    r0 = got.where((F.col("shard_id") == 0)
+                   & (F.col("warc_type") == "response")).collect()[0]
+    assert r0["urlkey"] == "org,example,host-0)/p/0?a=1&b=2"
+    assert r0["filename"] == "crawl-00000.warc.gz"
+    # stream rows match the batch walk on the conforming shards
+    media = spark.createDataFrame(
+        [(k, bytearray(shard(k))) for k in (0, 1, 2)],
+        "shard_id long, content binary")
+    batch = {(r["shard_id"], r["rec_idx"]): (
+        r["member_offset"], r["member_length"], r["payload_md5"])
+        for r in warc_cdx_entries(media, id_col="shard_id").collect()}
+    stream = {(r["shard_id"], r["rec_idx"]): (
+        r["member_offset"], r["member_length"], r["payload_md5"])
+        for r in got.collect()}
+    assert stream == batch
