@@ -174,6 +174,7 @@ HEADLINE = [
     # reparse through the one WARC parser rendering)
     "cdx_index",
     "wet_conversion",
+    "wat_metadata",
 ]
 
 

@@ -2264,6 +2264,86 @@ FROM x
 """)
 
 
+def _q_wat_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WAT companion format (round 14 — with WARC parse, CDX
+    index, and WET conversion this closes the CommonCrawl format
+    family): per warc.gz response, render the WAT metadata record —
+    a 'WARC-Type: metadata' record whose JSON payload envelopes the
+    original WARC headers and the HTML link metadata (raw/distinct
+    href counts + the sorted-target fingerprint, the one
+    extract_links rendering) — then parse the record back through
+    the one WARC parser and the JSON back through from_json.  The
+    oracle chains the shared page + href CTEs."""
+    from ..functions.html import parse_warc_gz, parse_warc_records
+    from ..functions.quality import extract_links
+
+    recs = (parse_warc_gz(_warc_gz_fixture_media(spark, sf_dir))
+            .where(F.col("warc_type") == "response"))
+    links = extract_links(
+        recs.select("doc_id", F.col("payload").alias("html")))
+    j = recs.select("doc_id", "target_uri", "content_length").join(
+        links, "doc_id")
+    body = F.format_string(
+        '{"Envelope":{"WARC-Header-Metadata":{"WARC-Type":"response",'
+        '"WARC-Target-URI":"%s","Content-Length":%d},'
+        '"Payload-Metadata":{"HTML-Metadata":{"Links":'
+        '{"n":%d,"n_unique":%d,"hash":"%s"}}}}}',
+        F.col("target_uri"), F.col("content_length"),
+        F.col("n_links"), F.col("n_unique_targets"),
+        F.col("targets_hash"))
+    wat = j.select(
+        "doc_id",
+        F.format_string(
+            "WARC/1.0\r\nWARC-Type: metadata\r\n"
+            "WARC-Target-URI: %s\r\nContent-Length: %d\r\n\r\n%s",
+            F.col("target_uri"), F.length(body), body).alias("warc"))
+    out = parse_warc_records(wat)
+    env_schema = (
+        "Envelope struct<`WARC-Header-Metadata` struct<"
+        "`WARC-Type` string, `WARC-Target-URI` string, "
+        "`Content-Length` bigint>, `Payload-Metadata` struct<"
+        "`HTML-Metadata` struct<Links struct<"
+        "n bigint, n_unique bigint, hash string>>>>")
+    env = F.from_json(F.col("payload"), env_schema)["Envelope"]
+    hdr = env["WARC-Header-Metadata"]
+    lnk = env["Payload-Metadata"]["HTML-Metadata"]["Links"]
+    return out.select(
+        "doc_id", "warc_type", "target_uri", "payload_ok",
+        hdr["WARC-Type"].alias("orig_type"),
+        hdr["Content-Length"].alias("orig_length"),
+        lnk["n"].alias("n_links"),
+        lnk["n_unique"].alias("n_unique_targets"),
+        lnk["hash"].alias("targets_hash"))
+
+
+def _wat_metadata_sql() -> str:
+    from ..functions.quality import HREF_RE
+
+    return ("""
+WITH """ + _synth_page_cte() + """,
+l AS (
+  SELECT doc_id, length(html) AS clen,
+         regexp_extract_all(html, '""" + HREF_RE.replace("'", "''") +
+            """', 1) AS targets
+  FROM page
+),
+u AS (SELECT doc_id, clen, targets,
+             list_sort(list_distinct(targets)) AS uniq FROM l)
+SELECT doc_id,
+       'metadata' AS warc_type,
+       'https://site-' || CAST(doc_id % 17 AS VARCHAR)
+         || '.example.com/page/' || CAST(doc_id AS VARCHAR)
+         AS target_uri,
+       CAST(1 AS INTEGER) AS payload_ok,
+       'response' AS orig_type,
+       CAST(clen AS BIGINT) AS orig_length,
+       CAST(len(targets) AS BIGINT) AS n_links,
+       CAST(len(uniq) AS BIGINT) AS n_unique_targets,
+       md5(array_to_string(uniq, chr(10))) AS targets_hash
+FROM u
+""")
+
+
 def _q_id3_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ID3v2 frame walk (functions/mp3.py:id3_frames) — the audio
     provenance analogue of jpeg_exif_stats — over real tagged MP3
@@ -6978,6 +7058,10 @@ QUERIES: dict[str, Query] = {
         _q_cdx_parse, _CDX_PARSE_SQL,
         "CDXJ web-archive index lines: SURT urlkey derivation "
         "(canonicalize -> www-strip -> label-reverse) + typed parse"),
+    "wat_metadata": Query(
+        _q_wat_metadata, _wat_metadata_sql(),
+        "WAT companion: per-response JSON metadata envelope (WARC "
+        "headers + href link metadata) rendered, reparsed, unpacked"),
     "wet_conversion": Query(
         _q_wet_conversion, _wet_conversion_sql(),
         "WET companion: warc.gz responses -> jusText-lite extraction "
