@@ -232,8 +232,8 @@ def gunzip_member_spans(content: bytes,
                         ) -> list[tuple[int, int, bytes]]:
     """Decompress a MULTI-MEMBER gzip stream (the warc.gz convention:
     every WARC record is its own gzip member, so readers can seek to a
-    member boundary and start there) into (concatenated bytes,
-    n_members).  BOUNDED: total output is budgeted against the
+    member boundary and start there) into per-member span triples
+    (see the Returns paragraph).  BOUNDED: total output is budgeted against the
     compressed payload size (functions/_budget.py:byte_budget — a gzip
     trailer's ISIZE is attacker-controlled, so there is no trusted
     declared size to bound to, unlike PNG's raster), and corrupt or

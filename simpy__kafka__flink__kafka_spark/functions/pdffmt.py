@@ -53,8 +53,13 @@ _OBJSTM_FIRST_RE = re.compile(rb"/First\s+(\d+)")
 _INT_RE = re.compile(rb"\d+")
 # the stream KEYWORD follows the dict's '>>' and is followed by EOL
 # (ISO 32000 7.3.8.1) — a bare substring match would truncate on
-# 'stream' INSIDE a dict string like (livestream) (review find)
+# 'stream' INSIDE a dict string like (livestream) (review find).
+# Payload parsing stays spec-strict (lone CR after the keyword is a
+# typed error); the dict-scan TRUNCATION uses the lenient cut so a
+# CR-only file fails CLOSED (window cut) rather than leaking payload
+# bytes into the scan (second review find)
 _STREAM_KW_RE = re.compile(rb">>\s*stream(?:\r\n|\n)")
+_STREAM_CUT_RE = re.compile(rb">>\s*stream")
 
 
 @dataclass(frozen=True)
@@ -122,10 +127,10 @@ def _obj_window(buf: bytes, off: int) -> bytes | None:
     window_end = min(off + _OBJ_SCAN_WINDOW, len(buf))
     endobj = buf.find(b"endobj", off, window_end)
     if endobj < 0:
-        m = _STREAM_KW_RE.search(buf, off, window_end)
+        m = _STREAM_CUT_RE.search(buf, off, window_end)
         return buf[off:m.start() + 2] if m else None
     w = buf[off:endobj]
-    m = _STREAM_KW_RE.search(w)
+    m = _STREAM_CUT_RE.search(w)
     return w[:m.start() + 2] if m else w
 
 

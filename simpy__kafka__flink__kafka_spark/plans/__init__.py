@@ -92,7 +92,7 @@ CHECKED_FIRST = [
     #    tables); avif's residual meta->iprp->ipco find stays oracled
     #    in the pytest tail.
     #  - pdf_stats demoted: the promoted pdf_text_extract executes the
-    #    IDENTICAL header/xref/object walk (shared _pdf_objects /
+    #    IDENTICAL header/xref/object walk (shared _document_objects /
     #    _obj_window / _stream_data renderings) plus FlateDecode and
     #    the content-stream tokenizer on top — the warc_parse ->
     #    warc_gz_parse deepest-row pattern; the residual stats columns

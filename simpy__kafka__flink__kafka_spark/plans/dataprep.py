@@ -2317,18 +2317,9 @@ def _q_wat_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _wat_metadata_sql() -> str:
-    from ..functions.quality import HREF_RE
-
     return ("""
 WITH """ + _synth_page_cte() + """,
-l AS (
-  SELECT doc_id, length(html) AS clen,
-         regexp_extract_all(html, '""" + HREF_RE.replace("'", "''") +
-            """', 1) AS targets
-  FROM page
-),
-u AS (SELECT doc_id, clen, targets,
-             list_sort(list_distinct(targets)) AS uniq FROM l)
+""" + _href_ctes() + """
 SELECT doc_id,
        'metadata' AS warc_type,
        'https://site-' || CAST(doc_id % 17 AS VARCHAR)
@@ -5758,6 +5749,23 @@ FROM documents
 """
 
 
+def _href_ctes() -> str:
+    """``l``/``u`` CTEs over the ``page`` CTE — the ONE SQL rendering
+    of the extract_links contract (raw targets, sorted-distinct set,
+    page char length), shared by the extract_links and wat_metadata
+    oracles so the fingerprint semantics cannot drift apart."""
+    from ..functions.quality import HREF_RE
+
+    return ("""l AS (
+  SELECT doc_id, length(html) AS clen,
+         regexp_extract_all(html, '""" + HREF_RE.replace("'", "''")
+            + """', 1) AS targets
+  FROM page
+),
+u AS (SELECT doc_id, clen, targets,
+             list_sort(list_distinct(targets)) AS uniq FROM l)""")
+
+
 def _q_extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Outlink extraction over the synthesized pages (same synthesis as
     html_extract_main) — raw and distinct href targets plus a
@@ -5771,18 +5779,9 @@ def _q_extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _extract_links_sql() -> str:
-    from ..functions.quality import HREF_RE
-
     return ("""
 WITH """ + _synth_page_cte() + """,
-l AS (
-  SELECT doc_id,
-         regexp_extract_all(html, '""" + HREF_RE.replace("'", "''") +
-            """', 1) AS targets
-  FROM page
-),
-u AS (SELECT doc_id, targets,
-             list_sort(list_distinct(targets)) AS uniq FROM l)
+""" + _href_ctes() + """
 SELECT doc_id,
        CAST(len(targets) AS BIGINT) AS n_links,
        CAST(len(uniq) AS BIGINT) AS n_unique_targets,

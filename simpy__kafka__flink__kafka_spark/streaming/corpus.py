@@ -1018,6 +1018,29 @@ def web_prep_totals(spark, out_dir: str) -> DataFrame:
         F.sum("n_words").cast("long").alias("total_words"))
 
 
+def _warc_gz_binary_stream(spark, path: str, with_filename: bool = False):
+    """The ONE binaryFile ingest block for ``.warc.gz`` shard streams
+    (shared by warc_gz_source and start_cdx_indexing): shard id from
+    the trailing integer of the file name (the writer contract),
+    try_cast — not cast — so a glob-matching file violating the
+    contract ('backfill.warc.gz') is SKIPPED instead of poison-pilling
+    the query on every restart (review find)."""
+    raw = (spark.readStream.format("binaryFile")
+           .schema("path string, modificationTime timestamp, "
+                   "length long, content binary")
+           .option("pathGlobFilter", "*.warc.gz").load(path))
+    cols = [
+        F.regexp_extract(F.col("path"), r"(\d+)\.warc\.gz$", 1)
+        .try_cast("long").alias("shard_id"),
+        F.col("modificationTime").alias("ingest_ts"),
+        "content",
+    ]
+    if with_filename:
+        cols.insert(1, F.element_at(F.split(F.col("path"), "/"), -1)
+                    .alias("filename"))
+    return raw.select(*cols).where(F.col("shard_id").isNotNull())
+
+
 def warc_gz_source(spark, path: str, watermark: str = "10 minutes",
                    max_bytes: int | None = None) -> DataFrame:
     """Streaming ingestion of ``.warc.gz`` shards — the container a
@@ -1036,23 +1059,7 @@ def warc_gz_source(spark, path: str, watermark: str = "10 minutes",
     the event-time handle downstream corpus stages expect)."""
     from ..functions.html import parse_warc_gz
 
-    # binaryFile's schema is FIXED by the source; the stream API still
-    # requires it stated explicitly
-    raw = (spark.readStream.format("binaryFile")
-           .schema("path string, modificationTime timestamp, "
-                   "length long, content binary")
-           .option("pathGlobFilter", "*.warc.gz").load(path))
-    media = raw.select(
-        # try_cast, not cast: a glob-matching file violating the
-        # trailing-integer writer contract ('backfill.warc.gz')
-        # extracts '' and an ANSI cast would poison-pill the query on
-        # every restart; such files are SKIPPED by contract instead
-        # (review find)
-        F.regexp_extract(F.col("path"), r"(\d+)\.warc\.gz$", 1)
-        .try_cast("long").alias("shard_id"),
-        F.col("modificationTime").alias("ingest_ts"),
-        "content")
-    media = media.where(F.col("shard_id").isNotNull())
+    media = _warc_gz_binary_stream(spark, path)
     recs = parse_warc_gz(media, id_col="shard_id",
                          max_bytes=max_bytes,
                          carry_cols=("ingest_ts",))
@@ -1078,16 +1085,7 @@ def start_cdx_indexing(spark, warc_dir: str, index_dir: str,
     from ..functions.html import warc_cdx_entries
     from ..functions.urls import surt_key
 
-    raw = (spark.readStream.format("binaryFile")
-           .schema("path string, modificationTime timestamp, "
-                   "length long, content binary")
-           .option("pathGlobFilter", "*.warc.gz").load(warc_dir))
-    media = raw.select(
-        F.regexp_extract(F.col("path"), r"(\d+)\.warc\.gz$", 1)
-        .try_cast("long").alias("shard_id"),
-        F.element_at(F.split(F.col("path"), "/"), -1).alias("filename"),
-        F.col("modificationTime").alias("ingest_ts"),
-        "content").where(F.col("shard_id").isNotNull())
+    media = _warc_gz_binary_stream(spark, warc_dir, with_filename=True)
     ent = warc_cdx_entries(media, id_col="shard_id",
                            max_bytes=max_bytes,
                            carry_cols=("filename", "ingest_ts"))
