@@ -175,6 +175,9 @@ HEADLINE = [
     "cdx_index",
     "wet_conversion",
     "wat_metadata",
+    # round-14: boundary-respecting sample packing (greedy first-fit
+    # within ranked shards; the third packing semantic)
+    "pack_samples",
 ]
 
 

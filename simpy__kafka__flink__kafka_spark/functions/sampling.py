@@ -466,3 +466,75 @@ def dsir_weights(docs: DataFrame, target: Column | None = None,
             .alias("selected"),
         )
     )
+
+
+def pack_samples(docs: DataFrame, max_len: int = 512,
+                 shard_docs: int = 50) -> DataFrame:
+    """Boundary-respecting SAMPLE PACKING (round 14) — the third
+    packing semantic next to :func:`pack_token_shards` (whole-doc
+    budget groups) and :func:`pack_sequences` (docs SPLIT across
+    fixed boundaries — the causal-LM concat-and-chunk layout): docs
+    in doc_id order pack greedily (first-fit-in-order) into
+    fixed-capacity sequences of ``max_len`` tokens, and a doc NEVER
+    splits across sequences (contrast the token-shard row's straddle
+    rule); a doc longer than ``max_len`` occupies a sequence alone,
+    truncated to capacity (``n_truncated`` counts them).
+
+    Scale shape: packing is inherently sequential, so it runs
+    sequentially only WITHIN a ranked shard of ``shard_docs`` docs
+    and embarrassingly parallel ACROSS shards — the distributed shape
+    a real packing job uses (a global greedy would serialize the
+    corpus; the cost is that the last sequence of each shard may
+    carry avoidable padding, which ``padding_waste`` makes visible).
+    Shard ranks come from the scale-safe ranged prefix sum (no global
+    sort task); the per-shard greedy runs in one Arrow group.
+
+    Output: one row per packed sequence — (shard_id, seq_idx, n_docs,
+    n_truncated, tokens_used, padding_waste, docs_md5) with docs_md5
+    the order-canonical md5 of length-prefixed doc ids."""
+    import hashlib
+
+    from pyspark.sql import types as T
+
+    counted = docs.select(
+        "doc_id", token_count("text").cast("long").alias("n_tokens"))
+    ranked = ranged_prefix_sum(
+        counted.withColumn("_one", F.lit(1)), ["doc_id"], "_one",
+        out_col="_rank", exclusive=True)
+    sharded = ranked.select(
+        "doc_id", "n_tokens",
+        F.expr(f"_rank div {int(shard_docs)}").alias("shard_id"))
+
+    schema = T.StructType([
+        T.StructField("shard_id", T.LongType(), False),
+        T.StructField("seq_idx", T.LongType(), True),
+        T.StructField("n_docs", T.LongType(), True),
+        T.StructField("n_truncated", T.LongType(), True),
+        T.StructField("tokens_used", T.LongType(), True),
+        T.StructField("padding_waste", T.LongType(), True),
+        T.StructField("docs_md5", T.StringType(), True),
+    ])
+
+    def pack(key, pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("doc_id")
+        seqs: list[list] = []           # [used, n_trunc, [doc_ids]]
+        for did, n in zip(pdf["doc_id"], pdf["n_tokens"]):
+            n = int(n)
+            trunc = n > max_len
+            take = min(n, max_len)
+            if not seqs or seqs[-1][0] + take > max_len:
+                seqs.append([0, 0, []])
+            seqs[-1][0] += take
+            seqs[-1][1] += int(trunc)
+            seqs[-1][2].append(int(did))
+        rows = []
+        for i, (used, ntr, ids) in enumerate(seqs):
+            canon = "|".join(f"{len(str(d))}:{d}" for d in ids)
+            rows.append((int(key[0]), i, len(ids), ntr, used,
+                         max_len - used,
+                         hashlib.md5(canon.encode()).hexdigest()))
+        return pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return sharded.groupBy("shard_id").applyInPandas(pack, schema)

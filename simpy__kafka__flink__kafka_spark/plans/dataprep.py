@@ -2335,6 +2335,64 @@ FROM u
 """)
 
 
+def _q_pack_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boundary-respecting sample packing
+    (functions/sampling.py:pack_samples — docs never split, contrast
+    the pack_sequences concat-and-chunk row): greedy
+    first-fit-in-order into 96-token sequences within 50-doc ranked
+    shards; over-long docs truncate (the corpus tops out at 99
+    tokens, so the truncation arm fires at every SF).  The oracle
+    replays the greedy with a recursive CTE walking each shard's
+    rank chain."""
+    from ..functions.sampling import pack_samples
+
+    return pack_samples(_docs(spark, sf_dir), max_len=96,
+                        shard_docs=50)
+
+
+_PACK_SAMPLES_SQL = r"""
+WITH RECURSIVE counted AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+           AS n_tokens
+  FROM documents
+),
+r AS (
+  SELECT doc_id, n_tokens,
+         row_number() OVER (ORDER BY doc_id) - 1 AS rnk
+  FROM counted
+),
+t AS (
+  SELECT doc_id, least(n_tokens, 96) AS take,
+         CASE WHEN n_tokens > 96 THEN 1 ELSE 0 END AS trunc,
+         rnk // 50 AS shard_id, rnk % 50 AS pos
+  FROM r
+),
+walk AS (
+  SELECT shard_id, pos, doc_id, take, trunc,
+         CAST(0 AS BIGINT) AS seq_idx, take AS fill
+  FROM t WHERE pos = 0
+  UNION ALL
+  SELECT t.shard_id, t.pos, t.doc_id, t.take, t.trunc,
+         CASE WHEN w.fill + t.take <= 96 THEN w.seq_idx
+              ELSE w.seq_idx + 1 END,
+         CASE WHEN w.fill + t.take <= 96 THEN w.fill + t.take
+              ELSE t.take END
+  FROM walk w JOIN t ON t.shard_id = w.shard_id AND t.pos = w.pos + 1
+)
+SELECT shard_id, seq_idx,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(trunc) AS BIGINT) AS n_truncated,
+       CAST(sum(take) AS BIGINT) AS tokens_used,
+       CAST(96 - sum(take) AS BIGINT) AS padding_waste,
+       md5(string_agg(CAST(length(CAST(doc_id AS VARCHAR)) AS VARCHAR)
+           || ':' || CAST(doc_id AS VARCHAR), '|' ORDER BY pos))
+         AS docs_md5
+FROM walk GROUP BY 1, 2
+"""
+
+
 def _q_id3_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ID3v2 frame walk (functions/mp3.py:id3_frames) — the audio
     provenance analogue of jpeg_exif_stats — over real tagged MP3
@@ -7057,6 +7115,10 @@ QUERIES: dict[str, Query] = {
         _q_cdx_parse, _CDX_PARSE_SQL,
         "CDXJ web-archive index lines: SURT urlkey derivation "
         "(canonicalize -> www-strip -> label-reverse) + typed parse"),
+    "pack_samples": Query(
+        _q_pack_samples, _PACK_SAMPLES_SQL,
+        "boundary-respecting sample packing: greedy first-fit into "
+        "fixed-capacity sequences within ranked shards, waste audited"),
     "wat_metadata": Query(
         _q_wat_metadata, _wat_metadata_sql(),
         "WAT companion: per-response JSON metadata envelope (WARC "
