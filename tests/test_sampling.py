@@ -182,3 +182,25 @@ def test_dsir_weights_custom_target_column(spark):
     assert got[1].is_target == 1 and got[2].is_target == 0
     # doc 2 shares 2/3 unigrams + a bigram with the target; doc 3 none
     assert got[2].log_weight > got[3].log_weight
+
+
+def test_pack_samples_hand_computed(spark):
+    """Boundary-respecting greedy over a hand-checkable shard: docs
+    never split, an exactly-full sequence closes, a zero-token doc
+    rides the open sequence, an over-long doc truncates alone."""
+    from simpy__kafka__flink__kafka_spark.functions.sampling import (
+        pack_samples)
+
+    rows = [(0, "a " * 6), (1, "b " * 4), (2, ""),      # 6+4+0 = full
+            (3, "c " * 9),                              # opens seq 1
+            (4, "d " * 20)]                             # truncates alone
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        pack_samples(docs, max_len=10, shard_docs=50).collect(),
+        key=lambda r: (r["shard_id"], r["seq_idx"]))
+    assert [(r["seq_idx"], r["n_docs"], r["tokens_used"],
+             r["padding_waste"], r["n_truncated"]) for r in got] == [
+        (0, 3, 10, 0, 0),
+        (1, 1, 9, 1, 0),
+        (2, 1, 10, 0, 1),
+    ]
