@@ -15,7 +15,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..operators.sequences import ranged_prefix_sum
+from ..operators.sequences import (ranged_prefix_sum,
+                                   ranged_row_number)
 from .text import token_count
 
 
@@ -477,8 +478,10 @@ def pack_samples(docs: DataFrame, max_len: int = 512,
     in doc_id order pack greedily (first-fit-in-order) into
     fixed-capacity sequences of ``max_len`` tokens, and a doc NEVER
     splits across sequences (contrast the token-shard row's straddle
-    rule); a doc longer than ``max_len`` occupies a sequence alone,
-    truncated to capacity (``n_truncated`` counts them).
+    rule); a doc longer than ``max_len`` opens a fresh sequence
+    truncated to capacity (``n_truncated`` counts them — zero-token
+    docs that follow may still join that sequence, so ``n_docs`` is
+    not pinned to 1 there).
 
     Scale shape: packing is inherently sequential, so it runs
     sequentially only WITHIN a ranked shard of ``shard_docs`` docs
@@ -498,12 +501,11 @@ def pack_samples(docs: DataFrame, max_len: int = 512,
 
     counted = docs.select(
         "doc_id", token_count("text").cast("long").alias("n_tokens"))
-    ranked = ranged_prefix_sum(
-        counted.withColumn("_one", F.lit(1)), ["doc_id"], "_one",
-        out_col="_rank", exclusive=True)
+    # 1-based ranged row_number mirrors the oracle's row_number() - 1
+    ranked = ranged_row_number(counted, ["doc_id"], out_col="_rn")
     sharded = ranked.select(
         "doc_id", "n_tokens",
-        F.expr(f"_rank div {int(shard_docs)}").alias("shard_id"))
+        F.expr(f"(_rn - 1) div {int(shard_docs)}").alias("shard_id"))
 
     schema = T.StructType([
         T.StructField("shard_id", T.LongType(), False),
