@@ -369,25 +369,29 @@ def main() -> None:
     # Persist the FULL per-query payload to a repo file as well
     # (VERDICT r12 task 3): the driver's tail capture beheads the full
     # line above (r12 recovered only 27/61 shared times for the
-    # round-over-round diff), so the judge diffs BENCH_DETAIL_r{N}.json
-    # instead of doing regex archaeology.  Round number from the
-    # newest VERDICT/BENCH artifact present, +1.
+    # round-over-round diff), so the judge diffs the detail file
+    # instead of doing regex archaeology.  VERDICT r14 task 6: the
+    # detail lives under experiments/ with a UNIQUE timestamped name —
+    # a mid-round builder validation run must never overwrite the
+    # driver's end-of-round record, and the BENCH_DETAIL_r{N}.json /
+    # BENCH_r{N}.json namespace belongs to the driver alone.  Round
+    # number (informational, for the filename) from the newest
+    # VERDICT/BENCH artifact present, +1.
     try:
         import re as _re
 
         here = os.path.dirname(os.path.abspath(__file__))
-        # current round = newest recorded round + 1, over BOTH artifact
-        # families (they land together at end-of-round).  Inference is
-        # only stale if bench re-runs AFTER the driver records this
-        # round's artifacts — the payload's wall-clock stamp makes
-        # that detectable when diffing (review find).
         rounds = [int(m.group(1))
                   for f in os.listdir(here)
                   for m in [_re.match(
                       r"(?:BENCH|CORRECTNESS)_r(\d+)\.json$", f)] if m]
         rnd = (max(rounds) + 1) if rounds else 0
         payload["bench_unix"] = int(time.time())
-        detail_path = os.path.join(here, f"BENCH_DETAIL_r{rnd:02d}.json")
+        exp_dir = os.path.join(here, "experiments")
+        os.makedirs(exp_dir, exist_ok=True)
+        detail_path = os.path.join(
+            exp_dir,
+            f"bench_detail_r{rnd:02d}_{payload['bench_unix']}.json")
         with open(detail_path, "w") as fh:
             json.dump(payload, fh, indent=1, sort_keys=True)
         print(f"full per-query detail -> {detail_path}",

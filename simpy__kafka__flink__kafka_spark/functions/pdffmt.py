@@ -116,22 +116,28 @@ def _walk_xref(buf: bytes, xref_off: int
     return out, pos
 
 
-def _obj_window(buf: bytes, off: int) -> bytes | None:
+def _obj_window(buf: bytes, off: int) -> tuple[bytes | None, bool]:
     """The object's body up to its ``endobj``, bounded by the scan
     window; None when endobj is not found within the window (the
     caller decides how to surface the truncation).  Stream objects
     truncate at their ``stream`` keyword: every consumer scans the
     object's DICTIONARY, and an uncompressed payload (e.g. a raw
     ObjStm carrying '/Type /Page' text) must never leak into the
-    dict scan (round-14 find — it duplicated pages)."""
+    dict scan (round-14 find — it duplicated pages).  Second element
+    is True when the cut fired WITHOUT the spec EOL after the keyword
+    (ISO 32000 7.3.8.1): '>> stream' inside a literal string or a
+    nested-dict tail can truncate the window early, so the caller
+    must surface the scan as a lower bound (ADVICE r14)."""
     window_end = min(off + _OBJ_SCAN_WINDOW, len(buf))
     endobj = buf.find(b"endobj", off, window_end)
+    lim = endobj if endobj >= 0 else window_end
+    m = _STREAM_CUT_RE.search(buf, off, lim)
+    if m is not None:
+        suspect = _STREAM_KW_RE.match(buf, m.start()) is None
+        return buf[off:m.start() + 2], suspect
     if endobj < 0:
-        m = _STREAM_CUT_RE.search(buf, off, window_end)
-        return buf[off:m.start() + 2] if m else None
-    w = buf[off:endobj]
-    m = _STREAM_CUT_RE.search(w)
-    return w[:m.start() + 2] if m else w
+        return None, False
+    return buf[off:endobj], False
 
 
 def pdf_stats(content: bytes) -> PdfStats:
@@ -150,7 +156,10 @@ def pdf_stats(content: bytes) -> PdfStats:
     n_objects = 0
     n_pages = 0
     xref_ok = doc.xref_ok
-    scan_ok = 1
+    # a lenient-only stream cut ('>> stream' with no spec EOL — e.g.
+    # inside a literal string) may have truncated a dict window early,
+    # so the page count is a visible lower bound (ADVICE r14)
+    scan_ok = 0 if doc.scan_suspect else 1
     for num, body in doc.windows.items():
         n_objects += 1
         if body is None:
@@ -305,9 +314,20 @@ def _objstm_objects(buf: bytes, off: int) -> dict[int, bytes]:
         num, rel = nums[2 * k], nums[2 * k + 1]
         if first + rel > len(data):
             raise ValueError("PDF: ObjStm object offset past the data")
-        end = (first + nums[2 * k + 3]
-               if k + 1 < n and first + nums[2 * k + 3] <= len(data)
-               else len(data))
+        if k + 1 < n:
+            nxt = nums[2 * k + 3]
+            # ISO 32000 7.5.7: pair offsets are byte offsets of
+            # back-to-back objects, so they must be strictly
+            # increasing and land inside the decoded data.  A
+            # spec-violating stream gets the module's typed error,
+            # never a guessed end that slices wrong/empty bodies.
+            if nxt <= rel or first + nxt > len(data):
+                raise ValueError(
+                    "PDF: ObjStm pair offsets are not strictly "
+                    "increasing within the decoded data")
+            end = first + nxt
+        else:
+            end = len(data)
         out[num] = data[first + rel:end]
     return out
 
@@ -318,6 +338,7 @@ class _DocMap:
     offsets: dict     # obj_num -> buffer offset (buffer-resident only)
     tdict: bytes      # trailer dict (classic) / xref stream dict (1.5+)
     xref_ok: int
+    scan_suspect: int  # 1 when any lenient-only stream cut fired
 
 
 def _document_objects(buf: bytes) -> _DocMap:
@@ -339,12 +360,14 @@ def _document_objects(buf: bytes) -> _DocMap:
         windows: dict[int, bytes | None] = {}
         offsets: dict[int, int] = {}
         xref_ok = 1
+        suspect = False
         for num, off, verified in entries:
             if not verified:
                 xref_ok = 0
                 continue
             offsets[num] = off
-            windows[num] = _obj_window(buf, off)
+            windows[num], s = _obj_window(buf, off)
+            suspect = suspect or s
         trailer_at = buf.find(b"trailer", pos - 1)
         if trailer_at < 0:
             raise ValueError("PDF: missing trailer")
@@ -362,27 +385,32 @@ def _document_objects(buf: bytes) -> _DocMap:
             rows, _ = _parse_xref_stream(buf, stm_off)
             rows = {num: rab for num, rab in rows.items()
                     if num not in windows}
-            if not _resolve_rows(buf, rows, windows, offsets):
+            ok, s = _resolve_rows(buf, rows, windows, offsets)
+            if not ok:
                 xref_ok = 0
-        return _DocMap(windows, offsets, tdict, xref_ok)
+            suspect = suspect or s
+        return _DocMap(windows, offsets, tdict, xref_ok, int(suspect))
     if not buf[xref_off: xref_off + 1].isdigit():
         raise ValueError("PDF: startxref does not point at an xref "
                          "table or stream object")
     rows, tdict = _parse_xref_stream(buf, xref_off)
     windows = {}
     offsets = {}
-    xref_ok = 1 if _resolve_rows(buf, rows, windows, offsets) else 0
-    return _DocMap(windows, offsets, tdict, xref_ok)
+    ok, suspect = _resolve_rows(buf, rows, windows, offsets)
+    return _DocMap(windows, offsets, tdict, int(ok), int(suspect))
 
 
 def _resolve_rows(buf: bytes, rows: dict, windows: dict,
-                  offsets: dict) -> bool:
+                  offsets: dict) -> tuple[bool, bool]:
     """Materialize xref-stream ``rows`` into windows/offsets: type-1
     entries verify the object header at their offset, type-2 entries
     pull bodies out of their (cached) /ObjStm containers.  Returns
-    False when any in-use entry failed to resolve (the caller's
-    xref_ok)."""
+    ``(ok, suspect)``: ok False when any in-use entry failed to
+    resolve (the caller's xref_ok); suspect True when any window was
+    cut by a lenient-only stream keyword (the caller's scan_suspect,
+    ADVICE r14)."""
     ok = True
+    suspect = False
     for num, (typ, a, _b) in sorted(rows.items()):
         if typ != 1 or num == 0:
             continue
@@ -391,7 +419,8 @@ def _resolve_rows(buf: bytes, rows: dict, windows: dict,
             ok = False
             continue
         offsets[num] = a
-        windows[num] = _obj_window(buf, a)
+        windows[num], s = _obj_window(buf, a)
+        suspect = suspect or s
     objstm_cache: dict[int, dict[int, bytes]] = {}
     for num, (typ, a, _b) in sorted(rows.items()):
         if typ != 2:
@@ -406,7 +435,7 @@ def _resolve_rows(buf: bytes, rows: dict, windows: dict,
             ok = False
             continue
         windows[num] = body
-    return ok
+    return ok, suspect
 
 
 def _content_bytes(buf: bytes, off: int) -> bytes:

@@ -475,10 +475,12 @@ def pack_samples(docs: DataFrame, max_len: int = 512,
     packing semantic next to :func:`pack_token_shards` (whole-doc
     budget groups) and :func:`pack_sequences` (docs SPLIT across
     fixed boundaries — the causal-LM concat-and-chunk layout): docs
-    in doc_id order pack greedily (first-fit-in-order) into
-    fixed-capacity sequences of ``max_len`` tokens, and a doc NEVER
-    splits across sequences (contrast the token-shard row's straddle
-    rule); a doc longer than ``max_len`` opens a fresh sequence
+    in doc_id order pack greedily (NEXT-fit: only the LAST open
+    sequence is considered — never an earlier one with room, which
+    first-fit would revisit) into fixed-capacity sequences of
+    ``max_len`` tokens, and a doc NEVER splits across sequences
+    (contrast the token-shard row's straddle rule); a doc longer
+    than ``max_len`` opens a fresh sequence
     truncated to capacity (``n_truncated`` counts them — zero-token
     docs that follow may still join that sequence, so ``n_docs`` is
     not pinned to 1 there).
@@ -498,6 +500,17 @@ def pack_samples(docs: DataFrame, max_len: int = 512,
     import hashlib
 
     from pyspark.sql import types as T
+
+    # loud contract refusal, matching pack_webdataset_shards' posture
+    # (ADVICE r14): the per-shard greedy canonicalizes ids via
+    # int(did), so a non-integral doc_id column would otherwise fail
+    # deep inside the Arrow worker with an untyped exception
+    id_type = docs.schema["doc_id"].dataType
+    if not isinstance(id_type, (T.ByteType, T.ShortType,
+                                T.IntegerType, T.LongType)):
+        raise ValueError(
+            f"pack_samples: doc_id must be an integral column, got "
+            f"{id_type.simpleString()}")
 
     counted = docs.select(
         "doc_id", token_count("text").cast("long").alias("n_tokens"))

@@ -2339,7 +2339,7 @@ def _q_pack_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boundary-respecting sample packing
     (functions/sampling.py:pack_samples — docs never split, contrast
     the pack_sequences concat-and-chunk row): greedy
-    first-fit-in-order into 96-token sequences within 50-doc ranked
+    next-fit-in-order into 96-token sequences within 50-doc ranked
     shards; over-long docs truncate (the corpus tops out at 99
     tokens, so the truncation arm fires at every SF).  The oracle
     replays the greedy with a recursive CTE walking each shard's
@@ -7117,7 +7117,7 @@ QUERIES: dict[str, Query] = {
         "(canonicalize -> www-strip -> label-reverse) + typed parse"),
     "pack_samples": Query(
         _q_pack_samples, _PACK_SAMPLES_SQL,
-        "boundary-respecting sample packing: greedy first-fit into "
+        "boundary-respecting sample packing: greedy next-fit into "
         "fixed-capacity sequences within ranked shards, waste audited"),
     "wat_metadata": Query(
         _q_wat_metadata, _wat_metadata_sql(),
