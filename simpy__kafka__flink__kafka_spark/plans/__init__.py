@@ -121,6 +121,36 @@ CHECKED_FIRST = [
     #    exact_substring_profile_rewrite's rewrite stage (which fused
     #    and replaced the standalone rewrite rows in r8); stays
     #    oracled in the tail.
+    # Round-15 rotation (VERDICT r14 task 1): the round-14 web-archive
+    # triple (cdx_index, wet_conversion, wat_metadata) and the third
+    # packing semantic (pack_samples) take the hard signal, funded by
+    # four strict-subsumption demotions:
+    #  - cdx_parse demoted: the promoted cdx_index RENDERS real CDXJ
+    #    lines (the one surt_key rendering) and parses them back
+    #    through the IDENTICAL cdx_parse function — the parse cannot
+    #    regress without the cdx_index gate row hash-mismatching; the
+    #    standalone fixture-line row stays oracled in the pytest tail.
+    #  - warc_gz_parse demoted: the promoted wet_conversion executes
+    #    parse_warc_gz VERBATIM as its first stage (the same bounded
+    #    gunzip_members + parse_warc_records rendering) and the
+    #    promoted cdx_index drives the member walk strictly deeper
+    #    (per-member compressed spans, each re-gunzip-verified) — the
+    #    warc_parse -> warc_gz_parse precedent, one level up; stays
+    #    oracled in the tail.
+    #  - sitemap_gz_parse demoted (its own docstring called this
+    #    "textbook strict subsumption for a future rotation"): the
+    #    loc/priority extraction is verbatim inside the checked
+    #    frontier_rank oracle's seed CTE block (the r12 sitemap_parse
+    #    demotion argument), and the shared bounded multi-member
+    #    gunzip (gunzip_members — one rendering) is now gate-driven by
+    #    BOTH promoted warc.gz rows; stays oracled in the tail.
+    #  - soft_dedup_weights demoted: its oracle is the clusters CTE
+    #    (_near_dup_clusters_sql — embedded VERBATIM in the checked
+    #    dedup_survivors, which also gate-checks the LSH candidate +
+    #    Jaccard machinery that feeds it) plus plain count/window/
+    #    greatest/floor-div folds, the window-agg family checked
+    #    through a dozen rows; x100-measured (22.1x) and long
+    #    gate-green; stays oracled in the pytest tail.
     "link_traces", "link_edges",
     "watermark_sharded", "parse_props_lenient",
     # trace analytics over the linked DAG (fanout_histogram — a simple
@@ -216,7 +246,10 @@ CHECKED_FIRST = [
     # row's SQL plus the member/record contract, and its Spark path
     # executes the IDENTICAL parser rendering plus the bounded
     # multi-member gunzip (the real CommonCrawl container).
-    "warc_gz_parse", "web_prep_full",
+    # (warc_gz_parse demoted r15 — rotation note above; the WET
+    # conversion row, which executes parse_warc_gz verbatim plus
+    # main-content extraction and record re-rendering, takes it)
+    "wet_conversion", "web_prep_full",
     "linear_quality_score", "ngram_cms_counts",
     # round-3 training-data additions (contamination scan), plus
     # repetition_ratio promoted in round 4 (VERDICT r03 task #6).
@@ -230,7 +263,11 @@ CHECKED_FIRST = [
     # as the checked contamination_check.
     # (contamination_check demoted r14 — rotation note above; the CDX/
     # SURT web-archive index row takes the slot)
-    "cdx_parse",
+    # (cdx_parse demoted r15 — rotation note above; the CDX INDEXING
+    # composition, which renders and reparses through the identical
+    # cdx_parse/surt_key renderings with verified member spans,
+    # takes the slot)
+    "cdx_index",
     # round-4 corpus additions: C4-style cross-doc passage dedup and
     # fixed-window chunking (pii_scrub / salted_split / source_stats stay in
     # the oracled pytest-checked tail); round-5 adds the span-REMOVAL twin
@@ -254,7 +291,10 @@ CHECKED_FIRST = [
     # (passage_rewrite demoted r14 — rotation note above; the gzipped-
     # sitemap ingestion row, whose oracle is the plain sitemap row's
     # SQL plus the member contract, takes the slot)
-    "sitemap_gz_parse", "exact_substring_profile_rewrite",
+    # (sitemap_gz_parse demoted r15 — rotation note above; the WAT
+    # metadata envelope row completes the gate-checked CommonCrawl
+    # format family)
+    "wat_metadata", "exact_substring_profile_rewrite",
     # relational surface (bonus operators beyond the reference; demoted
     # twins — customers_without_orders, parts_with_cheap_supply,
     # above_avg_orders in r2, brand_set_ops + pivot_status in r3,
@@ -318,7 +358,10 @@ CHECKED_FIRST = [
     # postings fold is the same rendering idiom the checked
     # passage_rewrite hashes.  Both stay oracled in the pytest tail.
     "scd2_history",
-    "soft_dedup_weights",
+    # (soft_dedup_weights demoted r15 — rotation note above; the
+    # boundary-respecting sample-packing row, the third packing
+    # semantic with its recursive-CTE greedy oracle, takes it)
+    "pack_samples",
     "search_rank", "mixture_plan",
     # Round-11 promotions (VERDICT r10 task #2): the round-10 wave-2/3
     # surface takes the hard signal — the RFC 9309 §2.2.1 named-agent
