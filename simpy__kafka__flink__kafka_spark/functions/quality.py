@@ -691,27 +691,38 @@ def gopher_repetition(df: DataFrame, id_col: str = "doc_id",
     n_words = F.greatest(F.size(ws), F.lit(0))
 
     # ONE pass over the corpus builds every n's grams (round-13 review:
-    # five independent explode pipelines re-scanned the source per n):
-    # each n contributes an array of (n, p, gram) structs, concatenated
-    # and exploded once.
+    # five independent explode pipelines re-scanned the source per n).
+    # No gram STRING is ever built (round-15, VERDICT r14 task 2): each
+    # word is hashed/measured ONCE into wh/wl, and a gram's identity is
+    # xxhash64 over the n-salted word-hash slice (words cannot contain
+    # the join separator — words() splits on whitespace — so word-
+    # sequence equality IS joined-string equality) with its length the
+    # word-length-slice sum + (n-1) separators.  The n salt also
+    # closes ADVICE r14 #3: cross-n collisions were already impossible
+    # (n is a group key); now the hashed bytes differ too.
+    warr = base.select(
+        "doc_id",
+        F.transform(ws, lambda w: F.xxhash64(w)).alias("wh"),
+        F.transform(ws, lambda w: F.length(w)).alias("wl"))
+
     def gram_structs(n: int):
-        cnt = n_words - (n - 1)
+        cnt = F.size(F.col("wh")) - (n - 1)
         # sequence(1, 0) DESCENDS [1, 0] rather than being empty —
         # guard short docs explicitly
         seq = F.when(cnt >= 1, F.sequence(F.lit(1), cnt)) \
             .otherwise(F.array().cast("array<int>"))
         return F.transform(seq, lambda i: F.struct(
             F.lit(n).alias("n"), i.alias("p"),
-            F.array_join(F.slice(ws, i, n), " ").alias("g")))
+            F.xxhash64(F.lit(n), F.slice("wh", i, n)).alias("h"),
+            (F.aggregate(F.slice("wl", i, n), F.lit(0),
+                         lambda a, x: a + x)
+             + F.lit(n - 1)).alias("glen")))
 
-    # the gram string exists only inside this map-side projection:
-    # downstream stages consume its (hash, length) identity
-    g_all = base.select(
+    g_all = warr.select(
         "doc_id",
         F.explode(F.concat(*[gram_structs(n)
                              for n in (2, 3, 4, 5, 10)])).alias("t")
-    ).select("doc_id", "t.n", "t.p",
-             F.xxhash64("t.g").alias("h"), F.length("t.g").alias("glen"))
+    ).select("doc_id", "t.n", "t.p", "t.h", "t.glen")
     gc = g_all.groupBy("doc_id", "n", "h", "glen").agg(
         F.count(F.lit(1)).alias("cnt"))
     # a gram seen ONCE is not repetition: without this floor every

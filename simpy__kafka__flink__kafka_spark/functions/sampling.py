@@ -2,8 +2,9 @@
 pipeline: draw a language-stratified mix and pack documents into fixed
 token-budget shards.
 
-Scale notes: `stratified_sample` is `DataFrame.sampleBy` (per-row Bernoulli
-on a seeded hash — no shuffle at all).  `pack_token_shards` assigns each doc
+Scale notes: `stratified_sample` is a per-row deterministic md5-threshold
+draw (a codegen CASE + hash expression — no shuffle at all, and
+oracle-replayable).  `pack_token_shards` assigns each doc
 `shard_id = floor(cumulative_tokens / budget)` over a deterministic doc
 order via ``operators/sequences.ranged_prefix_sum`` — a range repartition
 plus partition-local cumulative sums with broadcast offsets, so no
@@ -25,10 +26,30 @@ def stratified_sample(docs: DataFrame, lang: DataFrame,
                       seed: int = 42) -> DataFrame:
     """Language-stratified corpus draw: keep each doc with its language's
     target fraction (the standard data-mixing knob for pretraining runs).
-    ``lang``: (doc_id, lang_pred).  Declared rows-only — Bernoulli draws are
-    engine-specific — with the mix proportions property-tested instead."""
+    ``lang``: (doc_id, lang_pred).
+
+    The draw is a DETERMINISTIC hash threshold, not an RNG (round 15,
+    VERDICT r14 task 5 — the :func:`temperature_sample` posture):
+    ``u(doc) = first 6 hex digits of md5(doc_id || ':' || seed) / 16^6``,
+    keep iff ``u < round(fraction, 6)`` for the doc's stratum — the same
+    doc is kept on every engine and every run, so the operator is fully
+    oracle-checkable (formerly ``sampleBy``, whose seeded Bernoulli is
+    engine-specific and was declared rows-only).  Strata absent from
+    ``fractions`` drop, matching ``sampleBy``'s contract.  Scale shape:
+    the fractions map folds into one codegen CASE over the already-paid
+    lang join — no extra shuffle, no join, no RNG state."""
     joined = docs.join(lang, "doc_id")
-    return joined.sampleBy("lang_pred", fractions, seed=seed)
+    p = F.lit(0.0)
+    for k in sorted(fractions):
+        p = F.when(F.col("lang_pred") == F.lit(k),
+                   F.lit(round(float(fractions[k]), 6))).otherwise(p)
+    u = (
+        F.conv(F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"),
+                           F.lit(f":{int(seed)}"))), 1, 6), 16, 10)
+        .cast("double") / F.lit(float(16 ** 6))
+    )
+    return joined.where(u < p)
 
 
 def temperature_sample(docs: DataFrame, strat_col: str = "lang",

@@ -1428,14 +1428,42 @@ FROM documents d JOIN probs ON d.lang = probs.lang
 """
 
 
+_STRAT_FRACTIONS = {"en": 0.5, "de": 0.3, "fr": 0.7, "es": 0.2,
+                    "zh": 0.9}
+
+
 def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rows-only: Bernoulli draws are engine/hash-specific; the mix
-    # proportions are property-tested in tests/test_sampling.py
+    """Language-stratified corpus draw (functions/sampling.py:
+    stratified_sample) — oracled since round 15 (VERDICT r14 task 5):
+    the seeded-Bernoulli sampleBy was replaced by the deterministic
+    md5-threshold draw (the temperature_sample posture), so DuckDB
+    replays the exact same keep set.  Per-stratum fractions differ on
+    purpose so the CASE path is exercised."""
     from ..functions.sampling import stratified_sample
 
     lang = _q_language_id(spark, sf_dir)
-    fractions = {"en": 0.5, "de": 0.5, "fr": 0.5, "es": 0.5, "zh": 0.5}
-    return stratified_sample(_docs(spark, sf_dir), lang, fractions)
+    kept = stratified_sample(_docs(spark, sf_dir), lang,
+                             _STRAT_FRACTIONS)
+    return kept.select("doc_id", "lang_pred", "n_chars")
+
+
+def _stratified_sample_sql() -> str:
+    # u(doc): first 6 md5 hex digits of 'doc_id:42' over 16^6 — the
+    # exact expression stratified_sample evaluates (seed salt 42)
+    u = " + ".join(
+        "(strpos('0123456789abcdef', substr(md5(CAST(d.doc_id AS "
+        f"VARCHAR) || ':42'), {i + 1}, 1)) - 1) * {16 ** (5 - i)}"
+        for i in range(6))
+    case = "CASE " + " ".join(
+        f"WHEN l.lang_pred = '{k}' THEN {round(float(v), 6)}"
+        for k, v in sorted(_STRAT_FRACTIONS.items())) + " ELSE 0.0 END"
+    return f"""
+WITH {_WORDS_CTE},
+{_lang_pred_ctes()}
+SELECT d.doc_id, l.lang_pred, d.n_chars
+FROM documents d JOIN langp l ON d.doc_id = l.doc_id
+WHERE (CAST({u} AS DOUBLE) / 16777216.0) < ({case})
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -2574,7 +2602,9 @@ def _q_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle composes ONLY shared renderings: the words CTE, the
     quality m CTE (+ the fingerprint projection), the lang-fold CTEs,
     the per-source folds, and the three shared fixture CTE blocks."""
-    from ..functions.multimodal import mp4_container_stats
+    from ..functions.multimodal import (mp3_pcm_seam_audit,
+                                        mp4_container_stats,
+                                        mp4_frame_seam_audit)
     from ..functions.ogg import ogg_container_stats
     from ..functions.profiling import corpus_datasheet, media_datasheet
 
@@ -2602,8 +2632,20 @@ def _q_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_tokens"),
         F.col("n_chars").cast("long").alias("payload_bytes"))
 
+    # the two DECIDED media seams (round 15, VERDICT r14 task 3):
+    # each line counts files whose typed refusal ACTUALLY fired when
+    # the seam front door was executed (mp3-layer3-pcm /
+    # mp4-frame-decode) — a datasheet consumer sees exactly how much
+    # of the corpus the dependency-free decode path cannot synthesize
+    mp3_seam = (mp3_pcm_seam_audit(_docs(spark, sf_dir))
+                .where(F.col("refused") == 1)
+                .select("duration_ms"))
+    mp4_seam = (mp4_frame_seam_audit(_mp4_fixture_media(spark, sf_dir))
+                .where(F.col("refused") == 1)
+                .select(F.col("video_duration_ms").alias("duration_ms")))
     media = media_datasheet(
-        {"mp4:movies": mp4, "ogg:audio": ogg, "pdf:text": pdf}
+        {"mp4:movies": mp4, "ogg:audio": ogg, "pdf:text": pdf,
+         "mp3:pcm-seam": mp3_seam, "mp4:frame-seam": mp4_seam}
     ).select(
         "source", "n_docs", "n_tokens",
         F.lit(None).cast("long").alias("n_unique_fp"),
@@ -2678,6 +2720,26 @@ SELECT 'pdf:text', CAST(count(*) AS BIGINT),
        CAST(NULL AS BIGINT),
        CAST(sum(length(text)) AS BIGINT)
 FROM pdft
+UNION ALL
+-- the DECIDED media seams (round 15): every fixture MP3 is
+-- well-formed, so the executed mp3-layer3-pcm refusal covers all of
+-- them; duration replays the frame-walk arithmetic
+SELECT 'mp3:pcm-seam', CAST(count(*) AS BIGINT),
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+       CAST(NULL AS BIGINT),
+       CAST(sum((3 + doc_id % 5) * 1152 * 1000 // 44100) AS BIGINT),
+       CAST(NULL AS BIGINT)
+FROM documents
+UNION ALL
+-- mp4-frame-decode refuses exactly the files WITH a video track
+SELECT 'mp4:frame-seam', CAST(count(*) AS BIGINT),
+       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+       CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+       CAST(NULL AS BIGINT),
+       CAST(sum(vdur) AS BIGINT),
+       CAST(NULL AS BIGINT)
+FROM mp4d WHERE has_v
 """
 
 
@@ -6939,8 +7001,10 @@ QUERIES: dict[str, Query] = {
                                  "symmetric int8 embedding quantization"),
     "pack_token_shards": Query(_q_pack_token_shards, _PACK_SHARDS_SQL,
                                "fixed token-budget training-shard packing"),
-    "stratified_sample": Query(_q_stratified_sample, None,
-                               "language-stratified corpus draw (rows-only)"),
+    "stratified_sample": Query(_q_stratified_sample,
+                               _stratified_sample_sql(),
+                               "language-stratified corpus draw "
+                               "(deterministic md5-threshold)"),
     "repetition_ratio": Query(_q_repetition_ratio, _REPETITION_SQL,
                               "within-doc n-gram repetition filter"),
     "contamination_check": Query(_q_contamination_check, _CONTAMINATION_SQL,

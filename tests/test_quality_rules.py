@@ -393,6 +393,29 @@ def test_gopher_repetition_hand_computed(spark):
     assert s["top2_char_ppm"] == 1_000_000 * 32 // norm_len
 
 
+def test_gopher_repetition_distinct_same_length_grams(spark):
+    """Pins the docstring's collision-bound claim operationally
+    (ADVICE r14 #3): distinct same-length grams/segments in one doc
+    must stay DISTINCT identities — a refactor that merged them (e.g.
+    keying on length alone, or a degenerate hash) would count phantom
+    repetition here.  Eight same-length distinct lines, every bigram
+    distinct: zero duplicate signal across the board."""
+    from simpy__kafka__flink__kafka_spark.functions.quality import (
+        gopher_repetition)
+
+    # 8 lines, all exactly 11 chars, all distinct; 16 distinct words
+    lines = [f"word{i:02d} w{i:03d}" for i in range(8)]
+    df = spark.createDataFrame(
+        [(1, "\n".join(lines))], "doc_id long, text string")
+    r = gopher_repetition(df).collect()[0]
+    assert r["n_lines"] == 8
+    assert r["dup_line_ppm"] == 0
+    assert r["dup_line_char_ppm"] == 0
+    assert r["top2_char_ppm"] == 0       # no bigram reaches cnt >= 2
+    assert r["dup5_char_ppm"] == 0
+    assert r["passes_repetition"] == 1
+
+
 def test_gopher_repetition_matches_oracle(spark, sf_dir):
     from tests.oracle_utils import assert_match
 

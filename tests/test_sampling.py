@@ -45,10 +45,20 @@ def test_stratified_sample_hits_target_fractions(spark, sf_dir):
     got = sampled.groupBy("lang_pred").count().collect()
     for r in got:
         frac = r["count"] / base_counts[r.lang_pred]
-        assert 0.25 <= frac <= 0.75, (r.lang_pred, frac)  # Bernoulli tolerance
-    # deterministic under the fixed seed
-    again = stratified_sample(docs, lang, fractions).count()
-    assert again == sampled.count()
+        # md5-uniform tolerance (the draw is a deterministic hash
+        # threshold since round 15, not a Bernoulli RNG)
+        assert 0.25 <= frac <= 0.75, (r.lang_pred, frac)
+    # deterministic under the fixed seed — exact same keep set
+    again = stratified_sample(docs, lang, fractions)
+    assert again.exceptAll(sampled).count() == 0
+    assert again.count() == sampled.count()
+    # the seed salts the hash: a different seed draws a different set
+    other = stratified_sample(docs, lang, fractions, seed=7)
+    assert other.exceptAll(sampled).count() > 0
+    # a stratum absent from fractions drops entirely (sampleBy contract)
+    none_kept = stratified_sample(
+        docs, lang, {"__no_such_lang__": 1.0}).count()
+    assert none_kept == 0
 
 
 def test_span_corruption_plan(spark):
