@@ -858,7 +858,8 @@ def start_crawl_admission(docs_stream: DataFrame, prior_profile_dir: str,
 
 def web_prep_batch(batch_df: DataFrame, out_dir: str,
                    domain_cap: int = 20,
-                   repetition_gate: bool = False) -> None:
+                   repetition_gate: bool = False,
+                   carry_text: bool = False) -> None:
     """One micro-batch of :func:`start_web_prep` — the incremental fold
     of the batch web capstone (plans/dataprep.py:_q_web_prep_full),
     running the SAME stage functions: HTML main-content extraction ->
@@ -906,10 +907,16 @@ def web_prep_batch(batch_df: DataFrame, out_dir: str,
                   .where(F.col("passes_repetition") == 1)
                   .select("doc_id"))
         c4 = c4.join(rep_ok, "doc_id")
+    # carry_text (round 15 — the composed-pipeline chain): the docs
+    # sink additionally carries the cleaned text so a downstream
+    # stage (the cross-snapshot dedup-ingest) can consume the sink as
+    # its own stream source; default off keeps batch-capstone parity
+    text_cols = ("clean_text",) if carry_text else ()
     kept = (gopher_quality(c4, text_col="clean_text",
                            keep_cols=("clean_text",))
             .where(F.col("passes") == 1)
-            .select("doc_id", "n_words", F.md5("clean_text").alias("fp")))
+            .select("doc_id", "n_words",
+                    F.md5("clean_text").alias("fp"), *text_cols))
     # batch-internal keep-first on the fingerprint (batch-mates are
     # invisible to the sink profile), then drop fingerprints the sink
     # has already accepted
@@ -945,7 +952,7 @@ def web_prep_batch(batch_df: DataFrame, out_dir: str,
             "_dr", F.row_number().over(wdom) + F.coalesce("_prior",
                                                           F.lit(0)))
         .where(F.col("_dr") <= domain_cap)
-        .select("doc_id", "domain", "n_words", "fp")
+        .select("doc_id", "domain", "n_words", "fp", *text_cols)
         .localCheckpoint()
     )
     accepted.write.mode("append").parquet(f"{out_dir}/docs")
@@ -955,7 +962,8 @@ def web_prep_batch(batch_df: DataFrame, out_dir: str,
 
 def start_web_prep(docs_stream: DataFrame, out_dir: str,
                    checkpoint_dir: str, domain_cap: int = 20,
-                   repetition_gate: bool = False):
+                   repetition_gate: bool = False,
+                   carry_text: bool = False):
     """Streaming twin of the web capstone: a standing query over a
     page stream (columns doc_id/html/domain — e.g. warc_gz_source
     records with a derived domain) folding each micro-batch through
@@ -966,7 +974,8 @@ def start_web_prep(docs_stream: DataFrame, out_dir: str,
     web_prep_batch).  Returns the started StreamingQuery."""
     def step(batch_df: DataFrame, batch_id: int) -> None:
         web_prep_batch(batch_df, out_dir, domain_cap=domain_cap,
-                       repetition_gate=repetition_gate)
+                       repetition_gate=repetition_gate,
+                       carry_text=carry_text)
 
     return (
         docs_stream.writeStream.foreachBatch(step)
@@ -1100,3 +1109,202 @@ def start_cdx_indexing(spark, warc_dir: str, index_dir: str,
             .option("checkpointLocation", checkpoint_dir)
             .outputMode("append")
             .start())
+
+
+# --- The composed multi-stage pipeline (round 15 — VERDICT r14 task 7) -------
+
+def start_frontier_admission(spark, warc_dir: str, frontier_dir: str,
+                             admitted_dir: str, checkpoint_dir: str,
+                             robots_rules_df: DataFrame | None = None,
+                             watermark: str = "10 minutes",
+                             max_bytes: int | None = None,
+                             deferred_dir: str | None = None):
+    """Stage 2 of the composed pipeline: ``.warc.gz`` response records
+    become candidate pages and pass, in order, (1) the streaming
+    canonical-URL first-arrival dedup (:func:`url_frontier_dedup` —
+    bounded watermark state), (2) the stateless robots-directive
+    noindex filter (the same folded expression as the batch gate),
+    (3) the per-batch FRONTIER-MEMBERSHIP gate — only URLs the
+    seeding stage admitted to the frontier sink are accepted (a crawl
+    that honors its frontier; the sink is read FRESH each batch, so
+    URLs seeded later admit later arrivals), (4) the optional
+    robots.txt FILE gate (broadcast rules, longest-match allow-wins).
+
+    A frontier MISS is DEFERRED, not dropped: shard delivery can race
+    frontier growth (the seeding stream may simply not have processed
+    that sitemap yet), so missed pages append to ``deferred_dir``
+    (default ``{admitted_dir}_deferred``) and every later batch
+    retries them against the then-current frontier — sink-side state,
+    bounded by the miss volume.  A page whose URL is NEVER seeded
+    stays in the deferred sink, visible, as the compliance-violation
+    residue; an idle stream re-drains the deferral on its next
+    arriving batch.  Robots rejections (noindex or robots.txt) are
+    permanent drops, matching the batch admission semantics.
+
+    Admitted pages append (doc_id, url, canonical_url, domain, html)
+    under ``admitted_dir`` with a sink-side doc_id anti-join so
+    replays are idempotent.  Returns the started StreamingQuery;
+    :func:`start_corpus_pipeline` chains the prep stage off the
+    sink."""
+    from ..functions.quality import _NOINDEX_TOK_RE, robots_directives
+    from ..functions.urls import HOSTPORT_RE, canonicalize_url
+
+    recs = warc_gz_source(spark, warc_dir, watermark=watermark,
+                          max_bytes=max_bytes)
+    hostport = F.regexp_extract("target_uri", HOSTPORT_RE, 1)
+    host = F.lower(F.regexp_replace(
+        F.regexp_replace(hostport, "^[^@/]*@", ""), r":\d+$", ""))
+    pages = recs.where(F.col("warc_type") == "response").select(
+        (F.col("shard_id") * 1_000_000 + F.col("rec_idx"))
+        .alias("doc_id"),
+        "ingest_ts",
+        F.col("target_uri").alias("url"),
+        F.col("payload").alias("html"),
+        host.alias("domain"))
+    frontier = url_frontier_dedup(pages, keep=("domain", "html"))
+    # WARC response records carry no separate header column here; the
+    # meta-tag arm of the folded directive is the binding one
+    indexable = frontier.where(
+        ~robots_directives("html").rlike(_NOINDEX_TOK_RE))
+
+    defer_dir = (deferred_dir if deferred_dir is not None
+                 else f"{admitted_dir}_deferred")
+    cols = ["doc_id", "url", "canonical_url", "domain", "html"]
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        # eager materialization FIRST: the upstream stateful dedup
+        # must commit EVERY partition's state even when the gate below
+        # admits nothing — an early return over the lazy frame fails
+        # STATE_STORE_COMMIT_VALIDATION (partitions never executed),
+        # poison-pilling the query (round-15 find).  Batch-sized.
+        batch = batch_df.select(*cols).localCheckpoint()
+        prior = read_parquet_if_exists(spark, admitted_dir)
+        deferred = read_parquet_if_exists(spark, defer_dir)
+        cand = batch
+        if deferred is not None:
+            retry = deferred
+            if prior is not None:
+                retry = retry.join(prior.select("doc_id"), "doc_id",
+                                   "left_anti")
+            cand = (cand.unionByName(retry)
+                    .dropDuplicates(["doc_id"]).localCheckpoint())
+        seeded = read_parquet_if_exists(spark, frontier_dir)
+        if seeded is None:
+            gated = cand.where(F.lit(False))
+            missed = batch
+        else:
+            keys = seeded.select(
+                canonicalize_url("url").alias("canonical_url")
+            ).distinct().localCheckpoint()
+            gated = cand.join(keys, "canonical_url", "left_semi")
+            missed = batch.join(keys, "canonical_url", "left_anti")
+        if robots_rules_df is not None:
+            from ..functions.robots import robots_allowed
+
+            ok = (robots_allowed(gated, robots_rules_df)
+                  .where(F.col("allowed") == 1).select("doc_id"))
+            gated = gated.join(ok, "doc_id", "left_semi")
+        out = gated.select(*cols)
+        if prior is not None:
+            out = out.join(prior.select("doc_id"), "doc_id",
+                           "left_anti")
+        out.localCheckpoint().write.mode("append").parquet(admitted_dir)
+        # defer the batch's frontier misses not already deferred (the
+        # replay-idempotence anti-join); admitted-later rows are
+        # excluded at READ time via the prior anti-join above
+        if deferred is not None:
+            missed = missed.join(deferred.select("doc_id"), "doc_id",
+                                 "left_anti")
+        missed.localCheckpoint().write.mode("append").parquet(defer_dir)
+
+    return (
+        indexable.writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )
+
+
+_ADMITTED_SCHEMA = ("doc_id long, url string, canonical_url string, "
+                    "domain string, html string")
+_PREP_DOCS_SCHEMA = ("doc_id long, domain string, n_words long, "
+                     "fp string, clean_text string")
+
+
+def start_corpus_pipeline(spark, sitemap_dir: str, warc_dir: str,
+                          out_root: str, prior_profile_dir: str,
+                          robots_rules_df: DataFrame | None = None,
+                          fetch_df: DataFrame | None = None,
+                          domain_cap: int = 20,
+                          watermark: str = "10 minutes") -> dict:
+    """ONE multi-stage checkpointed deployment (round 15, VERDICT r14
+    task 7): the standing streams that existed individually, chained
+    sink -> source into the 100 TB shape the batch capstones prove
+    piecewise::
+
+        sitemap_dir (*.xml.gz)      warc_dir (*.warc.gz)
+             |                        |               |
+        [seed] sitemap parse      [admit] frontier-   [index] CDX
+         -> frontier/              gated admission     entries ->
+                                    -> admitted/       index/
+                                        |
+                                   [prep] extraction/C4/Gopher/
+                                    dedup/cap fold -> prep/docs
+                                        |
+                                   [ingest] cross-snapshot dedup
+                                    vs prior_profile_dir -> corpus/
+
+    Each stage is its OWN checkpointed StreamingQuery (per-stage
+    ``{out_root}/_ck/<stage>``) — the standard Spark composition for
+    multi-stage streaming: a mid-chain crash restarts that stage from
+    its checkpoint while neighbors keep running, and downstream
+    stages pick the sink files up exactly-once through the file
+    source's seen-file log.  Cross-stage state (frontier membership,
+    accepted profiles, domain tallies) lives on SINK parquet, bounded
+    by accepted volume — no unbounded streaming state anywhere.
+
+    ``prior_profile_dir`` is the previous crawl's snapshot profile
+    (functions/dedup.py:snapshot_profile layout); the final stage
+    admits only content unknown to BOTH that snapshot and this run.
+    Returns ``{stage: StreamingQuery}`` for seed/index/admit/prep/
+    ingest — stop them in reverse order or via
+    ``spark.streams.active``."""
+    import os as _os
+
+    frontier_dir = f"{out_root}/frontier"
+    index_dir = f"{out_root}/index"
+    admitted_dir = f"{out_root}/admitted"
+    prep_dir = f"{out_root}/prep"
+    corpus_dir = f"{out_root}/corpus"
+    ck = f"{out_root}/_ck"
+    # file stream sources need the directory to EXIST at start; the
+    # producing stage may not have appended yet
+    for d in (admitted_dir, f"{prep_dir}/docs"):
+        _os.makedirs(d, exist_ok=True)
+
+    qs: dict = {}
+    qs["seed"] = start_sitemap_seeding(
+        sitemap_gz_source(spark, sitemap_dir, watermark=watermark),
+        frontier_dir, f"{ck}/seed", fetch_df=fetch_df,
+        robots_rules_df=robots_rules_df)
+    qs["index"] = start_cdx_indexing(spark, warc_dir, index_dir,
+                                     f"{ck}/index",
+                                     watermark=watermark)
+    qs["admit"] = start_frontier_admission(
+        spark, warc_dir, frontier_dir, admitted_dir, f"{ck}/admit",
+        robots_rules_df=robots_rules_df, watermark=watermark,
+        deferred_dir=f"{out_root}/deferred")
+    admitted_stream = (spark.readStream.schema(_ADMITTED_SCHEMA)
+                       .parquet(admitted_dir)
+                       .select("doc_id", "html", "domain"))
+    qs["prep"] = start_web_prep(admitted_stream, prep_dir,
+                                f"{ck}/prep", domain_cap=domain_cap,
+                                carry_text=True)
+    prep_stream = (spark.readStream.schema(_PREP_DOCS_SCHEMA)
+                   .parquet(f"{prep_dir}/docs")
+                   .select("doc_id",
+                           F.col("clean_text").alias("text")))
+    qs["ingest"] = start_incremental_ingest(prep_stream,
+                                            prior_profile_dir,
+                                            corpus_dir, f"{ck}/ingest")
+    return qs
