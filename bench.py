@@ -375,8 +375,10 @@ def main() -> None:
     # a mid-round builder validation run must never overwrite the
     # driver's end-of-round record, and the BENCH_DETAIL_r{N}.json /
     # BENCH_r{N}.json namespace belongs to the driver alone.  Round
-    # number (informational, for the filename) from the newest
-    # VERDICT/BENCH artifact present, +1.
+    # number (informational, for the filename) = newest recorded
+    # BENCH_r*/CORRECTNESS_r* artifact + 1 (exactly what the regex
+    # below matches — review find r15: the comment used to promise
+    # VERDICT files drove it).
     try:
         import re as _re
 

@@ -66,13 +66,15 @@ def main() -> None:
         # the first disk touch of a freshly-written blow-up (the bench
         # ladder lesson)
         df.write.format("noop").mode("overwrite").save()
+        # row count FIRST (one untimed pass — re-running the 104.8M-row
+        # plan after the timed reps doubled the experiment's wall,
+        # review find r15), then the timed reps
+        out[f"x{copies}_rows"] = gap_fill(df, grid_ms=3_600_000).count()
         best = float("inf")
         for _ in range(args.reps):
             best = min(best,
                        materialize(gap_fill(df, grid_ms=3_600_000)))
         out[f"x{copies}"] = round(best, 2)
-        n = gap_fill(df, grid_ms=3_600_000).count()
-        out[f"x{copies}_rows"] = n
     out["growth"] = round(out[f"x{args.copies}"] / out["x1"], 2)
     out["bound"] = round(args.copies ** 1.25, 0)
     print(json.dumps(out))

@@ -996,7 +996,12 @@ def mp3_pcm_seam_audit(docs: DataFrame,
     row, not an assumption: a walk failure or a wrong error type
     shows up as ``refused = 0``).  Output: (id_col, refused,
     duration_ms) with duration from the header walk — the datasheet's
-    seam line aggregates exactly this."""
+    seam line aggregates exactly this.  The audit deliberately drives
+    the PUBLIC front door end-to-end, so each refused file pays the
+    header walk twice (once inside decode_audio's detector, once for
+    the duration column) — the price of auditing the real path, and a
+    microsecond-scale walk per file (same trade in
+    :func:`mp4_frame_seam_audit`)."""
     from .mp3 import mp3_stream_stats
 
     schema = T.StructType([

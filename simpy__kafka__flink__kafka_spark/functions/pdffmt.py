@@ -321,10 +321,15 @@ def _objstm_objects(buf: bytes, off: int) -> dict[int, bytes]:
             # increasing and land inside the decoded data.  A
             # spec-violating stream gets the module's typed error,
             # never a guessed end that slices wrong/empty bodies.
-            if nxt <= rel or first + nxt > len(data):
+            # Two distinct diagnostics (review find r15): a shuffled
+            # header and a truncated stream triage differently.
+            if nxt <= rel:
                 raise ValueError(
                     "PDF: ObjStm pair offsets are not strictly "
-                    "increasing within the decoded data")
+                    "increasing")
+            if first + nxt > len(data):
+                raise ValueError(
+                    "PDF: ObjStm pair offset past the decoded data")
             end = first + nxt
         else:
             end = len(data)

@@ -688,7 +688,6 @@ def gopher_repetition(df: DataFrame, id_col: str = "doc_id",
     para_stats = seg_stats(r"\n\n", "para")
 
     ws = words("text")
-    n_words = F.greatest(F.size(ws), F.lit(0))
 
     # ONE pass over the corpus builds every n's grams (round-13 review:
     # five independent explode pipelines re-scanned the source per n).

@@ -38,6 +38,14 @@ def stratified_sample(docs: DataFrame, lang: DataFrame,
     ``fractions`` drop, matching ``sampleBy``'s contract.  Scale shape:
     the fractions map folds into one codegen CASE over the already-paid
     lang join — no extra shuffle, no join, no RNG state."""
+    # sampleBy validated fraction ranges; the hash-threshold form must
+    # too — u < 1.5 would silently keep 100% of a stratum (a mixing
+    # config passing 50 for 50% must fail loudly, review find r15)
+    bad = {k: v for k, v in fractions.items()
+           if not 0.0 <= float(v) <= 1.0}
+    if bad:
+        raise ValueError(
+            f"stratified_sample: fractions must be in [0, 1], got {bad}")
     joined = docs.join(lang, "doc_id")
     p = F.lit(0.0)
     for k in sorted(fractions):

@@ -998,24 +998,38 @@ def start_warc_web_prep(spark, warc_dir: str, out_dir: str,
     (extraction, C4, Gopher, cross-batch dedup, per-domain caps).
     Returns the started StreamingQuery; results via
     :func:`web_prep_totals`."""
-    from ..functions.urls import HOSTPORT_RE
-
     recs = warc_gz_source(spark, warc_dir)
-    # the cap key is the HOST alone: HOSTPORT_RE group 1 keeps
-    # userinfo and port, and 'example.com:443' vs 'example.com'
-    # splitting into separate cap keys would let a crawl evade the
-    # per-domain cap per URI variant (review find)
-    hostport = F.regexp_extract("target_uri", HOSTPORT_RE, 1)
-    host = F.lower(F.regexp_replace(
-        F.regexp_replace(hostport, "^[^@/]*@", ""), r":\d+$", ""))
-    pages = recs.where(F.col("warc_type") == "response").select(
-        (F.col("shard_id") * 1_000_000 + F.col("rec_idx"))
-        .alias("doc_id"),
-        F.col("payload").alias("html"),
-        host.alias("domain"))
+    pages = warc_response_pages(recs).select("doc_id", "html", "domain")
     return start_web_prep(pages, out_dir, checkpoint_dir,
                           domain_cap=domain_cap,
                           repetition_gate=repetition_gate)
+
+
+def warc_response_pages(recs: DataFrame,
+                        extra_cols: tuple[str, ...] = ()) -> DataFrame:
+    """The ONE warc-records-to-pages rendering (shared by
+    :func:`start_warc_web_prep` and :func:`start_frontier_admission` —
+    round-15 review find: the projection had been copy-pasted, and a
+    host/doc_id fix applied in one place would silently desynchronize
+    the prep and admission stages): doc_id = shard_id * 1e6 + rec_idx
+    (shard order IS doc order, so folds reproduce the batch pipeline)
+    and domain = the Target-URI HOST alone — HOSTPORT_RE group 1
+    keeps userinfo and port, and 'example.com:443' vs 'example.com'
+    splitting into separate cap keys would let a crawl evade the
+    per-domain cap per URI variant (review find r13).
+    Output: (doc_id, url, html, domain, *extra_cols)."""
+    from ..functions.urls import HOSTPORT_RE
+
+    hostport = F.regexp_extract("target_uri", HOSTPORT_RE, 1)
+    host = F.lower(F.regexp_replace(
+        F.regexp_replace(hostport, "^[^@/]*@", ""), r":\d+$", ""))
+    return recs.where(F.col("warc_type") == "response").select(
+        (F.col("shard_id") * 1_000_000 + F.col("rec_idx"))
+        .alias("doc_id"),
+        F.col("target_uri").alias("url"),
+        F.col("payload").alias("html"),
+        host.alias("domain"),
+        *extra_cols)
 
 
 def web_prep_totals(spark, out_dir: str) -> DataFrame:
@@ -1139,7 +1153,10 @@ def start_frontier_admission(spark, warc_dir: str, frontier_dir: str,
     stays in the deferred sink, visible, as the compliance-violation
     residue; an idle stream re-drains the deferral on its next
     arriving batch.  Robots rejections (noindex or robots.txt) are
-    permanent drops, matching the batch admission semantics.
+    permanent drops, matching the batch admission semantics — a
+    deferred page that later seeds but robots-rejects gets a
+    tombstone under ``{deferred_dir}_rejected`` so it exits the retry
+    loop for good instead of re-gating every batch.
 
     Admitted pages append (doc_id, url, canonical_url, domain, html)
     under ``admitted_dir`` with a sink-side doc_id anti-join so
@@ -1147,20 +1164,11 @@ def start_frontier_admission(spark, warc_dir: str, frontier_dir: str,
     :func:`start_corpus_pipeline` chains the prep stage off the
     sink."""
     from ..functions.quality import _NOINDEX_TOK_RE, robots_directives
-    from ..functions.urls import HOSTPORT_RE, canonicalize_url
+    from ..functions.urls import canonicalize_url
 
     recs = warc_gz_source(spark, warc_dir, watermark=watermark,
                           max_bytes=max_bytes)
-    hostport = F.regexp_extract("target_uri", HOSTPORT_RE, 1)
-    host = F.lower(F.regexp_replace(
-        F.regexp_replace(hostport, "^[^@/]*@", ""), r":\d+$", ""))
-    pages = recs.where(F.col("warc_type") == "response").select(
-        (F.col("shard_id") * 1_000_000 + F.col("rec_idx"))
-        .alias("doc_id"),
-        "ingest_ts",
-        F.col("target_uri").alias("url"),
-        F.col("payload").alias("html"),
-        host.alias("domain"))
+    pages = warc_response_pages(recs, extra_cols=("ingest_ts",))
     frontier = url_frontier_dedup(pages, keep=("domain", "html"))
     # WARC response records carry no separate header column here; the
     # meta-tag arm of the folded directive is the binding one
@@ -1169,6 +1177,13 @@ def start_frontier_admission(spark, warc_dir: str, frontier_dir: str,
 
     defer_dir = (deferred_dir if deferred_dir is not None
                  else f"{admitted_dir}_deferred")
+    # robots-rejection tombstones: a deferred page whose URL is
+    # LATER seeded but robots-rejected must exit the retry loop
+    # permanently (the docstring's 'permanent drop' contract — without
+    # the tombstone it would be re-read and re-gated on every batch
+    # forever, and the deferred sink would misreport it as a frontier
+    # miss; review find r15)
+    reject_dir = f"{defer_dir}_rejected"
     cols = ["doc_id", "url", "canonical_url", "domain", "html"]
 
     def step(batch_df: DataFrame, batch_id: int) -> None:
@@ -1180,11 +1195,15 @@ def start_frontier_admission(spark, warc_dir: str, frontier_dir: str,
         batch = batch_df.select(*cols).localCheckpoint()
         prior = read_parquet_if_exists(spark, admitted_dir)
         deferred = read_parquet_if_exists(spark, defer_dir)
+        rejected = read_parquet_if_exists(spark, reject_dir)
         cand = batch
         if deferred is not None:
             retry = deferred
             if prior is not None:
                 retry = retry.join(prior.select("doc_id"), "doc_id",
+                                   "left_anti")
+            if rejected is not None:
+                retry = retry.join(rejected.select("doc_id"), "doc_id",
                                    "left_anti")
             cand = (cand.unionByName(retry)
                     .dropDuplicates(["doc_id"]).localCheckpoint())
@@ -1198,24 +1217,42 @@ def start_frontier_admission(spark, warc_dir: str, frontier_dir: str,
             ).distinct().localCheckpoint()
             gated = cand.join(keys, "canonical_url", "left_semi")
             missed = batch.join(keys, "canonical_url", "left_anti")
+        gated = gated.localCheckpoint()
+        robots_dropped = gated.where(F.lit(False)).select("doc_id")
         if robots_rules_df is not None:
             from ..functions.robots import robots_allowed
 
             ok = (robots_allowed(gated, robots_rules_df)
                   .where(F.col("allowed") == 1).select("doc_id"))
+            robots_dropped = gated.select("doc_id").join(
+                ok, "doc_id", "left_anti")
             gated = gated.join(ok, "doc_id", "left_semi")
         out = gated.select(*cols)
         if prior is not None:
             out = out.join(prior.select("doc_id"), "doc_id",
                            "left_anti")
-        out.localCheckpoint().write.mode("append").parquet(admitted_dir)
+        # coalesce(1): each batch's append commits ONE part file, so
+        # the downstream prep stage's file stream (which self-triggers
+        # concurrently) can never observe a partial multi-part commit
+        # and split one batch's rows across its own batches — the
+        # frames are batch-sized, so the single-task write is cheap;
+        # a production deployment swaps a transactional table in here
+        out.localCheckpoint().coalesce(1).write.mode("append").parquet(
+            admitted_dir)
+        # tombstone the robots rejections (idempotent on replay)
+        if rejected is not None:
+            robots_dropped = robots_dropped.join(
+                rejected.select("doc_id"), "doc_id", "left_anti")
+        robots_dropped.localCheckpoint().coalesce(1).write.mode(
+            "append").parquet(reject_dir)
         # defer the batch's frontier misses not already deferred (the
         # replay-idempotence anti-join); admitted-later rows are
         # excluded at READ time via the prior anti-join above
         if deferred is not None:
             missed = missed.join(deferred.select("doc_id"), "doc_id",
                                  "left_anti")
-        missed.localCheckpoint().write.mode("append").parquet(defer_dir)
+        missed.localCheckpoint().coalesce(1).write.mode(
+            "append").parquet(defer_dir)
 
     return (
         indexable.writeStream.foreachBatch(step)

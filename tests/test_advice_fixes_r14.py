@@ -52,9 +52,10 @@ def test_objstm_non_ascending_offsets_typed():
     with pytest.raises(ValueError, match="strictly increasing"):
         _objstm_objects(dup, 0)
 
-    # an offset past the decoded data keeps its own typed error
+    # an increasing-but-truncated offset triages DISTINCTLY from a
+    # shuffled header (review find r15)
     far = _objstm_buf([(1, 0), (2, 4096)], seg)
-    with pytest.raises(ValueError, match="strictly increasing"):
+    with pytest.raises(ValueError, match="past the decoded data"):
         _objstm_objects(far, 0)
 
 

@@ -15,10 +15,9 @@ import pytest
 
 
 def _mk_fixture(spark, n_docs: int):
-    """n_docs pages over 2 hosts: quality text with NNN varying so
-    i % 3 == 0 docs share one duplicate text; doc 5 carries a robots
-    noindex meta tag; host-1 additionally serves an UNSEEDED url per
-    shard (rejected by the frontier gate)."""
+    """n_docs pages over 2 hosts: shingle-disjoint quality texts with
+    a duplicate group confined to the first shard (i < 20, i % 3 == 0
+    all share one text); doc 5 carries a robots noindex meta tag."""
     from pyspark.sql import functions as F
 
     from simpy__kafka__flink__kafka_spark.functions.html import (
@@ -28,10 +27,15 @@ def _mk_fixture(spark, n_docs: int):
     # docs share zero shingles and the final ingest stage's near-dup
     # classifier cannot cross-fire (a shared base text classified the
     # whole corpus near_known vs the one-doc prior — round-15 fixture
-    # find); i % 3 == 0 docs share one duplicate text for the
-    # exact-dedup arm; stopwords interleave to keep gopher green
+    # find); the duplicate group (i % 3 == 0) is CONFINED to the first
+    # shard's docs (i < 20): web_prep's keep-first is arrival-order
+    # dependent across micro-batches by documented contract, so a dup
+    # group spanning shards makes WHICH copy survives depend on how
+    # the file source happens to split batches (observed flake) —
+    # confined to one shard, the in-batch min-doc_id rule always picks
+    # doc 0.  Stopwords interleave to keep gopher green.
     def text_of(i: int) -> str:
-        eff = i if i % 3 else 99
+        eff = i if (i % 3 or i >= 20) else 99
         return " ".join(
             f"the word t{eff}a{j} sits with t{eff}b{j} and then "
             f"t{eff}c{j} appears." for j in range(10))
@@ -151,7 +155,7 @@ def test_composed_pipeline_mid_chain_restart_parity(spark, tmp_path):
     os.makedirs(wc, exist_ok=True)
     _write_sitemaps(sm, wave1_docs)
     qs = start_corpus_pipeline(spark, sm, wc, root, prior_dir,
-                               domain_cap=30)
+                               domain_cap=50)
     try:
         qs["seed"].processAllAvailable()
         _write_shards(wc, html, shards1, unseeded_in=1)
@@ -170,7 +174,7 @@ def test_composed_pipeline_mid_chain_restart_parity(spark, tmp_path):
     finally:
         _stop(qs)
     qs = start_corpus_pipeline(spark, sm, wc, root, prior_dir,
-                               domain_cap=30)
+                               domain_cap=50)
     try:
         _drain(qs)
     finally:
@@ -185,7 +189,7 @@ def test_composed_pipeline_mid_chain_restart_parity(spark, tmp_path):
     _write_sitemaps(sm2, wave1_docs)
     _write_sitemaps(sm2, wave2_docs)
     qs = start_corpus_pipeline(spark, sm2, wc2, root2, prior_dir,
-                               domain_cap=30)
+                               domain_cap=50)
     try:
         qs["seed"].processAllAvailable()
         _write_shards(wc2, html, shards1 + shards2, unseeded_in=1)
@@ -213,12 +217,13 @@ def test_composed_pipeline_mid_chain_restart_parity(spark, tmp_path):
         sid, j = doc_id // 1_000_000, doc_id % 1_000_000
         return {1: 0, 2: 20, 3: 40, 4: 60}[sid] + j
 
-    # prep deduped the 27 i%3==0 copies down to ONE survivor (doc 0,
-    # the smallest doc_id) and kept every unique doc
+    # prep deduped the shard-1 dup group down to ONE survivor (doc 0,
+    # the smallest doc_id in the one batch that carries the group)
+    # and kept every unique doc
+    dup_set = {o for o in range(20) if o % 3 == 0}
     prep_orig = {orig(d) for (d, _, _, _) in prep}
-    assert {o for o in prep_orig if o % 3 == 0} == {0}
-    assert prep_orig == ({o for o in range(N) if o % 3 != 0} | {0}) \
-        - {5}
+    assert prep_orig & dup_set == {0}
+    assert prep_orig == (set(range(N)) - dup_set | {0}) - {5}
     # the ingest stage excluded exactly the prior-known clean text
     assert len(corpus) == len(prep) - 1
     corpus_orig = {orig(d) for (d, _) in corpus}
