@@ -1132,7 +1132,12 @@ def start_frontier_admission(spark, warc_dir: str, frontier_dir: str,
                              robots_rules_df: DataFrame | None = None,
                              watermark: str = "10 minutes",
                              max_bytes: int | None = None,
-                             deferred_dir: str | None = None):
+                             deferred_dir: str | None = None,
+                             schedule_dir: str | None = None,
+                             delays_df: DataFrame | None = None,
+                             per_wave: int = 4,
+                             default_delay_s: float = 1.0,
+                             anomalies_dir: str | None = None):
     """Stage 2 of the composed pipeline: ``.warc.gz`` response records
     become candidate pages and pass, in order, (1) the streaming
     canonical-URL first-arrival dedup (:func:`url_frontier_dedup` —
@@ -1160,9 +1165,19 @@ def start_frontier_admission(spark, warc_dir: str, frontier_dir: str,
 
     Admitted pages append (doc_id, url, canonical_url, domain, html)
     under ``admitted_dir`` with a sink-side doc_id anti-join so
-    replays are idempotent.  Returns the started StreamingQuery;
-    :func:`start_corpus_pipeline` chains the prep stage off the
-    sink."""
+    replays are idempotent.  When ``schedule_dir`` is given, every
+    admitted page ALSO gets a politeness-schedule row there
+    (:func:`schedule_accepted_batch` — per-host slot sequences
+    continue across batches; ``delays_df`` carries per-host
+    Crawl-delay seconds; ``anomalies_dir`` names the rate-detector's
+    sink so schedule rows carry the CURRENT backoff).  The schedule
+    append goes FIRST: its own sink-side anti-join makes replays
+    idempotent, whereas appending it after the admitted write would
+    open a crash window in which the replay's admitted anti-join
+    excludes the docs and their schedule rows are PERMANENTLY lost
+    (the incremental_ingest torn-window analysis).  Returns the
+    started StreamingQuery; :func:`start_corpus_pipeline` chains the
+    prep stage off the sink."""
     from ..functions.quality import _NOINDEX_TOK_RE, robots_directives
     from ..functions.urls import canonicalize_url
 
@@ -1231,14 +1246,24 @@ def start_frontier_admission(spark, warc_dir: str, frontier_dir: str,
         if prior is not None:
             out = out.join(prior.select("doc_id"), "doc_id",
                            "left_anti")
+        out = out.localCheckpoint()
+        # politeness schedule BEFORE the admitted append — see the
+        # docstring's torn-window analysis
+        if schedule_dir is not None:
+            anomalies = (read_parquet_if_exists(spark, anomalies_dir)
+                         if anomalies_dir is not None else None)
+            schedule_accepted_batch(out.select("doc_id", "url"),
+                                    schedule_dir, per_wave=per_wave,
+                                    delays=delays_df,
+                                    default_delay_s=default_delay_s,
+                                    anomalies=anomalies)
         # coalesce(1): each batch's append commits ONE part file, so
         # the downstream prep stage's file stream (which self-triggers
         # concurrently) can never observe a partial multi-part commit
         # and split one batch's rows across its own batches — the
         # frames are batch-sized, so the single-task write is cheap;
         # a production deployment swaps a transactional table in here
-        out.localCheckpoint().coalesce(1).write.mode("append").parquet(
-            admitted_dir)
+        out.coalesce(1).write.mode("append").parquet(admitted_dir)
         # tombstone the robots rejections (idempotent on replay)
         if rejected is not None:
             robots_dropped = robots_dropped.join(
@@ -1273,7 +1298,9 @@ def start_corpus_pipeline(spark, sitemap_dir: str, warc_dir: str,
                           robots_rules_df: DataFrame | None = None,
                           fetch_df: DataFrame | None = None,
                           domain_cap: int = 20,
-                          watermark: str = "10 minutes") -> dict:
+                          watermark: str = "10 minutes",
+                          delays_df: DataFrame | None = None,
+                          politeness: bool = True) -> dict:
     """ONE multi-stage checkpointed deployment (round 15, VERDICT r14
     task 7): the standing streams that existed individually, chained
     sink -> source into the 100 TB shape the batch capstones prove
@@ -1291,21 +1318,33 @@ def start_corpus_pipeline(spark, sitemap_dir: str, warc_dir: str,
                                    [ingest] cross-snapshot dedup
                                     vs prior_profile_dir -> corpus/
 
+    With ``politeness`` (default on), the crawl loop's TAIL joins the
+    composition: a [detect] stage runs the per-host arrival-rate
+    anomaly detector over the warc stream (flags under
+    ``{out_root}/anomalies`` as event time advances past each
+    bucket's watermark), and the admission stage writes a
+    politeness-schedule row per admitted page under
+    ``{out_root}/schedule`` — per-host slot sequences continuing
+    across batches, ``delays_df`` Crawl-delays pacing per slot, and
+    the CURRENT anomaly backoff applied (the batch
+    crawl_backoff_schedule composition, live).
+
     Each stage is its OWN checkpointed StreamingQuery (per-stage
     ``{out_root}/_ck/<stage>``) — the standard Spark composition for
     multi-stage streaming: a mid-chain crash restarts that stage from
     its checkpoint while neighbors keep running, and downstream
     stages pick the sink files up exactly-once through the file
     source's seen-file log.  Cross-stage state (frontier membership,
-    accepted profiles, domain tallies) lives on SINK parquet, bounded
-    by accepted volume — no unbounded streaming state anywhere.
+    accepted profiles, domain tallies, schedule offsets) lives on
+    SINK parquet, bounded by accepted volume — no unbounded streaming
+    state anywhere.
 
     ``prior_profile_dir`` is the previous crawl's snapshot profile
     (functions/dedup.py:snapshot_profile layout); the final stage
     admits only content unknown to BOTH that snapshot and this run.
     Returns ``{stage: StreamingQuery}`` for seed/index/admit/prep/
-    ingest — stop them in reverse order or via
-    ``spark.streams.active``."""
+    ingest (+ detect when politeness is on) — stop them in reverse
+    order or via ``spark.streams.active``."""
     import os as _os
 
     frontier_dir = f"{out_root}/frontier"
@@ -1327,10 +1366,25 @@ def start_corpus_pipeline(spark, sitemap_dir: str, warc_dir: str,
     qs["index"] = start_cdx_indexing(spark, warc_dir, index_dir,
                                      f"{ck}/index",
                                      watermark=watermark)
+    anomalies_dir = f"{out_root}/anomalies" if politeness else None
+    if politeness:
+        from .windows import start_anomaly_detection
+
+        # keyed 'host' — the column anomaly_backoff joins the schedule
+        # on (same value as the pages' domain: the Target-URI host)
+        arrivals = warc_response_pages(
+            warc_gz_source(spark, warc_dir, watermark=watermark),
+            extra_cols=("ingest_ts",)).select(
+            F.col("domain").alias("host"), "ingest_ts")
+        qs["detect"] = start_anomaly_detection(
+            arrivals, anomalies_dir, f"{ck}/detect",
+            id_col="host", ts_col="ingest_ts")
     qs["admit"] = start_frontier_admission(
         spark, warc_dir, frontier_dir, admitted_dir, f"{ck}/admit",
         robots_rules_df=robots_rules_df, watermark=watermark,
-        deferred_dir=f"{out_root}/deferred")
+        deferred_dir=f"{out_root}/deferred",
+        schedule_dir=(f"{out_root}/schedule" if politeness else None),
+        delays_df=delays_df, anomalies_dir=anomalies_dir)
     admitted_stream = (spark.readStream.schema(_ADMITTED_SCHEMA)
                        .parquet(admitted_dir)
                        .select("doc_id", "html", "domain"))

@@ -92,8 +92,10 @@ def _drain(qs: dict) -> None:
     run the full order twice so sink files appended by an upstream
     stage in pass 1 are consumed downstream in pass 2."""
     for _ in range(2):
-        for name in ("seed", "admit", "index", "prep", "ingest"):
-            qs[name].processAllAvailable()
+        for name in ("seed", "detect", "admit", "index", "prep",
+                     "ingest"):
+            if name in qs:
+                qs[name].processAllAvailable()
 
 
 def _stop(qs: dict) -> None:
@@ -234,6 +236,20 @@ def test_composed_pipeline_mid_chain_restart_parity(spark, tmp_path):
     deferred = spark.read.parquet(f"{root}/deferred").collect()
     assert {r.url for r in deferred} == {
         "https://site-0.example.com/unseeded/999"}
+
+    # the politeness tail: every admitted page got a schedule row,
+    # per-host slot sequences are DENSE across batches and the
+    # restart, and no anomaly bucket can FLAG inside the test horizon
+    # (rows read 0 once the detector sink exists, NULL before — both
+    # mean un-backed-off; never a narrower schema)
+    sched = spark.read.parquet(f"{root}/schedule").collect()
+    assert len(sched) == len(admitted)
+    slots: dict = {}
+    for r in sched:
+        slots.setdefault(r.host, []).append(r.slot)
+    for host, ss in slots.items():
+        assert sorted(ss) == list(range(len(ss))), host
+    assert all((r.n_anomalies or 0) == 0 for r in sched)
 
 
 def test_admission_defers_pre_seed_pages(spark, tmp_path):
