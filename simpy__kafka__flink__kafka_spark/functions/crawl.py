@@ -93,7 +93,8 @@ def crawl_schedule(urls: DataFrame, per_wave: int = 4,
                    url_col: str = "url",
                    shard_size: int = 65536,
                    delays: DataFrame | None = None,
-                   default_delay_s: float = 1.0) -> DataFrame:
+                   default_delay_s: float = 1.0,
+                   host_col: str | None = None) -> DataFrame:
     """Politeness scheduling for admitted URLs: fetches are grouped into
     WAVES with at most ``per_wave`` URLs per host per wave (the
     rate-limit discipline a crawler owes each origin).  Slot order
@@ -121,11 +122,21 @@ def crawl_schedule(urls: DataFrame, per_wave: int = 4,
     is the only politeness contract they have declared).
 
     Output: (id_col, host, slot, wave[, not_before_s]) — slot is the
-    0-based rank within the host, wave = slot div per_wave."""
+    0-based rank within the host, wave = slot div per_wave.
+
+    ``host_col`` (round 15): when the caller already carries a host
+    column, it is used VERBATIM instead of the authority regex — the
+    composed pipeline keys its anomaly detector on the stripped
+    Target-URI host, and deriving a userinfo/port-carrying authority
+    here instead would both miss the backoff join and hand each URI
+    variant its own slot sequence (the pacing-evasion class the r13
+    domain-cap fix closed)."""
     from pyspark.sql import Window as W
 
-    host = F.lower(F.regexp_extract(
-        F.col(url_col), r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1))
+    host = (F.lower(F.col(host_col)) if host_col is not None
+            else F.lower(F.regexp_extract(
+                F.col(url_col),
+                r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1)))
     sh = (urls.select(id_col, host.alias("host"))
           .withColumn("_shard", F.expr(f"{id_col} div {int(shard_size)}")))
     counts = sh.groupBy("host", "_shard").agg(

@@ -458,6 +458,11 @@ CHECKED_FIRST = [
     # text extractor, which executes the identical xref/object walk
     # plus FlateDecode and the tokenizer on top, takes the slot)
     "webdataset_manifest", "zip_stats", "pdf_text_extract",
+    # Declared round-16 promotion slate (the r12->r13 precedent: the
+    # next round's own new/changed code takes precedence if stronger):
+    # stratified_sample — newly oracled in r15 (the deterministic
+    # md5-threshold draw replaced sampleBy), the only r15 row that
+    # moved from rows-only to oracled and has never held a gate slot.
 ]
 
 

@@ -26,7 +26,7 @@ burst, the periodic batch sweep catches the long tail.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import normalized, quality_score, token_count
@@ -511,7 +511,8 @@ def schedule_accepted_batch(batch_urls: DataFrame, schedule_dir: str,
                             id_col: str = "doc_id",
                             url_col: str = "url",
                             anomalies: DataFrame | None = None,
-                            anomaly_max_age_buckets: int = 24) -> None:
+                            anomaly_max_age_buckets: int = 24,
+                            host_col: str | None = None) -> None:
     """Politeness-schedule one micro-batch of admitted URLs, CONTINUING
     each host's slot sequence across batches: the batch ranks locally
     (functions/crawl.py:crawl_schedule — the sharded rank), then lifts
@@ -537,7 +538,9 @@ def schedule_accepted_batch(batch_urls: DataFrame, schedule_dir: str,
     from ..functions.crawl import crawl_schedule
 
     spark = batch_urls.sparkSession
-    fresh = batch_urls.select(id_col, url_col)
+    fresh = batch_urls.select(
+        id_col, url_col,
+        *((host_col,) if host_col is not None else ()))
     offs = None
     existing = read_parquet_if_exists(spark, schedule_dir)
     if existing is not None:
@@ -550,7 +553,7 @@ def schedule_accepted_batch(batch_urls: DataFrame, schedule_dir: str,
         offs = existing.groupBy("host").agg(
             F.count(F.lit(1)).alias("_off"))
     local = crawl_schedule(fresh, per_wave=per_wave, id_col=id_col,
-                           url_col=url_col)
+                           url_col=url_col, host_col=host_col)
     if offs is not None:
         local = (local.join(F.broadcast(offs), "host", "left")
                  .withColumn("slot", F.col("slot")
@@ -1005,6 +1008,20 @@ def start_warc_web_prep(spark, warc_dir: str, out_dir: str,
                           repetition_gate=repetition_gate)
 
 
+def uri_host(uri_col) -> Column:
+    """Stripped lowercased HOST of a URI (ONE rendering of the
+    userinfo/port strip — shared by :func:`warc_response_pages` and
+    the composed pipeline's detector feed): HOSTPORT_RE group 1 keeps
+    userinfo and port, and 'example.com:443' vs 'example.com'
+    splitting into separate keys would let a crawl evade per-domain
+    caps and per-host pacing per URI variant (review finds r13/r15)."""
+    from ..functions.urls import HOSTPORT_RE
+
+    hostport = F.regexp_extract(uri_col, HOSTPORT_RE, 1)
+    return F.lower(F.regexp_replace(
+        F.regexp_replace(hostport, "^[^@/]*@", ""), r":\d+$", ""))
+
+
 def warc_response_pages(recs: DataFrame,
                         extra_cols: tuple[str, ...] = ()) -> DataFrame:
     """The ONE warc-records-to-pages rendering (shared by
@@ -1013,22 +1030,15 @@ def warc_response_pages(recs: DataFrame,
     host/doc_id fix applied in one place would silently desynchronize
     the prep and admission stages): doc_id = shard_id * 1e6 + rec_idx
     (shard order IS doc order, so folds reproduce the batch pipeline)
-    and domain = the Target-URI HOST alone — HOSTPORT_RE group 1
-    keeps userinfo and port, and 'example.com:443' vs 'example.com'
-    splitting into separate cap keys would let a crawl evade the
-    per-domain cap per URI variant (review find r13).
+    and domain = the Target-URI HOST alone (:func:`uri_host` — the
+    one userinfo/port-strip rendering).
     Output: (doc_id, url, html, domain, *extra_cols)."""
-    from ..functions.urls import HOSTPORT_RE
-
-    hostport = F.regexp_extract("target_uri", HOSTPORT_RE, 1)
-    host = F.lower(F.regexp_replace(
-        F.regexp_replace(hostport, "^[^@/]*@", ""), r":\d+$", ""))
     return recs.where(F.col("warc_type") == "response").select(
         (F.col("shard_id") * 1_000_000 + F.col("rec_idx"))
         .alias("doc_id"),
         F.col("target_uri").alias("url"),
         F.col("payload").alias("html"),
-        host.alias("domain"),
+        uri_host(F.col("target_uri")).alias("domain"),
         *extra_cols)
 
 
@@ -1210,7 +1220,12 @@ def start_frontier_admission(spark, warc_dir: str, frontier_dir: str,
         batch = batch_df.select(*cols).localCheckpoint()
         prior = read_parquet_if_exists(spark, admitted_dir)
         deferred = read_parquet_if_exists(spark, defer_dir)
-        rejected = read_parquet_if_exists(spark, reject_dir)
+        # the tombstone sink exists only when a robots gate is
+        # configured — without one nothing can ever be rejected, and
+        # an unconditional append would grow the sink by one EMPTY
+        # part file per micro-batch forever (review find r15)
+        rejected = (read_parquet_if_exists(spark, reject_dir)
+                    if robots_rules_df is not None else None)
         cand = batch
         if deferred is not None:
             retry = deferred
@@ -1248,15 +1263,21 @@ def start_frontier_admission(spark, warc_dir: str, frontier_dir: str,
                            "left_anti")
         out = out.localCheckpoint()
         # politeness schedule BEFORE the admitted append — see the
-        # docstring's torn-window analysis
+        # docstring's torn-window analysis.  The schedule keys on the
+        # pages' stripped DOMAIN (host_col), never a re-derived
+        # userinfo/port-carrying authority: the anomaly detector keys
+        # its flags on the same stripped host, and an authority key
+        # would both miss the backoff join and hand each URI variant
+        # its own slot sequence (review find r15 — the pacing-evasion
+        # class the r13 domain-cap fix closed)
         if schedule_dir is not None:
             anomalies = (read_parquet_if_exists(spark, anomalies_dir)
                          if anomalies_dir is not None else None)
-            schedule_accepted_batch(out.select("doc_id", "url"),
-                                    schedule_dir, per_wave=per_wave,
-                                    delays=delays_df,
-                                    default_delay_s=default_delay_s,
-                                    anomalies=anomalies)
+            schedule_accepted_batch(
+                out.select("doc_id", "url", "domain"),
+                schedule_dir, per_wave=per_wave, delays=delays_df,
+                default_delay_s=default_delay_s, anomalies=anomalies,
+                host_col="domain")
         # coalesce(1): each batch's append commits ONE part file, so
         # the downstream prep stage's file stream (which self-triggers
         # concurrently) can never observe a partial multi-part commit
@@ -1264,12 +1285,14 @@ def start_frontier_admission(spark, warc_dir: str, frontier_dir: str,
         # frames are batch-sized, so the single-task write is cheap;
         # a production deployment swaps a transactional table in here
         out.coalesce(1).write.mode("append").parquet(admitted_dir)
-        # tombstone the robots rejections (idempotent on replay)
-        if rejected is not None:
-            robots_dropped = robots_dropped.join(
-                rejected.select("doc_id"), "doc_id", "left_anti")
-        robots_dropped.localCheckpoint().coalesce(1).write.mode(
-            "append").parquet(reject_dir)
+        # tombstone the robots rejections (idempotent on replay);
+        # skipped entirely when no robots gate is configured
+        if robots_rules_df is not None:
+            if rejected is not None:
+                robots_dropped = robots_dropped.join(
+                    rejected.select("doc_id"), "doc_id", "left_anti")
+            robots_dropped.localCheckpoint().coalesce(1).write.mode(
+                "append").parquet(reject_dir)
         # defer the batch's frontier misses not already deferred (the
         # replay-idempotence anti-join); admitted-later rows are
         # excluded at READ time via the prior anti-join above
@@ -1354,8 +1377,12 @@ def start_corpus_pipeline(spark, sitemap_dir: str, warc_dir: str,
     corpus_dir = f"{out_root}/corpus"
     ck = f"{out_root}/_ck"
     # file stream sources need the directory to EXIST at start; the
-    # producing stage may not have appended yet
-    for d in (admitted_dir, f"{prep_dir}/docs"):
+    # producing stage may not have appended yet.  The index sink's
+    # _spark_metadata dir is pre-created so the detect stage's source
+    # commits to metadata-log mode from its first initialization
+    # (exactly-once off the sink log) regardless of query start order.
+    for d in (admitted_dir, f"{prep_dir}/docs",
+              f"{index_dir}/_spark_metadata"):
         _os.makedirs(d, exist_ok=True)
 
     qs: dict = {}
@@ -1370,12 +1397,23 @@ def start_corpus_pipeline(spark, sitemap_dir: str, warc_dir: str,
     if politeness:
         from .windows import start_anomaly_detection
 
-        # keyed 'host' — the column anomaly_backoff joins the schedule
-        # on (same value as the pages' domain: the Target-URI host)
-        arrivals = warc_response_pages(
-            warc_gz_source(spark, warc_dir, watermark=watermark),
-            extra_cols=("ingest_ts",)).select(
-            F.col("domain").alias("host"), "ingest_ts")
+        # chained off the INDEX SINK (sink -> source, the prep/ingest
+        # posture) instead of a THIRD gunzip+parse pass over the crawl
+        # volume (review find r15): the index already carries
+        # (warc_type, target_uri, ingest_ts) per record as cheap
+        # columnar data, and the file-sink log hands it downstream
+        # exactly-once.  Keyed 'host' — the same stripped Target-URI
+        # host the schedule keys on (uri_host, one rendering), so the
+        # backoff join can never miss per URI variant.
+        arrivals = (
+            spark.readStream
+            .schema("warc_type string, target_uri string, "
+                    "ingest_ts timestamp")
+            .parquet(index_dir)
+            .where(F.col("warc_type") == "response")
+            .select(uri_host(F.col("target_uri")).alias("host"),
+                    "ingest_ts")
+            .withWatermark("ingest_ts", watermark))
         qs["detect"] = start_anomaly_detection(
             arrivals, anomalies_dir, f"{ck}/detect",
             id_col="host", ts_col="ingest_ts")
