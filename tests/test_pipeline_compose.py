@@ -252,6 +252,97 @@ def test_composed_pipeline_mid_chain_restart_parity(spark, tmp_path):
     assert all((r.n_anomalies or 0) == 0 for r in sched)
 
 
+def test_admission_robots_tombstone_and_pacing(spark, tmp_path):
+    """The robots.txt arm of the composed admission: a seeded page
+    robots-rejected gets a PERMANENT tombstone (exactly one row, not
+    retried or re-tombstoned on later batches), and the politeness
+    schedule keys on the STRIPPED host (a ported URI variant shares
+    its host's slot sequence and Crawl-delay pacing — the r15 review
+    find) with per-slot pacing for delay-carrying hosts."""
+    from pyspark.sql import functions as F
+
+    from simpy__kafka__flink__kafka_spark.functions.robots import (
+        robots_rules)
+    from simpy__kafka__flink__kafka_spark.streaming.corpus import (
+        start_frontier_admission)
+
+    html = _mk_fixture(spark, 6)
+    wc = str(tmp_path / "wc")
+    frontier = str(tmp_path / "frontier")
+    admitted = str(tmp_path / "admitted")
+    sched = str(tmp_path / "sched")
+    ckpt = str(tmp_path / "ckpt")
+
+    # frontier: docs 0..5 seeded, doc 1 additionally via a PORTED URI
+    rows = [(f"site-{d % 2}.example.com",
+             f"https://site-{d % 2}.example.com/p/{d}")
+            for d in range(6)]
+    rows.append(("site-1.example.com",
+                 "https://site-1.example.com:8443/p/1"))
+    spark.createDataFrame(rows, "domain string, url string") \
+        .write.parquet(frontier)
+
+    # robots: site-1 disallows /p/3
+    rules = robots_rules(spark.createDataFrame(
+        [("site-1.example.com",
+          "User-agent: *\nDisallow: /p/3\n")],
+        "domain string, robots_txt string")).localCheckpoint()
+    delays = spark.createDataFrame(
+        [("site-0.example.com", 7.0)], "host string, crawl_delay double")
+
+    # shard 1: docs 0..3 plus doc 1 on the ported authority (a
+    # DISTINCT canonical url, so the stream dedup keeps it)
+    _write_shards(wc, html, [(1, [0, 1, 2, 3])])
+    import gzip as _gz
+
+    from simpy__kafka__flink__kafka_spark.functions.html import (
+        WARC_MARKER)
+
+    ported = (WARC_MARKER + "WARC-Type: response\r\n"
+              + "WARC-Target-URI: https://site-1.example.com:8443/p/1"
+              + "\r\n" + f"Content-Length: {len(html[1])}\r\n\r\n"
+              + html[1])
+    with open(f"{wc}/crawl-00002.warc.gz", "wb") as f:
+        f.write(_gz.compress(ported.encode()))
+
+    q = start_frontier_admission(spark, wc, frontier, admitted, ckpt,
+                                 robots_rules_df=rules,
+                                 schedule_dir=sched, delays_df=delays,
+                                 per_wave=2, default_delay_s=1.0)
+    try:
+        q.processAllAvailable()
+        # later batch: one more doc — the tombstoned page must not be
+        # retried or re-tombstoned
+        _write_shards(wc, html, [(3, [4, 5])])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    adm = spark.read.parquet(admitted).collect()
+    # doc 3: robots-rejected (tombstoned); doc 5: noindex meta (the
+    # stateless directive filter, upstream of the batch — never
+    # deferred, never tombstoned)
+    assert {r.url for r in adm} == (
+        {f"https://site-{d % 2}.example.com/p/{d}"
+         for d in (0, 1, 2, 4)}
+        | {"https://site-1.example.com:8443/p/1"})
+    rej = spark.read.parquet(f"{admitted}_deferred_rejected").collect()
+    assert len(rej) == 1               # exactly one tombstone, ever
+
+    sr = {r.doc_id: r for r in spark.read.parquet(sched).collect()}
+    assert len(sr) == len(adm)
+    # the ported variant pacing-shares site-1's stripped host
+    hosts = {r.host for r in sr.values()}
+    assert hosts == {"site-0.example.com", "site-1.example.com"}
+    s1 = sorted(r.slot for r in sr.values()
+                if r.host == "site-1.example.com")
+    assert s1 == list(range(len(s1)))  # dense incl. the ported page
+    # per-slot Crawl-delay pacing for the delay-carrying host
+    for r in sr.values():
+        if r.host == "site-0.example.com":
+            assert r.not_before_s == 7.0 * r.slot
+
+
 def test_admission_defers_pre_seed_pages(spark, tmp_path):
     """Shard delivery racing frontier growth: pages arriving BEFORE
     their sitemap is seeded defer (sink-side state) and admit on a
