@@ -722,8 +722,18 @@ def gopher_repetition(df: DataFrame, id_col: str = "doc_id",
         F.explode(F.concat(*[gram_structs(n)
                              for n in (2, 3, 4, 5, 10)])).alias("t")
     ).select("doc_id", "t.n", "t.p", "t.h", "t.glen")
+    # ONE aggregation serves BOTH branches (round 15 — the former
+    # layout referenced g_all twice, so the whole 21-structs-per-word
+    # construction EXECUTED twice and the coverage branch paid an
+    # extra join shuffle): occurrence counts for every n, plus the
+    # occurrence POSITIONS carried through the same exchange for the
+    # coverage n's only (conditional collect_list — empty for
+    # n in {2,3,4}).  The list is bounded per group by the doc's own
+    # word count (the collect_set-in-link_traces bound).
     gc = g_all.groupBy("doc_id", "n", "h", "glen").agg(
-        F.count(F.lit(1)).alias("cnt"))
+        F.count(F.lit(1)).alias("cnt"),
+        F.collect_list(F.when(F.col("n").isin(5, 10), F.col("p")))
+        .alias("ps"))
     # a gram seen ONCE is not repetition: without this floor every
     # short document trivially fails the top-gram bounds.  The
     # published tie-break (lexicographically smallest gram among those
@@ -736,11 +746,9 @@ def gopher_repetition(df: DataFrame, id_col: str = "doc_id",
                 F.max(F.when(F.col("n") == 3, tc)).alias("_top3"),
                 F.max(F.when(F.col("n") == 4, tc)).alias("_top4")))
     # dup coverage: word positions covered by ANY >=2x gram, unioned
-    # per (doc, n) — one shared word-length frame serves both n values
-    dup_pos = (g_all.where(F.col("n").isin(5, 10))
-               .join(gc.where(F.col("cnt") >= 2)
-                     .select("doc_id", "n", "h", "glen"),
-                     ["doc_id", "n", "h", "glen"])
+    # per (doc, n) — straight off the carried positions, no join-back
+    dup_pos = (gc.where((F.col("cnt") >= 2) & F.col("n").isin(5, 10))
+               .select("doc_id", "n", F.explode("ps").alias("p"))
                .select("doc_id", "n",
                        F.explode(F.sequence(
                            F.col("p"), F.col("p") + F.col("n") - 1))
