@@ -722,14 +722,20 @@ def gopher_repetition(df: DataFrame, id_col: str = "doc_id",
         F.explode(F.concat(*[gram_structs(n)
                              for n in (2, 3, 4, 5, 10)])).alias("t")
     ).select("doc_id", "t.n", "t.p", "t.h", "t.glen")
-    # ONE aggregation serves BOTH branches (round 15 — the former
-    # layout referenced g_all twice, so the whole 21-structs-per-word
-    # construction EXECUTED twice and the coverage branch paid an
-    # extra join shuffle): occurrence counts for every n, plus the
-    # occurrence POSITIONS carried through the same exchange for the
-    # coverage n's only (conditional collect_list — empty for
-    # n in {2,3,4}).  The list is bounded per group by the doc's own
-    # word count (the collect_set-in-link_traces bound).
+    # The coverage branch rides the gram aggregation (round 15): the
+    # former layout executed the 21-structs-per-word construction a
+    # THIRD time and paid a join-back shuffle to recover coverage
+    # positions; they now ride the aggregate as a conditional
+    # collect_list (empty for n in {2,3,4}), bounded per group by the
+    # doc's own word count (the collect_set-in-link_traces bound).
+    # Honest plan note (review r15): the tops branch still executes
+    # its OWN pruned construction+aggregate (Catalyst drops the
+    # collect_list column, so the subplans differ and ReuseExchange
+    # cannot fire) — the physical plan runs TWO constructions, down
+    # from three.  Pinning gc to get to one was A/B'd at x1/x10 and
+    # measured flat (5.55 -> 5.30 / 45.4 -> 45.0 s: the pruned branch
+    # is cheap and the cache write offsets the recompute), so the
+    # unpinned form stays.
     gc = g_all.groupBy("doc_id", "n", "h", "glen").agg(
         F.count(F.lit(1)).alias("cnt"),
         F.collect_list(F.when(F.col("n").isin(5, 10), F.col("p")))

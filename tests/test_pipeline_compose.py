@@ -63,7 +63,12 @@ def _write_sitemaps(path: str, docs: list[int]) -> None:
 
 
 def _write_shards(path: str, html: dict, shards: list[tuple[int, list[int]]],
-                  unseeded_in: int | None = None) -> None:
+                  unseeded_in: int | None = None,
+                  extra: dict[int, list[tuple[str, int]]] | None = None,
+                  ) -> None:
+    """``extra`` maps shard id -> [(uri, doc)] records appended after
+    the shard's regular members — ONE rec() rendering for every
+    fixture record in this file."""
     from simpy__kafka__flink__kafka_spark.functions.html import (
         WARC_MARKER)
 
@@ -83,6 +88,8 @@ def _write_shards(path: str, html: dict, shards: list[tuple[int, list[int]]],
         if unseeded_in == sid:
             members.append(rec(
                 "https://site-0.example.com/unseeded/999", html[docs[0]]))
+        for uri, d in (extra or {}).get(sid, []):
+            members.append(rec(uri, html[d]))
         with open(f"{path}/crawl-{sid:05d}.warc.gz", "wb") as f:
             f.write(b"".join(members))
 
@@ -259,8 +266,6 @@ def test_admission_robots_tombstone_and_pacing(spark, tmp_path):
     schedule keys on the STRIPPED host (a ported URI variant shares
     its host's slot sequence and Crawl-delay pacing — the r15 review
     find) with per-slot pacing for delay-carrying hosts."""
-    from pyspark.sql import functions as F
-
     from simpy__kafka__flink__kafka_spark.functions.robots import (
         robots_rules)
     from simpy__kafka__flink__kafka_spark.streaming.corpus import (
@@ -290,20 +295,11 @@ def test_admission_robots_tombstone_and_pacing(spark, tmp_path):
     delays = spark.createDataFrame(
         [("site-0.example.com", 7.0)], "host string, crawl_delay double")
 
-    # shard 1: docs 0..3 plus doc 1 on the ported authority (a
+    # shards 1-2: docs 0..3 plus doc 1 on the ported authority (a
     # DISTINCT canonical url, so the stream dedup keeps it)
-    _write_shards(wc, html, [(1, [0, 1, 2, 3])])
-    import gzip as _gz
-
-    from simpy__kafka__flink__kafka_spark.functions.html import (
-        WARC_MARKER)
-
-    ported = (WARC_MARKER + "WARC-Type: response\r\n"
-              + "WARC-Target-URI: https://site-1.example.com:8443/p/1"
-              + "\r\n" + f"Content-Length: {len(html[1])}\r\n\r\n"
-              + html[1])
-    with open(f"{wc}/crawl-00002.warc.gz", "wb") as f:
-        f.write(_gz.compress(ported.encode()))
+    _write_shards(
+        wc, html, [(1, [0, 1, 2, 3]), (2, [])],
+        extra={2: [("https://site-1.example.com:8443/p/1", 1)]})
 
     q = start_frontier_admission(spark, wc, frontier, admitted, ckpt,
                                  robots_rules_df=rules,
@@ -329,7 +325,12 @@ def test_admission_robots_tombstone_and_pacing(spark, tmp_path):
     rej = spark.read.parquet(f"{admitted}_deferred_rejected").collect()
     assert len(rej) == 1               # exactly one tombstone, ever
 
-    sr = {r.doc_id: r for r in spark.read.parquet(sched).collect()}
+    sched_rows = spark.read.parquet(sched).collect()
+    # RAW row count first: a replay-idempotence regression that
+    # double-appended schedule rows must not hide behind a doc_id-
+    # keyed dict (review find r15)
+    assert len(sched_rows) == len(adm)
+    sr = {r.doc_id: r for r in sched_rows}
     assert len(sr) == len(adm)
     # the ported variant pacing-shares site-1's stripped host
     hosts = {r.host for r in sr.values()}
