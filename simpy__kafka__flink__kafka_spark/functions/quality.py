@@ -643,49 +643,50 @@ def gopher_repetition(df: DataFrame, id_col: str = "doc_id",
     - ``passes_repetition``: 1 iff every signal is within the
       published bound (:data:`GOPHER_REP_THRESHOLDS_PPM`).
 
-    Scale shape: every aggregation is per-doc keyed (map-side
-    combinable, no cross-doc joins); the gram stages explode at most
-    ``4 + 5 + 10`` tokens per word, the same order as the dedup
-    shingle stages.  Every counting exchange is keyed on
-    ``(xxhash64(text), length(text))`` instead of the text itself
-    (round-14, VERDICT r13 task 2): the battery only ever consumes a
-    segment/gram's IDENTITY and LENGTH, so full strings never leave
-    the map stage — at sf0.1 the gram shuffle drops from ~21
-    gram-strings per word to 12 bytes per gram.  The top-gram
-    lexicographic tie-break the published battery describes is
-    value-invariant (tied grams have equal ``cnt * length``, and only
-    that product reaches the output), so the top stage is a plain
-    ``max`` — no string join-back is needed.  A same-doc same-length
-    xxhash64 collision would merge two grams; at < 2^-40 per document
-    this is the standard sketch-grade exemption (the md5-fingerprint
-    dedup rows make the same trade).  Docs with no words/lines keep a
-    row with zero signals and ``passes_repetition`` 1 (the keep-empty
-    contract).  Output: (id_col, n_lines, all nine ppm columns,
+    Scale shape: line/paragraph duplicate stats are in-row array
+    expressions (array_distinct identities — zero shuffle, exact
+    string comparison); the gram stage explodes at most ``4 + 5 + 10``
+    tokens per word ONCE, its counting exchange keyed on
+    ``(xxhash64 gram identity, length)`` so gram strings never leave
+    the map stage (round-14, VERDICT r13 task 2), and ONE per-doc
+    aggregation off that count carries the three top-gram maxima plus
+    the n=5/10 dup-gram position lists (round-15: the former separate
+    tops/covers branches re-executed the gram construction and paid an
+    explode+distinct+join for coverage).  The top-gram lexicographic
+    tie-break the published battery describes is value-invariant
+    (tied grams have equal ``cnt * length``, and only that product
+    reaches the output), so the top stage is a plain ``max``.  A
+    same-doc same-length xxhash64 gram collision would merge two
+    grams; at < 2^-40 per document this is the standard sketch-grade
+    exemption (the md5-fingerprint dedup rows make the same trade).
+    Docs with no words/lines keep a row with zero signals and
+    ``passes_repetition`` 1 (the keep-empty contract).
+    Output: (id_col, n_lines, all nine ppm columns,
     passes_repetition)."""
     base = df.select(F.col(id_col).alias("doc_id"),
                      F.col(text_col).alias("text"))
     norm_len = F.length(normalized("text"))
 
-    def seg_stats(sep: str, prefix: str) -> DataFrame:
-        seg = base.select(
-            "doc_id",
-            F.explode(F.filter(F.split("text", sep),
-                               lambda x: F.length(x) > 0)).alias("s"))
-        # identity+length only — the segment string stays map-side
-        g = (seg.select("doc_id", F.xxhash64("s").alias("h"),
-                        F.length("s").alias("slen"))
-             .groupBy("doc_id", "h", "slen")
-             .agg(F.count(F.lit(1)).alias("cnt")))
-        return g.groupBy("doc_id").agg(
-            F.sum("cnt").cast("long").alias(f"{prefix}_n"),
-            F.sum(F.col("cnt") - 1).cast("long").alias(f"{prefix}_dup"),
-            F.sum(F.col("cnt") * F.col("slen")).cast("long")
-            .alias(f"{prefix}_chars"),
-            F.sum((F.col("cnt") - 1) * F.col("slen")).cast("long")
-            .alias(f"{prefix}_dup_chars"))
-
-    line_stats = seg_stats(r"\n", "line")
-    para_stats = seg_stats(r"\n\n", "para")
+    # Line/paragraph duplicate stats are per-doc facts over the doc's
+    # own segments, so they never need to leave the row (round-15 opt:
+    # the former explode -> groupBy(doc,h,slen) -> groupBy(doc) pair
+    # cost two exchanges and a re-scan PER segmentation).  The dup
+    # identities fall out of array_distinct:
+    #   dup      = n - |distinct|        (sum over groups of cnt-1)
+    #   dup_chars = chars - distinct_chars (sum of (cnt-1)*len)
+    def seg_cols(sep: str, prefix: str) -> list[Column]:
+        arr = F.filter(F.split("text", sep), lambda x: F.length(x) > 0)
+        uq = F.array_distinct(arr)
+        chars = F.aggregate(arr, F.lit(0).cast("long"),
+                            lambda a, x: a + F.length(x))
+        uchars = F.aggregate(uq, F.lit(0).cast("long"),
+                             lambda a, x: a + F.length(x))
+        return [
+            F.size(arr).cast("long").alias(f"{prefix}_n"),
+            (F.size(arr) - F.size(uq)).cast("long").alias(f"{prefix}_dup"),
+            chars.alias(f"{prefix}_chars"),
+            (chars - uchars).alias(f"{prefix}_dup_chars"),
+        ]
 
     ws = words("text")
 
@@ -722,20 +723,16 @@ def gopher_repetition(df: DataFrame, id_col: str = "doc_id",
         F.explode(F.concat(*[gram_structs(n)
                              for n in (2, 3, 4, 5, 10)])).alias("t")
     ).select("doc_id", "t.n", "t.p", "t.h", "t.glen")
-    # The coverage branch rides the gram aggregation (round 15): the
-    # former layout executed the 21-structs-per-word construction a
-    # THIRD time and paid a join-back shuffle to recover coverage
-    # positions; they now ride the aggregate as a conditional
-    # collect_list (empty for n in {2,3,4}), bounded per group by the
-    # doc's own word count (the collect_set-in-link_traces bound).
-    # Honest plan note (review r15): the tops branch still executes
-    # its OWN pruned construction+aggregate (Catalyst drops the
-    # collect_list column, so the subplans differ and ReuseExchange
-    # cannot fire) — the physical plan runs TWO constructions, down
-    # from three.  Pinning gc to get to one was A/B'd at x1/x10 and
-    # measured flat (5.55 -> 5.30 / 45.4 -> 45.0 s: the pruned branch
-    # is cheap and the cache write offsets the recompute), so the
-    # unpinned form stays.
+    # Tops AND coverage ride ONE aggregation chain off gc (round-15
+    # opt): the former separate tops/covers branches diverged after
+    # Catalyst pruned the collect_list column from the tops side, so
+    # the 21-structs-per-word construction executed TWICE and coverage
+    # paid an explode+distinct exchange plus a per-word join.  One
+    # groupBy(doc_id) now carries the three top maxima and the n=5/10
+    # dup-gram position lists; coverage char sums are computed AFTER
+    # the single doc-keyed join, from the row's own word-length array
+    # (positions -> sequence -> flatten -> array_distinct -> sum of
+    # element_at), bounded per doc by its word count.
     gc = g_all.groupBy("doc_id", "n", "h", "glen").agg(
         F.count(F.lit(1)).alias("cnt"),
         F.collect_list(F.when(F.col("n").isin(5, 10), F.col("p")))
@@ -746,34 +743,33 @@ def gopher_repetition(df: DataFrame, id_col: str = "doc_id",
     # with max cnt*length) never changes the VALUE cnt*length, so a
     # plain max replaces the former row_number window.
     tc = (F.col("cnt") * F.col("glen")).cast("long")
-    tops = (gc.where((F.col("cnt") >= 2) & F.col("n").isin(2, 3, 4))
-            .groupBy("doc_id").agg(
-                F.max(F.when(F.col("n") == 2, tc)).alias("_top2"),
-                F.max(F.when(F.col("n") == 3, tc)).alias("_top3"),
-                F.max(F.when(F.col("n") == 4, tc)).alias("_top4")))
-    # dup coverage: word positions covered by ANY >=2x gram, unioned
-    # per (doc, n) — straight off the carried positions, no join-back
-    dup_pos = (gc.where((F.col("cnt") >= 2) & F.col("n").isin(5, 10))
-               .select("doc_id", "n", F.explode("ps").alias("p"))
-               .select("doc_id", "n",
-                       F.explode(F.sequence(
-                           F.col("p"), F.col("p") + F.col("n") - 1))
-                       .alias("wp"))
-               .distinct())
-    wl = base.select(
-        "doc_id", F.posexplode(ws).alias("wp0", "w")).select(
-            "doc_id", (F.col("wp0") + 1).alias("wp"),
-            F.length("w").alias("wlen"))
-    covers = (dup_pos.join(wl, ["doc_id", "wp"])
-              .groupBy("doc_id").agg(
-                  F.sum(F.when(F.col("n") == 5, F.col("wlen")))
-                  .cast("long").alias("_dup5"),
-                  F.sum(F.when(F.col("n") == 10, F.col("wlen")))
-                  .cast("long").alias("_dup10")))
+    dup2 = F.col("cnt") >= 2
+    gagg = gc.groupBy("doc_id").agg(
+        F.max(F.when(dup2 & (F.col("n") == 2), tc)).alias("_top2"),
+        F.max(F.when(dup2 & (F.col("n") == 3), tc)).alias("_top3"),
+        F.max(F.when(dup2 & (F.col("n") == 4), tc)).alias("_top4"),
+        F.flatten(F.collect_list(
+            F.when(dup2 & (F.col("n") == 5), F.col("ps")))).alias("_p5"),
+        F.flatten(F.collect_list(
+            F.when(dup2 & (F.col("n") == 10), F.col("ps")))).alias("_p10"))
 
-    out = base.select("doc_id", norm_len.alias("_nchars"))
-    for sdf in (line_stats, para_stats, tops, covers):
-        out = out.join(sdf, "doc_id", "left")
+    out = base.select(
+        "doc_id", norm_len.alias("_nchars"),
+        *seg_cols(r"\n", "line"), *seg_cols(r"\n\n", "para"),
+        F.transform(ws, lambda w: F.length(w)).alias("_wl"),
+    ).join(gagg, "doc_id", "left")
+
+    # dup coverage: word positions covered by ANY >=2x gram (position
+    # union via array_distinct), summed through the in-row lengths
+    def cov_chars(parr: str, n: int) -> Column:
+        cov = F.array_distinct(F.flatten(F.transform(
+            F.col(parr),
+            lambda p: F.sequence(p, p + F.lit(n - 1)))))
+        return F.aggregate(cov, F.lit(0).cast("long"),
+                           lambda a, x: a + F.element_at("_wl", x))
+
+    out = out.withColumn("_dup5", cov_chars("_p5", 5)) \
+             .withColumn("_dup10", cov_chars("_p10", 10))
 
     # ONE integer-ppm rendering: floor(1e6 * num / den), 0 on empty.
     # The numerator is truncated to an exact multiple of den first, so

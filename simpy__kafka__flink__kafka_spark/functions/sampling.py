@@ -427,9 +427,10 @@ def dsir_weights(docs: DataFrame, target: Column | None = None,
     Scale shape: grams stay in-row (zip_with bigrams, zero-shuffle)
     until ONE explode; the two distribution tables are dim-sized
     aggregates (map-side combined, broadcast back); the only
-    full-width exchange is the final per-doc sum.  At 100 TB the
-    tokenized frame would be persisted once and both passes read it —
-    here the documents scan is re-read (filters/pruning pushed down).
+    full-width exchange is the final per-doc sum.  The bucketed gram
+    frame is pinned so the explode + md5 fold executes once for both
+    distribution passes (at 100 TB: persist the tokenized frame once
+    and read it for both — the same shape).
 
     Output: (id_col, n_grams, is_target, log_weight, selected).
     """
@@ -451,11 +452,19 @@ def dsir_weights(docs: DataFrame, target: Column | None = None,
         grams.alias("grams"),
         target.cast("int").alias("is_target"),
     )
-    exploded = base.select(
+    from ..cachepin import pin
+
+    # pinned: the bucketed gram-instance frame feeds BOTH distribution
+    # passes (the dim-sized dist aggregate and the per-doc weight sum);
+    # unpinned, the explode + per-gram md5 fold executed twice (round-15
+    # measurement).  The pinned rows are three small ints per gram —
+    # the in-session form of the "persist the tokenized frame once and
+    # read it for both passes" posture the 100 TB note below describes.
+    exploded = pin(base.select(
         id_col, "is_target",
         F.explode("grams").alias("g"),
     ).select(id_col, "is_target", _gram_bucket(F.col("g"), dim)
-             .alias("bucket"))
+             .alias("bucket")))
 
     dist = exploded.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("q_b"),
