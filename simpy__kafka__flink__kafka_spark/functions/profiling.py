@@ -110,23 +110,26 @@ def corpus_datasheet(docs: DataFrame, id_col: str = "doc_id",
     keyed on (source, lang) for the modal-language count and ONE
     source-keyed aggregate; sources are dimension-cardinality so the
     final frames are broadcast-sized."""
-    from .text import language_id, normalized, quality_score, token_count
-    from .text import words as _words
+    from .text import language_id_agg, normalized, quality_score, token_count
 
     from ..cachepin import pin
 
-    # pinned: the per-doc projection (tokenize + md5 + the large lang
-    # expression + quality) feeds BOTH the source aggregate and the
-    # modal-language aggregate, which shuffle on different keys — no
-    # exchange reuse, so unpinned it would execute twice (review find)
+    # pinned: the per-doc projection (tokenize + md5 + lang + quality)
+    # feeds BOTH the source aggregate and the modal-language aggregate,
+    # which shuffle on different keys — no exchange reuse, so unpinned
+    # it would execute twice (review find).  The language prediction
+    # joins in from the codegen agg form (round-15: the per-row
+    # interpreted fold cost ~2.6 s for 5000 docs inside this
+    # projection).
     per = pin(docs.select(
+        F.col(id_col),
         F.col(source_col).alias("source"),
         token_count(text_col).cast("long").alias("n_tok"),
         F.md5(normalized(text_col)).alias("fp"),
-        language_id(_words(text_col)).alias("lang"),
         F.floor(quality_score(text_col) * 1_000_000).cast("long")
         .alias("q_micros"),
-    ))
+    ).join(language_id_agg(docs, id_col=id_col, text_col=text_col),
+           id_col).drop(id_col))
     agg = per.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_tok").cast("long").alias("n_tokens"),

@@ -451,6 +451,11 @@ def bigram_lm_score(df: DataFrame, id_col: str = "doc_id",
         .select("doc_id", "p.w1", "p.w2")
         .where((F.length("w1") > 0) & (F.length("w2") > 0))
     )
+    # pinned (round-15): the instance stream feeds BOTH the count table
+    # and the scoring join — unpinned, the split+zip_with+explode ran
+    # twice (the dsir_weights pattern; at 100 TB this is the persisted
+    # tokenized frame both passes read)
+    bigrams = pin(bigrams)
     if counts_df is None:
         # pinned: the count table feeds the prefix table, the vocab
         # aggregate, AND the scoring join — vocabulary-sized (bounded),
@@ -508,14 +513,16 @@ def ccnet_buckets(df: DataFrame, id_col: str = "doc_id",
     Output: (id_col, lang, lm_score, bucket_idx, bucket) — bucket is
     head/middle/tail for k=3, ``b{i}`` otherwise."""
     from ..cachepin import pin
-    from ..operators.sequences import ranged_prefix_sum, ranged_row_number
-    from .text import language_id, words
+    from ..operators.sequences import ranged_row_number
+    from .text import language_id_agg
 
     if k < 1:
         raise ValueError("k must be >= 1")
     base = df.select(F.col(id_col).alias("doc_id"),
                      F.col(text_col).alias("text"))
-    lang = base.select("doc_id", language_id(words("text")).alias("lang"))
+    # codegen agg form, not the interpreted per-row fold (round-15:
+    # the per-row form cost ~3.5 s of this plan's 5 s at sf0.1)
+    lang = language_id_agg(base)
     lm = bigram_lm_score(base, counts_df=counts_df).select(
         "doc_id", "lm_score")
     # pinned: repartitionByRange's boundary sampling would otherwise
@@ -525,10 +532,15 @@ def ccnet_buckets(df: DataFrame, id_col: str = "doc_id",
                  .withColumn("_neg", -F.col("lm_score")))
     ranked = ranged_row_number(scored, ["lang", "_neg", "doc_id"],
                                out_col="_gseq")
-    counts = scored.groupBy("lang").agg(
+    # Each language's exclusive prefix count over lang order IS
+    # min(_gseq) - 1 for that language (the global sequence is
+    # contiguous over (lang, ...) order), so the offset table comes
+    # straight off the ranked frame — one tiny lang-keyed aggregate —
+    # instead of a second ranged_prefix_sum machinery (range exchange +
+    # cache + triangle join) over the count frame (round-15 opt).
+    offs = ranked.groupBy("lang").agg(
+        (F.min("_gseq") - 1).cast("long").alias("_loff"),
         F.count(F.lit(1)).cast("long").alias("_n"))
-    offs = ranged_prefix_sum(counts, ["lang"], "_n", out_col="_loff",
-                             exclusive=True)
     idx = F.expr(f"((_gseq - _loff - 1) * {k}) div _n").cast("int")
     if k == 3:
         label = (F.when(idx == 0, "head")

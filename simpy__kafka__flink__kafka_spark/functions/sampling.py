@@ -306,10 +306,14 @@ def leakage_safe_split(docs: DataFrame,
                                   F.col(text_col).alias("text"))))
     base = docs.select(F.col(id_col).alias("doc_id"),
                        F.col(text_col).alias("text"))
-    pairs = verify_jaccard(
-        base, minhash_lsh_pairs(base, shingle_df=sh),
-        threshold=0.5, shingle_df=sh,
-    ).select("doc_a", "doc_b")
+    # pin cand AND pairs (round-15): verify_jaccard reads cand twice,
+    # and near_dup_clusters materializes two pinned frames off pairs
+    # (nodes + edges) — unpinned, the LSH+verify subtree executed four
+    # times in this plan
+    cand = pin(minhash_lsh_pairs(base, shingle_df=sh))
+    pairs = pin(verify_jaccard(
+        base, cand, threshold=0.5, shingle_df=sh,
+    ).select("doc_a", "doc_b"))
     clusters = near_dup_clusters(pairs)
     full = base.select("doc_id").join(clusters, "doc_id", "left").select(
         F.col("doc_id").alias(id_col),

@@ -67,7 +67,14 @@ def language_scores(ws: Column) -> dict[str, Column]:
 
 def language_id(ws: Column) -> Column:
     """argmax over per-language stopword hits; ties go to the earlier entry
-    in ``LANGS`` (deterministic)."""
+    in ``LANGS`` (deterministic).
+
+    Per-row higher-order-filter form — interpreted, ~5x slower than the
+    codegen :func:`language_id_agg` at sf0.1 (round-15 measurement; the
+    _q_language_id comment recorded the same gap in round 4).  Use it
+    only where a per-row COLUMN is required (streaming selects); batch
+    plans that can afford one id-keyed exchange should use the agg
+    twin."""
     scores = language_scores(ws)
     best_lang = F.lit(LANGS[0])
     best_score = scores[LANGS[0]]
@@ -76,6 +83,31 @@ def language_id(ws: Column) -> Column:
         best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
         best_score = F.when(better, scores[lang]).otherwise(best_score)
     return best_lang
+
+
+def language_id_agg(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text",
+                    out_col: str = "lang") -> DataFrame:
+    """(id_col, out_col) — :func:`language_id` as an explode +
+    conditional-sum aggregation: whens over an exploded token column
+    stay in whole-stage codegen, where the per-row array-filter lambdas
+    are interpreted (5 langs x every row measured 2.6 s for 5000 docs).
+    Same scores, same argmax fold, identical values — ``words`` always
+    yields >= 1 token (empty text tokenizes to [""]), so every input
+    doc keeps a row.  ONE exchange keyed on id_col."""
+    tok = df.select(F.col(id_col), F.explode(words(text_col)).alias("w"))
+    agg = tok.groupBy(id_col).agg(*[
+        F.sum(F.when(F.col("w").isin(STOPWORDS[lang]), 1).otherwise(0))
+        .alias(f"s_{lang}")
+        for lang in LANGS
+    ])
+    best_lang = F.lit(LANGS[0])
+    best_score = F.col(f"s_{LANGS[0]}")
+    for lang in LANGS[1:]:
+        better = F.col(f"s_{lang}") > best_score
+        best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(better, F.col(f"s_{lang}")).otherwise(best_score)
+    return agg.select(F.col(id_col), best_lang.alias(out_col))
 
 
 def quality_score(text_col: Column | str = "text") -> Column:

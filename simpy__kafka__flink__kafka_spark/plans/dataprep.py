@@ -76,25 +76,12 @@ def _q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     # explode + conditional-sum aggregation rather than per-row array-filter
     # lambdas: higher-order filters are interpreted (5 langs x every row cost
     # 2.6 s for 5000 docs); whens over an exploded token column stay in
-    # whole-stage codegen.  Same scores, same argmax fold as
-    # functions.text.language_id (which remains the per-row expression form).
-    d = _docs(spark, sf_dir)
-    tok = d.select("doc_id", F.explode(words("text")).alias("w"))
-    agg = tok.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(F.col("w").isin(STOPWORDS[lang]), 1).otherwise(0)
-            ).alias(f"s_{lang}")
-            for lang in LANGS
-        ]
-    )
-    best_lang = F.lit(LANGS[0])
-    best_score = F.col(f"s_{LANGS[0]}")
-    for lang in LANGS[1:]:
-        better = F.col(f"s_{lang}") > best_score
-        best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
-        best_score = F.when(better, F.col(f"s_{lang}")).otherwise(best_score)
-    return agg.select("doc_id", best_lang.alias("lang_pred"))
+    # whole-stage codegen.  One rendering for every batch consumer
+    # (round-15: ccnet_buckets and corpus_datasheet now share it too) —
+    # functions/text.py:language_id_agg.
+    from ..functions.text import language_id_agg
+
+    return language_id_agg(_docs(spark, sf_dir), out_col="lang_pred")
 
 
 def _lang_pred_ctes() -> str:
@@ -280,10 +267,13 @@ def _q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pin the VERIFIED pair set too: the fixed-round propagation
     # references it once per round (und appears in every join), so an
     # unpinned pairs frame re-evaluates the whole LSH+verify subtree
-    # iterations+1 times (measured 27 s -> ~3 s at sf0.01)
+    # iterations+1 times (measured 27 s -> ~3 s at sf0.01).  The LSH
+    # candidate frame is pinned as well (round-15): verify_jaccard
+    # references it twice (candidate-doc filter + pair join), so an
+    # unpinned cand executed the signature subtree twice.
+    cand = pin(dedup.minhash_lsh_pairs(docs, shingle_df=sh))
     pairs = pin(dedup.verify_jaccard(
-        docs, dedup.minhash_lsh_pairs(docs, shingle_df=sh),
-        threshold=0.5, shingle_df=sh,
+        docs, cand, threshold=0.5, shingle_df=sh,
     ).select("doc_a", "doc_b"))
     return dedup.near_dup_clusters(pairs)
 
@@ -3808,10 +3798,13 @@ def _q_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     sh = pin(shingles(docs))
     # pinned: the pair set feeds the cluster propagation rounds AND the
-    # per-doc weight join (see _q_near_dup_clusters)
+    # per-doc weight join (see _q_near_dup_clusters); the LSH candidate
+    # frame is pinned too (round-15: verify_jaccard references it twice,
+    # so the unpinned form executed the signature subtree twice —
+    # measured 6.0 -> 4.1 s for the pair chain at sf0.1)
+    cand = pin(dedup.minhash_lsh_pairs(docs, shingle_df=sh))
     pairs = pin(dedup.verify_jaccard(
-        docs, dedup.minhash_lsh_pairs(docs, shingle_df=sh),
-        threshold=0.5, shingle_df=sh,
+        docs, cand, threshold=0.5, shingle_df=sh,
     ).select("doc_a", "doc_b"))
     return dedup.soft_dedup_weights(docs, pairs)
 
@@ -5719,15 +5712,15 @@ def _q_frontier_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the within-host rank is NOT a per-domain window — a
     mega-host (10^8 seeds on one origin) must never become one window
     partition sorted on a single task (the crawl_schedule lesson).  It
-    composes two scale-safe ranged operators instead: a global ranged
+    composes the scale-safe ranged row_number instead: a global ranged
     row_number over (domain, -priority, url) minus each domain's
-    exclusive prefix count over domain order (ranged prefix sum on the
-    DOMAIN-cardinality count frame) — identical output to
+    exclusive prefix count over domain order (= min(_gseq) - 1 per
+    domain, one tiny aggregate) — identical output to
     ``row_number() OVER (PARTITION BY domain ORDER BY priority DESC,
     url)``, which is exactly what the oracle runs."""
     from ..functions.crawl import host_reputation, parse_sitemap
     from ..functions.robots import robots_allowed, robots_rules
-    from ..operators.sequences import ranged_prefix_sum, ranged_row_number
+    from ..operators.sequences import ranged_row_number
 
     docs = _docs(spark, sf_dir)
     xmls, robots = _seed_sitemap_fixture(docs)
@@ -5744,10 +5737,13 @@ def _q_frontier_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .withColumn("_negp", -F.col("priority")))
     ranked = ranged_row_number(seeds, ["domain", "_negp", "loc"],
                                out_col="_gseq")
-    counts = ranked.groupBy("domain").agg(
-        F.count(F.lit(1)).cast("long").alias("_c"))
-    offs = ranged_prefix_sum(counts, ["domain"], "_c", out_col="_doff",
-                             exclusive=True).select("domain", "_doff")
+    # each domain's exclusive prefix count over domain order IS
+    # min(_gseq) - 1 (the global sequence is contiguous over
+    # (domain, ...) order) — one tiny domain-keyed aggregate off the
+    # ranked frame instead of a second ranged_prefix_sum machinery
+    # (round-15 opt; same rewrite as ccnet_buckets)
+    offs = ranked.groupBy("domain").agg(
+        (F.min("_gseq") - 1).cast("long").alias("_doff"))
     rep = host_reputation(docs.select(_seed_host_col().alias("host"),
                                       "text"))
     return (
