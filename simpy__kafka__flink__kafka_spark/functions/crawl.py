@@ -43,10 +43,17 @@ def admission_statuses(docs: DataFrame, urls: DataFrame, pages: DataFrame,
     (id, url); ``pages`` (id, html, headers); ``prior`` is a
     :func:`~..functions.dedup.snapshot_profile` of the previous crawl.
     Output: (id_col, status)."""
+    from pyspark.sql import Window as W
+
     canon = urls.select(id_col, canonicalize_url("url").alias("cu"))
-    keeper = canon.groupBy("cu").agg(F.min(id_col).alias("keeper_id"))
-    url_dup = (canon.join(keeper, "cu")
-               .where(F.col(id_col) != F.col("keeper_id"))
+    # keeper via ONE canonical-key window instead of groupBy +
+    # join-back (round-15): the join-back referenced canon twice, so
+    # the URL synthesis + canonicalization regexes executed twice, and
+    # it paid a second exchange.  min over the partition == the former
+    # groupBy min.
+    url_dup = (canon.withColumn("_keeper", F.min(id_col).over(
+                   W.partitionBy("cu")))
+               .where(F.col(id_col) != F.col("_keeper"))
                .select(id_col, F.lit(1).alias("_u")))
     robots = (robots_flags(pages, headers_col="headers", id_col=id_col)
               .where(F.col("noindex") == 1)

@@ -2246,13 +2246,13 @@ def _q_wet_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.html import (extract_main_content, parse_warc_gz,
                                   parse_warc_records)
 
-    recs = (parse_warc_gz(_warc_gz_fixture_media(spark, sf_dir))
-            .where(F.col("warc_type") == "response"))
+    # pinned (round-15): the extraction branch AND the uri join-back
+    # both read recs — unpinned, the Arrow gunzip+parse of every shard
+    # executed twice
+    recs = pin(parse_warc_gz(_warc_gz_fixture_media(spark, sf_dir))
+               .where(F.col("warc_type") == "response"))
     ex = extract_main_content(
         recs.select("doc_id", F.col("payload").alias("html")))
-    # responses are 1:1 per doc; the uri join-back is doc-keyed and
-    # tiny relative to the extraction (the fixture has one response
-    # per document)
     wet_src = ex.join(recs.select("doc_id", "target_uri"), "doc_id")
     wet = wet_src.select(
         "doc_id",
@@ -2295,8 +2295,10 @@ def _q_wat_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.html import parse_warc_gz, parse_warc_records
     from ..functions.quality import extract_links
 
-    recs = (parse_warc_gz(_warc_gz_fixture_media(spark, sf_dir))
-            .where(F.col("warc_type") == "response"))
+    # pinned (round-15): the link-extraction branch AND the header join
+    # both read recs — unpinned, the Arrow gunzip+parse executed twice
+    recs = pin(parse_warc_gz(_warc_gz_fixture_media(spark, sf_dir))
+               .where(F.col("warc_type") == "response"))
     links = extract_links(
         recs.select("doc_id", F.col("payload").alias("html")))
     j = recs.select("doc_id", "target_uri", "content_length").join(
