@@ -300,6 +300,28 @@ def _run_scale(spark, reg, sf_dir: str, base_times: dict[str, float],
     return {"factor": factor, "queries": out}
 
 
+def _task_time_ms(spark) -> int:
+    """Cumulative executor task time (ms) over every completed stage, read
+    from the JVM AppStatusStore (the UI's own data source; populated even
+    with spark.ui.enabled=false).  The bench samples it OUTSIDE the timed
+    region and reports per-query deltas, so the driver's low-core
+    comparison can see CPU-scaling directly: at sf0.1 most wall times sit
+    on the ~0.25 s scheduling floor where 8 cores already saturate the
+    work, which made the round-15 wall-clock ratios read ≈1 and the
+    scaling contract illegible (VERDICT r15 task 2).  task_sec/wall >> 1
+    is the legible form of "the cores are being used"."""
+    try:
+        sc = spark.sparkContext
+        store = sc._jsc.sc().statusStore()
+        gw = sc._gateway
+        empty = gw.jvm.java.util.ArrayList()
+        darr = gw.new_array(gw.jvm.double, 0)
+        seq = store.stageList(empty, False, False, darr, empty)
+        return sum(seq.apply(i).executorRunTime() for i in range(seq.size()))
+    except Exception:        # status store internals moved: non-fatal
+        return 0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("bench")
@@ -328,6 +350,10 @@ def main() -> None:
     warm = os.environ.get("SPARK_GRAFT_BENCH_MODE") == "warm"
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     times: dict[str, float] = {name: float("inf") for name in names}
+    # per-query executor task time (sum of task durations) for the best
+    # wall rep — sampled OUTSIDE the timed window (additions-only; the
+    # timed region and the queries dict are unchanged, VERDICT r15 task 2)
+    task_ms: dict[str, int] = {}
     if warm:
         for name in names:
             for _ in range(reps):
@@ -339,13 +365,17 @@ def main() -> None:
     else:
         for _ in range(reps):
             for name in names:
+                tt0 = _task_time_ms(spark)
                 t0 = time.perf_counter()
                 # noop sink materializes every output row without sink cost;
                 # count() would let Catalyst eliminate unique-key left joins
                 # (e.g. the flagship's join-back) and under-measure the plan
                 reg[name].build(spark, sf_dir).write.format("noop").mode(
                     "overwrite").save()
-                times[name] = min(times[name], time.perf_counter() - t0)
+                wall = time.perf_counter() - t0
+                if wall < times[name]:
+                    times[name] = wall
+                    task_ms[name] = _task_time_ms(spark) - tt0
                 # several plan builders cache shared subtrees (shingles,
                 # signature pyramids, banded edges); drop them so a long
                 # bench session doesn't accumulate pinned storage
@@ -360,6 +390,13 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # scaling legibility (VERDICT r15 task 2): the master string proves
+        # $SPARK_GRAFT_CPUS reached the session, and per-query executor
+        # task time shows the cores being used even where the wall time
+        # sits on the scheduling floor
+        "master": spark.sparkContext.master,
+        "task_sec": {n: round(ms / 1000.0, 3)
+                     for n, ms in sorted(task_ms.items())},
     }
     scale_env = os.environ.get("SPARK_GRAFT_BENCH_SCALE", "10")
     factor = int(scale_env) if scale_env.isdigit() else 0
@@ -374,26 +411,29 @@ def main() -> None:
     # detail lives under experiments/ with a UNIQUE timestamped name —
     # a mid-round builder validation run must never overwrite the
     # driver's end-of-round record, and the BENCH_DETAIL_r{N}.json /
-    # BENCH_r{N}.json namespace belongs to the driver alone.  Round
-    # number (informational, for the filename) = newest recorded
-    # BENCH_r*/CORRECTNESS_r* artifact + 1 (exactly what the regex
-    # below matches — review find r15: the comment used to promise
-    # VERDICT files drove it).
+    # BENCH_r{N}.json namespace belongs to the driver alone.  VERDICT
+    # r15 task 8: the filename stamps git SHA + timestamp ONLY — the
+    # former max(recorded round)+1 guess named the driver's own
+    # end-of-round detail one round ahead, so anyone diffing by
+    # filename got the wrong rounds.
     try:
-        import re as _re
+        import subprocess
 
         here = os.path.dirname(os.path.abspath(__file__))
-        rounds = [int(m.group(1))
-                  for f in os.listdir(here)
-                  for m in [_re.match(
-                      r"(?:BENCH|CORRECTNESS)_r(\d+)\.json$", f)] if m]
-        rnd = (max(rounds) + 1) if rounds else 0
+        try:
+            sha = subprocess.run(
+                ["git", "rev-parse", "--short", "HEAD"], cwd=here,
+                capture_output=True, text=True, timeout=10,
+            ).stdout.strip() or "nogit"
+        except Exception:
+            sha = "nogit"
         payload["bench_unix"] = int(time.time())
+        payload["git_sha"] = sha
         exp_dir = os.path.join(here, "experiments")
         os.makedirs(exp_dir, exist_ok=True)
         detail_path = os.path.join(
             exp_dir,
-            f"bench_detail_r{rnd:02d}_{payload['bench_unix']}.json")
+            f"bench_detail_{sha}_{payload['bench_unix']}.json")
         with open(detail_path, "w") as fh:
             json.dump(payload, fh, indent=1, sort_keys=True)
         print(f"full per-query detail -> {detail_path}",
@@ -413,10 +453,24 @@ def main() -> None:
         "sf": payload["sf"],
         "n_queries": len(times),
         "queries": dict(top10),
+        # scaling legibility (additions-only; VERDICT r15 task 2): master
+        # proves the core count reached the session; task_sec / wall >> 1
+        # on the heavy queries shows the cores being used even where the
+        # sf0.1 wall sits on the ~0.25 s scheduling floor
+        "master": payload["master"],
+        "task_sec": {name: payload["task_sec"].get(name)
+                     for name, _ in top10},
     }
     if "scale" in payload:
         compact["scale_growth"] = {
             name: d["growth"]
+            for name, d in payload["scale"]["queries"].items()
+        }
+        # absolute x10 seconds: at x10 the work is far above the
+        # scheduling floor, so THESE times are where an 8-vs-32-core
+        # comparison actually shows core scaling
+        compact["scale_x10_sec"] = {
+            name: d.get("x10")
             for name, d in payload["scale"]["queries"].items()
         }
     print(json.dumps(compact))

@@ -43,16 +43,22 @@ def admission_statuses(docs: DataFrame, urls: DataFrame, pages: DataFrame,
     (id, url); ``pages`` (id, html, headers); ``prior`` is a
     :func:`~..functions.dedup.snapshot_profile` of the previous crawl.
     Output: (id_col, status)."""
-    from pyspark.sql import Window as W
+    from ..cachepin import pin
 
-    canon = urls.select(id_col, canonicalize_url("url").alias("cu"))
-    # keeper via ONE canonical-key window instead of groupBy +
-    # join-back (round-15): the join-back referenced canon twice, so
-    # the URL synthesis + canonicalization regexes executed twice, and
-    # it paid a second exchange.  min over the partition == the former
-    # groupBy min.
-    url_dup = (canon.withColumn("_keeper", F.min(id_col).over(
-                   W.partitionBy("cu")))
+    # keeper via groupBy(min) + join-back over a PINNED canon frame
+    # (round-16, reverting the round-15 window form): `min(id) over
+    # (partition by cu)` with an unbounded frame puts every row of a hot
+    # canonical URL into ONE window partition on one task — no map-side
+    # partial aggregation, and AQE cannot split a window partition the
+    # way it splits a skewed join.  On a crawl corpus heavily-duplicated
+    # URLs are the expected hot keys, so the keeper must stay map-side
+    # combinable: the groupBy min combines per-map-task, and the
+    # join-back is a JOIN, which AQE's skew handling can split.  The pin
+    # keeps the round-15 win (URL synthesis + canonicalization regexes
+    # execute once) without the window's mega-partition shape.
+    canon = pin(urls.select(id_col, canonicalize_url("url").alias("cu")))
+    keepers = canon.groupBy("cu").agg(F.min(id_col).alias("_keeper"))
+    url_dup = (canon.join(keepers, "cu")
                .where(F.col(id_col) != F.col("_keeper"))
                .select(id_col, F.lit(1).alias("_u")))
     robots = (robots_flags(pages, headers_col="headers", id_col=id_col)

@@ -92,10 +92,17 @@ def language_id_agg(df: DataFrame, id_col: str = "doc_id",
     conditional-sum aggregation: whens over an exploded token column
     stay in whole-stage codegen, where the per-row array-filter lambdas
     are interpreted (5 langs x every row measured 2.6 s for 5000 docs).
-    Same scores, same argmax fold, identical values — ``words`` always
-    yields >= 1 token (empty text tokenizes to [""]), so every input
-    doc keeps a row.  ONE exchange keyed on id_col."""
-    tok = df.select(F.col(id_col), F.explode(words(text_col)).alias("w"))
+    Same scores, same argmax fold, identical values — text is coalesced
+    to '' before tokenizing, so ``words`` always yields >= 1 token
+    (empty AND NULL text tokenize to [""]) and every input doc keeps a
+    row (round-15 advice: the uncoalesced explode dropped NULL-text
+    docs, which the inner joins in corpus_datasheet / ccnet_buckets
+    then silently lost; the per-row twin returns LANGS[0] for NULL and
+    so does this).  ONE exchange keyed on id_col."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    tok = df.select(
+        F.col(id_col),
+        F.explode(words(F.coalesce(c, F.lit("")))).alias("w"))
     agg = tok.groupBy(id_col).agg(*[
         F.sum(F.when(F.col("w").isin(STOPWORDS[lang]), 1).otherwise(0))
         .alias(f"s_{lang}")

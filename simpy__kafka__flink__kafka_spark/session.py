@@ -52,6 +52,11 @@ def get_spark(app_name: str = "simpy_kafka_flink_kafka_spark",
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
+        # status-store metadata only (no execution effect): the bench reads
+        # per-query executor task time as cumulative deltas from the
+        # AppStatusStore; the default 1000-stage retention would evict
+        # stages mid-delta over a 93-query x 3-rep session and corrupt it
+        .config("spark.ui.retainedStages", "20000")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
